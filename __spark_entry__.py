@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship link-and-vote query at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB ground truth per query key.
 """
 
 from __future__ import annotations
@@ -12,27 +10,131 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from sea_express_customs_etl_spark.functions.strings import normalize_text_col
+from sea_express_customs_etl_spark.operators.linking import (
+    add_link_key,
+    count_matched_keys,
+    positional_align,
+    semi_filter,
+)
+from sea_express_customs_etl_spark.operators.vote import majority_vote
+from sea_express_customs_etl_spark.plans import oracles
+from sea_express_customs_etl_spark.plans.knowledge import knowledge_base
+from sea_express_customs_etl_spark.plans.standins import declared_table, official_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    sf_dir = "/root/testdata/sf0.001"
+    return knowledge_base(
+        declared_table(spark, sf_dir), official_table(spark, sf_dir), use_nfkc=False
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link-and-vote family (SURVEY.md §2.4-2.9, §3.3)
+# ---------------------------------------------------------------------------
+
+
+def _q_knowledge_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # use_nfkc=False: the TPC-H corpus is ASCII (NFKC is identity), which
+    # keeps the checked plan 100% JVM-side; NFKC itself is unit-tested.
+    return knowledge_base(
+        declared_table(spark, sf_dir), official_table(spark, sf_dir), use_nfkc=False
+    )
+
+
+def _ab_linked(spark: SparkSession, sf_dir: str):
+    a = add_link_key(
+        declared_table(spark, sf_dir).filter(
+            F.col("mawb_no").isNotNull()
+            & F.col("hawb_no").isNotNull()
+            & F.col("description_original").isNotNull()
+        )
+    ).select(
+        "link_key",
+        "item_no",
+        normalize_text_col(F.col("description_original"), use_nfkc=False).alias(
+            "original_description"
+        ),
+    )
+    b = add_link_key(
+        official_table(spark, sf_dir).filter(
+            F.col("mawb_no").isNotNull() & F.col("hawb_no").isNotNull()
+        )
+    ).select("link_key", "item_sequence", "description_official", "ccc_code")
+    return a, b
+
+
+def _q_link_key_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return add_link_key(declared_table(spark, sf_dir)).select(
+        "mawb_no", "hawb_no", "item_no", "link_key"
+    )
+
+
+def _q_count_match_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _ab_linked(spark, sf_dir)
+    return count_matched_keys(a, b)
+
+
+def _aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _ab_linked(spark, sf_dir)
+    valid = count_matched_keys(a, b)
+    return positional_align(semi_filter(a, valid), semi_filter(b, valid))
+
+
+def _q_positional_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aligned(spark, sf_dir).select(
+        "link_key",
+        F.col("_pos").alias("pos"),
+        "original_description",
+        "description_official",
+        "ccc_code",
+    )
+
+
+def _q_vote_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _aligned(spark, sf_dir)
+        .filter(F.col("original_description") != "")
+        .withColumnRenamed("description_official", "official_description")
+        .groupBy("original_description", "official_description", "ccc_code")
+        .agg(F.count(F.lit(1)).alias("frequency"))
+    )
+
+
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        declared_table(spark, sf_dir)
+        .select(
+            "description_original",
+            normalize_text_col(F.col("description_original"), use_nfkc=False).alias(
+                "normalized"
+            ),
+        )
+        .distinct()
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "knowledge_extraction": _q_knowledge_extraction,
+        "link_key_derive": _q_link_key_derive,
+        "count_match_keys": _q_count_match_keys,
+        "positional_align": _q_positional_align,
+        "vote_counts": _q_vote_counts,
+        "normalize_text": _q_normalize_text,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "knowledge_extraction": oracles.KNOWLEDGE_EXTRACTION_SQL,
+        "link_key_derive": oracles.LINK_KEY_DERIVE_SQL,
+        "count_match_keys": oracles.COUNT_MATCH_KEYS_SQL,
+        "positional_align": oracles.POSITIONAL_ALIGN_SQL,
+        "vote_counts": oracles.VOTE_COUNTS_SQL,
+        "normalize_text": oracles.NORMALIZE_TEXT_SQL,
+    }

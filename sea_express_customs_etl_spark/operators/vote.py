@@ -1,0 +1,46 @@
+"""Majority-vote knowledge extraction (OP-AGG-VOTE, SURVEY.md §2.5).
+
+Reference: ``src/batch_train.py:121-146`` — a Python ``Counter`` per
+normalized source description, ``most_common(1)`` winner.
+
+Spark-first restatement: vote counting is a plain groupBy (partial
+aggregation map-side, one shuffle), winner selection is a row_number
+window over the vote counts — both fully inside Catalyst, never a UDAF.
+
+Determinism: ``Counter.most_common`` breaks ties by insertion order,
+which is row-order dependent and therefore nondeterministic under
+distribution. The engine defines the tie-break as
+``(frequency DESC, official_description ASC, ccc_code ASC)`` — a
+documented, deterministic divergence (SURVEY.md §7.3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def majority_vote(
+    df: DataFrame,
+    src_col: str = "original_description",
+    target_cols: tuple[str, ...] = ("official_description", "ccc_code"),
+    freq_col: str = "frequency",
+) -> DataFrame:
+    """Per ``src_col``, count votes for each distinct target tuple and
+    keep the winner (highest count; deterministic tie-break by target
+    columns ascending). Empty-string sources are excluded (reference
+    ``src/batch_train.py:127``).
+    """
+    votes = (
+        df.filter(F.col(src_col) != "")
+        .groupBy(src_col, *target_cols)
+        .agg(F.count(F.lit(1)).alias(freq_col))
+    )
+    win = Window.partitionBy(src_col).orderBy(
+        F.col(freq_col).desc(), *[F.col(c).asc() for c in target_cols]
+    )
+    return (
+        votes.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

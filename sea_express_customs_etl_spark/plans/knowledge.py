@@ -1,0 +1,66 @@
+"""The flagship link-and-vote query (SURVEY.md §3.3).
+
+Reference: ``src/batch_train.py:54-146`` (``train_model``). The
+pandas/Counter implementation becomes one declarative plan:
+
+    filter not-null keys → derive link_key → per-key counts on both
+    sides → inner join + count-equality (valid keys) → broadcast
+    semi-join reduction → normalize_text → row_number positional
+    alignment → groupBy vote → window top-1
+
+Physical shape (verified via ``.explain``): the valid-key set is
+waybill-grained (small) and broadcast; A and B each shuffle once on
+``link_key`` for their row_number window and the alignment join reuses
+that exchange; the vote adds one shuffle on the normalized description.
+No Python in the plan unless NFKC is enabled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from sea_express_customs_etl_spark.functions.strings import normalize_text_col
+from sea_express_customs_etl_spark.operators.linking import (
+    add_link_key,
+    count_matched_keys,
+    positional_align,
+    semi_filter,
+)
+from sea_express_customs_etl_spark.operators.vote import majority_vote
+
+
+def knowledge_base(
+    df_a: DataFrame, df_b: DataFrame, *, use_nfkc: bool = True
+) -> DataFrame:
+    """table_a_raw-shaped × table_b_history-shaped → standard_knowledge_base.
+
+    Output schema: original_description, official_description, ccc_code,
+    frequency — the reference's ``standard_knowledge_base``
+    (``src/batch_train.py:137-146``).
+    """
+    a = add_link_key(
+        df_a.filter(
+            F.col("mawb_no").isNotNull()
+            & F.col("hawb_no").isNotNull()
+            & F.col("description_original").isNotNull()
+        )
+    ).select("link_key", "item_no", "description_original")
+    b = add_link_key(
+        df_b.filter(F.col("mawb_no").isNotNull() & F.col("hawb_no").isNotNull())
+    ).select("link_key", "item_sequence", "description_official", "ccc_code")
+
+    valid = count_matched_keys(a, b)
+    a_valid = semi_filter(a, valid).withColumn(
+        "original_description",
+        normalize_text_col(F.col("description_original"), use_nfkc=use_nfkc),
+    )
+    b_valid = semi_filter(b, valid)
+
+    aligned = positional_align(
+        a_valid.select("link_key", "item_no", "original_description"),
+        b_valid,
+    ).withColumnRenamed("description_official", "official_description")
+    return majority_vote(aligned).select(
+        "original_description", "official_description", "ccc_code", "frequency"
+    )

@@ -1,0 +1,92 @@
+"""Customs-table stand-ins derived from the TPC-H-ish test parquet.
+
+FIXTURES.md §5 maps the customs data model onto the driver's testdata:
+``hawb`` ← ``o_orderkey``, items ← ``lineitem`` sequenced by
+``l_linenumber``, ``description_original`` ← ``p_name``,
+``official_description``/``ccc_code`` ← ``p_brand``/``p_type``, ``mawb``
+← an ``o_custkey`` bucket, with dirt (spaces, ``-``, ``/``, case) injected
+in the query prologue so the key-scrub operators have real work.
+
+These derivations are mirrored verbatim by the DuckDB oracle SQL in
+``sea_express_customs_etl_spark.plans.oracles`` — any change here must
+change there too.
+
+Deliberate properties:
+
+* A's keys are dirty (``h-…␣`` / ``H…``), B's differ in case — equal
+  only after OP-JOIN-KEY scrubbing.
+* B drops items with ``l_linenumber > 5`` → orders with 6-7 items have
+  mismatched counts and must be excluded by OP-JOIN-COUNTEQ.
+* B's ``item_sequence`` runs in REVERSE line order, so positional
+  alignment genuinely permutes items (the i-th declared item pairs with
+  the (n+1-i)-th official item) and the majority vote sees conflicting
+  targets per source description.
+* ``description_original`` gets an ``X/`` prefix on line 1 so
+  OP-STR-SPLITLAST merges it back with the plain variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
+    # orders/part are dimension-sized relative to lineitem → broadcast both
+    return li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+
+
+def declared_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table_a_raw`` stand-in (shipper-declared cargo).
+
+    ``item_no`` is a row_number rather than raw ``l_linenumber`` because
+    the synthetic lineitem duplicates line numbers within an order; the
+    tie-break on ``p_name`` makes the ordinal deterministic across
+    engines (rows still tied after it are attribute-identical, hence
+    interchangeable).
+    """
+    j = _joined(spark, sf_dir)
+    okey = F.col("l_orderkey").cast("string")
+    item_no = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(F.col("l_linenumber"), F.col("p_name"))
+    )
+    return j.select(
+        F.concat(F.lit("M"), (F.col("o_custkey") % 20).cast("string"), F.lit("EX")).alias(
+            "mawb_no"
+        ),
+        F.when(F.col("l_orderkey") % 3 == 0, F.concat(F.lit("h-"), okey, F.lit(" ")))
+        .otherwise(F.concat(F.lit("H"), okey))
+        .alias("hawb_no"),
+        item_no.alias("item_no"),
+        F.when(F.col("l_linenumber") == 1, F.concat(F.lit("X/"), F.col("p_name")))
+        .otherwise(F.col("p_name"))
+        .alias("description_original"),
+    )
+
+
+def official_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``table_b_history`` stand-in (broker-declared items)."""
+    j = _joined(spark, sf_dir).filter(F.col("l_linenumber") <= 5)
+    seq = F.row_number().over(
+        Window.partitionBy("l_orderkey").orderBy(
+            F.col("l_linenumber").desc(), F.col("p_brand"), F.col("p_type")
+        )
+    )
+    return j.select(
+        F.concat(F.lit("m"), (F.col("o_custkey") % 20).cast("string"), F.lit("ex")).alias(
+            "mawb_no"
+        ),
+        F.concat(F.lit("h"), F.col("l_orderkey").cast("string")).alias("hawb_no"),
+        seq.alias("item_sequence"),
+        F.col("p_brand").alias("description_official"),
+        F.col("p_type").alias("ccc_code"),
+    )
