@@ -34,9 +34,18 @@ def main() -> None:
 
     qs = entrymod.queries()
 
-    # warmup: touch all tables once (scan + count, no shuffle)
+    # warmup: touch all tables once (scan + count), then run the flagship
+    # end-to-end once so JIT/codegen/shuffle machinery is warm — the
+    # measured numbers are steady-state throughput, which is what a
+    # long-lived cluster sees.
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
     for t in ("lineitem", "orders", "part", "documents", "embeddings", "events"):
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        load_table(spark, sf_dir, t).count()
+    if "knowledge_extraction" in qs:
+        qs["knowledge_extraction"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():

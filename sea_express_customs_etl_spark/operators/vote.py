@@ -25,22 +25,50 @@ def majority_vote(
     src_col: str = "original_description",
     target_cols: tuple[str, ...] = ("official_description", "ccc_code"),
     freq_col: str = "frequency",
+    strategy: str = "agg",
 ) -> DataFrame:
     """Per ``src_col``, count votes for each distinct target tuple and
     keep the winner (highest count; deterministic tie-break by target
     columns ascending). Empty-string sources are excluded (reference
     ``src/batch_train.py:127``).
+
+    Strategies (identical results, different physical plans):
+
+    * ``"agg"`` (default): winner via ``min(struct(-freq, targets...))``
+      — an ordinary aggregate, so Spark applies map-side partial
+      aggregation and needs no per-group sort. Scale path: two shuffles
+      (vote count on (src, targets), winner on src), both with partial
+      combine, no window sort buffer.
+    * ``"window"``: the textbook ``row_number() == 1`` top-1-per-group,
+      kept for parity demonstration and as the shape Catalyst sees for
+      generic top-k.
     """
     votes = (
         df.filter(F.col(src_col) != "")
         .groupBy(src_col, *target_cols)
         .agg(F.count(F.lit(1)).alias(freq_col))
     )
-    win = Window.partitionBy(src_col).orderBy(
-        F.col(freq_col).desc(), *[F.col(c).asc() for c in target_cols]
-    )
-    return (
-        votes.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    if strategy == "window":
+        win = Window.partitionBy(src_col).orderBy(
+            F.col(freq_col).desc(), *[F.col(c).asc() for c in target_cols]
+        )
+        return (
+            votes.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    # min over struct(-freq, targets..., freq): -freq ASC == freq DESC,
+    # then the target columns ascending — same total order as the window.
+    winner = F.min(
+        F.struct(
+            (-F.col(freq_col)).alias("_nf"),
+            *[F.col(c).alias(c) for c in target_cols],
+            F.col(freq_col).alias(freq_col),
+        )
+    ).alias("_w")
+    agg = votes.groupBy(src_col).agg(winner)
+    return agg.select(
+        src_col,
+        *[F.col(f"_w.{c}").alias(c) for c in target_cols],
+        F.col(f"_w.{freq_col}").alias(freq_col),
     )

@@ -31,13 +31,28 @@ from sea_express_customs_etl_spark.operators.vote import majority_vote
 
 
 def knowledge_base(
-    df_a: DataFrame, df_b: DataFrame, *, use_nfkc: bool = True
+    df_a: DataFrame, df_b: DataFrame, *, use_nfkc: bool = True, strategy: str = "array"
 ) -> DataFrame:
     """table_a_raw-shaped × table_b_history-shaped → standard_knowledge_base.
 
     Output schema: original_description, official_description, ccc_code,
     frequency — the reference's ``standard_knowledge_base``
     (``src/batch_train.py:137-146``).
+
+    Strategies (identical results — both oracle-checked):
+
+    * ``"array"`` (default, the scale path): one hash-aggregate per side
+      collects each waybill's items into a sorted array
+      (``sort_array(collect_list(struct(ord, payload)))``), the
+      count-equality check collapses to ``size(a) = size(b)`` inside the
+      equi-join, and alignment is ``arrays_zip`` + ``explode``. Total: A
+      shuffles once, B shuffles once, join is co-partitioned on
+      ``link_key``, + the vote's aggregates. Group state is bounded by
+      items-per-waybill (tens), so no skew/OOM risk at 100 TB.
+    * ``"window"``: the operator-by-operator composition
+      (count_matched_keys → broadcast semi-filters → row_number windows
+      → (key, pos) equi-join → vote). Same semantics, ~4 shuffles; kept
+      because it demonstrates the §2 operators directly.
     """
     a = add_link_key(
         df_a.filter(
@@ -45,22 +60,53 @@ def knowledge_base(
             & F.col("hawb_no").isNotNull()
             & F.col("description_original").isNotNull()
         )
-    ).select("link_key", "item_no", "description_original")
+    ).select(
+        "link_key",
+        "item_no",
+        normalize_text_col(F.col("description_original"), use_nfkc=use_nfkc).alias(
+            "original_description"
+        ),
+    )
     b = add_link_key(
         df_b.filter(F.col("mawb_no").isNotNull() & F.col("hawb_no").isNotNull())
     ).select("link_key", "item_sequence", "description_official", "ccc_code")
 
-    valid = count_matched_keys(a, b)
-    a_valid = semi_filter(a, valid).withColumn(
-        "original_description",
-        normalize_text_col(F.col("description_original"), use_nfkc=use_nfkc),
-    )
-    b_valid = semi_filter(b, valid)
+    if strategy == "array":
+        a_packed = a.groupBy("link_key").agg(
+            F.sort_array(
+                F.collect_list(F.struct("item_no", "original_description"))
+            ).alias("_ia")
+        )
+        b_packed = b.groupBy("link_key").agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct("item_sequence", "description_official", "ccc_code")
+                )
+            ).alias("_ib")
+        )
+        aligned = (
+            a_packed.join(b_packed, "link_key", "inner")
+            .filter(F.size("_ia") == F.size("_ib"))
+            .select(
+                F.explode(
+                    F.arrays_zip(
+                        F.col("_ia.original_description").alias("original_description"),
+                        F.col("_ib.description_official").alias("official_description"),
+                        F.col("_ib.ccc_code").alias("ccc_code"),
+                    )
+                ).alias("_p")
+            )
+            .select("_p.original_description", "_p.official_description", "_p.ccc_code")
+        )
+    else:
+        valid = count_matched_keys(a, b)
+        a_valid = semi_filter(a, valid)
+        b_valid = semi_filter(b, valid)
+        aligned = positional_align(
+            a_valid.select("link_key", "item_no", "original_description"),
+            b_valid,
+        ).withColumnRenamed("description_official", "official_description")
 
-    aligned = positional_align(
-        a_valid.select("link_key", "item_no", "original_description"),
-        b_valid,
-    ).withColumnRenamed("description_official", "official_description")
     return majority_vote(aligned).select(
         "original_description", "official_description", "ccc_code", "frequency"
     )

@@ -100,6 +100,37 @@ def test_majority_vote_winner_and_tiebreak(spark):
     }
 
 
+def test_majority_vote_strategies_agree(spark):
+    df = spark.createDataFrame(
+        [
+            ("shirt", "POLO", "C1"),
+            ("shirt", "POLO", "C1"),
+            ("shirt", "TEE", "C2"),
+            ("cup", "MUG", "C9"),
+            ("cup", "ZCUP", "C0"),
+        ],
+        "original_description string, official_description string, ccc_code string",
+    )
+    agg = sorted(map(tuple, majority_vote(df, strategy="agg").collect()))
+    win = sorted(map(tuple, majority_vote(df, strategy="window").collect()))
+    assert agg == win
+
+
+def test_knowledge_base_strategies_agree(spark, sf_dir):
+    from sea_express_customs_etl_spark.plans.knowledge import knowledge_base
+    from sea_express_customs_etl_spark.plans.standins import (
+        declared_table,
+        official_table,
+    )
+
+    a, b = declared_table(spark, sf_dir), official_table(spark, sf_dir)
+    arr = sorted(map(tuple, knowledge_base(a, b, use_nfkc=False).collect()))
+    win = sorted(
+        map(tuple, knowledge_base(a, b, use_nfkc=False, strategy="window").collect())
+    )
+    assert arr == win and len(arr) > 0
+
+
 def test_majority_vote_permutation_invariant(spark):
     rows = [
         ("a", "X", "1"),
