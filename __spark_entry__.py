@@ -22,7 +22,11 @@ from sea_express_customs_etl_spark.operators.linking import (
 from sea_express_customs_etl_spark.operators.vote import majority_vote
 from sea_express_customs_etl_spark.plans import oracles
 from sea_express_customs_etl_spark.plans.knowledge import knowledge_base
-from sea_express_customs_etl_spark.plans.standins import declared_table, official_table
+from sea_express_customs_etl_spark.plans.standins import (
+    declared_table,
+    load_table,
+    official_table,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -118,18 +122,130 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data extension operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    sh = shingles(_docs(spark, sf_dir))
+    return lsh_candidate_pairs(lsh_bands(minhash_signatures(sh))).select(
+        F.col("id_a"), F.col("id_b")
+    )
+
+
+def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.dedup import (
+        jaccard_verify,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    sh = shingles(_docs(spark, sf_dir))
+    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    return jaccard_verify(pairs, sh)
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.similarity import brute_force_topk
+
+    emb = _emb(spark, sf_dir)
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=10)
+
+
+def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 16),
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+    )
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.textstats import text_stats
+
+    return text_stats(_docs(spark, sf_dir))
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # link-and-vote family (reference parity, SURVEY §2.4-2.9, §3.3)
         "knowledge_extraction": _q_knowledge_extraction,
         "link_key_derive": _q_link_key_derive,
         "count_match_keys": _q_count_match_keys,
         "positional_align": _q_positional_align,
         "vote_counts": _q_vote_counts,
         "normalize_text": _q_normalize_text,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "simhash": _q_simhash,
+        # similarity search
+        "cosine_topk": _q_cosine_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        # text analysis
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "token_counts": _q_token_counts,
+        "doc_fingerprint": _q_doc_fingerprint,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from sea_express_customs_etl_spark.plans import oracles_ext as ext
+
     return {
         "knowledge_extraction": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "link_key_derive": oracles.LINK_KEY_DERIVE_SQL,
@@ -137,4 +253,14 @@ def oracle_sql() -> dict[str, str]:
         "positional_align": oracles.POSITIONAL_ALIGN_SQL,
         "vote_counts": oracles.VOTE_COUNTS_SQL,
         "normalize_text": oracles.NORMALIZE_TEXT_SQL,
+        "dedup_exact": ext.DEDUP_EXACT_SQL,
+        "minhash_lsh_pairs": ext.MINHASH_LSH_PAIRS_SQL,
+        "ngram_jaccard_dups": ext.NGRAM_JACCARD_DUPS_SQL,
+        "simhash": ext.SIMHASH_SQL,
+        "cosine_topk": ext.COSINE_TOPK_SQL,
+        "ann_ivf_topk": ext.ANN_IVF_TOPK_SQL,
+        "text_stats": ext.TEXT_STATS_SQL,
+        "lang_id": ext.LANG_ID_SQL,
+        "token_counts": ext.TOKEN_COUNTS_SQL,
+        "doc_fingerprint": ext.FINGERPRINT_SQL,
     }

@@ -1,0 +1,192 @@
+"""Deduplication operators for training-data pipelines.
+
+Beyond reference parity (the reference dedups only via a DB UNIQUE key,
+``training.log:19``) — these are the dedup primitives a 100 TB corpus
+pipeline needs, each expressed as pure DataFrame ops so Catalyst keeps
+the whole plan JVM-side:
+
+* exact dedup — hash-groupBy on content digest
+* MinHash + LSH — shingle → k minhashes (one aggregate pass) → banded
+  signatures → bucket self-join for candidate pairs
+* n-gram Jaccard verification — exact set overlap on candidate pairs
+* SimHash — per-token hash bit-vote aggregated into a compact signature
+
+Portability note: all hashing is ``md5`` (identical hex output in
+Spark, DuckDB, Python) so every operator is oracle-checkable.
+
+Scale design: shingling explodes ~n_words rows per doc but the k
+minhashes collapse in a single partial-aggregated groupBy; the LSH
+self-join shuffles on band values whose buckets are tiny by
+construction; nothing ever collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+
+def tokens(df: DataFrame, text_col: str = "text") -> "F.Column":
+    """Whitespace tokenization as an array column."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: one row per
+    (id, shingle). Documents with fewer than ``n`` words produce no
+    shingles (and thus never collide in MinHash space).
+    """
+    toks = tokens(df, text_col)
+    parts = [F.element_at(F.col("_toks"), F.col("_i") + k) for k in range(n)]
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+            ).alias("_i"),
+            "_toks",
+        )
+        .select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: content digest → representative (min id) +
+    copy count. Output: content_hash, rep_doc_id, n_copies."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("content_hash")).agg(
+        F.min(F.col(id_col)).alias("rep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+) -> DataFrame:
+    """k MinHash values per document in ONE aggregate pass: the i-th
+    hash family is ``md5(i || '|' || shingle)`` and the signature entry
+    is its minimum. Partial (map-side) aggregation applies, so the
+    shuffle carries k strings per doc, not the shingle set.
+    """
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    num_bands: int = 2,
+) -> DataFrame:
+    """Band the signature: hash each contiguous group of k/b minhashes
+    (band id is salted in so bands never collide across band index).
+    Output: id, band."""
+    rows_per_band = num_hashes // num_bands
+    bands = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.lit(str(b)),
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        )
+        for b in range(num_bands)
+    ]
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    )
+
+
+def lsh_candidate_pairs(banded: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Distinct (a < b) id pairs sharing at least one band."""
+    left = banded.select(F.col(id_col).alias("id_a"), "band")
+    right = banded.select(F.col(id_col).alias("id_b"), "band")
+    return (
+        left.join(right, "band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs; keeps pairs
+    at/above ``threshold``. Output: id_a, id_b, jaccard (rounded 4dp —
+    integer-ratio arithmetic, exact across engines).
+    """
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    sh_a = shingled.select(F.col(id_col).alias("id_a"), "shingle")
+    sh_b = shingled.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "id_a")
+        .join(sh_b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a")), "id_a")
+        .join(sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_bits: int = 16,
+) -> DataFrame:
+    """SimHash signature over distinct whitespace tokens: each token's
+    md5 contributes ±1 per bit position; the signature bit is the sign
+    of the vote sum. ``num_bits`` ≤ 32 (4 bits per leading hex char of
+    the digest). Output: id, simhash (integer).
+
+    Pure integer arithmetic end-to-end → bit-identical across engines.
+    """
+    toked = (
+        df.select(F.col(id_col), F.explode(tokens(df, text_col)).alias("tok"))
+        .distinct()
+        .withColumn("_h", F.md5(F.col("tok")))
+    )
+    votes = []
+    for j in range(num_bits):
+        k, m = divmod(j, 4)
+        nib = F.conv(F.substring(F.col("_h"), k + 1, 1), 16, 10).cast("int")
+        bit = F.shiftright(nib, m).bitwiseAND(F.lit(1))
+        votes.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"v_{j}")
+        )
+    agg = toked.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(num_bits):
+        term = F.when(F.col(f"v_{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, both pure DataFrame ops:
+
+* brute-force cosine top-k — the correctness baseline: broadcast the
+  (small) query set against the full corpus, fold the dot product
+  inside a single Catalyst expression (``zip_with`` + ``aggregate``,
+  deterministic left-to-right summation — bit-stable across engines,
+  unlike a shuffled ``sum``).
+* IVF (inverted-file) top-k — the scale path: assign every vector to
+  its nearest centroid (argmin over a broadcast centroid set), then
+  search only within the probe cluster. At 100 TB the assignment is a
+  map-only pass and the search join shuffles on ``cluster`` instead of
+  exploding a full cross product.
+
+All similarity values are rounded (6dp) before ranking so top-k
+ordering is reproducible; ranking ties break by neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def with_norm(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Project to (id, double vector, L2 norm)."""
+    dv = _as_double(F.col(vec_col))
+    return df.select(F.col(id_col), dv.alias("_v"), _norm(dv).alias("_n"))
+
+
+def cosine(v_a: Column, n_a: Column, v_b: Column, n_b: Column, scale: int = 6) -> Column:
+    return F.round(_dot(v_a, v_b) / (n_a * n_b), scale)
+
+
+def brute_force_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k: every query vs every other vector.
+
+    Output: query_id, neighbor_id, cosine. The query side is broadcast
+    (query sets are small by definition); the corpus is scanned once
+    with no shuffle before the per-query top-k.
+    """
+    c = with_norm(df, vec_col, id_col).withColumnRenamed(id_col, "neighbor_id")
+    q = (
+        with_norm(queries, vec_col, id_col)
+        .withColumnRenamed(id_col, "query_id")
+        .withColumnRenamed("_v", "_qv")
+        .withColumnRenamed("_n", "_qn")
+    )
+    sims = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_n")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (ties →
+    lowest centroid id). Output: id, _v, _n, cluster.
+
+    The centroid set is broadcast; assignment is map-only (argmin via
+    min(struct(-sim, centroid_id)) — no window, partial-aggregatable).
+    """
+    c = with_norm(df, vec_col, id_col)
+    cen = (
+        with_norm(centroids.withColumnRenamed(id_col, centroid_id_col), vec_col, centroid_id_col)
+        .withColumnRenamed("_v", "_cv")
+        .withColumnRenamed("_n", "_cn")
+    )
+    sims = c.join(F.broadcast(cen)).select(
+        id_col,
+        "_v",
+        "_n",
+        F.col(centroid_id_col),
+        cosine(F.col("_v"), F.col("_n"), F.col("_cv"), F.col("_cn")).alias("_sim"),
+    )
+    best = sims.groupBy(id_col, "_v", "_n").agg(
+        F.min(F.struct((-F.col("_sim")).alias("_ns"), F.col(centroid_id_col).alias("c"))).alias(
+            "_b"
+        )
+    )
+    return best.select(id_col, "_v", "_n", F.col("_b.c").alias("cluster"))
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: search only the query's own cluster
+    (nprobe=1). Output: query_id, neighbor_id, cosine, cluster."""
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    q = (
+        assigned.join(queries.select(F.col(id_col)), id_col, "left_semi")
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("_v").alias("_qv"),
+            F.col("_n").alias("_qn"),
+            "cluster",
+        )
+    )
+    sims = (
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cluster",
+            cosine(F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_n")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,202 @@
+"""DuckDB oracle SQL for the extension operators (dedup, similarity,
+text analysis). Mirrors ``operators/dedup.py``, ``operators/similarity.py``
+and ``operators/textstats.py`` fragment-for-fragment.
+
+Cross-engine determinism rules used throughout:
+
+* all hashing is md5 (identical hex in both engines)
+* ratio arithmetic is integer-ratio → double with identical operation
+  order, rounded to a fixed scale
+* dot products fold left-to-right over the same double arrays in both
+  engines (Spark ``aggregate``, DuckDB ``list_inner_product``) and are
+  rounded before any ranking; ranking ties break by id
+* row_number outputs are cast to INTEGER to match Spark's int
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------------------
+# shared CTE fragments
+# --------------------------------------------------------------------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_SHINGLES = f"""
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    WHERE len(toks) >= 3))
+"""
+
+_MH = ", ".join(
+    f"min(md5('{i}|' || shingle)) AS mh_{i}" for i in range(8)
+)
+
+_SIG = f"sig AS (SELECT doc_id, {_MH} FROM sh GROUP BY doc_id)"
+
+_BANDS = """
+band AS (
+  SELECT doc_id, unnest([
+      md5('0' || '|' || mh_0 || '|' || mh_1 || '|' || mh_2 || '|' || mh_3),
+      md5('1' || '|' || mh_4 || '|' || mh_5 || '|' || mh_6 || '|' || mh_7)
+  ]) AS band FROM sig)
+"""
+
+_PAIRS = """
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM band a JOIN band b USING (band)
+  WHERE a.doc_id < b.doc_id)
+"""
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS rep_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS}
+SELECT id_a, id_b FROM pairs
+"""
+
+NGRAM_JACCARD_DUPS_SQL = f"""
+WITH {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) >= 0.5
+"""
+
+# simhash over 16 bits: per distinct token, md5 leading hex nibbles vote
+_SIMHASH_VOTES = ", ".join(
+    "sum(CASE WHEN ((instr('0123456789abcdef', substr(h, {k}, 1)) - 1) >> {m}) & 1 = 1 "
+    "THEN 1 ELSE -1 END) AS v_{j}".format(k=j // 4 + 1, m=j % 4, j=j)
+    for j in range(16)
+)
+_SIMHASH_SIG = " + ".join(
+    f"CASE WHEN v_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(16)
+)
+
+SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+votes AS (SELECT doc_id, {_SIMHASH_VOTES} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_SIMHASH_SIG} AS BIGINT) AS simhash FROM votes
+"""
+
+# --------------------------------------------------------------------------
+# similarity search
+# --------------------------------------------------------------------------
+
+_NRM = """
+nrm AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS n
+  FROM embeddings)
+"""
+
+COSINE_TOPK_SQL = f"""
+WITH {_NRM},
+q AS (SELECT * FROM nrm WHERE vec_id < 10),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_inner_product(q.v, c.v) / (q.n * c.n), 6) AS cosine
+  FROM q JOIN nrm c ON c.vec_id <> q.vec_id)
+SELECT query_id, neighbor_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn FROM sims)
+WHERE rn <= 10
+"""
+
+ANN_IVF_TOPK_SQL = f"""
+WITH {_NRM},
+cen AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn FROM nrm WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, v, n, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.v, e.n, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.v, c.cv) / (e.n * c.cn), 6) DESC,
+                        c.centroid_id) AS rn
+    FROM nrm e CROSS JOIN cen c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn, cluster
+      FROM asg WHERE vec_id < 10),
+sims AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id, a.cluster,
+         round(list_inner_product(q.qv, a.v) / (q.qn * a.n), 6) AS cosine
+  FROM q JOIN asg a USING (cluster)
+  WHERE a.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, cosine, cluster
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn FROM sims)
+WHERE rn <= 5
+"""
+
+# --------------------------------------------------------------------------
+# text analysis
+# --------------------------------------------------------------------------
+
+_STOPS = "('the', 'a', 'and', 'of', 'to', 'in', 'is')"
+
+TEXT_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INTEGER) AS no_ws,
+         CAST(length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS INTEGER) AS no_punct
+  FROM documents),
+d AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_words,
+         n_chars, no_ws,
+         round((n_chars - no_punct) / n_chars, 4) AS punct_ratio,
+         round(len(list_filter(toks, t -> lower(t) IN {_STOPS})) / len(toks), 4)
+             AS stop_ratio
+  FROM base)
+SELECT doc_id, n_words,
+       n_chars AS n_chars_calc,
+       round(no_ws / n_words, 4) AS avg_word_len,
+       punct_ratio, stop_ratio,
+       round(least(1.0, n_words / 100.0) * 0.4 + stop_ratio * 0.3
+             + (1 - punct_ratio) * 0.3, 4) AS quality_score
+FROM d
+"""
+
+LANG_ID_SQL = f"""
+SELECT doc_id,
+  CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+       WHEN len(list_filter(toks, t -> lower(t) IN ('the', 'and'))) > 0 THEN 'en'
+       WHEN len(list_filter(toks, t -> lower(t) IN ('der', 'und'))) > 0 THEN 'de'
+       WHEN len(list_filter(toks, t -> lower(t) IN ('le', 'et'))) > 0 THEN 'fr'
+       WHEN len(list_filter(toks, t -> lower(t) IN ('el', 'y'))) > 0 THEN 'es'
+       ELSE 'unknown' END AS predicted_lang
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+"""
+
+TOKEN_COUNTS_SQL = f"""
+SELECT doc_id,
+       CAST(len({_TOKS}) AS INTEGER) AS ws_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_tokens_est
+FROM documents
+"""
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""

@@ -1,0 +1,75 @@
+"""Unit tests for dedup operators (exact, MinHash-LSH, Jaccard, SimHash)."""
+
+from __future__ import annotations
+
+from sea_express_customs_etl_spark.operators.dedup import (
+    exact_duplicates,
+    jaccard_verify,
+    lsh_bands,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the sleepy dog"),  # near dup of 1
+    (4, "completely different text about spark engines and shuffles"),
+    (5, "hi"),  # < 3 words → no shingles
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    got = {
+        r.rep_doc_id: r.n_copies for r in exact_duplicates(_docs(spark)).collect()
+    }
+    assert got[1] == 2  # docs 1+2 collapse
+    assert got[3] == 1 and got[4] == 1 and got[5] == 1
+
+
+def test_shingles_set_semantics(spark):
+    sh = shingles(_docs(spark))
+    rows = sh.filter("doc_id = 1").collect()
+    # 9 words → 7 trigrams, all distinct here
+    assert len(rows) == 7
+    assert sh.filter("doc_id = 5").count() == 0
+
+
+def test_lsh_finds_near_duplicates(spark):
+    sh = shingles(_docs(spark))
+    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always share all bands
+    assert not any(4 in p for p in got)  # unrelated doc never pairs
+
+
+def test_jaccard_verify_scores(spark):
+    sh = shingles(_docs(spark))
+    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_verify(pairs, sh, threshold=0.0).collect()
+    }
+    assert verified[(1, 2)] == 1.0
+
+
+def test_simhash_properties(spark):
+    sigs = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert sigs[1] == sigs[2]  # identical text → identical signature
+    assert sigs[1] != sigs[4]  # unrelated text → different signature
+    assert all(0 <= s < 2**16 for s in sigs.values())
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def test_simhash_near_dup_closer_than_unrelated(spark):
+    sigs = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert _hamming(sigs[1], sigs[3]) < _hamming(sigs[1], sigs[4])
