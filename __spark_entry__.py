@@ -219,7 +219,17 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from sea_express_customs_etl_spark.plans import relational as rel
+
     return {
+        # general relational / streaming-shaped surface
+        "events_hourly": rel.events_hourly,
+        "events_sessionize": rel.events_sessionize,
+        "pricing_summary": rel.pricing_summary,
+        "topk_parts_per_brand": rel.topk_parts_per_brand,
+        "rollup_order_stats": rel.rollup_order_stats,
+        "customers_without_orders": rel.customers_without_orders,
+        "customer_running_totals": rel.customer_running_totals,
         # link-and-vote family (reference parity, SURVEY §2.4-2.9, §3.3)
         "knowledge_extraction": _q_knowledge_extraction,
         "link_key_derive": _q_link_key_derive,
@@ -245,8 +255,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_ext as ext
+    from sea_express_customs_etl_spark.plans import oracles_rel as rel
 
     return {
+        "events_hourly": rel.EVENTS_HOURLY_SQL,
+        "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
+        "pricing_summary": rel.PRICING_SUMMARY_SQL,
+        "topk_parts_per_brand": rel.TOPK_PARTS_PER_BRAND_SQL,
+        "rollup_order_stats": rel.ROLLUP_ORDER_STATS_SQL,
+        "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "customer_running_totals": rel.CUSTOMER_RUNNING_TOTALS_SQL,
         "knowledge_extraction": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "link_key_derive": oracles.LINK_KEY_DERIVE_SQL,
         "count_match_keys": oracles.COUNT_MATCH_KEYS_SQL,

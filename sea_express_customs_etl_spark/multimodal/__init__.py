@@ -1,0 +1,8 @@
+"""Multimodal (image/audio/video) column plumbing."""
+
+from sea_express_customs_etl_spark.multimodal.binary_ops import (  # noqa: F401
+    attach_binary_metadata,
+    decode_images,
+    fake_image_features,
+    sample_frames,
+)

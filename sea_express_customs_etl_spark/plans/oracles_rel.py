@@ -1,0 +1,85 @@
+"""DuckDB oracle SQL for the general relational surface
+(``plans/relational.py``). The ``events`` view is nanosecond-timestamp
+parquet; DuckDB truncates to microseconds on read, matching the Spark
+loader's explicit nanos→micros conversion."""
+
+from __future__ import annotations
+
+EVENTS_HOURLY_SQL = """
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+EVENTS_SESSIONIZE_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 30 * 60
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered),
+sessions AS (
+  SELECT user_id, ts,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_id
+  FROM flagged)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(ts) AS session_start,
+       max(ts) AS session_end
+FROM sessions
+GROUP BY 1, 2
+"""
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+TOPK_PARTS_PER_BRAND_SQL = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, CAST(rk AS INTEGER) AS rk
+FROM (SELECT p_brand, p_partkey, p_name, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice DESC, p_partkey) AS rk
+      FROM part)
+WHERE rk <= 3
+"""
+
+ROLLUP_ORDER_STATS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+ANTI JOIN orders ON c_custkey = o_custkey
+GROUP BY 1
+"""
+
+CUSTOMER_RUNNING_TOTALS_SQL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           AS running_total
+FROM orders
+"""

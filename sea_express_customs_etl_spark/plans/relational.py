@@ -1,0 +1,101 @@
+"""General relational surface (SURVEY.md §2.5-2.8 "zero-cost" built-in
+coverage): aggregations, grouping sets, top-k windows, anti joins,
+running totals, event-time windows and sessionization over the
+testdata tables.
+
+The reference never needs these (its one aggregate is a count and a
+vote), but a user of the engine gets them from the DataFrame API; these
+queries pin their semantics against the DuckDB oracle.
+
+Float determinism: every floating aggregate is rounded (2dp for sums of
+~1e5-magnitude values) — cross-engine summation order differs only in
+partial-aggregation trees, whose error is ~1e-9 relative, far below the
+rounding grain. Running sums are per-frame sequential in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from sea_express_customs_etl_spark.plans.standins import load_table
+from sea_express_customs_etl_spark.streaming.windows import (
+    hourly_event_counts,
+    sessionize,
+)
+
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hourly_event_counts(load_table(spark, sf_dir, "events"))
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped aggregation: partial+final hash agg, fully
+    codegen'd; the parquet scan reads only the 6 touched columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        )
+    )
+
+
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k per group via rank window (OP-TOP1 generalized)."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rk")
+    )
+
+
+def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets (status, priority) → subtotals + grand
+    total — the grouping-set surface the reference lacks."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join surface: customers never seen in orders, per segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total (analytic frame window)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )

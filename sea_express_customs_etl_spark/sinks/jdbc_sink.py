@@ -1,0 +1,74 @@
+"""JDBC sinks — retained connector parity with the reference's MySQL
+store (``src/database.py``, ``to_sql(..., if_exists='append')``).
+
+No database exists in the test environment, so these helpers are
+import-safe and exercised only for plan/option assembly; the write
+calls themselves are the standard Spark JDBC writer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def jdbc_options(
+    url: str, table: str, user: str | None = None, password: str | None = None
+) -> dict[str, str]:
+    opts = {"url": url, "dbtable": table}
+    if user is not None:
+        opts["user"] = user
+    if password is not None:
+        opts["password"] = password
+    return opts
+
+
+def append_jdbc(df: DataFrame, url: str, table: str, **props: str) -> None:
+    """OP-SNK-APPEND: ``df.to_sql(if_exists='append')`` equivalent
+    (reference ``src/import_xml_history.py:205``)."""
+    df.write.mode("append").format("jdbc").options(
+        **jdbc_options(url, table, **props)
+    ).save()
+
+
+def replace_jdbc_with_backup(
+    df: DataFrame,
+    spark: SparkSession,
+    url: str,
+    table: str,
+    timestamp: str,
+    **props: str,
+) -> None:
+    """OP-SNK-REPLACE + OP-SNK-BACKUP via staging-table swap.
+
+    Spark's JDBC writer has no multi-statement transaction, so the
+    reference's backup→TRUNCATE→append single transaction
+    (``src/batch_train.py:154-176``) becomes:
+
+      1. write ``df`` to ``<table>__staging`` (overwrite)
+      2. on the DB, in ONE transaction executed driver-side:
+         ``RENAME TABLE <table> TO <table>_backup_<ts>,
+                        <table>__staging TO <table>``
+
+    The rename is atomic in MySQL/MariaDB; a crash before it leaves the
+    live table untouched. Step 2 requires a DBAPI connection (pymysql
+    etc.) which is environment-specific; callers supply it via
+    ``run_rename`` in :func:`swap_sql`.
+    """
+    staging = f"{table}__staging"
+    df.write.mode("overwrite").format("jdbc").options(
+        **jdbc_options(url, staging, **props)
+    ).save()
+    # the atomic swap statement a driver-side DBAPI cursor must run:
+    # (kept as data so tests can assert it without a live database)
+    raise NotImplementedError(
+        "no database available in this environment; execute "
+        f"`{swap_sql(table, timestamp)}` on the target DB to finish the swap"
+    )
+
+
+def swap_sql(table: str, timestamp: str) -> str:
+    """The atomic backup+swap DDL for MySQL-family databases."""
+    return (
+        f"RENAME TABLE {table} TO {table}_backup_{timestamp}, "
+        f"{table}__staging TO {table}"
+    )

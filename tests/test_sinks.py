@@ -1,0 +1,57 @@
+"""Sink tests: parquet append / backup-swap overwrite / archive moves."""
+
+from __future__ import annotations
+
+import os
+
+from sea_express_customs_etl_spark.sinks import (
+    append_parquet,
+    archive_files,
+    overwrite_with_backup,
+)
+from sea_express_customs_etl_spark.sinks.jdbc_sink import swap_sql
+
+
+def test_append_parquet(spark, tmp_path):
+    path = str(tmp_path / "t")
+    append_parquet(spark.range(3), path)
+    append_parquet(spark.range(2), path)
+    assert spark.read.parquet(path).count() == 5
+
+
+def test_overwrite_with_backup(spark, tmp_path):
+    path = str(tmp_path / "kb")
+    v1 = spark.createDataFrame([("a", 1)], "k string, v int")
+    v2 = spark.createDataFrame([("b", 2), ("c", 3)], "k string, v int")
+
+    # first write: no previous data → no backup
+    assert overwrite_with_backup(v1, path) is None
+    assert spark.read.parquet(path).count() == 1
+
+    backup = overwrite_with_backup(v2, path, timestamp="20250101_000000")
+    assert backup is not None and backup.endswith("kb_backup_20250101_000000")
+    assert sorted(r.k for r in spark.read.parquet(path).collect()) == ["b", "c"]
+    assert [r.k for r in spark.read.parquet(backup).collect()] == ["a"]
+    assert not os.path.exists(path + "__staging")
+
+
+def test_archive_files(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    f1 = src / "one.xml"
+    f1.write_text("<x/>")
+    archive = str(tmp_path / "processed")
+    moved = archive_files(spark, [str(f1)], archive)
+    assert moved == [str(f1)]
+    assert not f1.exists()
+    assert os.path.exists(os.path.join(archive, "one.xml"))
+    # archiving a missing file is a no-op, not an error (retry semantics)
+    assert archive_files(spark, [str(f1)], archive) == []
+
+
+def test_jdbc_swap_sql():
+    assert swap_sql("standard_knowledge_base", "20250101_120000") == (
+        "RENAME TABLE standard_knowledge_base TO "
+        "standard_knowledge_base_backup_20250101_120000, "
+        "standard_knowledge_base__staging TO standard_knowledge_base"
+    )

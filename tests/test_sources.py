@@ -1,0 +1,170 @@
+"""Connector tests: XML / zip-of-XML and Excel-CSV manifests, driven
+through the real binaryFile + mapInPandas path with fixture files
+modeled on FIXTURES.md §4."""
+
+from __future__ import annotations
+
+import zipfile
+
+import pytest
+
+from sea_express_customs_etl_spark.sources import (
+    declared_cargo,
+    official_history,
+    read_bid_heads_raw,
+    read_manifests_raw,
+)
+
+
+def _bid_head(
+    hawb="472LV0087047",
+    dcl="BY/  /14/472 /FUSZH",
+    qty="2",
+    pay="100.5",
+    fob="201.0",
+    desc="紙盒",
+    ccc="4819.40.00.00-5",
+) -> str:
+    return f"""  <BID_HEAD>
+    <DCL_DOC_NO>{dcl}</DCL_DOC_NO>
+    <MAWB>25032203EX</MAWB>
+    <HAWB_NO>{hawb}</HAWB_NO>
+    <FLY_NO>250322</FLY_NO>
+    <IMPORT_DATE>2025-03-22T00:00:00+08:00</IMPORT_DATE>
+    <DESCRIPTION>{desc}</DESCRIPTION>
+    <CLASSIFY_NO>{ccc}</CLASSIFY_NO>
+    <QTY>{qty}</QTY>
+    <QTY_UM>PCE</QTY_UM>
+    <PAY_TAX_AMT>{pay}</PAY_TAX_AMT>
+    <FOB_AMT_TWD>{fob}</FOB_AMT_TWD>
+    <IMPORT_DUTY_RATE>5.0</IMPORT_DUTY_RATE>
+    <CNEE_BAN_ID>A123</CNEE_BAN_ID>
+    <CNEE_E_NAME>WANG</CNEE_E_NAME>
+    <OTHER_ITEN_2>TEL0912345678</OTHER_ITEN_2>
+    <SHPR_E_NAME>SHIPPER CO</SHPR_E_NAME>
+    <FROM_CODE>CNXMN</FROM_CODE>
+  </BID_HEAD>"""
+
+
+def _xml_doc(*bid_heads: str) -> str:
+    return (
+        '<?xml version="1.0" encoding="utf-8"?>\n<GicDataSet>\n'
+        + "\n".join(bid_heads)
+        + "\n</GicDataSet>"
+    )
+
+
+@pytest.fixture()
+def xml_dir(tmp_path):
+    d = tmp_path / "xml_in"
+    d.mkdir()
+    # loose XML: 2 items same HAWB, 1 other HAWB, 1 empty-HAWB (skipped),
+    # 1 unparseable QTY, 1 broken amounts
+    (d / "loose.xml").write_text(
+        _xml_doc(
+            _bid_head(hawb="H1", qty="2", pay="10", fob="20"),
+            _bid_head(hawb=""),  # skipped
+            _bid_head(hawb="H1", qty="junk", pay="9", fob="20"),
+            _bid_head(hawb="H2", qty="4", pay="junk", fob="20"),
+        ),
+        encoding="utf-8",
+    )
+    # zip: 2 valid members (counter must reset per member), a __MACOSX
+    # decoy, a non-xml member, and a corrupt member
+    with zipfile.ZipFile(d / "batch.zip", "w") as zf:
+        zf.writestr("m1.xml", _xml_doc(_bid_head(hawb="Z1"), _bid_head(hawb="Z1")))
+        zf.writestr("m2.xml", _xml_doc(_bid_head(hawb="Z1")))
+        zf.writestr("__MACOSX/m1.xml", "decoy")
+        zf.writestr("readme.txt", "not xml")
+        zf.writestr("corrupt.xml", "<GicDataSet><BID_HEAD>")
+    return str(d)
+
+
+def test_xml_history_end_to_end(spark, xml_dir):
+    hist = official_history(read_bid_heads_raw(spark, xml_dir)).collect()
+    by_src = {}
+    for r in hist:
+        by_src.setdefault(r.data_source_file, []).append(r)
+
+    loose = sorted(by_src["loose.xml"], key=lambda r: r._row_idx)
+    assert len(loose) == 3  # empty-HAWB row dropped
+    h1 = [r for r in loose if r.hawb_no == "H1"]
+    assert [r.item_sequence for r in h1] == [1, 2]  # per-HAWB counter
+    assert h1[0].dcl_doc_no == "BY14472FUSZH"  # clean_doc_no
+    assert str(h1[0].import_date) == "2025-03-22"
+    assert h1[0].qty == 2.0 and h1[0].item_total_amount == 10.0
+    assert h1[0].unit_price_calculated == 5.0
+    # unparseable QTY → qty=0 → unit price 0
+    assert h1[1].qty == 0.0 and h1[1].unit_price_calculated == 0.0
+    # unparseable PAY_TAX_AMT → both amounts and unit price zeroed
+    h2 = [r for r in loose if r.hawb_no == "H2"][0]
+    assert (
+        h2.item_total_amount == 0.0
+        and h2.hawb_total_amount == 0.0
+        and h2.unit_price_calculated == 0.0
+    )
+
+    # zip: provenance + per-member sequence scope
+    assert set(by_src) == {"loose.xml", "batch.zip::m1.xml", "batch.zip::m2.xml"}
+    m1 = sorted(by_src["batch.zip::m1.xml"], key=lambda r: r.item_sequence)
+    assert [r.item_sequence for r in m1] == [1, 2]
+    assert [r.item_sequence for r in by_src["batch.zip::m2.xml"]] == [1]
+
+
+OLD_CSV = """主提單號碼:,,,,,,,,,,
+,,,,,,,,,,
+,,,,,,,,,,
+分提單號碼,貨物編號,货物名称,數量,數量單位,淨重,單價金額,發票總金額,進口人英文名稱,進口人統一編號,進口人電話
+H001,1,宝宝辅食机/料理机,2,PCE,1.5,100,200,WANG,A1,TEL09
+,2,USB风扇,1,PCE,0.5,50,50,WANG,A1,TEL09
+H002,1,手机贴膜,junk,SET,,30,30,LI,B2,TEL08
+,,,,,,,,,,
+"""
+
+NEW_CSV = (
+    "25040104EX,,,,,,,,,,,,,,\n"
+    + ",,,,,,,,,,,,,,\n"
+    + "col_a,b,c,col_d,e,f,g,h,i,col_j,col_k,l,m,col_n,col_o\n"
+    + "N001,x,x,自拍杆/架,x,x,x,x,x,3,PCE,x,x,25,75\n"
+    + ",x,x,Polo衫,x,x,x,x,x,2,PCE,x,x,40,80\n"
+    + "N002,x,x,充電器,x,x,x,x,x,1,SET,x,x,99,99\n"
+)
+
+
+@pytest.fixture()
+def excel_dir(tmp_path):
+    d = tmp_path / "excel_in"
+    d.mkdir()
+    (d / "old_manifest.csv").write_text(OLD_CSV, encoding="utf-8")
+    (d / "new_manifest.csv").write_text(NEW_CSV, encoding="utf-8")
+    return str(d)
+
+
+def test_manifest_end_to_end(spark, excel_dir):
+    cargo = declared_cargo(read_manifests_raw(spark, excel_dir)).collect()
+    by_file = {}
+    for r in cargo:
+        by_file.setdefault(r.source_file, []).append(r)
+
+    old = sorted(by_file["old_manifest.csv"], key=lambda r: r._row_idx)
+    # A1 '主提單號碼:' is not alphanumeric → filename stem used as MAWB
+    assert all(r.mawb_no == "old_manifest" for r in old)
+    assert len(old) == 3  # fully-empty trailing row filtered (no 貨物編號)
+    # merged-cell ffill: row 2 inherits H001
+    assert [r.hawb_no for r in old] == ["H001", "H001", "H002"]
+    assert [r.item_no for r in old] == [1, 2, 1]
+    assert old[0].qty == 2.0 and old[2].qty == 0.0  # 'junk' → 0
+    assert old[0].net_weight == 1.5
+    assert old[0].consignee_name == "WANG"
+    assert all(r.currency == "TWD" and r.processing_status == "PENDING" for r in old)
+
+    new = sorted(by_file["new_manifest.csv"], key=lambda r: r._row_idx)
+    # A1 '25040104EX' is alphanumeric → used as MAWB
+    assert all(r.mawb_no == "25040104EX" for r in new)
+    assert [r.hawb_no for r in new] == ["N001", "N001", "N002"]
+    # new format: item_no = cumcount+1 per HAWB
+    assert [r.item_no for r in new] == [1, 2, 1]
+    assert new[0].description_original == "自拍杆/架"
+    assert new[0].qty == 3.0 and new[0].unit_price == 25.0 and new[0].total_amount == 75.0
+    # new format has no consignee columns
+    assert new[0].consignee_name is None and new[0].net_weight is None
