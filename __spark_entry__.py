@@ -84,19 +84,48 @@ def _q_count_match_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-match + positional alignment on the packed-array scale
+    path (one collect_list aggregate per side, join reusing the
+    link_key exchanges, posexplode for ordinals) — same semantics as
+    ``positional_align`` over ``count_matched_keys``-filtered inputs,
+    which the window-strategy ``knowledge_base`` and the operator unit
+    tests exercise directly."""
     a, b = _ab_linked(spark, sf_dir)
-    valid = count_matched_keys(a, b)
-    return positional_align(semi_filter(a, valid), semi_filter(b, valid))
+    a_packed = a.groupBy("link_key").agg(
+        F.sort_array(F.collect_list(F.struct("item_no", "original_description"))).alias(
+            "_ia"
+        )
+    )
+    b_packed = b.groupBy("link_key").agg(
+        F.sort_array(
+            F.collect_list(F.struct("item_sequence", "description_official", "ccc_code"))
+        ).alias("_ib")
+    )
+    return (
+        a_packed.join(b_packed, "link_key", "inner")
+        .filter((F.size("_ia") - F.size("_ib")) == 0)
+        .select(
+            "link_key",
+            F.posexplode(
+                F.arrays_zip(
+                    F.col("_ia.original_description").alias("original_description"),
+                    F.col("_ib.description_official").alias("description_official"),
+                    F.col("_ib.ccc_code").alias("ccc_code"),
+                )
+            ).alias("_pos0", "_p"),
+        )
+        .select(
+            "link_key",
+            (F.col("_pos0") + 1).alias("pos"),
+            "_p.original_description",
+            "_p.description_official",
+            "_p.ccc_code",
+        )
+    )
 
 
 def _q_positional_align(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _aligned(spark, sf_dir).select(
-        "link_key",
-        F.col("_pos").alias("pos"),
-        "original_description",
-        "description_official",
-        "ccc_code",
-    )
+    return _aligned(spark, sf_dir)
 
 
 def _q_vote_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -54,9 +54,13 @@ def count_matched_keys(
     """
     cnt_a = df_a.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt_a"))
     cnt_b = df_b.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt_b"))
+    # `a - b == 0` instead of `a == b`: keeps the count-equality as a
+    # residual join filter; a plain EqualTo between the two sides would
+    # be extracted into the join keys and force a re-shuffle on
+    # (key, count) on top of the aggregates' (key) partitioning.
     return (
         cnt_a.join(cnt_b, key, "inner")
-        .filter(F.col("_cnt_a") == F.col("_cnt_b"))
+        .filter((F.col("_cnt_a") - F.col("_cnt_b")) == 0)
         .select(key)
     )
 

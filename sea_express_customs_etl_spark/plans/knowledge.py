@@ -84,9 +84,16 @@ def knowledge_base(
                 )
             ).alias("_ib")
         )
+        # count equality as `size(a) - size(b) == 0` rather than
+        # `size(a) == size(b)`: an EqualTo between side-separable
+        # expressions would be extracted into the join KEYS, forcing a
+        # re-shuffle on (size, link_key); the subtraction form stays a
+        # residual join filter and the join reuses the collect_list
+        # exchanges on link_key (verified via .explain — 2 exchanges
+        # fewer).
         aligned = (
             a_packed.join(b_packed, "link_key", "inner")
-            .filter(F.size("_ia") == F.size("_ib"))
+            .filter((F.size("_ia") - F.size("_ib")) == 0)
             .select(
                 F.explode(
                     F.arrays_zip(
