@@ -198,6 +198,17 @@ def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify(pairs, sh)
 
 
+def _q_key_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a, b = _ab_linked(spark, sf_dir)
+    return a.select("link_key").intersect(b.select("link_key"))
+
+
+def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.dedup import embedding_near_dups
+
+    return embedding_near_dups(_emb(spark, sf_dir), threshold=0.4)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dedup import simhash
 
@@ -267,9 +278,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vote_counts": _q_vote_counts,
         "normalize_text": _q_normalize_text,
         # dedup family
+        "key_intersection": _q_key_intersection,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
+        "embedding_near_dups": _q_embedding_near_dups,
         "simhash": _q_simhash,
         # similarity search
         "cosine_topk": _q_cosine_topk,
@@ -300,9 +313,11 @@ def oracle_sql() -> dict[str, str]:
         "positional_align": oracles.POSITIONAL_ALIGN_SQL,
         "vote_counts": oracles.VOTE_COUNTS_SQL,
         "normalize_text": oracles.NORMALIZE_TEXT_SQL,
+        "key_intersection": oracles.KEY_INTERSECTION_SQL,
         "dedup_exact": ext.DEDUP_EXACT_SQL,
         "minhash_lsh_pairs": ext.MINHASH_LSH_PAIRS_SQL,
         "ngram_jaccard_dups": ext.NGRAM_JACCARD_DUPS_SQL,
+        "embedding_near_dups": ext.EMBEDDING_NEAR_DUPS_SQL,
         "simhash": ext.SIMHASH_SQL,
         "cosine_topk": ext.COSINE_TOPK_SQL,
         "ann_ivf_topk": ext.ANN_IVF_TOPK_SQL,

@@ -158,6 +158,42 @@ def jaccard_verify(
     )
 
 
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a < b) id pairs with
+    rounded cosine ≥ ``threshold``. Output: id_a, id_b, cosine.
+
+    Brute-force all-pairs — the exact baseline; at corpus scale use the
+    LSH/IVF bucketing in ``operators.similarity`` to generate candidate
+    pairs first and this as the verify stage. One side is broadcast when
+    small; otherwise Spark picks SMJ on the theta condition.
+    """
+    from sea_express_customs_etl_spark.operators.similarity import cosine, with_norm
+
+    n = with_norm(df, vec_col, id_col)
+    left = n.select(
+        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    right = n.select(
+        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    return (
+        left.join(right, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(F.col("_va"), F.col("_na"), F.col("_vb"), F.col("_nb")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

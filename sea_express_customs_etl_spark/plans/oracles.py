@@ -133,6 +133,15 @@ FROM votes
 """
 )
 
+KEY_INTERSECTION_SQL = (
+    _LINK_PROLOGUE
+    + """
+SELECT link_key FROM a
+INTERSECT
+SELECT link_key FROM b
+"""
+)
+
 NORMALIZE_TEXT_SQL = f"""
 WITH a_raw AS ({A_RAW_SQL})
 SELECT DISTINCT description_original,

@@ -80,6 +80,18 @@ JOIN sizes zb ON zb.doc_id = i.id_b
 WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) >= 0.5
 """
 
+EMBEDDING_NEAR_DUPS_SQL = """
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.v, b.v) / (a.nn * b.nn), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.v, b.v) / (a.nn * b.nn), 6) >= 0.4
+"""
+
 # simhash over 16 bits: per distinct token, md5 leading hex nibbles vote
 _SIMHASH_VOTES = ", ".join(
     "sum(CASE WHEN ((instr('0123456789abcdef', substr(h, {k}, 1)) - 1) >> {m}) & 1 = 1 "

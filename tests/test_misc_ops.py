@@ -1,0 +1,81 @@
+"""Tests for JDBC option assembly, observe() metrics, embedding
+near-dups, and property-based invariants (hypothesis)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from sea_express_customs_etl_spark.observability import observed_counts
+from sea_express_customs_etl_spark.operators.dedup import embedding_near_dups
+from sea_express_customs_etl_spark.sources.jdbc import partitioned_read_options
+
+
+def test_partitioned_read_options():
+    opts = partitioned_read_options(
+        "jdbc:mysql://host/db",
+        "table_b_history",
+        partition_column="id",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    assert opts["partitionColumn"] == "id"
+    assert opts["numPartitions"] == "16"
+    assert opts["fetchsize"] == "10000"
+    with pytest.raises(ValueError):
+        partitioned_read_options("u", "t", partition_column="id")
+
+
+def test_observed_counts(spark, tmp_path):
+    df, obs = observed_counts(spark.range(10).withColumn("k", F.col("id") % 3))
+    df.write.mode("overwrite").parquet(str(tmp_path / "obs"))
+    assert obs.get["n_rows"] == 10
+    assert obs.get["approx_first_col_distinct"] >= 9  # HLL estimate
+
+
+def test_embedding_near_dups(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.999, 0.01]),  # near-dup of 0
+        (2, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {(r.id_a, r.id_b): r.cosine for r in embedding_near_dups(df, 0.95).collect()}
+    assert set(got) == {(0, 1)}
+    assert got[(0, 1)] >= 0.99
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+_key_text = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" /-_"),
+    min_size=0,
+    max_size=20,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_key_text, min_size=1, max_size=8))
+def test_scrub_key_idempotent(spark, values):
+    from sea_express_customs_etl_spark.functions.strings import scrub_key
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    once = [r.v for r in df.select(scrub_key(F.col("s")).alias("v")).collect()]
+    df2 = spark.createDataFrame([(v,) for v in once], "s string")
+    twice = [r.v for r in df2.select(scrub_key(F.col("s")).alias("v")).collect()]
+    assert once == twice  # scrubbing is idempotent
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=25), min_size=1, max_size=8))
+def test_num_coerce_total(spark, values):
+    from sea_express_customs_etl_spark.functions.numeric import num_coerce
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    got = [r.v for r in df.select(num_coerce(F.col("s")).alias("v")).collect()]
+    assert all(isinstance(v, float) for v in got)  # never null, never throws
