@@ -30,10 +30,14 @@ from sea_express_customs_etl_spark.plans.standins import (
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Runs with the full normalize_text pipeline including the NFKC
+    pandas UDF (identity on this ASCII corpus, but the Arrow UDF
+    executes for real in the smoke path)."""
     sf_dir = "/root/testdata/sf0.001"
     return knowledge_base(
-        declared_table(spark, sf_dir), official_table(spark, sf_dir), use_nfkc=False
+        declared_table(spark, sf_dir), official_table(spark, sf_dir), use_nfkc=True
     )
 
 
@@ -48,6 +52,12 @@ def _q_knowledge_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knowledge_base(
         declared_table(spark, sf_dir), official_table(spark, sf_dir), use_nfkc=False
     )
+
+
+def _q_knowledge_extraction_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.plans.spark_sql import knowledge_extraction_sql
+
+    return knowledge_extraction_sql(spark, sf_dir)
 
 
 def _ab_linked(spark: SparkSession, sf_dir: str):
@@ -272,6 +282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_totals": rel.customer_running_totals,
         # link-and-vote family (reference parity, SURVEY §2.4-2.9, §3.3)
         "knowledge_extraction": _q_knowledge_extraction,
+        "knowledge_extraction_sql": _q_knowledge_extraction_sql,
         "link_key_derive": _q_link_key_derive,
         "count_match_keys": _q_count_match_keys,
         "positional_align": _q_positional_align,
@@ -308,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "customer_running_totals": rel.CUSTOMER_RUNNING_TOTALS_SQL,
         "knowledge_extraction": oracles.KNOWLEDGE_EXTRACTION_SQL,
+        "knowledge_extraction_sql": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "link_key_derive": oracles.LINK_KEY_DERIVE_SQL,
         "count_match_keys": oracles.COUNT_MATCH_KEYS_SQL,
         "positional_align": oracles.POSITIONAL_ALIGN_SQL,
