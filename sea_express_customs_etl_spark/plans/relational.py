@@ -86,6 +86,46 @@ def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join (lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    region) — Catalyst orders the joins and broadcasts every dimension;
+    only lineitem⋈orders is shuffle-worthy, and AQE may broadcast
+    orders too at small SF."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag analytic surface: days since the customer's previous
+    order (NULL for the first)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), prev).alias("days_since_prev"),
+    )
+
+
 def customer_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer running order total (analytic frame window)."""
     orders = load_table(spark, sf_dir, "orders")

@@ -48,6 +48,22 @@ def test_embedding_near_dups(spark):
     assert got[(0, 1)] >= 0.99
 
 
+def test_salted_join_matches_plain_join(spark):
+    from sea_express_customs_etl_spark.operators.skew import salted_join
+
+    # heavily skewed large side: 900 of 1000 rows share key 7
+    large = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame(
+        [(7, "hot"), (950, "cold"), (999, "cold2")], "k long, attr string"
+    )
+    plain = {(r.k, r.payload, r.attr) for r in large.join(small, "k").collect()}
+    salted = {(r.k, r.payload, r.attr) for r in salted_join(large, small, "k").collect()}
+    assert salted == plain and len(salted) == 902
+
+
 # ---------------------------------------------------------------------------
 # property-based invariants (SURVEY.md §5)
 # ---------------------------------------------------------------------------

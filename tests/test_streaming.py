@@ -53,6 +53,24 @@ def test_stream_xml_exactly_once(spark, tmp_path):
     assert spark.read.parquet(sink).count() == 5
 
 
+def test_stream_manifests_matches_batch(spark, tmp_path):
+    from sea_express_customs_etl_spark.sources import declared_cargo, read_manifests_raw
+    from sea_express_customs_etl_spark.streaming import run_availablenow, stream_manifests
+    from test_sources import NEW_CSV, OLD_CSV
+
+    src = tmp_path / "manifests"
+    src.mkdir()
+    (src / "old_manifest.csv").write_text(OLD_CSV, encoding="utf-8")
+    (src / "new_manifest.csv").write_text(NEW_CSV, encoding="utf-8")
+
+    sink = str(tmp_path / "a_sink")
+    run_availablenow(stream_manifests(spark, str(src)), sink, str(tmp_path / "ck"))
+    got = spark.read.parquet(sink)
+    batch = declared_cargo(read_manifests_raw(spark, str(src)))
+    assert got.count() == batch.count() == 6
+    assert {r.mawb_no for r in got.collect()} == {"old_manifest", "25040104EX"}
+
+
 def _events(spark):
     base = datetime.datetime(2024, 1, 1, 0, 0, 0)
     rows = [
