@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": rel.pricing_summary,
         "topk_parts_per_brand": rel.topk_parts_per_brand,
         "rollup_order_stats": rel.rollup_order_stats,
+        "cube_order_stats": rel.cube_order_stats,
         "customers_without_orders": rel.customers_without_orders,
         "customer_running_totals": rel.customer_running_totals,
         "revenue_by_nation": rel.revenue_by_nation,
@@ -318,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": rel.PRICING_SUMMARY_SQL,
         "topk_parts_per_brand": rel.TOPK_PARTS_PER_BRAND_SQL,
         "rollup_order_stats": rel.ROLLUP_ORDER_STATS_SQL,
+        "cube_order_stats": rel.CUBE_ORDER_STATS_SQL,
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "customer_running_totals": rel.CUSTOMER_RUNNING_TOTALS_SQL,
         "revenue_by_nation": rel.REVENUE_BY_NATION_SQL,

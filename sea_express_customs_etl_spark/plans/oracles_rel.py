@@ -68,6 +68,14 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
+CUBE_ORDER_STATS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS sum_total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
 CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_mktsegment, count(*) AS n_customers
 FROM customer

@@ -75,6 +75,15 @@ def rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets — all 4 combinations of (status, priority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
+
+
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti-join surface: customers never seen in orders, per segment."""
     cust = load_table(spark, sf_dir, "customer")
