@@ -262,6 +262,21 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir))
+
+
+def _q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95"),
+        F.round(F.max("value"), 4).alias("p100"),
+    )
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.textstats import fingerprint
 
@@ -306,6 +321,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "event_value_percentiles": _q_event_value_percentiles,
     }
 
 
@@ -343,4 +360,6 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ext.LANG_ID_SQL,
         "token_counts": ext.TOKEN_COUNTS_SQL,
         "doc_fingerprint": ext.FINGERPRINT_SQL,
+        "tfidf_top_terms": ext.TFIDF_TOP_TERMS_SQL,
+        "event_value_percentiles": ext.EVENT_VALUE_PERCENTILES_SQL,
     }

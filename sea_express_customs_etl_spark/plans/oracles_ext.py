@@ -207,6 +207,32 @@ SELECT doc_id,
 FROM documents
 """
 
+TFIDF_TOP_TERMS_SQL = f"""
+WITH terms AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tfc FROM terms GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS dfc FROM terms GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tfc * (ln((n.n_docs + 1.0) / (dfreq.dfc + 1.0)) + 1.0), 4)
+             AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tfidf, CAST(rk AS INTEGER) AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY tfidf DESC, term) AS rk FROM scored)
+WHERE rk <= 3
+"""
+
+EVENT_VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.95), 4) AS p95,
+       round(max(value), 4) AS p100
+FROM events
+GROUP BY 1
+"""
+
 FINGERPRINT_SQL = """
 SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint

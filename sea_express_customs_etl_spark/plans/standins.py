@@ -41,6 +41,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Integer ``div`` keeps the conversion exact (a double division would
     round at 2^53).
     """
+    # timestamp-bearing queries must agree with the (naive-timestamp)
+    # DuckDB oracle regardless of the calling session's timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
