@@ -115,6 +115,22 @@ def test_is_empty_placeholder(spark):
     assert got == [True, True, True, False, True]
 
 
+def test_now_suffix_shape(spark):
+    import re
+
+    from sea_express_customs_etl_spark.functions.datetimes import now_suffix
+
+    v = spark.range(1).select(now_suffix().alias("v")).collect()[0].v
+    assert re.fullmatch(r"\d{8}_\d{6}", v)
+
+
+def test_normalize_headers(spark):
+    from sea_express_customs_etl_spark.functions.strings import normalize_headers
+
+    df = spark.createDataFrame([(1, 2)], [" 分提單號碼\n", " qty "])
+    assert normalize_headers(df).columns == ["分提單號碼", "qty"]
+
+
 def test_iso_date_part(spark):
     import datetime
 

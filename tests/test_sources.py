@@ -140,6 +140,25 @@ def excel_dir(tmp_path):
     return str(d)
 
 
+def test_manifest_rejects_narrow_and_junk_files(spark, tmp_path):
+    d = tmp_path / "bad_in"
+    d.mkdir()
+    # neither old-format headers nor ≥15 columns → rejected, logged
+    (d / "narrow.csv").write_text("a,b,c\n1,2,3\n4,5,6\n7,8,9\n10,11,12\n")
+    cargo = declared_cargo(read_manifests_raw(spark, str(d)))
+    assert cargo.count() == 0
+
+
+def test_corrupt_zip_is_contained(spark, tmp_path):
+    d = tmp_path / "badzip"
+    d.mkdir()
+    (d / "broken.zip").write_bytes(b"PK\x03\x04 this is not really a zip")
+    (d / "ok.xml").write_text(_xml_doc(_bid_head(hawb="OK1")), encoding="utf-8")
+    hist = official_history(read_bid_heads_raw(spark, str(d))).collect()
+    # the bad zip is skipped; the good file still ingests
+    assert [r.hawb_no for r in hist] == ["OK1"]
+
+
 def test_manifest_end_to_end(spark, excel_dir):
     cargo = declared_cargo(read_manifests_raw(spark, excel_dir)).collect()
     by_file = {}
