@@ -16,10 +16,7 @@ from sea_express_customs_etl_spark.functions.strings import normalize_text_col
 from sea_express_customs_etl_spark.operators.linking import (
     add_link_key,
     count_matched_keys,
-    positional_align,
-    semi_filter,
 )
-from sea_express_customs_etl_spark.operators.vote import majority_vote
 from sea_express_customs_etl_spark.plans import oracles
 from sea_express_customs_etl_spark.plans.knowledge import knowledge_base
 from sea_express_customs_etl_spark.plans.standins import (
@@ -290,6 +287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # general relational / streaming-shaped surface
         "events_hourly": rel.events_hourly,
         "events_sessionize": rel.events_sessionize,
+        "events_session_window": rel.events_session_window,
         "pricing_summary": rel.pricing_summary,
         "topk_parts_per_brand": rel.topk_parts_per_brand,
         "rollup_order_stats": rel.rollup_order_stats,
@@ -333,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
+        "events_session_window": rel.EVENTS_SESSION_WINDOW_SQL,
         "pricing_summary": rel.PRICING_SUMMARY_SQL,
         "topk_parts_per_brand": rel.TOPK_PARTS_PER_BRAND_SQL,
         "rollup_order_stats": rel.ROLLUP_ORDER_STATS_SQL,

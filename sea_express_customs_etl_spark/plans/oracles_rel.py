@@ -39,6 +39,30 @@ FROM sessions
 GROUP BY 1, 2
 """
 
+EVENTS_SESSION_WINDOW_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events),
+flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) >= 30 * 60
+              THEN 1 ELSE 0 END AS is_new
+  FROM ordered),
+sessions AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM flagged)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) AS last_event,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, sid
+"""
+
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS count_order,

@@ -33,6 +33,27 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in ``session_window`` (batch mode) — checked against a
+    first-principles lag/cumsum sessionization oracle. The window's
+    ``end`` is last-event + gap, so the last-event time is recovered by
+    subtracting the gap; boundary note: an exactly-gap-sized spacing
+    starts a new session in both formulations (``>=``)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window(F.col("ts"), "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            (F.col("session_window.end") - F.expr("INTERVAL 30 MINUTES")).alias(
+                "last_event"
+            ),
+            "n_events",
+        )
+    )
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation: partial+final hash agg, fully
     codegen'd; the parquet scan reads only the 6 touched columns."""

@@ -29,7 +29,6 @@ import io
 import logging
 import zipfile
 from collections.abc import Iterator
-from typing import Callable
 from xml.etree import ElementTree as ET
 
 import pandas as pd
