@@ -288,6 +288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": rel.events_hourly,
         "events_sessionize": rel.events_sessionize,
         "events_session_window": rel.events_session_window,
+        "purchase_last_click_asof": rel.purchase_last_click_asof,
         "pricing_summary": rel.pricing_summary,
         "topk_parts_per_brand": rel.topk_parts_per_brand,
         "rollup_order_stats": rel.rollup_order_stats,
@@ -332,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
         "events_session_window": rel.EVENTS_SESSION_WINDOW_SQL,
+        "purchase_last_click_asof": rel.PURCHASE_LAST_CLICK_ASOF_SQL,
         "pricing_summary": rel.PRICING_SUMMARY_SQL,
         "topk_parts_per_brand": rel.TOPK_PARTS_PER_BRAND_SQL,
         "rollup_order_stats": rel.ROLLUP_ORDER_STATS_SQL,

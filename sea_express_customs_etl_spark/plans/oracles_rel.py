@@ -63,6 +63,23 @@ FROM sessions
 GROUP BY user_id, sid
 """
 
+PURCHASE_LAST_CLICK_ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'click'),
+carried AS (
+  SELECT *,
+    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER w
+        AS asof_event_id,
+    last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER w AS asof_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, ts, event_id, asof_event_id, asof_ts
+FROM carried WHERE side = 1
+"""
+
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS count_order,

@@ -54,6 +54,36 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_last_click_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase event, the user's most recent
+    click at or before the purchase time."""
+    from sea_express_customs_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    purchases = ev.join(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id"),
+        "event_id",
+        "left_semi",
+    )
+    clicks = ev.join(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("event_id"),
+        "event_id",
+        "left_semi",
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id"],
+        tiebreak_col="event_id",
+    )
+
+
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation: partial+final hash agg, fully
     codegen'd; the parquet scan reads only the 6 touched columns."""

@@ -48,6 +48,31 @@ def test_embedding_near_dups(spark):
     assert got[(0, 1)] >= 0.99
 
 
+def test_asof_join(spark):
+    import datetime
+
+    from sea_express_customs_etl_spark.operators.asof import asof_join
+
+    t = lambda m: datetime.datetime(2024, 1, 1, 0, m)
+    trades = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(30), 101), (2, t(5), 102)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    quotes = spark.createDataFrame(
+        [(1, t(8), 900), (1, t(10), 901), (1, t(29), 902), (2, t(6), 903)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    got = {
+        r.event_id: r.asof_event_id
+        for r in asof_join(
+            trades, quotes, ["user_id"], "ts", ["event_id"], tiebreak_col="event_id"
+        ).collect()
+    }
+    # trade@10 sees quote@10 (same-ts visible), trade@30 sees quote@29,
+    # user 2's trade@5 has no prior quote
+    assert got == {100: 901, 101: 902, 102: None}
+
+
 def test_salted_join_matches_plain_join(spark):
     from sea_express_customs_etl_spark.operators.skew import salted_join
 
