@@ -7,7 +7,12 @@
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the engine package importable no matter the caller's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F

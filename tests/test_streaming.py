@@ -118,7 +118,62 @@ def test_hourly_event_counts_streaming_matches_batch(spark, tmp_path):
     assert got == batch
 
 
-def test_sessionize_batch(spark):
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed aggregation: an event arriving after the
+    watermark has passed its window is dropped, an in-time event is
+    not. Files are processed in separate micro-batches
+    (maxFilesPerTrigger=1) so the watermark advances between them."""
+    import time
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+    src = tmp_path / "late_events"
+    src.mkdir()
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(src))
+        time.sleep(1.1)  # distinct mod times → deterministic file order
+
+    out = str(tmp_path / "out")
+
+    def drain(_qname):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            hourly_event_counts(stream, watermark="2 hours")
+            .writeStream.foreachBatch(
+                lambda batch, _id: batch.write.mode("append").parquet(out)
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.window_start.hour, r.n_events)
+            for r in spark.read.parquet(out).collect()
+        )
+
+    # run 1: events at hour 0 and hour 6 → watermark persists at hour 4,
+    # the hour-0 window is emitted closed with exactly 1 event
+    write_file("f1", [(0, base, 1, "click", 1.0),
+                      (1, base + datetime.timedelta(hours=6), 1, "click", 1.0)])
+    got1 = drain("late_run1")
+    assert got1 == [(0, 1)]
+
+    # run 2 (same checkpoint → watermark restored): a hopelessly late
+    # hour-0 event is dropped — its window never re-emits — while the
+    # fresh hour-10 event pushes the watermark past hour 7 and releases
+    # the hour-6 window
+    write_file("f2", [(2, base + datetime.timedelta(minutes=30), 1, "click", 1.0),
+                      (3, base + datetime.timedelta(hours=10), 1, "click", 1.0)])
+    got2 = drain("late_run2")
+    assert (6, 1) in got2
+    # the late event neither created a second hour-0 emission nor
+    # mutated the closed one: output still holds exactly [(0, 1)]
+    assert [e for e in got2 if e[0] == 0] == [(0, 1)]
     got = {
         (r.user_id, r.session_id): r.n_events
         for r in sessionize(_events(spark), gap_minutes=30).collect()
