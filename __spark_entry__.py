@@ -221,6 +221,13 @@ def _q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(_emb(spark, sf_dir), threshold=0.4)
 
 
+def _q_ivf_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.dedup import ivf_near_dups
+
+    emb = _emb(spark, sf_dir)
+    return ivf_near_dups(emb, emb.filter(F.col("vec_id") < 16), threshold=0.4)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dedup import simhash
 
@@ -316,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
         "embedding_near_dups": _q_embedding_near_dups,
+        "ivf_near_dups": _q_ivf_near_dups,
         "simhash": _q_simhash,
         # similarity search
         "cosine_topk": _q_cosine_topk,
@@ -359,6 +367,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": ext.MINHASH_LSH_PAIRS_SQL,
         "ngram_jaccard_dups": ext.NGRAM_JACCARD_DUPS_SQL,
         "embedding_near_dups": ext.EMBEDDING_NEAR_DUPS_SQL,
+        "ivf_near_dups": ext.IVF_NEAR_DUPS_SQL,
         "simhash": ext.SIMHASH_SQL,
         "cosine_topk": ext.COSINE_TOPK_SQL,
         "ann_ivf_topk": ext.ANN_IVF_TOPK_SQL,

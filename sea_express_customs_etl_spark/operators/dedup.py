@@ -164,24 +164,28 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     strategy: str = "blocked",
+    num_blocks: int = 16,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) id pairs with
     rounded cosine ≥ ``threshold``. Output: id_a, id_b, cosine.
 
     Strategies (identical results):
 
-    * ``"blocked"`` (default): mapInPandas kernel — each Arrow batch of
-      rows is compared against the broadcast corpus matrix with numpy.
-      The accumulation loops over the DIMENSION axis (vectorized across
-      pairs), so every dot product is the same left-to-right float64
-      fold the Catalyst/DuckDB versions compute — bit-identical results,
-      ~2 orders of magnitude faster than per-pair array expressions.
-      At real corpus scale this becomes block × block (both sides
-      partitioned); here the broadcast side is the whole (small)
-      corpus, which is exactly the shape of the verify stage after
-      LSH/IVF candidate pruning.
+    * ``"blocked"`` (default): distributed block × block all-pairs.
+      Every vector gets a deterministic block id (``xxhash64(id) %
+      num_blocks``); each unordered block pair ``(bi ≤ bj)`` becomes one
+      cogroup whose two sides are compared with a numpy kernel that
+      accumulates over the DIMENSION axis, so every dot product is the
+      same left-to-right float64 fold the Catalyst/DuckDB versions
+      compute — bit-identical results. Nothing collects to the driver;
+      per-task memory is bounded by two blocks (~2·n/num_blocks rows),
+      so the corpus size the operator can handle scales with
+      ``num_blocks``, not driver RAM. Total work is still O(n²) —
+      that is what the exact all-pairs semantics costs; for sublinear
+      near-dup at 100 TB use :func:`ivf_near_dups` (cluster-blocked)
+      or the MinHash-LSH pipeline above.
     * ``"fold"``: pure Catalyst theta-join + zip_with/aggregate fold —
-      no driver-side matrix, works at any corpus size, slower per pair.
+      no Python workers, slower per pair.
     """
     from sea_express_customs_etl_spark.operators.similarity import cosine, with_norm
 
@@ -211,12 +215,37 @@ def embedding_near_dups(
 
     import numpy as np
     import pandas as pd
-    from collections.abc import Iterator
 
-    corpus = df.select(id_col, vec_col).toPandas()
-    ids = corpus[id_col].to_numpy()
-    mat = np.array([np.asarray(v, dtype=np.float64) for v in corpus[vec_col]])
-    dim = mat.shape[1]
+    spark = df.sparkSession
+    b_rng = spark.range(num_blocks).select(F.col("id").cast("int").alias("_blk"))
+    # all (bi <= bj) block pairs — num_blocks² tiny literal rows
+    block_pairs = (
+        b_rng.select(F.col("_blk").alias("bi"))
+        .join(b_rng.select(F.col("_blk").alias("bj")), F.col("bi") <= F.col("bj"))
+    )
+    tagged = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.pmod(F.abs(F.xxhash64(F.col(id_col))), F.lit(num_blocks))
+        .cast("int")
+        .alias("_blk"),
+    )
+    # replicate each block's rows to every block pair it participates in
+    # (side 0 = the bi member, side 1 = the bj member); the broadcast
+    # side is the literal pair table, so the corpus is scanned once per
+    # side with no pre-shuffle, and the side-tagged union feeds ONE
+    # groupBy — a single shuffle keyed on the block pair
+    left = (
+        tagged.join(F.broadcast(block_pairs), F.col("_blk") == F.col("bi"))
+        .select(id_col, vec_col, "bi", "bj", F.lit(0).alias("_side"))
+    )
+    right = (
+        tagged.join(F.broadcast(block_pairs), F.col("_blk") == F.col("bj"))
+        .select(id_col, vec_col, "bi", "bj", F.lit(1).alias("_side"))
+    )
+
+    def _matrix(pdf: "pd.DataFrame") -> "np.ndarray":
+        return np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
 
     def _seq_dots(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
         # (p, d) x (q, d) -> (p, q), accumulating dimension-by-dimension
@@ -224,41 +253,93 @@ def embedding_near_dups(
         # index order — bit-identical to Spark aggregate()/DuckDB
         # list_inner_product (BLAS matmul would reorder the summation)
         acc = np.zeros((a.shape[0], b.shape[0]))
-        for j in range(dim):
+        for j in range(a.shape[1]):
             acc += np.multiply.outer(a[:, j], b[:, j])
         return acc
 
     def _seq_norms(m: "np.ndarray") -> "np.ndarray":
         acc = np.zeros(m.shape[0])
-        for j in range(dim):
+        for j in range(m.shape[1]):
             acc += m[:, j] * m[:, j]
         return np.sqrt(acc)
 
-    corpus_norms = _seq_norms(mat)
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            a_ids = pdf[id_col].to_numpy()
-            a_mat = np.array(
-                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
-            )
-            sims = _seq_dots(a_mat, mat) / np.multiply.outer(
-                _seq_norms(a_mat), corpus_norms
-            )
-            sims = np.round(sims, 6)
-            ia, ib = np.nonzero((sims >= threshold) & (a_ids[:, None] < ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": a_ids[ia],
-                    "id_b": ids[ib],
-                    "cosine": sims[ia, ib],
-                }
-            )
+    def kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        lpdf = pdf[pdf["_side"] == 0]
+        rpdf = pdf[pdf["_side"] == 1]
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        same_block = pdf["bi"].iat[0] == pdf["bj"].iat[0]
+        a_ids = lpdf[id_col].to_numpy()
+        b_ids = rpdf[id_col].to_numpy()
+        a_mat, b_mat = _matrix(lpdf), _matrix(rpdf)
+        sims = np.round(
+            _seq_dots(a_mat, b_mat)
+            / np.multiply.outer(_seq_norms(a_mat), _seq_norms(b_mat)),
+            6,
+        )
+        mask = sims >= threshold
+        if same_block:
+            # both sides hold the same rows: upper triangle only
+            mask &= a_ids[:, None] < b_ids[None, :]
+        ia, ib = np.nonzero(mask)
+        lo = np.minimum(a_ids[ia], b_ids[ib])
+        hi = np.maximum(a_ids[ia], b_ids[ib])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ia, ib]})
 
-    return df.select(id_col, vec_col).mapInPandas(
-        kernel, f"id_a long, id_b long, cosine double"
+    return (
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(kernel, "id_a long, id_b long, cosine double")
+    )
+
+
+def ivf_near_dups(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-blocked near-duplicate pairs — the sublinear scale path.
+
+    Assigns every vector to its nearest centroid (broadcast argmin, see
+    :func:`...similarity.ivf_assign`), then compares only pairs that
+    share a cluster: the self-join shuffles on ``cluster``, never on a
+    cross product, so work is Σ cluster_size² instead of n². Approximate
+    by construction (cross-cluster near-dups are missed) — the standard
+    IVF recall/throughput trade.
+
+    Output: id_a, id_b, cluster, cosine (a < b, rounded 6dp).
+    """
+    from sea_express_customs_etl_spark.operators.similarity import cosine, ivf_assign
+
+    assigned = ivf_assign(df, centroids, vec_col, id_col)
+    left = assigned.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"),
+        "cluster",
+    )
+    right = assigned.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"),
+        "cluster",
+    )
+    return (
+        left.join(right, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cluster",
+            cosine(F.col("_va"), F.col("_na"), F.col("_vb"), F.col("_nb")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
     )
 
 

@@ -159,6 +159,23 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rn <= 5
 """
 
+IVF_NEAR_DUPS_SQL = f"""
+WITH {_NRM},
+cen AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn FROM nrm WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, v, n, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.v, e.n, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.v, c.cv) / (e.n * c.cn), 6) DESC,
+                        c.centroid_id) AS rn
+    FROM nrm e CROSS JOIN cen c)
+  WHERE rn = 1)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.cluster,
+       round(list_inner_product(a.v, b.v) / (a.n * b.n), 6) AS cosine
+FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
+"""
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
