@@ -8,6 +8,8 @@ calls themselves are the standard Spark JDBC writer.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -36,8 +38,9 @@ def replace_jdbc_with_backup(
     url: str,
     table: str,
     timestamp: str,
+    run_swap: Callable[[str], None] | None = None,
     **props: str,
-) -> None:
+) -> str:
     """OP-SNK-REPLACE + OP-SNK-BACKUP via staging-table swap.
 
     Spark's JDBC writer has no multi-statement transaction, so the
@@ -51,19 +54,25 @@ def replace_jdbc_with_backup(
 
     The rename is atomic in MySQL/MariaDB; a crash before it leaves the
     live table untouched. Step 2 requires a DBAPI connection (pymysql
-    etc.) which is environment-specific; callers supply it via
-    ``run_rename`` in :func:`swap_sql`.
+    etc.) which is environment-specific: callers pass ``run_swap``, a
+    callable that executes one SQL statement on the target DB (e.g.
+    ``lambda sql: cursor.execute(sql)``). Returns the swap DDL that was
+    (or must be) executed. Raises only when ``run_swap`` is None, after
+    the staging write, so the data is already in place and only the
+    rename remains.
     """
     staging = f"{table}__staging"
     df.write.mode("overwrite").format("jdbc").options(
         **jdbc_options(url, staging, **props)
     ).save()
-    # the atomic swap statement a driver-side DBAPI cursor must run:
-    # (kept as data so tests can assert it without a live database)
-    raise NotImplementedError(
-        "no database available in this environment; execute "
-        f"`{swap_sql(table, timestamp)}` on the target DB to finish the swap"
-    )
+    ddl = swap_sql(table, timestamp)
+    if run_swap is None:
+        raise NotImplementedError(
+            "no run_swap callable provided; execute "
+            f"`{ddl}` on the target DB to finish the swap"
+        )
+    run_swap(ddl)
+    return ddl
 
 
 def swap_sql(table: str, timestamp: str) -> str:

@@ -17,13 +17,25 @@ Reference behavior reproduced (``src/process_excel_order.py``):
 * lenient numeric coercion → 0, trims, TWD/PENDING literals
 
 The UDTF parses bytes → per-sheet raw string cells + ``_row_idx``
-(sheet order is load-bearing for ffill/cumcount); the ffill, filters,
-sequencing and typing all happen in Catalyst afterwards.
+(sheet order is load-bearing for ffill/cumcount); the ffill, filters
+and sequencing are per-file sheet-order properties, so they run
+vectorized (pandas column ops — ffill / notna mask / groupby-cumcount,
+the reference's own shape at ``:94-95,146-156``) inside the parser;
+typing happens in Catalyst afterwards.
 
-Excel binaries require ``openpyxl``; when it's absent (this container)
-the xlsx path degrades to a logged skip and the CSV path — byte-for-byte
-the same downstream plan — carries the tests. The dispatch/derivation
-logic is format-agnostic past the cell-extraction step.
+``.xlsx`` binaries are parsed with the pure-stdlib SpreadsheetML reader
+(:mod:`.xlsx_stdlib` — zipfile + ElementTree; no openpyxl needed).
+``.csv`` flows through ``pd.read_csv`` into the identical downstream
+plan. Legacy BIFF ``.xls`` is not supported and logs a skip.
+
+Deliberate divergence (cf. the vote tie-break note, SURVEY §7.3.2):
+where the reference's ``astype(str)`` turns a missing 货物名称 /
+consignee cell into the literal string ``'nan'``
+(``process_excel_order.py:100,115-119``), this parser emits NULL —
+a SQL-typed engine should not materialize pandas' repr of NaN as
+data. Rows are never dropped differently (the row filters run on the
+pre-``astype`` values in both engines); only the padding value for
+present-row/absent-cell differs, and NULL is strictly more faithful.
 """
 
 from __future__ import annotations
@@ -38,15 +50,9 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from sea_express_customs_etl_spark.functions.numeric import num_coerce
+from sea_express_customs_etl_spark.sources import xlsx_stdlib
 
 log = logging.getLogger(__name__)
-
-try:  # optional dependency — xlsx cell extraction only
-    import openpyxl  # noqa: F401
-
-    _HAS_OPENPYXL = True
-except ImportError:
-    _HAS_OPENPYXL = False
 
 _ALNUM = re.compile(r"^[A-Za-z0-9]+$")
 
@@ -59,6 +65,8 @@ RAW_SCHEMA = (
     "consignee_name_raw string, consignee_id_raw string, consignee_phone_raw string"
 )
 _RAW_COLS = [c.split(" ")[0] for c in RAW_SCHEMA.split(", ")]
+
+_EMPTY = pd.DataFrame({c: pd.Series(dtype=object) for c in _RAW_COLS})
 
 
 def _norm_headers(cols) -> list[str]:
@@ -79,12 +87,8 @@ def _probe_a1(content: bytes, fname: str) -> str | None:
             if not df.empty:
                 v = str(df.iloc[0, 0]).strip()
                 return v if _is_meaningful(v) else None
-        elif _HAS_OPENPYXL:
-            wb = openpyxl.load_workbook(
-                io.BytesIO(content), read_only=True, data_only=True
-            )
-            v = wb.active["A1"].value
-            wb.close()
+        elif fname.lower().endswith(".xlsx"):
+            v = xlsx_stdlib.probe_a1(content)
             if v is not None and _is_meaningful(str(v)):
                 return str(v).strip()
     except Exception as e:
@@ -92,140 +96,164 @@ def _probe_a1(content: bytes, fname: str) -> str | None:
     return None
 
 
-def _read_table(content: bytes, fname: str, header: int) -> pd.DataFrame | None:
+def _read_table(
+    content: bytes,
+    fname: str,
+    header: int,
+    grid: list[list] | None = None,
+) -> pd.DataFrame | None:
+    """One header variant of the file as a DataFrame. For xlsx the
+    caller passes the pre-parsed ``grid`` so both format attempts
+    (header=3 then header=2) share a single sheet-XML parse."""
     try:
-        if fname.lower().endswith(".csv"):
+        low = fname.lower()
+        if low.endswith(".csv"):
             return pd.read_csv(io.BytesIO(content), header=header, dtype=object)
-        if _HAS_OPENPYXL:
-            return pd.read_excel(io.BytesIO(content), header=header, dtype=object)
-        log.error("openpyxl unavailable — cannot parse Excel binary %s", fname)
+        if low.endswith(".xlsx"):
+            if grid is None:
+                grid = xlsx_stdlib.read_xlsx_grid(content)
+            return xlsx_stdlib.grid_to_frame(grid, header)
+        log.error("unsupported manifest format (no BIFF .xls reader): %s", fname)
         return None
     except Exception as e:
         log.info("read with header=%d failed for %s: %s", header, fname, e)
         return None
 
 
-def _cell(v) -> str | None:
-    if v is None or (isinstance(v, float) and pd.isna(v)) or pd.isna(v):
-        return None
-    return str(v)
+def _str_or_none(ser: pd.Series) -> pd.Series:
+    """Vectorized ``str(v)`` with NaN/None → None (the reference's
+    per-cell handling, minus the 'nan' literal — see module docstring)."""
+    mask = ser.notna()
+    out = pd.Series([None] * len(ser), index=ser.index, dtype=object)
+    out[mask] = ser[mask].astype(str)
+    return out
 
 
-def _rows_for_file(fname: str, content: bytes) -> list[dict]:
+def _assemble(
+    fname: str, mawb: str, fmt: str, cols: dict[str, pd.Series | object]
+) -> pd.DataFrame:
+    n = len(cols["_row_idx"])
+    out = pd.DataFrame(index=range(n))
+    base = {"source_file": fname, "mawb_no": mawb, "fmt": fmt}
+    for name in _RAW_COLS:
+        if name in cols:
+            v = cols[name]
+            out[name] = v.to_numpy() if isinstance(v, pd.Series) else v
+        elif name in base:
+            out[name] = base[name]
+        else:
+            out[name] = None
+    return out
+
+
+def _old_format_frame(df: pd.DataFrame, fname: str, mawb: str) -> pd.DataFrame:
+    """Old format: named columns, ffill merged HAWBs, keep rows with
+    HAWB AND item number (reference ``:94-119``) — all column ops."""
+    df = df.reset_index(drop=True)
+    hawb = df["分提單號碼"].ffill()
+    mask = hawb.notna() & df["貨物編號"].notna()
+    sub = df[mask]
+    item_no = (
+        pd.to_numeric(sub["貨物編號"], errors="coerce").fillna(0).astype(int)
+    )
+    opt = {
+        "unit_raw": "數量單位",
+        "net_weight_raw": "淨重",
+        "consignee_name_raw": "進口人英文名稱",
+        "consignee_id_raw": "進口人統一編號",
+        "consignee_phone_raw": "進口人電話",
+    }
+    cols: dict[str, pd.Series | object] = {
+        "_row_idx": pd.Series(sub.index, index=sub.index),
+        "hawb_raw": _str_or_none(hawb[mask]),
+        "item_no": item_no,
+        "desc_raw": _str_or_none(sub["货物名称"]),
+        "qty_raw": _str_or_none(sub["數量"]),
+        "price_raw": _str_or_none(sub["單價金額"]),
+        "total_raw": _str_or_none(sub["發票總金額"]),
+    }
+    for out_name, col in opt.items():
+        if col in df.columns:
+            cols[out_name] = _str_or_none(sub[col])
+    return _assemble(fname, mawb, "old", cols)
+
+
+def _new_format_frame(df: pd.DataFrame, fname: str, mawb: str) -> pd.DataFrame:
+    """New format: positional A/D/J/K/N/O, ffill HAWB, keep rows with
+    HAWB AND description, item_no = per-HAWB cumcount+1 (``:122-156``)."""
+    df = df.reset_index(drop=True)
+    hawb = df.iloc[:, 0].ffill()
+    mask = hawb.notna() & df.iloc[:, 3].notna()
+    sub = df[mask]
+    hawb_s = _str_or_none(hawb[mask])
+    cols: dict[str, pd.Series | object] = {
+        "_row_idx": pd.Series(sub.index, index=sub.index),
+        "hawb_raw": hawb_s,
+        "item_no": hawb_s.groupby(hawb_s).cumcount() + 1,
+        "desc_raw": _str_or_none(sub.iloc[:, 3]),
+        "qty_raw": _str_or_none(sub.iloc[:, 9]),
+        "unit_raw": _str_or_none(sub.iloc[:, 10]),
+        "price_raw": _str_or_none(sub.iloc[:, 13]),
+        "total_raw": _str_or_none(sub.iloc[:, 14]),
+    }
+    return _assemble(fname, mawb, "new", cols)
+
+
+def _rows_for_file(fname: str, content: bytes) -> pd.DataFrame:
     # MAWB: A1 if strictly alphanumeric, else filename stem
     a1 = _probe_a1(content, fname)
-    mawb = a1 if a1 and _ALNUM.match(a1) else fname.rsplit("/", 1)[-1].rsplit(".", 1)[0].strip()
+    mawb = (
+        a1
+        if a1 and _ALNUM.match(a1)
+        else fname.rsplit("/", 1)[-1].rsplit(".", 1)[0].strip()
+    )
 
-    out: list[dict] = []
+    grid: list[list] | None = None
+    if fname.lower().endswith(".xlsx"):
+        try:
+            grid = xlsx_stdlib.read_xlsx_grid(content)
+        except Exception as e:
+            log.error("cannot read xlsx %s: %s", fname, e)
+            return _EMPTY
 
-    def emit(idx: int, fmt: str, **fields) -> None:
-        row = dict.fromkeys(_RAW_COLS)
-        row.update(
-            source_file=fname, mawb_no=mawb, fmt=fmt, _row_idx=idx, **fields
-        )
-        out.append(row)
-
-    # Strategy A: old format (header row 4, named columns).
-    # The merged-cell HAWB forward-fill, the row filter and the item
-    # numbering are sheet-order properties of ONE file, so they run
-    # right here in the parser (reference does the same in pandas,
-    # ``:94-95,146-156``) — zero shuffles, and the downstream typed
-    # projection stays streaming-safe.
-    df_old = _read_table(content, fname, header=3)
+    # Strategy A: old format (header row 4, named columns)
+    df_old = _read_table(content, fname, header=3, grid=grid)
     if df_old is not None:
         df_old.columns = _norm_headers(df_old.columns)
         if "分提單號碼" in df_old.columns and all(
             c in df_old.columns for c in OLD_REQUIRED
         ):
-            opt = {
-                "unit_raw": "數量單位",
-                "net_weight_raw": "淨重",
-                "consignee_name_raw": "進口人英文名稱",
-                "consignee_id_raw": "進口人統一編號",
-                "consignee_phone_raw": "進口人電話",
-            }
-            last_hawb = None
-            for idx, r in enumerate(df_old.itertuples(index=False)):
-                rec = dict(zip(df_old.columns, r))
-                hawb = _cell(rec["分提單號碼"])
-                last_hawb = hawb if hawb is not None else last_hawb  # ffill
-                item = _cell(rec["貨物編號"])
-                if last_hawb is None or item is None:
-                    continue  # OP-FIL-NOTNULL (reference :95)
-                item_no = int(float(item)) if _is_float(item) else 0
-                emit(
-                    idx,
-                    "old",
-                    hawb_raw=last_hawb,
-                    item_no=item_no,
-                    desc_raw=_cell(rec["货物名称"]),
-                    qty_raw=_cell(rec["數量"]),
-                    price_raw=_cell(rec["單價金額"]),
-                    total_raw=_cell(rec["發票總金額"]),
-                    **{
-                        k: _cell(rec[col])
-                        for k, col in opt.items()
-                        if col in df_old.columns
-                    },
-                )
-            return out
+            return _old_format_frame(df_old, fname, mawb)
 
     # Strategy B: new format (header row 3, positional A/D/J/K/N/O, ≥15 cols)
-    df_new = _read_table(content, fname, header=2)
+    df_new = _read_table(content, fname, header=2, grid=grid)
     if df_new is None:
-        return out
+        return _EMPTY
     if len(df_new.columns) < 15:
-        log.error("new format needs ≥15 columns, %s has %d", fname, len(df_new.columns))
-        return out
-    last_hawb = None
-    counters: dict[str, int] = {}
-    for idx in range(len(df_new)):
-        hawb = _cell(df_new.iloc[idx, 0])
-        last_hawb = hawb if hawb is not None else last_hawb  # ffill (ref :146)
-        desc = _cell(df_new.iloc[idx, 3])
-        if last_hawb is None or desc is None:
-            continue  # OP-FIL-NOTNULL (reference :149)
-        counters[last_hawb] = counters.get(last_hawb, 0) + 1  # cumcount+1 (:156)
-        emit(
-            idx,
-            "new",
-            hawb_raw=last_hawb,
-            item_no=counters[last_hawb],
-            desc_raw=desc,
-            qty_raw=_cell(df_new.iloc[idx, 9]),
-            unit_raw=_cell(df_new.iloc[idx, 10]),
-            price_raw=_cell(df_new.iloc[idx, 13]),
-            total_raw=_cell(df_new.iloc[idx, 14]),
+        log.error(
+            "new format needs ≥15 columns, %s has %d", fname, len(df_new.columns)
         )
-    return out
-
-
-def _is_float(v: str) -> bool:
-    try:
-        float(v)
-        return True
-    except (TypeError, ValueError):
-        return False
+        return _EMPTY
+    return _new_format_frame(df_new, fname, mawb)
 
 
 def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out: list[dict] = []
+        frames: list[pd.DataFrame] = []
         for path, content in zip(pdf["path"], pdf["content"]):
             fname = path.rsplit("/", 1)[-1]
             try:
-                out.extend(_rows_for_file(fname, content))
+                frames.append(_rows_for_file(fname, content))
             except Exception as e:
                 log.error("unexpected failure parsing %s: %s", fname, e)
-        yield pd.DataFrame(out, columns=_RAW_COLS) if out else pd.DataFrame(
-            {c: pd.Series(dtype=object) for c in _RAW_COLS}
-        )
+        frames = [f for f in frames if len(f)]
+        yield pd.concat(frames, ignore_index=True) if frames else _EMPTY
 
 
 def read_manifests_raw(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:
-    """Scan ``.xlsx``/``.xls``/``.csv`` manifests → raw string cells."""
+    """Scan ``.xlsx``/``.csv`` manifests → raw string cells."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)

@@ -55,3 +55,42 @@ def test_jdbc_swap_sql():
         "standard_knowledge_base_backup_20250101_120000, "
         "standard_knowledge_base__staging TO standard_knowledge_base"
     )
+
+
+def test_replace_jdbc_with_backup_runs_swap(spark, monkeypatch):
+    """With a run_swap callable the function completes: staging write →
+    swap DDL executed exactly once → DDL returned (VERDICT r1 #3)."""
+    import pyspark.sql.readwriter as _rw
+
+    from sea_express_customs_etl_spark.sinks import jdbc_sink
+
+    # record the staging write instead of hitting a real database
+    saves: list[str] = []
+    monkeypatch.setattr(
+        _rw.DataFrameWriter, "save", lambda self, path=None: saves.append("saved")
+    )
+
+    ran: list[str] = []
+    ddl = jdbc_sink.replace_jdbc_with_backup(
+        spark.range(3),
+        spark,
+        "jdbc:mysql://host/db",
+        "standard_knowledge_base",
+        "20250101_120000",
+        run_swap=ran.append,
+    )
+    assert saves == ["saved"]
+    assert ran == [ddl] == [swap_sql("standard_knowledge_base", "20250101_120000")]
+
+
+def test_replace_jdbc_without_swap_raises(spark, monkeypatch):
+    import pytest
+    import pyspark.sql.readwriter as _rw
+
+    from sea_express_customs_etl_spark.sinks import jdbc_sink
+
+    monkeypatch.setattr(_rw.DataFrameWriter, "save", lambda self, path=None: None)
+    with pytest.raises(NotImplementedError, match="RENAME TABLE"):
+        jdbc_sink.replace_jdbc_with_backup(
+            spark.range(1), spark, "jdbc:mysql://h/d", "t", "20250101_000000"
+        )

