@@ -13,9 +13,107 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
+import zipfile
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _build_ingest_fixtures(root: str) -> tuple[str, str, int, int]:
+    """Synthetic equivalents of BASELINE.md's headline ingest inputs:
+    a zip of 1,347 XML members (~6 rows each ≈ 8k rows, the
+    25040104EX.zip shape) and an 8,072-row new-format xlsx manifest.
+    Returns (xml_dir, xlsx_dir, xml_rows, xlsx_rows)."""
+    from sea_express_customs_etl_spark.sources.xlsx_stdlib import write_xlsx
+
+    xml_dir = os.path.join(root, "xml_in")
+    xlsx_dir = os.path.join(root, "xlsx_in")
+    os.makedirs(xml_dir)
+    os.makedirs(xlsx_dir)
+
+    def bid_head(i: int, j: int) -> str:
+        return (
+            "<BID_HEAD>"
+            f"<DCL_DOC_NO>BY/  /14/{i % 997} /FUSZH</DCL_DOC_NO>"
+            "<MAWB>25040104EX</MAWB>"
+            f"<HAWB_NO>472LV{i:07d}</HAWB_NO>"
+            "<FLY_NO>250401</FLY_NO>"
+            "<IMPORT_DATE>2025-04-01T00:00:00+08:00</IMPORT_DATE>"
+            f"<DESCRIPTION>紙盒 item {j}</DESCRIPTION>"
+            f"<CLASSIFY_NO>4819.40.00.{i % 100:02d}-5</CLASSIFY_NO>"
+            f"<QTY>{j + 1}</QTY><QTY_UM>PCE</QTY_UM>"
+            f"<PAY_TAX_AMT>{100 + j}.5</PAY_TAX_AMT>"
+            f"<FOB_AMT_TWD>{200 + j}.0</FOB_AMT_TWD>"
+            "<IMPORT_DUTY_RATE>5.0</IMPORT_DUTY_RATE>"
+            "<CNEE_BAN_ID>A123</CNEE_BAN_ID><CNEE_E_NAME>WANG</CNEE_E_NAME>"
+            "<OTHER_ITEN_2>TEL0912</OTHER_ITEN_2>"
+            "<SHPR_E_NAME>SHIPPER</SHPR_E_NAME><FROM_CODE>CNXMN</FROM_CODE>"
+            "</BID_HEAD>"
+        )
+
+    members, rows_per = 1347, 6
+    xml_rows = members * rows_per
+    with zipfile.ZipFile(
+        os.path.join(xml_dir, "25040104EX.zip"), "w", zipfile.ZIP_DEFLATED
+    ) as zf:
+        for i in range(members):
+            doc = (
+                '<?xml version="1.0" encoding="utf-8"?><GicDataSet>'
+                + "".join(bid_head(i, j) for j in range(rows_per))
+                + "</GicDataSet>"
+            )
+            zf.writestr(f"member_{i:05d}.xml", doc)
+
+    xlsx_rows = 8072
+    header = [
+        "提單號", "b", "c", "品名", "e", "f", "g", "h", "i",
+        "數量", "單位", "l", "m", "單價", "總價",
+    ]
+    grid: list[list] = [["25040104EX"] + [None] * 14, [None] * 15, header]
+    for i in range(xlsx_rows):
+        hawb = f"N{i // 3:06d}" if i % 3 == 0 else None
+        grid.append(
+            [hawb, "x", "x", f"宝宝辅食机 {i}", "x", "x", "x", "x", "x",
+             i % 7 + 1, "PCE", "x", "x", 10 + i % 5, (10 + i % 5) * (i % 7 + 1)]
+        )
+    with open(os.path.join(xlsx_dir, "25040104EX.xlsx"), "wb") as f:
+        f.write(write_xlsx(grid))
+    return xml_dir, xlsx_dir, xml_rows, xlsx_rows
+
+
+def _ingest_rates(spark) -> dict[str, float]:
+    """End-to-end connector throughput (binaryFile scan → parse UDTF →
+    typed projection → noop sink), best of 2 — BASELINE.md:16-22."""
+    from sea_express_customs_etl_spark.sources import (
+        declared_cargo,
+        official_history,
+        read_bid_heads_raw,
+        read_manifests_raw,
+    )
+
+    rates: dict[str, float] = {}
+    with tempfile.TemporaryDirectory() as root:
+        xml_dir, xlsx_dir, xml_rows, xlsx_rows = _build_ingest_fixtures(root)
+        for key, rows, plan in (
+            (
+                "ingest_zip_xml_rows_per_sec",
+                xml_rows,
+                lambda: official_history(read_bid_heads_raw(spark, xml_dir)),
+            ),
+            (
+                "ingest_xlsx_rows_per_sec",
+                xlsx_rows,
+                lambda: declared_cargo(read_manifests_raw(spark, xlsx_dir)),
+            ),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                plan().write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            rates[key] = round(rows / best, 1)
+    return rates
 
 
 def main() -> None:
@@ -58,6 +156,8 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    rates = _ingest_rates(spark)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_num = float(sf)
@@ -71,6 +171,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_num,
+                **rates,
             }
         )
     )
