@@ -253,6 +253,37 @@ def _q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.similarity import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 16),
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=2,
+    )
+
+
+def _q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED centroids (kmeans_fit). No SQL oracle:
+    distributed float-mean summation is not bit-portable across
+    engines, so correctness is property-tested instead
+    (tests/test_similarity.py::test_kmeans_ivf_recall_floor)."""
+    from sea_express_customs_etl_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = _emb(spark, sf_dir)
+    # train on a deterministic ~1/7 sample — centroid quality needs a
+    # representative sample, not the corpus (the standard IVF practice;
+    # keeps training cost flat as the corpus grows)
+    cents = kmeans_fit(emb.filter(F.col("vec_id") % 7 == 0), k=8, max_iter=3)
+    return ivf_topk(emb, cents, emb.filter(F.col("vec_id") < 10), k=5, nprobe=2)
+
+
 def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.textstats import text_stats
 
@@ -328,6 +359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "cosine_topk": _q_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_ivf_nprobe2": _q_ann_ivf_nprobe2,
+        "kmeans_ivf_topk": _q_kmeans_ivf_topk,
         # text analysis
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
@@ -371,6 +404,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash": ext.SIMHASH_SQL,
         "cosine_topk": ext.COSINE_TOPK_SQL,
         "ann_ivf_topk": ext.ANN_IVF_TOPK_SQL,
+        "ann_ivf_nprobe2": ext.ANN_IVF_NPROBE2_SQL,
+        # kmeans_ivf_topk: intentionally no oracle (float-mean training
+        # is not bit-portable); driver records the rows-only check and
+        # pytest enforces the recall floor.
         "text_stats": ext.TEXT_STATS_SQL,
         "lang_id": ext.LANG_ID_SQL,
         "token_counts": ext.TOKEN_COUNTS_SQL,

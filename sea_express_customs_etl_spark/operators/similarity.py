@@ -128,22 +128,55 @@ def ivf_topk(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: search only the query's own cluster
-    (nprobe=1). Output: query_id, neighbor_id, cosine, cluster."""
+    """Approximate top-k: search the query's ``nprobe`` nearest
+    clusters. Output: query_id, neighbor_id, cosine, cluster.
+
+    ``nprobe=1`` searches only the query's own cluster (fastest,
+    lowest recall); raising it widens the probed set — the standard
+    IVF recall/latency dial. Corpus-side work stays one shuffle on
+    ``cluster``; the probe table (|queries| × nprobe rows) is
+    broadcast, so recall is bought without a second corpus pass.
+    """
     assigned = ivf_assign(df, centroids, vec_col, id_col)
-    q = (
-        assigned.join(queries.select(F.col(id_col)), id_col, "left_semi")
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col("_v").alias("_qv"),
-            F.col("_n").alias("_qn"),
-            "cluster",
+    q = assigned.join(queries.select(F.col(id_col)), id_col, "left_semi").select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    cen = (
+        with_norm(
+            centroids.withColumnRenamed(id_col, "centroid_id"),
+            vec_col,
+            "centroid_id",
         )
+        .withColumnRenamed("_v", "_cv")
+        .withColumnRenamed("_n", "_cn")
+    )
+    # rank each query's centroids: same (sim DESC, centroid_id ASC)
+    # order as the assignment argmin, so nprobe=1 ≡ own cluster
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cen))
+        .select(
+            "query_id",
+            "_qv",
+            "_qn",
+            F.col("centroid_id"),
+            cosine(F.col("_qv"), F.col("_qn"), F.col("_cv"), F.col("_cn")).alias(
+                "_sim"
+            ),
+        )
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", "_qn", F.col("centroid_id").alias("cluster"))
     )
     sims = (
         assigned.withColumnRenamed(id_col, "neighbor_id")
-        .join(F.broadcast(q), "cluster")
+        .join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -159,4 +192,71 @@ def ivf_topk(
         sims.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .drop("_rn")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    max_iter: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column → the
+    centroid table :func:`ivf_topk`/:func:`ivf_assign` consume
+    (columns: ``vec_id`` = centroid id, ``embedding`` array<double>).
+
+    Scale shape: per iteration, ONE broadcast-join assignment pass
+    (map-only argmin, no window) and ONE partial-aggregatable
+    ``posexplode → avg`` for the new means — two shuffles bounded by
+    k·dim output rows. Driver state is O(k·dim) (the centroids
+    themselves, collected each iteration exactly like MLlib's
+    implementation), never O(corpus).
+
+    Deterministic init, no RNG: the k corpus vectors with the lowest
+    ``xxhash64(id)`` (a fixed pseudo-random spread — same seeds on
+    every run and any partitioning). Empty clusters keep their
+    previous centroid. Distributed float-mean summation order is not
+    bit-stable across partitionings, so trained centroids are
+    reproducible to float tolerance, not bitwise — the reason the
+    k-means query is property-tested (recall floor) rather than
+    hash-matched against a SQL oracle.
+    """
+    base = df.select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
+    )
+    init = (
+        base.withColumn("_h", F.xxhash64(F.col(id_col)))
+        .orderBy("_h", F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents: list[list[float]] = [list(r["_v"]) for r in init]
+
+    spark = df.sparkSession
+    for _ in range(max_iter):
+        cen_df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(cents)],
+            schema=f"{id_col} long, {vec_col} array<double>",
+        )
+        assigned = ivf_assign(base.withColumnRenamed("_v", vec_col), cen_df,
+                              vec_col, id_col)
+        means = (
+            assigned.select("cluster", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()  # k·dim rows — bounded by model size, not data
+        )
+        new_cents = list(cents)  # empty clusters keep previous position
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for c, dims in by_cluster.items():
+            new_cents[c] = [dims[p] for p in range(len(dims))]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)],
+        schema=f"{id_col} long, {vec_col} array<double>",
     )

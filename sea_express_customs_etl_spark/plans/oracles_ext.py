@@ -159,6 +159,37 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rn <= 5
 """
 
+ANN_IVF_NPROBE2_SQL = f"""
+WITH {_NRM},
+cen AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn FROM nrm WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, v, n, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.v, e.n, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.v, c.cv) / (e.n * c.cn), 6) DESC,
+                        c.centroid_id) AS rn
+    FROM nrm e CROSS JOIN cen c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v AS qv, n AS qn FROM nrm WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, qn, centroid_id AS cluster FROM (
+    SELECT q.query_id, q.qv, q.qn, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_inner_product(q.qv, c.cv) / (q.qn * c.cn), 6) DESC,
+                        c.centroid_id) AS pr
+    FROM q CROSS JOIN cen c)
+  WHERE pr <= 2),
+sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.cluster,
+         round(list_inner_product(p.qv, a.v) / (p.qn * a.n), 6) AS cosine
+  FROM probes p JOIN asg a USING (cluster)
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cosine, cluster
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, neighbor_id) AS rn FROM sims)
+WHERE rn <= 5
+"""
+
 IVF_NEAR_DUPS_SQL = f"""
 WITH {_NRM},
 cen AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn FROM nrm WHERE vec_id < 16),
