@@ -11,7 +11,9 @@ filter/projection, and the Python boundary is crossed once, columnar.
 
 from sea_express_customs_etl_spark.sources.xml_source import (  # noqa: F401
     official_history,
+    parse_inline_xsd,
     read_bid_heads_raw,
+    typed_bid_heads,
 )
 from sea_express_customs_etl_spark.sources.excel_source import (  # noqa: F401
     declared_cargo,

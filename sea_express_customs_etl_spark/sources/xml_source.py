@@ -71,6 +71,95 @@ RAW_SCHEMA = (
     + ", ".join(f"{f} string" for f in BID_HEAD_FIELDS)
 )
 
+# ---------------------------------------------------------------------------
+# typed source layer (SURVEY §1.3)
+# ---------------------------------------------------------------------------
+
+#: XSD simple type → Spark SQL type string. xs:decimal is unbounded in
+#: XSD; DecimalType(38,12) keeps customs amounts (≤ 1e25 TWD) exact.
+XSD_TO_SPARK = {
+    "xs:string": "string",
+    "xs:dateTime": "timestamp",
+    "xs:date": "date",
+    "xs:decimal": "decimal(38,12)",
+    "xs:int": "int",
+    "xs:integer": "long",
+    "xs:long": "long",
+    "xs:double": "double",
+    "xs:float": "float",
+    "xs:boolean": "boolean",
+    "xs:base64Binary": "binary",
+}
+
+#: The declared types of the consumed BID_HEAD fields, as the inline
+#: XSD of every ``uploads/xml_history`` member states them (sample
+#: member line 1; see SURVEY §1.3 "Types actually exercised").
+BID_HEAD_XSD_TYPES = {
+    "IMPORT_DATE": "xs:dateTime",
+    "QTY": "xs:decimal",
+    "PAY_TAX_AMT": "xs:decimal",
+    "FOB_AMT_TWD": "xs:decimal",
+    "IMPORT_DUTY_RATE": "xs:decimal",
+    # every other consumed field is xs:string
+}
+
+_XS_NS = "{http://www.w3.org/2001/XMLSchema}"
+
+
+def parse_inline_xsd(content: bytes, record: str = "BID_HEAD") -> dict[str, str]:
+    """Field → XSD type for one record element of a GicDataSet member.
+
+    The broker's XML carries its schema inline (``<xs:schema>`` as the
+    first child — .NET DataSet style); this reads the declared
+    ``<xs:element name=... type=.../>`` list for ``record`` so the
+    typed projection can be derived from the DATA rather than
+    hard-coded. Unknown/missing schema → empty dict (caller falls back
+    to :data:`BID_HEAD_XSD_TYPES`).
+    """
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError:
+        return {}
+    for el in root.iter(f"{_XS_NS}element"):
+        if el.get("name") != record:
+            continue
+        return {
+            sub.get("name"): sub.get("type")
+            for sub in el.iter(f"{_XS_NS}element")
+            if sub.get("name") != record and sub.get("type")
+        }
+    return {}
+
+
+def typed_bid_heads(
+    raw: DataFrame, xsd_types: dict[str, str] | None = None
+) -> DataFrame:
+    """Raw string records → XSD-typed source rows (SURVEY §1.3).
+
+    Each consumed field is cast to the Spark type its XSD declaration
+    maps to (``XSD_TO_SPARK``), via ``try_cast`` so the reference's
+    string-leniency survives: junk in a decimal field becomes NULL at
+    this layer (and 0 later via ``num_coerce`` if the pipeline asks
+    for reference parity), never an ANSI error. base64Binary fields
+    decode with ``unbase64``. Provenance/order columns pass through.
+    """
+    types = dict(BID_HEAD_XSD_TYPES if xsd_types is None else xsd_types)
+    cols: list[F.Column] = [
+        F.col("source_file"),
+        F.col("_row_idx"),
+        F.col("item_sequence"),
+    ]
+    for f in BID_HEAD_FIELDS:
+        xsd = types.get(f, "xs:string")
+        spark_t = XSD_TO_SPARK.get(xsd, "string")
+        if spark_t == "string":
+            cols.append(F.col(f))
+        elif spark_t == "binary":
+            cols.append(F.unbase64(F.col(f)).alias(f))
+        else:
+            cols.append(F.col(f).try_cast(spark_t).alias(f))
+    return raw.select(*cols)
+
 
 def _records_from_xml_bytes(
     content: bytes, source_name: str
