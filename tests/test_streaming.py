@@ -182,6 +182,66 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got == {(7, 1): 2, (7, 2): 1, (8, 1): 1}
 
 
+def test_archive_only_after_commit(spark, tmp_path):
+    """VERDICT r1 #8: cleanSource=archive must move a zip only after
+    its batch's checkpoint commit — a failed batch leaves the file in
+    place and it is reprocessed on restart (the reference's
+    retry-by-not-moving semantics, import_xml.log behavior)."""
+    import time
+    import zipfile
+
+    import pytest
+
+    src = tmp_path / "zips"
+    src.mkdir()
+    archive = tmp_path / "processed"
+    zp = src / "batch1.zip"
+    # synthetic equivalent of uploads/xml_history/*.zip: several XML
+    # members + a __MACOSX decoy
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("m1.xml", _xml_doc(_bid_head(hawb="Z1"), _bid_head(hawb="Z1")))
+        zf.writestr("m2.xml", _xml_doc(_bid_head(hawb="Z2")))
+        zf.writestr("__MACOSX/m1.xml", "decoy")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    # 1) sink failure → batch does not commit → file NOT archived
+    def boom(batch, _id):
+        raise RuntimeError("sink down")
+
+    with pytest.raises(Exception, match="sink down"):
+        run_availablenow(
+            stream_xml_history(spark, str(src), archive_dir=str(archive)),
+            sink,
+            ckpt,
+            batch_writer=boom,
+        )
+    assert zp.exists(), "failed batch must leave the source file in place"
+    assert not list(archive.rglob("*.zip")) if archive.exists() else True
+
+    # 2) restart with a working sink → same file reprocessed, rows land
+    run_availablenow(
+        stream_xml_history(spark, str(src), archive_dir=str(archive)), sink, ckpt
+    )
+    assert spark.read.parquet(sink).count() == 3
+
+    # 3) after the commit, the cleaner may archive on a subsequent
+    # cycle (Spark archives when the source commits the batch) — drive
+    # one more file through and wait for the async cleaner
+    (src / "late.xml").write_text(_xml_doc(_bid_head(hawb="L1")), encoding="utf-8")
+    run_availablenow(
+        stream_xml_history(spark, str(src), archive_dir=str(archive)), sink, ckpt
+    )
+    assert spark.read.parquet(sink).count() == 4
+    deadline = time.time() + 20
+    while time.time() < deadline and zp.exists():
+        time.sleep(0.5)
+    assert not zp.exists(), "committed file should be archived"
+    assert any(p.name == "batch1.zip" for p in archive.rglob("*")), (
+        "archived zip must land under the archive dir"
+    )
+
+
 def test_sessionize_stream_smoke(spark, tmp_path):
     src = str(tmp_path / "events_pq2")
     _events(spark).write.parquet(src)
