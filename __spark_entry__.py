@@ -323,6 +323,35 @@ def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.textstats import quality_gate
+
+    return quality_gate(_docs(spark, sf_dir))
+
+
+def _q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.sampling import hash_sample
+
+    return hash_sample(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"), 0.25
+    )
+
+
+def _q_hash_split_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.sampling import hash_split
+
+    return hash_split(
+        _docs(spark, sf_dir).select("doc_id"),
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sea_express_customs_etl_spark.plans import relational as rel
 
@@ -367,6 +396,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": _q_token_counts,
         "doc_fingerprint": _q_doc_fingerprint,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "repetition_stats": _q_repetition_stats,
+        "quality_gate": _q_quality_gate,
+        # deterministic sampling / splits
+        "hash_sample_docs": _q_hash_sample_docs,
+        "hash_split_docs": _q_hash_split_docs,
         "event_value_percentiles": _q_event_value_percentiles,
     }
 
@@ -374,6 +408,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_ext as ext
     from sea_express_customs_etl_spark.plans import oracles_rel as rel
+    from sea_express_customs_etl_spark.operators.sampling import (
+        hex_threshold as _hex_threshold,
+    )
 
     return {
         "events_hourly": rel.EVENTS_HOURLY_SQL,
@@ -413,5 +450,11 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": ext.TOKEN_COUNTS_SQL,
         "doc_fingerprint": ext.FINGERPRINT_SQL,
         "tfidf_top_terms": ext.TFIDF_TOP_TERMS_SQL,
+        "repetition_stats": ext.REPETITION_STATS_SQL,
+        "quality_gate": ext.QUALITY_GATE_SQL,
+        "hash_sample_docs": ext.HASH_SAMPLE_SQL.format(t=_hex_threshold(0.25)),
+        "hash_split_docs": ext.HASH_SPLIT_SQL.format(
+            t_train=_hex_threshold(0.8), t_val=_hex_threshold(0.9)
+        ),
         "event_value_percentiles": ext.EVENT_VALUE_PERCENTILES_SQL,
     }

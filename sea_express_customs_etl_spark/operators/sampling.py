@@ -1,0 +1,71 @@
+"""Deterministic hash sampling / dataset splitting.
+
+A 100 TB training pipeline cannot use ``rand()`` for train/val/test
+splits: re-runs, retries and repartitioning must all land every row in
+the same bucket, and the assignment must be reproducible OUTSIDE Spark
+(the eval harness is usually a different engine). So the sample
+decision is a pure function of the row key: the first 8 hex chars of
+``md5(salt || key)`` compared against a precomputed hex threshold —
+md5 is bit-identical in every engine (the reason the oracle-parity
+rules pin md5 as the only cross-engine hash), the comparison is
+lexicographic on fixed-width lowercase hex, and the whole thing is one
+map-side Catalyst expression: no shuffle, no state, no RNG.
+
+Changing ``salt`` derives a fresh independent sample from the same
+keys (the standard way to draw k disjoint eval sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+_BUCKETS = 16**8  # first 8 hex chars of the md5
+
+
+def _hash_prefix(key: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt), key.cast("string"))), 1, 8)
+
+
+def hex_threshold(fraction: float) -> str:
+    """The 8-hex-char cutoff under which ~``fraction`` of md5 prefixes
+    fall. Exposed so oracle SQL can embed the identical literal."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return f"{min(int(fraction * _BUCKETS), _BUCKETS - 1):08x}"
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, key_col: str = "doc_id", salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen deterministically by key."""
+    return df.filter(
+        _hash_prefix(F.col(key_col), salt) < F.lit(hex_threshold(fraction))
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split (~``weights``
+    proportions, which must sum to 1). Adds ``split_col``; rows are
+    never dropped or duplicated — the buckets partition the hash space.
+    """
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    prefix = _hash_prefix(F.col(key_col), salt)
+    expr: Column | None = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        cond = prefix < F.lit(hex_threshold(acc))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -125,6 +125,149 @@ def tfidf_top_terms(
     )
 
 
+def _bigrams(toks: Column) -> Column:
+    """Adjacent word pairs as an array (empty when <2 words). The
+    ``when`` guard matters: Spark's ``sequence(1, 0)`` would count DOWN
+    and fabricate indices."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document (the filters a
+    training-data pipeline runs before dedup): duplicate-line fraction,
+    duplicate-word fraction, and the fraction of all word bigrams taken
+    by the single most frequent bigram.
+
+    Output: id, n_lines, dup_line_frac, dup_word_frac, top_bigram_frac
+    (ratios rounded 4dp).
+
+    Scale shape: entirely map-side array expressions — the bigram mode
+    is an O(m²) per-document ``array_distinct``/``filter`` scan instead
+    of an explode+groupBy, trading document-bounded CPU (m = words per
+    doc, physics-bounded) for ZERO exchanges; at 100 TB this pipelines
+    with the scan and never shuffles. For pathological single-document
+    lengths switch to the explode form; for a corpus it is strictly
+    better.
+    """
+    # stage the arrays as named projection columns so each is computed
+    # ONCE per row — inlining `bg` into every nested lambda would make
+    # codegen rebuild the bigram array per distinct element (O(m³))
+    staged = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), r"\n").alias("_lines"),
+        _toks(text_col).alias("_tk"),
+    ).select(
+        F.col(id_col),
+        F.col("_lines"),
+        F.col("_tk"),
+        _bigrams(F.col("_tk")).alias("_bg"),
+    ).select(
+        F.col(id_col),
+        F.col("_lines"),
+        F.col("_tk"),
+        F.col("_bg"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("_bg")),
+                lambda d: F.size(F.filter(F.col("_bg"), lambda x: x == d)),
+            )
+        ).alias("_top_cnt"),
+    )
+    n_lines = F.size(F.col("_lines"))
+    n_words = F.size(F.col("_tk"))
+    return staged.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.round(
+            (n_lines - F.size(F.array_distinct(F.col("_lines")))) / n_lines, 4
+        ).alias("dup_line_frac"),
+        F.round(
+            (n_words - F.size(F.array_distinct(F.col("_tk")))) / n_words, 4
+        ).alias("dup_word_frac"),
+        F.when(
+            F.size(F.col("_bg")) > 0,
+            F.round(F.col("_top_cnt") / F.size(F.col("_bg")), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+def quality_gate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 40,
+    max_words: int = 100_000,
+    min_avg_word_len: float = 3.0,
+    max_avg_word_len: float = 10.0,
+    max_dup_word_frac: float = 0.6,
+    max_top_bigram_frac: float = 0.05,
+) -> DataFrame:
+    """Gopher-rule document gate: every signal as a boolean column plus
+    the conjunction, so downstream can filter OR audit why a document
+    fell (``passed`` alone loses the reason).
+
+    Output: id, n_words, avg_word_len, dup_word_frac, top_bigram_frac,
+    words_ok, avg_len_ok, repetition_ok, passed. Map-only, like
+    :func:`repetition_stats`.
+    """
+    staged = df.select(
+        F.col(id_col),
+        _toks(text_col).alias("_tk"),
+        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias("_no_ws"),
+    ).select(
+        F.col(id_col),
+        F.col("_tk"),
+        F.col("_no_ws"),
+        _bigrams(F.col("_tk")).alias("_bg"),
+    ).select(
+        F.col(id_col),
+        F.col("_no_ws"),
+        F.size(F.col("_tk")).alias("_nw"),
+        F.size(F.array_distinct(F.col("_tk"))).alias("_nd"),
+        F.size(F.col("_bg")).alias("_nbg"),
+        F.array_max(
+            F.transform(
+                F.array_distinct(F.col("_bg")),
+                lambda d: F.size(F.filter(F.col("_bg"), lambda x: x == d)),
+            )
+        ).alias("_top_cnt"),
+    )
+    n_words = F.col("_nw")
+    avg_len = F.round(F.col("_no_ws") / n_words, 4)
+    dup_word = F.round((n_words - F.col("_nd")) / n_words, 4)
+    top_bg = (
+        F.when(F.col("_nbg") > 0, F.round(F.col("_top_cnt") / F.col("_nbg"), 4))
+        .otherwise(F.lit(0.0))
+    )
+    words_ok = (n_words >= min_words) & (n_words <= max_words)
+    avg_ok = (avg_len >= min_avg_word_len) & (avg_len <= max_avg_word_len)
+    rep_ok = (dup_word <= max_dup_word_frac) & (top_bg <= max_top_bigram_frac)
+    return staged.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        avg_len.alias("avg_word_len"),
+        dup_word.alias("dup_word_frac"),
+        top_bg.alias("top_bigram_frac"),
+        words_ok.alias("words_ok"),
+        avg_ok.alias("avg_len_ok"),
+        rep_ok.alias("repetition_ok"),
+        (words_ok & avg_ok & rep_ok).alias("passed"),
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -208,6 +208,79 @@ WHERE round(list_inner_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4
 """
 
 # --------------------------------------------------------------------------
+# repetition / quality gates (Gopher-style) + deterministic sampling
+# --------------------------------------------------------------------------
+
+_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 "
+    "THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE CAST([] AS VARCHAR[]) END"
+)
+
+REPETITION_STATS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines, {_TOKS} AS toks
+  FROM documents),
+b AS (SELECT doc_id, lines, toks, {_BIGRAMS} AS bg FROM base)
+SELECT doc_id,
+       CAST(len(lines) AS INTEGER) AS n_lines,
+       round((len(lines) - len(list_distinct(lines))) / len(lines), 4)
+           AS dup_line_frac,
+       round((len(toks) - len(list_distinct(toks))) / len(toks), 4)
+           AS dup_word_frac,
+       CASE WHEN len(bg) > 0
+            THEN round(list_max(list_transform(list_distinct(bg),
+                     d -> len(list_filter(bg, x -> x = d)))) / len(bg), 4)
+            ELSE 0.0 END AS top_bigram_frac
+FROM b
+"""
+
+QUALITY_GATE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS no_ws
+  FROM documents),
+b AS (SELECT doc_id, toks, no_ws, {_BIGRAMS} AS bg FROM base),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_words,
+         round(no_ws / len(toks), 4) AS avg_word_len,
+         round((len(toks) - len(list_distinct(toks))) / len(toks), 4)
+             AS dup_word_frac,
+         CASE WHEN len(bg) > 0
+              THEN round(list_max(list_transform(list_distinct(bg),
+                       d -> len(list_filter(bg, x -> x = d)))) / len(bg), 4)
+              ELSE 0.0 END AS top_bigram_frac
+  FROM b),
+f AS (
+  SELECT *,
+         (n_words >= 40 AND n_words <= 100000) AS words_ok,
+         (avg_word_len >= 3.0 AND avg_word_len <= 10.0) AS avg_len_ok,
+         (dup_word_frac <= 0.6 AND top_bigram_frac <= 0.05) AS repetition_ok
+  FROM m)
+SELECT doc_id, n_words, avg_word_len, dup_word_frac, top_bigram_frac,
+       words_ok, avg_len_ok, repetition_ok,
+       (words_ok AND avg_len_ok AND repetition_ok) AS passed
+FROM f
+"""
+
+HASH_SAMPLE_SQL = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t}'
+"""
+
+HASH_SPLIT_SQL = """
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t_train}'
+                THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t_val}'
+                THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+# --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
 

@@ -51,3 +51,61 @@ def test_fingerprint_whitespace_case_stable(spark):
     got = {r.doc_id: r.fingerprint for r in fingerprint(df).collect()}
     assert got[1] == got[2]
     assert got[1] != got[3]
+
+
+def test_repetition_stats_goldens(spark):
+    from sea_express_customs_etl_spark.operators.textstats import repetition_stats
+
+    rows = [
+        (0, "a b\na b\nc d"),          # 1 dup line of 3; words a b a b c d
+        (1, "x y z"),                   # no repetition
+        (2, "w"),                       # single word → no bigrams
+        (3, "go go go go"),             # max repetition
+    ]
+    got = {r.doc_id: r for r in repetition_stats(_docs(spark, rows)).collect()}
+    assert got[0].n_lines == 3 and got[0].dup_line_frac == round(1 / 3, 4)
+    assert got[0].dup_word_frac == round(2 / 6, 4)
+    # bigrams: 'a b','b a','b c','c d' ... top is 'a b' ×2 of 5
+    assert got[0].top_bigram_frac == round(2 / 5, 4)
+    assert got[1].dup_word_frac == 0.0 and got[1].top_bigram_frac == round(1 / 2, 4)
+    assert got[2].top_bigram_frac == 0.0  # <2 words → guarded, not sequence(1,0)
+    assert got[3].dup_word_frac == 0.75 and got[3].top_bigram_frac == 1.0
+
+
+def test_quality_gate_flags(spark):
+    from sea_express_customs_etl_spark.operators.textstats import quality_gate
+
+    long_ok = " ".join(f"tok{i}" for i in range(60))        # 60 distinct words
+    repeaty = " ".join(["spam ham"] * 40)                   # top bigram dominates
+    rows = [(0, long_ok), (1, "too short"), (2, repeaty)]
+    got = {r.doc_id: r for r in quality_gate(_docs(spark, rows)).collect()}
+    assert got[0].passed and got[0].words_ok and got[0].repetition_ok
+    assert not got[1].passed and not got[1].words_ok
+    assert not got[2].passed and not got[2].repetition_ok and got[2].words_ok
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    from sea_express_customs_etl_spark.operators.sampling import hash_sample
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id for r in hash_sample(df, 0.25).collect()}
+    s2 = {r.doc_id for r in hash_sample(df.repartition(17), 0.25).collect()}
+    assert s1 == s2  # layout-invariant
+    assert 0.22 <= len(s1) / 10_000 <= 0.28  # ~fraction
+    # different salt → a different (independent) sample
+    s3 = {r.doc_id for r in hash_sample(df, 0.25, salt="v2").collect()}
+    assert s3 != s1 and 0.22 <= len(s3) / 10_000 <= 0.28
+
+
+def test_hash_split_partitions_hash_space(spark):
+    from sea_express_customs_etl_spark.operators.sampling import hash_split
+
+    df = spark.range(10_000).withColumnRenamed("id", "doc_id")
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()
+    assert len(out) == 10_000  # no row lost or duplicated
+    sizes: dict[str, int] = {}
+    for r in out:
+        sizes[r.split] = sizes.get(r.split, 0) + 1
+    assert set(sizes) == {"train", "val", "test"}
+    assert 0.77 <= sizes["train"] / 10_000 <= 0.83
+    assert 0.08 <= sizes["val"] / 10_000 <= 0.12
