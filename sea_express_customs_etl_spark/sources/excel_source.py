@@ -24,9 +24,11 @@ the reference's own shape at ``:94-95,146-156``) inside the parser;
 typing happens in Catalyst afterwards.
 
 ``.xlsx`` binaries are parsed with the pure-stdlib SpreadsheetML reader
-(:mod:`.xlsx_stdlib` — zipfile + ElementTree; no openpyxl needed).
-``.csv`` flows through ``pd.read_csv`` into the identical downstream
-plan. Legacy BIFF ``.xls`` is not supported and logs a skip.
+(:mod:`.xlsx_stdlib` — zipfile + ElementTree), legacy ``.xls`` with the
+pure-stdlib BIFF8 reader (:mod:`.xls_stdlib` — OLE2 + record parse);
+``.csv`` flows through ``pd.read_csv``. All three feed the identical
+downstream plan — the full trio the reference accepts
+(``src/process_excel_order.py:254``).
 
 Deliberate divergence (cf. the vote tie-break note, SURVEY §7.3.2):
 where the reference's ``astype(str)`` turns a missing 货物名称 /
@@ -91,6 +93,13 @@ def _probe_a1(content: bytes, fname: str) -> str | None:
             v = xlsx_stdlib.probe_a1(content)
             if v is not None and _is_meaningful(str(v)):
                 return str(v).strip()
+        elif fname.lower().endswith(".xls"):
+            from sea_express_customs_etl_spark.sources import xls_stdlib
+
+            grid = xls_stdlib.read_xls_grid(content)
+            v = grid[0][0] if grid and grid[0] else None
+            if v is not None and _is_meaningful(str(v)):
+                return str(v).strip()
     except Exception as e:
         log.warning("A1 probe failed for %s: %s", fname, e)
     return None
@@ -109,15 +118,25 @@ def _read_table(
         low = fname.lower()
         if low.endswith(".csv"):
             return pd.read_csv(io.BytesIO(content), header=header, dtype=object)
-        if low.endswith(".xlsx"):
+        if low.endswith((".xlsx", ".xls")):
             if grid is None:
-                grid = xlsx_stdlib.read_xlsx_grid(content)
+                grid = _read_grid(content, fname)
             return xlsx_stdlib.grid_to_frame(grid, header)
-        log.error("unsupported manifest format (no BIFF .xls reader): %s", fname)
+        log.error("unsupported manifest format: %s", fname)
         return None
     except Exception as e:
         log.info("read with header=%d failed for %s: %s", header, fname, e)
         return None
+
+
+def _read_grid(content: bytes, fname: str) -> list[list]:
+    """Workbook bytes → cell grid: SpreadsheetML for ``.xlsx``, BIFF8
+    for legacy ``.xls`` (both stdlib readers, same grid shape)."""
+    if fname.lower().endswith(".xls"):
+        from sea_express_customs_etl_spark.sources import xls_stdlib
+
+        return xls_stdlib.read_xls_grid(content)
+    return xlsx_stdlib.read_xlsx_grid(content)
 
 
 def _str_or_none(ser: pd.Series) -> pd.Series:
@@ -209,11 +228,11 @@ def _rows_for_file(fname: str, content: bytes) -> pd.DataFrame:
     )
 
     grid: list[list] | None = None
-    if fname.lower().endswith(".xlsx"):
+    if fname.lower().endswith((".xlsx", ".xls")):
         try:
-            grid = xlsx_stdlib.read_xlsx_grid(content)
+            grid = _read_grid(content, fname)
         except Exception as e:
-            log.error("cannot read xlsx %s: %s", fname, e)
+            log.error("cannot read workbook %s: %s", fname, e)
             return _EMPTY
 
     # Strategy A: old format (header row 4, named columns)
@@ -253,7 +272,7 @@ def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def read_manifests_raw(
     spark: SparkSession, path: str, glob: str | None = None
 ) -> DataFrame:
-    """Scan ``.xlsx``/``.csv`` manifests → raw string cells."""
+    """Scan ``.xlsx``/``.xls``/``.csv`` manifests → raw string cells."""
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)

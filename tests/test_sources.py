@@ -313,6 +313,51 @@ def test_xlsx_corrupt_is_contained(spark, tmp_path):
     assert len(cargo) == 3
 
 
+def test_manifest_end_to_end_xls_biff8(spark, tmp_path):
+    """Legacy .xls (BIFF8/OLE2) manifests parse for real: mini-stream
+    compound doc, RK/NUMBER/LABELSST cells, CJK via UTF-16 strings."""
+    from sea_express_customs_etl_spark.sources.xls_stdlib import write_xls
+
+    d = tmp_path / "xls_in"
+    d.mkdir()
+    (d / "old_manifest.xls").write_bytes(write_xls(_csv_to_rows(OLD_CSV)))
+    new_rows = _csv_to_rows(NEW_CSV)
+    for r in new_rows[3:]:
+        for col in (9, 13, 14):  # numeric cells exercise RK/NUMBER
+            if r[col] is not None:
+                r[col] = float(r[col]) if "." in r[col] else int(r[col])
+    (d / "new_manifest.xls").write_bytes(write_xls(new_rows))
+
+    cargo = declared_cargo(read_manifests_raw(spark, str(d))).collect()
+    by_file = {}
+    for r in cargo:
+        by_file.setdefault(r.source_file, []).append(r)
+
+    old = sorted(by_file["old_manifest.xls"], key=lambda r: r._row_idx)
+    assert all(r.mawb_no == "old_manifest" for r in old)  # A1 non-alnum
+    assert [r.hawb_no for r in old] == ["H001", "H001", "H002"]
+    assert [r.item_no for r in old] == [1, 2, 1]
+    assert old[0].description_original == "宝宝辅食机/料理机"
+
+    new = sorted(by_file["new_manifest.xls"], key=lambda r: r._row_idx)
+    assert all(r.mawb_no == "25040104EX" for r in new)  # A1 probe on BIFF
+    assert [r.item_no for r in new] == [1, 2, 1]
+    assert new[0].qty == 3.0 and new[0].total_amount == 75.0
+
+
+def test_xls_continue_split_sst_and_corruption(spark, tmp_path):
+    from sea_express_customs_etl_spark.sources.xls_stdlib import write_xls
+
+    d = tmp_path / "xls_mixed"
+    d.mkdir()
+    # SST forced across CONTINUE records (the large-real-file shape)
+    (d / "m.xls").write_bytes(write_xls(_csv_to_rows(NEW_CSV), sst_split_every=5))
+    (d / "broken.xls").write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1 truncated")
+    cargo = declared_cargo(read_manifests_raw(spark, str(d))).collect()
+    assert {r.source_file for r in cargo} == {"m.xls"}
+    assert len(cargo) == 3
+
+
 def test_manifest_rejects_narrow_and_junk_files(spark, tmp_path):
     d = tmp_path / "bad_in"
     d.mkdir()
