@@ -41,10 +41,38 @@ def _batches(name: str, payload: bytes):
 @settings(max_examples=30, deadline=None)
 @given(st.binary(min_size=0, max_size=400))
 def test_excel_parser_never_raises(payload):
-    for suffix in ("csv", "xlsx"):
+    for suffix in ("csv", "xlsx", "xls"):
         out = list(_batches(f"fuzz.{suffix}", payload))
         frames = list(parse_excel(iter(out)))
         assert all(isinstance(f, pd.DataFrame) for f in frames)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=600), st.integers(0, 5000))
+def test_truncated_xls_never_raises(payload, cut):
+    """A VALID BIFF8 prefix chopped or tail-corrupted at an arbitrary
+    byte must be contained per-file, never crash the task."""
+    from sea_express_customs_etl_spark.sources.xls_stdlib import write_xls
+
+    good = write_xls(
+        [["25040104EX"], [], ["h1", "h2", "h3"], ["a", 1, 2.5], ["b", 2, None]]
+    )
+    mangled = good[: min(cut, len(good))] + payload
+    frames = list(parse_excel(_batches("fuzz.xls", mangled)))
+    assert all(isinstance(f, pd.DataFrame) for f in frames)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(min_size=0, max_size=600), st.integers(0, 3000))
+def test_truncated_xlsx_never_raises(payload, cut):
+    from sea_express_customs_etl_spark.sources.xlsx_stdlib import write_xlsx
+
+    good = write_xlsx(
+        [["25040104EX"], [], ["h1", "h2", "h3"], ["a", 1, 2.5], ["b", 2, None]]
+    )
+    mangled = good[: min(cut, len(good))] + payload
+    frames = list(parse_excel(_batches("fuzz.xlsx", mangled)))
+    assert all(isinstance(f, pd.DataFrame) for f in frames)
 
 
 @settings(max_examples=30, deadline=None)
