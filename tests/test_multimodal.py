@@ -1,9 +1,10 @@
-"""Multimodal plumbing tests: metadata sniffing, feature-kernel batch
-shape, frame sampling, decode stub gating."""
+"""Multimodal tests: metadata sniffing, feature-kernel batch shape,
+REAL PPM/PGM decode + resize + frame extraction, per-row containment
+of undecodable payloads, frame-index sampling."""
 
 from __future__ import annotations
 
-import pytest
+import numpy as np
 
 from sea_express_customs_etl_spark.multimodal import (
     attach_binary_metadata,
@@ -11,6 +12,24 @@ from sea_express_customs_etl_spark.multimodal import (
     fake_image_features,
     sample_frames,
 )
+from sea_express_customs_etl_spark.multimodal.binary_ops import (
+    decode_pnm,
+    encode_ppm,
+    extract_ppm_frames,
+    resize_images,
+)
+
+
+def _ppm(w, h, value=None):
+    """Deterministic gradient P6 image (or constant when value set)."""
+    arr = np.zeros((h, w, 3), dtype=np.uint8)
+    if value is None:
+        for y in range(h):
+            for x in range(w):
+                arr[y, x] = ((x * 7) % 256, (y * 11) % 256, ((x + y) * 3) % 256)
+    else:
+        arr[:, :] = value
+    return encode_ppm(arr)
 
 
 def _media(spark):
@@ -19,6 +38,7 @@ def _media(spark):
         (2, b"\xff\xd8\xff\xe0" + b"y" * 5),
         (3, b"RIFFxxxxWAVE"),
         (4, b"garbage-bytes"),
+        (5, _ppm(6, 4)),
     ]
     return spark.createDataFrame(rows, "media_id long, payload binary")
 
@@ -29,6 +49,7 @@ def test_attach_binary_metadata(spark):
     assert got[2].media_format == "jpeg"
     assert got[3].media_format == "wav"
     assert got[4].media_format == "unknown"
+    assert got[5].media_format == "ppm"
     assert got[1].media_length == 18
     assert len(got[1].media_digest) == 32
 
@@ -43,9 +64,64 @@ def test_fake_image_features_deterministic(spark):
     assert a[1] != a[2]
 
 
-def test_decode_images_is_gated(spark):
-    with pytest.raises(NotImplementedError):
-        decode_images(_media(spark))
+def test_decode_images_real_pnm_and_containment(spark):
+    """PPM rows decode for real (dims + luma); compressed formats
+    without a codec and garbage rows surface decode_error per row —
+    the stage never fails."""
+    got = {r.media_id: r for r in decode_images(_media(spark)).collect()}
+    ok = got[5]
+    assert (ok.width, ok.height, ok.n_channels) == (6, 4, 3)
+    arr, _ = decode_pnm(_ppm(6, 4))
+    expect = (
+        0.299 * arr[:, :, 0] + 0.587 * arr[:, :, 1] + 0.114 * arr[:, :, 2]
+    ).mean()
+    assert abs(ok.mean_luma - expect) < 1e-3
+    assert ok.decode_error is None
+    for mid in (1, 2, 4):  # png/jpeg need Pillow (absent); garbage is garbage
+        assert got[mid].width is None and got[mid].decode_error is not None
+
+
+def test_decode_constant_image_luma(spark):
+    df = spark.createDataFrame(
+        [(9, _ppm(3, 3, value=(255, 0, 0)))], "media_id long, payload binary"
+    )
+    r = decode_images(df).collect()[0]
+    assert abs(r.mean_luma - 0.299 * 255) < 0.05  # pure red → R-weight luma
+
+
+def test_resize_images_nearest_neighbor(spark):
+    df = spark.createDataFrame(
+        [(1, _ppm(8, 8)), (2, b"not an image")], "media_id long, payload binary"
+    )
+    got = {r.media_id: r for r in resize_images(df, width=4, height=2).collect()}
+    out = got[1]
+    assert out.resize_error is None
+    arr, _ = decode_pnm(bytes(out.payload))
+    assert arr.shape == (2, 4, 3)
+    src, _ = decode_pnm(_ppm(8, 8))
+    # nearest-neighbor: output pixel (0,0) is source pixel (0,0)
+    assert (arr[0, 0] == src[0, 0]).all()
+    assert got[2].payload is None and got[2].resize_error is not None
+
+
+def test_extract_ppm_frames_stream(spark):
+    """Concatenated-PPM 'video' (the ffmpeg image2pipe shape): every
+    2nd frame extracted; a corrupt tail keeps earlier frames."""
+    frames = [_ppm(4, 3, value=(i, i, i)) for i in range(5)]
+    stream = b"".join(frames)
+    df = spark.createDataFrame(
+        [(1, stream), (2, stream + b"P6 corrupt")],
+        "media_id long, payload binary",
+    )
+    got: dict[int, list] = {}
+    for r in extract_ppm_frames(df, every_n=2).collect():
+        got.setdefault(r.media_id, []).append((r.frame_idx, bytes(r.frame)))
+    for mid in (1, 2):
+        idxs = sorted(i for i, _ in got[mid])
+        assert idxs == [0, 2, 4]
+        by_idx = dict(got[mid])
+        arr, _ = decode_pnm(by_idx[4])
+        assert (arr == 4).all()  # frame 4 carries its constant value
 
 
 def test_sample_frames(spark):
