@@ -369,6 +369,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_running_totals": rel.customer_running_totals,
         "revenue_by_nation": rel.revenue_by_nation,
         "order_gaps": rel.order_gaps,
+        "shipping_priority": rel.shipping_priority,
+        "nation_revenue_share": rel.nation_revenue_share,
+        "returned_revenue_topk": rel.returned_revenue_topk,
         # link-and-vote family (reference parity, SURVEY §2.4-2.9, §3.3)
         "knowledge_extraction": _q_knowledge_extraction,
         "knowledge_extraction_sql": _q_knowledge_extraction_sql,
@@ -424,6 +427,9 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": rel.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "customer_running_totals": rel.CUSTOMER_RUNNING_TOTALS_SQL,
         "revenue_by_nation": rel.REVENUE_BY_NATION_SQL,
+        "shipping_priority": rel.SHIPPING_PRIORITY_SQL,
+        "nation_revenue_share": rel.NATION_REVENUE_SHARE_SQL,
+        "returned_revenue_topk": rel.RETURNED_REVENUE_TOPK_SQL,
         "order_gaps": rel.ORDER_GAPS_SQL,
         "knowledge_extraction": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "knowledge_extraction_sql": oracles.KNOWLEDGE_EXTRACTION_SQL,

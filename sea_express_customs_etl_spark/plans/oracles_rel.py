@@ -153,3 +153,40 @@ SELECT o_custkey, o_orderkey,
            AS running_total
 FROM orders
 """
+
+SHIPPING_PRIORITY_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+NATION_REVENUE_SHARE_SQL = """
+WITH agg AS (
+  SELECT n_name, year(o_orderdate) AS order_year,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2)
+SELECT n_name, CAST(order_year AS INTEGER) AS order_year, revenue,
+       round(revenue / sum(revenue) OVER (PARTITION BY order_year), 4) AS share
+FROM agg
+"""
+
+RETURNED_REVENUE_TOPK_SQL = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
