@@ -335,6 +335,62 @@ def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate(_docs(spark, sf_dir))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_verify,
+        lsh_bands,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs)
+    pairs = jaccard_verify(
+        lsh_candidate_pairs(lsh_bands(minhash_signatures(sh))), sh
+    ).select("id_a", "id_b")
+    return dedup_clusters(docs, pairs)
+
+
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.hygiene import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0),
+    )
+
+
+def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus carries no PII, so augment each row with a synthetic
+    email/phone/IP derived from doc_id (same expression in the oracle)
+    — the hash check then verifies real redactions, not a no-op."""
+    from sea_express_customs_etl_spark.operators.hygiene import redact_pii
+
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +886 912 345 6"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".17"),
+        ).alias("text"),
+    )
+    return redact_pii(aug)
+
+
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.plans.curation import curation_pipeline
+
+    return curation_pipeline(_docs(spark, sf_dir))
+
+
 def _q_hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.sampling import hash_sample
 
@@ -372,6 +428,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": rel.shipping_priority,
         "nation_revenue_share": rel.nation_revenue_share,
         "returned_revenue_topk": rel.returned_revenue_topk,
+        "late_shipment_priority": rel.late_shipment_priority,
+        "brand_supplier_variety": rel.brand_supplier_variety,
         # link-and-vote family (reference parity, SURVEY §2.4-2.9, §3.3)
         "knowledge_extraction": _q_knowledge_extraction,
         "knowledge_extraction_sql": _q_knowledge_extraction_sql,
@@ -388,6 +446,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _q_embedding_near_dups,
         "ivf_near_dups": _q_ivf_near_dups,
         "simhash": _q_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        # corpus hygiene + composed curation flagship
+        "decontaminate": _q_decontaminate,
+        "redact_pii": _q_redact_pii,
+        "curation_pipeline": _q_curation_pipeline,
         # similarity search
         "cosine_topk": _q_cosine_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -430,6 +493,8 @@ def oracle_sql() -> dict[str, str]:
         "shipping_priority": rel.SHIPPING_PRIORITY_SQL,
         "nation_revenue_share": rel.NATION_REVENUE_SHARE_SQL,
         "returned_revenue_topk": rel.RETURNED_REVENUE_TOPK_SQL,
+        "late_shipment_priority": rel.LATE_SHIPMENT_PRIORITY_SQL,
+        "brand_supplier_variety": rel.BRAND_SUPPLIER_VARIETY_SQL,
         "order_gaps": rel.ORDER_GAPS_SQL,
         "knowledge_extraction": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "knowledge_extraction_sql": oracles.KNOWLEDGE_EXTRACTION_SQL,
@@ -445,6 +510,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": ext.EMBEDDING_NEAR_DUPS_SQL,
         "ivf_near_dups": ext.IVF_NEAR_DUPS_SQL,
         "simhash": ext.SIMHASH_SQL,
+        "dedup_clusters": ext.DEDUP_CLUSTERS_SQL,
+        "decontaminate": ext.DECONTAM_SQL,
+        "redact_pii": ext.REDACT_PII_SQL,
+        "curation_pipeline": ext.CURATION_PIPELINE_SQL.format(
+            t_train=_hex_threshold(0.8), t_val=_hex_threshold(0.9)
+        ),
         "cosine_topk": ext.COSINE_TOPK_SQL,
         "ann_ivf_topk": ext.ANN_IVF_TOPK_SQL,
         "ann_ivf_nprobe2": ext.ANN_IVF_NPROBE2_SQL,

@@ -343,6 +343,77 @@ def ivf_near_dups(
     )
 
 
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 15,
+) -> DataFrame:
+    """Resolve a near-duplicate PAIR graph into KEEP/DROP decisions —
+    the step that turns candidate pairs (:func:`lsh_candidate_pairs` /
+    :func:`jaccard_verify` / :func:`embedding_near_dups`) into an
+    actionable dedup: connected components by iterative min-label
+    propagation, canonical = the minimum id in each component.
+
+    Output: one row per input document — ``id_col``, ``cluster_id``
+    (component minimum; own id for documents in no pair), ``keep``
+    (1 for the canonical member, 0 for every other duplicate).
+
+    Scale shape (Pregel-style): each sweep is one join of the edge list
+    against the current labels plus a partial-aggregated ``min`` — both
+    shuffle on the edge endpoints, never on anything corpus-sized
+    beyond the graph itself. Label propagation converges in
+    ``diameter(component)`` sweeps; duplicate clusters are near-cliques
+    from banded LSH, so diameter is small (≤3 in practice) and
+    ``max_iter`` is a safety bound, not the expected count. Convergence
+    is detected by the strictly-decreasing label sum — a one-scalar
+    control-plane aggregate per sweep (driver decides whether to loop;
+    no data collects). ``localCheckpoint`` truncates the per-iteration
+    lineage so the plan does not grow quadratically; a production run
+    on a real cluster would use a reliable ``checkpoint`` dir instead
+    (every operation here is deterministic, so recomputation on
+    executor loss yields identical labels either way).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
+        )
+        # materialize ONCE: the pair graph is orders of magnitude smaller
+        # than the corpus, and every sweep re-joins it — without this the
+        # whole upstream candidate-generation chain (shingle → LSH →
+        # verify) would re-execute per iteration
+        .localCheckpoint(eager=True)
+    )
+    labels = df.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_label"))
+    prev_sum: int | None = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges._dst == labels._id)
+            .groupBy("_src")
+            .agg(F.min("_label").alias("_nbr"))
+        )
+        labels = (
+            labels.join(nbr_min, labels._id == nbr_min._src, "left")
+            .select(
+                "_id",
+                F.least(F.col("_label"), F.coalesce("_nbr", "_label")).alias("_label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("_label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(
+        F.col("_id").alias(id_col),
+        F.col("_label").alias("cluster_id"),
+        F.when(F.col("_id") == F.col("_label"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -1,0 +1,102 @@
+"""Corpus-hygiene operators for training-data pipelines: benchmark
+decontamination (n-gram overlap against an eval set) and PII
+redaction — steps the reference never needed (its corpus is customs
+manifests, ``training.log``-scale) but that any 100 TB pretraining
+pipeline runs before the data touches a trainer.
+
+Everything is built-in Catalyst expressions (no UDFs); regex patterns
+stick to constructs with identical semantics in Java regex (Spark) and
+RE2 (DuckDB) — character classes, ``\\d``, bounded repetition, ``\\b``
+on ASCII — so every operator is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from sea_express_customs_etl_spark.operators.dedup import shingles
+
+# Pattern table: (name, regex, replacement token). Order matters —
+# emails are redacted before phones so a digit-heavy local part can
+# never be half-eaten by the phone pattern.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+?\d[\d\- ]{7,}\d", "[PHONE]"),
+)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, the number
+    of distinct word ``n``-grams it shares with the benchmark (eval)
+    set, plus the contamination verdict. Output: id, n_overlap,
+    contaminated (1/0) — every corpus row is kept so downstream can
+    filter OR audit.
+
+    ``n`` defaults to 5: long enough that an overlap means shared
+    provenance, not chance collision (trigram overlap on a narrow
+    vocabulary flags half the corpus; see the calibration note in the
+    oracle module). Real pipelines use 8-13; the semantics are
+    identical.
+
+    Scale shape: the benchmark n-gram set is eval-benchmark-sized (MBs
+    against a 100 TB corpus), so it is distinct-ed and **broadcast** —
+    the corpus side is a single map-side hash-join probe over its
+    exploded shingles followed by one partial-aggregated count; the
+    only shuffle is the per-document count, keyed on ``id_col``.
+    """
+    bench_grams = (
+        shingles(benchmark, text_col, id_col, n=n).select("shingle").distinct()
+    )
+    corpus_grams = shingles(corpus, text_col, id_col, n=n)
+    overlap = (
+        corpus_grams.join(F.broadcast(bench_grams), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(overlap, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.when(F.coalesce("n_overlap", F.lit(0)) > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("contaminated"),
+        )
+    )
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4 addresses / phone numbers, keeping an audit
+    count. Output: id, n_redactions, redacted.
+
+    Replacements run sequentially in ``PII_PATTERNS`` order; the match
+    counts are taken per-pattern on the ORIGINAL text (the audit number
+    answers "how much PII did this document carry", not "how many
+    replacements happened after earlier rewrites"). Map-only — one
+    projection, zero shuffles, pipelines with the scan at any scale.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)) for _, pat, _ in PII_PATTERNS
+    ]
+    redacted = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return df.select(
+        F.col(id_col),
+        total.cast("int").alias("n_redactions"),
+        redacted.alias("redacted"),
+    )

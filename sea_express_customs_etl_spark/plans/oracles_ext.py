@@ -359,3 +359,151 @@ SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents
 """
+
+# --------------------------------------------------------------------------
+# dedup cluster resolution / corpus hygiene / curation pipeline
+# --------------------------------------------------------------------------
+
+
+def _sh_over(src: str, n: int = 3, cte: str = "sh") -> str:
+    """Word n-gram shingle CTE over an arbitrary (doc_id, text) source —
+    the parameterized form of ``_SHINGLES`` (same output for n=3,
+    src='documents')."""
+    parts = " || ' ' || ".join(f"toks[i+{k}]" for k in range(n))
+    return f"""
+{cte} AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - {n - 2}),
+                  i -> {parts})) AS shingle
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM {src})
+    WHERE len(toks) >= {n}))
+"""
+
+
+# jaccard-verified pairs (>= 0.5) over the `sh`/`pairs` CTEs
+_VPAIRS = """
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+vp AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+  WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) >= 0.5)
+"""
+
+# connected components over the `vp` pair CTE: transitive closure (the
+# corpus-side components are tiny near-cliques, so the closure is small)
+# then component id = min over {self} ∪ reachable
+_CCOMP = """
+edges AS (SELECT id_a AS src, id_b AS dst FROM vp
+          UNION ALL SELECT id_b, id_a FROM vp),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src)
+"""
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS}, {_CCOMP}
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+# decontamination: benchmark = doc_id % 50 = 0, corpus = the rest, 5-gram
+# overlap. Calibration (sf0.01): trigrams flag 257/490 corpus docs (pure
+# chance collisions on a ~30-word vocabulary), 5-grams flag exactly the
+# one true near-duplicate of a benchmark doc — hence n=5 here.
+DECONTAM_SQL = f"""
+WITH {_sh_over('documents', n=5, cte='sh5')},
+bench AS (SELECT DISTINCT shingle FROM sh5 WHERE doc_id % 50 = 0),
+ov AS (
+  SELECT s.doc_id, count(*) AS n_overlap
+  FROM sh5 s JOIN bench USING (shingle)
+  WHERE s.doc_id % 50 != 0
+  GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(o.n_overlap, 0) AS n_overlap,
+       CAST(CASE WHEN coalesce(o.n_overlap, 0) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS contaminated
+FROM documents d LEFT JOIN ov o USING (doc_id)
+WHERE d.doc_id % 50 != 0
+"""
+
+# PII redaction: the corpus itself carries no PII, so the query plants a
+# deterministic synthetic email/phone/IP per row (derived from doc_id on
+# BOTH engines) and the hash check verifies the actual redaction output.
+_PII_AUG = (
+    "text || ' contact user' || doc_id || '@example.com or +886 912 345 6'"
+    " || doc_id || ' ip 10.0.' || (doc_id % 256) || '.17'"
+)
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE = "\\+?\\d[\\d\\- ]{7,}\\d"
+
+REDACT_PII_SQL = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}'))
+            + len(regexp_extract_all(t, '{_PII_IPV4}'))
+            + len(regexp_extract_all(t, '{_PII_PHONE}')) AS INTEGER)
+           AS n_redactions,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_IPV4}', '[IP]', 'g'),
+           '{_PII_PHONE}', '[PHONE]', 'g') AS redacted
+FROM aug
+"""
+
+# the full curation pipeline: quality gate -> exact dedup -> LSH/Jaccard
+# near-dup clusters -> canonical keep -> deterministic split. `{t_train}`
+# and `{t_val}` are hex_threshold() literals supplied at lookup time.
+CURATION_PIPELINE_SQL = f"""
+WITH RECURSIVE qbase AS (
+  SELECT doc_id, {_TOKS} AS toks,
+         length(regexp_replace(text, '\\s', '', 'g')) AS no_ws
+  FROM documents),
+qb AS (SELECT doc_id, toks, no_ws, {_BIGRAMS} AS bg FROM qbase),
+qm AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_words,
+         round(no_ws / len(toks), 4) AS avg_word_len,
+         round((len(toks) - len(list_distinct(toks))) / len(toks), 4)
+             AS dup_word_frac,
+         CASE WHEN len(bg) > 0
+              THEN round(list_max(list_transform(list_distinct(bg),
+                       d -> len(list_filter(bg, x -> x = d)))) / len(bg), 4)
+              ELSE 0.0 END AS top_bigram_frac
+  FROM qb),
+gate AS (
+  SELECT doc_id FROM qm
+  WHERE n_words >= 40 AND n_words <= 100000
+    AND avg_word_len >= 3.0 AND avg_word_len <= 10.0
+    AND dup_word_frac <= 0.6 AND top_bigram_frac <= 0.05),
+pd AS (SELECT d.doc_id, d.text FROM documents d JOIN gate USING (doc_id)),
+ex AS (SELECT min(doc_id) AS doc_id FROM pd GROUP BY md5(text)),
+ed AS (SELECT p.doc_id, p.text FROM pd p JOIN ex USING (doc_id)),
+{_sh_over('ed')}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS}, {_CCOMP},
+keepers AS (
+  SELECT ed.doc_id FROM ed LEFT JOIN comp c ON c.id = ed.doc_id
+  WHERE coalesce(c.cluster_id, ed.doc_id) = ed.doc_id)
+SELECT doc_id,
+       CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{{t_train}}'
+                THEN 'train'
+            WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{{t_val}}'
+                THEN 'val'
+            ELSE 'test' END AS split
+FROM keepers
+"""

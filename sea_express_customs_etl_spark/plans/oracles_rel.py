@@ -179,6 +179,27 @@ SELECT n_name, CAST(order_year AS INTEGER) AS order_year, revenue,
 FROM agg
 """
 
+LATE_SHIPMENT_PRIORITY_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1
+"""
+
+BRAND_SUPPLIER_VARIETY_SQL = """
+SELECT p_brand,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*) AS n_lineitems
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1
+"""
+
 RETURNED_REVENUE_TOPK_SQL = """
 SELECT c_custkey, c_name,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

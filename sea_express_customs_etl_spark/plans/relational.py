@@ -255,6 +255,54 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (in a one-year window) having at least
+    one lineitem shipped more than 60 days after the order date,
+    counted per priority. The EXISTS becomes a LEFT SEMI join with a
+    mixed equi + range condition — Spark keeps the equi part as the
+    shuffle key and evaluates the date comparison as the join residual,
+    so the plan is one orderkey-partitioned exchange per side, never a
+    cross product; the semi form also stops probing an order after its
+    first late item (no post-join distinct needed)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN → LEFT ANTI join shape: distinct suppliers per brand,
+    excluding suppliers in bad standing (negative account balance).
+    The exclusion list is supplier-table-sized (small at any SF) and
+    BROADCAST, so the anti join is map-side; the part join is left to
+    Catalyst/AQE — broadcast at bench scale, shuffle when the part
+    dimension outgrows the threshold at 100 TB. No NULL-semantics trap:
+    both key columns are non-null, so NOT IN ≡ anti join here."""
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def returned_revenue_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """TPC-H Q10 shape: customers ranked by revenue of returned items
     (l_returnflag = 'R'). Filter pushed below the join; customer dim
