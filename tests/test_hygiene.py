@@ -114,6 +114,54 @@ def test_redact_pii_matches_duckdb_dialect(spark):
         assert got[i] == expected
 
 
+def test_dedup_clusters_matches_union_find(spark):
+    """Property: min-label propagation over random pair graphs agrees
+    with a plain-Python union-find on every node's component minimum."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 19), st.integers(0, 19)),
+            max_size=15,
+        )
+    )
+    def check(edges):
+        edges = [(a, b) if a < b else (b, a) for a, b in edges if a != b]
+        parent = list(range(20))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i: find(i) for i in range(20)}
+        got = {
+            r.doc_id: r.cluster_id
+            # max_iter=25: random graphs here can be paths (diameter up
+            # to 15), unlike the near-clique LSH clusters the default
+            # bound is sized for
+            for r in dedup_clusters(
+                _nodes(spark, range(20)),
+                _pairs(spark, edges) if edges else _pairs(spark, []),
+                max_iter=25,
+            ).collect()
+        }
+        assert got == expected
+
+    check()
+
+
 def test_curation_pipeline_invariants(spark, sf_dir):
     from sea_express_customs_etl_spark.operators.textstats import quality_gate
     from sea_express_customs_etl_spark.plans.curation import curation_pipeline

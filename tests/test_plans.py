@@ -79,6 +79,23 @@ def test_blocked_near_dup_single_pair_shuffle(spark):
     assert n_hash_exchanges == 1, f"expected 1 pair-shuffle, saw {n_hash_exchanges}:\n{plan}"
 
 
+def test_redact_pii_is_shuffle_free(spark):
+    from sea_express_customs_etl_spark.operators.hygiene import redact_pii
+
+    plan = _plan(redact_pii(_docs(spark)))
+    assert "Exchange" not in plan, f"redact_pii must be map-only:\n{plan}"
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """The eval-set n-gram side must be the broadcast build side; the
+    corpus side must never feed a cartesian product."""
+    from sea_express_customs_etl_spark.operators.hygiene import decontaminate
+
+    plan = _plan(decontaminate(_docs(spark, 60), _docs(spark, 5)))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_flagship_broadcasts_nothing_unexpected(spark, sf_dir):
     """Flagship knowledge plan: no cartesian products, no collects."""
     from sea_express_customs_etl_spark.plans.knowledge import knowledge_base
