@@ -296,6 +296,22 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_docs(spark, sf_dir))
 
 
+def _q_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.textstats import lang_id_ngram
+
+    return lang_id_ngram(_docs(spark, sf_dir))
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.packing import pack_sequences
+
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("n_tokens"),
+    )
+    return pack_sequences(toks, seq_len=512, num_shards=4)
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.textstats import token_counts
 
@@ -459,7 +475,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
+        "lang_id_ngram": _q_lang_id_ngram,
         "token_counts": _q_token_counts,
+        "pack_sequences": _q_pack_sequences,
         "doc_fingerprint": _q_doc_fingerprint,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
@@ -524,7 +542,9 @@ def oracle_sql() -> dict[str, str]:
         # pytest enforces the recall floor.
         "text_stats": ext.TEXT_STATS_SQL,
         "lang_id": ext.LANG_ID_SQL,
+        "lang_id_ngram": ext.LANG_ID_NGRAM_SQL,
         "token_counts": ext.TOKEN_COUNTS_SQL,
+        "pack_sequences": ext.PACK_SEQUENCES_SQL,
         "doc_fingerprint": ext.FINGERPRINT_SQL,
         "tfidf_top_terms": ext.TFIDF_TOP_TERMS_SQL,
         "repetition_stats": ext.REPETITION_STATS_SQL,

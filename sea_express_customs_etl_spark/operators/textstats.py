@@ -75,6 +75,71 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col), pred.alias("predicted_lang"))
 
 
+# Character-trigram profiles (Cavnar & Trenkle-style language ID, the
+# classic public method): the most discriminative trigrams per language,
+# space-padded where word position matters. Deliberately small — the
+# point is the distributed scoring shape; swapping in full 300-gram
+# profiles is a data change, not a code change.
+LANG_TRIGRAM_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": (" th", "the", "he ", "ing", "and", " an", "nd ", " of", "ion", "ed "),
+    "de": ("der", "ein", "ich", "sch", "und", " un", "che", "die", " di", "ung"),
+    "fr": (" le", "les", "ent", " de", "de ", "que", " qu", "ait", "eur", "ou "),
+    "es": (" de", "de ", "la ", " la", "os ", "ado", "que", " qu", "el ", " el"),
+}
+_LANG_PRIORITY = ("en", "de", "fr", "es")
+
+
+def lang_id_ngram(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Character-trigram-profile language ID — the real (still compact)
+    version of :func:`lang_id`'s marker heuristic. Each language score
+    is the total occurrence count of its profile trigrams in the
+    lowercased text, counted via the portable
+    ``(len(s) - len(replace(s, tri))) / 3`` identity; the prediction is
+    the max-score language with a fixed priority tie-break, ``zh`` for
+    CJK codepoints, ``unknown`` when every score is 0.
+
+    Output: id, predicted_lang, top_score.
+
+    Scale shape: two map-only projections — ~40 ``replace`` scans per
+    row, zero shuffles, zero UDFs. The lowered text and the four score
+    sums are STAGED as projection columns (same trick as
+    :func:`repetition_stats`): inlining the concat/lower into every
+    replace makes codegen regenerate it 40× and blow the JIT method
+    limit into interpreted fallback.
+    """
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_raw"),
+        F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" ")).alias("_t"),
+    )
+    low = F.col("_t")
+
+    def _occurrences(tri: str) -> Column:
+        return (F.length(low) - F.length(F.replace(low, F.lit(tri)))) / 3
+
+    scored = staged.select(
+        F.col(id_col),
+        F.col("_raw"),
+        *[
+            sum(_occurrences(t) for t in tris).cast("int").alias(f"_s_{lang}")
+            for lang, tris in LANG_TRIGRAM_PROFILES.items()
+        ],
+    )
+    scores = {lang: F.col(f"_s_{lang}") for lang in LANG_TRIGRAM_PROFILES}
+    best = F.greatest(*scores.values())
+    pred = F.when(F.col("_raw").rlike("[一-鿿]"), F.lit("zh"))
+    for lang in _LANG_PRIORITY:
+        pred = pred.when((scores[lang] == best) & (best > 0), F.lit(lang))
+    pred = pred.otherwise(F.lit("unknown"))
+    return scored.select(
+        F.col(id_col),
+        pred.alias("predicted_lang"),
+        best.alias("top_score"),
+    )
+
+
 def token_counts(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

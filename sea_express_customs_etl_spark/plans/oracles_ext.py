@@ -360,6 +360,56 @@ SELECT doc_id,
 FROM documents
 """
 
+# n-gram language ID: scores generated from the SAME profile table the
+# Spark operator uses, so the two sides cannot drift
+def _lang_scores_sql() -> str:
+    from sea_express_customs_etl_spark.operators.textstats import (
+        LANG_TRIGRAM_PROFILES,
+    )
+
+    terms = []
+    for lang, tris in LANG_TRIGRAM_PROFILES.items():
+        occ = " + ".join(
+            f"(length(t) - length(replace(t, '{tri}', ''))) / 3" for tri in tris
+        )
+        terms.append(f"CAST({occ} AS INTEGER) AS s_{lang}")
+    return ", ".join(terms)
+
+
+LANG_ID_NGRAM_SQL = f"""
+WITH low AS (
+  SELECT doc_id, text, ' ' || lower(text) || ' ' AS t FROM documents),
+s AS (SELECT doc_id, text, {_lang_scores_sql()} FROM low),
+b AS (SELECT *, greatest(s_en, s_de, s_fr, s_es) AS best FROM s)
+SELECT doc_id,
+       CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+            WHEN s_en = best AND best > 0 THEN 'en'
+            WHEN s_de = best AND best > 0 THEN 'de'
+            WHEN s_fr = best AND best > 0 THEN 'fr'
+            WHEN s_es = best AND best > 0 THEN 'es'
+            ELSE 'unknown' END AS predicted_lang,
+       best AS top_score
+FROM b
+"""
+
+PACK_SEQUENCES_SQL = """
+WITH tok AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS shard,
+         CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok)
+SELECT doc_id, shard,
+       CAST(floor((cum - n_tokens) / 512) AS INTEGER) AS bin_id,
+       CAST((cum - n_tokens) % 512 AS INTEGER) AS bin_offset,
+       n_tokens
+FROM c
+"""
+
 # --------------------------------------------------------------------------
 # dedup cluster resolution / corpus hygiene / curation pipeline
 # --------------------------------------------------------------------------

@@ -109,3 +109,79 @@ def test_hash_split_partitions_hash_space(spark):
     assert set(sizes) == {"train", "val", "test"}
     assert 0.77 <= sizes["train"] / 10_000 <= 0.83
     assert 0.08 <= sizes["val"] / 10_000 <= 0.12
+
+
+def test_lang_id_ngram_profiles(spark):
+    from sea_express_customs_etl_spark.operators.textstats import lang_id_ngram
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog are singing in the morning"),
+            (2, "ich habe einen schönen Hund und eine Katze"),
+            (3, "les enfants que nous aimons sont dans le jardin"),
+            (4, "la casa de el hombre que hablado ha sido pintada"),
+            (5, "货物清单"),
+            (6, "zzz qqq xxx"),  # no profile hits anywhere
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.predicted_lang, r.top_score) for r in lang_id_ngram(df).collect()}
+    assert got[1][0] == "en" and got[1][1] > 0
+    assert got[2][0] == "de"
+    assert got[3][0] == "fr"
+    assert got[4][0] == "es"
+    assert got[5][0] == "zh"
+    assert got[6] == ("unknown", 0)
+
+
+def test_lang_id_ngram_is_shuffle_free(spark):
+    import contextlib
+    import io
+
+    from sea_express_customs_etl_spark.operators.textstats import lang_id_ngram
+
+    df = spark.createDataFrame([(1, "the and of")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        lang_id_ngram(df).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_pack_sequences_layout(spark):
+    from sea_express_customs_etl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(200)],
+        "doc_id long, n_tokens long",
+    )
+    rows = pack_sequences(df, seq_len=512, num_shards=4).collect()
+    assert len(rows) == 200
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert r.shard == r.doc_id % 4
+        assert 0 <= r.bin_offset < 512
+        by_shard.setdefault(r.shard, []).append(r)
+    # per shard: start positions are a contiguous fill — reconstruct each
+    # doc's absolute start and check consecutive docs abut exactly
+    for shard_rows in by_shard.values():
+        starts = sorted(r.bin_id * 512 + r.bin_offset for r in shard_rows)
+        ordered = sorted(shard_rows, key=lambda r: (r.bin_id * 512 + r.bin_offset))
+        pos = 0
+        for r in ordered:
+            assert r.bin_id * 512 + r.bin_offset == pos
+            pos += r.n_tokens
+        assert len(set(starts)) == len(starts)
+
+
+def test_pack_sequences_layout_invariant(spark):
+    from sea_express_customs_etl_spark.operators.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 50 + i % 300) for i in range(300)], "doc_id long, n_tokens long"
+    )
+    a = {(r.doc_id, r.bin_id, r.bin_offset) for r in pack_sequences(df).collect()}
+    b = {
+        (r.doc_id, r.bin_id, r.bin_offset)
+        for r in pack_sequences(df.repartition(13)).collect()
+    }
+    assert a == b
