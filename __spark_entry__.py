@@ -433,6 +433,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": rel.events_sessionize,
         "events_session_window": rel.events_session_window,
         "purchase_last_click_asof": rel.purchase_last_click_asof,
+        "json_props_rollup": rel.json_props_rollup,
+        "click_purchase_interval": rel.click_purchase_interval,
         "pricing_summary": rel.pricing_summary,
         "topk_parts_per_brand": rel.topk_parts_per_brand,
         "rollup_order_stats": rel.rollup_order_stats,
@@ -501,6 +503,8 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
         "events_session_window": rel.EVENTS_SESSION_WINDOW_SQL,
         "purchase_last_click_asof": rel.PURCHASE_LAST_CLICK_ASOF_SQL,
+        "json_props_rollup": rel.JSON_PROPS_ROLLUP_SQL,
+        "click_purchase_interval": rel.CLICK_PURCHASE_INTERVAL_SQL,
         "pricing_summary": rel.PRICING_SUMMARY_SQL,
         "topk_parts_per_brand": rel.TOPK_PARTS_PER_BRAND_SQL,
         "rollup_order_stats": rel.ROLLUP_ORDER_STATS_SQL,

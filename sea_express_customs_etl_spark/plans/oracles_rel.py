@@ -211,3 +211,27 @@ GROUP BY 1, 2
 ORDER BY revenue DESC, c_custkey
 LIMIT 20
 """
+
+JSON_PROPS_ROLLUP_SQL = """
+SELECT event_type,
+       count(v) AS n_parsed,
+       CAST(sum(v) AS BIGINT) AS sum_v,
+       round(avg(v), 4) AS avg_v,
+       min(v) AS min_v,
+       max(v) AS max_v
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+      FROM events)
+GROUP BY event_type
+"""
+
+CLICK_PURCHASE_INTERVAL_SQL = """
+SELECT p.user_id, p.ts, p.event_id,
+       c.ts AS prior_ts, c.event_id AS prior_event_id
+FROM events p
+JOIN events c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts
+ AND c.ts > p.ts - INTERVAL 24 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""

@@ -322,3 +322,40 @@ def returned_revenue_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(k)
     )
+
+
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: per-event-type rollup of the JSON
+    ``props`` payload (cf. the free-form history attributes the
+    reference stores relationally, src/import_xml.py:31-53). JSON parse
+    is `from_json` — JVM-side, map-only; one partial-aggregated
+    shuffle of |event_type| rows."""
+    from sea_express_customs_etl_spark.operators.jsonops import props_rollup
+
+    return props_rollup(load_table(spark, sf_dir, "events"))
+
+
+def click_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: every click in the 24 h before each purchase by
+    the same user (attribution-touchpoints shape; also the exact plan
+    Structured Streaming requires for stream-stream joins — watermark +
+    time bound ≙ this range predicate). Shuffled equi-join on user_id;
+    per-key join state bounded by lookback × event rate."""
+    from sea_express_customs_etl_spark.operators.jsonops import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    return interval_join(
+        purchases,
+        clicks,
+        key_cols=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        lookback_seconds=24 * 3600,
+        right_payload=["event_id"],
+    )

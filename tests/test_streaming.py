@@ -258,3 +258,56 @@ def test_sessionize_stream_smoke(spark, tmp_path):
     rows = spark.sql("select * from sessions_test").collect()
     got = {(r.user_id, r.n_events) for r in rows}
     assert (7, 2) in got and (7, 1) in got and (8, 1) in got
+
+
+def test_interval_join_stream_stream_matches_batch(spark, tmp_path):
+    """Stream-stream join: the SAME interval_join operator, fed two
+    watermarked file streams — watermark + time-range bound is exactly
+    what lets Spark expire join state (the 100 TB contract)."""
+    from sea_express_customs_etl_spark.operators.jsonops import interval_join
+
+    def _ts(minute):
+        return datetime.datetime(2024, 1, 1, 12, minute, 0)
+
+    purchases = spark.createDataFrame(
+        [(1, _ts(30), 100), (1, _ts(50), 101), (2, _ts(40), 102)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    clicks = spark.createDataFrame(
+        [(1, _ts(0), 200), (1, _ts(29), 201), (1, _ts(45), 202), (2, _ts(39), 203)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    p_dir, c_dir = str(tmp_path / "p"), str(tmp_path / "c")
+    purchases.write.parquet(p_dir)
+    clicks.write.parquet(c_dir)
+
+    p_stream = spark.readStream.schema(purchases.schema).parquet(p_dir).withWatermark(
+        "ts", "1 hour"
+    )
+    c_stream = spark.readStream.schema(clicks.schema).parquet(c_dir).withWatermark(
+        "ts", "1 hour"
+    )
+    joined = interval_join(
+        p_stream, c_stream, ["user_id"], "ts", "ts", 30 * 60, ["event_id"]
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.event_id, r.prior_event_id)
+        for r in spark.sql("select * from ssjoin_test").collect()
+    }
+    batch = {
+        (r.user_id, r.event_id, r.prior_event_id)
+        for r in interval_join(
+            purchases, clicks, ["user_id"], "ts", "ts", 30 * 60, ["event_id"]
+        ).collect()
+    }
+    assert got == batch
+    assert (1, 100, 201) in got  # inside window
+    assert (1, 100, 200) not in got  # exactly lookback before -> strict bound
