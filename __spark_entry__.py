@@ -312,6 +312,20 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, seq_len=512, num_shards=4)
 
 
+def _q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.textstats import vocab_top_tokens
+
+    return vocab_top_tokens(_docs(spark, sf_dir), k=100)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.sampling import stratified_exact
+
+    return stratified_exact(
+        _docs(spark, sf_dir).select("doc_id", "lang"), "lang", 20
+    )
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.textstats import token_counts
 
@@ -479,6 +493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": _q_lang_id,
         "lang_id_ngram": _q_lang_id_ngram,
         "token_counts": _q_token_counts,
+        "vocab_top_tokens": _q_vocab_top_tokens,
+        "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
         "doc_fingerprint": _q_doc_fingerprint,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -548,6 +564,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": ext.LANG_ID_SQL,
         "lang_id_ngram": ext.LANG_ID_NGRAM_SQL,
         "token_counts": ext.TOKEN_COUNTS_SQL,
+        "vocab_top_tokens": ext.VOCAB_TOP_TOKENS_SQL,
+        "stratified_sample": ext.STRATIFIED_SAMPLE_SQL,
         "pack_sequences": ext.PACK_SEQUENCES_SQL,
         "doc_fingerprint": ext.FINGERPRINT_SQL,
         "tfidf_top_terms": ext.TFIDF_TOP_TERMS_SQL,

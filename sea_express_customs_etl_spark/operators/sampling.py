@@ -17,7 +17,7 @@ keys (the standard way to draw k disjoint eval sets).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
 _BUCKETS = 16**8  # first 8 hex chars of the md5
@@ -69,3 +69,34 @@ def hash_split(
     last = F.lit(names[-1])
     expr = last if expr is None else expr.otherwise(last)
     return df.withColumn(split_col, expr)
+
+
+def stratified_exact(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows from every stratum (fewer only
+    when the stratum is smaller) — the balanced-eval-set draw that
+    :func:`hash_sample` (which is only proportional in expectation)
+    cannot guarantee.
+
+    Rows are ranked inside each stratum by ``md5(salt || key)`` — a
+    deterministic pseudo-random order, reproducible in any engine and
+    independent of layout — and the first ``n`` kept. One shuffle on
+    the strata column; per-stratum window state is a running count
+    (bounded), but a HOT stratum funnels into one partition — for
+    corpus-scale strata use :func:`hash_sample` per stratum instead
+    (map-only) and accept approximate counts; this operator is for
+    bounded eval draws (n_per_stratum rows survive per group).
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_prefix(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

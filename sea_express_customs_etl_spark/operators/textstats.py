@@ -340,3 +340,76 @@ def fingerprint(
     lowercased, whitespace-squeezed text. Output: id, fingerprint."""
     canon = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return df.select(F.col(id_col), F.md5(canon).alias("fingerprint"))
+
+
+def vocab_top_tokens(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 100
+) -> DataFrame:
+    """Corpus vocabulary: the ``k`` most frequent (lowercased,
+    whitespace-split) tokens with occurrence and document frequencies —
+    the counting pass behind tokenizer/BPE vocab construction.
+
+    Scale shape: explode → ONE partial-aggregated shuffle on token →
+    ``orderBy().limit(k)``, which Spark compiles to
+    TakeOrderedAndProject — per-partition top-k then a k-row merge on
+    the driver, never a global sort. Limit-boundary ties break
+    deterministically by (count DESC, token ASC). Output: token,
+    n_occurrences, n_docs.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(F.col(id_col)).alias("n_docs"),
+    )
+    return counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(k)
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> DataFrame:
+    """Per-document deflate compression ratio — the classic
+    machine-generated/boilerplate detector (highly repetitive text
+    compresses far below natural prose; the signal used alongside the
+    Gopher gates in public corpus-curation recipes).
+
+    zlib is not expressible in Catalyst, so this is an Arrow-batched
+    ``mapInPandas`` kernel — bytes cross the Python boundary once per
+    batch, columnar, and the op stays map-only (zero shuffles; the
+    schema is declared so Catalyst can prune everything else away).
+    Output: id, n_bytes, n_compressed, ratio (compressed/raw, 4dp;
+    NULL for NULL text, 0-byte docs report ratio NULL too — a 0/0
+    ratio is meaningless).
+    """
+    import zlib
+    from typing import Iterator
+
+    import pandas as pd
+
+    out_schema = f"{id_col} long, n_bytes long, n_compressed long, ratio double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            raw = b[text_col].map(
+                lambda s: len(s.encode("utf-8")) if isinstance(s, str) else None
+            )
+            comp = b[text_col].map(
+                lambda s: len(zlib.compress(s.encode("utf-8"), level))
+                if isinstance(s, str)
+                else None
+            )
+            ratio = (comp / raw).where(raw.gt(0)).round(4)
+            yield pd.DataFrame(
+                {
+                    id_col: b[id_col],
+                    "n_bytes": raw,
+                    "n_compressed": comp,
+                    "ratio": ratio,
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)

@@ -557,3 +557,28 @@ SELECT doc_id,
             ELSE 'test' END AS split
 FROM keepers
 """
+
+VOCAB_TOP_TOKENS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents),
+c AS (
+  SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+  FROM toks WHERE token <> '' GROUP BY token)
+SELECT token, n_occurrences, n_docs
+FROM c
+ORDER BY n_occurrences DESC, token
+LIMIT 100
+"""
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang
+FROM (SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+             ) AS rk
+      FROM documents)
+WHERE rk <= 20
+"""

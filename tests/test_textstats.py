@@ -185,3 +185,64 @@ def test_pack_sequences_layout_invariant(spark):
         for r in pack_sequences(df.repartition(13)).collect()
     }
     assert a == b
+
+
+def test_vocab_top_tokens_counts_and_ties(spark):
+    from sea_express_customs_etl_spark.operators.textstats import vocab_top_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "Banana cherry  apple"),
+            (3, "  cherry "),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rows = vocab_top_tokens(df, k=2).collect()
+    got = {r.token: (r.n_occurrences, r.n_docs) for r in rows}
+    # apple: 3 occ / 2 docs; banana 2/2, cherry 2/2 tie -> banana wins (asc)
+    assert got == {"apple": (3, 2), "banana": (2, 2)}
+
+
+def test_vocab_top_tokens_is_take_ordered(spark):
+    import contextlib
+    import io
+
+    from sea_express_customs_etl_spark.operators.textstats import vocab_top_tokens
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vocab_top_tokens(df, k=5).explain("formatted")
+    # top-k must compile to TakeOrderedAndProject, not a global Sort
+    assert "TakeOrderedAndProject" in buf.getvalue()
+
+
+def test_stratified_exact_counts_and_determinism(spark):
+    from sea_express_customs_etl_spark.operators.sampling import stratified_exact
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(90)], "doc_id long, lang string"
+    )
+    out = stratified_exact(df, "lang", 10)
+    rows = out.collect()
+    from collections import Counter
+
+    counts = Counter(r.lang for r in rows)
+    assert counts == {"en": 10, "de": 10}
+    # layout-invariant: same draw after repartition
+    again = {
+        (r.doc_id, r.lang)
+        for r in stratified_exact(df.repartition(7), "lang", 10).collect()
+    }
+    assert again == {(r.doc_id, r.lang) for r in rows}
+    # small stratum: returns all of it, no padding
+    tiny = spark.createDataFrame([(1, "fr"), (2, "fr")], "doc_id long, lang string")
+    assert stratified_exact(tiny, "lang", 10).count() == 2
+    # a different salt draws a different sample
+    salted = {
+        (r.doc_id, r.lang)
+        for r in stratified_exact(df, "lang", 10, salt="s1").collect()
+    }
+    assert salted != {(r.doc_id, r.lang) for r in rows}
