@@ -326,6 +326,12 @@ def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.packing import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_chars=256, overlap=64)
+
+
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.textstats import token_counts
 
@@ -496,6 +502,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_tokens": _q_vocab_top_tokens,
         "stratified_sample": _q_stratified_sample,
         "pack_sequences": _q_pack_sequences,
+        "chunk_documents": _q_chunk_documents,
         "doc_fingerprint": _q_doc_fingerprint,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
@@ -567,6 +574,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_top_tokens": ext.VOCAB_TOP_TOKENS_SQL,
         "stratified_sample": ext.STRATIFIED_SAMPLE_SQL,
         "pack_sequences": ext.PACK_SEQUENCES_SQL,
+        "chunk_documents": ext.CHUNK_DOCUMENTS_SQL,
         "doc_fingerprint": ext.FINGERPRINT_SQL,
         "tfidf_top_terms": ext.TFIDF_TOP_TERMS_SQL,
         "repetition_stats": ext.REPETITION_STATS_SQL,

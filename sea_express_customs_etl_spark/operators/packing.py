@@ -59,3 +59,51 @@ def pack_sequences(
             F.col(tokens_col).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 2048,
+    overlap: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-width character chunks with overlap
+    (the context-window chunking step upstream of embedding / packing).
+
+    Chunk ``i`` covers characters ``[i*stride, i*stride + chunk_chars)``
+    where ``stride = chunk_chars - overlap``; the final chunk may be
+    short, and a document shorter than one chunk yields exactly one
+    chunk (empty text included — chunk_id 0 with '').
+
+    Scale shape: pure Catalyst — ``sequence`` + ``posexplode`` +
+    ``substring``; map-only, zero shuffles, fan-out bounded by
+    doc_len/stride. Output: id, chunk_id, chunk_start (0-based),
+    chunk_text.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(f"overlap ({overlap}) must be < chunk_chars ({chunk_chars})")
+    stride = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / F.lit(stride)).cast(
+            "int"
+        ),
+    )
+    staged = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("_t"),
+        F.sequence(F.lit(0), n_chunks - 1).alias("_ids"),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("_t"),
+        F.posexplode(F.col("_ids")).alias("chunk_id", "_i"),
+    ).select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        (F.col("_i") * stride).alias("chunk_start"),
+        F.substring(F.col("_t"), F.col("_i") * stride + 1, chunk_chars).alias(
+            "chunk_text"
+        ),
+    )

@@ -582,3 +582,19 @@ FROM (SELECT doc_id, lang,
       FROM documents)
 WHERE rk <= 20
 """
+
+CHUNK_DOCUMENTS_SQL = """
+WITH n AS (
+  SELECT doc_id, text,
+         greatest(1, CAST(ceil((length(text) - 64) / 192.0) AS INTEGER))
+             AS n_chunks
+  FROM documents),
+e AS (
+  SELECT doc_id, text, unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM n)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_id,
+       CAST(i * 192 AS INTEGER) AS chunk_start,
+       substring(text, CAST(i * 192 + 1 AS INTEGER), 256) AS chunk_text
+FROM e
+"""

@@ -82,3 +82,21 @@ def test_compression_ratio_separates_prose_from_spam(spark):
     )
     got = {r.doc_id: r.ratio for r in compression_ratio(df).collect()}
     assert got[2] < got[1]  # repetitive spam compresses harder
+
+
+def test_stream_jsonl_matches_batch(spark, tmp_path):
+    from sea_express_customs_etl_spark.sources.jsonl_source import stream_jsonl_docs
+
+    src = _write_corpus(tmp_path)
+    stream = clean_docs(stream_jsonl_docs(spark, src))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("jsonl_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.doc_id for r in spark.sql("select * from jsonl_stream_test").collect()}
+    batch = {r.doc_id for r in clean_docs(read_jsonl_docs(spark, src)).collect()}
+    assert got == batch == {1, 2}

@@ -246,3 +246,40 @@ def test_stratified_exact_counts_and_determinism(spark):
         for r in stratified_exact(df, "lang", 10, salt="s1").collect()
     }
     assert salted != {(r.doc_id, r.lang) for r in rows}
+
+
+def test_chunk_documents_layout(spark):
+    from sea_express_customs_etl_spark.operators.packing import chunk_documents
+
+    text = "".join(chr(ord("a") + i % 26) for i in range(500))
+    df = spark.createDataFrame(
+        [(1, text), (2, "short"), (3, "")], "doc_id long, text string"
+    )
+    rows = chunk_documents(df, chunk_chars=256, overlap=64).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 500 chars, stride 192 -> ceil((500-64)/192)=3 chunks
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert [r.chunk_start for r in c1] == [0, 192, 384]
+    assert c1[0].chunk_text == text[0:256]
+    assert c1[1].chunk_text == text[192:448]
+    assert c1[2].chunk_text == text[384:500]  # short tail
+    # overlap: end of chunk i overlaps start of chunk i+1 by 64 chars
+    assert c1[0].chunk_text[-64:] == c1[1].chunk_text[:64]
+    # sub-chunk and empty docs: exactly one chunk each
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short"
+    assert len(by_doc[3]) == 1 and by_doc[3][0].chunk_text == ""
+    # full reconstruction: stitching chunks (dropping overlaps) = text
+    stitched = c1[0].chunk_text + "".join(c.chunk_text[64:] for c in c1[1:])
+    assert stitched == text
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from sea_express_customs_etl_spark.operators.packing import chunk_documents
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=64, overlap=64)
