@@ -1,0 +1,50 @@
+"""Repo-wide plan audit: every declared query's physical plan is built
+(analysis + optimization only — nothing executes) and checked for the
+join shapes that do not survive 100 TB.
+
+- ``CartesianProduct`` (shuffled cross join): never acceptable; its
+  cost is |L|x|R| with both sides shuffled. Zero tolerance.
+- ``BroadcastNestedLoopJoin``: acceptable ONLY when one side is a
+  deliberately-broadcast small relation. The allowlist enumerates the
+  queries that do this by design, each with the reason; any NEW query
+  that introduces a BNLJ fails the test until it is either re-planned
+  or consciously allowlisted.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+SF_DIR = "/root/testdata/sf0.001"
+
+# BNLJ-by-design: the broadcast side is small by construction.
+BNLJ_ALLOWED = {
+    "cosine_topk",        # query set (10 vectors) broadcast vs corpus
+    "ann_ivf_topk",       # centroid table broadcast (|centroids| = 16)
+    "ann_ivf_nprobe2",    # same, multi-probe
+    "kmeans_ivf_topk",    # trained centroid table broadcast (k = 8)
+    "ivf_near_dups",      # cluster-blocked verify: centroids broadcast
+    "embedding_near_dups",  # block-id spine (|blocks| rows) broadcast
+    "tfidf_top_terms",    # 1-row corpus-size N broadcast
+}
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_query_plan_has_no_scale_killer_join(spark, name):
+    df = entry.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert not re.search(r"\(\d+\) CartesianProduct", plan), (
+        f"{name}: CartesianProduct in plan"
+    )
+    if name not in BNLJ_ALLOWED:
+        assert not re.search(r"\(\d+\) BroadcastNestedLoopJoin", plan), (
+            f"{name}: unexpected BroadcastNestedLoopJoin — re-plan or "
+            f"allowlist with justification"
+        )
