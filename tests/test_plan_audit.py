@@ -48,3 +48,58 @@ def test_query_plan_has_no_scale_killer_join(spark, name):
             f"{name}: unexpected BroadcastNestedLoopJoin — re-plan or "
             f"allowlist with justification"
         )
+
+
+def _scan_schemas(df) -> list[set]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        out.append({f.split(":")[0] for f in m.group(1).split(",") if f})
+    return out
+
+
+def _pushed_filters(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return " ".join(m.group(1) for m in re.finditer(r"PushedFilters: (.*)", buf.getvalue()))
+
+
+@pytest.mark.parametrize(
+    "name,expected_scans",
+    [
+        # a 2-column projection over documents must scan exactly 2 columns
+        ("vocab_top_tokens", [{"doc_id", "text"}]),
+        ("token_counts", [{"doc_id", "text"}]),
+        # 6 of lineitem's 16 columns — TPC-H Q1's signature pruning
+        (
+            "pricing_summary",
+            [
+                {
+                    "l_quantity",
+                    "l_extendedprice",
+                    "l_discount",
+                    "l_returnflag",
+                    "l_linestatus",
+                    "l_shipdate",
+                }
+            ],
+        ),
+        # JSON parse prunes to the group col + the one JSON column
+        ("json_props_rollup", [{"event_type", "props"}]),
+        # nanos-epoch conversion must NOT block pruning (ts read as bigint)
+        ("events_hourly", [{"ts", "event_type", "value"}]),
+    ],
+)
+def test_scans_read_only_needed_columns(spark, name, expected_scans):
+    df = entry.queries()[name](spark, SF_DIR)
+    assert _scan_schemas(df) == expected_scans
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    df = entry.queries()["pricing_summary"](spark, SF_DIR)
+    pf = _pushed_filters(df)
+    assert "LessThanOrEqual(l_shipdate" in pf
