@@ -92,9 +92,34 @@ def _ingest_rates(spark) -> dict[str, float]:
         read_manifests_raw,
     )
 
+    from sea_express_customs_etl_spark.sources.jsonl_source import (
+        clean_docs,
+        read_jsonl_docs,
+    )
+
     rates: dict[str, float] = {}
     with tempfile.TemporaryDirectory() as root:
         xml_dir, xlsx_dir, xml_rows, xlsx_rows = _build_ingest_fixtures(root)
+        jsonl_dir = os.path.join(root, "jsonl_in")
+        os.makedirs(jsonl_dir)
+        jsonl_rows = 100_000
+        import json as _json
+
+        for shard in range(8):
+            with open(os.path.join(jsonl_dir, f"part-{shard}.jsonl"), "w") as f:
+                for i in range(shard, jsonl_rows, 8):
+                    f.write(
+                        _json.dumps(
+                            {
+                                "doc_id": i,
+                                "text": f"document body {i} " * 12,
+                                "lang": "en",
+                                "source": "bench",
+                                "meta": {"k": str(i)},
+                            }
+                        )
+                        + "\n"
+                    )
         for key, rows, plan in (
             (
                 "ingest_zip_xml_rows_per_sec",
@@ -105,6 +130,11 @@ def _ingest_rates(spark) -> dict[str, float]:
                 "ingest_xlsx_rows_per_sec",
                 xlsx_rows,
                 lambda: declared_cargo(read_manifests_raw(spark, xlsx_dir)),
+            ),
+            (
+                "ingest_jsonl_rows_per_sec",
+                jsonl_rows,
+                lambda: clean_docs(read_jsonl_docs(spark, jsonl_dir)),
             ),
         ):
             best = float("inf")

@@ -283,3 +283,44 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_chars=64, overlap=64)
+
+
+def test_chunk_documents_properties(spark):
+    """Property: chunks tile the document — stitching chunk texts with
+    the overlap dropped reconstructs the original exactly, starts
+    advance by the stride, and every chunk except the last is full
+    width."""
+    from hypothesis import given, settings, strategies as st
+
+    from sea_express_customs_etl_spark.operators.packing import chunk_documents
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=6),
+        st.integers(min_value=2, max_value=64).flatmap(
+            lambda c: st.tuples(st.just(c), st.integers(min_value=0, max_value=c - 1))
+        ),
+    )
+    def check(lengths, chunk_overlap):
+        chunk, overlap = chunk_overlap
+        docs = [
+            (i, "".join(chr(ord("a") + (i + j) % 26) for j in range(n)))
+            for i, n in enumerate(lengths)
+        ]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        rows = chunk_documents(
+            df, chunk_chars=chunk, overlap=overlap, text_col="text"
+        ).collect()
+        stride = chunk - overlap
+        by_doc: dict[int, list] = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, text in docs:
+            cs = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+            assert [c.chunk_start for c in cs] == [i * stride for i in range(len(cs))]
+            for c in cs[:-1]:
+                assert len(c.chunk_text) == chunk
+            stitched = cs[0].chunk_text + "".join(c.chunk_text[overlap:] for c in cs[1:])
+            assert stitched == text
+
+    check()
