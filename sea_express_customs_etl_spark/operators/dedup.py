@@ -359,20 +359,27 @@ def dedup_clusters(
     (component minimum; own id for documents in no pair), ``keep``
     (1 for the canonical member, 0 for every other duplicate).
 
-    Scale shape (Pregel-style): each sweep is one join of the edge list
-    against the current labels plus a partial-aggregated ``min`` — both
-    shuffle on the edge endpoints, never on anything corpus-sized
-    beyond the graph itself. Label propagation converges in
+    Scale shape (Pregel-style), and the invariant that makes it viable
+    at 100 TB: the ITERATION touches only the pair graph. Only nodes
+    that appear in some pair can ever change label — every other
+    document is a singleton component — so labels are materialized
+    over the edge endpoints (graph-sized, orders of magnitude smaller
+    than the corpus), swept to convergence, and joined back to the
+    corpus exactly once at the end. Each sweep is one join of the edge
+    list against the current labels plus a partial-aggregated ``min``,
+    shuffling on edge endpoints only. Label propagation converges in
     ``diameter(component)`` sweeps; duplicate clusters are near-cliques
     from banded LSH, so diameter is small (≤3 in practice) and
     ``max_iter`` is a safety bound, not the expected count. Convergence
-    is detected by the strictly-decreasing label sum — a one-scalar
-    control-plane aggregate per sweep (driver decides whether to loop;
-    no data collects). ``localCheckpoint`` truncates the per-iteration
-    lineage so the plan does not grow quadratically; a production run
-    on a real cluster would use a reliable ``checkpoint`` dir instead
-    (every operation here is deterministic, so recomputation on
-    executor loss yields identical labels either way).
+    is detected by a changed-label count — a one-scalar control-plane
+    aggregate per sweep over the already-materialized sweep output
+    (driver decides whether to loop; no data collects; works for any
+    id type, unlike a numeric label sum). ``localCheckpoint`` truncates
+    the per-iteration lineage so the plan does not grow quadratically;
+    a production run on a real cluster would use a reliable
+    ``checkpoint`` dir instead (every operation here is deterministic,
+    so recomputation on executor loss yields identical labels either
+    way).
     """
     edges = (
         pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
@@ -385,32 +392,45 @@ def dedup_clusters(
         # verify) would re-execute per iteration
         .localCheckpoint(eager=True)
     )
-    labels = df.select(F.col(id_col).alias("_id"), F.col(id_col).alias("_label"))
-    prev_sum: int | None = None
+    # graph node set — edges carry both directions, so _src covers every
+    # endpoint; this (not the corpus) is what the loop iterates over
+    labels = (
+        edges.select(F.col("_src").alias("_id"))
+        .distinct()
+        .select("_id", F.col("_id").alias("_label"))
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(labels, edges._dst == labels._id)
             .groupBy("_src")
             .agg(F.min("_label").alias("_nbr"))
         )
-        labels = (
+        swept = (
             labels.join(nbr_min, labels._id == nbr_min._src, "left")
             .select(
                 "_id",
+                F.col("_label").alias("_old"),
                 F.least(F.col("_label"), F.coalesce("_nbr", "_label")).alias("_label"),
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("_label")).first()[0]
-        if cur_sum == prev_sum:
+        labels = swept.select("_id", "_label")
+        if swept.filter(F.col("_label") != F.col("_old")).count() == 0:
             break
-        prev_sum = cur_sum
-    return labels.select(
-        F.col("_id").alias(id_col),
-        F.col("_label").alias("cluster_id"),
-        F.when(F.col("_id") == F.col("_label"), F.lit(1))
-        .otherwise(F.lit(0))
-        .alias("keep"),
+    return (
+        df.select(F.col(id_col))
+        .join(labels, F.col(id_col) == labels._id, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_label"), F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn(
+            "keep",
+            F.when(F.col(id_col) == F.col("cluster_id"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
     )
 
 
