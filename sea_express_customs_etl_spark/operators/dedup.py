@@ -380,17 +380,28 @@ def dedup_clusters(
     ``checkpoint`` dir instead (every operation here is deterministic,
     so recomputation on executor loss yields identical labels either
     way).
+
+    Preconditions (public-operator contract): every ``id_a``/``id_b``
+    endpoint in ``pairs`` must be drawn from ``df``'s ``id_col`` id set
+    — endpoints outside it would seed component labels that no corpus
+    row carries, leaving that component with no ``keep=1`` row. All
+    in-repo callers derive ``pairs`` from ``df`` so this holds by
+    construction; external callers joining foreign pair lists should
+    semi-join them against ``df`` ids first. ``_id``/``_label`` are
+    internal working names; ``id_col`` may safely collide with them
+    (the corpus side is re-aliased before the final join).
     """
     edges = (
         pairs.select(F.col("id_a").alias("_src"), F.col("id_b").alias("_dst"))
         .unionByName(
             pairs.select(F.col("id_b").alias("_src"), F.col("id_a").alias("_dst"))
         )
-        # materialize ONCE: the pair graph is orders of magnitude smaller
-        # than the corpus, and every sweep re-joins it — without this the
-        # whole upstream candidate-generation chain (shingle → LSH →
-        # verify) would re-execute per iteration
-        .localCheckpoint(eager=True)
+        # checkpoint ONCE (lazily — the first convergence probe's job
+        # materializes it): the pair graph is orders of magnitude
+        # smaller than the corpus, and every sweep re-joins it — without
+        # this the whole upstream candidate-generation chain (shingle →
+        # LSH → verify) would re-execute per iteration
+        .localCheckpoint(eager=False)
     )
     # graph node set — edges carry both directions, so _src covers every
     # endpoint; this (not the corpus) is what the loop iterates over
@@ -398,9 +409,9 @@ def dedup_clusters(
         edges.select(F.col("_src").alias("_id"))
         .distinct()
         .select("_id", F.col("_id").alias("_label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             edges.join(labels, edges._dst == labels._id)
             .groupBy("_src")
@@ -413,17 +424,26 @@ def dedup_clusters(
                 F.col("_label").alias("_old"),
                 F.least(F.col("_label"), F.coalesce("_nbr", "_label")).alias("_label"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY checkpoint: materialized by the next convergence
+            # count (one job covers sweep + probe), while still
+            # truncating lineage so the plan never grows beyond two
+            # sweeps' depth
+            .localCheckpoint(eager=False)
         )
         labels = swept.select("_id", "_label")
-        if swept.filter(F.col("_label") != F.col("_old")).count() == 0:
-            break
+        # convergence probe every SECOND sweep: one extra (no-op) sweep
+        # on an already-converged graph is cheaper than a control-plane
+        # count job after every sweep, and the fixed point is stable so
+        # over-sweeping never changes labels
+        if it % 2 == 1 or it == max_iter - 1:
+            if swept.filter(F.col("_label") != F.col("_old")).count() == 0:
+                break
     return (
-        df.select(F.col(id_col))
-        .join(labels, F.col(id_col) == labels._id, "left")
+        df.select(F.col(id_col).alias("_doc"))
+        .join(labels, F.col("_doc") == labels._id, "left")
         .select(
-            id_col,
-            F.coalesce(F.col("_label"), F.col(id_col)).alias("cluster_id"),
+            F.col("_doc").alias(id_col),
+            F.coalesce(F.col("_label"), F.col("_doc")).alias("cluster_id"),
         )
         .withColumn(
             "keep",

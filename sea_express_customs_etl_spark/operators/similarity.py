@@ -222,9 +222,13 @@ def kmeans_fit(
     k-means query is property-tested (recall floor) rather than
     hash-matched against a SQL oracle.
     """
+    # the training set is re-scanned once per iteration (assignment) —
+    # persist it so iterations read the materialized vectors, not the
+    # upstream plan (at cluster scale this is the cached training frame
+    # every iterative fitter holds; MEMORY_AND_DISK spills, not evicts)
     base = df.select(
         F.col(id_col), _as_double(F.col(vec_col)).alias("_v")
-    )
+    ).persist()
     init = (
         base.withColumn("_h", F.xxhash64(F.col(id_col)))
         .orderBy("_h", F.col(id_col))
@@ -256,6 +260,7 @@ def kmeans_fit(
         if new_cents == cents:
             break
         cents = new_cents
+    base.unpersist()
     return spark.createDataFrame(
         [(i, v) for i, v in enumerate(cents)],
         schema=f"{id_col} long, {vec_col} array<double>",

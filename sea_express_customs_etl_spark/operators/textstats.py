@@ -206,6 +206,39 @@ def _bigrams(toks: Column) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def _max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr``: the longest
+    equal-run in the SORTED array, found by one linear ``aggregate``
+    fold — O(m log m) total vs the naive O(m²)
+    distinct×count-per-distinct scan. The distinction is load-bearing
+    twice over: per-document cost stays trivial at any document length,
+    and the expression stays cheap even when Catalyst's
+    ``CollapseProject`` inlines it into a downstream filter (projection
+    staging does NOT survive a ``.filter(passed)`` consumer — the naive
+    form re-evaluated there turned a 0.9 s scan into 14 s at sf0.01).
+    Empty array → 0."""
+    sorted_arr = F.sort_array(arr)
+    folded = F.aggregate(
+        sorted_arr,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            # x == NULL prev → NULL condition → otherwise(1): a fresh run
+            F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return folded
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -218,16 +251,14 @@ def repetition_stats(
     (ratios rounded 4dp).
 
     Scale shape: entirely map-side array expressions — the bigram mode
-    is an O(m²) per-document ``array_distinct``/``filter`` scan instead
-    of an explode+groupBy, trading document-bounded CPU (m = words per
-    doc, physics-bounded) for ZERO exchanges; at 100 TB this pipelines
-    with the scan and never shuffles. For pathological single-document
-    lengths switch to the explode form; for a corpus it is strictly
-    better.
+    is an O(m log m) sorted-run fold (:func:`_max_multiplicity`)
+    instead of an explode+groupBy, trading document-bounded CPU (m =
+    words per doc, physics-bounded) for ZERO exchanges; at 100 TB this
+    pipelines with the scan and never shuffles.
     """
     # stage the arrays as named projection columns so each is computed
-    # ONCE per row — inlining `bg` into every nested lambda would make
-    # codegen rebuild the bigram array per distinct element (O(m³))
+    # once per row in the common (no-collapse) case; _max_multiplicity
+    # keeps the cost linear even where Catalyst inlines it
     staged = df.select(
         F.col(id_col),
         F.split(F.col(text_col), r"\n").alias("_lines"),
@@ -242,12 +273,7 @@ def repetition_stats(
         F.col("_lines"),
         F.col("_tk"),
         F.col("_bg"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(F.col("_bg")),
-                lambda d: F.size(F.filter(F.col("_bg"), lambda x: x == d)),
-            )
-        ).alias("_top_cnt"),
+        _max_multiplicity(F.col("_bg")).alias("_top_cnt"),
     )
     n_lines = F.size(F.col("_lines"))
     n_words = F.size(F.col("_tk"))
@@ -303,12 +329,7 @@ def quality_gate(
         F.size(F.col("_tk")).alias("_nw"),
         F.size(F.array_distinct(F.col("_tk"))).alias("_nd"),
         F.size(F.col("_bg")).alias("_nbg"),
-        F.array_max(
-            F.transform(
-                F.array_distinct(F.col("_bg")),
-                lambda d: F.size(F.filter(F.col("_bg"), lambda x: x == d)),
-            )
-        ).alias("_top_cnt"),
+        _max_multiplicity(F.col("_bg")).alias("_top_cnt"),
     )
     n_words = F.col("_nw")
     avg_len = F.round(F.col("_no_ws") / n_words, 4)

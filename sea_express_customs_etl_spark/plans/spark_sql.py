@@ -1,7 +1,18 @@
 """The flagship link-and-vote query expressed as pure Spark SQL — the
 engine's SQL-API surface. Semantically identical to
-``plans/knowledge.py`` (same DuckDB oracle validates both); dialect
-differences from the oracle SQL:
+``plans/knowledge.py`` (same DuckDB oracle validates both).
+
+Like the reference's analytical query (`src/batch_train.py:66-80`,
+``SELECT ... FROM table_a_raw`` / ``table_b_history``), the SQL starts
+from the two MATERIALIZED base tables — registered here as temp views
+over the session-cached stand-ins — and derives everything else in one
+statement. The formulation is the packed-array scale plan (one
+``collect_list`` aggregate per side, co-partitioned join, residual
+size filter, min-struct vote), i.e. the same physical shape Catalyst
+builds for the DataFrame flagship: the SQL front door must not cost
+more than the DataFrame front door.
+
+Dialect differences from the DuckDB oracle SQL:
 
 * ``split(x, '/')`` + ``element_at(..., -1)`` instead of
   ``string_split(...)[-1]``
@@ -15,7 +26,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from sea_express_customs_etl_spark.plans.standins import load_table
+from sea_express_customs_etl_spark.plans.standins import (
+    declared_table,
+    official_table,
+)
 
 _NORM = (
     "coalesce(trim(regexp_replace(regexp_replace("
@@ -29,58 +43,48 @@ _LINK = (
 )
 
 KNOWLEDGE_EXTRACTION_SPARK_SQL = f"""
-WITH a_raw AS (
-  SELECT 'M' || CAST(o.o_custkey % 20 AS STRING) || 'EX' AS mawb_no,
-         CASE WHEN l.l_orderkey % 3 = 0
-              THEN 'h-' || CAST(l.l_orderkey AS STRING) || ' '
-              ELSE 'H' || CAST(l.l_orderkey AS STRING) END AS hawb_no,
-         row_number() OVER (PARTITION BY l.l_orderkey
-                            ORDER BY l.l_linenumber, p.p_name) AS item_no,
-         CASE WHEN l.l_linenumber = 1 THEN 'X/' || p.p_name
-              ELSE p.p_name END AS description_original
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN part p ON l.l_partkey = p.p_partkey),
-b_raw AS (
-  SELECT 'm' || CAST(o.o_custkey % 20 AS STRING) || 'ex' AS mawb_no,
-         'h' || CAST(l.l_orderkey AS STRING) AS hawb_no,
-         row_number() OVER (PARTITION BY l.l_orderkey
-             ORDER BY l.l_linenumber DESC, p.p_brand, p.p_type) AS item_sequence,
-         p.p_brand AS description_official,
-         p.p_type AS ccc_code
-  FROM lineitem l
-  JOIN orders o ON l.l_orderkey = o.o_orderkey
-  JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE l.l_linenumber <= 5),
-a AS (SELECT {_LINK.format(m='mawb_no', h='hawb_no')} AS link_key,
-             item_no,
-             {_NORM.format(e='description_original')} AS original_description
-      FROM a_raw
-      WHERE mawb_no IS NOT NULL AND hawb_no IS NOT NULL
-        AND description_original IS NOT NULL),
-b AS (SELECT {_LINK.format(m='mawb_no', h='hawb_no')} AS link_key,
-             item_sequence, description_official, ccc_code
-      FROM b_raw
-      WHERE mawb_no IS NOT NULL AND hawb_no IS NOT NULL),
-valid AS (SELECT ca.link_key
-          FROM (SELECT link_key, count(*) AS c FROM a GROUP BY link_key) ca
-          JOIN (SELECT link_key, count(*) AS c FROM b GROUP BY link_key) cb
-            USING (link_key)
-          WHERE ca.c - cb.c = 0),
-pa AS (SELECT link_key,
-              row_number() OVER (PARTITION BY link_key ORDER BY item_no) AS pos,
-              original_description
-       FROM a WHERE link_key IN (SELECT link_key FROM valid)),
-pb AS (SELECT link_key,
-              row_number() OVER (PARTITION BY link_key ORDER BY item_sequence) AS pos,
-              description_official, ccc_code
-       FROM b WHERE link_key IN (SELECT link_key FROM valid)),
-votes AS (SELECT original_description,
-                 description_official AS official_description,
-                 ccc_code, count(*) AS frequency
-          FROM pa JOIN pb USING (link_key, pos)
-          WHERE original_description <> ''
-          GROUP BY 1, 2, 3)
+WITH a AS (
+  SELECT {_LINK.format(m='mawb_no', h='hawb_no')} AS link_key,
+         item_no,
+         {_NORM.format(e='description_original')} AS original_description
+  FROM table_a_raw
+  WHERE mawb_no IS NOT NULL AND hawb_no IS NOT NULL
+    AND description_original IS NOT NULL),
+b AS (
+  SELECT {_LINK.format(m='mawb_no', h='hawb_no')} AS link_key,
+         item_sequence, description_official, ccc_code
+  FROM table_b_history
+  WHERE mawb_no IS NOT NULL AND hawb_no IS NOT NULL),
+-- one aggregate per side packs each waybill's items in ordinal order;
+-- the join is then co-partitioned on link_key (exchange reuse) and the
+-- count-equality check is a residual size filter, NOT a join key
+a_packed AS (
+  SELECT link_key,
+         sort_array(collect_list(struct(item_no, original_description))) AS ia
+  FROM a GROUP BY link_key),
+b_packed AS (
+  SELECT link_key,
+         sort_array(collect_list(
+             struct(item_sequence, description_official, ccc_code))) AS ib
+  FROM b GROUP BY link_key),
+packed AS (
+  SELECT ia.original_description AS src_arr,
+         ib.description_official AS off_arr,
+         ib.ccc_code AS ccc_arr
+  FROM a_packed JOIN b_packed USING (link_key)
+  WHERE size(ia) - size(ib) = 0),
+aligned AS (
+  SELECT z.src_arr AS original_description,
+         z.off_arr AS official_description,
+         z.ccc_arr AS ccc_code
+  FROM packed
+  LATERAL VIEW explode(arrays_zip(src_arr, off_arr, ccc_arr)) t AS z),
+votes AS (
+  SELECT original_description, official_description, ccc_code,
+         count(*) AS frequency
+  FROM aligned
+  WHERE original_description <> ''
+  GROUP BY 1, 2, 3)
 SELECT original_description, official_description, ccc_code, frequency
 FROM (SELECT *, row_number() OVER (PARTITION BY original_description
             ORDER BY frequency DESC, official_description, ccc_code) AS rn
@@ -90,9 +94,9 @@ WHERE rn = 1
 
 
 def knowledge_extraction_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Register the base tables and run the flagship as one SQL string
-    through Spark's parser/analyzer — same Catalyst plan machinery, SQL
-    front door."""
-    for t in ("lineitem", "orders", "part"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    """Register the (materialized) customs base tables and run the
+    flagship as one SQL string through Spark's parser/analyzer — same
+    Catalyst plan machinery, SQL front door."""
+    declared_table(spark, sf_dir).createOrReplaceTempView("table_a_raw")
+    official_table(spark, sf_dir).createOrReplaceTempView("table_b_history")
     return spark.sql(KNOWLEDGE_EXTRACTION_SPARK_SQL)

@@ -27,29 +27,61 @@ Deliberate properties:
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
+
+# Session-scoped materialization of the derived customs stand-ins. In
+# the reference, ``table_a_raw``/``table_b_history`` are REAL MySQL
+# tables (`src/process_excel_order.py:235`, `src/import_xml_history.py:205`)
+# — only this test harness derives them from the TPC-H parquet on the
+# fly. Persisting the derived tables once per (session, sf_dir) is the
+# in-session form of that materialized staging table; every query then
+# starts from table state exactly as the reference's queries do.
+# Keyed by applicationId so a stopped session's entries are never
+# reused (app ids are unique per SparkContext).
+_MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _materialized(
+    spark: SparkSession, sf_dir: str, name: str, build: Callable[[], DataFrame]
+) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _MATERIALIZED.get(key)
+    if df is None:
+        df = build().persist()
+        _MATERIALIZED[key] = df
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read it as raw nanos
-    (``nanosAsLong``) and truncate to microseconds — exactly what
-    DuckDB's reader does natively, so oracle parity is preserved.
-    Integer ``div`` keeps the conversion exact (a double division would
-    round at 2^53).
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS). Spark ≥4.1
+    reads it natively as ``timestamp_ntz`` truncated to microseconds —
+    exactly what DuckDB's reader does, so oracle parity is preserved;
+    we only re-cast to session-time ``timestamp`` (session tz is pinned
+    UTC, so the wall-clock value is unchanged). Older Spark rejects
+    NANOS in the vectorized reader; there we read raw nanos
+    (``nanosAsLong``) and truncate with integer ``div`` (a double
+    division would round at 2^53).
     """
     # timestamp-bearing queries must agree with the (naive-timestamp)
     # DuckDB oracle regardless of the calling session's timezone
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf removed in newer Spark: native NANOS support
         raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return raw.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = dict(raw.dtypes)["ts"]
+        if ts_type == "bigint":  # legacy nanosAsLong path (Spark ≤4.0)
+            return raw.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -72,6 +104,12 @@ def declared_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (rows still tied after it are attribute-identical, hence
     interchangeable).
     """
+    return _materialized(
+        spark, sf_dir, "declared", lambda: _declared_build(spark, sf_dir)
+    )
+
+
+def _declared_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = _joined(spark, sf_dir)
     okey = F.col("l_orderkey").cast("string")
     item_no = F.row_number().over(
@@ -93,6 +131,12 @@ def declared_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def official_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``table_b_history`` stand-in (broker-declared items)."""
+    return _materialized(
+        spark, sf_dir, "official", lambda: _official_build(spark, sf_dir)
+    )
+
+
+def _official_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = _joined(spark, sf_dir).filter(F.col("l_linenumber") <= 5)
     seq = F.row_number().over(
         Window.partitionBy("l_orderkey").orderBy(
