@@ -1,0 +1,172 @@
+"""Product quantization (PQ) over embedding columns — the compression
+layer of large-scale ANN (IVF-PQ): a d-dim float vector becomes ``m``
+small integer codes (64 float32 dims → 8 one-byte codes ≈ 32×
+smaller), so a 100 TB embedding corpus compresses to ~3 TB of codes
+that fit a fraction of the cluster's RAM, and query-time distance is
+``m`` table lookups (ADC — asymmetric distance computation) instead of
+``d`` multiplies.
+
+No reference-parity citation: the reference has no vector layer; this
+extends the similarity family (``operators/similarity.py``) the same
+way IVF does, and composes with it (IVF partitions the corpus, PQ
+compresses the residuals; here PQ is demonstrated standalone).
+
+Design for oracle portability and scale:
+
+* codebooks are DATA (a DataFrame of codewords per subspace), not a
+  trained model — callers pick deterministic codewords (e.g. a fixed
+  id-range sample, as the IVF queries do) or train them offline;
+* all distances are squared-L2 in MICRO-UNITS (``round(d² · 10⁶)`` as
+  bigint): scaled-integer distances make the cross-subspace ADC SUM
+  exact — bigint addition is associative, so the result is identical
+  under any aggregation order / partitioning, where a float sum would
+  drift by summation order (the property that lets the DuckDB oracle
+  hash-match bit-for-bit);
+* the per-subspace fold is a sequential left-to-right ``aggregate``
+  (deterministic in both engines; ``0.0 + t₁ + t₂ …`` — IEEE-exact
+  prefix since every term is ≥ 0);
+* encode is explode → broadcast-join (codebook is model-sized) →
+  partial-aggregated argmin: ONE shuffle of corpus×m code rows, never
+  an all-pairs compare; ADC search shuffles (query, neighbor) partial
+  sums — same shape as the accepted brute-force baseline but over
+  codes, not vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+from sea_express_customs_etl_spark.operators.similarity import _as_double
+
+MICRO = 1_000_000
+
+
+def _l2sq_micro(a: Column, b: Column) -> Column:
+    """Squared L2 distance in micro-units (bigint). Sequential fold →
+    deterministic; scaled-int output → exactly summable."""
+    d2 = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(d2 * MICRO).cast("bigint")
+
+
+def subvectors(
+    df: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Split each vector into ``m`` contiguous subvectors of
+    ``dim / m`` dims. Output: id, subspace (0-based), subvec
+    (array<double>). Map-only (posexplode of a fixed-size array)."""
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    d = dim // m
+    dv = _as_double(F.col(vec_col))
+    parts = F.array(*[F.slice(dv, j * d + 1, d) for j in range(m)])
+    return df.select(
+        F.col(id_col), F.posexplode(parts).alias("subspace", "subvec")
+    )
+
+
+def pq_codebook(
+    sample: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Codebook from a (deterministic) sample: each sample vector's
+    j-th subvector becomes codeword ``code = id`` of subspace j.
+    Output: subspace, code, codeword. For trained codebooks run
+    :func:`...similarity.kmeans_fit` per subspace instead; the
+    consumers below only see (subspace, code, codeword) either way."""
+    return subvectors(sample, m, dim, vec_col, id_col).select(
+        "subspace", F.col(id_col).alias("code"), F.col("subvec").alias("codeword")
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Quantize every vector: per subspace, the code of the nearest
+    codeword (squared-L2, ties → lowest code). Output: id, subspace,
+    code — the compressed representation a PQ index stores.
+
+    Plan: subvector explode (map-only) → broadcast codebook join →
+    min-struct argmin grouped by (id, subspace) — partial aggregation
+    collapses the k candidate rows map-side, so the one shuffle
+    carries corpus×m rows, independent of codebook size."""
+    sv = subvectors(df, m, dim, vec_col, id_col)
+    scored = sv.join(F.broadcast(codebook), "subspace").select(
+        F.col(id_col),
+        "subspace",
+        F.struct(
+            _l2sq_micro(F.col("subvec"), F.col("codeword")).alias("d"),
+            F.col("code").alias("c"),
+        ).alias("_dc"),
+    )
+    best = scored.groupBy(id_col, "subspace").agg(F.min("_dc").alias("_b"))
+    return best.select(
+        F.col(id_col), "subspace", F.col("_b.c").alias("code")
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k by ADC: the query's exact subvectors against
+    the corpus's CODES — distance(query, doc) ≈ Σ_j lut[j][code_j]
+    where ``lut[j][c] = ‖q_j − codeword_{j,c}‖²`` (micro-units).
+    Output: query_id, neighbor_id, dist_u6 (bigint; ascending = most
+    similar), self-matches excluded; ties → lowest neighbor id.
+
+    Plan: the LUT is |queries|·m·k rows — broadcast; corpus codes join
+    it map-side on (subspace, code); ONE shuffle partial-sums the m
+    per-subspace terms per (query, neighbor); top-k per query by
+    window. The corpus's float vectors are never touched — the point
+    of PQ: at scale the scan reads the (32× smaller) code table."""
+    codes = pq_encode(df, codebook, m, dim, vec_col, id_col).withColumnRenamed(
+        id_col, "neighbor_id"
+    )
+    lut = (
+        subvectors(queries, m, dim, vec_col, id_col)
+        .withColumnRenamed(id_col, "query_id")
+        .join(F.broadcast(codebook), "subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            _l2sq_micro(F.col("subvec"), F.col("codeword")).alias("_d"),
+        )
+    )
+    sims = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_d").alias("dist_u6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_u6").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

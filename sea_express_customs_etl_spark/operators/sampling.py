@@ -71,6 +71,61 @@ def hash_split(
     return df.withColumn(split_col, expr)
 
 
+def domain_mix(
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic mixture resampling: downsample each domain so the
+    surviving corpus follows the ``targets`` proportions — the
+    domain-weighting step every pretraining data recipe runs (e.g.
+    balancing web/books/code sources before tokenization).
+
+    The output budget is the largest achievable WITHOUT upsampling:
+    ``B = floor(min_d(n_d / t_d))`` rows, so the scarcest domain
+    relative to its target is kept whole and every other domain is
+    hash-downsampled to ``rate_d = t_d · B / n_d``. Domains absent
+    from ``targets`` are dropped. Rows are selected by the same
+    engine-portable md5-prefix rule as :func:`hash_sample`, but against
+    a DATA-DEPENDENT threshold (``rate_d`` comes from the observed
+    counts), so the cutoff is computed numerically in-engine:
+    ``conv(md5[:8], 16, 10) < floor(rate_d · 16^8)`` — IEEE double
+    arithmetic on both sides of the oracle, hence bit-identical.
+
+    Scale shape: ONE tiny aggregate on the domain column (partial-agg,
+    |domains| rows), a 1-row budget reduction, then a broadcast join of
+    per-domain thresholds back onto the corpus and a map-side filter —
+    the corpus itself is never shuffled. Re-runs are idempotent:
+    membership is a pure function of (salt, key, observed counts).
+    """
+    if not targets:
+        raise ValueError("targets must be non-empty")
+    tgt = df.sparkSession.createDataFrame(
+        [(d, float(t)) for d, t in targets.items()],
+        schema=f"{domain_col} string, _t double",
+    )
+    counted = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .join(F.broadcast(tgt), domain_col)
+    )
+    budget = counted.agg(F.floor(F.min(F.col("_n") / F.col("_t"))).alias("_b"))
+    thresholds = counted.crossJoin(F.broadcast(budget)).select(
+        F.col(domain_col),
+        F.floor(F.col("_t") * F.col("_b") / F.col("_n") * F.lit(float(_BUCKETS)))
+        .cast("bigint")
+        .alias("_thr"),
+    )
+    h32 = F.conv(_hash_prefix(F.col(key_col), salt), 16, 10).cast("bigint")
+    return (
+        df.join(F.broadcast(thresholds), domain_col)
+        .filter(h32 < F.col("_thr"))
+        .drop("_thr")
+    )
+
+
 def stratified_exact(
     df: DataFrame,
     strata_col: str,

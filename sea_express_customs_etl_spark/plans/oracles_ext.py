@@ -280,6 +280,74 @@ SELECT doc_id,
 FROM documents
 """
 
+# domain_mix: B = floor(min(n_d / t_d)); keep iff hash32 < floor(t·B/n·16^8).
+# Expression shapes/order mirror operators/sampling.py:domain_mix exactly
+# (left-assoc t*b/n*2^32, floor-after-min) so the IEEE double arithmetic
+# is bit-identical across engines.
+DOMAIN_MIX_SQL = """
+WITH tgt(source, t) AS (VALUES
+    ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+    ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+counts AS (
+  SELECT source, CAST(count(*) AS DOUBLE) AS n
+  FROM documents GROUP BY source),
+j AS (SELECT c.source, c.n, tgt.t FROM counts c JOIN tgt USING (source)),
+b AS (SELECT floor(min(n / t)) AS bud FROM j),
+thr AS (
+  SELECT source, CAST(floor(t * bud / n * 4294967296.0) AS BIGINT) AS thr
+  FROM j, b)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN thr USING (source)
+WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
+"""
+
+# --------------------------------------------------------------------------
+# product quantization (operators/pq.py); m=8 subspaces over 64 dims,
+# codebook = subvectors of vec_id < 16, queries = vec_id < 10.
+# Distances are squared-L2 in micro-units (bigint) — exactly summable,
+# so the cross-subspace ADC sum is aggregation-order-independent and
+# hash-stable across engines.
+# --------------------------------------------------------------------------
+
+_PQ_PRELUDE = """
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sv AS (
+  SELECT vec_id, g.j AS subspace, v[g.j*8+1 : g.j*8+8] AS subvec
+  FROM base, generate_series(0, 7) g(j)),
+cb AS (SELECT subspace, vec_id AS code, subvec AS codeword
+       FROM sv WHERE vec_id < 16),
+scored AS (
+  SELECT sv.vec_id, sv.subspace, cb.code,
+         CAST(round(list_sum(list_transform(list_zip(sv.subvec, cb.codeword),
+              s -> (s[1] - s[2]) * (s[1] - s[2]))) * 1000000.0) AS BIGINT) AS d
+  FROM sv JOIN cb USING (subspace)),
+enc AS (
+  SELECT vec_id, subspace, code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             ORDER BY d, code) AS rn FROM scored)
+  WHERE rn = 1)
+"""
+
+PQ_CODES_SQL = f"""
+WITH {_PQ_PRELUDE}
+SELECT vec_id, subspace, code FROM enc
+"""
+
+PQ_TOPK_SQL = f"""
+WITH {_PQ_PRELUDE},
+lut AS (SELECT vec_id AS query_id, subspace, code, d
+        FROM scored WHERE vec_id < 10),
+sims AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, CAST(SUM(l.d) AS BIGINT) AS dist_u6
+  FROM enc e JOIN lut l ON e.subspace = l.subspace AND e.code = l.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, dist_u6
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY dist_u6, neighbor_id) AS rn FROM sims)
+WHERE rn <= 5
+"""
+
 # --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
@@ -390,6 +458,26 @@ SELECT doc_id,
             ELSE 'unknown' END AS predicted_lang,
        best AS top_score
 FROM b
+"""
+
+LANG_ID_TWO_WAYS_SQL = f"""
+SELECT m.doc_id, m.predicted_lang AS marker_lang,
+       n.predicted_lang, n.top_score
+FROM ({LANG_ID_SQL}) m JOIN ({LANG_ID_NGRAM_SQL}) n USING (doc_id)
+"""
+
+# composed draw: 25% sample on the unsalted hash, 80/10/10 split of the
+# sample under salt 'split' (same-salt composition would be degenerate —
+# every sampled row's prefix is already < t_train)
+HASH_SAMPLE_SPLIT_SQL = """
+SELECT doc_id, lang, source, n_chars,
+       CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '{t_train}' THEN 'train'
+            WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                 < '{t_val}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t}'
 """
 
 PACK_SEQUENCES_SQL = """

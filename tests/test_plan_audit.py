@@ -24,12 +24,12 @@ SF_DIR = "/root/testdata/sf0.001"
 # BNLJ-by-design: the broadcast side is small by construction.
 BNLJ_ALLOWED = {
     "cosine_topk",        # query set (10 vectors) broadcast vs corpus
-    "ann_ivf_topk",       # centroid table broadcast (|centroids| = 16)
-    "ann_ivf_nprobe2",    # same, multi-probe
+    "ann_ivf_nprobe2",    # centroid table broadcast (|centroids| = 16)
     "kmeans_ivf_topk",    # trained centroid table broadcast (k = 8)
     "ivf_near_dups",      # cluster-blocked verify: centroids broadcast
     "embedding_near_dups",  # block-id spine (|blocks| rows) broadcast
     "tfidf_top_terms",    # 1-row corpus-size N broadcast
+    "domain_mix_sample",  # 1-row output-budget scalar broadcast
 }
 
 

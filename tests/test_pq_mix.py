@@ -1,0 +1,144 @@
+"""Unit tests for product quantization (operators/pq.py) and domain
+mixture resampling (operators/sampling.py:domain_mix)."""
+
+from __future__ import annotations
+
+import pytest
+import pyspark.sql.functions as F
+
+from sea_express_customs_etl_spark.operators.pq import (
+    pq_adc_topk,
+    pq_codebook,
+    pq_encode,
+    subvectors,
+)
+from sea_express_customs_etl_spark.operators.sampling import domain_mix
+
+
+def _vecs(spark, rows, dim=8):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        schema="vec_id long, embedding array<double>",
+    )
+
+
+def test_subvectors_slices_contiguously(spark):
+    df = _vecs(spark, [(7, list(range(8)))])
+    out = {
+        r.subspace: list(r.subvec)
+        for r in subvectors(df, m=4, dim=8).collect()
+    }
+    assert out == {
+        0: [0.0, 1.0],
+        1: [2.0, 3.0],
+        2: [4.0, 5.0],
+        3: [6.0, 7.0],
+    }
+    with pytest.raises(ValueError):
+        subvectors(df, m=3, dim=8)
+
+
+def test_pq_encode_picks_nearest_codeword_with_tie_break(spark):
+    # codebook from ids 0/1: codewords per subspace are [0,0] / [9,9]
+    # (sub 0) and [0,0] / [1,1] (sub 1)
+    sample = _vecs(spark, [(0, [0, 0, 0, 0]), (1, [9, 9, 1, 1])], dim=4)
+    cb = pq_codebook(sample, m=2, dim=4)
+    corpus = _vecs(
+        spark,
+        [
+            (10, [8, 8, 0.2, 0.2]),  # sub0 → code 1, sub1 → code 0
+            (11, [1, 1, 0.6, 0.6]),  # sub0 → code 0, sub1 → code 1 (0.6 nearer 1)
+            (12, [0, 0, 0.5, 0.5]),  # sub1 EQUIDISTANT → lowest code wins (0)
+        ],
+        dim=4,
+    )
+    out = {
+        (r.vec_id, r.subspace): r.code
+        for r in pq_encode(corpus, cb, m=2, dim=4).collect()
+    }
+    assert out == {
+        (10, 0): 1,
+        (10, 1): 0,
+        (11, 0): 0,
+        (11, 1): 1,
+        (12, 0): 0,
+        (12, 1): 0,
+    }
+
+
+def test_pq_adc_exact_on_codebook_members(spark):
+    # a corpus vector that IS a codebook member quantizes losslessly,
+    # so its ADC distance to a query equals the true squared L2 between
+    # the query and that member (micro-units)
+    sample = _vecs(spark, [(0, [0, 0, 0, 0]), (1, [2, 0, 0, 4])], dim=4)
+    cb = pq_codebook(sample, m=2, dim=4)
+    corpus = sample
+    queries = _vecs(spark, [(0, [0, 0, 0, 0])], dim=4)
+    out = {
+        r.neighbor_id: r.dist_u6
+        for r in pq_adc_topk(corpus, cb, queries, k=5, m=2, dim=4).collect()
+    }
+    # self excluded; d²(q0, v1) = 4 + 16 = 20 → 20_000_000 µ
+    assert out == {1: 20_000_000}
+
+
+def test_pq_adc_sum_is_exact_integer(spark):
+    # fractional components: per-subspace µ-distances are integers and
+    # the cross-subspace sum is exact (no float drift)
+    sample = _vecs(spark, [(0, [0.1, 0.2, 0.3, 0.4])], dim=4)
+    cb = pq_codebook(sample, m=2, dim=4)
+    queries = _vecs(spark, [(5, [1.1, 1.2, 1.3, 1.4])], dim=4)
+    corpus = _vecs(spark, [(0, [0.1, 0.2, 0.3, 0.4]), (5, [1.1, 1.2, 1.3, 1.4])], dim=4)
+    rows = pq_adc_topk(corpus, cb, queries, k=1, m=2, dim=4).collect()
+    # every subvector distance is (1.0)²+(1.0)² = 2.0 → 2_000_000 µ each
+    assert [(r.query_id, r.neighbor_id, r.dist_u6) for r in rows] == [
+        (5, 0, 4_000_000)
+    ]
+
+
+def _docs(spark, spec):
+    # spec: {domain: n_docs}; doc ids globally unique
+    rows, i = [], 0
+    for dom, n in spec.items():
+        for _ in range(n):
+            rows.append((i, dom))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_domain_mix_proportions_and_scarcity(spark):
+    # scarce domain (relative to target) is kept whole; abundant one
+    # is downsampled to match the 50/50 target
+    docs = _docs(spark, {"a": 40, "b": 400})
+    out = domain_mix(docs, {"a": 0.5, "b": 0.5}).collect()
+    by_dom = {"a": 0, "b": 0}
+    for r in out:
+        by_dom[r.source] += 1
+    assert by_dom["a"] == 40  # rate 1.0 — every scarce-domain row kept
+    # budget = 80 → b targets 40 of 400 at rate 0.1; membership is a
+    # pure function of the ids, and ids 40..439 deterministically land
+    # 60 under the threshold (≈3σ high — hash sampling is proportional
+    # in expectation, exact only in distribution)
+    assert by_dom["b"] == 60
+
+
+def test_domain_mix_drops_unlisted_domains_and_is_deterministic(spark):
+    docs = _docs(spark, {"a": 30, "b": 30, "c": 30})
+    out1 = domain_mix(docs, {"a": 0.5, "b": 0.5}).collect()
+    out2 = domain_mix(docs, {"a": 0.5, "b": 0.5}).collect()
+    assert {r.source for r in out1} <= {"a", "b"}
+    assert sorted(r.doc_id for r in out1) == sorted(r.doc_id for r in out2)
+    with pytest.raises(ValueError):
+        domain_mix(docs, {})
+
+
+def test_domain_mix_repartition_invariant(spark):
+    docs = _docs(spark, {"a": 60, "b": 120})
+    base = sorted(
+        r.doc_id for r in domain_mix(docs, {"a": 0.6, "b": 0.4}).collect()
+    )
+    shuffled = sorted(
+        r.doc_id
+        for r in domain_mix(docs.repartition(7), {"a": 0.6, "b": 0.4}).collect()
+    )
+    assert base == shuffled
