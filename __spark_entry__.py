@@ -254,6 +254,15 @@ def _q_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kmeans_q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-portable k-means: training over micro-unit integer vectors
+    (exact distances/sums, floor means, md5-seeded init) — the trained
+    centroids themselves hash-match the unrolled DuckDB oracle."""
+    from sea_express_customs_etl_spark.operators.similarity import kmeans_fit_q
+
+    return kmeans_fit_q(_emb(spark, sf_dir), k=4, iters=2)
+
+
 def _q_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF search over TRAINED centroids (kmeans_fit). No SQL oracle:
     distributed float-mean summation is not bit-portable across
@@ -506,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_nprobe2": _q_ann_ivf_nprobe2,
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
+        "kmeans_q_centroids": _q_kmeans_q_centroids,
         "kmeans_ivf_topk": _q_kmeans_ivf_topk,
         # text analysis
         "text_stats": _q_text_stats,
@@ -599,6 +609,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cosine_topk": ext.COSINE_TOPK_SQL,
         "ann_ivf_nprobe2": ext.ANN_IVF_NPROBE2_SQL,
+        "kmeans_q_centroids": ext.KMEANS_Q_SQL,
         # kmeans_ivf_topk: intentionally no oracle (float-mean training
         # is not bit-portable); driver records the rows-only check and
         # pytest enforces the recall floor.

@@ -195,6 +195,104 @@ def ivf_topk(
     )
 
 
+def quantize_u6(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, v) with the vector quantized to micro-unit integers
+    (``round(x·10⁶)`` per dim, array<bigint>) — the representation that
+    makes every downstream sum/distance exact and engine-portable."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.round(x * 1_000_000).cast("bigint"),
+        ).alias("v"),
+    )
+
+
+def kmeans_fit_q(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Lloyd's k-means over MICRO-UNIT INTEGER vectors — bit-portable
+    training: unlike :func:`kmeans_fit` (float means, reproducible only
+    to tolerance), every step here is exact integer arithmetic or a
+    floor, so the trained centroids hash-match a SQL oracle.
+
+    * vectors quantized via :func:`quantize_u6`;
+    * init: the ``k`` vectors with the lowest ``(md5(id), id)`` — a
+      deterministic pseudo-random spread computable in any engine (no
+      xxhash dependency);
+    * assignment: integer squared-L2 argmin (exact bigint sums), ties →
+      lowest cluster index;
+    * update: per-dim ``floor(sum / count)``; empty clusters keep their
+      previous centroid; EXACTLY ``iters`` iterations (no data-dependent
+      early stop — the oracle unrolls the same count);
+    * output: (cluster, dim, c_u6) — k·dim rows.
+
+    Scale: same shape as :func:`kmeans_fit` (broadcast-argmin assignment,
+    partial-aggregated per-dim sums, O(k·dim) driver state). Exactness
+    bound: per-(cluster,dim) sums stay below 2^53 (double-division
+    floor) up to ~10⁸ training rows at |x|≤10 — train on a bounded
+    deterministic sample beyond that, which is standard practice anyway.
+    """
+    spark = df.sparkSession
+    base = quantize_u6(df, vec_col, id_col).persist()
+    init = (
+        base.withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h", F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    # cluster ids 0..k-1 in (md5, id) order
+    cents: list[list[int]] = [list(r["v"]) for r in init]
+    dim = len(cents[0])
+
+    for _ in range(iters):
+        cen_df = spark.createDataFrame(
+            [(c, v) for c, v in enumerate(cents)],
+            schema="cluster int, cv array<bigint>",
+        )
+        d2 = F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        assigned = (
+            base.join(F.broadcast(cen_df))
+            .select(
+                id_col,
+                "v",
+                F.struct(d2.alias("d"), F.col("cluster").alias("c")).alias("_dc"),
+            )
+            .groupBy(id_col)
+            # v is constant within the group (rows differ only by
+            # candidate cluster), so first() is value-deterministic
+            .agg(F.min("_dc").alias("_b"), F.first("v").alias("v"))
+            .select("v", F.col("_b.c").alias("cluster"))
+        )
+        sums = (
+            assigned.select("cluster", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cluster", "dim")
+            .agg(
+                F.floor(F.sum("x") / F.count(F.lit(1))).cast("bigint").alias("m")
+            )
+            .collect()  # k·dim rows — model-sized, like kmeans_fit
+        )
+        new_cents = [list(c) for c in cents]  # empty clusters keep position
+        for r in sums:
+            new_cents[r["cluster"]][r["dim"]] = r["m"]
+        cents = new_cents
+    base.unpersist()
+    return spark.createDataFrame(
+        [(c, d, cents[c][d]) for c in range(k) for d in range(dim)],
+        schema="cluster int, dim int, c_u6 bigint",
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,

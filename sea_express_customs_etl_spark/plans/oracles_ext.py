@@ -328,6 +328,48 @@ enc AS (
   WHERE rn = 1)
 """
 
+# Quantized k-means (operators/similarity.py:kmeans_fit_q): k=4,
+# iters=2 unrolled. Micro-unit integer vectors make every distance and
+# sum exact; means are floor(sum/count); empty clusters keep the prior
+# centroid (the left-join coalesce below = the operator's keep rule).
+_KMQ_ITER = """
+a{i} AS (
+  SELECT q.vec_id, q.v, c.cluster,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(list_zip(q.v, c.v),
+                      s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cluster) AS rn
+  FROM q, cent{j} c),
+m{i} AS (
+  SELECT a.cluster, g.d AS dim,
+         CAST(floor(sum(a.v[g.d + 1]) / count(*)) AS BIGINT) AS m
+  FROM a{i} a, generate_series(0, 63) g(d)
+  WHERE a.rn = 1
+  GROUP BY 1, 2),
+built{i} AS (
+  SELECT cluster, list(m ORDER BY dim) AS v FROM m{i} GROUP BY cluster),
+cent{i} AS (
+  SELECT p.cluster, coalesce(b.v, p.v) AS v
+  FROM cent{j} p LEFT JOIN built{i} b USING (cluster))
+"""
+
+KMEANS_Q_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             - 1 AS cluster, v
+  FROM q
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 4),
+{_KMQ_ITER.format(i=1, j=0)},
+{_KMQ_ITER.format(i=2, j=1)}
+SELECT cluster, g.d AS dim, v[g.d + 1] AS c_u6
+FROM cent2, generate_series(0, 63) g(d)
+"""
+
 PQ_CODES_SQL = f"""
 WITH {_PQ_PRELUDE}
 SELECT vec_id, subspace, code FROM enc

@@ -96,6 +96,30 @@ def test_pq_adc_sum_is_exact_integer(spark):
     ]
 
 
+def test_kmeans_fit_q_recovers_blobs_and_is_layout_invariant(spark):
+    from sea_express_customs_etl_spark.operators.similarity import kmeans_fit_q
+
+    # two tight blobs around (0,...,0) and (10,...,10), dim=4
+    rows = [(i, [0.01 * i] * 4) for i in range(8)] + [
+        (100 + i, [10.0 + 0.01 * i] * 4) for i in range(8)
+    ]
+    df = _vecs(spark, rows, dim=4)
+    out = {(r.cluster, r.dim): r.c_u6 for r in kmeans_fit_q(df, k=2, iters=2).collect()}
+    # exactly k*dim centroid cells, split one-per-blob: one centroid in
+    # [0, 0.08e6], the other in [10e6, 10.08e6]
+    assert len(out) == 8
+    c0 = [out[(0, d)] for d in range(4)]
+    c1 = [out[(1, d)] for d in range(4)]
+    lo, hi = sorted([c0[0], c1[0]])
+    assert 0 <= lo <= 80_000 and 10_000_000 <= hi <= 10_080_000
+    # bit-identical under a different physical layout
+    out2 = {
+        (r.cluster, r.dim): r.c_u6
+        for r in kmeans_fit_q(df.repartition(7), k=2, iters=2).collect()
+    }
+    assert out == out2
+
+
 def _docs(spark, spec):
     # spec: {domain: n_docs}; doc ids globally unique
     rows, i = [], 0
