@@ -420,6 +420,20 @@ def _q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return redact_pii(aug)
 
 
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level duplicate-line removal. The synthetic
+    corpus is single-line, so line boundaries are synthesized
+    deterministically (the frequent token ' table ' becomes a newline
+    — same plain-substring replace in the oracle) and any line whose
+    text recurs anywhere in the corpus is dropped from every doc."""
+    from sea_express_customs_etl_spark.operators.hygiene import dedup_lines
+
+    lined = _docs(spark, sf_dir).select(
+        "doc_id", F.replace(F.col("text"), F.lit(" table "), F.lit("\n")).alias("text")
+    )
+    return dedup_lines(lined)
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.plans.curation import curation_pipeline
 
@@ -510,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "decontaminate": _q_decontaminate,
         "redact_pii": _q_redact_pii,
+        "line_dedup": _q_line_dedup,
         # similarity search (exact, IVF, trained-IVF, PQ)
         "cosine_topk": _q_cosine_topk,
         "ann_ivf_nprobe2": _q_ann_ivf_nprobe2,
@@ -604,6 +619,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": ext.DEDUP_CLUSTERS_SQL,
         "decontaminate": ext.DECONTAM_SQL,
         "redact_pii": ext.REDACT_PII_SQL,
+        "line_dedup": ext.LINE_DEDUP_SQL,
         "curation_pipeline": ext.CURATION_PIPELINE_SQL.format(
             t_train=_hex_threshold(0.8), t_val=_hex_threshold(0.9)
         ),

@@ -74,6 +74,64 @@ def decontaminate(
     )
 
 
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_occurrences: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """CORPUS-LEVEL duplicate-line removal (the C4-recipe step): any
+    line whose exact text occurs in more than ``max_occurrences``
+    documents-positions across the whole corpus is dropped from every
+    document (boilerplate, navigation chrome, license headers). Output:
+    one row per input document — id, ``text`` rebuilt from the
+    surviving lines in original order, ``n_removed``. Documents whose
+    lines are all dropped survive with empty text (auditable, not
+    silently vanished).
+
+    Scale shape: explode to (id, line-ordinal, line) — linear; ONE
+    partial-aggregated count shuffle keyed on the line text (the
+    classic word-count shape; at 100 TB hash the line to a digest
+    first if line lengths are adversarial); a broadcast-unfriendly
+    count table joins back by sort-merge on the line key; reassembly
+    is one shuffle on ``id_col`` with per-document bounded state
+    (lines-per-doc is physics, not corpus size).
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "_idx", "_line"
+        ),
+    )
+    counts = lines.groupBy("_line").agg(F.count(F.lit(1)).alias("_cnt"))
+    kept = lines.join(counts, "_line").filter(F.col("_cnt") <= max_occurrences)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_idx", "_line"))),
+                lambda s: s._line,
+            ),
+            sep,
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), F.lit(sep), -1)).alias("_n_lines"),
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            (F.col("_n_lines") - F.coalesce("_n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+        )
+    )
+
+
 def redact_pii(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -502,6 +502,30 @@ SELECT doc_id,
 FROM b
 """
 
+# corpus-level duplicate-line removal over synthesized line boundaries
+# (plain-substring replace of ' table ' with \n, mirrored in the query);
+# any line occurring more than once corpus-wide is dropped everywhere
+LINE_DEDUP_SQL = """
+WITH d AS (SELECT doc_id, replace(text, ' table ', chr(10)) AS text
+           FROM documents),
+lines AS (
+  SELECT doc_id, generate_subscripts(parts, 1) - 1 AS idx,
+         unnest(parts) AS line
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM d)),
+counts AS (SELECT line, count(*) AS cnt FROM lines GROUP BY line),
+kept AS (SELECT l.doc_id, l.idx, l.line
+         FROM lines l JOIN counts c USING (line) WHERE c.cnt <= 1),
+rebuilt AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+totals AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines
+           FROM d)
+SELECT t.doc_id, coalesce(r.text, '') AS text,
+       CAST(t.n_lines - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
 LANG_ID_TWO_WAYS_SQL = f"""
 SELECT m.doc_id, m.predicted_lang AS marker_lang,
        n.predicted_lang, n.top_score

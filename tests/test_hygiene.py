@@ -55,6 +55,45 @@ def test_dedup_clusters_two_components_and_no_pairs(spark):
     assert {(r.doc_id, r.keep) for r in out2.collect()} == {(3, 1), (4, 1)}
 
 
+def test_dedup_lines_drops_corpus_duplicates_in_order(spark):
+    from sea_express_customs_etl_spark.operators.hygiene import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (1, "keep one\nBOILER\nkeep two"),
+            (2, "BOILER\nunique line"),
+            (3, "BOILER"),  # all lines dropped → empty text survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_removed) for r in dedup_lines(docs).collect()}
+    assert out == {
+        1: ("keep one\nkeep two", 1),
+        2: ("unique line", 1),
+        3: ("", 1),
+    }
+
+
+def test_dedup_lines_max_occurrences_threshold(spark):
+    from sea_express_customs_etl_spark.operators.hygiene import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(1, "twice\na"), (2, "twice\nb"), (3, "thrice"), (4, "thrice"),
+         (5, "thrice")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.text, r.n_removed) for r in
+           dedup_lines(docs, max_occurrences=2).collect()}
+    # 'twice' (2 occurrences) stays under the threshold; 'thrice' goes
+    assert out == {
+        1: ("twice\na", 0),
+        2: ("twice\nb", 0),
+        3: ("", 1),
+        4: ("", 1),
+        5: ("", 1),
+    }
+
+
 def test_decontaminate_flags_overlap_only(spark):
     corpus = spark.createDataFrame(
         [
