@@ -228,6 +228,23 @@ def _q_ivf_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_near_dups(emb, emb.filter(F.col("vec_id") < 16), threshold=0.4)
 
 
+def _q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style composition: IVF-cluster-blocked cosine pairs
+    (sublinear candidate generation) resolved to connected components
+    → per-vector keep/drop manifest. Same component machinery as the
+    text-side `dedup_clusters`, driven by embedding similarity."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        ivf_near_dups,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = ivf_near_dups(
+        emb, emb.filter(F.col("vec_id") < 16), threshold=0.4
+    ).select("id_a", "id_b")
+    return dedup_clusters(emb, pairs, id_col="vec_id")
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dedup import simhash
 
@@ -521,6 +538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "embedding_near_dups": _q_embedding_near_dups,
         "ivf_near_dups": _q_ivf_near_dups,
+        "semantic_dedup": _q_semantic_dedup,
         "simhash": _q_simhash,
         "decontaminate": _q_decontaminate,
         "redact_pii": _q_redact_pii,
@@ -615,6 +633,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dups": ext.NGRAM_JACCARD_DUPS_SQL,
         "embedding_near_dups": ext.EMBEDDING_NEAR_DUPS_SQL,
         "ivf_near_dups": ext.IVF_NEAR_DUPS_SQL,
+        "semantic_dedup": ext.SEMANTIC_DEDUP_SQL,
         "simhash": ext.SIMHASH_SQL,
         "dedup_clusters": ext.DEDUP_CLUSTERS_SQL,
         "decontaminate": ext.DECONTAM_SQL,

@@ -616,6 +616,31 @@ comp AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
          FROM reach GROUP BY src)
 """
 
+# semantic dedup: IVF-cluster-blocked cosine pairs (same prelude as
+# IVF_NEAR_DUPS_SQL) resolved to connected components → keep manifest
+SEMANTIC_DEDUP_SQL = f"""
+WITH RECURSIVE {_NRM},
+cen AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn FROM nrm WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, v, n, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.v, e.n, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.v, c.cv) / (e.n * c.cn), 6) DESC,
+                        c.centroid_id) AS rn
+    FROM nrm e CROSS JOIN cen c)
+  WHERE rn = 1),
+vp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4),
+{_CCOMP}
+SELECT e.vec_id,
+       coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+       CAST(CASE WHEN coalesce(c.cluster_id, e.vec_id) = e.vec_id
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id
+"""
+
 DEDUP_CLUSTERS_SQL = f"""
 WITH RECURSIVE {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS}, {_CCOMP}
 SELECT d.doc_id,
