@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 
 
 def tokens(df: DataFrame, text_col: str = "text") -> "F.Column":
@@ -348,6 +349,7 @@ def dedup_clusters(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 15,
+    driver_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Resolve a near-duplicate PAIR graph into KEEP/DROP decisions —
     the step that turns candidate pairs (:func:`lsh_candidate_pairs` /
@@ -381,6 +383,16 @@ def dedup_clusters(
     so recomputation on executor loss yields identical labels either
     way).
 
+    Adaptive execution (AQE-spirited): the pair graph is counted once
+    after materialization; at or below ``driver_threshold`` edges the
+    components are resolved with an in-memory union-find (one tiny
+    collect — the graph is MODEL-sized here, the way k-means collects
+    its centroids — replacing diameter-many distributed sweep jobs
+    with zero), above it the distributed sweeps run. Both paths emit
+    IDENTICAL labels (min id per component; the union-find equivalence
+    is property-tested), so the switch is invisible to callers. Set
+    ``driver_threshold=0`` to force the distributed path.
+
     Preconditions (public-operator contract): every ``id_a``/``id_b``
     endpoint in ``pairs`` must be drawn from ``df``'s ``id_col`` id set
     — endpoints outside it would seed component labels that no corpus
@@ -403,6 +415,12 @@ def dedup_clusters(
         # LSH → verify) would re-execute per iteration
         .localCheckpoint(eager=False)
     )
+    # one count materializes the checkpoint (the first sweep needed
+    # that job anyway) and drives the adaptive path choice
+    n_edges = edges.count()
+    if n_edges <= driver_threshold:
+        labels = _components_driver_side(df.sparkSession, edges)
+        return _attach_labels(df, labels, id_col)
     # graph node set — edges carry both directions, so _src covers every
     # endpoint; this (not the corpus) is what the loop iterates over
     labels = (
@@ -438,6 +456,45 @@ def dedup_clusters(
         if it % 2 == 1 or it == max_iter - 1:
             if swept.filter(F.col("_label") != F.col("_old")).count() == 0:
                 break
+    return _attach_labels(df, labels, id_col)
+
+
+def _components_driver_side(spark, edges: DataFrame) -> DataFrame:
+    """Union-find over a collected (graph-sized) edge list → the same
+    (_id, _label) frame the distributed sweeps produce: label = the
+    component's minimum id."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        a, b = row["_src"], row["_dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for x in parent:
+        r = find(x)
+        if r not in comp_min or x < comp_min[r]:
+            comp_min[r] = x
+    id_type = edges.schema["_src"].dataType
+    schema = T.StructType(
+        [T.StructField("_id", id_type), T.StructField("_label", id_type)]
+    )
+    return spark.createDataFrame(
+        [(x, comp_min[find(x)]) for x in parent], schema=schema
+    )
+
+
+def _attach_labels(df: DataFrame, labels: DataFrame, id_col: str) -> DataFrame:
     return (
         df.select(F.col(id_col).alias("_doc"))
         .join(labels, F.col("_doc") == labels._id, "left")

@@ -22,14 +22,22 @@ def _nodes(spark, ids):
     return spark.createDataFrame([(i,) for i in ids], "doc_id long")
 
 
-def test_dedup_clusters_chain_propagates_min(spark):
+import pytest
+
+
+@pytest.mark.parametrize("driver_threshold", [1_000_000, 0])
+def test_dedup_clusters_chain_propagates_min(spark, driver_threshold):
     # 1-2, 2-3, 3-4 is a diameter-3 chain: every node must reach label 1,
     # which takes multiple propagation sweeps (regression against
-    # one-sweep implementations)
+    # one-sweep implementations). Parametrized over both execution
+    # paths: driver-side union-find (small graph) and distributed
+    # sweeps (driver_threshold=0) must emit identical labels.
     out = {
         r.doc_id: (r.cluster_id, r.keep)
         for r in dedup_clusters(
-            _nodes(spark, [1, 2, 3, 4, 9]), _pairs(spark, [(1, 2), (2, 3), (3, 4)])
+            _nodes(spark, [1, 2, 3, 4, 9]),
+            _pairs(spark, [(1, 2), (2, 3), (3, 4)]),
+            driver_threshold=driver_threshold,
         ).collect()
     }
     assert out == {
