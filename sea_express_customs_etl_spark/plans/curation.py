@@ -60,11 +60,14 @@ def curation_pipeline(
 
     # Materialize the gate+exact-dedup survivor set: downstream the LSH
     # chain references it four times (signatures + both jaccard sides +
-    # sizes) and every cluster sweep once more — without staging, the
-    # O(words²)-per-doc gate arrays would recompute each time. This is
-    # the standard phase boundary a production corpus pipeline writes to
-    # a staging table; persist() is its in-session form (MEMORY_AND_DISK,
-    # so at cluster scale it spills instead of evicting).
+    # sizes) and cluster resolution once more — without staging, the
+    # gate's array expressions would recompute at every reference. This
+    # is the standard phase boundary a production corpus pipeline writes
+    # to a staging table; persist() is its in-session form
+    # (MEMORY_AND_DISK, so at cluster scale it spills instead of
+    # evicting). A window-over-digest formulation of the exact dedup
+    # was measured SLOWER here (full-row sort shuffle vs digest agg +
+    # AQE broadcast join), so the agg+join stays.
     exact_kept = passed.join(
         passed.groupBy(F.md5(F.col(text_col)).alias("_h"))
         .agg(F.min(F.col(id_col)).alias(id_col))
