@@ -90,6 +90,118 @@ def pq_codebook(
     )
 
 
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    k: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Train proper PQ codebooks: per-subspace k-means over the
+    corpus's subvectors — ALL ``m`` subspaces train simultaneously in
+    one Lloyd loop (the subspace id is just an extra grouping key), so
+    each iteration is one broadcast-argmin assignment pass and one
+    partial-aggregated mean, exactly like
+    :func:`...similarity.kmeans_fit` with driver state m·k·(dim/m) =
+    one model.
+
+    Init is deterministic MAXIMIN (farthest-point): the first codeword
+    per subspace is the lowest-``(md5(id), id)`` subvector, each
+    subsequent one the point farthest from its nearest already-chosen
+    codeword (ties → lowest id). Random-spread init measurably sticks
+    in merged-cluster local optima on well-separated data; maximin
+    covers every separated cluster by construction and stays
+    layout-independent. Cost: k-1 small passes over the persisted
+    subvector frame — training-time model work, not per-query work.
+
+    Float means → reproducible to tolerance, not bitwise
+    (property-tested via quantization error, like ``kmeans_fit``); the
+    oracle-checked queries use the deterministic sample codebook
+    instead. Output: subspace, code, codeword."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    sv = subvectors(df, m, dim, vec_col, id_col).persist()
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("subvec"), F.col("codeword"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    w0 = Window.partitionBy("subspace").orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    seed = (
+        sv.withColumn("_rn", F.row_number().over(w0))
+        .filter(F.col("_rn") == 1)
+        .select("subspace", F.col("subvec").alias("codeword"))
+        .collect()
+    )
+    book: dict[tuple[int, int], list[float]] = {
+        (r["subspace"], 0): list(r["codeword"]) for r in seed
+    }
+    wfar = Window.partitionBy("subspace").orderBy(
+        F.col("_d").desc(), F.col(id_col).asc()
+    )
+    for nxt in range(1, k):
+        chosen_df = spark.createDataFrame(
+            [(s, v) for (s, _c), v in book.items()],
+            schema="subspace int, codeword array<double>",
+        )
+        far = (
+            sv.join(F.broadcast(chosen_df), "subspace")
+            .select(id_col, "subspace", "subvec", d2.alias("_dd"))
+            .groupBy(id_col, "subspace")
+            .agg(F.min("_dd").alias("_d"), F.first("subvec").alias("subvec"))
+            .withColumn("_rn", F.row_number().over(wfar))
+            .filter(F.col("_rn") == 1)
+            .select("subspace", "subvec")
+            .collect()
+        )
+        for r in far:
+            book[(r["subspace"], nxt)] = list(r["subvec"])
+
+    for _ in range(iters):
+        cb_df = spark.createDataFrame(
+            [(s, c, v) for (s, c), v in book.items()],
+            schema="subspace int, code int, codeword array<double>",
+        )
+        assigned = (
+            sv.join(F.broadcast(cb_df), "subspace")
+            .select(
+                id_col,
+                "subspace",
+                "subvec",
+                F.struct(d2.alias("d"), F.col("code").alias("c")).alias("_dc"),
+            )
+            .groupBy(id_col, "subspace")
+            .agg(F.min("_dc").alias("_b"), F.first("subvec").alias("subvec"))
+            .select("subspace", F.col("_b.c").alias("code"), "subvec")
+        )
+        means = (
+            assigned.select(
+                "subspace", "code", F.posexplode("subvec").alias("pos", "x")
+            )
+            .groupBy("subspace", "code", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .collect()  # m·k·(dim/m) rows — the model, never the corpus
+        )
+        upd: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            upd.setdefault((r["subspace"], r["code"]), {})[r["pos"]] = r["mval"]
+        for key, dims in upd.items():  # empty codes keep previous codeword
+            book[key] = [dims[p] for p in range(len(dims))]
+    sv.unpersist()
+    return spark.createDataFrame(
+        [(s, c, v) for (s, c), v in book.items()],
+        schema="subspace int, code int, codeword array<double>",
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebook: DataFrame,
