@@ -354,6 +354,23 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def _q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE tokenization with the pinned merge list
+    (operators/bpe.FIXED_MERGES — trained by bpe_train, frozen like a
+    production tokenizer artifact). Map-only: the merge list compiles
+    to a chain of greedy array folds, no joins or shuffles."""
+    from sea_express_customs_etl_spark.operators.bpe import (
+        FIXED_MERGES,
+        bpe_encode,
+    )
+
+    return bpe_encode(_docs(spark, sf_dir), list(FIXED_MERGES)).select(
+        "doc_id",
+        F.array_join("tokens", " ").alias("tokens_str"),
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
 def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.textstats import tfidf_top_terms
 
@@ -553,6 +570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
+        "bpe_encode_fixed": _q_bpe_encode_fixed,
         "lang_id_two_ways": _q_lang_id_two_ways,
         "vocab_top_tokens": _q_vocab_top_tokens,
         "tfidf_top_terms": _q_tfidf_top_terms,
@@ -571,7 +589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_last_click_asof": rel.purchase_last_click_asof,
         "json_props_rollup": rel.json_props_rollup,
         "click_purchase_interval": rel.click_purchase_interval,
-        "event_value_percentiles": _q_event_value_percentiles,
         # general relational surface
         "pricing_summary": rel.pricing_summary,
         "topk_parts_per_brand": rel.topk_parts_per_brand,
@@ -584,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: cross-validating variants of machinery already
         # checked above (session_window vs the lag/cumsum sessionize,
         # cube vs rollup, more window/semi/anti variants) ----
+        "event_value_percentiles": _q_event_value_percentiles,
         "events_session_window": rel.events_session_window,
         "cube_order_stats": rel.cube_order_stats,
         "customer_running_totals": rel.customer_running_totals,
@@ -591,6 +609,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_priority": rel.late_shipment_priority,
         "brand_supplier_variety": rel.brand_supplier_variety,
     }
+
+
+def _bpe_encode_fixed_sql() -> str:
+    from sea_express_customs_etl_spark.operators.bpe import FIXED_MERGES
+    from sea_express_customs_etl_spark.plans.oracles_ext import bpe_encode_sql
+
+    return bpe_encode_sql(FIXED_MERGES)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -651,6 +676,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": ext.TEXT_STATS_SQL,
         "lang_id_two_ways": ext.LANG_ID_TWO_WAYS_SQL,
         "token_counts": ext.TOKEN_COUNTS_SQL,
+        "bpe_encode_fixed": _bpe_encode_fixed_sql(),
         "vocab_top_tokens": ext.VOCAB_TOP_TOKENS_SQL,
         "stratified_sample": ext.STRATIFIED_SAMPLE_SQL,
         "pack_sequences": ext.PACK_SEQUENCES_SQL,

@@ -1,0 +1,175 @@
+"""Distributed BPE (byte-pair-encoding) merge training — the
+tokenizer-construction step of a pretraining pipeline, expressed
+Spark-first.
+
+The load-bearing scale decision: BPE trains on the WORD-FREQUENCY
+TABLE, not the corpus. One corpus pass builds ``(word, freq)`` (the
+classic shape — vocabulary size is bounded by language, not data
+volume), and every merge round then runs on that vocab-sized frame:
+pair counts are one partial-aggregated shuffle of |vocab| rows, the
+winning pair is a 1-row collect (model state, like k-means centroids),
+and applying the merge is a map-side array fold. 100 TB of text and
+10 GB of text train at the same per-round cost after the first pass.
+
+Determinism: ties in pair frequency break lexicographically; the
+greedy left-to-right merge application is a sequential fold (proved
+equivalent to the index-walking loop because a freshly merged symbol
+``a+b`` can never equal the pair's first element ``a`` — that would
+need an empty ``b``), so results are independent of partitioning and
+engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+END = "</w>"
+
+# A pinned tokenizer artifact: 12 merges learned by ``bpe_train`` on
+# the sf0.01 documents corpus (deterministic — ties break
+# lexicographically), frozen here the way production pipelines freeze
+# a trained tokenizer. The oracle-checked encode query uses THIS list
+# on both engines; training itself is covered by tests (golden +
+# layout invariance).
+FIXED_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "r"), ("e", END), ("n", END), ("er", END), ("o", "w"),
+    ("ow", END), ("o", "r"), ("s", "t"), ("h", END), ("a", "t"),
+    ("l", "u"), ("i", "n"),
+)
+
+
+def word_freq(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One corpus pass → (word, freq): lowercased whitespace tokens.
+    The ONLY corpus-sized step in BPE training."""
+    return (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _chars(word: Column) -> Column:
+    """Word → initial symbol array: characters plus the end-of-word
+    marker (the standard BPE word boundary)."""
+    return F.concat(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: word.substr(i, F.lit(1)),
+        ),
+        F.array(F.lit(END)),
+    )
+
+
+def apply_merge(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right application of ONE merge (left, right) →
+    left+right over a symbol array, as a sequential fold."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the
+    ordered merge list (the model — feed it to :func:`bpe_encode`).
+
+    Per round: adjacent-pair counts weighted by word frequency (one
+    vocab-sized partial-aggregated shuffle), winner = (count DESC,
+    pair ASC), merge applied map-side. The evolving symbol table is
+    persisted per round and re-persisted (vocab-sized) so round r+1
+    reads materialized arrays, not an r-deep expression chain.
+    """
+    vocab = word_freq(df, text_col, id_col).select(
+        "freq", _chars(F.col("word")).alias("syms")
+    ).persist()
+    merges: list[tuple[str, str]] = []
+    current = vocab
+    for _ in range(n_merges):
+        # the when-guard matters: sequence(1, 0) counts DOWN and would
+        # index past single-symbol words (same trap as textstats._bigrams)
+        adj = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("l"),
+                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        pairs = (
+            current.select("freq", F.explode(adj).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("p.l").asc(), F.col("p.r").asc())
+            .limit(1)
+            .collect()
+        )
+        if not pairs:
+            break
+        left, right = pairs[0]["p"]["l"], pairs[0]["p"]["r"]
+        merges.append((left, right))
+        nxt = current.select(
+            "freq", apply_merge(F.col("syms"), left, right).alias("syms")
+        ).persist()
+        nxt.count()  # materialize, then release the previous round
+        current.unpersist()
+        current = nxt
+    current.unpersist()
+    return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize the corpus with a learned merge list: per word, start
+    from characters+``</w>`` and apply every merge in rank order.
+    Output: id, tokens (array<string>), n_tokens. Map-only — the merge
+    list is a compiled expression chain, no joins, no shuffles."""
+    words = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_ws"),
+    )
+    def encode_word(w: Column) -> Column:
+        syms = _chars(w)
+        for left, right in merges:
+            syms = apply_merge(syms, left, right)
+        return syms
+
+    toks = words.select(
+        F.col(id_col),
+        F.flatten(
+            F.transform(
+                F.filter(F.col("_ws"), lambda x: x != ""),
+                encode_word,
+            )
+        ).alias("tokens"),
+    )
+    return toks.select(
+        F.col(id_col), "tokens", F.size("tokens").alias("n_tokens")
+    )

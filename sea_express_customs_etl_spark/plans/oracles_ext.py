@@ -526,6 +526,39 @@ SELECT t.doc_id, coalesce(r.text, '') AS text,
 FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
+def bpe_encode_sql(merges) -> str:
+    """DuckDB replica of ``operators/bpe.bpe_encode`` for a FIXED merge
+    list. Symbol arrays are encoded as wrapped strings
+    (``␟sym␟␟sym␟…``, ␟ = chr(31)) so one plain-substring ``replace``
+    per merge reproduces the greedy left-to-right fold exactly: the
+    wrapper makes symbol boundaries explicit (no false matches inside
+    multi-char symbols) and replace's resume-after-replacement scan
+    matches the fold's no-reconsume property."""
+    s = chr(31)
+    expr = (
+        f"'{s}' || array_to_string("
+        f"list_append(regexp_split_to_array(w, ''), '</w>'), '{s}{s}') || '{s}'"
+    )
+    for left, right in merges:
+        expr = f"replace({expr}, '{s}{left}{s}{s}{right}{s}', '{s}{left}{right}{s}')"
+    word_tokens = f"replace(trim({expr}, '{s}'), '{s}{s}', ' ')"
+    return f"""
+WITH words AS (
+  SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
+  FROM (SELECT doc_id,
+               string_split_regex(trim(lower(text)), '\\s+') AS ws
+        FROM documents)),
+enc AS (
+  SELECT doc_id, wi, {word_tokens} AS wt FROM words WHERE w <> ''),
+docs AS (
+  SELECT doc_id, string_agg(wt, ' ' ORDER BY wi) AS tokens_str
+  FROM enc GROUP BY doc_id)
+SELECT doc_id, tokens_str,
+       CAST(len(string_split(tokens_str, ' ')) AS INTEGER) AS n_tokens
+FROM docs
+"""
+
+
 LANG_ID_TWO_WAYS_SQL = f"""
 SELECT m.doc_id, m.predicted_lang AS marker_lang,
        n.predicted_lang, n.top_score
