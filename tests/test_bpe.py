@@ -67,6 +67,42 @@ def test_bpe_encode_applies_merges_in_rank_order(spark):
     assert out.n_tokens == 5
 
 
+def test_bpe_encode_matches_python_reference(spark):
+    """The fold-based merge application must equal the index-walking
+    greedy loop on a randomized (seeded) corpus with trained merges."""
+    import random
+
+    rng = random.Random(11)
+    words = ["".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+             for _ in range(30)]
+    texts = [" ".join(rng.sample(words, 5)) for _ in range(10)]
+    docs = _docs(spark, texts)
+    merges = bpe_train(docs, n_merges=6)
+
+    def py_apply(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def py_encode(text):
+        toks = []
+        for w in text.lower().split():
+            syms = list(w) + [END]
+            for a, b in merges:
+                syms = py_apply(syms, a, b)
+            toks.extend(syms)
+        return toks
+
+    got = {r.doc_id: list(r.tokens) for r in bpe_encode(docs, merges).collect()}
+    assert got == {i: py_encode(t) for i, t in enumerate(texts)}
+
+
 def test_bpe_encode_compresses_token_count(spark):
     texts = ["banana bandana banana", "banana banana bandana"]
     docs = _docs(spark, texts)

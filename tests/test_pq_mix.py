@@ -201,6 +201,60 @@ def test_domain_mix_drops_unlisted_domains_and_is_deterministic(spark):
         domain_mix(docs, {})
 
 
+def test_domain_mix_matches_python_reference(spark):
+    """domain_mix is a pure function of (ids, domains, targets) — a
+    hashlib reference must predict the exact surviving id set."""
+    import hashlib
+    import math
+
+    spec = {"a": 37, "b": 11, "c": 52}
+    targets = {"a": 0.5, "b": 0.25, "c": 0.25}
+    docs = _docs(spark, spec)
+    rows = {(r.doc_id, r.source) for r in docs.collect()}
+
+    budget = math.floor(min(spec[d] / t for d, t in targets.items()))
+    expected = set()
+    for doc_id, dom in rows:
+        if dom not in targets:
+            continue
+        thr = math.floor(targets[dom] * budget / spec[dom] * 16**8)
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+        if h < thr:
+            expected.add(doc_id)
+    got = {r.doc_id for r in domain_mix(docs, targets).collect()}
+    assert got == expected
+
+
+def test_dedup_lines_matches_python_reference(spark):
+    """Corpus-level line dedup vs a direct Python simulation over a
+    randomized-shape corpus (fixed seed — deterministic test)."""
+    import collections
+    import random
+
+    from sea_express_customs_etl_spark.operators.hygiene import dedup_lines
+
+    rng = random.Random(7)
+    lines_pool = [f"line{i}" for i in range(12)]
+    docs = [
+        (i, "\n".join(rng.choice(lines_pool) for _ in range(rng.randint(1, 6))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    counts = collections.Counter(
+        ln for _i, t in docs for ln in t.split("\n")
+    )
+    expected = {}
+    for i, t in docs:
+        kept = [ln for ln in t.split("\n") if counts[ln] <= 2]
+        expected[i] = ("\n".join(kept), len(t.split("\n")) - len(kept))
+    got = {
+        r.doc_id: (r.text, r.n_removed)
+        for r in dedup_lines(df, max_occurrences=2).collect()
+    }
+    assert got == expected
+
+
 def test_domain_mix_repartition_invariant(spark):
     docs = _docs(spark, {"a": 60, "b": 120})
     base = sorted(
