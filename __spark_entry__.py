@@ -354,6 +354,15 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus bigram-LM quality scoring: every document's
+    summed log-probability under a model counted from the corpus
+    itself, in exact micro-unit integers (partitioning-independent)."""
+    from sea_express_customs_etl_spark.operators.lm import lm_score
+
+    return lm_score(_docs(spark, sf_dir))
+
+
 def _q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE tokenization with the pinned merge list
     (operators/bpe.FIXED_MERGES — trained by bpe_train, frozen like a
@@ -576,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
         "quality_gate": _q_quality_gate,
+        "lm_score": _q_lm_score,
         "doc_fingerprint": _q_doc_fingerprint,
         "chunk_documents": _q_chunk_documents,
         # packing / deterministic sampling / mixing
@@ -685,6 +695,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": ext.TFIDF_TOP_TERMS_SQL,
         "repetition_stats": ext.REPETITION_STATS_SQL,
         "quality_gate": ext.QUALITY_GATE_SQL,
+        "lm_score": ext.LM_SCORE_SQL,
         "hash_sample_split": ext.HASH_SAMPLE_SPLIT_SQL.format(
             t=_hex_threshold(0.25),
             t_train=_hex_threshold(0.8),

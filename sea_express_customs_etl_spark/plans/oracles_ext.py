@@ -526,6 +526,39 @@ SELECT t.doc_id, coalesce(r.text, '') AS text,
 FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
+# corpus bigram-LM scoring (operators/lm.py): add-one smoothed
+# p(b|a) = (c(a,b)+1)/(c(a)+V); per-bigram log-probs scaled to
+# micro-unit integers so the per-doc sum is exact
+LM_SCORE_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                i -> struct_pack(a := tk[i], b := tk[i+1]))) AS p
+  FROM toked),
+bg AS (SELECT doc_id, p.a AS a, p.b AS b FROM pairs),
+uni AS (SELECT a, count(*) AS ca FROM bg GROUP BY a),
+bic AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY a, b),
+v AS (SELECT count(DISTINCT a) AS v FROM bg),
+sc AS (
+  SELECT bg.doc_id,
+         CAST(round(ln((bic.cab + 1.0) / (uni.ca + v.v)) * 1000000.0)
+              AS BIGINT) AS lp
+  FROM bg JOIN bic USING (a, b) JOIN uni USING (a), v),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_bigrams,
+         CAST(sum(lp) AS BIGINT) AS logprob_u6
+  FROM sc GROUP BY doc_id)
+SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+       CAST(coalesce(logprob_u6, 0) AS BIGINT) AS logprob_u6
+FROM documents d LEFT JOIN agg USING (doc_id)
+"""
+
+
 def bpe_encode_sql(merges) -> str:
     """DuckDB replica of ``operators/bpe.bpe_encode`` for a FIXED merge
     list. Symbol arrays are encoded as wrapped strings

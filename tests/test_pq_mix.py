@@ -141,6 +141,38 @@ def test_pq_train_reduces_quantization_error(spark):
     assert trained < 0.1
 
 
+def test_lm_score_hand_computed_golden(spark):
+    import math
+
+    from sea_express_customs_etl_spark.operators.lm import lm_score
+
+    docs = spark.createDataFrame(
+        [(0, "x y"), (1, "x y"), (2, "x z"), (3, "w")],
+        "doc_id long, text string",
+    )
+    # bigram events: (x,y)x2, (x,z)x1 → c(x)=3, V=|{x}|=1
+    # p(y|x) = 3/4, p(z|x) = 2/4
+    lp_y = round(math.log(0.75) * 1e6)
+    lp_z = round(math.log(0.5) * 1e6)
+    out = {r.doc_id: (r.n_bigrams, r.logprob_u6) for r in lm_score(docs).collect()}
+    assert out == {
+        0: (1, lp_y),
+        1: (1, lp_y),
+        2: (1, lp_z),
+        3: (0, 0),  # single-word doc kept with a zero score, not dropped
+    }
+
+
+def test_lm_score_layout_invariant(spark):
+    from sea_express_customs_etl_spark.operators.lm import lm_score
+
+    texts = [(i, f"a b c d e a b {i % 3}") for i in range(30)]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    r1 = sorted(map(tuple, lm_score(df).collect()))
+    r2 = sorted(map(tuple, lm_score(df.repartition(7)).collect()))
+    assert r1 == r2  # exact bigint sums → partitioning-independent
+
+
 def test_kmeans_fit_q_recovers_blobs_and_is_layout_invariant(spark):
     from sea_express_customs_etl_spark.operators.similarity import kmeans_fit_q
 
