@@ -603,11 +603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": rel.pricing_summary,
         "topk_parts_per_brand": rel.topk_parts_per_brand,
         "rollup_order_stats": rel.rollup_order_stats,
-        "customers_without_orders": rel.customers_without_orders,
         "revenue_by_nation": rel.revenue_by_nation,
         "order_gaps": rel.order_gaps,
         "shipping_priority": rel.shipping_priority,
         "returned_revenue_topk": rel.returned_revenue_topk,
+        # anti-join shape also covered by brand_supplier_variety below
+        "customers_without_orders": rel.customers_without_orders,
         # ---- tail: cross-validating variants of machinery already
         # checked above (session_window vs the lag/cumsum sessionize,
         # cube vs rollup, more window/semi/anti variants) ----
