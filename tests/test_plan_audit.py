@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "embedding_near_dups",  # block-id spine (|blocks| rows) broadcast
     "tfidf_top_terms",    # 1-row corpus-size N broadcast
     "domain_mix_sample",  # 1-row output-budget scalar broadcast
+    "lm_score",           # 1-row vocabulary-size V broadcast
 }
 
 
