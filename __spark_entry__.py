@@ -271,6 +271,19 @@ def _q_ann_ivf_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style IVFPQ: L2 coarse cells (centroids vec_id<16) + PQ
+    over residuals + ADC within the query's own cell — the
+    billion-scale index shape, hash-checked end-to-end via exact
+    micro-integer distances."""
+    from sea_express_customs_etl_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 16), emb.filter(F.col("vec_id") < 10), k=5
+    )
+
+
 def _q_kmeans_q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-portable k-means: training over micro-unit integer vectors
     (exact distances/sums, floor means, md5-seeded init) — the trained
@@ -574,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_nprobe2": _q_ann_ivf_nprobe2,
         "pq_codes": _q_pq_codes,
         "pq_topk": _q_pq_topk,
+        "ivfpq_topk": _q_ivfpq_topk,
         "kmeans_q_centroids": _q_kmeans_q_centroids,
         "kmeans_ivf_topk": _q_kmeans_ivf_topk,
         # text analysis
@@ -705,5 +719,6 @@ def oracle_sql() -> dict[str, str]:
         "domain_mix_sample": ext.DOMAIN_MIX_SQL,
         "pq_codes": ext.PQ_CODES_SQL,
         "pq_topk": ext.PQ_TOPK_SQL,
+        "ivfpq_topk": ext.IVFPQ_TOPK_SQL,
         "event_value_percentiles": ext.EVENT_VALUE_PERCENTILES_SQL,
     }

@@ -233,6 +233,127 @@ def pq_encode(
     )
 
 
+def _l2_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Coarse quantizer: nearest centroid by squared-L2 in micro-units
+    (exact integers → deterministic; ties → lowest centroid id).
+    Output: id, _v (double array), cluster, _cv (the centroid).
+    Broadcast-argmin, map-only + one partial-aggregated shuffle."""
+    c = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    cen = centroids.select(
+        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    scored = c.join(F.broadcast(cen)).select(
+        id_col,
+        "_v",
+        F.struct(
+            _l2sq_micro(F.col("_v"), F.col("_cv")).alias("d"),
+            F.col("_cid").alias("c"),
+            F.col("_cv").alias("cv"),
+        ).alias("_dc"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min("_dc").alias("_b"), F.first("_v").alias("_v")
+    )
+    return best.select(
+        id_col, "_v", F.col("_b.c").alias("cluster"), F.col("_b.cv").alias("_cv")
+    )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook_sample: int = 16,
+) -> DataFrame:
+    """The production billion-scale index shape (FAISS-style IVFPQ),
+    composed from the pieces above: a coarse L2 quantizer partitions
+    the corpus into centroid cells, vectors are PQ-encoded on their
+    RESIDUALS (vector − cell centroid — residual distributions are far
+    tighter than raw vectors, so the same codebook bits quantize much
+    finer), and queries ADC-scan only their own cell's codes.
+
+    Codebook: residual subvectors of the centroid-sample ids (residuals
+    of ``centroids``' own members are zero — so the sample residual
+    codebook is taken from the corpus's residuals for those ids after
+    assignment), deterministic and oracle-expressible. Search is
+    nprobe=1 (the query's own cell). Output: query_id, neighbor_id,
+    cluster, dist_u6. All distances micro-unit integers → exact sums,
+    hash-portable.
+
+    Scale: assignment map-only vs broadcast centroids; the code table
+    is (corpus×m) ints partitioned by cell; a query touches one cell.
+    """
+    assigned = _l2_assign(df, centroids, vec_col, id_col)
+    residuals = assigned.select(
+        id_col,
+        "cluster",
+        F.zip_with(F.col("_v"), F.col("_cv"), lambda x, y: x - y).alias("_r"),
+    )
+    res_as_vec = residuals.withColumnRenamed("_r", vec_col)
+    codebook = pq_codebook(
+        res_as_vec.filter(F.col(id_col) < codebook_sample), m, dim, vec_col, id_col
+    )
+    codes = pq_encode(res_as_vec, codebook, m, dim, vec_col, id_col)
+    # query side: same residual (queries are corpus members), LUT of
+    # residual-subvector-to-codeword distances within the probed cell
+    q_res = res_as_vec.join(queries.select(F.col(id_col)), id_col, "left_semi")
+    q_cluster = residuals.join(
+        queries.select(F.col(id_col)), id_col, "left_semi"
+    ).select(F.col(id_col).alias("query_id"), F.col("cluster").alias("_qc"))
+    lut = (
+        subvectors(q_res, m, dim, vec_col, id_col)
+        .withColumnRenamed(id_col, "query_id")
+        .join(F.broadcast(codebook), "subspace")
+        .select(
+            "query_id",
+            "subspace",
+            "code",
+            _l2sq_micro(F.col("subvec"), F.col("codeword")).alias("_d"),
+        )
+        .join(F.broadcast(q_cluster), "query_id")
+        .select(
+            "query_id",
+            F.col("subspace").alias("_ls"),
+            F.col("code").alias("_lc"),
+            "_d",
+            "_qc",
+        )
+    )
+    sims = (
+        codes.join(
+            residuals.select(F.col(id_col), "cluster"), id_col
+        )
+        .withColumnRenamed(id_col, "neighbor_id")
+        .join(
+            F.broadcast(lut),
+            (F.col("cluster") == F.col("_qc"))
+            & (F.col("subspace") == F.col("_ls"))
+            & (F.col("code") == F.col("_lc")),
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id", "cluster")
+        .agg(F.sum("_d").alias("dist_u6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_u6").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def pq_adc_topk(
     df: DataFrame,
     codebook: DataFrame,

@@ -375,6 +375,57 @@ WITH {_PQ_PRELUDE}
 SELECT vec_id, subspace, code FROM enc
 """
 
+# IVFPQ (operators/pq.py:ivfpq_topk): L2 coarse quantizer (centroids =
+# vec_id<16) → PQ over RESIDUALS (codebook = residual subvectors of the
+# same id sample) → ADC within the query's own cell. All distances in
+# micro-unit integers — exact sums, engine-portable.
+_D2U6 = (
+    "CAST(round(list_sum(list_transform(list_zip({a}, {b}), "
+    "s -> (s[1]-s[2])*(s[1]-s[2]))) * 1000000.0) AS BIGINT)"
+)
+
+IVFPQ_TOPK_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, v, cluster, cv FROM (
+    SELECT b.vec_id, b.v, c.cid AS cluster, c.cv,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+               {_D2U6.format(a='b.v', b='c.cv')}, c.cid) AS rn
+    FROM base b, cen c)
+  WHERE rn = 1),
+res AS (SELECT vec_id, cluster,
+               list_transform(list_zip(v, cv), s -> s[1] - s[2]) AS r
+        FROM asg),
+rsv AS (
+  SELECT vec_id, cluster, g.j AS subspace, r[g.j*8+1 : g.j*8+8] AS subvec
+  FROM res, generate_series(0, 7) g(j)),
+cb AS (SELECT subspace, vec_id AS code, subvec AS codeword
+       FROM rsv WHERE vec_id < 16),
+scored AS (
+  SELECT rsv.vec_id, rsv.cluster, rsv.subspace, cb.code,
+         {_D2U6.format(a='rsv.subvec', b='cb.codeword')} AS d
+  FROM rsv JOIN cb USING (subspace)),
+enc AS (
+  SELECT vec_id, cluster, subspace, code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             ORDER BY d, code) AS rn FROM scored)
+  WHERE rn = 1),
+lut AS (SELECT vec_id AS query_id, cluster AS qc, subspace, code, d
+        FROM scored WHERE vec_id < 10),
+sims AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, e.cluster,
+         CAST(SUM(l.d) AS BIGINT) AS dist_u6
+  FROM enc e JOIN lut l
+    ON e.cluster = l.qc AND e.subspace = l.subspace AND e.code = l.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2, 3)
+SELECT query_id, neighbor_id, cluster, dist_u6
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY dist_u6, neighbor_id) AS rn FROM sims)
+WHERE rn <= 5
+"""
+
 PQ_TOPK_SQL = f"""
 WITH {_PQ_PRELUDE},
 lut AS (SELECT vec_id AS query_id, subspace, code, d

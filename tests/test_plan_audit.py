@@ -27,6 +27,7 @@ BNLJ_ALLOWED = {
     "ann_ivf_nprobe2",    # centroid table broadcast (|centroids| = 16)
     "kmeans_ivf_topk",    # trained centroid table broadcast (k = 8)
     "ivf_near_dups",      # cluster-blocked verify: centroids broadcast
+    "ivfpq_topk",         # coarse-quantizer centroid table broadcast
     "semantic_dedup",     # same IVF blocking feeding cluster resolution
     "embedding_near_dups",  # block-id spine (|blocks| rows) broadcast
     "tfidf_top_terms",    # 1-row corpus-size N broadcast

@@ -96,6 +96,34 @@ def test_pq_adc_sum_is_exact_integer(spark):
     ]
 
 
+def test_ivfpq_exact_duplicate_ranks_first_within_cell(spark):
+    from sea_express_customs_etl_spark.operators.pq import ivfpq_topk
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),      # centroid A
+        (1, [10.0, 10.0, 10.0, 10.0]),  # centroid B
+        (2, [0.3, 0.1, 0.2, 0.1]),      # query, cell A
+        (3, [0.3, 0.1, 0.2, 0.1]),      # exact duplicate of 2
+        (4, [0.9, 0.8, 0.7, 0.9]),      # cell A, farther
+        (5, [9.5, 9.9, 10.1, 9.8]),     # cell B — must not appear
+    ]
+    df = _vecs(spark, rows, dim=4)
+    out = ivfpq_topk(
+        df,
+        df.filter(F.col("vec_id") < 2),
+        df.filter(F.col("vec_id") == 2),
+        k=3,
+        m=2,
+        dim=4,
+        codebook_sample=16,
+    ).collect()
+    ranked = sorted(out, key=lambda r: (r.dist_u6, r.neighbor_id))
+    assert ranked[0].neighbor_id == 3 and ranked[0].dist_u6 == 0
+    assert all(r.cluster == 0 for r in out)          # own-cell search
+    assert 5 not in {r.neighbor_id for r in out}     # other cell excluded
+    assert 2 not in {r.neighbor_id for r in out}     # self excluded
+
+
 def test_pq_train_reduces_quantization_error(spark):
     """Per-subspace k-means codebooks must beat the naive
     sample-vector codebook on mean quantization error (the property PQ
