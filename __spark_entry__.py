@@ -616,7 +616,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # general relational surface
         "pricing_summary": rel.pricing_summary,
         "topk_parts_per_brand": rel.topk_parts_per_brand,
-        "rollup_order_stats": rel.rollup_order_stats,
         "revenue_by_nation": rel.revenue_by_nation,
         "order_gaps": rel.order_gaps,
         "shipping_priority": rel.shipping_priority,
@@ -628,6 +627,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cube vs rollup, more window/semi/anti variants) ----
         "event_value_percentiles": _q_event_value_percentiles,
         "events_session_window": rel.events_session_window,
+        # grouping-sets machinery: rollup and cube are the same
+        # GROUPING SETS expansion — both stay locally gated
+        "rollup_order_stats": rel.rollup_order_stats,
         "cube_order_stats": rel.cube_order_stats,
         "customer_running_totals": rel.customer_running_totals,
         "nation_revenue_share": rel.nation_revenue_share,
