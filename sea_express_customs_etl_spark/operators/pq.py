@@ -273,7 +273,8 @@ def ivfpq_topk(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    codebook_sample: int = 16,
+    codebook_lo: int = 16,
+    codebook_hi: int = 48,
 ) -> DataFrame:
     """The production billion-scale index shape (FAISS-style IVFPQ),
     composed from the pieces above: a coarse L2 quantizer partitions
@@ -282,13 +283,14 @@ def ivfpq_topk(
     tighter than raw vectors, so the same codebook bits quantize much
     finer), and queries ADC-scan only their own cell's codes.
 
-    Codebook: residual subvectors of the centroid-sample ids (residuals
-    of ``centroids``' own members are zero — so the sample residual
-    codebook is taken from the corpus's residuals for those ids after
-    assignment), deterministic and oracle-expressible. Search is
-    nprobe=1 (the query's own cell). Output: query_id, neighbor_id,
-    cluster, dist_u6. All distances micro-unit integers → exact sums,
-    hash-portable.
+    Codebook: residual subvectors of the ids in
+    ``[codebook_lo, codebook_hi)`` — deliberately DISJOINT from the
+    centroid sample: a centroid member's residual is the zero vector,
+    so a codebook drawn from centroid ids would collapse to identical
+    zero codewords and rank every cell member equally. Deterministic
+    and oracle-expressible. Search is nprobe=1 (the query's own cell).
+    Output: query_id, neighbor_id, cluster, dist_u6. All distances
+    micro-unit integers → exact sums, hash-portable.
 
     Scale: assignment map-only vs broadcast centroids; the code table
     is (corpus×m) ints partitioned by cell; a query touches one cell.
@@ -301,7 +303,13 @@ def ivfpq_topk(
     )
     res_as_vec = residuals.withColumnRenamed("_r", vec_col)
     codebook = pq_codebook(
-        res_as_vec.filter(F.col(id_col) < codebook_sample), m, dim, vec_col, id_col
+        res_as_vec.filter(
+            (F.col(id_col) >= codebook_lo) & (F.col(id_col) < codebook_hi)
+        ),
+        m,
+        dim,
+        vec_col,
+        id_col,
     )
     codes = pq_encode(res_as_vec, codebook, m, dim, vec_col, id_col)
     # query side: same residual (queries are corpus members), LUT of

@@ -401,7 +401,7 @@ rsv AS (
   SELECT vec_id, cluster, g.j AS subspace, r[g.j*8+1 : g.j*8+8] AS subvec
   FROM res, generate_series(0, 7) g(j)),
 cb AS (SELECT subspace, vec_id AS code, subvec AS codeword
-       FROM rsv WHERE vec_id < 16),
+       FROM rsv WHERE vec_id >= 16 AND vec_id < 48),
 scored AS (
   SELECT rsv.vec_id, rsv.cluster, rsv.subspace, cb.code,
          {_D2U6.format(a='rsv.subvec', b='cb.codeword')} AS d

@@ -100,12 +100,14 @@ def test_ivfpq_exact_duplicate_ranks_first_within_cell(spark):
     from sea_express_customs_etl_spark.operators.pq import ivfpq_topk
 
     rows = [
-        (0, [0.0, 0.0, 0.0, 0.0]),      # centroid A
-        (1, [10.0, 10.0, 10.0, 10.0]),  # centroid B
-        (2, [0.3, 0.1, 0.2, 0.1]),      # query, cell A
-        (3, [0.3, 0.1, 0.2, 0.1]),      # exact duplicate of 2
-        (4, [0.9, 0.8, 0.7, 0.9]),      # cell A, farther
-        (5, [9.5, 9.9, 10.1, 9.8]),     # cell B — must not appear
+        (0, [0.0, 0.0, 0.0, 0.0]),        # centroid A
+        (1, [10.0, 10.0, 10.0, 10.0]),    # centroid B
+        (2, [0.3, 0.1, 0.2, 0.1]),        # query, cell A
+        (3, [0.3, 0.1, 0.2, 0.1]),        # exact duplicate of 2
+        (4, [0.05, 0.02, 0.01, 0.03]),    # cell A near the centroid —
+        #   the minimum-norm codeword, so zero-residual members quantize
+        #   to IT, not to the query's own codeword (no false ADC zeros)
+        (5, [9.5, 9.9, 10.1, 9.8]),       # cell B — must not appear
     ]
     df = _vecs(spark, rows, dim=4)
     out = ivfpq_topk(
@@ -115,13 +117,18 @@ def test_ivfpq_exact_duplicate_ranks_first_within_cell(spark):
         k=3,
         m=2,
         dim=4,
-        codebook_sample=16,
+        codebook_lo=2,
+        codebook_hi=6,
     ).collect()
     ranked = sorted(out, key=lambda r: (r.dist_u6, r.neighbor_id))
     assert ranked[0].neighbor_id == 3 and ranked[0].dist_u6 == 0
     assert all(r.cluster == 0 for r in out)          # own-cell search
     assert 5 not in {r.neighbor_id for r in out}     # other cell excluded
     assert 2 not in {r.neighbor_id for r in out}     # self excluded
+    # the codebook sample is DISJOINT from the centroid ids — a
+    # centroid-member codebook would be all zero residuals and rank
+    # every cell member identically (regression: distances must differ)
+    assert len({r.dist_u6 for r in out}) > 1
 
 
 def test_pq_train_reduces_quantization_error(spark):
