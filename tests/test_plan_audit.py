@@ -106,3 +106,27 @@ def test_filter_pushdown_reaches_parquet(spark):
     df = entry.queries()["pricing_summary"](spark, SF_DIR)
     pf = _pushed_filters(df)
     assert "LessThanOrEqual(l_shipdate" in pf
+
+
+def _plan_text(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_domain_mix_joins_are_all_broadcast(spark):
+    """The corpus side of domain_mix must never shuffle: thresholds
+    arrive by broadcast, membership is a map-side filter."""
+    plan = _plan_text(entry.queries()["domain_mix_sample"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert re.search(r"\(\d+\) BroadcastHashJoin", plan)
+
+
+def test_bpe_encode_uses_dictionary_broadcast(spark):
+    """Pins the dictionary-encode design: the vocab→tokens map joins
+    back by broadcast (the expensive fold runs per DISTINCT word, and
+    corpus words are never sort-merge shuffled against it)."""
+    plan = _plan_text(entry.queries()["bpe_encode_fixed"](spark, SF_DIR))
+    assert re.search(r"\(\d+\) BroadcastHashJoin", plan)
+    assert "SortMergeJoin" not in plan
