@@ -419,7 +419,7 @@ def dedup_clusters(
     # that job anyway) and drives the adaptive path choice
     n_edges = edges.count()
     if n_edges <= driver_threshold:
-        labels = _components_driver_side(df.sparkSession, edges)
+        labels = _components_driver_side(df.sparkSession, edges, n_edges)
         return _attach_labels(df, labels, id_col)
     # graph node set — edges carry both directions, so _src covers every
     # endpoint; this (not the corpus) is what the loop iterates over
@@ -459,10 +459,21 @@ def dedup_clusters(
     return _attach_labels(df, labels, id_col)
 
 
-def _components_driver_side(spark, edges: DataFrame) -> DataFrame:
+def _components_driver_side(
+    spark, edges: DataFrame, n_edges: int = 0
+) -> DataFrame:
     """Union-find over a collected (graph-sized) edge list → the same
     (_id, _label) frame the distributed sweeps produce: label = the
-    component's minimum id."""
+    component's minimum id.
+
+    Above ~100k edges the list lands on the driver as Arrow COLUMNS
+    (two primitive arrays), not Row objects — at the 1M-edge adaptive
+    threshold, Row wrappers alone would cost hundreds of MB of driver
+    heap for what is ~tens of MB of ids. Small graphs keep the plain
+    collect (Arrow conversion has a fixed job-setup cost that dwarfs
+    the Row overhead there); where Arrow collection is unavailable the
+    fallback streams partition-at-a-time (bounded by the largest
+    partition, never the whole edge list)."""
     parent: dict = {}
 
     def find(x):
@@ -473,8 +484,19 @@ def _components_driver_side(spark, edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.collect():
-        a, b = row["_src"], row["_dst"]
+    if n_edges <= 100_000:
+        edge_iter = ((row["_src"], row["_dst"]) for row in edges.collect())
+    else:
+        try:
+            tbl = edges.toArrow()
+            edge_iter = zip(
+                tbl.column("_src").to_pylist(), tbl.column("_dst").to_pylist()
+            )
+        except Exception:
+            edge_iter = (
+                (row["_src"], row["_dst"]) for row in edges.toLocalIterator()
+            )
+    for a, b in edge_iter:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)

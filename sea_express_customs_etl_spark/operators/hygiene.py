@@ -12,6 +12,8 @@ on ASCII — so every operator is oracle-checkable.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
@@ -98,9 +100,13 @@ def dedup_lines(
     is one shuffle on ``id_col`` with per-document bounded state
     (lines-per-doc is physics, not corpus size).
     """
+    # sep is a LITERAL separator (as the docstring and the DuckDB
+    # oracle treat it) but F.split takes a Java regex — quote it, or a
+    # caller passing "|" or "." would silently split on every character
+    sep_re = re.escape(sep)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+        F.posexplode(F.split(F.col(text_col), F.lit(sep_re), -1)).alias(
             "_idx", "_line"
         ),
     )
@@ -118,7 +124,7 @@ def dedup_lines(
     )
     totals = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), F.lit(sep), -1)).alias("_n_lines"),
+        F.size(F.split(F.col(text_col), F.lit(sep_re), -1)).alias("_n_lines"),
     )
     return (
         totals.join(rebuilt, id_col, "left")

@@ -69,10 +69,13 @@ def semi_filter(df: DataFrame, valid_keys: DataFrame, key: str = "link_key") -> 
     """Restrict ``df`` to rows whose key appears in ``valid_keys``
     (OP-JOIN-SEMI / OP-FIL-ISIN; reference ``src/batch_train.py:109-110``).
 
-    The key set is per-waybill (small relative to items) → broadcast the
-    semi-join build side so the big fact table never shuffles.
+    The key set is per-waybill (small relative to items) but still
+    GROWS with the corpus — billions of keys at 100 TB — so no pinned
+    broadcast hint: AQE broadcasts the build side whenever its measured
+    size fits (it always does at bench scale) and degrades to a
+    shuffled semi-join beyond that instead of OOMing the executors.
     """
-    return df.join(F.broadcast(valid_keys), key, "left_semi")
+    return df.join(valid_keys, key, "left_semi")
 
 
 def positional_align(

@@ -59,17 +59,22 @@ def subvectors(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split each vector into ``m`` contiguous subvectors of
-    ``dim / m`` dims. Output: id, subspace (0-based), subvec
-    (array<double>). Map-only (posexplode of a fixed-size array)."""
+    ``dim / m`` dims. Output: id, *keep_cols, subspace (0-based),
+    subvec (array<double>). Map-only (posexplode of a fixed-size
+    array); ``keep_cols`` pass through untouched (e.g. the probed-cell
+    id when the same vector's residual exists once per probed cell)."""
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     d = dim // m
     dv = _as_double(F.col(vec_col))
     parts = F.array(*[F.slice(dv, j * d + 1, d) for j in range(m)])
     return df.select(
-        F.col(id_col), F.posexplode(parts).alias("subspace", "subvec")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.posexplode(parts).alias("subspace", "subvec"),
     )
 
 
@@ -275,25 +280,48 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     codebook_lo: int = 16,
     codebook_hi: int = 48,
+    nprobe: int = 1,
+    train_codebook: bool = False,
+    train_k: int = 16,
+    train_iters: int = 2,
 ) -> DataFrame:
     """The production billion-scale index shape (FAISS-style IVFPQ),
     composed from the pieces above: a coarse L2 quantizer partitions
     the corpus into centroid cells, vectors are PQ-encoded on their
     RESIDUALS (vector − cell centroid — residual distributions are far
     tighter than raw vectors, so the same codebook bits quantize much
-    finer), and queries ADC-scan only their own cell's codes.
+    finer), and queries ADC-scan the codes of their ``nprobe`` nearest
+    cells.
 
     Codebook: residual subvectors of the ids in
     ``[codebook_lo, codebook_hi)`` — deliberately DISJOINT from the
     centroid sample: a centroid member's residual is the zero vector,
     so a codebook drawn from centroid ids would collapse to identical
     zero codewords and rank every cell member equally. Deterministic
-    and oracle-expressible. Search is nprobe=1 (the query's own cell).
+    and oracle-expressible. ``train_codebook=True`` instead trains
+    proper per-subspace k-means codebooks (:func:`pq_train`,
+    ``train_k`` codewords × ``train_iters`` Lloyd rounds) over the
+    same residual sample — better quantization, but float-mean
+    training is not bit-portable, so the oracle-checked queries keep
+    the sample codebook and the trained path is recall-property-tested.
+
+    Multi-probe (the standard IVF recall dial, same ranking as
+    ``similarity.ivf_topk``): a query's cells are ranked by coarse
+    micro-L2 distance (ties → lowest centroid id — the exact order of
+    ``_l2_assign``'s argmin, so probe #1 IS the query's own cell and
+    ``nprobe=1`` reproduces the single-probe result bit-for-bit). The
+    query's residual is CELL-RELATIVE — recomputed against each probed
+    centroid — which is what makes residual-PQ multi-probe subtle: one
+    LUT per (query, probed cell), |queries|·nprobe·m·k rows, still
+    broadcast-sized.
+
     Output: query_id, neighbor_id, cluster, dist_u6. All distances
     micro-unit integers → exact sums, hash-portable.
 
     Scale: assignment map-only vs broadcast centroids; the code table
-    is (corpus×m) ints partitioned by cell; a query touches one cell.
+    is (corpus×m) ints partitioned by cell; a query touches ``nprobe``
+    cells, bought with a wider broadcast LUT — never a second corpus
+    pass.
     """
     assigned = _l2_assign(df, centroids, vec_col, id_col)
     residuals = assigned.select(
@@ -302,39 +330,56 @@ def ivfpq_topk(
         F.zip_with(F.col("_v"), F.col("_cv"), lambda x, y: x - y).alias("_r"),
     )
     res_as_vec = residuals.withColumnRenamed("_r", vec_col)
-    codebook = pq_codebook(
-        res_as_vec.filter(
-            (F.col(id_col) >= codebook_lo) & (F.col(id_col) < codebook_hi)
-        ),
-        m,
-        dim,
-        vec_col,
-        id_col,
+    sample = res_as_vec.filter(
+        (F.col(id_col) >= codebook_lo) & (F.col(id_col) < codebook_hi)
     )
+    if train_codebook:
+        codebook = pq_train(
+            sample, m, dim, k=train_k, iters=train_iters,
+            vec_col=vec_col, id_col=id_col,
+        )
+    else:
+        codebook = pq_codebook(sample, m, dim, vec_col, id_col)
     codes = pq_encode(res_as_vec, codebook, m, dim, vec_col, id_col)
-    # query side: same residual (queries are corpus members), LUT of
-    # residual-subvector-to-codeword distances within the probed cell
-    q_res = res_as_vec.join(queries.select(F.col(id_col)), id_col, "left_semi")
-    q_cluster = residuals.join(
-        queries.select(F.col(id_col)), id_col, "left_semi"
-    ).select(F.col(id_col).alias("query_id"), F.col("cluster").alias("_qc"))
+    # query side: rank every cell by coarse distance, keep nprobe,
+    # and carry the CELL-RELATIVE residual into the LUT build
+    cen = centroids.select(
+        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
+    )
+    q = assigned.join(queries.select(F.col(id_col)), id_col, "left_semi").select(
+        F.col(id_col).alias("query_id"), F.col("_v").alias("_qv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("_cid").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cen))
+        .select(
+            "query_id",
+            "_qv",
+            "_cid",
+            "_cv",
+            _l2sq_micro(F.col("_qv"), F.col("_cv")).alias("_d"),
+        )
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= nprobe)
+        .select(
+            "query_id",
+            F.col("_cid").alias("_qc"),
+            F.zip_with(F.col("_qv"), F.col("_cv"), lambda x, y: x - y).alias(
+                vec_col
+            ),
+        )
+    )
     lut = (
-        subvectors(q_res, m, dim, vec_col, id_col)
-        .withColumnRenamed(id_col, "query_id")
+        subvectors(probes, m, dim, vec_col, "query_id", keep_cols=("_qc",))
         .join(F.broadcast(codebook), "subspace")
         .select(
             "query_id",
-            "subspace",
-            "code",
-            _l2sq_micro(F.col("subvec"), F.col("codeword")).alias("_d"),
-        )
-        .join(F.broadcast(q_cluster), "query_id")
-        .select(
-            "query_id",
+            "_qc",
             F.col("subspace").alias("_ls"),
             F.col("code").alias("_lc"),
-            "_d",
-            "_qc",
+            _l2sq_micro(F.col("subvec"), F.col("codeword")).alias("_d"),
         )
     )
     sims = (

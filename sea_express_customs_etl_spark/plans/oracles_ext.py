@@ -426,6 +426,66 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
 WHERE rn <= 5
 """
 
+# Multi-probe IVFPQ (nprobe=2): cells ranked per query by coarse
+# micro-L2 (ties → lowest centroid id — identical to the assignment
+# argmin, so probe #1 is the own cell), and the query residual is
+# CELL-RELATIVE: one LUT row set per (query, probed cell).
+IVFPQ_NPROBE2_SQL = f"""
+WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, v, cluster, cv FROM (
+    SELECT b.vec_id, b.v, c.cid AS cluster, c.cv,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+               {_D2U6.format(a='b.v', b='c.cv')}, c.cid) AS rn
+    FROM base b, cen c)
+  WHERE rn = 1),
+res AS (SELECT vec_id, cluster,
+               list_transform(list_zip(v, cv), s -> s[1] - s[2]) AS r
+        FROM asg),
+rsv AS (
+  SELECT vec_id, cluster, g.j AS subspace, r[g.j*8+1 : g.j*8+8] AS subvec
+  FROM res, generate_series(0, 7) g(j)),
+cb AS (SELECT subspace, vec_id AS code, subvec AS codeword
+       FROM rsv WHERE vec_id >= 16 AND vec_id < 48),
+scored AS (
+  SELECT rsv.vec_id, rsv.cluster, rsv.subspace, cb.code,
+         {_D2U6.format(a='rsv.subvec', b='cb.codeword')} AS d
+  FROM rsv JOIN cb USING (subspace)),
+enc AS (
+  SELECT vec_id, cluster, subspace, code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             ORDER BY d, code) AS rn FROM scored)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, cid AS qc,
+         list_transform(list_zip(qv, cv), s -> s[1] - s[2]) AS qres
+  FROM (
+    SELECT q.vec_id AS query_id, c.cid, q.v AS qv, c.cv,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               {_D2U6.format(a='q.v', b='c.cv')}, c.cid) AS pr
+    FROM base q, cen c WHERE q.vec_id < 10)
+  WHERE pr <= 2),
+qsv AS (
+  SELECT query_id, qc, g.j AS subspace, qres[g.j*8+1 : g.j*8+8] AS subvec
+  FROM probes, generate_series(0, 7) g(j)),
+lut AS (
+  SELECT q.query_id, q.qc, q.subspace, cb.code,
+         {_D2U6.format(a='q.subvec', b='cb.codeword')} AS d
+  FROM qsv q JOIN cb USING (subspace)),
+sims AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, e.cluster,
+         CAST(SUM(l.d) AS BIGINT) AS dist_u6
+  FROM enc e JOIN lut l
+    ON e.cluster = l.qc AND e.subspace = l.subspace AND e.code = l.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2, 3)
+SELECT query_id, neighbor_id, cluster, dist_u6
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY dist_u6, neighbor_id) AS rn FROM sims)
+WHERE rn <= 5
+"""
+
 PQ_TOPK_SQL = f"""
 WITH {_PQ_PRELUDE},
 lut AS (SELECT vec_id AS query_id, subspace, code, d

@@ -159,8 +159,10 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     return (
+        # nation (25 rows) and region (5 rows) are FIXED-size → pinned
+        # broadcasts; customer grows with SF → AQE decides
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -237,7 +239,7 @@ def nation_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     agg = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name", F.year("o_orderdate").alias("order_year"))
         .agg(
@@ -280,11 +282,12 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN → LEFT ANTI join shape: distinct suppliers per brand,
     excluding suppliers in bad standing (negative account balance).
-    The exclusion list is supplier-table-sized (small at any SF) and
-    BROADCAST, so the anti join is map-side; the part join is left to
-    Catalyst/AQE — broadcast at bench scale, shuffle when the part
-    dimension outgrows the threshold at 100 TB. No NULL-semantics trap:
-    both key columns are non-null, so NOT IN ≡ anti join here."""
+    The exclusion list is supplier-table-sized — small relative to
+    lineitem but still SF-growing, so (like the part join) it is left
+    to Catalyst/AQE: broadcast at bench scale, shuffled anti join when
+    the supplier dimension outgrows the threshold at 100 TB. No
+    NULL-semantics trap: both key columns are non-null, so NOT IN ≡
+    anti join here."""
     bad = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
@@ -293,7 +296,7 @@ def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(
@@ -305,14 +308,15 @@ def brand_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def returned_revenue_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
     """TPC-H Q10 shape: customers ranked by revenue of returned items
-    (l_returnflag = 'R'). Filter pushed below the join; customer dim
-    broadcast; unique c_custkey breaks limit-boundary ties."""
+    (l_returnflag = 'R'). Filter pushed below the join; the customer
+    dim is SF-growing so AQE picks broadcast-vs-shuffle at runtime;
+    unique c_custkey breaks limit-boundary ties."""
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_custkey", "c_name")
         .agg(
             F.round(

@@ -47,7 +47,13 @@ _MATERIALIZED: dict[tuple[str, str, str], DataFrame] = {}
 def _materialized(
     spark: SparkSession, sf_dir: str, name: str, build: Callable[[], DataFrame]
 ) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    # evict entries left behind by STOPPED sessions: their DataFrames
+    # are unusable (app ids never repeat), and keeping them pins dead
+    # persisted-RDD bookkeeping for the life of the process
+    for k in [k for k in _MATERIALIZED if k[0] != app_id]:
+        del _MATERIALIZED[k]
+    key = (app_id, sf_dir, name)
     df = _MATERIALIZED.get(key)
     if df is None:
         df = build().persist()
@@ -89,10 +95,14 @@ def _joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_type")
-    # orders/part are dimension-sized relative to lineitem → broadcast both
-    return li.join(
-        F.broadcast(orders), li.l_orderkey == orders.o_orderkey
-    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # orders (~¼ of lineitem's rows) and part both grow with SF — no
+    # pinned broadcast hints: AQE broadcasts them while they fit under
+    # the threshold (always at bench scale) and falls back to shuffled
+    # joins at 100 TB, where a forced broadcast of a 25 TB orders
+    # table would OOM
+    return li.join(orders, li.l_orderkey == orders.o_orderkey).join(
+        part, li.l_partkey == part.p_partkey
+    )
 
 
 def declared_table(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,102 @@
+"""Forced-broadcast audit (VERDICT r3 #2 follow-through).
+
+A pinned ``F.broadcast()`` hint overrides AQE's size check, so it is
+only acceptable on relations whose size does NOT grow with the corpus:
+trained models (centroids, PQ codebooks/LUTs), the query set, 1-row
+scalars, eval-set n-grams, fixed dimension tables (nation=25,
+region=5 rows), block-pair spines (num_blocks² rows), and per-domain
+threshold tables (|domains| rows). Anything corpus-growing behind a
+pinned hint is an executor OOM at 100 TB — the r3 ``lm_score`` defect
+class, which slipped past the BNLJ-only plan audit because
+broadcast-HASH-joins are not BNLJ.
+
+Method: disable the size-based threshold (``-1``) and build every
+query's plan from a COLD stand-in cache — any broadcast join left in
+the static plan can only come from a pinned hint. Queries outside the
+allowlist must plan hint-free (AQE still broadcasts their small sides
+at runtime; this guards the DEGRADATION path, not the bench-scale
+plan).
+
+The stand-in cache must be cold because ``plans/standins.py``
+materializes per-session DataFrames whose cached InMemoryRelation
+embeds the plan compiled under the threshold in effect at persist
+time — AQE's legitimate runtime broadcasts would read as false
+positives.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+from sea_express_customs_etl_spark.plans import standins
+
+SF_DIR = "/root/testdata/sf0.001"
+
+FORCED_BROADCAST_ALLOWED = {
+    "cosine_topk",         # query set (10 vectors)
+    "ann_ivf_nprobe2",     # centroids + probe ranking table
+    "kmeans_ivf_topk",     # trained centroids (k=8)
+    "ivf_near_dups",       # centroids
+    "semantic_dedup",      # centroids feeding the IVF blocking
+    "embedding_near_dups",  # block-pair spine (num_blocks² rows)
+    "pq_codes",            # PQ codebook (m·k entries)
+    "pq_topk",             # codebook + per-query LUT
+    "ivfpq_topk",          # coarse centroids + residual codebook + LUT
+    "ivfpq_nprobe2",       # same, LUT = |queries|·nprobe·m·k rows
+    "decontaminate",       # eval-set n-grams (eval-sized, correct side)
+    "tfidf_top_terms",     # 1-row corpus-size N
+    "lm_score",            # 1-row vocabulary-size V (counts NOT pinned)
+    "domain_mix_sample",   # per-domain targets/budget/thresholds
+    "bpe_encode_fixed",    # distinct-word dictionary (documented dial —
+    #                        Heaps-law growth, pinned because the
+    #                        dictionary-encode design depends on it)
+    "revenue_by_nation",   # nation (25 rows) + region (5 rows)
+    "nation_revenue_share",  # nation (25 rows)
+}
+
+
+def _clear_caches(spark) -> None:
+    # stand-ins: per-session dict of persisted DataFrames
+    for df in standins._MATERIALIZED.values():
+        with contextlib.suppress(Exception):
+            df.unpersist()
+    standins._MATERIALIZED.clear()
+    # everything else: Spark's CacheManager matches persist()ed plans
+    # STRUCTURALLY, so a pipeline-internal persist() from an earlier
+    # test (compiled under the default threshold, with AQE's legitimate
+    # runtime broadcasts baked in) would be substituted into the plan
+    # built here and read as a false positive
+    spark.catalog.clearCache()
+
+
+@pytest.fixture(scope="module")
+def no_auto_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    _clear_caches(spark)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    yield spark
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # drop anything compiled under -1 so later tests re-materialize
+    # under the normal threshold
+    _clear_caches(spark)
+
+
+@pytest.mark.parametrize("name", sorted(entry.queries()))
+def test_no_forced_broadcast_of_growing_relations(no_auto_broadcast, name):
+    if name in FORCED_BROADCAST_ALLOWED:
+        pytest.skip("pinned broadcast by design (see allowlist)")
+    df = entry.queries()[name](no_auto_broadcast, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert not re.search(
+        r"\(\d+\) Broadcast(HashJoin|NestedLoopJoin)", buf.getvalue()
+    ), (
+        f"{name}: pinned broadcast hint survives threshold=-1 — a "
+        f"corpus-growing build side here OOMs at scale; drop the hint "
+        f"(AQE broadcasts small sides at runtime) or allowlist with a "
+        f"bounded-size justification"
+    )

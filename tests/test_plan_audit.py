@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "kmeans_ivf_topk",    # trained centroid table broadcast (k = 8)
     "ivf_near_dups",      # cluster-blocked verify: centroids broadcast
     "ivfpq_topk",         # coarse-quantizer centroid table broadcast
+    "ivfpq_nprobe2",      # same + per-probed-cell LUT broadcast
     "semantic_dedup",     # same IVF blocking feeding cluster resolution
     "embedding_near_dups",  # block-id spine (|blocks| rows) broadcast
     "tfidf_top_terms",    # 1-row corpus-size N broadcast
@@ -130,3 +131,5 @@ def test_bpe_encode_uses_dictionary_broadcast(spark):
     plan = _plan_text(entry.queries()["bpe_encode_fixed"](spark, SF_DIR))
     assert re.search(r"\(\d+\) BroadcastHashJoin", plan)
     assert "SortMergeJoin" not in plan
+
+
