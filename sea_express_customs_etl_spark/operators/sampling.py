@@ -132,6 +132,7 @@ def stratified_exact(
     n_per_stratum: int,
     key_col: str = "doc_id",
     salt: str = "",
+    two_phase: bool = True,
 ) -> DataFrame:
     """EXACTLY ``n_per_stratum`` rows from every stratum (fewer only
     when the stratum is smaller) — the balanced-eval-set draw that
@@ -140,16 +141,35 @@ def stratified_exact(
 
     Rows are ranked inside each stratum by ``md5(salt || key)`` — a
     deterministic pseudo-random order, reproducible in any engine and
-    independent of layout — and the first ``n`` kept. One shuffle on
-    the strata column; per-stratum window state is a running count
-    (bounded), but a HOT stratum funnels into one partition — for
-    corpus-scale strata use :func:`hash_sample` per stratum instead
-    (map-only) and accept approximate counts; this operator is for
-    bounded eval draws (n_per_stratum rows survive per group).
+    independent of layout — and the first ``n`` kept.
+
+    Hot-stratum safety (default ``two_phase=True``): a single window
+    over the strata column funnels each ENTIRE stratum through one
+    task — fatal when a stratum is corpus-scale at 100 TB. The
+    two-phase draw first ranks within ``(input partition, stratum)``
+    (the shuffle key carries the partition id, so a hot stratum
+    spreads over as many tasks as it has source partitions and
+    per-task state stays ≤ n) and keeps each group's top-n; the global
+    top-n per stratum is provably inside that union, so phase two
+    ranks only ≤ n·num_partitions CANDIDATE rows per stratum — a
+    graph-sized second shuffle, no funnel. Which candidates phase one
+    forwards depends on the physical layout, but the phase-two result
+    is the exact global top-n either way — the output is bit-identical
+    to the single-window form under every layout (property-tested).
+    ``two_phase=False`` keeps the single-shuffle plan for small inputs.
     """
-    w = Window.partitionBy(strata_col).orderBy(
-        _hash_prefix(F.col(key_col), salt), F.col(key_col)
-    )
+    h = _hash_prefix(F.col(key_col), salt)
+    if two_phase:
+        pre_w = Window.partitionBy("_pid", strata_col).orderBy(
+            h, F.col(key_col)
+        )
+        df = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_prk", F.row_number().over(pre_w))
+            .filter(F.col("_prk") <= n_per_stratum)
+            .drop("_pid", "_prk")
+        )
+    w = Window.partitionBy(strata_col).orderBy(h, F.col(key_col))
     return (
         df.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= n_per_stratum)

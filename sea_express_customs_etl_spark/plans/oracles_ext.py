@@ -302,6 +302,37 @@ WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < thr
 """
 
 # --------------------------------------------------------------------------
+# xlsx connector lineage (__spark_entry__._q_manifest_xlsx_ingest): the
+# Spark side synthesizes a new-format .xlsx manifest FROM the part
+# table (anchor HAWB every 3rd row, positional A/D/J/K/N/O cells) and
+# parses it back through read_manifests_raw → declared_cargo; this SQL
+# recomputes the expected parse output from part directly. `//` is
+# integer division: row i's HAWB is the anchor at ((i-1)//3)*3+1.
+# --------------------------------------------------------------------------
+
+MANIFEST_XLSX_SQL = """
+WITH p AS (
+  SELECT p_partkey, p_name, p_size,
+         row_number() OVER (ORDER BY p_partkey) AS rn
+  FROM part WHERE p_partkey <= 300),
+j AS (
+  SELECT c.rn, c.p_name, c.p_size,
+         'H' || CAST(a.p_partkey AS VARCHAR) AS hawb
+  FROM p c JOIN p a ON a.rn = ((c.rn - 1) // 3) * 3 + 1)
+SELECT 'M77EX' AS mawb_no,
+       hawb AS hawb_no,
+       CAST(row_number() OVER (PARTITION BY hawb ORDER BY rn) AS INTEGER)
+           AS item_no,
+       p_name AS description_original,
+       CAST(p_size AS DOUBLE) AS qty,
+       'PCE' AS qty_unit,
+       CAST(p_size * 10 AS DOUBLE) AS unit_price,
+       CAST(p_size * 10 * p_size AS DOUBLE) AS total_amount,
+       CAST(rn - 1 AS BIGINT) AS _row_idx
+FROM j
+"""
+
+# --------------------------------------------------------------------------
 # product quantization (operators/pq.py); m=8 subspaces over 64 dims,
 # codebook = subvectors of vec_id < 16, queries = vec_id < 10.
 # Distances are squared-L2 in micro-units (bigint) — exactly summable,

@@ -248,6 +248,38 @@ def test_stratified_exact_counts_and_determinism(spark):
     assert salted != {(r.doc_id, r.lang) for r in rows}
 
 
+def test_stratified_exact_two_phase_skew_invariance(spark):
+    """Hot-stratum hardening (VERDICT r3 'Next round' #7): the
+    two-phase draw (per-input-partition top-n → global top-n over the
+    candidate union) must return EXACTLY the single-window result on
+    every physical layout, including one stratum ~25× the others."""
+    from sea_express_customs_etl_spark.operators.sampling import (
+        stratified_exact,
+    )
+
+    rows = [
+        (i, "hot" if i < 5000 else ("a" if i % 2 else "b"))
+        for i in range(5200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    ref = {
+        (r.doc_id, r.lang)
+        for r in stratified_exact(df, "lang", 25, two_phase=False).collect()
+    }
+    assert len(ref) == 75
+    for layout in (
+        df,
+        df.repartition(13),
+        df.repartition(1),
+        df.repartition(31, "doc_id"),
+    ):
+        got = {
+            (r.doc_id, r.lang)
+            for r in stratified_exact(layout, "lang", 25).collect()
+        }
+        assert got == ref
+
+
 def test_chunk_documents_layout(spark):
     from sea_express_customs_etl_spark.operators.packing import chunk_documents
 

@@ -1,0 +1,126 @@
+"""8× scale probe — the SCALE.md measurement protocol as a script.
+
+Replicates the sf0.1 ``documents``/``embeddings`` tables 8× with
+SHIFTED ids (so key cardinality grows with the corpus) while holding
+the model-sided inputs fixed (centroids, codebooks, query sets, merge
+lists — the things that stay model-sized at 100 TB), then times each
+probed operator at 1× and 8× (best of 2, noop sink — full distributed
+execution, no driver transfer).
+
+Replicated documents repeat the same TEXT, so distinct-word /
+distinct-bigram tables stay constant while the corpus grows — exactly
+the model-vs-data separation the lm/bpe operators claim: their scaling
+here isolates the corpus-side shuffles.
+
+Usage: python tools/scale_probe.py [case ...]   (default: all cases)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REP = 8
+_OFFSET = 10_000_000
+
+
+def replicated(df: DataFrame, id_col: str, rep: int) -> DataFrame:
+    out = None
+    for i in range(rep):
+        part = df.withColumn(id_col, F.col(id_col) + F.lit(i * _OFFSET))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def _semantic_dedup(emb: DataFrame, k_centroids: int) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        ivf_near_dups,
+    )
+
+    pairs = ivf_near_dups(
+        emb, emb.filter(F.col("vec_id") < k_centroids), threshold=0.4
+    ).select("id_a", "id_b")
+    return dedup_clusters(emb, pairs, id_col="vec_id")
+
+
+def cases() -> dict:
+    from sea_express_customs_etl_spark.operators.bpe import (
+        FIXED_MERGES,
+        bpe_encode,
+    )
+    from sea_express_customs_etl_spark.operators.lm import lm_score
+    from sea_express_customs_etl_spark.operators.pq import ivfpq_topk
+
+    def _ivfpq(emb, nprobe):
+        return ivfpq_topk(
+            emb,
+            emb.filter(F.col("vec_id") < 16),
+            emb.filter(F.col("vec_id") < 10),
+            k=5,
+            nprobe=nprobe,
+        )
+
+    return {
+        "lm_score": lambda docs, emb: lm_score(docs),
+        "bpe_encode_fixed": lambda docs, emb: bpe_encode(
+            docs, list(FIXED_MERGES)
+        ).select("doc_id", "n_tokens"),
+        "ivfpq_topk": lambda docs, emb: _ivfpq(emb, 1),
+        "ivfpq_nprobe2": lambda docs, emb: _ivfpq(emb, 2),
+        # fixed centroid count: cluster populations grow with the
+        # corpus, the Σ size² pair stage grows quadratically
+        "semantic_dedup_fixed_k": lambda docs, emb: _semantic_dedup(emb, 16),
+        # the documented dial: k ~ √n (16·√8 ≈ 45) holds cluster
+        # populations — and the pair stage — constant-factor
+        "semantic_dedup_scaled_k": lambda docs, emb: _semantic_dedup(
+            emb, 45
+        ),
+    }
+
+
+def main() -> None:
+    from sea_express_customs_etl_spark.plans.standins import load_table
+    from sea_express_customs_etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="scale_probe", master="local[32]", shuffle_partitions=64
+    )
+    docs1 = load_table(spark, SF_DIR, "documents")
+    emb1 = load_table(spark, SF_DIR, "embeddings")
+    docs8 = replicated(docs1, "doc_id", REP)
+    emb8 = replicated(emb1, "vec_id", REP)
+    for df in (docs1, emb1):
+        df.count()  # warm the scans
+
+    wanted = sys.argv[1:] or None
+    all_cases = cases()
+    names = wanted or list(all_cases)
+    for name in names:
+        fn = all_cases[name]
+        walls = {}
+        for scale, (d, e) in {"1x": (docs1, emb1), "8x": (docs8, emb8)}.items():
+            # scaled-k only differs from fixed-k at 8×; at 1× it IS k=16
+            if name == "semantic_dedup_scaled_k" and scale == "1x":
+                continue
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(d, e).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            walls[scale] = round(best, 2)
+        one, eight = walls.get("1x"), walls.get("8x")
+        ratio = f"{eight / one:.1f}x" if one else "-"
+        print(f"RESULT {name}: 1x={one} 8x={eight} ratio={ratio}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
