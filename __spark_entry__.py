@@ -186,35 +186,31 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dedup import (
         lsh_bands,
         lsh_candidate_pairs,
-        minhash_signatures,
-        shingles,
+        shingle_profiles,
     )
 
-    # stage the shingle frame exactly as curation_pipeline does
-    # (plans/curation.py) — minhash aggregation and band explosion both
-    # re-reference it, and the shingle split is the expensive part
-    sh = shingles(_docs(spark, sf_dir)).persist()
-    return lsh_candidate_pairs(lsh_bands(minhash_signatures(sh))).select(
-        F.col("id_a"), F.col("id_b")
-    )
+    # fused profile frame: one explode + one groupBy yields sets +
+    # minhashes together (r4 rework of the r3 staged-shingle advice —
+    # fewer shuffle boundaries beats caching the exploded frame)
+    return lsh_candidate_pairs(
+        lsh_bands(shingle_profiles(_docs(spark, sf_dir)))
+    ).select(F.col("id_a"), F.col("id_b"))
 
 
 def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dedup import (
-        jaccard_verify,
+        jaccard_verify_profiles,
         lsh_bands,
         lsh_candidate_pairs,
-        minhash_signatures,
-        shingles,
+        shingle_profiles,
     )
 
-    # the shingle frame is referenced THREE times here (signatures +
-    # both Jaccard sides) — stage it as curation_pipeline does; the r3
-    # bench regression on this pair of queries was the unstaged 3×
-    # shingle recompute
-    sh = shingles(_docs(spark, sf_dir)).persist()
-    pairs = lsh_candidate_pairs(lsh_bands(minhash_signatures(sh)))
-    return jaccard_verify(pairs, sh)
+    # the profile frame is referenced three times (bands + both
+    # Jaccard sides) — persist the doc-grained frame (one row per
+    # document), not the exploded shingles
+    prof = shingle_profiles(_docs(spark, sf_dir)).persist()
+    pairs = lsh_candidate_pairs(lsh_bands(prof))
+    return jaccard_verify_profiles(pairs, prof)
 
 
 def _q_key_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,17 +509,16 @@ def _q_manifest_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dedup import (
         dedup_clusters,
-        jaccard_verify,
+        jaccard_verify_profiles,
         lsh_bands,
         lsh_candidate_pairs,
-        minhash_signatures,
-        shingles,
+        shingle_profiles,
     )
 
     docs = _docs(spark, sf_dir)
-    sh = shingles(docs)
-    pairs = jaccard_verify(
-        lsh_candidate_pairs(lsh_bands(minhash_signatures(sh))), sh
+    prof = shingle_profiles(docs).persist()
+    pairs = jaccard_verify_profiles(
+        lsh_candidate_pairs(lsh_bands(prof)), prof
     ).select("id_a", "id_b")
     return dedup_clusters(docs, pairs)
 

@@ -89,6 +89,95 @@ def minhash_signatures(
     return shingled.groupBy(id_col).agg(*aggs)
 
 
+def shingle_profiles(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 8,
+) -> DataFrame:
+    """The fused LSH input: per document, the distinct shingle SET,
+    its size, and all ``num_hashes`` MinHash values — ONE explode and
+    ONE partial-aggregated groupBy, where the staged pipeline
+    (:func:`shingles` → ``.distinct()`` → :func:`minhash_signatures` →
+    re-joined :func:`jaccard_verify`) pays four extra shuffle
+    boundaries for the same information. ``min(md5(...))`` is
+    duplicate-insensitive, so no pre-``distinct`` is needed, and
+    ``collect_set`` IS the distinct — per-group state is bounded by
+    document length (shingle count ≈ word count), the same bound the
+    exploded form already implied.
+
+    Output: id, _sh_set (array<string>), n_sh (int, distinct count),
+    mh_0..mh_{k-1}. Feeds :func:`lsh_bands` directly (it only reads
+    the mh columns) and :func:`jaccard_verify_profiles`.
+    """
+    toks = tokens(df, text_col)
+    parts = [F.element_at(F.col("_toks"), F.col("_i") + k) for k in range(n)]
+    exploded = (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.lit(1), F.size("_toks") - (n - 1))
+            ).alias("_i"),
+            "_toks",
+        )
+        .select(F.col(id_col), F.concat_ws(" ", *parts).alias("shingle"))
+    )
+    aggs = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(
+        F.collect_set("shingle").alias("_sh_set"), *aggs
+    ).withColumn("n_sh", F.size("_sh_set"))
+
+
+def jaccard_verify_profiles(
+    pairs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs against
+    :func:`shingle_profiles` output: the shingle sets ride along as
+    array columns, so the intersection is a per-pair
+    ``array_intersect`` instead of a re-exploded (id, shingle) join —
+    two joins of the doc-grained profile frame (AQE broadcasts the
+    tiny pair side), zero shingle-row shuffles. Values identical to
+    :func:`jaccard_verify` (same distinct sets, same rounding)."""
+    pa = profiles.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sh_set").alias("_sa"),
+        F.col("n_sh").alias("n_a"),
+    )
+    pb = profiles.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sh_set").alias("_sb"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn(
+            "_n_inter", F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("_n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def lsh_bands(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -31,11 +31,10 @@ import pyspark.sql.functions as F
 
 from sea_express_customs_etl_spark.operators.dedup import (
     dedup_clusters,
-    jaccard_verify,
+    jaccard_verify_profiles,
     lsh_bands,
     lsh_candidate_pairs,
-    minhash_signatures,
-    shingles,
+    shingle_profiles,
 )
 from sea_express_customs_etl_spark.operators.sampling import hash_split
 from sea_express_customs_etl_spark.operators.textstats import quality_gate
@@ -75,14 +74,15 @@ def curation_pipeline(
         id_col,
     ).persist()
 
-    # the shingle frame is referenced three times (signatures + both
-    # Jaccard sides) — stage it too, the second phase-boundary table a
-    # production LSH pipeline materializes (MEMORY_AND_DISK: spills at
-    # corpus scale rather than evicting; measured ~15% off the composed
-    # pipeline at sf0.1)
-    sh = shingles(exact_kept, text_col, id_col).persist()
-    pairs = jaccard_verify(
-        lsh_candidate_pairs(lsh_bands(minhash_signatures(sh))), sh
+    # the fused shingle-profile frame (sets + minhashes from one
+    # explode + one groupBy, r4) is referenced three times (bands +
+    # both Jaccard sides) — stage it, the second phase-boundary table
+    # a production LSH pipeline materializes (MEMORY_AND_DISK: spills
+    # at corpus scale rather than evicting). Doc-grained (one row per
+    # survivor), far smaller than the r3 exploded shingle frame.
+    prof = shingle_profiles(exact_kept, text_col, id_col).persist()
+    pairs = jaccard_verify_profiles(
+        lsh_candidate_pairs(lsh_bands(prof)), prof
     ).select("id_a", "id_b")
     kept = (
         dedup_clusters(exact_kept, pairs, id_col)

@@ -59,6 +59,58 @@ def test_jaccard_verify_scores(spark):
     assert verified[(1, 2)] == 1.0
 
 
+def test_shingle_profiles_equal_staged_pipeline(spark, sf_dir):
+    """The fused profile frame (one explode + one groupBy) must carry
+    exactly the information of the staged pipeline: same minhash
+    signatures, same distinct-shingle counts, same LSH pairs, and
+    bit-identical Jaccard scores via array_intersect — on the toy
+    corpus AND the real documents table."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        jaccard_verify_profiles,
+        shingle_profiles,
+    )
+
+    for df in (
+        _docs(spark),
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        ),
+    ):
+        sh = shingles(df)
+        sig = minhash_signatures(sh)
+        prof = shingle_profiles(df)
+
+        mh_cols = [f"mh_{i}" for i in range(8)]
+        staged_sig = {
+            r.doc_id: tuple(r[c] for c in mh_cols) for r in sig.collect()
+        }
+        fused = {
+            r.doc_id: (tuple(r[c] for c in mh_cols), r.n_sh)
+            for r in prof.collect()
+        }
+        assert {d: s for d, (s, _) in fused.items()} == staged_sig
+        staged_sizes = {
+            r.doc_id: r.cnt
+            for r in sh.groupBy("doc_id").count().withColumnRenamed(
+                "count", "cnt"
+            ).collect()
+        }
+        assert {d: n for d, (_, n) in fused.items()} == staged_sizes
+
+        pairs = lsh_candidate_pairs(lsh_bands(sig))
+        staged_j = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_verify(pairs, sh, threshold=0.0).collect()
+        }
+        fused_j = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in jaccard_verify_profiles(
+                lsh_candidate_pairs(lsh_bands(prof)), prof, threshold=0.0
+            ).collect()
+        }
+        assert fused_j == staged_j
+
+
 def test_simhash_properties(spark):
     sigs = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
     assert sigs[1] == sigs[2]  # identical text → identical signature
