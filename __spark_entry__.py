@@ -387,6 +387,57 @@ def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_counts(_docs(spark, sf_dir))
 
 
+def _sketch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok): lowercased whitespace tokens — the shared input
+    of the sketch queries (mirrored verbatim by ``_SKETCH_TOKS`` in
+    the oracle SQL)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok"),
+    )
+
+
+def _q_hll_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog over the corpus token stream: the
+    256-register state (md5-derived buckets/ranks, integer-exact) is
+    the checked artifact; estimate accuracy (~1/√m) is
+    property-tested separately."""
+    from sea_express_customs_etl_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    return hll_registers(_sketch_tokens(spark, sf_dir), "tok")
+
+
+def _q_cms_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of token frequencies: d=4 × w=256 cell table,
+    exact bigint sums — the mergeable frequency state a 100 TB corpus
+    keeps instead of a vocabulary-sized exact count table."""
+    from sea_express_customs_etl_spark.operators.sketches import cms_cells
+
+    return cms_cells(_sketch_tokens(spark, sf_dir), "tok")
+
+
+def _q_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pruning end-to-end: build the word
+    table over the tokens of every 7th document, probe the full
+    distinct vocabulary map-side (broadcast words, no shuffle of the
+    probe side), output (tok, might_contain). Never a false negative;
+    false positives at the standard Bloom rate — and bit-for-bit
+    reproducible, so even the false positives hash-match DuckDB."""
+    from sea_express_customs_etl_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    toks = _sketch_tokens(spark, sf_dir)
+    vocab = toks.filter(F.col("doc_id") % 7 == 0).select("tok").distinct()
+    probe = toks.select("tok").distinct()
+    return bloom_might_contain(probe, bloom_build(vocab, "tok"), "tok")
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus bigram-LM quality scoring: every document's
     summed log-probability under a model counted from the corpus
@@ -681,6 +732,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _q_repetition_stats,
         "quality_gate": _q_quality_gate,
         "lm_score": _q_lm_score,
+        # deterministic sketches (cardinality / frequency / membership)
+        "hll_tokens": _q_hll_tokens,
+        "cms_token_freqs": _q_cms_token_freqs,
+        "bloom_filter_probe": _q_bloom_filter_probe,
         "doc_fingerprint": _q_doc_fingerprint,
         "chunk_documents": _q_chunk_documents,
         # packing / deterministic sampling / mixing
@@ -810,5 +865,8 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": ext.IVFPQ_TOPK_SQL,
         "ivfpq_nprobe2": ext.IVFPQ_NPROBE2_SQL,
         "manifest_xlsx_ingest": ext.MANIFEST_XLSX_SQL,
+        "hll_tokens": ext.HLL_TOKENS_SQL,
+        "cms_token_freqs": ext.CMS_TOKEN_FREQS_SQL,
+        "bloom_filter_probe": ext.BLOOM_PROBE_SQL,
         "event_value_percentiles": ext.EVENT_VALUE_PERCENTILES_SQL,
     }

@@ -533,6 +533,75 @@ WHERE rn <= 5
 """
 
 # --------------------------------------------------------------------------
+# deterministic sketches (operators/sketches.py): md5-based HyperLogLog
+# registers, Count-Min cells, Bloom-filter words — the sketch STATE is
+# integer-exact, so it hash-checks across engines (the reason these
+# exist instead of approx_count_distinct, whose internal hashing is
+# engine-specific). 48-bit hash prefix = ('0x' || 12 hex chars)::BIGINT,
+# identical to Spark's conv(substring(md5(..),1,12),16,10).
+# --------------------------------------------------------------------------
+
+_SKETCH_TOKS = """
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents)
+"""
+
+_H48 = "('0x' || substring(md5({v}), 1, 12))::BIGINT"
+
+HLL_TOKENS_SQL = f"""
+WITH {_SKETCH_TOKS},
+h AS (SELECT {_H48.format(v='tok')} AS h48 FROM toks),
+r AS (SELECT (h48 % 256)::INTEGER AS bucket,
+             h48 // 256 AS w
+      FROM h)
+SELECT bucket,
+       CAST(max(CASE WHEN w = 0 THEN 41
+                     ELSE 41 - length(ltrim(bin(w), '0')) END) AS INTEGER)
+           AS max_rank
+FROM r GROUP BY bucket
+"""
+
+CMS_TOKEN_FREQS_SQL = f"""
+WITH {_SKETCH_TOKS},
+c AS (
+  SELECT g.i AS sketch_row,
+         ({_H48.format(v="CAST(g.i AS VARCHAR) || '|' || tok")} % 256)::INTEGER
+             AS col
+  FROM toks, generate_series(0, 3) g(i))
+SELECT sketch_row, col, CAST(count(*) AS BIGINT) AS cnt
+FROM c GROUP BY 1, 2
+"""
+
+BLOOM_PROBE_SQL = f"""
+WITH {_SKETCH_TOKS},
+vocab AS (SELECT DISTINCT tok FROM toks WHERE doc_id % 7 = 0),
+vb AS (
+  SELECT ({_H48.format(v="CAST(g.j AS VARCHAR) || '|' || tok")} % 65536)
+             AS bit
+  FROM vocab, generate_series(0, 3) g(j)),
+words AS (
+  SELECT (bit // 32)::INTEGER AS word_idx,
+         bit_or(CAST(power(2, bit % 32) AS BIGINT)) AS bits
+  FROM vb GROUP BY 1),
+probe AS (SELECT DISTINCT tok FROM toks),
+pb AS (
+  SELECT p.tok,
+         ({_H48.format(v="CAST(g.j AS VARCHAR) || '|' || p.tok")} % 65536)
+             AS bit
+  FROM probe p, generate_series(0, 3) g(j)),
+hits AS (
+  SELECT pb.tok,
+         CASE WHEN (coalesce(w.bits, 0)
+                    & CAST(power(2, pb.bit % 32) AS BIGINT)) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM pb LEFT JOIN words w ON w.word_idx = (pb.bit // 32)::INTEGER)
+SELECT tok, CAST(min(hit) AS INTEGER) AS might_contain
+FROM hits GROUP BY tok
+"""
+
+# --------------------------------------------------------------------------
 # text analysis
 # --------------------------------------------------------------------------
 

@@ -53,6 +53,7 @@ FORCED_BROADCAST_ALLOWED = {
     "bpe_encode_fixed",    # distinct-word dictionary (documented dial —
     #                        Heaps-law growth, pinned because the
     #                        dictionary-encode design depends on it)
+    "bloom_filter_probe",  # Bloom word table (≤2048 rows, ~16 KB)
     "revenue_by_nation",   # nation (25 rows) + region (5 rows)
     "nation_revenue_share",  # nation (25 rows)
 }
