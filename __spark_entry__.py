@@ -620,6 +620,19 @@ def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(lined)
 
 
+def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MassiveText-style exact-substring duplication signal: 64-char
+    windows at stride 16, md5-counted corpus-wide; per-document window
+    counts and duplicated-span bounds (self-repeats included). The
+    destructive companion `strip_dup_substrings` (merged-span removal)
+    is golden-tested in tests/test_hygiene_substrings.py."""
+    from sea_express_customs_etl_spark.operators.hygiene import (
+        dup_substring_stats,
+    )
+
+    return dup_substring_stats(_docs(spark, sf_dir))
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.plans.curation import curation_pipeline
 
@@ -714,6 +727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "redact_pii": _q_redact_pii,
         "line_dedup": _q_line_dedup,
+        "substring_dedup": _q_substring_dedup,
         # similarity search (exact, IVF, trained-IVF, PQ)
         "cosine_topk": _q_cosine_topk,
         "ann_ivf_nprobe2": _q_ann_ivf_nprobe2,
@@ -865,6 +879,7 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_topk": ext.IVFPQ_TOPK_SQL,
         "ivfpq_nprobe2": ext.IVFPQ_NPROBE2_SQL,
         "manifest_xlsx_ingest": ext.MANIFEST_XLSX_SQL,
+        "substring_dedup": ext.SUBSTRING_DEDUP_SQL,
         "hll_tokens": ext.HLL_TOKENS_SQL,
         "cms_token_freqs": ext.CMS_TOKEN_FREQS_SQL,
         "bloom_filter_probe": ext.BLOOM_PROBE_SQL,

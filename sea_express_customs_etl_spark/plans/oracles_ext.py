@@ -533,6 +533,43 @@ WHERE rn <= 5
 """
 
 # --------------------------------------------------------------------------
+# exact-substring duplication signal (operators/hygiene.py:
+# dup_substring_stats): 64-char windows at stride 16, md5-hashed
+# corpus-wide; windows recurring beyond once mark duplicated spans.
+# Self-repeats count (MassiveText semantics). `//` = integer division.
+# --------------------------------------------------------------------------
+
+SUBSTRING_DEDUP_SQL = """
+WITH lens AS (
+  SELECT doc_id, text, (length(text) - 64) // 16 AS max_i
+  FROM documents WHERE length(text) >= 64),
+idx AS (
+  -- constant upper bound (generate_series takes only constants here):
+  -- 65536 window starts cover documents up to ~1 MB of text at
+  -- stride 16; the ON filter keeps only real offsets
+  SELECT i FROM generate_series(0, 65536) g(i)),
+wins AS (
+  SELECT l.doc_id, g.i * 16 AS off,
+         md5(substring(l.text, g.i * 16 + 1, 64)) AS h
+  FROM lens l JOIN idx g ON g.i <= l.max_i),
+counts AS (SELECT h, count(*) AS cnt FROM wins GROUP BY h),
+stats AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS INTEGER) AS n_windows,
+         CAST(sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_dup_windows,
+         CAST(min(CASE WHEN c.cnt > 1 THEN w.off END) AS INTEGER) AS dup_lo,
+         CAST(max(CASE WHEN c.cnt > 1 THEN w.off + 64 END) AS INTEGER)
+             AS dup_hi
+  FROM wins w JOIN counts c USING (h) GROUP BY w.doc_id)
+SELECT d.doc_id,
+       coalesce(s.n_windows, 0) AS n_windows,
+       coalesce(s.n_dup_windows, 0) AS n_dup_windows,
+       s.dup_lo, s.dup_hi
+FROM documents d LEFT JOIN stats s USING (doc_id)
+"""
+
+# --------------------------------------------------------------------------
 # deterministic sketches (operators/sketches.py): md5-based HyperLogLog
 # registers, Count-Min cells, Bloom-filter words — the sketch STATE is
 # integer-exact, so it hash-checks across engines (the reason these
