@@ -447,6 +447,34 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir))
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashing-trick linear classifier: md5-bucketed
+    bag-of-words features × derived integer weights → exact bigint
+    logit per document (the model-based quality filter between the
+    Gopher gates and LM scoring; production swaps in trained weights,
+    same plan shape)."""
+    from sea_express_customs_etl_spark.operators.textstats import (
+        hashed_logit_score,
+    )
+
+    return hashed_logit_score(_docs(spark, sf_dir))
+
+
+def _q_embedding_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding mean-pooling in micro-unit integers
+    (8 consecutive vec_ids pool into one group) — quantize-then-sum
+    keeps the pooled vector aggregation-order-exact, the kmeans_fit_q
+    bit-portability rule applied to pooling."""
+    from sea_express_customs_etl_spark.operators.similarity import (
+        pool_embeddings_q,
+    )
+
+    emb = _emb(spark, sf_dir).withColumn(
+        "group_id", F.expr("vec_id div 8")
+    )
+    return pool_embeddings_q(emb, "group_id")
+
+
 def _q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real BPE tokenization with the pinned merge list
     (operators/bpe.FIXED_MERGES — trained by bpe_train, frozen like a
@@ -736,6 +764,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk": _q_ivfpq_topk,
         "ivfpq_nprobe2": _q_ivfpq_nprobe2,
         "kmeans_q_centroids": _q_kmeans_q_centroids,
+        "embedding_pool": _q_embedding_pool,
         # text analysis
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
@@ -745,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "repetition_stats": _q_repetition_stats,
         "quality_gate": _q_quality_gate,
+        "quality_classifier": _q_quality_classifier,
         "lm_score": _q_lm_score,
         # deterministic sketches (cardinality / frequency / membership)
         "hll_tokens": _q_hll_tokens,
@@ -880,6 +910,8 @@ def oracle_sql() -> dict[str, str]:
         "ivfpq_nprobe2": ext.IVFPQ_NPROBE2_SQL,
         "manifest_xlsx_ingest": ext.MANIFEST_XLSX_SQL,
         "substring_dedup": ext.SUBSTRING_DEDUP_SQL,
+        "quality_classifier": ext.QUALITY_CLASSIFIER_SQL,
+        "embedding_pool": ext.EMBEDDING_POOL_SQL,
         "hll_tokens": ext.HLL_TOKENS_SQL,
         "cms_token_freqs": ext.CMS_TOKEN_FREQS_SQL,
         "bloom_filter_probe": ext.BLOOM_PROBE_SQL,

@@ -363,3 +363,44 @@ def kmeans_fit(
         [(i, v) for i, v in enumerate(cents)],
         schema=f"{id_col} long, {vec_col} array<double>",
     )
+
+
+def pool_embeddings_q(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Mean-pool embeddings per group in micro-unit integers — the
+    chunk→document aggregation of a two-tier embedding pipeline (embed
+    fixed-size chunks, pool to one document vector before indexing /
+    near-dup detection). Quantize-then-sum makes the pooled vector
+    aggregation-order-exact: integer sums commute, and the mean is a
+    floor division — bit-identical in any engine, unlike a float mean
+    whose partial-merge order leaks into the low bits (the same rule
+    as ``kmeans_fit_q``).
+
+    Output: one row per (group, dim) — group_col, dim (0-based),
+    n_vecs, mean_u6 (floor(Σ round(x·10⁶) / n)). Exploded rather than
+    an array column so downstream joins/oracles treat dims uniformly.
+    Scale shape: map-only quantize + posexplode (corpus × dim rows),
+    ONE partial-aggregated (group, dim) shuffle; group state is a
+    single (sum, count) pair.
+    """
+    q = df.select(
+        F.col(group_col),
+        F.transform(
+            _as_double(F.col(vec_col)),
+            lambda x: F.round(x * 1_000_000).cast("bigint"),
+        ).alias("_v"),
+    )
+    return (
+        q.select(group_col, F.posexplode("_v").alias("dim", "_x"))
+        .groupBy(group_col, "dim")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_vecs"),
+            F.floor(F.sum("_x") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("mean_u6"),
+        )
+    )

@@ -434,3 +434,74 @@ def compression_ratio(
             )
 
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+def hashed_logit_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    weight_range: int = 1000,
+    salt: str = "",
+) -> DataFrame:
+    """fastText-style linear quality classifier over hashing-trick
+    bag-of-words features — the cheap model-based filter every
+    pretraining recipe runs between the heuristic gates and the
+    expensive LM scoring: feature j = count of tokens hashing to
+    bucket j (md5 % n_buckets), score = Σ count_j · w_j.
+
+    The weight vector here is DERIVED (w_j = md5-hash of the bucket
+    index mapped into ±weight_range) so the whole operator — feature
+    hashing, bucket counting, dot product — is reproducible in any
+    engine with nothing but the salt; a production deployment swaps in
+    trained weights via the same (bucket, weight) join shape. Integer
+    weights × integer counts → the logit is EXACT bigint arithmetic,
+    aggregation-order-independent (the sigmoid, being monotone, can be
+    applied downstream without changing any ranking/threshold
+    decision — float only at the very edge).
+
+    Output: id, n_tokens (int), logit (bigint). Scale shape: token
+    explode (map-only) → one partial-aggregated (id, bucket) count
+    shuffle → weights attached as a map-side EXPRESSION (the weight is
+    a hash of the bucket id — no weight table to join or broadcast) →
+    one bounded per-document sum.
+    """
+    tok = F.explode(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ).alias("_tok")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col("_tok"))), 1, 12
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    bucket = (h % F.lit(n_buckets)).cast("int")
+    wh = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}w|"), F.col("_bucket").cast("string"))),
+            1,
+            12,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    weight = (wh % F.lit(2 * weight_range + 1)) - F.lit(weight_range)
+    per_bucket = (
+        df.select(F.col(id_col), tok)
+        .select(F.col(id_col), bucket.alias("_bucket"))
+        .groupBy(id_col, "_bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return (
+        per_bucket.select(
+            F.col(id_col),
+            F.col("_cnt"),
+            (F.col("_cnt") * weight).alias("_contrib"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sum("_cnt").cast("int").alias("n_tokens"),
+            F.sum("_contrib").cast("bigint").alias("logit"),
+        )
+    )

@@ -533,6 +533,53 @@ WHERE rn <= 5
 """
 
 # --------------------------------------------------------------------------
+# hashing-trick linear classifier (operators/textstats.py:
+# hashed_logit_score): bucket = md5(tok) % 1024, derived weight =
+# md5('w|'||bucket) % 2001 − 1000, logit = Σ cnt·w — all integers.
+# --------------------------------------------------------------------------
+
+QUALITY_CLASSIFIER_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         (('0x' || substring(md5(tok), 1, 12))::BIGINT % 1024)::INTEGER
+             AS bucket
+  FROM toks),
+pb AS (SELECT doc_id, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+w AS (
+  SELECT pb.*,
+         (('0x' || substring(md5('w|' || CAST(bucket AS VARCHAR)), 1, 12))
+              ::BIGINT % 2001) - 1000 AS wgt
+  FROM pb)
+SELECT doc_id,
+       CAST(sum(cnt) AS INTEGER) AS n_tokens,
+       CAST(sum(cnt * wgt) AS BIGINT) AS logit
+FROM w GROUP BY doc_id
+"""
+
+# --------------------------------------------------------------------------
+# embedding mean-pooling (operators/similarity.py:pool_embeddings_q):
+# micro-unit quantize → integer sums → floor mean, the kmeans_fit_q
+# bit-portability rule applied to chunk→document pooling.
+# --------------------------------------------------------------------------
+
+EMBEDDING_POOL_SQL = """
+WITH q AS (
+  SELECT vec_id // 8 AS group_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings)
+SELECT group_id, CAST(g.d AS INTEGER) AS dim,
+       CAST(count(*) AS INTEGER) AS n_vecs,
+       CAST(floor(sum(v[g.d + 1]) / count(*)) AS BIGINT) AS mean_u6
+FROM q, generate_series(0, 63) g(d)
+GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
 # exact-substring duplication signal (operators/hygiene.py:
 # dup_substring_stats): 64-char windows at stride 16, md5-hashed
 # corpus-wide; windows recurring beyond once mark duplicated spans.

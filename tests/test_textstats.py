@@ -356,3 +356,59 @@ def test_chunk_documents_properties(spark):
             assert stitched == text
 
     check()
+
+
+def test_hashed_logit_score_properties(spark):
+    """Integer logits: layout-invariant (exact bigint sums), token
+    counts exact, duplicate tokens scale their bucket's contribution
+    linearly."""
+    from sea_express_customs_etl_spark.operators.textstats import (
+        hashed_logit_score,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha alpha beta"), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in hashed_logit_score(df).collect()}
+    assert {d: r.n_tokens for d, r in got.items()} == {1: 3, 2: 3, 3: 1}
+    again = {
+        r.doc_id: r.logit
+        for r in hashed_logit_score(df.repartition(7)).collect()
+    }
+    assert again == {d: r.logit for d, r in got.items()}
+    # linearity: doc2 = 2*alpha + beta; derive single-token logits
+    single = {
+        r.doc_id: r.logit
+        for r in hashed_logit_score(
+            spark.createDataFrame(
+                [(10, "alpha"), (11, "beta")], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    assert got[2].logit == 2 * single[10] + single[11]
+
+
+def test_pool_embeddings_q_exact_floor_mean(spark):
+    from sea_express_customs_etl_spark.operators.similarity import (
+        pool_embeddings_q,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, 0, [1.0, -0.5]),
+            (1, 0, [2.0, 0.25]),
+            (2, 1, [0.000001, 0.0]),
+        ],
+        "vec_id long, group_id long, embedding array<double>",
+    )
+    got = {
+        (r.group_id, r.dim): (r.n_vecs, r.mean_u6)
+        for r in pool_embeddings_q(df, "group_id").collect()
+    }
+    # group 0: dim0 mean = (1e6 + 2e6)/2 = 1_500_000; dim1 =
+    # (-500000 + 250000)/2 = -125000 (floor of -125000.0 exactly)
+    assert got[(0, 0)] == (2, 1_500_000)
+    assert got[(0, 1)] == (2, -125_000)
+    assert got[(1, 0)] == (1, 1)  # round(1e-6 * 1e6) = 1
