@@ -56,8 +56,38 @@ def cases() -> dict:
         FIXED_MERGES,
         bpe_encode,
     )
+    from sea_express_customs_etl_spark.operators.dedup import (
+        jaccard_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+    from sea_express_customs_etl_spark.operators.hygiene import (
+        dup_substring_stats,
+    )
     from sea_express_customs_etl_spark.operators.lm import lm_score
     from sea_express_customs_etl_spark.operators.pq import ivfpq_topk
+    from sea_express_customs_etl_spark.operators.sketches import (
+        cms_cells,
+        hll_registers,
+    )
+    from sea_express_customs_etl_spark.operators.textstats import (
+        hashed_logit_score,
+    )
+
+    def _toks(docs):
+        return docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+                "tok"
+            ),
+        )
+
+    def _ngram_fused(docs):
+        prof = shingle_profiles(docs)
+        return jaccard_verify_profiles(
+            lsh_candidate_pairs(lsh_bands(prof)), prof
+        )
 
     def _ivfpq(emb, nprobe):
         return ivfpq_topk(
@@ -83,6 +113,12 @@ def cases() -> dict:
         "semantic_dedup_scaled_k": lambda docs, emb: _semantic_dedup(
             emb, 45
         ),
+        # r4 additions
+        "substring_dedup": lambda docs, emb: dup_substring_stats(docs),
+        "quality_classifier": lambda docs, emb: hashed_logit_score(docs),
+        "ngram_jaccard_fused": lambda docs, emb: _ngram_fused(docs),
+        "hll_tokens": lambda docs, emb: hll_registers(_toks(docs), "tok"),
+        "cms_token_freqs": lambda docs, emb: cms_cells(_toks(docs), "tok"),
     }
 
 
