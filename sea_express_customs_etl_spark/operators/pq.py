@@ -214,27 +214,39 @@ def pq_encode(
     dim: int = 64,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Quantize every vector: per subspace, the code of the nearest
-    codeword (squared-L2, ties → lowest code). Output: id, subspace,
-    code — the compressed representation a PQ index stores.
+    codeword (squared-L2, ties → lowest code). Output: id,
+    *keep_cols, subspace, code — the compressed representation a PQ
+    index stores.
 
     Plan: subvector explode (map-only) → broadcast codebook join →
     min-struct argmin grouped by (id, subspace) — partial aggregation
     collapses the k candidate rows map-side, so the one shuffle
-    carries corpus×m rows, independent of codebook size."""
-    sv = subvectors(df, m, dim, vec_col, id_col)
+    carries corpus×m rows, independent of codebook size.
+    ``keep_cols`` ride through the explode and the aggregate (extra
+    grouping keys, functionally dependent on the id), so per-vector
+    attributes like the IVF cell arrive WITH the codes instead of via
+    a second corpus-sized join."""
+    sv = subvectors(df, m, dim, vec_col, id_col, keep_cols=keep_cols)
     scored = sv.join(F.broadcast(codebook), "subspace").select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         "subspace",
         F.struct(
             _l2sq_micro(F.col("subvec"), F.col("codeword")).alias("d"),
             F.col("code").alias("c"),
         ).alias("_dc"),
     )
-    best = scored.groupBy(id_col, "subspace").agg(F.min("_dc").alias("_b"))
+    best = scored.groupBy(id_col, *keep_cols, "subspace").agg(
+        F.min("_dc").alias("_b")
+    )
     return best.select(
-        F.col(id_col), "subspace", F.col("_b.c").alias("code")
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        "subspace",
+        F.col("_b.c").alias("code"),
     )
 
 
@@ -340,7 +352,11 @@ def ivfpq_topk(
         )
     else:
         codebook = pq_codebook(sample, m, dim, vec_col, id_col)
-    codes = pq_encode(res_as_vec, codebook, m, dim, vec_col, id_col)
+    # cluster rides through the encode (functionally dependent on the
+    # id) — the codes arrive cell-tagged, no second corpus-sized join
+    codes = pq_encode(
+        res_as_vec, codebook, m, dim, vec_col, id_col, keep_cols=("cluster",)
+    )
     # query side: rank every cell by coarse distance, keep nprobe,
     # and carry the CELL-RELATIVE residual into the LUT build
     cen = centroids.select(
@@ -383,10 +399,7 @@ def ivfpq_topk(
         )
     )
     sims = (
-        codes.join(
-            residuals.select(F.col(id_col), "cluster"), id_col
-        )
-        .withColumnRenamed(id_col, "neighbor_id")
+        codes.withColumnRenamed(id_col, "neighbor_id")
         .join(
             F.broadcast(lut),
             (F.col("cluster") == F.col("_qc"))
