@@ -447,6 +447,19 @@ def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_score(_docs(spark, sf_dir))
 
 
+def _q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hourly rollup with gap-fill + LOCF: every
+    (type, hour) bucket in the observed range exists as a row — empty
+    buckets with n_events=0 and a NULL sum (distinguishable from a
+    zero sum) — and the last observed micro-unit sum carries forward.
+    Epoch-hour integer buckets keep the whole frame hash-portable."""
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        hourly_gapfill_locf,
+    )
+
+    return hourly_gapfill_locf(load_table(spark, sf_dir, "events"))
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-style hashing-trick linear classifier: md5-bucketed
     bag-of-words features × derived integer weights → exact bigint
@@ -789,6 +802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": _q_domain_mix,
         # events / streaming-shaped surface
         "events_hourly": rel.events_hourly,
+        "events_gapfill_locf": _q_events_gapfill,
         "events_sessionize": rel.events_sessionize,
         "purchase_last_click_asof": rel.purchase_last_click_asof,
         "json_props_rollup": rel.json_props_rollup,
@@ -911,6 +925,7 @@ def oracle_sql() -> dict[str, str]:
         "manifest_xlsx_ingest": ext.MANIFEST_XLSX_SQL,
         "substring_dedup": ext.SUBSTRING_DEDUP_SQL,
         "quality_classifier": ext.QUALITY_CLASSIFIER_SQL,
+        "events_gapfill_locf": ext.EVENTS_GAPFILL_SQL,
         "embedding_pool": ext.EMBEDDING_POOL_SQL,
         "hll_tokens": ext.HLL_TOKENS_SQL,
         "cms_token_freqs": ext.CMS_TOKEN_FREQS_SQL,

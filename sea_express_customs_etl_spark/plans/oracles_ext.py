@@ -533,6 +533,38 @@ WHERE rn <= 5
 """
 
 # --------------------------------------------------------------------------
+# hourly gap-fill + LOCF (operators/timeseries.py): epoch-hour integer
+# buckets; the scalar-list form `unnest(generate_series(lo, hi))`
+# accepts column bounds (the TABLE-function form doesn't). last_value
+# IGNORE NULLS over unique hours = Spark's last(ignorenulls=True).
+# --------------------------------------------------------------------------
+
+EVENTS_GAPFILL_SQL = """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS epoch_hour,
+         CAST(round(value * 1000000) AS BIGINT) AS v6
+  FROM events),
+h AS (
+  SELECT event_type, epoch_hour,
+         CAST(count(*) AS INTEGER) AS n_events,
+         CAST(sum(v6) AS BIGINT) AS sum_value_u6
+  FROM e GROUP BY 1, 2),
+b AS (SELECT min(epoch_hour) AS lo, max(epoch_hour) AS hi FROM h),
+spine AS (
+  SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS epoch_hour
+  FROM (SELECT DISTINCT event_type FROM h) t, b)
+SELECT s.event_type, s.epoch_hour,
+       coalesce(h.n_events, 0) AS n_events,
+       h.sum_value_u6,
+       last_value(h.sum_value_u6 IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.epoch_hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS locf_value_u6
+FROM spine s LEFT JOIN h USING (event_type, epoch_hour)
+"""
+
+# --------------------------------------------------------------------------
 # hashing-trick linear classifier (operators/textstats.py:
 # hashed_logit_score): bucket = md5(tok) % 1024, derived weight =
 # md5('w|'||bucket) % 2001 − 1000, logit = Σ cnt·w — all integers.

@@ -32,6 +32,7 @@ BNLJ_ALLOWED = {
     "semantic_dedup",     # same IVF blocking feeding cluster resolution
     "embedding_near_dups",  # block-id spine (|blocks| rows) broadcast
     "tfidf_top_terms",    # 1-row corpus-size N broadcast
+    "events_gapfill_locf",  # 1-row (lo, hi) hour-bounds broadcast
     "domain_mix_sample",  # 1-row output-budget scalar broadcast
     "lm_score",           # 1-row vocabulary-size V broadcast
 }

@@ -412,3 +412,45 @@ def test_pool_embeddings_q_exact_floor_mean(spark):
     assert got[(0, 0)] == (2, 1_500_000)
     assert got[(0, 1)] == (2, -125_000)
     assert got[(1, 0)] == (1, 1)  # round(1e-6 * 1e6) = 1
+
+
+def test_hourly_gapfill_locf_semantics(spark):
+    """Empty buckets exist with n=0 and NULL sum; LOCF carries the
+    last non-null sum across them; nothing precedes a type's first
+    observation."""
+    import datetime as dt
+
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        hourly_gapfill_locf,
+    )
+
+    base = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        # type A: hours 0 and 3 (gap at 1, 2)
+        ("A", base, 1.5),
+        ("A", base + dt.timedelta(hours=3), 2.0),
+        # type B: hour 1 only
+        ("B", base + dt.timedelta(hours=1), -0.25),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    rows_out = hourly_gapfill_locf(ev).collect()
+    base_hour = min(r.epoch_hour for r in rows_out)
+    out = {
+        (r.event_type, r.epoch_hour - base_hour): (
+            r.n_events,
+            r.sum_value_u6,
+            r.locf_value_u6,
+        )
+        for r in rows_out
+    }
+    # spine spans hours 0..3 for BOTH types (global bounds)
+    assert len(out) == 8
+    assert out[("A", 0)] == (1, 1_500_000, 1_500_000)
+    assert out[("A", 1)] == (0, None, 1_500_000)  # gap: LOCF holds
+    assert out[("A", 2)] == (0, None, 1_500_000)
+    assert out[("A", 3)] == (1, 2_000_000, 2_000_000)
+    assert out[("B", 0)] == (0, None, None)  # before first observation
+    assert out[("B", 1)] == (1, -250_000, -250_000)
+    assert out[("B", 3)] == (0, None, -250_000)
