@@ -254,6 +254,34 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir))
 
 
+def _q_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.dedup import simhash_hamming_pairs
+
+    pairs = simhash_hamming_pairs(
+        _docs(spark, sf_dir), num_bits=32, bands=4, max_hamming=3
+    )
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.dsir import dsir_pipeline
+
+    docs = _docs(spark, sf_dir)
+    return dsir_pipeline(docs, docs.filter(F.col("lang") == "en"))
+
+
+def _q_random_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.rp import random_project
+
+    return random_project(_emb(spark, sf_dir))
+
+
+def _q_srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.rp import srp_near_dups
+
+    return srp_near_dups(_emb(spark, sf_dir), threshold=0.4)
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.similarity import brute_force_topk
 
@@ -829,6 +857,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_share": rel.nation_revenue_share,
         "late_shipment_priority": rel.late_shipment_priority,
         "brand_supplier_variety": rel.brand_supplier_variety,
+        # bit-sampling LSH over 32-bit simhash — banded bucket join,
+        # exact for max_hamming < bands, aggregated to a histogram
+        "simhash_hamming_hist": _q_simhash_hamming_hist,
+        # deterministic ±1 random projections: micro-unit integer dot
+        # products (dim-reduce) and SRP hyperplane LSH → cosine verify
+        "random_project": _q_random_project,
+        "srp_near_dups": _q_srp_near_dups,
+        # DSIR-style importance weighting toward the English slice —
+        # hashed-token buckets, integer Laplace ratios, integer sums
+        "dsir_scores": _q_dsir_scores,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -886,6 +924,10 @@ def oracle_sql() -> dict[str, str]:
         "ivf_near_dups": ext.IVF_NEAR_DUPS_SQL,
         "semantic_dedup": ext.SEMANTIC_DEDUP_SQL,
         "simhash": ext.SIMHASH_SQL,
+        "simhash_hamming_hist": ext.SIMHASH_HAMMING_HIST_SQL,
+        "random_project": ext.RANDOM_PROJECT_SQL,
+        "srp_near_dups": ext.SRP_NEAR_DUPS_SQL,
+        "dsir_scores": ext.DSIR_SCORES_SQL,
         "dedup_clusters": ext.DEDUP_CLUSTERS_SQL,
         "decontaminate": ext.DECONTAM_SQL,
         "redact_pii": ext.REDACT_PII_SQL,

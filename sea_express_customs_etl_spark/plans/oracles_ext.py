@@ -1170,3 +1170,134 @@ SELECT doc_id,
        substring(text, CAST(i * 192 + 1 AS INTEGER), 256) AS chunk_text
 FROM e
 """
+
+
+# --------------------------------------------------------------------------
+# simhash Hamming pairs: the banded Spark plan is EXACT for
+# max_hamming < bands (pigeonhole), so the oracle runs the equivalent
+# brute-force all-pairs popcount over the same 32-bit signatures and
+# aggregates to the same distance histogram.
+# --------------------------------------------------------------------------
+_SIMHASH32_VOTES = ", ".join(
+    "sum(CASE WHEN ((instr('0123456789abcdef', substr(h, {k}, 1)) - 1) >> {m}) & 1 = 1 "
+    "THEN 1 ELSE -1 END) AS v_{j}".format(k=j // 4 + 1, m=j % 4, j=j)
+    for j in range(32)
+)
+_SIMHASH32_SIG = " + ".join(
+    f"CASE WHEN v_{j} > 0 THEN {2**j} ELSE 0 END" for j in range(32)
+)
+
+SIMHASH_HAMMING_HIST_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+votes AS (SELECT doc_id, {_SIMHASH32_VOTES} FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, CAST({_SIMHASH32_SIG} AS BIGINT) AS simhash FROM votes)
+SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming,
+       count(*) AS n_pairs
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# deterministic random projections (operators/rp.py): the ±1 plane
+# matrix is md5-derived from (salt, plane, dim-pos), so the oracle
+# re-derives the identical matrix; projections are micro-unit integer
+# dot products — bit-exact cross-engine.
+# --------------------------------------------------------------------------
+_RP_PLANES, _RP_DIM, _RP_BANDS = 16, 64, 4
+
+_RP_BASE = f"""
+e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings),
+w AS (
+  SELECT p.p, d.d,
+         CASE WHEN (instr('0123456789abcdef',
+                    substr(md5('rp_' || p.p || '_' || d.d), 1, 1)) - 1) % 2 = 0
+              THEN 1 ELSE -1 END AS w
+  FROM (SELECT unnest(generate_series(0, {_RP_PLANES - 1})) AS p) p,
+       (SELECT unnest(generate_series(0, {_RP_DIM - 1})) AS d) d),
+ex AS (
+  SELECT vec_id, d.d AS d, v[d.d + 1] AS val
+  FROM e, (SELECT unnest(generate_series(0, {_RP_DIM - 1})) AS d) d),
+proj AS (
+  SELECT vec_id, p, sum(val * w) AS s
+  FROM ex JOIN w USING (d) GROUP BY vec_id, p)
+"""
+
+_RP_PIVOT = ", ".join(
+    f"CAST(sum(CASE WHEN p = {p} THEN s END) AS BIGINT) AS p_{p}"
+    for p in range(_RP_PLANES)
+)
+
+RANDOM_PROJECT_SQL = f"""
+WITH {_RP_BASE}
+SELECT vec_id, {_RP_PIVOT} FROM proj GROUP BY vec_id
+"""
+
+_RP_R = _RP_PLANES // _RP_BANDS
+_RP_SHARE_BAND = " OR ".join(
+    f"((a.srp >> {b * _RP_R}) & {(1 << _RP_R) - 1}) = "
+    f"((b.srp >> {b * _RP_R}) & {(1 << _RP_R) - 1})"
+    for b in range(_RP_BANDS)
+)
+
+SRP_NEAR_DUPS_SQL = f"""
+WITH {_RP_BASE},
+sig AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN s >= 0 THEN (1::BIGINT << p) ELSE 0 END)
+              AS BIGINT) AS srp
+  FROM proj GROUP BY vec_id),
+n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS nv,
+         sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                 CAST(embedding AS DOUBLE[]))) AS nn
+  FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sig a JOIN sig b ON a.vec_id < b.vec_id
+  WHERE {_RP_SHARE_BAND})
+SELECT c.id_a, c.id_b,
+       round(list_inner_product(na.nv, nb.nv) / (na.nn * nb.nn), 6) AS cosine
+FROM cand c
+JOIN n na ON na.vec_id = c.id_a
+JOIN n nb ON nb.vec_id = c.id_b
+WHERE round(list_inner_product(na.nv, nb.nv) / (na.nn * nb.nn), 6) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------------
+# DSIR importance scores (operators/dsir.py): hashed-token buckets via
+# ('0x'||md5[:8])::BIGINT % B (== Spark conv(substring(md5,1,8),16,10)
+# % B), Laplace-smoothed micro-unit integer ratios, integer doc sums.
+# Target distribution = the English slice.
+# --------------------------------------------------------------------------
+_DSIR_B = 1024
+_DSIR_BUCKET = (
+    f"CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % {_DSIR_B} AS INTEGER)"
+)
+
+DSIR_SCORES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tb AS (SELECT doc_id, {_DSIR_BUCKET} AS bucket FROM toks),
+rc AS (SELECT bucket, count(*) AS c_r FROM tb GROUP BY bucket),
+ttoks AS (
+  SELECT unnest({_TOKS}) AS tok FROM documents WHERE lang = 'en'),
+tc AS (
+  SELECT {_DSIR_BUCKET} AS bucket, count(*) AS c_t
+  FROM ttoks GROUP BY 1),
+w AS (
+  SELECT rc.bucket,
+         CAST(((coalesce(c_t, 0) + 1) * 1000000) // (c_r + 1) AS BIGINT) AS w
+  FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket)
+SELECT doc_id, CAST(sum(w) AS BIGINT) AS dsir_score
+FROM tb JOIN w USING (bucket)
+GROUP BY doc_id
+"""
