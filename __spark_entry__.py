@@ -263,6 +263,22 @@ def _q_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
+def _q_lm_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.lm import lm_score
+    from sea_express_customs_etl_spark.operators.ranking import (
+        global_rank,
+        ntile_by_rank,
+    )
+
+    scored = lm_score(_docs(spark, sf_dir)).withColumn(
+        "_avg",
+        F.col("logprob_u6").cast("double")
+        / F.greatest(F.col("n_bigrams"), F.lit(1)),
+    )
+    ranked = global_rank(scored, [F.col("_avg").desc(), F.col("doc_id")])
+    return ntile_by_rank(ranked, 3).select("doc_id", "bucket")
+
+
 def _q_dsir_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dsir import dsir_pipeline
 
@@ -867,6 +883,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # DSIR-style importance weighting toward the English slice —
         # hashed-token buckets, integer Laplace ratios, integer sums
         "dsir_scores": _q_dsir_scores,
+        # CCNet head/middle/tail perplexity buckets via a DISTRIBUTED
+        # global rank (no single-partition window funnel)
+        "lm_terciles": _q_lm_terciles,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -928,6 +947,7 @@ def oracle_sql() -> dict[str, str]:
         "random_project": ext.RANDOM_PROJECT_SQL,
         "srp_near_dups": ext.SRP_NEAR_DUPS_SQL,
         "dsir_scores": ext.DSIR_SCORES_SQL,
+        "lm_terciles": ext.LM_TERCILES_SQL,
         "dedup_clusters": ext.DEDUP_CLUSTERS_SQL,
         "decontaminate": ext.DECONTAM_SQL,
         "redact_pii": ext.REDACT_PII_SQL,

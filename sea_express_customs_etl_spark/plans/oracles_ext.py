@@ -1301,3 +1301,21 @@ SELECT doc_id, CAST(sum(w) AS BIGINT) AS dsir_score
 FROM tb JOIN w USING (bucket)
 GROUP BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# CCNet-style perplexity terciles (operators/ranking.py): ntile(3) over
+# the average per-bigram log-prob. The Spark side computes the SAME
+# buckets with a distributed two-phase global rank (range partition +
+# per-partition offsets) instead of a single-partition window; the
+# ordering key is an IEEE double quotient of two integers — deterministic
+# cross-engine — with the doc id as total-order tie-break.
+# --------------------------------------------------------------------------
+LM_TERCILES_SQL = f"""
+WITH s AS ({LM_SCORE_SQL})
+SELECT doc_id,
+       CAST(ntile(3) OVER (
+            ORDER BY CAST(logprob_u6 AS DOUBLE) / greatest(n_bigrams, 1) DESC,
+                     doc_id) AS INTEGER) AS bucket
+FROM s
+"""
