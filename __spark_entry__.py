@@ -564,6 +564,12 @@ def _q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_value_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.quantiles import sketch_quantiles
+
+    return sketch_quantiles(load_table(spark, sf_dir, "events"))
+
+
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.textstats import fingerprint
 
@@ -886,6 +892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CCNet head/middle/tail perplexity buckets via a DISTRIBUTED
         # global rank (no single-partition window funnel)
         "lm_terciles": _q_lm_terciles,
+        # mergeable fixed-bin histogram quantiles — the single-pass
+        # scale path next to the exact event_value_percentiles
+        "event_value_qsketch": _q_event_value_qsketch,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -948,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_near_dups": ext.SRP_NEAR_DUPS_SQL,
         "dsir_scores": ext.DSIR_SCORES_SQL,
         "lm_terciles": ext.LM_TERCILES_SQL,
+        "event_value_qsketch": ext.EVENT_VALUE_QSKETCH_SQL,
         "dedup_clusters": ext.DEDUP_CLUSTERS_SQL,
         "decontaminate": ext.DECONTAM_SQL,
         "redact_pii": ext.REDACT_PII_SQL,

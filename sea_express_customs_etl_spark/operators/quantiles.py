@@ -1,0 +1,110 @@
+"""Mergeable histogram quantiles — the single-pass, shuffle-light
+percentile path for 100 TB.
+
+The exact form (``percentile(value, q)`` — query
+``event_value_percentiles``) sorts every group's values; correct, but
+at 100 TB a per-group sort of raw events is the expensive way to learn
+a p95. The estimator here is the classic fixed-width histogram sketch:
+
+1. bin every value to an integer bucket (``floor(value·100)`` —
+   centi-unit bins) — map-only;
+2. ONE partial-aggregated count per (group, bin) — the only shuffle,
+   and map-side combine collapses it to |groups|·|occupied bins| rows
+   regardless of event count;
+3. cumulative counts per group (a window PARTITIONED by group whose
+   state is the occupied-bin count — value-range-bounded, corpus-
+   independent), then for each requested quantile the smallest bin
+   whose cumulative count reaches ``ceil(q·N)``.
+
+The histogram STATE is mergeable by plain addition (sketch of a union
+= sum of sketches — the same distributability property as the
+HLL/CMS/Bloom family in ``operators/sketches.py``), so shards /
+streaming micro-batches combine losslessly. Error is one bin width,
+by construction — a DIAL, not a hope.
+
+Determinism/portability: bins are ``floor`` of an IEEE product —
+bit-identical in Spark and DuckDB; quantile thresholds are computed in
+integer arithmetic (``ceil(q·N) = (N·num + den - 1) div den`` with q
+as a rational), so the selected bin hash-matches cross-engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+CENTI = 100  # bin width = 0.01 value units
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    scale: int = CENTI,
+) -> DataFrame:
+    """The sketch state: (group..., bin, n) with integer centi-unit
+    bins. Additively mergeable across shards/batches."""
+    binned = df.select(
+        *group_cols,
+        F.floor(F.col(value_col).cast("double") * scale)
+        .cast("bigint")
+        .alias("bin"),
+    )
+    return binned.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    qs: tuple[tuple[str, int, int], ...] = (
+        ("p50", 1, 2),
+        ("p95", 19, 20),
+        ("p99", 99, 100),
+    ),
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Quantiles from the sketch state. ``qs`` is (label, num, den)
+    rationals; the answer for q is the LOWER EDGE of the smallest bin
+    whose cumulative count reaches ``ceil(q·N)`` (discrete-quantile
+    semantics at bin granularity — within one bin width of the exact
+    percentile). Output: group..., q, bin (bigint centi-units)."""
+    gc = list(group_cols)
+    w = (
+        Window.partitionBy(*gc)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.select(
+        *gc,
+        "bin",
+        F.sum("n").over(w).alias("_cum"),
+        F.sum("n").over(Window.partitionBy(*gc)).alias("_N"),
+    )
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame(list(qs), ["q", "_num", "_den"])
+    # ceil(q*N) in integer arithmetic: (N*num + den - 1) div den
+    thresh = F.expr("(_N * _num + _den - 1) DIV _den")
+    return (
+        cum.join(F.broadcast(qdf))
+        .filter(F.col("_cum") >= thresh)
+        .groupBy(*gc, "q")
+        .agg(F.min("bin").alias("bin"))
+    )
+
+
+def sketch_quantiles(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+    qs: tuple[tuple[str, int, int], ...] = (
+        ("p50", 1, 2),
+        ("p95", 19, 20),
+        ("p99", 99, 100),
+    ),
+    scale: int = CENTI,
+) -> DataFrame:
+    """Convenience composition: histogram state → quantiles."""
+    return histogram_quantiles(
+        value_histogram(df, value_col, group_cols, scale), qs, group_cols
+    )

@@ -1319,3 +1319,27 @@ SELECT doc_id,
                      doc_id) AS INTEGER) AS bucket
 FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# mergeable histogram quantiles (operators/quantiles.py): integer
+# centi-unit bins (floor of an IEEE product — bit-identical), integer
+# ceil(q·N) thresholds, lower-edge-of-first-reaching-bin semantics.
+# --------------------------------------------------------------------------
+EVENT_VALUE_QSKETCH_SQL = """
+WITH hist AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS bin,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS _cum,
+         sum(n) OVER (PARTITION BY event_type) AS _N
+  FROM hist),
+qs(q, num, den) AS (VALUES ('p50', 1, 2), ('p95', 19, 20), ('p99', 99, 100))
+SELECT event_type, q, CAST(min(bin) AS BIGINT) AS bin
+FROM cum, qs
+WHERE _cum >= (_N * num + den - 1) // den
+GROUP BY 1, 2
+"""

@@ -119,7 +119,59 @@ def cases() -> dict:
         "ngram_jaccard_fused": lambda docs, emb: _ngram_fused(docs),
         "hll_tokens": lambda docs, emb: hll_registers(_toks(docs), "tok"),
         "cms_token_freqs": lambda docs, emb: cms_cells(_toks(docs), "tok"),
+        # r4 second batch: bit-sampling LSH, random projections, DSIR,
+        # distributed-rank terciles. Replication makes every replica an
+        # exact dup → identical signatures → the LSH probes measure the
+        # bucketed joins under WORST-CASE duplication (hot buckets).
+        "simhash_hamming": lambda docs, emb: _simhash_hist(docs),
+        "srp_near_dups": lambda docs, emb: _srp(emb),
+        "random_project": lambda docs, emb: _rp(emb),
+        "dsir_scores": lambda docs, emb: _dsir(docs),
+        "lm_terciles": lambda docs, emb: _terciles(docs),
     }
+
+
+def _simhash_hist(docs):
+    from sea_express_customs_etl_spark.operators.dedup import (
+        simhash_hamming_pairs,
+    )
+
+    pairs = simhash_hamming_pairs(docs, num_bits=32, bands=4, max_hamming=3)
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def _srp(emb):
+    from sea_express_customs_etl_spark.operators.rp import srp_near_dups
+
+    return srp_near_dups(emb, threshold=0.4)
+
+
+def _rp(emb):
+    from sea_express_customs_etl_spark.operators.rp import random_project
+
+    return random_project(emb)
+
+
+def _dsir(docs):
+    from sea_express_customs_etl_spark.operators.dsir import dsir_pipeline
+
+    return dsir_pipeline(docs, docs.filter(F.col("lang") == "en"))
+
+
+def _terciles(docs):
+    from sea_express_customs_etl_spark.operators.lm import lm_score
+    from sea_express_customs_etl_spark.operators.ranking import (
+        global_rank,
+        ntile_by_rank,
+    )
+
+    scored = lm_score(docs).withColumn(
+        "_avg",
+        F.col("logprob_u6").cast("double")
+        / F.greatest(F.col("n_bigrams"), F.lit(1)),
+    )
+    ranked = global_rank(scored, [F.col("_avg").desc(), F.col("doc_id")])
+    return ntile_by_rank(ranked, 3).select("doc_id", "bucket")
 
 
 def main() -> None:
