@@ -879,6 +879,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue_share": rel.nation_revenue_share,
         "late_shipment_priority": rel.late_shipment_priority,
         "brand_supplier_variety": rel.brand_supplier_variety,
+        # wide↔long reporting shapes: explicit-value-list pivot (one
+        # conditional-aggregate pass, no distinct-values job) and its
+        # map-only Expand inverse
+        "nation_year_pivot": rel.nation_year_pivot,
+        "order_priority_unpivot": rel.order_priority_unpivot,
+        # bit-portable Pearson correlation from exact decimal component
+        # sums (built-in corr() can never hash-match across engines)
+        "returnflag_qty_price_corr": rel.returnflag_qty_price_corr,
+        # time-RANGE rolling frame over integer epoch-micros (trailing
+        # 24 h activity features, tie-stable, bounded per-key state)
+        "user_rolling_24h": rel.user_rolling_24h,
         # bit-sampling LSH over 32-bit simhash — banded bucket join,
         # exact for max_hamming < bands, aggregated to a histogram
         "simhash_hamming_hist": _q_simhash_hamming_hist,
@@ -937,6 +948,10 @@ def oracle_sql() -> dict[str, str]:
         "late_shipment_priority": rel.LATE_SHIPMENT_PRIORITY_SQL,
         "brand_supplier_variety": rel.BRAND_SUPPLIER_VARIETY_SQL,
         "order_gaps": rel.ORDER_GAPS_SQL,
+        "nation_year_pivot": rel.NATION_YEAR_PIVOT_SQL,
+        "order_priority_unpivot": rel.ORDER_PRIORITY_UNPIVOT_SQL,
+        "returnflag_qty_price_corr": rel.RETURNFLAG_QTY_PRICE_CORR_SQL,
+        "user_rolling_24h": rel.USER_ROLLING_24H_SQL,
         "knowledge_extraction": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "knowledge_extraction_sql": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "link_key_derive": oracles.LINK_KEY_DERIVE_SQL,

@@ -235,3 +235,69 @@ JOIN events c
  AND c.ts > p.ts - INTERVAL 24 HOUR
 WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
+
+NATION_YEAR_PIVOT_SQL = """
+SELECT n_name,
+       round(sum(CASE WHEN y = 1992 THEN rev END), 2) AS y1992,
+       round(sum(CASE WHEN y = 1993 THEN rev END), 2) AS y1993,
+       round(sum(CASE WHEN y = 1994 THEN rev END), 2) AS y1994,
+       round(sum(CASE WHEN y = 1995 THEN rev END), 2) AS y1995,
+       round(sum(CASE WHEN y = 1996 THEN rev END), 2) AS y1996,
+       round(sum(CASE WHEN y = 1997 THEN rev END), 2) AS y1997,
+       round(sum(CASE WHEN y = 1998 THEN rev END), 2) AS y1998
+FROM (SELECT n_name,
+             year(o_orderdate) AS y,
+             l_extendedprice * (1 - l_discount) AS rev
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey)
+GROUP BY n_name
+"""
+
+ORDER_PRIORITY_UNPIVOT_SQL = """
+WITH agg AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         round(sum(o_totalprice), 2) AS sum_total,
+         round(avg(o_totalprice), 4) AS avg_total
+  FROM orders GROUP BY 1)
+SELECT o_orderpriority, 'n_orders' AS metric, n_orders AS value FROM agg
+UNION ALL
+SELECT o_orderpriority, 'sum_total' AS metric, sum_total AS value FROM agg
+UNION ALL
+SELECT o_orderpriority, 'avg_total' AS metric, avg_total AS value FROM agg
+"""
+
+RETURNFLAG_QTY_PRICE_CORR_SQL = """
+WITH comp AS (
+  SELECT l_returnflag,
+         count(*) AS n_items,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sx2, sum(y * y) AS sy2
+  FROM (SELECT l_returnflag,
+               CAST(round(l_quantity) AS BIGINT) AS x,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem)
+  GROUP BY 1)
+SELECT l_returnflag,
+       n_items,
+       round((CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n_items AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_items AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS corr_qty_price
+FROM comp
+"""
+
+USER_ROLLING_24H_SQL = """
+SELECT user_id, event_id,
+       count(*) OVER w AS n_24h,
+       CAST(sum(CAST(round(value * 1e6) AS BIGINT)) OVER w AS BIGINT)
+           AS sum_value_u6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+"""

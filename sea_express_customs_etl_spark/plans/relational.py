@@ -328,6 +328,144 @@ def returned_revenue_topk(spark: SparkSession, sf_dir: str, k: int = 20) -> Data
     )
 
 
+def nation_year_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: nation × order-year revenue matrix via
+    ``groupBy().pivot()`` with an EXPLICIT value list — with the years
+    pinned, Catalyst compiles the pivot to one pass of conditional
+    aggregates (no extra distinct-values job, no second shuffle), the
+    same plan the oracle's CASE-WHEN formulation describes. An implicit
+    pivot would first run a distinct scan over the pivot column — a
+    full extra corpus pass at 100 TB — so the value list is part of the
+    operator's scale contract, not a convenience.
+
+    The reference has no pivot (pandas ``pivot_table`` unused); this
+    pins the wide-format reporting shape its MySQL consumers would
+    build downstream."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    years = list(range(1992, 1999))
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.year("o_orderdate").alias("order_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    pv = base.groupBy("n_name").pivot("order_year", years).agg(
+        F.round(F.sum("rev"), 2)
+    )
+    return pv.select(
+        "n_name", *[F.col(str(y)).alias(f"y{y}") for y in years]
+    )
+
+
+def order_priority_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) surface: the per-priority order aggregate turned
+    into long (priority, metric, value) rows via ``DataFrame.unpivot``
+    — the inverse reporting shape of ``nation_year_pivot``. Unpivot is
+    a map-only expand (Catalyst ``Expand`` node, rows × n_metrics, no
+    shuffle); the only shuffle here is the upstream aggregate's.
+    Measures are cast to a common DOUBLE, the unpivot type contract."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+    )
+    return agg.unpivot(
+        ["o_orderpriority"],
+        ["n_orders", "sum_total", "avg_total"],
+        "metric",
+        "value",
+    )
+
+
+def returnflag_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per return flag from EXACT integer component
+    sums — the engine's bit-portable replacement for ``corr()``.
+
+    Built-in ``corr``/``covar_pop`` stream float partials whose merge
+    order differs per engine/partitioning, so they can never hash-match
+    an oracle. Instead: quantity (integral) and price-in-cents become
+    bigints, the five component sums (Σx, Σy, Σxy, Σx², Σy²) accumulate
+    as DECIMAL(38,0) — aggregation-order-exact, and Σy² at ~1e14 per
+    row genuinely overflows int64 at 100 TB row counts, which is why
+    the decimal cast is load-bearing, not defensive. The final
+    correlation is ONE deterministic double expression over the six
+    exact components (identical IEEE ops in the oracle), rounded 6dp.
+    One partial-aggregated shuffle of |shipmode| groups; map-side
+    combine does the heavy lifting."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_quantity")).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("x").cast(dec)).alias("_sx"),
+        F.sum(F.col("y").cast(dec)).alias("_sy"),
+        F.sum((F.col("x").cast(dec) * F.col("y").cast(dec))).alias("_sxy"),
+        F.sum((F.col("x").cast(dec) * F.col("x").cast(dec))).alias("_sx2"),
+        F.sum((F.col("y").cast(dec) * F.col("y").cast(dec))).alias("_sy2"),
+    )
+    n = F.col("n_items").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    sx2 = F.col("_sx2").cast("double")
+    sy2 = F.col("_sy2").cast("double")
+    return agg.select(
+        "l_returnflag",
+        "n_items",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+    )
+
+
+def user_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling time-RANGE window: per user, the trailing-24 h event
+    count and micro-unit value sum at every event (feature-engineering
+    shape: 'activity in the last day' as a model feature).
+
+    The frame is ``rangeBetween`` over integer epoch-MICROSECONDS — a
+    time-based frame, not a row count, so simultaneous events are peers
+    in both engines and the result is tie-stable. Micro-unit bigint
+    values keep the rolling sums exact. Scale: one shuffle on user_id;
+    per-key window state is bounded by the 24 h span × per-user event
+    rate, never the corpus — the same bounded-state argument as the
+    streaming sessionizer (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 1e6).cast("bigint").alias("value_u6"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-24 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_24h"),
+        F.sum("value_u6").over(w).alias("sum_value_u6"),
+    )
+
+
 def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured extraction: per-event-type rollup of the JSON
     ``props`` payload (cf. the free-form history attributes the

@@ -57,6 +57,12 @@ FORCED_BROADCAST_ALLOWED = {
     "bloom_filter_probe",  # Bloom word table (≤2048 rows, ~16 KB)
     "revenue_by_nation",   # nation (25 rows) + region (5 rows)
     "nation_revenue_share",  # nation (25 rows)
+    "random_project",      # ±1 plane matrix (dim × n_planes = 1024 rows)
+    "srp_near_dups",       # same plane matrix feeding srp_signatures
+    "nation_year_pivot",   # nation (25 rows)
+    "dsir_scores",         # per-bucket weight table (B=1024 rows, fixed)
+    "event_value_qsketch",  # quantile-spec table (3 literal rows)
+    "lm_terciles",         # 1-row total-N + |partitions|-row rank offsets
 }
 
 

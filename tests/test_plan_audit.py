@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "events_gapfill_locf",  # 1-row (lo, hi) hour-bounds broadcast
     "domain_mix_sample",  # 1-row output-budget scalar broadcast
     "lm_score",           # 1-row vocabulary-size V broadcast
+    "event_value_qsketch",  # quantile-spec table (3 literal rows) broadcast
+    "lm_terciles",        # 1-row total-N scalar broadcast (ntile_by_rank)
 }
 
 
