@@ -564,6 +564,27 @@ def _q_event_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 adjacent-word collocations by PMI (micro-unit integer
+    scores, min_count=5, TakeOrdered top-k — never a global sort)."""
+    from sea_express_customs_etl_spark.operators.collocations import (
+        pmi_collocations,
+    )
+
+    return pmi_collocations(_docs(spark, sf_dir), k=40, min_count=5)
+
+
+def _q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence of token distribution vs the corpus
+    (Laplace-smoothed, sparse-restricted, nano-unit integer sums) —
+    the domain-shift signal feeding mixing decisions."""
+    from sea_express_customs_etl_spark.operators.collocations import (
+        domain_divergence,
+    )
+
+    return domain_divergence(_docs(spark, sf_dir), domain_col="source")
+
+
 def _q_event_value_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.quantiles import sketch_quantiles
 
@@ -906,6 +927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable fixed-bin histogram quantiles — the single-pass
         # scale path next to the exact event_value_percentiles
         "event_value_qsketch": _q_event_value_qsketch,
+        # corpus statistics: PMI phrase mining + per-domain KL drift
+        "pmi_collocations": _q_pmi_collocations,
+        "domain_kl_divergence": _q_domain_kl,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -973,6 +997,8 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": ext.DSIR_SCORES_SQL,
         "lm_terciles": ext.LM_TERCILES_SQL,
         "event_value_qsketch": ext.EVENT_VALUE_QSKETCH_SQL,
+        "pmi_collocations": ext.PMI_COLLOCATIONS_SQL,
+        "domain_kl_divergence": ext.DOMAIN_KL_SQL,
         "dedup_clusters": ext.DEDUP_CLUSTERS_SQL,
         "decontaminate": ext.DECONTAM_SQL,
         "redact_pii": ext.REDACT_PII_SQL,

@@ -1343,3 +1343,55 @@ FROM cum, qs
 WHERE _cum >= (_N * num + den - 1) // den
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# collocations / domain divergence (operators/collocations.py): exact
+# integer counts -> ONE deterministic double ln-expression per row ->
+# micro/nano-unit integer, then aggregation-order-exact bigint sums
+# (the lm_score portability rule).
+
+PMI_COLLOCATIONS_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(tk)),
+                i -> struct_pack(a := tk[i], b := tk[i+1]))) AS p
+  FROM toked),
+bg AS (SELECT p.a AS a, p.b AS b FROM pairs),
+big AS (SELECT a, b, count(*) AS pair_count
+        FROM bg GROUP BY a, b HAVING count(*) >= 5),
+ua AS (SELECT a, count(*) AS ca FROM bg GROUP BY a),
+ub AS (SELECT b, count(*) AS cb FROM bg GROUP BY b),
+n AS (SELECT count(*) AS n FROM bg)
+SELECT a, b, pair_count,
+       CAST(round(ln((CAST(pair_count AS DOUBLE) * CAST(n AS DOUBLE))
+                     / (CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))
+                  * 1000000.0) AS BIGINT) AS pmi_u6
+FROM big JOIN ua USING (a) JOIN ub USING (b), n
+ORDER BY pmi_u6 DESC, a, b
+LIMIT 40
+"""
+
+DOMAIN_KL_SQL = """
+WITH toks AS (
+  SELECT source AS domain,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents),
+dt AS (SELECT domain, tok, count(*) AS cdt FROM toks GROUP BY 1, 2),
+ct AS (SELECT tok, count(*) AS ct FROM toks GROUP BY 1),
+td AS (SELECT domain, count(*) AS td FROM toks GROUP BY 1),
+tot AS (SELECT count(*) AS t, count(DISTINCT tok) AS v FROM toks)
+SELECT domain,
+       count(*) AS n_terms,
+       CAST(sum(CAST(round(((cdt + 1.0) / (td + v))
+                           * ln(((cdt + 1.0) / (td + v))
+                                / ((ct + 1.0) / (t + v)))
+                           * 1000000000.0) AS BIGINT)) AS BIGINT) AS kl_u9
+FROM dt JOIN ct USING (tok) JOIN td USING (domain), tot
+GROUP BY domain
+"""

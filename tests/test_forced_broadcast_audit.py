@@ -63,6 +63,8 @@ FORCED_BROADCAST_ALLOWED = {
     "dsir_scores",         # per-bucket weight table (B=1024 rows, fixed)
     "event_value_qsketch",  # quantile-spec table (3 literal rows)
     "lm_terciles",         # 1-row total-N + |partitions|-row rank offsets
+    "pmi_collocations",    # 1-row bigram-total N (count tables NOT pinned)
+    "domain_kl_divergence",  # 1-row (T, V) + |domains|-row totals
 }
 
 

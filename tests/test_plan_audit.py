@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     "lm_score",           # 1-row vocabulary-size V broadcast
     "event_value_qsketch",  # quantile-spec table (3 literal rows) broadcast
     "lm_terciles",        # 1-row total-N scalar broadcast (ntile_by_rank)
+    "pmi_collocations",   # 1-row bigram-total N broadcast
+    "domain_kl_divergence",  # 1-row (T, V) totals broadcast
 }
 
 
