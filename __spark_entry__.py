@@ -585,6 +585,34 @@ def _q_domain_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_divergence(_docs(spark, sf_dir), domain_col="source")
 
 
+def _q_fuzzy_key_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked edit distance: every probe is a
+    part name with its 3rd character deleted (a typo that BREAKS the
+    leading-prefix block — only the reverse-prefix pass catches it,
+    which is the multi-pass blocking design working as intended);
+    fuzzy_join + best_match recover the original part key."""
+    from sea_express_customs_etl_spark.operators.fuzzy import (
+        best_match,
+        fuzzy_join,
+    )
+
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.lower(F.col("p_name")).alias("t")
+    )
+    probes = parts.select(
+        F.col("p_partkey").alias("qid"),
+        F.concat(
+            F.substring("t", 1, 2), F.expr("substring(t, 4, 1000000)")
+        ).alias("qt"),
+    )
+    m = fuzzy_join(
+        parts, probes, "p_partkey", "qid", "t", "qt", max_dist=2, prefix=4
+    )
+    return best_match(m, "qid", "p_partkey").select(
+        "qid", "p_partkey", "dist"
+    )
+
+
 def _q_event_value_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.quantiles import sketch_quantiles
 
@@ -930,6 +958,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus statistics: PMI phrase mining + per-domain KL drift
         "pmi_collocations": _q_pmi_collocations,
         "domain_kl_divergence": _q_domain_kl,
+        # approximate record linkage: multi-pass blocking + Levenshtein
+        "fuzzy_key_recovery": _q_fuzzy_key_recovery,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -999,6 +1029,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_qsketch": ext.EVENT_VALUE_QSKETCH_SQL,
         "pmi_collocations": ext.PMI_COLLOCATIONS_SQL,
         "domain_kl_divergence": ext.DOMAIN_KL_SQL,
+        "fuzzy_key_recovery": ext.FUZZY_KEY_RECOVERY_SQL,
         "dedup_clusters": ext.DEDUP_CLUSTERS_SQL,
         "decontaminate": ext.DECONTAM_SQL,
         "redact_pii": ext.REDACT_PII_SQL,

@@ -1395,3 +1395,36 @@ SELECT domain,
 FROM dt JOIN ct USING (tok) JOIN td USING (domain), tot
 GROUP BY domain
 """
+
+
+# --------------------------------------------------------------------------
+# fuzzy record linkage (operators/fuzzy.py): two-pass blocking (prefix
+# + reverse-prefix), Levenshtein verify on candidates only, top-1 per
+# probe with (dist, id) deterministic tie-break.
+
+FUZZY_KEY_RECOVERY_SQL = """
+WITH parts AS (SELECT p_partkey, lower(p_name) AS t FROM part),
+probes AS (
+  SELECT p_partkey AS qid,
+         substr(t, 1, 2) || substr(t, 4, 1000000) AS qt
+  FROM parts),
+lk AS (
+  SELECT p_partkey, t,
+         unnest(['p:' || substr(t, 1, 4),
+                 's:' || substr(reverse(t), 1, 4)]) AS bk
+  FROM parts),
+rk AS (
+  SELECT qid, qt,
+         unnest(['p:' || substr(qt, 1, 4),
+                 's:' || substr(reverse(qt), 1, 4)]) AS bk
+  FROM probes),
+cand AS (SELECT DISTINCT p_partkey, qid, t, qt FROM lk JOIN rk USING (bk)),
+m AS (
+  SELECT qid, p_partkey, levenshtein(t, qt) AS dist
+  FROM cand
+  WHERE levenshtein(t, qt) <= 2)
+SELECT qid, p_partkey, dist
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY dist, p_partkey) AS rn FROM m)
+WHERE rn = 1
+"""

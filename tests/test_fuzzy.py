@@ -1,0 +1,77 @@
+"""Unit tests for operators/fuzzy.py: blocked Levenshtein linkage."""
+
+from __future__ import annotations
+
+from sea_express_customs_etl_spark.operators.fuzzy import (
+    best_match,
+    fuzzy_join,
+)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "almond antique blue"), (2, "burnished steel rose"), (3, "cornflower navy")],
+        ["lid", "t"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "almond antique blue"),   # exact -> dist 0
+            (11, "amond antique blue"),    # front deletion -> suffix block
+            (12, "burnished steel rosy"),  # tail substitution -> prefix block
+            (13, "zzzz completely other"),  # no match
+        ],
+        ["rid", "qt"],
+    )
+    return left, right
+
+
+def test_fuzzy_join_finds_front_and_tail_edits(spark):
+    left, right = _frames(spark)
+    m = fuzzy_join(left, right, "lid", "rid", "t", "qt", max_dist=2)
+    got = {(r.lid, r.rid): r.dist for r in m.collect()}
+    assert got[(1, 10)] == 0
+    assert got[(1, 11)] == 1  # caught by the reverse-prefix pass
+    assert got[(2, 12)] == 1  # caught by the leading-prefix pass
+    assert not any(rid == 13 for (_, rid) in got)
+
+
+def test_fuzzy_join_documented_blocking_miss(spark):
+    # edits at BOTH ends escape both blocking passes — the stated
+    # recall contract, pinned so a future blocking change is noticed
+    left = spark.createDataFrame([(1, "abcdefghij")], ["lid", "t"])
+    right = spark.createDataFrame([(20, "XbcdefghiY")], ["rid", "qt"])
+    m = fuzzy_join(left, right, "lid", "rid", "t", "qt", max_dist=2)
+    assert m.count() == 0
+
+
+def test_best_match_tiebreak_is_deterministic(spark):
+    left = spark.createDataFrame(
+        [(5, "house"), (7, "house"), (9, "mouse")], ["lid", "t"]
+    )
+    right = spark.createDataFrame([(1, "house")], ["rid", "qt"])
+    m = fuzzy_join(left, right, "lid", "rid", "t", "qt", max_dist=2)
+    top = best_match(m, "rid", "lid").collect()
+    assert len(top) == 1
+    # dist 0 beats dist 1; equal-dist ties resolve to the lower lid
+    assert top[0].lid == 5 and top[0].dist == 0
+
+
+def test_fuzzy_join_layout_invariance(spark):
+    left = spark.createDataFrame(
+        [(i, f"token number {i % 13} payload") for i in range(60)], ["lid", "t"]
+    )
+    right = spark.createDataFrame(
+        [(i, f"token number {i % 13} payloaX") for i in range(60)], ["rid", "qt"]
+    )
+    a = sorted(
+        map(tuple, fuzzy_join(left, right, "lid", "rid", "t", "qt").collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            fuzzy_join(
+                left.repartition(7), right.repartition(5), "lid", "rid", "t", "qt"
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
