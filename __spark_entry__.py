@@ -613,6 +613,25 @@ def _q_fuzzy_key_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics end-to-end: co-purchase edge
+    extraction (parts sharing an order, basket-bounded fan-out) → 3
+    integer-PageRank sweeps → top-50 hubs. Exact bigint trajectory,
+    hash-matched by a fully UNROLLED 3-iteration SQL oracle."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        copurchase_edges,
+        pagerank,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pr = pagerank(copurchase_edges(li), iters=3)
+    return (
+        pr.orderBy(F.col("rank_u6").desc(), F.col("node"))
+        .limit(50)
+        .select(F.col("node").alias("part"), "rank_u6")
+    )
+
+
 def _q_event_value_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.quantiles import sketch_quantiles
 
@@ -960,6 +979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_kl_divergence": _q_domain_kl,
         # approximate record linkage: multi-pass blocking + Levenshtein
         "fuzzy_key_recovery": _q_fuzzy_key_recovery,
+        # iterative graph analytics: integer PageRank, unrolled oracle
+        "copurchase_pagerank": _q_copurchase_pagerank,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -1030,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": ext.PMI_COLLOCATIONS_SQL,
         "domain_kl_divergence": ext.DOMAIN_KL_SQL,
         "fuzzy_key_recovery": ext.FUZZY_KEY_RECOVERY_SQL,
+        "copurchase_pagerank": ext.COPURCHASE_PAGERANK_SQL,
         "dedup_clusters": ext.DEDUP_CLUSTERS_SQL,
         "decontaminate": ext.DECONTAM_SQL,
         "redact_pii": ext.REDACT_PII_SQL,

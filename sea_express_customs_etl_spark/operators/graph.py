@@ -1,0 +1,98 @@
+"""Iterative graph analytics: deterministic integer PageRank.
+
+The engine already resolves dedup graphs to connected components
+(``operators/dedup.dedup_clusters`` — min-label propagation); this
+module adds the weighted-importance sibling: PageRank over an edge
+list, expressed as the same driver-looped join/aggregate iteration
+Spark uses for every fixed-point graph algorithm (GraphX's Pregel is
+this loop with message-combine; no extra library needed).
+
+Bit-portability (the ``kmeans_fit_q`` rule applied to graph state):
+ranks live in MICRO-UNIT integers. One iteration is
+
+    contrib(e) = r(src) DIV outdeg(src)            -- exact bigint
+    r'(n)     = base + (damping · Σ contrib) DIV 1e6
+
+with the damping product computed in DECIMAL(38,0) (Σ contrib can
+reach ~n·1e6 ≈ 1e15 on a billion-node graph; ×850000 overflows int64,
+so the decimal cast is load-bearing). Every operation is exact integer
+arithmetic → the trajectory is partitioning-independent and
+hash-matches an unrolled SQL oracle. All quantities are nonnegative,
+so Spark's truncate-toward-zero ``DIV`` and DuckDB's floor ``//``
+agree.
+
+Scale shape: the edge list is GRAPH-sized (orders of magnitude below
+the corpus); it is joined with the rank frame once per iteration —
+one shuffle keyed on src plus one partial-aggregated shuffle on dst.
+Rank state is |nodes| rows. Nothing collects to the driver; the
+iteration count is fixed by the caller (production runs add the
+dedup_clusters-style convergence probe: count of nodes whose rank
+moved more than a tolerance). Mass leakage at sinks: a node with no
+OUT-edges contributes nothing (its mass evaporates — the standard
+non-normalized treatment); a node with no IN-edges drops to ``base``
+after one iteration. Symmetric edge lists (like co-purchase graphs)
+have neither.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+MICRO = 1_000_000
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected co-purchase edges: parts appearing in the same order,
+    both directions, deduplicated. The per-order self-join fans out
+    |order|² pairs — bounded by the max basket size (7 in TPC-H), so
+    edge volume is a small constant multiple of lineitem, not n²."""
+    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_u6: int = 850_000,
+) -> DataFrame:
+    """Integer PageRank over an (src, dst) edge list. Output: node,
+    rank_u6 (bigint micro-units; a rank of 1.0 is 1_000_000).
+
+    Nodes = distinct sources (callers with one-directional sinks add
+    them explicitly). The (edges ⋈ outdeg) frame is static across
+    iterations and persisted once — each sweep then costs exactly one
+    rank join + one aggregate."""
+    base_u6 = MICRO - damping_u6
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    ed = edges.join(deg, "src").persist()
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(MICRO).cast("bigint").alias("r")
+    )
+    step = (
+        f"CAST({base_u6} AS BIGINT) + "
+        f"CAST(CAST({damping_u6} AS DECIMAL(38,0)) * "
+        f"CAST(_s AS DECIMAL(38,0)) DIV 1000000 AS BIGINT)"
+    )
+    for _ in range(iters):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("r DIV _d").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(step).alias("r"),
+            )
+        )
+    return ranks.select("node", F.col("r").alias("rank_u6"))

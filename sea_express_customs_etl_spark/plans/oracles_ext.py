@@ -1428,3 +1428,44 @@ FROM (SELECT *, row_number() OVER (PARTITION BY qid
           ORDER BY dist, p_partkey) AS rn FROM m)
 WHERE rn = 1
 """
+
+
+# --------------------------------------------------------------------------
+# integer PageRank (operators/graph.py): micro-unit bigint ranks,
+# contrib = r DIV outdeg, damping product in HUGEINT -- the 3-sweep
+# trajectory unrolled (one CTE per iteration). All quantities are
+# nonnegative, so Spark's truncating DIV == DuckDB's flooring //.
+
+_PR_STEP = """
+  SELECT e.dst AS node,
+         CAST(150000 + (850000::HUGEINT * sum(r.r // e.d)) // 1000000
+              AS BIGINT) AS r
+  FROM ed e JOIN {prev} r ON e.src = r.node
+  GROUP BY e.dst
+"""
+
+COPURCHASE_PAGERANK_SQL = (
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.d FROM edges e JOIN deg ON deg.src = e.src),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+it1 AS ("""
+    + _PR_STEP.format(prev="r0")
+    + """),
+it2 AS ("""
+    + _PR_STEP.format(prev="it1")
+    + """),
+it3 AS ("""
+    + _PR_STEP.format(prev="it2")
+    + """)
+SELECT node AS part, r AS rank_u6
+FROM it3
+ORDER BY rank_u6 DESC, node
+LIMIT 50
+"""
+)

@@ -1,0 +1,56 @@
+"""Unit tests for operators/graph.py (integer PageRank)."""
+
+from __future__ import annotations
+
+from sea_express_customs_etl_spark.operators.graph import (
+    copurchase_edges,
+    pagerank,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def test_symmetric_pair_is_a_fixpoint(spark):
+    # A<->B, outdeg 1 each: r' = 150000 + 850000*1e6 DIV 1e6 = 1e6
+    e = _edges(spark, [(1, 2), (2, 1)])
+    out = {r.node: r.rank_u6 for r in pagerank(e, iters=3).collect()}
+    assert out == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_star_golden_trajectory(spark):
+    # center 0 <-> leaves 1..4; hand-computed 2-sweep values
+    pairs = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    out = {r.node: r.rank_u6 for r in pagerank(_edges(spark, pairs), iters=2).collect()}
+    # it1: r_c = 150000 + 850000*4e6 DIV 1e6 = 3_550_000
+    #      r_leaf = 150000 + 850000*(1e6 DIV 4) DIV 1e6 = 362_500
+    # it2: r_c = 150000 + 850000*(4*362500) DIV 1e6 = 1_382_500
+    #      r_leaf = 150000 + 850000*(3550000 DIV 4) DIV 1e6 = 904_375
+    assert out[0] == 1_382_500
+    assert all(out[i] == 904_375 for i in range(1, 5))
+
+
+def test_hub_outranks_leaves(spark):
+    pairs = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    out = {r.node: r.rank_u6 for r in pagerank(_edges(spark, pairs), iters=3).collect()}
+    assert out[0] > max(out[i] for i in range(1, 9))
+
+
+def test_layout_invariance(spark):
+    pairs = [(i, (i * 7 + 1) % 23) for i in range(23)]
+    pairs += [(d, s) for (s, d) in pairs]
+    df = _edges(spark, pairs)
+    a = sorted(map(tuple, pagerank(df, iters=3).collect()))
+    b = sorted(map(tuple, pagerank(df.repartition(5), iters=3).collect()))
+    assert a == b
+
+
+def test_copurchase_edges_shape(spark):
+    li = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 10), (2, 11), (2, 12), (3, 13)],
+        ["l_orderkey", "l_partkey"],
+    )
+    got = {(r.src, r.dst) for r in copurchase_edges(li).collect()}
+    # duplicates collapse; both directions; single-item orders drop
+    assert got == {(10, 11), (11, 10), (11, 12), (12, 11)}
