@@ -298,6 +298,52 @@ def _q_srp_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_near_dups(_emb(spark, sf_dir), threshold=0.4)
 
 
+def _q_sq8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar quantization of the corpus: 8 bits per DIMENSION
+    (vs PQ's 8 bits per subspace) — the low-distortion middle rung of
+    the compressed-index family, integer-exact so every code
+    hash-matches the oracle."""
+    from sea_express_customs_etl_spark.operators.sq import sq8_encode
+
+    return sq8_encode(_emb(spark, sf_dir))
+
+
+def _q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric SQ8 search: full-precision queries vs reconstructed
+    corpus codes, exact integer squared-L2 ranking."""
+    from sea_express_customs_etl_spark.operators.sq import sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    return sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric (containment) near-dup verify over LSH candidates:
+    the corpus is augmented with an 80%-prefix copy of every 25th doc
+    (mirrored in the oracle), and |A∩B|/min(|A|,|B|) flags them at
+    ~0.98 where symmetric Jaccard reads only ~0.79 — the
+    short-doc-inside-long-doc case a Jaccard-only pipeline misses."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        containment_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, CAST(floor(length(text) * 0.8) AS INT))"
+            ).alias("text"),
+        )
+    )
+    prof = shingle_profiles(aug).persist()
+    pairs = lsh_candidate_pairs(lsh_bands(prof))
+    return containment_verify_profiles(pairs, prof, threshold=0.8)
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.similarity import brute_force_topk
 
@@ -974,6 +1020,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # mergeable fixed-bin histogram quantiles — the single-pass
         # scale path next to the exact event_value_percentiles
         "event_value_qsketch": _q_event_value_qsketch,
+        # SQ8 scalar quantization — the 8-bit-per-dimension rung of the
+        # compressed-index family (flat/IVF/PQ/IVFPQ/SQ8)
+        "sq8_codes": _q_sq8_codes,
+        "sq8_topk": _q_sq8_topk,
+        # asymmetric (containment) near-dup next to symmetric Jaccard
+        "containment_dups": _q_containment_dups,
         # corpus statistics: PMI phrase mining + per-domain KL drift
         "pmi_collocations": _q_pmi_collocations,
         "domain_kl_divergence": _q_domain_kl,
@@ -1097,4 +1149,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_freqs": ext.CMS_TOKEN_FREQS_SQL,
         "bloom_filter_probe": ext.BLOOM_PROBE_SQL,
         "event_value_percentiles": ext.EVENT_VALUE_PERCENTILES_SQL,
+        "sq8_codes": ext.SQ8_CODES_SQL,
+        "sq8_topk": ext.SQ8_TOPK_SQL,
+        "containment_dups": ext.CONTAINMENT_DUPS_SQL,
     }

@@ -178,6 +178,59 @@ def jaccard_verify_profiles(
     )
 
 
+def containment_verify_profiles(
+    pairs: DataFrame,
+    profiles: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC near-dup verify: shingle containment
+    ``|A∩B| / min(|A|, |B|)`` for LSH candidate pairs — the signal that
+    catches a short document embedded verbatim inside a longer one,
+    which symmetric Jaccard structurally misses (a 50-shingle doc
+    contained in a 500-shingle doc has Jaccard 0.1 but containment
+    1.0). The standard companion check in web-corpus dedup (broder-style
+    resemblance vs containment).
+
+    Same plan shape as :func:`jaccard_verify_profiles`: two joins of
+    the doc-grained profile frame onto the (tiny) candidate pair list,
+    per-pair ``array_intersect`` — zero shingle-row shuffles. Output:
+    id_a, id_b, containment (4dp, exact integer ratio before rounding),
+    jaccard (for contrast), filtered to ``containment >= threshold``.
+    """
+    pa = profiles.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sh_set").alias("_sa"),
+        F.col("n_sh").alias("n_a"),
+    )
+    pb = profiles.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sh_set").alias("_sb"),
+        F.col("n_sh").alias("n_b"),
+    )
+    return (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn(
+            "_n_inter", F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+        )
+        .withColumn(
+            "containment",
+            F.round(F.col("_n_inter") / F.least("n_a", "n_b"), 4),
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("_n_inter")),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )
+
+
 def lsh_bands(
     signatures: DataFrame,
     id_col: str = "doc_id",

@@ -1469,3 +1469,96 @@ ORDER BY rank_u6 DESC, node
 LIMIT 50
 """
 )
+
+# --------------------------------------------------------------------------
+# SQ8 scalar quantization (operators/sq.py): per-dimension micro-unit
+# (lo, span) stats, code = clamp(floor((x-lo)*255/span)); asymmetric
+# search reconstructs r = lo + floor(code*span/255) and ranks by exact
+# integer squared L2. All divisions are IEEE double over integers
+# < 2^53 then floored — engine-portable.
+# --------------------------------------------------------------------------
+
+_SQ8_PRELUDE = """
+q6 AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+              x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v
+       FROM embeddings),
+stats AS (SELECT g.d AS dim, min(v[g.d + 1]) AS lo,
+                 greatest(max(v[g.d + 1]) - min(v[g.d + 1]), 1) AS span
+          FROM q6, generate_series(0, 63) g(d) GROUP BY 1)
+"""
+
+SQ8_CODES_SQL = f"""
+WITH {_SQ8_PRELUDE}
+SELECT q.vec_id, CAST(s.dim AS INTEGER) AS dim,
+       CAST(least(255, greatest(0,
+            floor((q.v[s.dim + 1] - s.lo) * 255 / s.span))) AS INTEGER) AS code
+FROM q6 q, stats s
+"""
+
+SQ8_TOPK_SQL = f"""
+WITH {_SQ8_PRELUDE},
+enc AS (
+  SELECT q.vec_id, s.dim, s.lo, s.span,
+         least(255, greatest(0,
+              floor((q.v[s.dim + 1] - s.lo) * 255 / s.span))) AS code
+  FROM q6 q, stats s),
+recon AS (
+  SELECT vec_id, dim,
+         lo + CAST(floor(code * span / 255) AS BIGINT) AS r
+  FROM enc),
+qq AS (SELECT vec_id AS query_id, v FROM q6 WHERE vec_id < 10),
+d AS (
+  SELECT qq.query_id, r.vec_id AS neighbor_id,
+         sum((qq.v[r.dim + 1] - r.r) * (qq.v[r.dim + 1] - r.r)) AS d2
+  FROM qq, recon r WHERE r.vec_id <> qq.query_id
+  GROUP BY 1, 2)
+SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2_u
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY d2, neighbor_id) AS rn FROM d)
+WHERE rn <= 5
+"""
+
+# --------------------------------------------------------------------------
+# shingle containment (operators/dedup.py:containment_verify_profiles)
+# over a corpus augmented with 80%-prefix copies (doc_id + 100000 of
+# every 25th doc) — the asymmetric near-dup case symmetric Jaccard
+# understates. Same shingle/minhash/band prelude, FROM the augmented
+# frame.
+# --------------------------------------------------------------------------
+
+_AUG_DOCS = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id,
+         substring(text, 1, CAST(floor(length(text) * 0.8) AS INTEGER)) AS text
+  FROM documents WHERE doc_id % 25 = 0)
+"""
+
+_AUG_SHINGLES = f"""
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM aug)
+    WHERE len(toks) >= 3))
+"""
+
+CONTAINMENT_DUPS_SQL = f"""
+WITH {_AUG_DOCS}, {_AUG_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT i.id_a, i.id_b,
+       round(i.n_inter / least(za.n_sh, zb.n_sh), 4) AS containment,
+       round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.id_a
+JOIN sizes zb ON zb.doc_id = i.id_b
+WHERE round(i.n_inter / least(za.n_sh, zb.n_sh), 4) >= 0.8
+"""

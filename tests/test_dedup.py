@@ -138,3 +138,25 @@ def _hamming(a: int, b: int) -> int:
 def test_simhash_near_dup_closer_than_unrelated(spark):
     sigs = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
     assert _hamming(sigs[1], sigs[3]) < _hamming(sigs[1], sigs[4])
+
+
+def test_containment_catches_prefix_dup_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment ≈ 1 while
+    Jaccard is low — the asymmetric signal the operator exists for."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        containment_verify_profiles,
+        shingle_profiles,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10))  # strict prefix
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text)], "doc_id long, text string"
+    )
+    prof = shingle_profiles(df)
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = containment_verify_profiles(pairs, prof, threshold=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.containment == 1.0  # all 8 short-doc shingles inside long doc
+    assert r.jaccard < 0.25  # symmetric measure reads it as unrelated

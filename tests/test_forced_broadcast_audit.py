@@ -65,6 +65,8 @@ FORCED_BROADCAST_ALLOWED = {
     "lm_terciles",         # 1-row total-N + |partitions|-row rank offsets
     "pmi_collocations",    # 1-row bigram-total N (count tables NOT pinned)
     "domain_kl_divergence",  # 1-row (T, V) + |domains|-row totals
+    "sq8_codes",           # 1-row (lo_arr, span_arr) trained quantizer
+    "sq8_topk",            # same 1-row stats + query set
 }
 
 

@@ -39,6 +39,8 @@ BNLJ_ALLOWED = {
     "lm_terciles",        # 1-row total-N scalar broadcast (ntile_by_rank)
     "pmi_collocations",   # 1-row bigram-total N broadcast
     "domain_kl_divergence",  # 1-row (T, V) totals broadcast
+    "sq8_codes",          # 1-row (lo_arr, span_arr) quantizer broadcast
+    "sq8_topk",           # same 1-row stats + query-set broadcast
 }
 
 
