@@ -762,6 +762,42 @@ def _q_manifest_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode oracle-checked FROM RAW BYTES: deterministic
+    P5/PGM payloads are synthesized per part id (closed-form gradient
+    pixels, every 29th id a corrupt non-image), pushed through the
+    production Arrow ``mapInPandas`` decode kernel (real netpbm header
+    parse + numpy pixel decode), and the EXACT integer pixel sum is
+    recovered from the 4dp mean luma (round(mean·w·h) — the 4dp error
+    bound is far below 0.5 at ≤224 pixels). DuckDB recomputes the sum
+    analytically from the same closed form, so dimensions, format
+    sniffing, per-row error containment AND the decoded pixel values
+    all hash-check. Fully distributed: generate → decode → project,
+    no driver-side bytes, no temp files."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        decode_images,
+        synth_pgm_payloads,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 60)
+        .select(F.col("p_partkey").alias("media_id"))
+    )
+    dec = decode_images(synth_pgm_payloads(ids))
+    return dec.select(
+        "media_id",
+        "media_format",
+        "width",
+        "height",
+        "n_channels",
+        F.round(F.col("mean_luma") * F.col("width") * F.col("height"))
+        .cast("bigint")
+        .alias("luma_sum"),
+        "decode_error",
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dedup import (
         dedup_clusters,
@@ -971,6 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purchase_last_click_asof": rel.purchase_last_click_asof,
         "json_props_rollup": rel.json_props_rollup,
         "click_purchase_interval": rel.click_purchase_interval,
+        "funnel_conversion": rel.funnel_conversion,
+        "cohort_retention": rel.cohort_retention,
         # general relational surface
         "pricing_summary": rel.pricing_summary,
         "topk_parts_per_brand": rel.topk_parts_per_brand,
@@ -1026,6 +1064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": _q_sq8_topk,
         # asymmetric (containment) near-dup next to symmetric Jaccard
         "containment_dups": _q_containment_dups,
+        # multimodal decode hash-checked from raw PGM bytes
+        "image_decode_stats": _q_image_decode_stats,
         # corpus statistics: PMI phrase mining + per-domain KL drift
         "pmi_collocations": _q_pmi_collocations,
         "domain_kl_divergence": _q_domain_kl,
@@ -1149,7 +1189,10 @@ def oracle_sql() -> dict[str, str]:
         "cms_token_freqs": ext.CMS_TOKEN_FREQS_SQL,
         "bloom_filter_probe": ext.BLOOM_PROBE_SQL,
         "event_value_percentiles": ext.EVENT_VALUE_PERCENTILES_SQL,
+        "funnel_conversion": rel.FUNNEL_CONVERSION_SQL,
+        "cohort_retention": rel.COHORT_RETENTION_SQL,
         "sq8_codes": ext.SQ8_CODES_SQL,
         "sq8_topk": ext.SQ8_TOPK_SQL,
         "containment_dups": ext.CONTAINMENT_DUPS_SQL,
+        "image_decode_stats": ext.IMAGE_DECODE_STATS_SQL,
     }

@@ -302,3 +302,39 @@ def sample_frames(
             F.sequence(F.lit(0), F.col(n_frames_col) - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def synth_pgm_payloads(
+    ids: DataFrame, id_col: str = "media_id", corrupt_every: int = 29
+) -> DataFrame:
+    """Deterministic P5 (PGM) payload per id — the ENCODE direction of
+    the netpbm path, used to oracle-check the decode direction from
+    raw bytes: width = 4 + id%13, height = 4 + id%11, pixel(i, j) =
+    (3·id + 5·i + 7·j) mod 251. Every ``corrupt_every``-th id gets a
+    non-image payload instead (magic b"JUNKDATA"), exercising the
+    per-row decode-error containment. A SQL oracle recomputes the
+    analytic pixel sum from the same closed form, so the full
+    bytes → header parse → numpy decode → luma chain is hash-checked.
+
+    Arrow-batched ``mapInPandas``, vectorized per image (numpy index
+    grids); output: (id, payload binary).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                if corrupt_every and mid % corrupt_every == 0:
+                    payloads.append(b"JUNKDATA")
+                    continue
+                w, h = 4 + mid % 13, 4 + mid % 11
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                arr = ((3 * mid + 5 * i + 7 * j) % 251).astype(np.uint8)
+                payloads.append(encode_ppm(arr[:, :, None]))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(
+        kernel, f"{id_col} long, payload binary"
+    )

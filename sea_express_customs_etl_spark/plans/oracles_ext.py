@@ -1562,3 +1562,38 @@ JOIN sizes za ON za.doc_id = i.id_a
 JOIN sizes zb ON zb.doc_id = i.id_b
 WHERE round(i.n_inter / least(za.n_sh, zb.n_sh), 4) >= 0.8
 """
+
+# --------------------------------------------------------------------------
+# multimodal decode from raw bytes (multimodal/binary_ops.py:
+# decode_images over synth_pgm_payloads): the oracle recomputes each
+# synthetic PGM's pixel sum analytically from the closed form
+# pixel(i,j) = (3*id + 5*i + 7*j) mod 251, w = 4 + id%13, h = 4 + id%11;
+# every 29th id is a corrupt payload -> error containment row.
+# --------------------------------------------------------------------------
+
+IMAGE_DECODE_STATS_SQL = """
+WITH ids AS (SELECT p_partkey AS media_id FROM part WHERE p_partkey <= 60),
+dims AS (SELECT media_id, 4 + media_id % 13 AS w, 4 + media_id % 11 AS h
+         FROM ids),
+px AS (
+  SELECT d.media_id, d.w, d.h,
+         sum((3 * d.media_id + 5 * gi.i + 7 * gj.j) % 251) AS s
+  FROM dims d
+  JOIN generate_series(0, 15) gi(i) ON gi.i < d.h
+  JOIN generate_series(0, 15) gj(j) ON gj.j < d.w
+  GROUP BY 1, 2, 3)
+SELECT media_id,
+       CASE WHEN media_id % 29 = 0 THEN 'unknown' ELSE 'pgm' END
+           AS media_format,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(w AS INTEGER) END AS width,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(h AS INTEGER) END AS height,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(1 AS INTEGER) END AS n_channels,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(s AS BIGINT) END AS luma_sum,
+       CASE WHEN media_id % 29 = 0 THEN 'no codec for format'
+            ELSE NULL END AS decode_error
+FROM px
+"""

@@ -301,3 +301,41 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
              RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
 """
+
+# strict-sequence funnel: first view, first click after it, first
+# purchase after that; lags as floor-mean microseconds (exact ints)
+FUNNEL_CONVERSION_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2, min(s1.t1) AS t1
+  FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3, min(s2.t2) AS t2
+  FROM events e JOIN s2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+SELECT 1 AS step_no, 'view' AS step, count(*) AS n_users,
+       CAST(NULL AS BIGINT) AS avg_lag_us FROM s1
+UNION ALL
+SELECT 2, 'click', count(*),
+       CAST(floor(sum(epoch_us(t2) - epoch_us(t1)) / count(*)) AS BIGINT)
+FROM s2
+UNION ALL
+SELECT 3, 'purchase', count(*),
+       CAST(floor(sum(epoch_us(t3) - epoch_us(t2)) / count(*)) AS BIGINT)
+FROM s3
+"""
+
+# cohort-retention triangle over first-seen calendar day
+COHORT_RETENTION_SQL = """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+           FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+SELECT f.cohort_day,
+       CAST(a.d - f.cohort_day AS INTEGER) AS day_offset,
+       count(*) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

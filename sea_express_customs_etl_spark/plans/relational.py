@@ -501,3 +501,92 @@ def click_purchase_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         lookback_seconds=24 * 3600,
         right_payload=["event_id"],
     )
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel over the event stream: per user, the first
+    'view', the first 'click' strictly after it, the first 'purchase'
+    strictly after that — the strict-sequence semantics of product
+    funnel tools (a click before any view does not count). Output: one
+    row per step with the surviving-user count and the floor-mean
+    microsecond lag from the previous step (integer division of exact
+    bigint sums — hash-portable, the micro-unit rule for time math).
+
+    Scale shape: three per-user min-aggregations chained by inner
+    joins that all share the ``user_id`` key — one partitioning,
+    reused across every stage (no broadcast hints: the user table
+    grows with the corpus, AQE may still broadcast at bench scale).
+    The final 3-row union aggregates are partial+final counts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.min("t1").alias("t1"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.min("t2").alias("t2"))
+    )
+
+    def _lag_us(a: str, b: str):
+        return F.floor(
+            F.sum(F.unix_micros(F.col(b)) - F.unix_micros(F.col(a)))
+            / F.count(F.lit(1))
+        ).cast("bigint")
+
+    step1 = s1.agg(
+        F.lit(1).alias("step_no"),
+        F.lit("view").alias("step"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.lit(None).cast("bigint").alias("avg_lag_us"),
+    )
+    step2 = s2.agg(
+        F.lit(2).alias("step_no"),
+        F.lit("click").alias("step"),
+        F.count(F.lit(1)).alias("n_users"),
+        _lag_us("t1", "t2").alias("avg_lag_us"),
+    )
+    step3 = s3.agg(
+        F.lit(3).alias("step_no"),
+        F.lit("purchase").alias("step"),
+        F.count(F.lit(1)).alias("n_users"),
+        _lag_us("t2", "t3").alias("avg_lag_us"),
+    )
+    return step1.unionByName(step2).unionByName(step3)
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort-retention triangle: users grouped by first-seen
+    calendar day, counted on each later active day as an offset from
+    their cohort day. Output: (cohort_day date, day_offset int,
+    n_users) — day_offset 0 is the cohort size itself.
+
+    Scale shape: one per-user min-date aggregation, one distinct over
+    (user, day) — both partial-aggregated — then a join on ``user_id``
+    reusing the same hash partitioning, and a final (cohort, offset)
+    count whose output is bounded by days² regardless of corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("cohort_day")
+    )
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        active.join(first, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff("d", "cohort_day").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

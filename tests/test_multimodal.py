@@ -131,3 +131,27 @@ def test_sample_frames(spark):
         got.setdefault(r.media_id, []).append(r.frame_idx)
     assert sorted(got[1]) == [0, 10, 20]
     assert sorted(got[2]) == [0]
+
+
+def test_synth_pgm_roundtrip_and_corruption(spark):
+    """Encode direction matches the closed form through the REAL
+    decode kernel; the corrupt id is contained per-row."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        decode_images,
+        synth_pgm_payloads,
+    )
+
+    ids = spark.createDataFrame([(3,), (29,), (7,)], "media_id long")
+    got = {
+        r.media_id: r
+        for r in decode_images(synth_pgm_payloads(ids)).collect()
+    }
+    r3 = got[3]
+    assert (r3.width, r3.height) == (4 + 3 % 13, 4 + 3 % 11)
+    assert r3.media_format == "pgm" and r3.decode_error is None
+    w, h = r3.width, r3.height
+    s = sum((3 * 3 + 5 * i + 7 * j) % 251 for i in range(h) for j in range(w))
+    assert round(r3.mean_luma * w * h) == s
+    bad = got[29]
+    assert bad.media_format == "unknown" and bad.width is None
+    assert bad.decode_error == "no codec for format"
