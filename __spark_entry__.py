@@ -762,6 +762,74 @@ def _q_manifest_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key end-to-end: Morton-interleave the
+    bucketized (l_partkey, l_suppkey) plane, derive the file bucket
+    from the TOP z-bits (map-only — no global sort in the checked
+    plan; ``write_zordered`` adds the range exchange when actually
+    laying out files), and report each bucket's row count and per-axis
+    min/max envelope — the tight two-dimensional rectangles that make
+    parquet min/max stats selective on BOTH join keys at 100 TB."""
+    from sea_express_customs_etl_spark.sinks.layout import morton_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("x"),
+        (F.col("l_suppkey") % 256).alias("y"),
+    )
+    return (
+        li.withColumn("_z", morton_key("x", "y", bits=8))
+        .withColumn("bucket", F.shiftright("_z", 8).cast("int"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("x").alias("x_lo"),
+            F.max("x").alias("x_hi"),
+            F.min("y").alias("y_lo"),
+            F.max("y").alias("y_hi"),
+        )
+    )
+
+
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 snapshot diff over orders: snapshot 2 is derived
+    deterministically (every 17th key deleted, every 10th price bumped
+    by exactly 10% in integer cents, every 13th key re-inserted under
+    key+3e6) and the full type-2 history — closed/open validity
+    intervals, is_current flags, change classification — hash-matches
+    the oracle's UNION-of-cases formulation."""
+    from sea_express_customs_etl_spark.operators.scd import scd2_from_snapshots
+
+    snap1 = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_u2"),
+    )
+    snap2 = (
+        snap1.filter(F.col("o_orderkey") % 17 != 0)
+        .select(
+            "o_orderkey",
+            "status",
+            F.when(
+                F.col("o_orderkey") % 10 == 0,
+                F.col("price_u2") + F.expr("price_u2 div 10"),
+            )
+            .otherwise(F.col("price_u2"))
+            .alias("price_u2"),
+        )
+        .unionByName(
+            snap1.filter(F.col("o_orderkey") % 13 == 0).select(
+                (F.col("o_orderkey") + 3000000).alias("o_orderkey"),
+                "status",
+                (F.col("price_u2") + 555).alias("price_u2"),
+            )
+        )
+    )
+    return scd2_from_snapshots(
+        snap1, snap2, "o_orderkey", ["status", "price_u2"],
+        "2024-01-01", "2024-02-01",
+    )
+
+
 def _q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal decode oracle-checked FROM RAW BYTES: deterministic
     P5/PGM payloads are synthesized per part id (closed-form gradient
@@ -1066,6 +1134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_dups": _q_containment_dups,
         # multimodal decode hash-checked from raw PGM bytes
         "image_decode_stats": _q_image_decode_stats,
+        # z-order layout keys + SCD2 warehouse history
+        "zorder_locality": _q_zorder_locality,
+        "scd2_history": _q_scd2_history,
         # corpus statistics: PMI phrase mining + per-domain KL drift
         "pmi_collocations": _q_pmi_collocations,
         "domain_kl_divergence": _q_domain_kl,
@@ -1195,4 +1266,6 @@ def oracle_sql() -> dict[str, str]:
         "sq8_topk": ext.SQ8_TOPK_SQL,
         "containment_dups": ext.CONTAINMENT_DUPS_SQL,
         "image_decode_stats": ext.IMAGE_DECODE_STATS_SQL,
+        "zorder_locality": ext.ZORDER_LOCALITY_SQL,
+        "scd2_history": ext.SCD2_HISTORY_SQL,
     }

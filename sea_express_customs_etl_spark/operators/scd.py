@@ -1,0 +1,103 @@
+"""Slowly-changing-dimension (type 2) history from table snapshots.
+
+The reference's warehouse story is replace-with-backup
+(/root/reference/src/database.py swap + timestamped snapshot — our
+``sinks/jdbc_sink.py`` / ``parquet_sink.py`` re-expressions): each load
+DESTROYS yesterday's values. SCD2 is the standard warehouse upgrade —
+keep every version with a validity interval — and falls out of one
+full-outer join per snapshot pair, which is how a Spark lakehouse
+builds history without CDC: diff consecutive snapshots.
+
+Semantics for ``scd2_from_snapshots(old, new, key, attrs, d_old,
+d_new)`` — one row per surviving version:
+
+* key in both, attrs equal     → (d_old, NULL,  current, 'unchanged')
+* key in both, attrs differ    → (d_old, d_new, closed,  'updated')
+                                 + (d_new, NULL, current, 'updated')
+* key only in old (deleted)    → (d_old, d_new, closed,  'deleted')
+* key only in new (inserted)   → (d_new, NULL,  current, 'inserted')
+
+Scale shape: ONE full-outer shuffle join on the business key (the
+minimum possible — any diff must co-locate the two versions), change
+detection as a null-safe struct comparison (map-side), and the two
+rows of an update produced by an explode of a prebuilt 1-or-2 element
+array — no second join, no window. Chain calls left-fold over a
+snapshot sequence; at 100 TB, partition the history table by
+``valid_from`` so time-travel reads prune.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def scd2_from_snapshots(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    attr_cols: Sequence[str],
+    d_old: str,
+    d_new: str,
+) -> DataFrame:
+    """Diff two snapshots into SCD2 rows. ``d_old``/``d_new`` are the
+    snapshot dates as ISO strings (become DateType columns). Output:
+    key, *attrs, valid_from, valid_to (NULL = open), is_current,
+    change ('unchanged' | 'updated' | 'deleted' | 'inserted')."""
+    o = old.select(
+        F.col(key_col), F.struct(*[F.col(c) for c in attr_cols]).alias("_ao")
+    )
+    n = new.select(
+        F.col(key_col), F.struct(*[F.col(c) for c in attr_cols]).alias("_an")
+    )
+    j = o.join(n, key_col, "full_outer")
+    from_old, from_new = F.lit(d_old).cast("date"), F.lit(d_new).cast("date")
+    null_date = F.lit(None).cast("date")
+
+    def version(attrs: Column, vf: Column, vt: Column, cur: bool) -> Column:
+        return F.struct(
+            attrs.alias("a"),
+            vf.alias("vf"),
+            vt.alias("vt"),
+            F.lit(cur).alias("cur"),
+        )
+
+    versions = (
+        F.when(
+            F.col("_an").isNull(),  # deleted
+            F.array(version(F.col("_ao"), from_old, from_new, False)),
+        )
+        .when(
+            F.col("_ao").isNull(),  # inserted
+            F.array(version(F.col("_an"), from_new, null_date, True)),
+        )
+        .when(
+            F.col("_ao").eqNullSafe(F.col("_an")),  # unchanged
+            F.array(version(F.col("_ao"), from_old, null_date, True)),
+        )
+        .otherwise(  # updated: closed old version + open new version
+            F.array(
+                version(F.col("_ao"), from_old, from_new, False),
+                version(F.col("_an"), from_new, null_date, True),
+            )
+        )
+    )
+    change = (
+        F.when(F.col("_an").isNull(), F.lit("deleted"))
+        .when(F.col("_ao").isNull(), F.lit("inserted"))
+        .when(F.col("_ao").eqNullSafe(F.col("_an")), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    exploded = j.select(
+        key_col, change.alias("change"), F.explode(versions).alias("_v")
+    )
+    return exploded.select(
+        key_col,
+        *[F.col(f"_v.a.{c}").alias(c) for c in attr_cols],
+        F.col("_v.vf").alias("valid_from"),
+        F.col("_v.vt").alias("valid_to"),
+        F.col("_v.cur").alias("is_current"),
+        "change",
+    )

@@ -1597,3 +1597,69 @@ SELECT media_id,
             ELSE NULL END AS decode_error
 FROM px
 """
+
+# --------------------------------------------------------------------------
+# z-order locality (sinks/layout.py:morton_key): identical bit
+# interleave, bucket = top z-bits, per-bucket (x, y) envelopes.
+# --------------------------------------------------------------------------
+
+
+def _zorder_locality_sql() -> str:
+    from sea_express_customs_etl_spark.sinks.layout import morton_key_sql
+
+    return f"""
+WITH b AS (SELECT l_partkey % 256 AS x, l_suppkey % 256 AS y
+           FROM lineitem),
+z AS (SELECT x, y, {morton_key_sql('x', 'y', bits=8)} AS z FROM b)
+SELECT CAST(z >> 8 AS INTEGER) AS bucket, count(*) AS n_rows,
+       min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+FROM z GROUP BY 1
+"""
+
+
+ZORDER_LOCALITY_SQL = _zorder_locality_sql()
+
+# --------------------------------------------------------------------------
+# SCD2 snapshot diff (operators/scd.py:scd2_from_snapshots): snapshot 2
+# derived from orders (delete %17, +10% price %10 in integer cents,
+# insert %13 under key+3e6); history as the UNION of the four cases.
+# --------------------------------------------------------------------------
+
+SCD2_HISTORY_SQL = """
+WITH s1 AS (
+  SELECT o_orderkey, o_orderstatus AS status,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_u2
+  FROM orders),
+s2 AS (
+  SELECT o_orderkey, status,
+         CASE WHEN o_orderkey % 10 = 0 THEN price_u2 + price_u2 // 10
+              ELSE price_u2 END AS price_u2
+  FROM s1 WHERE o_orderkey % 17 <> 0
+  UNION ALL
+  SELECT o_orderkey + 3000000, status, price_u2 + 555
+  FROM s1 WHERE o_orderkey % 13 = 0),
+j AS (
+  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+         a.status AS so, a.price_u2 AS po,
+         b.status AS sn, b.price_u2 AS pn,
+         a.o_orderkey IS NOT NULL AS in_old,
+         b.o_orderkey IS NOT NULL AS in_new
+  FROM s1 a FULL OUTER JOIN s2 b ON a.o_orderkey = b.o_orderkey)
+SELECT o_orderkey, so AS status, po AS price_u2,
+       DATE '2024-01-01' AS valid_from, DATE '2024-02-01' AS valid_to,
+       FALSE AS is_current, 'deleted' AS change
+FROM j WHERE in_old AND NOT in_new
+UNION ALL
+SELECT o_orderkey, sn, pn, DATE '2024-02-01', NULL, TRUE, 'inserted'
+FROM j WHERE in_new AND NOT in_old
+UNION ALL
+SELECT o_orderkey, so, po, DATE '2024-01-01', NULL, TRUE, 'unchanged'
+FROM j WHERE in_old AND in_new AND so = sn AND po = pn
+UNION ALL
+SELECT o_orderkey, so, po, DATE '2024-01-01', DATE '2024-02-01',
+       FALSE, 'updated'
+FROM j WHERE in_old AND in_new AND NOT (so = sn AND po = pn)
+UNION ALL
+SELECT o_orderkey, sn, pn, DATE '2024-02-01', NULL, TRUE, 'updated'
+FROM j WHERE in_old AND in_new AND NOT (so = sn AND po = pn)
+"""

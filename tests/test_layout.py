@@ -48,3 +48,53 @@ def test_upsert_parquet(spark, tmp_path):
     upsert_parquet(spark, path, updates, ("k",), version_col="ver")
     got = {r.k: r.v for r in spark.read.parquet(path).collect()}
     assert got == {"a": "old_a", "b": "new_b", "c": "new_c"}
+
+
+def test_morton_key_matches_python_reference(spark):
+    from sea_express_customs_etl_spark.sinks.layout import morton_key
+
+    def ref(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    import pyspark.sql.functions as F
+
+    rows = [(x, y) for x in (0, 1, 5, 170, 255) for y in (0, 3, 85, 255)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = df.select("x", "y", morton_key("x", "y", bits=8).alias("z")).collect()
+    for r in got:
+        assert r.z == ref(r.x, r.y), (r.x, r.y)
+
+
+def test_write_zordered_files_cover_disjoint_z_ranges(spark, tmp_path):
+    """Range partitioning on the Morton key must give each file a
+    non-overlapping z-interval — the property that makes per-file
+    min/max stats selective."""
+    import pyspark.sql.functions as F
+
+    from sea_express_customs_etl_spark.sinks.layout import (
+        morton_key,
+        write_zordered,
+    )
+
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    path = str(tmp_path / "zo")
+    write_zordered(df, path, "x", "y", num_files=8, bits=8)
+    back = spark.read.parquet(path).select(
+        "x", "y",
+        morton_key("x", "y", bits=8).alias("z"),
+        F.input_file_name().alias("f"),
+    )
+    assert back.count() == 4096
+    spans = back.groupBy("f").agg(
+        F.min("z").alias("lo"), F.max("z").alias("hi")
+    ).collect()
+    spans = sorted([(r.lo, r.hi) for r in spans])
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # disjoint, ordered intervals
