@@ -762,6 +762,30 @@ def _q_manifest_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram scoring on a held-out split: model
+    counted on even doc_ids, odd half scored — backoff genuinely
+    fires (about 2/3 of held-out trigrams are unseen at this corpus
+    size, all counted in backoff_hits). α = e⁻¹ makes every backoff
+    penalty an exact integer micro-unit shift."""
+    from sea_express_customs_etl_spark.operators.lm import trigram_backoff_score
+
+    docs = _docs(spark, sf_dir)
+    return trigram_backoff_score(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list build with delta-encoded doc-id gaps — the IR-side
+    consumer of the same explode→count shape as tfidf, checked down to
+    the exact gap arrays."""
+    from sea_express_customs_etl_spark.operators.textstats import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir))
+
+
 def _q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering key end-to-end: Morton-interleave the
     bucketized (l_partkey, l_suppkey) plane, derive the file bucket
@@ -1137,6 +1161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # z-order layout keys + SCD2 warehouse history
         "zorder_locality": _q_zorder_locality,
         "scd2_history": _q_scd2_history,
+        # held-out stupid-backoff trigram LM + posting-list build
+        "trigram_backoff": _q_trigram_backoff,
+        "inverted_index": _q_inverted_index,
         # corpus statistics: PMI phrase mining + per-domain KL drift
         "pmi_collocations": _q_pmi_collocations,
         "domain_kl_divergence": _q_domain_kl,
@@ -1268,4 +1295,6 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_stats": ext.IMAGE_DECODE_STATS_SQL,
         "zorder_locality": ext.ZORDER_LOCALITY_SQL,
         "scd2_history": ext.SCD2_HISTORY_SQL,
+        "trigram_backoff": ext.TRIGRAM_BACKOFF_SQL,
+        "inverted_index": ext.INVERTED_INDEX_SQL,
     }

@@ -505,3 +505,40 @@ def hashed_logit_score(
             F.sum("_contrib").cast("bigint").alias("logit"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Search-engine posting-list build: one row per distinct term with
+    document frequency, total term frequency, and the DELTA-ENCODED
+    sorted posting list (first element = lowest doc id, then gaps) —
+    the gap form is what makes varint/PForDelta compression work in a
+    real index, and it is byte-cheaper to shuffle too. Output: term,
+    df (int), total_tf (bigint), gaps (array<bigint>).
+
+    Scale shape: explode → ONE (term, doc) partial-aggregated count →
+    ONE per-term aggregate whose state is the posting list itself
+    (bounded by document frequency — stop-word postings are the known
+    hot keys; production caps them with a stop-list or impact-ordered
+    truncation, the standard IR dial). The gap transform is a map-side
+    array op after the sort_array, never a window.
+    """
+    tf = (
+        df.select(F.col(id_col), F.explode(_toks(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    agg = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("int").alias("df"),
+        F.sum("_tf").alias("total_tf"),
+        F.sort_array(F.collect_list(F.col(id_col))).alias("_docs"),
+    )
+    gaps = F.transform(
+        "_docs",
+        lambda x, i: x
+        - F.when(i == 0, F.lit(0)).otherwise(
+            F.element_at(F.col("_docs"), i)  # 1-based: element i = previous
+        ),
+    )
+    return agg.select("term", "df", "total_tf", gaps.alias("gaps"))

@@ -1663,3 +1663,76 @@ UNION ALL
 SELECT o_orderkey, sn, pn, DATE '2024-02-01', NULL, TRUE, 'updated'
 FROM j WHERE in_old AND in_new AND NOT (so = sn AND po = pn)
 """
+
+# --------------------------------------------------------------------------
+# stupid-backoff trigram LM (operators/lm.py:trigram_backoff_score):
+# model counted on even doc_ids, scoring the odd half; alpha = e^-1 so
+# the backoff penalty is an EXACT integer shift of the micro-unit ln.
+# --------------------------------------------------------------------------
+
+TRIGRAM_BACKOFF_SQL = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+tri_all AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                i -> struct_pack(a := tk[i], b := tk[i+1], c := tk[i+2]))) AS t
+  FROM toked WHERE len(tk) >= 3),
+tr AS (SELECT doc_id, t.a AS a, t.b AS b, t.c AS c FROM tri_all
+       WHERE doc_id % 2 = 0),
+sc AS (SELECT doc_id, t.a AS a, t.b AS b, t.c AS c FROM tri_all
+       WHERE doc_id % 2 = 1),
+c3 AS (SELECT a, b, c, count(*) AS c3 FROM tr GROUP BY 1, 2, 3),
+c2 AS (SELECT a, b, count(*) AS c2 FROM (
+         SELECT a, b FROM tr UNION ALL SELECT b, c FROM tr) GROUP BY 1, 2),
+c1 AS (SELECT w, count(*) AS c1 FROM (
+         SELECT b AS w FROM tr UNION ALL SELECT c AS w FROM tr) GROUP BY 1),
+n AS (SELECT sum(c1) AS n FROM c1),
+scored AS (
+  SELECT sc.doc_id,
+         CAST(round((CASE
+             WHEN c3.c3 IS NOT NULL THEN ln(c3.c3 / ab.c2)
+             WHEN bc.c2 IS NOT NULL THEN ln(bc.c2 / b1.c1) - 1
+             WHEN c1c.c1 IS NOT NULL THEN ln(c1c.c1 / n.n) - 2
+             ELSE ln(1.0 / n.n) - 2 END) * 1000000.0) AS BIGINT) AS lp,
+         CASE WHEN c3.c3 IS NULL THEN 1 ELSE 0 END AS bo
+  FROM sc
+  LEFT JOIN c3 USING (a, b, c)
+  LEFT JOIN c2 ab ON ab.a = sc.a AND ab.b = sc.b
+  LEFT JOIN c2 bc ON bc.a = sc.b AND bc.b = sc.c
+  LEFT JOIN c1 b1 ON b1.w = sc.b
+  LEFT JOIN c1 c1c ON c1c.w = sc.c, n),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INTEGER) AS n_trigrams,
+         CAST(sum(bo) AS INTEGER) AS backoff_hits,
+         CAST(sum(lp) AS BIGINT) AS score_u6
+  FROM scored GROUP BY 1)
+SELECT d.doc_id, coalesce(n_trigrams, 0) AS n_trigrams,
+       coalesce(backoff_hits, 0) AS backoff_hits,
+       CAST(coalesce(score_u6, 0) AS BIGINT) AS score_u6
+FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+LEFT JOIN agg USING (doc_id)
+"""
+
+# --------------------------------------------------------------------------
+# inverted index (operators/textstats.py:inverted_index): per-term
+# posting lists, delta-encoded (first element = lowest doc id, then
+# gaps), plus document frequency and total term frequency.
+# --------------------------------------------------------------------------
+
+INVERTED_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS term FROM documents),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+g AS (SELECT term, doc_id, tf,
+             doc_id - coalesce(lag(doc_id) OVER (PARTITION BY term
+                 ORDER BY doc_id), 0) AS gap
+      FROM tf)
+SELECT term, CAST(count(*) AS INTEGER) AS df,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       list(gap ORDER BY doc_id) AS gaps
+FROM g GROUP BY term
+"""
