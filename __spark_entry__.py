@@ -762,6 +762,30 @@ def _q_manifest_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_clicks_in_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via time-bucket blocking: each user's
+    daily error window [first error, last error] is exploded into its
+    epoch-hour buckets, clicks map to their single bucket, and the
+    non-equi BETWEEN becomes a residual filter on a plain (user,
+    bucket) equi-join — the distributed range-join rewrite, never a
+    per-key cross product. Output: clicks inside any same-user daily
+    error window, counted per (user, day)."""
+    from sea_express_customs_etl_spark.operators.asof import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.min("ts").alias("w_start"), F.max("ts").alias("w_end"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return (
+        interval_join(clicks, iv, ["user_id"], "ts", "w_start", "w_end")
+        .groupBy("user_id", "d")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )
+
+
 def _q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff trigram scoring on a held-out split: model
     counted on even doc_ids, odd half scored — backoff genuinely
@@ -1164,6 +1188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # held-out stupid-backoff trigram LM + posting-list build
         "trigram_backoff": _q_trigram_backoff,
         "inverted_index": _q_inverted_index,
+        # bucket-blocked point-in-interval (range) join
+        "clicks_in_error_window": _q_clicks_in_error_window,
         # corpus statistics: PMI phrase mining + per-domain KL drift
         "pmi_collocations": _q_pmi_collocations,
         "domain_kl_divergence": _q_domain_kl,
@@ -1289,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "event_value_percentiles": ext.EVENT_VALUE_PERCENTILES_SQL,
         "funnel_conversion": rel.FUNNEL_CONVERSION_SQL,
         "cohort_retention": rel.COHORT_RETENTION_SQL,
+        "clicks_in_error_window": rel.CLICKS_IN_ERROR_WINDOW_SQL,
         "sq8_codes": ext.SQ8_CODES_SQL,
         "sq8_topk": ext.SQ8_TOPK_SQL,
         "containment_dups": ext.CONTAINMENT_DUPS_SQL,

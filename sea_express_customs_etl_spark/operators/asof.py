@@ -69,3 +69,57 @@ def asof_join(
     return carried.filter(F.col("_side") == 1).select(
         *left.columns, *[f"{prefix}{c}" for c in payload_cols], f"{prefix}{ts_col}"
     )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval join without a range-join blow-up: inner-join
+    every ``points`` row to each ``intervals`` row of the same key with
+    ``start <= ts <= end``.
+
+    The naive formulation is a non-equi join — Spark plans it as a
+    per-key cross product (quadratic in the hot key). This operator
+    uses TIME-BUCKET BLOCKING, the standard distributed range-join
+    rewrite (what Databricks' range-join optimization does under the
+    hood): each interval explodes into the epoch buckets it spans,
+    each point maps to its single bucket, and the join becomes a plain
+    equi-join on (keys…, bucket) with the BETWEEN as a residual
+    filter. A point's bucket intersects an interval's bucket list at
+    most once, so no dedup is needed. Cost: |intervals| × avg-span /
+    bucket exploded rows and ONE hash shuffle — pick ``bucket_seconds``
+    near the typical interval length so the explosion factor stays
+    small while buckets stay selective.
+
+    All columns of both inputs survive (interval columns suffixed only
+    on collision is the caller's concern — keep them disjoint).
+    """
+    us = F.lit(bucket_seconds * 1_000_000).cast("bigint")
+    # floor-division bucket (negative-safe: floor, not truncation)
+    pts = points.withColumn(
+        "_ib",
+        F.floor(F.expr(f"unix_micros({ts_col})") / us).cast("bigint"),
+    )
+    ivs = intervals.withColumn(
+        "_ib",
+        F.explode(
+            F.sequence(
+                F.floor(F.expr(f"unix_micros({start_col})") / us).cast("bigint"),
+                F.floor(F.expr(f"unix_micros({end_col})") / us).cast("bigint"),
+            )
+        ),
+    )
+    return (
+        pts.join(ivs, [*key_cols, "_ib"])
+        .filter(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_ib")
+    )

@@ -339,3 +339,18 @@ SELECT f.cohort_day,
 FROM a JOIN f USING (user_id)
 GROUP BY 1, 2
 """
+
+# point-in-interval join (operators/asof.py:interval_join): clicks
+# inside each user's daily [first error, last error] window — the
+# oracle states the naive BETWEEN join the bucket rewrite must equal
+CLICKS_IN_ERROR_WINDOW_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         min(ts) AS w_start, max(ts) AS w_end
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2),
+c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT iv.user_id, iv.d, count(*) AS n_clicks
+FROM iv JOIN c ON c.user_id = iv.user_id
+              AND c.ts >= iv.w_start AND c.ts <= iv.w_end
+GROUP BY 1, 2
+"""

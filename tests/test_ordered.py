@@ -54,3 +54,32 @@ def test_ordered_ops_require_partitions(spark):
         ffill(df, "a", "i", ())
     with pytest.raises(ValueError):
         seq_number(df, (), "i")
+
+
+def test_interval_join_boundaries_and_bucket_spans(spark):
+    """BETWEEN is inclusive on both ends; intervals spanning many
+    buckets still match each point exactly once."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F  # noqa: F401
+
+    from sea_express_customs_etl_spark.operators.asof import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    pts = spark.createDataFrame(
+        [(1, ts(0), "at_start"), (1, ts(150), "mid_span"),
+         (1, ts(240), "at_end"), (1, ts(241), "after"),
+         (2, ts(100), "other_key")],
+        "k long, ts timestamp, tag string",
+    )
+    ivs = spark.createDataFrame(
+        [(1, ts(0), ts(240))], "k long, s timestamp, e timestamp"
+    )
+    got = interval_join(pts, ivs, ["k"], "ts", "s", "e")
+    tags = sorted(r.tag for r in got.collect())
+    # 5-hour span = 5 hour-buckets; each in-range point matched ONCE
+    assert tags == ["at_end", "at_start", "mid_span"]
