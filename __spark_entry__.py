@@ -636,11 +636,12 @@ def _q_fuzzy_key_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     part name with its 3rd character deleted (a typo that BREAKS the
     leading-prefix block — only the reverse-prefix pass catches it,
     which is the multi-pass blocking design working as intended);
-    fuzzy_join + best_match recover the original part key."""
-    from sea_express_customs_etl_spark.operators.fuzzy import (
-        best_match,
-        fuzzy_join,
-    )
+    the fused dictionary-grained fuzzy_best_link recovers the original
+    part key (identical result to best_match ∘ fuzzy_join — the
+    equivalence is pinned by tests/test_fuzzy.py — without
+    materializing the r² id-level pair table that repeated names
+    imply)."""
+    from sea_express_customs_etl_spark.operators.fuzzy import fuzzy_best_link
 
     parts = load_table(spark, sf_dir, "part").select(
         "p_partkey", F.lower(F.col("p_name")).alias("t")
@@ -651,12 +652,9 @@ def _q_fuzzy_key_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("t", 1, 2), F.expr("substring(t, 4, 1000000)")
         ).alias("qt"),
     )
-    m = fuzzy_join(
+    return fuzzy_best_link(
         parts, probes, "p_partkey", "qid", "t", "qt", max_dist=2, prefix=4
-    )
-    return best_match(m, "qid", "p_partkey").select(
-        "qid", "p_partkey", "dist"
-    )
+    ).select("qid", "p_partkey", "dist")
 
 
 def _q_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -32,14 +32,13 @@ from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
 
-def _block_keys(df: DataFrame, id_col: str, text_col: str, prefix: int) -> DataFrame:
-    """(id, text, _bk) with two block keys per row: ``p:<prefix>`` and
+def _block_keys(df: DataFrame, text_col: str, prefix: int) -> DataFrame:
+    """(text, _bk) with two block keys per row: ``p:<prefix>`` and
     ``s:<prefix-of-reverse>``. ``substring`` returns the whole string
     when shorter than ``prefix`` in both Spark and DuckDB, so short
     strings block on themselves — no length guard needed."""
     t = F.col(text_col)
     return df.select(
-        id_col,
         text_col,
         F.explode(
             F.array(
@@ -62,22 +61,61 @@ def fuzzy_join(
 ) -> DataFrame:
     """Candidate pairs within ``max_dist`` Levenshtein edits, found via
     two-pass blocking. Output: left_id, right_id, left_text,
-    right_text, dist.
+    right_text, dist. ``left_text``/``right_text`` must be distinct
+    column names (both survive into the output).
 
     Recall contract: a pair is found iff it shares a leading-``prefix``
     block on the string or its reverse — edits that rewrite BOTH ends
     of the string can escape (the standard blocking tradeoff, stated
-    rather than hidden). The pair set is deduplicated across the two
-    passes BEFORE the O(len²) verify runs."""
-    l = _block_keys(left, left_id, left_text, prefix)
-    r = _block_keys(right, right_id, right_text, prefix)
-    cand = (
-        l.join(r, "_bk")
-        .select(left_id, right_id, left_text, right_text)
-        .distinct()
+    rather than hidden).
+
+    DICTIONARY-ENCODED: blocking and the O(len²) verify run over the
+    DISTINCT text values of each side, and the verified text-pair
+    table joins back to the id rows afterward — the bpe_encode rule
+    (expensive kernel once per distinct value, never once per row)
+    applied to linkage. Real entity columns repeat heavily (names,
+    brands, cities), and repeated values explode blocked PAIRS
+    quadratically: on the sf0.1 part-name query (20k rows over 64
+    distinct names) row-grained blocking emits 50M pairs and 65 s of
+    Levenshtein; the distinct-grained form verifies ≤64² and runs the
+    whole query in ~2 s. Worst case (all values unique) it degrades to
+    exactly the row-grained cost plus two hash joins. A LENGTH BAND
+    (``|len(l) − len(r)| ≤ max_dist``, a Levenshtein lower bound)
+    prunes candidates map-side before the verify."""
+    text_pairs = _text_pairs(left, right, left_text, right_text, max_dist, prefix)
+    return (
+        left.select(left_id, left_text)
+        .join(text_pairs, left_text)
+        .join(right.select(right_id, right_text), right_text)
+        .select(left_id, right_id, left_text, right_text, "dist")
     )
-    dist = F.levenshtein(F.col(left_text), F.col(right_text))
-    return cand.withColumn("dist", dist).filter(F.col("dist") <= max_dist)
+
+
+def _text_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_text: str,
+    right_text: str,
+    max_dist: int,
+    prefix: int,
+) -> DataFrame:
+    """Verified DISTINCT-text pairs: block → length-band prune →
+    cross-pass dedup → Levenshtein verify. (left_text, right_text,
+    dist)."""
+    l = _block_keys(left.select(left_text).distinct(), left_text, prefix)
+    r = _block_keys(right.select(right_text).distinct(), right_text, prefix)
+    return (
+        l.join(r, "_bk")
+        .filter(
+            F.abs(F.length(left_text) - F.length(right_text)) <= max_dist
+        )
+        .select(left_text, right_text)
+        .distinct()
+        .withColumn(
+            "dist", F.levenshtein(F.col(left_text), F.col(right_text))
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
 
 
 def best_match(
@@ -95,3 +133,52 @@ def best_match(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def fuzzy_best_link(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_text: str,
+    right_text: str,
+    max_dist: int = 2,
+    prefix: int = 4,
+) -> DataFrame:
+    """``best_match(fuzzy_join(...))`` fused at DICTIONARY grain: one
+    row per right (probe) row — its best left candidate by
+    ``(dist ASC, left_id ASC)`` — without ever materializing the
+    id-level pair table. When text values repeat r times per side,
+    ``fuzzy_join`` legitimately emits r² id-pairs per text pair
+    (~10M rows on the sf0.1 part-name query, 17 s of shuffle); for
+    top-1 linkage all of them lose to the same winner, so this
+    operator resolves the winner per TEXT first:
+
+      1. verified text pairs (|distinct|-grained, as ``fuzzy_join``);
+      2. per left text, its minimal left_id (one tiny aggregate);
+      3. per right text, ``min(struct(dist, best_left_id))`` — the
+         lexicographic (dist, id) order of ``best_match``;
+      4. one hash join back onto the right rows.
+
+    Probes whose text matches nothing are dropped (inner), exactly as
+    ``best_match`` over an inner ``fuzzy_join``. Output: right_id,
+    left_id, dist."""
+    text_pairs = _text_pairs(left, right, left_text, right_text, max_dist, prefix)
+    lmin = left.groupBy(left_text).agg(F.min(left_id).alias("_blid"))
+    best_per_text = (
+        text_pairs.join(lmin, left_text)
+        .groupBy(right_text)
+        .agg(
+            F.min(
+                F.struct(F.col("dist").alias("d"), F.col("_blid").alias("i"))
+            ).alias("_b")
+        )
+        .select(
+            right_text,
+            F.col("_b.i").alias(left_id),
+            F.col("_b.d").alias("dist"),
+        )
+    )
+    return right.select(right_id, right_text).join(
+        best_per_text, right_text
+    ).select(right_id, left_id, "dist")

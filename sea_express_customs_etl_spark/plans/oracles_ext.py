@@ -1418,7 +1418,8 @@ rk AS (
          unnest(['p:' || substr(qt, 1, 4),
                  's:' || substr(reverse(qt), 1, 4)]) AS bk
   FROM probes),
-cand AS (SELECT DISTINCT p_partkey, qid, t, qt FROM lk JOIN rk USING (bk)),
+cand AS (SELECT DISTINCT p_partkey, qid, t, qt FROM lk JOIN rk USING (bk)
+         WHERE abs(length(t) - length(qt)) <= 2),
 m AS (
   SELECT qid, p_partkey, levenshtein(t, qt) AS dist
   FROM cand

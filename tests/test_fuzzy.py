@@ -75,3 +75,37 @@ def test_fuzzy_join_layout_invariance(spark):
         )
     )
     assert a == b and len(a) > 0
+
+
+def test_fuzzy_best_link_equals_best_match_of_fuzzy_join(spark):
+    """The fused dictionary-grained top-1 must equal the compositional
+    form — including on repeated texts (where the fusion matters) and
+    distance/id tie-breaks."""
+    from sea_express_customs_etl_spark.operators.fuzzy import fuzzy_best_link
+
+    left = spark.createDataFrame(
+        [(7, "house"), (3, "house"), (5, "mouse"), (9, "spouse"),
+         (11, "zebra")],
+        ["lid", "t"],
+    )
+    right = spark.createDataFrame(
+        [(1, "house"), (2, "housef"), (4, "house"), (6, "qqqqq")],
+        ["rid", "qt"],
+    )
+    composed = {
+        (r.rid, r.lid, r.dist)
+        for r in best_match(
+            fuzzy_join(left, right, "lid", "rid", "t", "qt", max_dist=2),
+            "rid",
+            "lid",
+        ).select("rid", "lid", "dist").collect()
+    }
+    fused = {
+        (r.rid, r.lid, r.dist)
+        for r in fuzzy_best_link(
+            left, right, "lid", "rid", "t", "qt", max_dist=2
+        ).collect()
+    }
+    assert fused == composed
+    assert (1, 3, 0) in fused  # repeated 'house': min lid 3 wins
+    assert (6, 11, 2) not in fused and not any(r[0] == 6 for r in fused)

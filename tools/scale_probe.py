@@ -128,6 +128,109 @@ def cases() -> dict:
         "random_project": lambda docs, emb: _rp(emb),
         "dsir_scores": lambda docs, emb: _dsir(docs),
         "lm_terciles": lambda docs, emb: _terciles(docs),
+        # r4 third batch: compressed-index SQ8, containment verify,
+        # held-out trigram backoff, posting lists
+        "sq8_topk": lambda docs, emb: _sq8(emb),
+        "containment_dups": lambda docs, emb: _containment(docs),
+        "trigram_backoff": lambda docs, emb: _backoff(docs),
+        "inverted_index": lambda docs, emb: _invidx(docs),
+    }
+
+
+def _sq8(emb):
+    from sea_express_customs_etl_spark.operators.sq import sq8_topk
+
+    return sq8_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _containment(docs):
+    from sea_express_customs_etl_spark.operators.dedup import (
+        containment_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+
+    prof = shingle_profiles(docs)
+    return containment_verify_profiles(
+        lsh_candidate_pairs(lsh_bands(prof)), prof
+    )
+
+
+def _backoff(docs):
+    from sea_express_customs_etl_spark.operators.lm import (
+        trigram_backoff_score,
+    )
+
+    return trigram_backoff_score(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+def _invidx(docs):
+    from sea_express_customs_etl_spark.operators.textstats import (
+        inverted_index,
+    )
+
+    return inverted_index(docs)
+
+
+def cases_ev() -> dict:
+    """Event-table probes: replication shifts BOTH event_id and
+    user_id, so user cardinality grows with the corpus (the realistic
+    axis — per-user history stays constant, the shuffles widen)."""
+    from sea_express_customs_etl_spark.operators.asof import interval_join
+
+    def _funnel(ev):
+        s1 = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t1"))
+        )
+        s2 = (
+            ev.filter(F.col("event_type") == "click")
+            .join(s1, "user_id")
+            .filter(F.col("ts") > F.col("t1"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t2"))
+        )
+        return (
+            ev.filter(F.col("event_type") == "purchase")
+            .join(s2, "user_id")
+            .filter(F.col("ts") > F.col("t2"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t3"))
+        )
+
+    def _ivjoin(ev):
+        iv = (
+            ev.filter(F.col("event_type") == "error")
+            .groupBy("user_id", F.to_date("ts").alias("d"))
+            .agg(F.min("ts").alias("w_start"), F.max("ts").alias("w_end"))
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts"
+        )
+        return interval_join(
+            clicks, iv, ["user_id"], "ts", "w_start", "w_end"
+        ).groupBy("user_id", "d").agg(F.count(F.lit(1)).alias("n"))
+
+    def _cohort(ev):
+        first = ev.groupBy("user_id").agg(
+            F.min(F.to_date("ts")).alias("cohort_day")
+        )
+        active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+        return (
+            active.join(first, "user_id")
+            .groupBy("cohort_day", F.datediff("d", "cohort_day").alias("o"))
+            .agg(F.count(F.lit(1)).alias("n_users"))
+        )
+
+    return {
+        "funnel_conversion": _funnel,
+        "clicks_in_error_window": _ivjoin,
+        "cohort_retention": _cohort,
     }
 
 
@@ -185,16 +288,32 @@ def main() -> None:
     emb1 = load_table(spark, SF_DIR, "embeddings")
     docs8 = replicated(docs1, "doc_id", REP)
     emb8 = replicated(emb1, "vec_id", REP)
-    for df in (docs1, emb1):
+    ev1 = load_table(spark, SF_DIR, "events")
+    ev8 = None
+    for i in range(REP):
+        part = ev1.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * _OFFSET)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * _OFFSET))
+        ev8 = part if ev8 is None else ev8.unionByName(part)
+    for df in (docs1, emb1, ev1):
         df.count()  # warm the scans
 
     wanted = sys.argv[1:] or None
-    all_cases = cases()
+    ev_cases = cases_ev()
+    all_cases = dict(cases())
+    for nm, fn_ev in ev_cases.items():
+        # adapt to the (d, e) calling convention; e is unused
+        all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_ev)
     names = wanted or list(all_cases)
     for name in names:
         fn = all_cases[name]
         walls = {}
-        for scale, (d, e) in {"1x": (docs1, emb1), "8x": (docs8, emb8)}.items():
+        scales = (
+            {"1x": (ev1, None), "8x": (ev8, None)}
+            if name in ev_cases
+            else {"1x": (docs1, emb1), "8x": (docs8, emb8)}
+        )
+        for scale, (d, e) in scales.items():
             # scaled-k only differs from fixed-k at 8×; at 1× it IS k=16
             if name == "semantic_dedup_scaled_k" and scale == "1x":
                 continue
