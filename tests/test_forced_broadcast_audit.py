@@ -67,6 +67,7 @@ FORCED_BROADCAST_ALLOWED = {
     "domain_kl_divergence",  # 1-row (T, V) + |domains|-row totals
     "sq8_codes",           # 1-row (lo_arr, span_arr) trained quantizer
     "sq8_topk",            # same 1-row stats + query set
+    "trigram_backoff",     # 1-row total-N scalar (count tables NOT pinned)
 }
 
 

@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "domain_kl_divergence",  # 1-row (T, V) totals broadcast
     "sq8_codes",          # 1-row (lo_arr, span_arr) quantizer broadcast
     "sq8_topk",           # same 1-row stats + query-set broadcast
+    "trigram_backoff",    # 1-row total-N scalar broadcast
 }
 
 
