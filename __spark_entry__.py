@@ -760,6 +760,67 @@ def _q_manifest_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style one-pass column profile of orders (floats
+    pre-quantized to integer cents so min/max stringification is
+    engine-portable — double→string formatting is not)."""
+    from sea_express_customs_etl_spark.operators.profiling import profile_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_u2"),
+    )
+    return profile_table(
+        o,
+        ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate",
+         "price_u2"],
+    )
+
+
+def _q_lineitem_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style rule evaluation in one scan — five rules over
+    lineitem, including ones that genuinely fail (tax cap) so the
+    violation counting is exercised, not just the all-pass path."""
+    from sea_express_customs_etl_spark.operators.profiling import (
+        check_constraints,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return check_constraints(
+        li,
+        {
+            "qty_in_1_50": F.col("l_quantity").between(1, 50),
+            "shipdate_in_range": F.col("l_shipdate").between(
+                "1992-01-01", "1998-12-31"
+            ),
+            "positive_price": F.col("l_extendedprice") > 0,
+            "tax_le_5pct": F.col("l_tax") <= 0.05,
+            "returnflag_domain": F.col("l_returnflag").isin("A", "N", "R"),
+        },
+    )
+
+
+def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style compaction to current state: each user's latest event
+    by (ts, event_id) via the max-struct aggregate — partial-merge
+    map-side, no per-key window sort."""
+    from sea_express_customs_etl_spark.operators.profiling import latest_by_key
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
+    )
+    return latest_by_key(
+        ev, ["user_id"], "ts", "event_id", ["event_type", "value_u6"]
+    )
+
+
 def _q_clicks_in_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join via time-bucket blocking: each user's
     daily error window [first error, last error] is exploded into its
@@ -1188,6 +1249,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": _q_inverted_index,
         # bucket-blocked point-in-interval (range) join
         "clicks_in_error_window": _q_clicks_in_error_window,
+        # warehouse ops: ANALYZE profile, dbt-style constraints,
+        # CDC latest-by-key compaction
+        "table_profile": _q_table_profile,
+        "lineitem_constraints": _q_lineitem_constraints,
+        "latest_event_per_user": _q_latest_event_per_user,
         # corpus statistics: PMI phrase mining + per-domain KL drift
         "pmi_collocations": _q_pmi_collocations,
         "domain_kl_divergence": _q_domain_kl,
@@ -1314,6 +1380,9 @@ def oracle_sql() -> dict[str, str]:
         "funnel_conversion": rel.FUNNEL_CONVERSION_SQL,
         "cohort_retention": rel.COHORT_RETENTION_SQL,
         "clicks_in_error_window": rel.CLICKS_IN_ERROR_WINDOW_SQL,
+        "table_profile": rel.TABLE_PROFILE_SQL,
+        "lineitem_constraints": rel.LINEITEM_CONSTRAINTS_SQL,
+        "latest_event_per_user": rel.LATEST_EVENT_PER_USER_SQL,
         "sq8_codes": ext.SQ8_CODES_SQL,
         "sq8_topk": ext.SQ8_TOPK_SQL,
         "containment_dups": ext.CONTAINMENT_DUPS_SQL,

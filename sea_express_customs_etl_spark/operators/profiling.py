@@ -1,0 +1,117 @@
+"""Warehouse-ops: table profiling, constraint checking, latest-by-key.
+
+The reference trusts its inputs blindly (/root/reference/src/
+process_excel_order.py parses and inserts — a malformed qty or an
+out-of-range date lands in MySQL unchecked, surfacing weeks later in
+training); these operators are the data-quality layer a production
+lake runs on every load:
+
+* :func:`profile_table` — ANALYZE-style per-column statistics (row
+  count, nulls, distincts, min/max) in ONE pass; the numbers that
+  feed both optimizer stats and drift monitoring.
+* :func:`check_constraints` — dbt-test-style rule evaluation: one
+  aggregate scan, one row per rule with its violation count. Rules
+  are arbitrary boolean Columns, so anything Catalyst can express is
+  checkable (range, pattern, cross-column ordering).
+* :func:`latest_by_key` — CDC/event-stream compaction to current
+  state: the max-struct aggregate form (partial-aggregatable, no
+  window sort), deterministic under ties via an explicit tiebreak
+  column.
+
+Scale shapes: profiling is one aggregate whose multi-distinct expands
+to |cols| grouping passes (Spark's Expand — the standard cost of exact
+NDV; swap ``approx_count_distinct`` in at 100 TB where ±2% is fine and
+the pass collapses to one). Constraints are a single map-side
+conditional-sum aggregate — cost of one scan regardless of rule
+count. latest_by_key is one partial-aggregated shuffle on the key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+
+def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """One row per profiled column: column, n_rows, n_nulls,
+    n_distinct (exact, excludes NULL), lo / hi (min/max cast to
+    string so heterogeneous column types stack into one frame)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nulls_{c}"),
+            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_lo_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_hi_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', _nulls_{c}, _nd_{c}, _lo_{c}, _hi_{c}" for c in cols
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(cols)}, {stack_args}) AS "
+            "(column, n_nulls, n_distinct, lo, hi)"
+        ),
+        F.col("_n").alias("n_rows"),
+    ).select("column", "n_rows", "n_nulls", "n_distinct", "lo", "hi")
+
+
+def check_constraints(
+    df: DataFrame, rules: Mapping[str, Column]
+) -> DataFrame:
+    """Evaluate named boolean rules in one scan. Output: one row per
+    rule — rule, n_rows, n_violations (rows where the rule is FALSE
+    **or NULL** — an unevaluable rule is a violation, the conservative
+    dbt semantics), pass (violations == 0)."""
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    names = list(rules)
+    for name in names:
+        cond = rules[name]
+        aggs.append(
+            F.sum(
+                F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))
+            ).alias(f"_v_{names.index(name)}")
+        )
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', _v_{i}" for i, name in enumerate(names)
+    )
+    return wide.select(
+        F.expr(f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"),
+        F.col("_n").alias("n_rows"),
+    ).select(
+        "rule",
+        "n_rows",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    )
+
+
+def latest_by_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    order_col: str,
+    tiebreak_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Current state per key: the row with the greatest
+    ``(order_col, tiebreak_col)``. Max-struct aggregate — partial
+    merge happens map-side, no per-key sort window; the deterministic
+    tie-break is mandatory (event time repeats at scale)."""
+    packed = F.max(
+        F.struct(
+            F.col(order_col).alias("_o"),
+            F.col(tiebreak_col).alias("_t"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        )
+    ).alias("_b")
+    out = df.groupBy(*key_cols).agg(packed)
+    return out.select(
+        *key_cols,
+        F.col("_b._o").alias(order_col),
+        F.col("_b._t").alias(tiebreak_col),
+        *[F.col(f"_b.{c}").alias(c) for c in payload_cols],
+    )

@@ -354,3 +354,71 @@ FROM iv JOIN c ON c.user_id = iv.user_id
               AND c.ts >= iv.w_start AND c.ts <= iv.w_end
 GROUP BY 1, 2
 """
+
+# one-pass column profile (operators/profiling.py:profile_table) over
+# orders with price pre-quantized to integer cents (double->string
+# formatting is not engine-portable; bigint/date/varchar are)
+
+
+def _profile_col_sql(col: str) -> str:
+    return f"""
+SELECT '{col}' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       count(DISTINCT {col}) AS n_distinct,
+       CAST(min({col}) AS VARCHAR) AS lo,
+       CAST(max({col}) AS VARCHAR) AS hi
+FROM o
+"""
+
+
+TABLE_PROFILE_SQL = (
+    """
+WITH o AS (
+  SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_u2
+  FROM orders)
+"""
+    + " UNION ALL ".join(
+        _profile_col_sql(c)
+        for c in (
+            "o_custkey", "o_orderstatus", "o_orderpriority",
+            "o_orderdate", "price_u2",
+        )
+    )
+)
+
+# dbt-style constraint counts (profiling.check_constraints): FALSE OR
+# NULL counts as a violation
+LINEITEM_CONSTRAINTS_SQL = """
+WITH w AS (
+  SELECT
+    count(*) AS n,
+    sum(CASE WHEN NOT coalesce(l_quantity BETWEEN 1 AND 50, FALSE)
+        THEN 1 ELSE 0 END) AS v0,
+    sum(CASE WHEN NOT coalesce(l_shipdate BETWEEN DATE '1992-01-01'
+        AND DATE '1998-12-31', FALSE) THEN 1 ELSE 0 END) AS v1,
+    sum(CASE WHEN NOT coalesce(l_extendedprice > 0, FALSE)
+        THEN 1 ELSE 0 END) AS v2,
+    sum(CASE WHEN NOT coalesce(l_tax <= 0.05, FALSE)
+        THEN 1 ELSE 0 END) AS v3,
+    sum(CASE WHEN NOT coalesce(l_returnflag IN ('A','N','R'), FALSE)
+        THEN 1 ELSE 0 END) AS v4
+  FROM lineitem)
+SELECT r.rule, w.n AS n_rows, CAST(r.v AS BIGINT) AS n_violations,
+       r.v = 0 AS pass
+FROM w, LATERAL (VALUES
+  ('qty_in_1_50', v0), ('shipdate_in_range', v1),
+  ('positive_price', v2), ('tax_le_5pct', v3),
+  ('returnflag_domain', v4)) r(rule, v)
+"""
+
+# latest-by-key compaction (profiling.latest_by_key): greatest
+# (ts, event_id) row per user
+LATEST_EVENT_PER_USER_SQL = """
+SELECT user_id, ts, event_id, event_type,
+       CAST(round(value * 1000000) AS BIGINT) AS value_u6
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+          ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
