@@ -14,7 +14,7 @@ from collections.abc import Callable
 # make the engine package importable no matter the caller's cwd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
 from sea_express_customs_etl_spark.functions.strings import normalize_text_col
@@ -760,6 +760,56 @@ def _q_manifest_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation salting promoted to the hash-checked gate: the
+    salted (key, salt) equi-join must produce EXACTLY the plain join's
+    result (the salt is plumbing, not semantics) — the oracle states
+    the plain join. Revenue in integer cents per order priority."""
+    from sea_express_customs_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("bigint")
+        .alias("rev_u2"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, od, "l_orderkey", salt_factor=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("rev_u2").alias("revenue_u2"),
+        )
+    )
+
+
+def _q_event_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI percent_rank + cume_dist per event type — the two
+    distribution window functions not exercised elsewhere. Both are
+    exact integer ratios evaluated in IEEE doubles, so they hash-match
+    without rounding; ties share ranks deterministically by
+    definition."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value"))
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+def _q_unmatched_declared_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set-op surface (the sibling of key_intersection's
+    INTERSECT): declared link keys with no official counterpart — the
+    reference's unmatched-waybill gap list."""
+    a, b = _ab_linked(spark, sf_dir)
+    return a.select("link_key").subtract(b.select("link_key"))
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style one-pass column profile of orders (floats
     pre-quantized to integer cents so min/max stringification is
@@ -1254,6 +1304,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "lineitem_constraints": _q_lineitem_constraints,
         "latest_event_per_user": _q_latest_event_per_user,
+        # salted-join parity, distribution windows, EXCEPT set-op
+        "salted_join_revenue": _q_salted_join_revenue,
+        "event_percent_rank": _q_event_percent_rank,
+        "unmatched_declared_keys": _q_unmatched_declared_keys,
         # corpus statistics: PMI phrase mining + per-domain KL drift
         "pmi_collocations": _q_pmi_collocations,
         "domain_kl_divergence": _q_domain_kl,
@@ -1383,6 +1437,9 @@ def oracle_sql() -> dict[str, str]:
         "table_profile": rel.TABLE_PROFILE_SQL,
         "lineitem_constraints": rel.LINEITEM_CONSTRAINTS_SQL,
         "latest_event_per_user": rel.LATEST_EVENT_PER_USER_SQL,
+        "salted_join_revenue": rel.SALTED_JOIN_REVENUE_SQL,
+        "event_percent_rank": rel.EVENT_PERCENT_RANK_SQL,
+        "unmatched_declared_keys": oracles.UNMATCHED_DECLARED_KEYS_SQL,
         "sq8_codes": ext.SQ8_CODES_SQL,
         "sq8_topk": ext.SQ8_TOPK_SQL,
         "containment_dups": ext.CONTAINMENT_DUPS_SQL,

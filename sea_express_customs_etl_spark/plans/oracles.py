@@ -148,3 +148,15 @@ SELECT DISTINCT description_original,
        {normalize_text_sql('description_original')} AS normalized
 FROM a_raw
 """
+
+# EXCEPT set-op sibling of KEY_INTERSECTION_SQL: declared link keys
+# with no official counterpart (EXCEPT is distinct in ANSI, matching
+# DataFrame.subtract)
+UNMATCHED_DECLARED_KEYS_SQL = (
+    _LINK_PROLOGUE
+    + """
+SELECT link_key FROM a
+EXCEPT
+SELECT link_key FROM b
+"""
+)

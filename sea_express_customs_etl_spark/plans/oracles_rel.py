@@ -422,3 +422,22 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
           ORDER BY ts DESC, event_id DESC) AS rn FROM events)
 WHERE rn = 1
 """
+
+# salted-join parity (operators/skew.py:salted_join): the oracle is
+# the PLAIN join -- salting must be invisible in the result
+SALTED_JOIN_REVENUE_SQL = """
+SELECT o.o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_u2
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1
+"""
+
+# ANSI distribution windows
+EVENT_PERCENT_RANK_SQL = """
+SELECT event_id, event_type,
+       percent_rank() OVER w AS pr,
+       cume_dist() OVER w AS cd
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value)
+"""
