@@ -1023,6 +1023,71 @@ def _q_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode hash-checked from raw bytes: genuine
+    RIFF/WAVE PCM containers are synthesized per part id (closed-form
+    int16 sawtooth), every 29th payload corrupted, and the production
+    ``decode_wav`` kernel (RIFF chunk walk + numpy PCM extraction — no
+    codec library; WAV-PCM needs none) recovers format fields, exact
+    sample counts, floor-division durations and exact integer
+    |sample| sums that DuckDB recomputes analytically."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        decode_wav,
+        synth_wav_payloads,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 60)
+        .select(F.col("p_partkey").alias("media_id"))
+    )
+    wav = synth_wav_payloads(ids).withColumn(
+        "payload",
+        F.when(
+            F.col("media_id") % 29 == 0, F.lit(b"JUNKDATA")
+        ).otherwise(F.col("payload")),
+    )
+    return decode_wav(wav)
+
+
+def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling chain hash-checked from raw bytes: 5-frame
+    concatenated-PGM streams (the ffmpeg image2pipe shape) are
+    synthesized per part id, ``extract_ppm_frames`` keeps every 2nd
+    frame (real stream walking — each frame's header is parsed to find
+    the next), and each kept frame goes through the production image
+    decode; per-frame exact pixel sums hash-match the analytic oracle.
+    The (media, frame) key is packed into one id for the decode stage
+    and unpacked after — the standard composite-key trick when a
+    kernel keys on a single column."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        decode_images,
+        extract_ppm_frames,
+        synth_video_payloads,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 40)
+        .select(F.col("p_partkey").alias("media_id"))
+    )
+    frames = extract_ppm_frames(synth_video_payloads(ids), every_n=2)
+    packed = frames.select(
+        (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame").alias("payload"),
+    )
+    dec = decode_images(packed)
+    return dec.select(
+        F.expr("media_id div 10").alias("media_id"),
+        (F.col("media_id") % 10).cast("int").alias("frame_idx"),
+        "width",
+        "height",
+        F.round(F.col("mean_luma") * F.col("width") * F.col("height"))
+        .cast("bigint")
+        .alias("luma_sum"),
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dedup import (
         dedup_clusters,
@@ -1289,8 +1354,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk": _q_sq8_topk,
         # asymmetric (containment) near-dup next to symmetric Jaccard
         "containment_dups": _q_containment_dups,
-        # multimodal decode hash-checked from raw PGM bytes
+        # multimodal decode hash-checked from raw bytes: image (PGM),
+        # audio (RIFF/WAVE PCM), video (concatenated-frame sampling)
         "image_decode_stats": _q_image_decode_stats,
+        "audio_decode_stats": _q_audio_decode_stats,
+        "video_frame_stats": _q_video_frame_stats,
         # z-order layout keys + SCD2 warehouse history
         "zorder_locality": _q_zorder_locality,
         "scd2_history": _q_scd2_history,
@@ -1444,6 +1512,8 @@ def oracle_sql() -> dict[str, str]:
         "sq8_topk": ext.SQ8_TOPK_SQL,
         "containment_dups": ext.CONTAINMENT_DUPS_SQL,
         "image_decode_stats": ext.IMAGE_DECODE_STATS_SQL,
+        "audio_decode_stats": ext.AUDIO_DECODE_STATS_SQL,
+        "video_frame_stats": ext.VIDEO_FRAME_STATS_SQL,
         "zorder_locality": ext.ZORDER_LOCALITY_SQL,
         "scd2_history": ext.SCD2_HISTORY_SQL,
         "trigram_backoff": ext.TRIGRAM_BACKOFF_SQL,

@@ -338,3 +338,150 @@ def synth_pgm_payloads(
     return ids.select(id_col).mapInPandas(
         kernel, f"{id_col} long, payload binary"
     )
+
+
+def synth_video_payloads(
+    ids: DataFrame,
+    n_frames: int = 5,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Deterministic concatenated-PGM frame stream per id (the
+    ``ffmpeg image2pipe`` shape ``extract_ppm_frames`` consumes):
+    ``n_frames`` frames of w = 4 + id%7, h = 4 + id%5, pixel(f, i, j) =
+    (3·id + 11·f + 5·i + 7·j) mod 251 — frame index folded into the
+    same closed form the SQL oracle recomputes. Output: (id, payload).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 7, 4 + mid % 5
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                chunks = []
+                for f in range(n_frames):
+                    arr = ((3 * mid + 11 * f + 5 * i + 7 * j) % 251).astype(
+                        np.uint8
+                    )
+                    chunks.append(encode_ppm(arr[:, :, None]))
+                payloads.append(b"".join(chunks))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(
+        kernel, f"{id_col} long, payload binary"
+    )
+
+
+def synth_wav_payloads(
+    ids: DataFrame,
+    n_samples: int = 400,
+    sample_rate: int = 8000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Deterministic 16-bit mono PCM WAV per id — a REAL RIFF/WAVE
+    container (fmt + data chunks) holding the closed-form sawtooth
+    ``sample(k) = ((id·13 + k·7) mod 65536) − 32768`` the SQL oracle
+    recomputes analytically. WAV-PCM needs no codec library in either
+    direction — it is the one mainstream audio format a stdlib+numpy
+    engine can decode for real."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                k = np.arange(n_samples, dtype=np.int64)
+                samples = ((mid * 13 + k * 7) % 65536 - 32768).astype("<i2")
+                data = samples.tobytes()
+                byte_rate = sample_rate * 2
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                  byte_rate, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(
+        kernel, f"{id_col} long, payload binary"
+    )
+
+
+_WAV_SCHEMA = (
+    "media_id long, sample_rate int, n_channels int, bits int, "
+    "n_samples int, duration_ms bigint, abs_sum bigint, decode_error string"
+)
+
+
+def decode_wav(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """REAL WAV/PCM decode — RIFF chunk walk (fmt then data, skipping
+    unknown chunks per spec), int16/int8 PCM sample extraction — no
+    codec library. Output per row: format fields, exact sample count,
+    floor-division duration in ms, and the exact integer sum of
+    absolute sample values (the loudness surrogate that stays
+    hash-portable where a float RMS would not). Non-WAV or truncated
+    payloads surface ``decode_error`` per row, never fail the stage."""
+
+    def one(buf: bytes) -> tuple:
+        import struct
+
+        try:
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                return (None, None, None, None, None, None, "not a RIFF/WAVE")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(buf):
+                cid = buf[pos : pos + 4]
+                (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                body = buf[pos + 8 : pos + 8 + clen]
+                if cid == b"fmt ":
+                    fmt = struct.unpack("<HHIIHH", body[:16])
+                elif cid == b"data":
+                    data = body
+                pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+            if fmt is None or data is None:
+                return (None, None, None, None, None, None, "missing chunk")
+            audio_fmt, n_ch, rate, _br, _ba, bits = fmt
+            if audio_fmt != 1 or bits not in (8, 16):
+                return (None, None, None, None, None, None,
+                        f"unsupported fmt {audio_fmt}/{bits}")
+            dt = np.dtype("<i2") if bits == 16 else np.dtype("u1")
+            samples = np.frombuffer(data, dtype=dt)
+            if bits == 8:
+                samples = samples.astype(np.int64) - 128
+            n = len(samples) // n_ch
+            dur_ms = (n * 1000) // rate
+            abs_sum = int(np.abs(samples.astype(np.int64)).sum())
+            return (rate, n_ch, bits, n, dur_ms, abs_sum, None)
+        except Exception as e:
+            return (None, None, None, None, None, None, str(e)[:200])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(bytes(c)) for c in pdf[binary_col]]
+            rate, ch, bits, n, dur, s, err = (
+                (list(x) for x in zip(*out)) if out else ([],) * 7
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "sample_rate": pd.array(rate, dtype="Int32"),
+                    "n_channels": pd.array(ch, dtype="Int32"),
+                    "bits": pd.array(bits, dtype="Int32"),
+                    "n_samples": pd.array(n, dtype="Int32"),
+                    "duration_ms": pd.array(dur, dtype="Int64"),
+                    "abs_sum": pd.array(s, dtype="Int64"),
+                    "decode_error": err,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(kernel, _WAV_SCHEMA)

@@ -1737,3 +1737,61 @@ SELECT term, CAST(count(*) AS INTEGER) AS df,
        list(gap ORDER BY doc_id) AS gaps
 FROM g GROUP BY term
 """
+
+# --------------------------------------------------------------------------
+# audio decode from raw bytes (multimodal/binary_ops.py:decode_wav over
+# synth_wav_payloads): 400-sample int16 sawtooth
+# sample(k) = ((id*13 + 7k) mod 65536) - 32768 at 8 kHz mono; every
+# 29th id is a corrupt payload.
+# --------------------------------------------------------------------------
+
+AUDIO_DECODE_STATS_SQL = """
+WITH ids AS (SELECT p_partkey AS media_id FROM part WHERE p_partkey <= 60),
+s AS (
+  SELECT i.media_id,
+         sum(abs((i.media_id * 13 + g.k * 7) % 65536 - 32768)) AS abs_sum
+  FROM ids i, generate_series(0, 399) g(k)
+  GROUP BY 1)
+SELECT media_id,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(8000 AS INTEGER) END AS sample_rate,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(1 AS INTEGER) END AS n_channels,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(16 AS INTEGER) END AS bits,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(400 AS INTEGER) END AS n_samples,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(50 AS BIGINT) END AS duration_ms,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(abs_sum AS BIGINT) END AS abs_sum,
+       CASE WHEN media_id % 29 = 0 THEN 'not a RIFF/WAVE'
+            ELSE NULL END AS decode_error
+FROM s
+"""
+
+# --------------------------------------------------------------------------
+# video frame sampling from raw bytes (extract_ppm_frames over
+# synth_video_payloads, every 2nd of 5 frames -> 0, 2, 4):
+# pixel(f, i, j) = (3*id + 11*f + 5*i + 7*j) mod 251,
+# w = 4 + id%7, h = 4 + id%5.
+# --------------------------------------------------------------------------
+
+VIDEO_FRAME_STATS_SQL = """
+WITH ids AS (SELECT p_partkey AS media_id FROM part WHERE p_partkey <= 40),
+dims AS (SELECT media_id, 4 + media_id % 7 AS w, 4 + media_id % 5 AS h
+         FROM ids),
+fr AS (SELECT f FROM (VALUES (0), (2), (4)) v(f)),
+px AS (
+  SELECT d.media_id, fr.f, d.w, d.h,
+         sum((3 * d.media_id + 11 * fr.f + 5 * gi.i + 7 * gj.j) % 251) AS s
+  FROM dims d, fr
+  JOIN generate_series(0, 9) gi(i) ON TRUE
+  JOIN generate_series(0, 10) gj(j) ON TRUE
+  WHERE gi.i < d.h AND gj.j < d.w
+  GROUP BY 1, 2, 3, 4)
+SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(s AS BIGINT) AS luma_sum
+FROM px
+"""

@@ -155,3 +155,52 @@ def test_synth_pgm_roundtrip_and_corruption(spark):
     bad = got[29]
     assert bad.media_format == "unknown" and bad.width is None
     assert bad.decode_error == "no codec for format"
+
+
+def test_decode_wav_roundtrip_and_chunk_skip(spark):
+    """Real RIFF walk: decodes the synthesized container, skips
+    unknown chunks (LIST before data), handles 8-bit PCM, contains
+    truncated payloads per-row."""
+    import struct
+
+    import numpy as np
+
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        decode_wav,
+        synth_wav_payloads,
+    )
+
+    ids = spark.createDataFrame([(5,)], "media_id long")
+    r = decode_wav(synth_wav_payloads(ids, n_samples=100)).collect()[0]
+    k = np.arange(100)
+    expect = int(np.abs((5 * 13 + k * 7) % 65536 - 32768).sum())
+    assert (r.sample_rate, r.n_channels, r.bits, r.n_samples) == (8000, 1, 16, 100)
+    assert r.duration_ms == 100 * 1000 // 8000 and r.abs_sum == expect
+
+    # hand-built 8-bit mono WAV with a LIST chunk before data
+    samples8 = bytes([128, 130, 126, 128])  # -> 0, +2, -2, 0
+    wav = (
+        b"RIFF" + struct.pack("<I", 0) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 4000, 4000, 1, 8)
+        + b"LIST" + struct.pack("<I", 4) + b"INFO"
+        + b"data" + struct.pack("<I", len(samples8)) + samples8
+    )
+    df = spark.createDataFrame([(1, wav), (2, b"RIFFxxxx")],
+                               "media_id long, payload binary")
+    got = {r.media_id: r for r in decode_wav(df).collect()}
+    assert (got[1].bits, got[1].n_samples, got[1].abs_sum) == (8, 4, 4)
+    assert got[2].decode_error is not None
+
+
+def test_synth_video_frames_walk(spark):
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        extract_ppm_frames,
+        synth_video_payloads,
+    )
+
+    ids = spark.createDataFrame([(3,)], "media_id long")
+    frames = extract_ppm_frames(
+        synth_video_payloads(ids, n_frames=4), every_n=1
+    ).collect()
+    assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
+    assert all(bytes(f.frame)[:2] == b"P5" for f in frames)
