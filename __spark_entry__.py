@@ -1292,6 +1292,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix_sample": _q_domain_mix,
         # events / streaming-shaped surface
         "events_hourly": rel.events_hourly,
+        "events_sliding_counts": rel.events_sliding_counts,
         "events_gapfill_locf": _q_events_gapfill,
         "events_sessionize": rel.events_sessionize,
         "purchase_last_click_asof": rel.purchase_last_click_asof,
@@ -1407,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "events_hourly": rel.EVENTS_HOURLY_SQL,
+        "events_sliding_counts": rel.EVENTS_SLIDING_COUNTS_SQL,
         "events_sessionize": rel.EVENTS_SESSIONIZE_SQL,
         "events_session_window": rel.EVENTS_SESSION_WINDOW_SQL,
         "purchase_last_click_asof": rel.PURCHASE_LAST_CLICK_ASOF_SQL,

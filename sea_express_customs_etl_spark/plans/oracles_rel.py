@@ -441,3 +441,14 @@ SELECT event_id, event_type,
 FROM events
 WINDOW w AS (PARTITION BY event_type ORDER BY value)
 """
+
+# hopping windows (1 h length, 15 min hop): every event is in exactly
+# 4 windows -- the oracle states the map-side expansion explicitly
+EVENTS_SLIDING_COUNTS_SQL = """
+SELECT ((epoch_us(ts) // 900000000) - g.k) * 900 AS ws_s,
+       event_type, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_value_u6
+FROM events, generate_series(0, 3) g(k)
+GROUP BY 1, 2
+"""

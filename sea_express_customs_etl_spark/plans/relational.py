@@ -590,3 +590,32 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERLAPPING (hopping) event-time windows — 1-hour length, 15-min
+    hop, so every event lands in exactly 4 windows (the tumbling
+    `events_hourly` covers the non-overlapping case). Window starts
+    are emitted as epoch SECONDS so the frame is hash-portable without
+    timezone coupling. The groupBy is a plain partial-aggregated
+    shuffle: Spark's `window()` with a slide explodes each row into
+    its len/hop windows map-side — the same expansion the oracle
+    states explicitly with generate_series."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "sum_value_u6"
+            ),
+        )
+        .select(
+            F.expr("unix_micros(w.start) div 1000000").alias("ws_s"),
+            "event_type",
+            "n_events",
+            "sum_value_u6",
+        )
+    )

@@ -311,3 +311,43 @@ def test_interval_join_stream_stream_matches_batch(spark, tmp_path):
     assert got == batch
     assert (1, 100, 201) in got  # inside window
     assert (1, 100, 200) not in got  # exactly lookback before -> strict bound
+
+
+def test_latest_by_key_streaming_matches_batch(spark, tmp_path):
+    """CDC compaction parity: the max-struct latest_by_key aggregate
+    runs unchanged as a complete-mode streaming aggregation and lands
+    on the batch answer once the source drains."""
+    import pyspark.sql.functions as F
+
+    from sea_express_customs_etl_spark.operators.profiling import (
+        latest_by_key,
+    )
+
+    src = str(tmp_path / "events_pq")
+    _events(spark).write.parquet(src)
+    stream = spark.readStream.schema(_events(spark).schema).parquet(src)
+
+    def compact(df):
+        return latest_by_key(
+            df.select("user_id", "ts", "event_id", "event_type"),
+            ["user_id"], "ts", "event_id", ["event_type"],
+        )
+
+    q = (
+        compact(stream)
+        .writeStream.format("memory")
+        .queryName("latest_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.ts, r.event_id, r.event_type)
+        for r in spark.sql("select * from latest_test").collect()
+    }
+    batch = {
+        (r.user_id, r.ts, r.event_id, r.event_type)
+        for r in compact(_events(spark)).collect()
+    }
+    assert got == batch and len(got) > 0
