@@ -871,6 +871,62 @@ def _q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-view maintenance: per-customer aggregate STATES
+    built from two disjoint order shards merge into exactly the
+    full-scan aggregate (counts/sums add, min/max fold) — the oracle
+    states the full scan, so the merge algebra itself is
+    hash-checked."""
+    from sea_express_customs_etl_spark.operators.profiling import (
+        merge_agg_states,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_u2"),
+    )
+
+    def state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price_u2").alias("sum_u2"),
+            F.min("price_u2").alias("min_u2"),
+            F.max("price_u2").alias("max_u2"),
+        )
+
+    s_even = state(o.filter(F.col("o_orderkey") % 2 == 0))
+    s_odd = state(o.filter(F.col("o_orderkey") % 2 == 1))
+    return merge_agg_states(
+        [s_even, s_odd],
+        ["o_custkey"],
+        count_cols=["n_orders"],
+        sum_cols=["sum_u2"],
+        min_cols=["min_u2"],
+        max_cols=["max_u2"],
+    )
+
+
+def _q_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics — the measurement that decides between AQE
+    skew-join splitting and explicit salting: top-20 hottest join keys
+    with their exact row share in parts-per-million (integer division
+    of exact counts; the 1-row total is a pinned scalar broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "l_partkey",
+            "n_rows",
+            F.expr("n_rows * 1000000 div _t").alias("share_ppm"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("l_partkey"))
+        .limit(20)
+    )
+
+
 def _q_clicks_in_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join via time-bucket blocking: each user's
     daily error window [first error, last error] is exploded into its
@@ -947,13 +1003,12 @@ def _q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 snapshot diff over orders: snapshot 2 is derived
-    deterministically (every 17th key deleted, every 10th price bumped
-    by exactly 10% in integer cents, every 13th key re-inserted under
-    key+3e6) and the full type-2 history — closed/open validity
-    intervals, is_current flags, change classification — hash-matches
-    the oracle's UNION-of-cases formulation."""
+def _scd2_orders_hist(
+    spark: SparkSession, sf_dir: str, d1: str, d2: str
+) -> DataFrame:
+    """Shared SCD2 fixture: snapshot 2 derived deterministically from
+    orders (every 17th key deleted, every 10th price bumped by exactly
+    10% in integer cents, every 13th key re-inserted under key+3e6)."""
     from sea_express_customs_etl_spark.operators.scd import scd2_from_snapshots
 
     snap1 = load_table(spark, sf_dir, "orders").select(
@@ -982,8 +1037,36 @@ def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_from_snapshots(
-        snap1, snap2, "o_orderkey", ["status", "price_u2"],
-        "2024-01-01", "2024-02-01",
+        snap1, snap2, "o_orderkey", ["status", "price_u2"], d1, d2
+    )
+
+
+def _q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 snapshot diff over orders: the full type-2 history —
+    closed/open validity intervals, is_current flags, change
+    classification — hash-matches the oracle's UNION-of-cases
+    formulation."""
+    return _scd2_orders_hist(spark, sf_dir, "2024-01-01", "2024-02-01")
+
+
+def _q_pit_order_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the canonical SCD2 consumer: every
+    lineitem is joined to the ORDER VERSION valid at its ship date
+    (snapshots at 2000-06-01 / 2001-01-01 bracket the 2000-2001 ship
+    range, so facts hit the v1 window, the v2 window, and the
+    deleted/inserted gaps). One as-of shuffle + residual valid_to
+    filter — never a per-key range explosion; the oracle states the
+    naive BETWEEN join."""
+    from sea_express_customs_etl_spark.operators.scd import pit_join
+
+    hist = _scd2_orders_hist(spark, sf_dir, "2000-06-01", "2001-01-01")
+    facts = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_linenumber",
+        F.to_date("l_shipdate").alias("ship_day"),
+    )
+    return pit_join(
+        facts, hist, "o_orderkey", "ship_day", ["status", "price_u2"]
     )
 
 
@@ -1360,9 +1443,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
-        # z-order layout keys + SCD2 warehouse history
+        # z-order layout keys + SCD2 warehouse history + PIT consumer
         "zorder_locality": _q_zorder_locality,
         "scd2_history": _q_scd2_history,
+        "pit_order_version": _q_pit_order_version,
+        # incremental state merge + skew diagnostics
+        "incremental_agg_merge": _q_incremental_agg_merge,
+        "key_skew_stats": _q_key_skew_stats,
         # held-out stupid-backoff trigram LM + posting-list build
         "trigram_backoff": _q_trigram_backoff,
         "inverted_index": _q_inverted_index,
@@ -1520,4 +1607,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_history": ext.SCD2_HISTORY_SQL,
         "trigram_backoff": ext.TRIGRAM_BACKOFF_SQL,
         "inverted_index": ext.INVERTED_INDEX_SQL,
+        "pit_order_version": ext.PIT_ORDER_VERSION_SQL,
+        "incremental_agg_merge": rel.INCREMENTAL_AGG_MERGE_SQL,
+        "key_skew_stats": rel.KEY_SKEW_STATS_SQL,
     }

@@ -36,6 +36,14 @@ def asof_join(
 
     ``tiebreak_col`` orders simultaneous events deterministically
     (e.g. an event id); required whenever ``ts`` can repeat.
+
+    Payloads are carried as ONE struct, not per-column: a per-column
+    ``last(..., ignorenulls)`` would silently MIX fields from
+    different right rows whenever the nearest row holds a NULL payload
+    value (ignorenulls skips it and reaches back to an older row) —
+    found the hard way by ``pit_join``, whose open versions carry
+    ``valid_to = NULL``. The struct is non-null exactly when the row
+    is a right row, so every attached field comes from the same one.
     """
     order = [F.col(ts_col).asc(), F.col("_side").asc()]
     if tiebreak_col:
@@ -56,18 +64,20 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned
-    for c in payload_cols:
-        carried = carried.withColumn(
-            f"{prefix}{c}",
-            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w),
-        )
-    carried = carried.withColumn(
-        f"{prefix}{ts_col}",
-        F.last(F.when(F.col("_side") == 0, F.col(ts_col)), ignorenulls=True).over(w),
+    packed = F.when(
+        F.col("_side") == 0,
+        F.struct(
+            *[F.col(c).alias(c) for c in payload_cols],
+            F.col(ts_col).alias("_ts"),
+        ),
+    )
+    carried = unioned.withColumn(
+        "_pay", F.last(packed, ignorenulls=True).over(w)
     )
     return carried.filter(F.col("_side") == 1).select(
-        *left.columns, *[f"{prefix}{c}" for c in payload_cols], f"{prefix}{ts_col}"
+        *left.columns,
+        *[F.col(f"_pay.{c}").alias(f"{prefix}{c}") for c in payload_cols],
+        F.col("_pay._ts").alias(f"{prefix}{ts_col}"),
     )
 
 

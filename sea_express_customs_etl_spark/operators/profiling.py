@@ -115,3 +115,36 @@ def latest_by_key(
         F.col("_b._t").alias(tiebreak_col),
         *[F.col(f"_b.{c}").alias(c) for c in payload_cols],
     )
+
+
+def merge_agg_states(
+    states: Sequence[DataFrame],
+    key_cols: Sequence[str],
+    count_cols: Sequence[str] = (),
+    sum_cols: Sequence[str] = (),
+    min_cols: Sequence[str] = (),
+    max_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental-view maintenance for algebraic aggregates: merge
+    per-shard/per-batch aggregate STATES into the state of the union,
+    without touching raw rows — counts and sums add, mins and maxes
+    fold, so the merge is itself one groupBy over |keys|-sized inputs.
+    This is the table-level form of Spark's own partial aggregation
+    (and the reason the engine's sketches/quantiles are mergeable):
+    nightly delta loads update a 10¹²-row aggregate by re-aggregating
+    STATE rows, not by rescanning 100 TB.
+
+    Not applicable to holistic aggregates (exact distinct, exact
+    median) — those need the sketch family (`operators/sketches.py`)
+    or a re-scan, which is precisely why the engine keeps mergeable
+    sketch states for them."""
+    out = states[0]
+    for s in states[1:]:
+        out = out.unionByName(s)
+    aggs = (
+        [F.sum(c).alias(c) for c in count_cols]
+        + [F.sum(c).alias(c) for c in sum_cols]
+        + [F.min(c).alias(c) for c in min_cols]
+        + [F.max(c).alias(c) for c in max_cols]
+    )
+    return out.groupBy(*key_cols).agg(*aggs)

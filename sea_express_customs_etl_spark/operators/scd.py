@@ -101,3 +101,54 @@ def scd2_from_snapshots(
         F.col("_v.cur").alias("is_current"),
         "change",
     )
+
+
+def pit_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    fact_ts_col: str,
+    payload_cols: Sequence[str],
+) -> DataFrame:
+    """Point-in-time (temporal) join — the canonical SCD2 consumer:
+    attach to every fact row the dimension version valid AT the fact's
+    timestamp (``valid_from <= ts`` and ``ts < valid_to``, open
+    ``valid_to`` = still current). Facts with no valid version at
+    their time (before the first version, or in a deleted gap) are
+    dropped — inner temporal semantics.
+
+    Implementation: versions per key are CONTIGUOUS by construction
+    (each ``valid_from`` closes the previous version), so the
+    nearest-prior-``valid_from`` as-of join finds the candidate in ONE
+    key-partitioned shuffle (the union + last-ignorenulls form of
+    ``asof_join`` — never a per-key range blow-up), and the
+    ``valid_to`` bound is a residual filter catching the deleted-gap
+    case. Output: all fact columns + ``pit_<payload>`` +
+    ``pit_valid_from``."""
+    from sea_express_customs_etl_spark.operators.asof import asof_join
+
+    versions = history.select(
+        F.col(key_col),
+        F.col("valid_from").alias(fact_ts_col),
+        F.col("valid_to"),
+        *[F.col(c) for c in payload_cols],
+    )
+    joined = asof_join(
+        facts,
+        versions,
+        key_cols=[key_col],
+        ts_col=fact_ts_col,
+        payload_cols=[*payload_cols, "valid_to"],
+        prefix="pit_",
+    )
+    return (
+        joined.filter(
+            F.col(f"pit_{fact_ts_col}").isNotNull()
+            & (
+                F.col("pit_valid_to").isNull()
+                | (F.col(fact_ts_col) < F.col("pit_valid_to"))
+            )
+        )
+        .withColumnRenamed(f"pit_{fact_ts_col}", "pit_valid_from")
+        .drop("pit_valid_to")
+    )

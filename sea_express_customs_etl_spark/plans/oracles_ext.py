@@ -1626,7 +1626,7 @@ ZORDER_LOCALITY_SQL = _zorder_locality_sql()
 # insert %13 under key+3e6); history as the UNION of the four cases.
 # --------------------------------------------------------------------------
 
-SCD2_HISTORY_SQL = """
+_SCD2_HIST_TMPL = """
 WITH s1 AS (
   SELECT o_orderkey, o_orderstatus AS status,
          CAST(round(o_totalprice * 100) AS BIGINT) AS price_u2
@@ -1647,23 +1647,44 @@ j AS (
          b.o_orderkey IS NOT NULL AS in_new
   FROM s1 a FULL OUTER JOIN s2 b ON a.o_orderkey = b.o_orderkey)
 SELECT o_orderkey, so AS status, po AS price_u2,
-       DATE '2024-01-01' AS valid_from, DATE '2024-02-01' AS valid_to,
+       DATE '{d1}' AS valid_from, DATE '{d2}' AS valid_to,
        FALSE AS is_current, 'deleted' AS change
 FROM j WHERE in_old AND NOT in_new
 UNION ALL
-SELECT o_orderkey, sn, pn, DATE '2024-02-01', NULL, TRUE, 'inserted'
+SELECT o_orderkey, sn, pn, DATE '{d2}', NULL, TRUE, 'inserted'
 FROM j WHERE in_new AND NOT in_old
 UNION ALL
-SELECT o_orderkey, so, po, DATE '2024-01-01', NULL, TRUE, 'unchanged'
+SELECT o_orderkey, so, po, DATE '{d1}', NULL, TRUE, 'unchanged'
 FROM j WHERE in_old AND in_new AND so = sn AND po = pn
 UNION ALL
-SELECT o_orderkey, so, po, DATE '2024-01-01', DATE '2024-02-01',
+SELECT o_orderkey, so, po, DATE '{d1}', DATE '{d2}',
        FALSE, 'updated'
 FROM j WHERE in_old AND in_new AND NOT (so = sn AND po = pn)
 UNION ALL
-SELECT o_orderkey, sn, pn, DATE '2024-02-01', NULL, TRUE, 'updated'
+SELECT o_orderkey, sn, pn, DATE '{d2}', NULL, TRUE, 'updated'
 FROM j WHERE in_old AND in_new AND NOT (so = sn AND po = pn)
 """
+
+SCD2_HISTORY_SQL = _SCD2_HIST_TMPL.format(d1="2024-01-01", d2="2024-02-01")
+
+# point-in-time join (operators/scd.py:pit_join): each lineitem joined
+# to the order VERSION valid at its ship date; the oracle is the naive
+# BETWEEN temporal join over the same derived history.
+PIT_ORDER_VERSION_SQL = (
+    "WITH hist AS ("
+    + _SCD2_HIST_TMPL.format(d1="2000-06-01", d2="2001-01-01")
+    + """)
+SELECT l.l_orderkey AS o_orderkey, l.l_linenumber,
+       CAST(l.l_shipdate AS DATE) AS ship_day,
+       h.status AS pit_status, h.price_u2 AS pit_price_u2,
+       h.valid_from AS pit_valid_from
+FROM lineitem l
+JOIN hist h ON h.o_orderkey = l.l_orderkey
+           AND CAST(l.l_shipdate AS DATE) >= h.valid_from
+           AND (h.valid_to IS NULL OR CAST(l.l_shipdate AS DATE) < h.valid_to)
+"""
+)
+
 
 # --------------------------------------------------------------------------
 # stupid-backoff trigram LM (operators/lm.py:trigram_backoff_score):

@@ -452,3 +452,25 @@ SELECT ((epoch_us(ts) // 900000000) - g.k) * 900 AS ws_s,
 FROM events, generate_series(0, 3) g(k)
 GROUP BY 1, 2
 """
+
+# incremental aggregate-state merge (profiling.merge_agg_states): the
+# oracle is the FULL-scan aggregate the merged shard states must equal
+INCREMENTAL_AGG_MERGE_SQL = """
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_u2,
+       min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_u2,
+       max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_u2
+FROM orders GROUP BY 1
+"""
+
+# join-key skew diagnostics: top-20 hottest keys with exact ppm share
+KEY_SKEW_STATS_SQL = """
+WITH c AS (SELECT l_partkey, count(*) AS n_rows FROM lineitem GROUP BY 1),
+t AS (SELECT sum(n_rows) AS t FROM c)
+SELECT l_partkey, n_rows,
+       CAST(n_rows * 1000000 // t.t AS BIGINT) AS share_ppm
+FROM c, t
+ORDER BY n_rows DESC, l_partkey
+LIMIT 20
+"""
