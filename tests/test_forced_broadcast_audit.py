@@ -68,6 +68,7 @@ FORCED_BROADCAST_ALLOWED = {
     "sq8_codes",           # 1-row (lo_arr, span_arr) trained quantizer
     "sq8_topk",            # same 1-row stats + query set
     "trigram_backoff",     # 1-row total-N scalar (count tables NOT pinned)
+    "key_skew_stats",      # 1-row total-rows scalar
 }
 
 

@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "sq8_codes",          # 1-row (lo_arr, span_arr) quantizer broadcast
     "sq8_topk",           # same 1-row stats + query-set broadcast
     "trigram_backoff",    # 1-row total-N scalar broadcast
+    "key_skew_stats",     # 1-row total-rows scalar broadcast
 }
 
 
