@@ -1247,6 +1247,16 @@ def _q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_substring_stats(_docs(spark, sf_dir))
 
 
+def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed flagship #2 (tokenization side): quality gate → real
+    BPE tokenization (pinned merges, actual token counts) → 512-token
+    sequence packing — the 'raw corpus → training batches' composition,
+    hash-checked as ONE DuckDB statement."""
+    from sea_express_customs_etl_spark.plans.pretrain import pretrain_prep
+
+    return pretrain_prep(_docs(spark, sf_dir))
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.plans.curation import curation_pipeline
 
@@ -1370,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         # packing / deterministic sampling / mixing
         "pack_sequences": _q_pack_sequences,
+        "pretrain_prep_pack": _q_pretrain_prep,
         "stratified_sample": _q_stratified_sample,
         "hash_sample_split": _q_hash_sample_split,
         "domain_mix_sample": _q_domain_mix,
@@ -1486,6 +1497,13 @@ def _bpe_encode_fixed_sql() -> str:
     return bpe_encode_sql(FIXED_MERGES)
 
 
+def _pretrain_prep_sql() -> str:
+    from sea_express_customs_etl_spark.operators.bpe import FIXED_MERGES
+    from sea_express_customs_etl_spark.plans.oracles_ext import pretrain_prep_sql
+
+    return pretrain_prep_sql(FIXED_MERGES)
+
+
 def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_ext as ext
     from sea_express_customs_etl_spark.plans import oracles_rel as rel
@@ -1560,6 +1578,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_two_ways": ext.LANG_ID_TWO_WAYS_SQL,
         "token_counts": ext.TOKEN_COUNTS_SQL,
         "bpe_encode_fixed": _bpe_encode_fixed_sql(),
+        "pretrain_prep_pack": _pretrain_prep_sql(),
         "vocab_top_tokens": ext.VOCAB_TOP_TOKENS_SQL,
         "stratified_sample": ext.STRATIFIED_SAMPLE_SQL,
         "pack_sequences": ext.PACK_SEQUENCES_SQL,

@@ -886,7 +886,7 @@ FROM documents d LEFT JOIN agg USING (doc_id)
 """
 
 
-def bpe_encode_sql(merges) -> str:
+def bpe_encode_sql(merges, src: str = "documents") -> str:
     """DuckDB replica of ``operators/bpe.bpe_encode`` for a FIXED merge
     list. Symbol arrays are encoded as wrapped strings
     (``␟sym␟␟sym␟…``, ␟ = chr(31)) so one plain-substring ``replace``
@@ -907,7 +907,7 @@ WITH words AS (
   SELECT doc_id, generate_subscripts(ws, 1) AS wi, unnest(ws) AS w
   FROM (SELECT doc_id,
                string_split_regex(trim(lower(text)), '\\s+') AS ws
-        FROM documents)),
+        FROM {src})),
 enc AS (
   SELECT doc_id, wi, {word_tokens} AS wt FROM words WHERE w <> ''),
 docs AS (
@@ -1815,4 +1815,32 @@ SELECT media_id, CAST(f AS INTEGER) AS frame_idx,
        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
        CAST(s AS BIGINT) AS luma_sum
 FROM px
+"""
+
+
+def pretrain_prep_sql(merges) -> str:
+    """Composed pretraining-prep oracle: quality gate -> BPE tokenize
+    (real token counts, not the chars/4 estimate) -> 512-token packing
+    over 4 shards — the gate/bpe/packing fragments reused verbatim,
+    composed exactly as plans/pretrain.py composes the operators."""
+    return f"""
+WITH keep AS (SELECT doc_id FROM ({QUALITY_GATE_SQL}) WHERE passed),
+survivors AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+bpe AS ({bpe_encode_sql(merges, src="survivors")}),
+tok AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS shard,
+         CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM bpe),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM tok)
+SELECT doc_id, shard,
+       CAST(floor((cum - n_tokens) / 512) AS INTEGER) AS bin_id,
+       CAST((cum - n_tokens) % 512 AS INTEGER) AS bin_offset,
+       n_tokens
+FROM c
 """

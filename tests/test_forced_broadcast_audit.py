@@ -69,6 +69,8 @@ FORCED_BROADCAST_ALLOWED = {
     "sq8_topk",            # same 1-row stats + query set
     "trigram_backoff",     # 1-row total-N scalar (count tables NOT pinned)
     "key_skew_stats",      # 1-row total-rows scalar
+    "pretrain_prep_pack",  # bpe distinct-word dictionary (same dial
+    #                        as bpe_encode_fixed)
 }
 
 
