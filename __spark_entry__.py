@@ -810,6 +810,21 @@ def _q_unmatched_declared_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select("link_key").subtract(b.select("link_key"))
 
 
+def _q_props_kv_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered Python UDTF invoked FROM SQL via LATERAL — the
+    remaining §2.13 front door (the other UDTFs are mapInPandas
+    kernels behind the DataFrame API). Arrow-batched; per-row
+    containment of malformed JSON; DuckDB replays it with json_each."""
+    from sea_express_customs_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        "SELECT e.event_id, p.prop_key, p.prop_value "
+        "FROM events_v e, LATERAL parse_props(e.props) p"
+    )
+
+
 def _q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANALYZE-style one-pass column profile of orders (floats
     pre-quantized to integer cents so min/max stringification is
@@ -1471,6 +1486,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _q_table_profile,
         "lineitem_constraints": _q_lineitem_constraints,
         "latest_event_per_user": _q_latest_event_per_user,
+        # registered Python UDTF via SQL LATERAL (§2.13 front door)
+        "props_kv_udtf": _q_props_kv_udtf,
         # salted-join parity, distribution windows, EXCEPT set-op
         "salted_join_revenue": _q_salted_join_revenue,
         "event_percent_rank": _q_event_percent_rank,
@@ -1614,6 +1631,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_constraints": rel.LINEITEM_CONSTRAINTS_SQL,
         "latest_event_per_user": rel.LATEST_EVENT_PER_USER_SQL,
         "salted_join_revenue": rel.SALTED_JOIN_REVENUE_SQL,
+        "props_kv_udtf": rel.PROPS_KV_UDTF_SQL,
         "event_percent_rank": rel.EVENT_PERCENT_RANK_SQL,
         "unmatched_declared_keys": oracles.UNMATCHED_DECLARED_KEYS_SQL,
         "sq8_codes": ext.SQ8_CODES_SQL,

@@ -474,3 +474,12 @@ FROM c, t
 ORDER BY n_rows DESC, l_partkey
 LIMIT 20
 """
+
+# registered Python UDTF (functions/udtfs.py:ParseProps) -- DuckDB
+# replays the lateral explode with json_keys + per-key extraction
+# (this build has no json_each table function); values are flat ints
+PROPS_KV_UDTF_SQL = """
+SELECT event_id, k AS prop_key,
+       CAST(json_extract(props, '$.' || k) AS BIGINT) AS prop_value
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+"""

@@ -145,3 +145,22 @@ def test_iso_date_part(spark):
         None,
         None,
     ]
+
+
+def test_parse_props_udtf_containment(spark):
+    """Registered UDTF from SQL: explodes flat int pairs, skips
+    malformed JSON, non-dict JSON, and non-integer values per-row."""
+    from sea_express_customs_etl_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(
+        [(1, '{"a": 1, "b": 2}'), (2, "not json"), (3, None),
+         (4, '[1,2]'), (5, '{"s": "x", "f": 1.5, "t": true, "n": 7}')],
+        "event_id long, props string",
+    ).createOrReplaceTempView("props_t")
+    rows = spark.sql(
+        "SELECT event_id, prop_key, prop_value "
+        "FROM props_t t, LATERAL parse_props(t.props) p"
+    ).collect()
+    got = {(r.event_id, r.prop_key): r.prop_value for r in rows}
+    assert got == {(1, "a"): 1, (1, "b"): 2, (5, "n"): 7}

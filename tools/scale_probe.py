@@ -134,7 +134,14 @@ def cases() -> dict:
         "containment_dups": lambda docs, emb: _containment(docs),
         "trigram_backoff": lambda docs, emb: _backoff(docs),
         "inverted_index": lambda docs, emb: _invidx(docs),
+        "pretrain_prep_pack": lambda docs, emb: _pretrain(docs),
     }
+
+
+def _pretrain(docs):
+    from sea_express_customs_etl_spark.plans.pretrain import pretrain_prep
+
+    return pretrain_prep(docs)
 
 
 def _sq8(emb):
