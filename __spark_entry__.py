@@ -528,6 +528,53 @@ def _q_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_might_contain(probe, bloom_build(vocab, "tok"), "tok")
 
 
+def _q_hll_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP HyperLogLog: one 256-register distinct-token state
+    per source — the partitioned sketch a 100 TB corpus keeps instead
+    of per-domain exact distinct scans; states merge by max."""
+    from sea_express_customs_etl_spark.operators.sketches import (
+        hll_registers_by,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    return hll_registers_by(toks, "tok", "source")
+
+
+def _q_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR attribution over the 24 h touchpoint pairs (the model
+    next to purchase_last_click_asof's last-touch): each purchase's
+    micro-unit value splits into floor shares across its prior clicks
+    with the remainder on the EARLIEST click — shares sum exactly to
+    the value and hash-match (a float split would do neither)."""
+    from sea_express_customs_etl_spark.operators.attribution import (
+        linear_attribution,
+    )
+    from sea_express_customs_etl_spark.operators.jsonops import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    pairs = interval_join(
+        purchases, clicks, ["user_id"], "ts", "ts", 24 * 3600, ["event_id"]
+    )
+    return linear_attribution(
+        pairs, "event_id", "value_u6", ["prior_ts", "prior_event_id"]
+    ).select(
+        "user_id", "event_id", "prior_event_id", "value_u6",
+        "n_touches", "share_u",
+    )
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus bigram-LM quality scoring: every document's
     summed log-probability under a model counted from the corpus
@@ -1389,6 +1436,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": _q_lm_score,
         # deterministic sketches (cardinality / frequency / membership)
         "hll_tokens": _q_hll_tokens,
+        "hll_tokens_by_source": _q_hll_tokens_by_source,
+        # linear attribution over touchpoint pairs
+        "purchase_click_attribution": _q_purchase_click_attribution,
         "cms_token_freqs": _q_cms_token_freqs,
         "bloom_filter_probe": _q_bloom_filter_probe,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1621,6 +1671,8 @@ def oracle_sql() -> dict[str, str]:
         "events_gapfill_locf": ext.EVENTS_GAPFILL_SQL,
         "embedding_pool": ext.EMBEDDING_POOL_SQL,
         "hll_tokens": ext.HLL_TOKENS_SQL,
+        "hll_tokens_by_source": ext.HLL_TOKENS_BY_SOURCE_SQL,
+        "purchase_click_attribution": ext.PURCHASE_CLICK_ATTRIBUTION_SQL,
         "cms_token_freqs": ext.CMS_TOKEN_FREQS_SQL,
         "bloom_filter_probe": ext.BLOOM_PROBE_SQL,
         "event_value_percentiles": ext.EVENT_VALUE_PERCENTILES_SQL,

@@ -273,3 +273,29 @@ def bloom_might_contain(
     return out.select(
         *keep, F.when(cond, F.lit(1)).otherwise(F.lit(0)).alias("might_contain")
     )
+
+
+def hll_registers_by(
+    df: DataFrame, value_col: str, group_col: str, salt: str = ""
+) -> DataFrame:
+    """Per-GROUP HyperLogLog register tables — the partitioned form of
+    :func:`hll_registers`: one 256-register state per group value, so
+    per-domain/per-language distinct counts ship as |groups|·256
+    mergeable integer rows instead of |groups| exact distinct scans.
+    Same bucket/rank derivation; the one shuffle is keyed on
+    (group, bucket) and carries only partial maxima."""
+    h = _h48(F.col(value_col), salt)
+    bucket = (h % F.lit(HLL_M)).cast("int")
+    w = (h / F.lit(HLL_M)).cast("bigint")
+    rank = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            F.col(group_col),
+            bucket.alias("bucket"),
+            rank.cast("int").alias("_rank"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("_rank").alias("max_rank"))
+    )

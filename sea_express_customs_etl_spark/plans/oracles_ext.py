@@ -1844,3 +1844,47 @@ SELECT doc_id, shard,
        n_tokens
 FROM c
 """
+
+# per-group HLL register tables (sketches.hll_registers_by)
+HLL_TOKENS_BY_SOURCE_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+h AS (SELECT source, {_H48.format(v='tok')} AS h48 FROM toks),
+r AS (SELECT source, (h48 % 256)::INTEGER AS bucket, h48 // 256 AS w
+      FROM h)
+SELECT source, bucket,
+       CAST(max(CASE WHEN w = 0 THEN 41
+                     ELSE 41 - length(ltrim(bin(w), '0')) END) AS INTEGER)
+           AS max_rank
+FROM r GROUP BY 1, 2
+"""
+
+# linear attribution over 24 h touchpoints
+# (operators/attribution.py:linear_attribution): floor shares +
+# remainder on the earliest click, exact micro-unit integers
+PURCHASE_CLICK_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS value_u6
+  FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.user_id, p.event_id, p.value_u6,
+         c.ts AS prior_ts, c.event_id AS prior_event_id
+  FROM p JOIN c ON c.user_id = p.user_id
+               AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOUR),
+att AS (
+  SELECT *, count(*) OVER (PARTITION BY event_id) AS n_touches,
+         row_number() OVER (PARTITION BY event_id
+             ORDER BY prior_ts, prior_event_id) AS rn
+  FROM pairs)
+SELECT user_id, event_id, prior_event_id, value_u6,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       CAST(value_u6 // n_touches
+            + CASE WHEN rn = 1
+                   THEN value_u6 - (value_u6 // n_touches) * n_touches
+                   ELSE 0 END AS BIGINT) AS share_u
+FROM att
+"""

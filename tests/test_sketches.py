@@ -108,3 +108,30 @@ def test_bloom_probe_output_schema_keeps_input_columns(spark):
     )
     out = bloom_might_contain(df, bloom_build(df, "val"), "val")
     assert out.columns == ["doc_id", "val", "might_contain"]
+
+
+def test_hll_registers_by_group_isolates_groups(spark):
+    """Per-group registers must equal running the global sketch on
+    each group's slice independently."""
+    from sea_express_customs_etl_spark.operators.sketches import (
+        hll_registers,
+        hll_registers_by,
+    )
+
+    df = spark.createDataFrame(
+        [("a", f"t{i}") for i in range(50)]
+        + [("b", f"t{i}") for i in range(5)],
+        "g string, v string",
+    )
+    grouped = {
+        (r.g, r.bucket): r.max_rank
+        for r in hll_registers_by(df, "v", "g").collect()
+    }
+    for g in ("a", "b"):
+        solo = {
+            (g, r.bucket): r.max_rank
+            for r in hll_registers(
+                df.filter(f"g = '{g}'").select("v"), "v"
+            ).collect()
+        }
+        assert {k: v for k, v in grouped.items() if k[0] == g} == solo
