@@ -865,7 +865,12 @@ def _q_props_kv_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.functions.udtfs import register_udtfs
 
     register_udtfs(spark)
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    # deterministic 10% slice: a registered Python UDTF is the
+    # DELIBERATE slow path (per-row Python eval) — the demo proves the
+    # surface; bulk JSON work belongs to from_json/json_props_rollup
+    load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") % 10 == 0
+    ).createOrReplaceTempView("events_v")
     return spark.sql(
         "SELECT e.event_id, p.prop_key, p.prop_value "
         "FROM events_v e, LATERAL parse_props(e.props) p"

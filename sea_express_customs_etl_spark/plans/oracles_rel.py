@@ -481,5 +481,6 @@ LIMIT 20
 PROPS_KV_UDTF_SQL = """
 SELECT event_id, k AS prop_key,
        CAST(json_extract(props, '$.' || k) AS BIGINT) AS prop_value
-FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
+      FROM events WHERE event_id % 10 = 0)
 """
