@@ -213,6 +213,43 @@ def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_verify_profiles(pairs, prof)
 
 
+def _q_minhash_estimate_vs_true(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR made visible: per LSH candidate pair, the
+    number of agreeing minhash components (E[agree/k] = Jaccard — the
+    property LSH banding is built on) next to the exact Jaccard from
+    the shingle sets. Same fused profile frame serves signatures,
+    bands, and both verify sides."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        jaccard_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+
+    prof = shingle_profiles(_docs(spark, sf_dir)).persist()
+    pairs = lsh_candidate_pairs(lsh_bands(prof))
+    jac = jaccard_verify_profiles(pairs, prof, threshold=0.0)
+    a = prof.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{i}").alias(f"_a{i}") for i in range(8)],
+    )
+    b = prof.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{i}").alias(f"_b{i}") for i in range(8)],
+    )
+    n_eq = sum(
+        (F.col(f"_a{i}") == F.col(f"_b{i}")).cast("int") for i in range(8)
+    )
+    est = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", n_eq.alias("n_equal_mh"))
+    )
+    return est.join(jac, ["id_a", "id_b"]).select(
+        "id_a", "id_b", "n_equal_mh", "jaccard"
+    )
+
+
 def _q_key_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = _ab_linked(spark, sf_dir)
     return a.select("link_key").intersect(b.select("link_key"))
@@ -1500,6 +1537,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bit-sampling LSH over 32-bit simhash — banded bucket join,
         # exact for max_hamming < bands, aggregated to a histogram
         "simhash_hamming_hist": _q_simhash_hamming_hist,
+        # MinHash estimator (agreeing components) vs exact Jaccard
+        "minhash_estimate_vs_true": _q_minhash_estimate_vs_true,
         # deterministic ±1 random projections: micro-unit integer dot
         # products (dim-reduce) and SRP hyperplane LSH → cosine verify
         "random_project": _q_random_project,
@@ -1624,6 +1663,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": ext.SEMANTIC_DEDUP_SQL,
         "simhash": ext.SIMHASH_SQL,
         "simhash_hamming_hist": ext.SIMHASH_HAMMING_HIST_SQL,
+        "minhash_estimate_vs_true": ext.MINHASH_ESTIMATE_VS_TRUE_SQL,
         "random_project": ext.RANDOM_PROJECT_SQL,
         "srp_near_dups": ext.SRP_NEAR_DUPS_SQL,
         "dsir_scores": ext.DSIR_SCORES_SQL,

@@ -1888,3 +1888,28 @@ SELECT user_id, event_id, prior_event_id, value_u6,
                    ELSE 0 END AS BIGINT) AS share_u
 FROM att
 """
+
+# MinHash estimator vs exact Jaccard on the same LSH candidate pairs
+MINHASH_ESTIMATE_VS_TRUE_SQL = f"""
+WITH {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+est AS (
+  SELECT p.id_a, p.id_b,
+         CAST({" + ".join(f"CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END"
+                          for i in range(8))} AS INTEGER) AS n_equal_mh
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.id_a
+  JOIN sig b ON b.doc_id = p.id_b)
+SELECT e.id_a, e.id_b, e.n_equal_mh,
+       round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) AS jaccard
+FROM est e
+JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+JOIN sizes za ON za.doc_id = e.id_a
+JOIN sizes zb ON zb.doc_id = e.id_b
+"""
