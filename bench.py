@@ -205,6 +205,21 @@ def main() -> None:
             }
         )
     )
+    # Second, SHORT summary line: the driver keeps only the last ~2000
+    # chars of output, and the full line above grows with the query
+    # count (r4 lost `value` to truncation). This line always survives.
+    print(
+        json.dumps(
+            {
+                "metric": "bench_summary",
+                "total_s": round(sum(timings.values()), 3),
+                "n_queries": len(timings),
+                "flagship_s": timings.get("knowledge_extraction"),
+                "sf": sf_num,
+                **rates,
+            }
+        )
+    )
     spark.stop()
 
 

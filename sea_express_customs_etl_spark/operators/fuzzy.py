@@ -81,7 +81,20 @@ def fuzzy_join(
     whole query in ~2 s. Worst case (all values unique) it degrades to
     exactly the row-grained cost plus two hash joins. A LENGTH BAND
     (``|len(l) − len(r)| ≤ max_dist``, a Levenshtein lower bound)
-    prunes candidates map-side before the verify."""
+    prunes candidates map-side before the verify.
+
+    Grain contract: output is ID-PAIR grained — fully duplicated
+    (id, text) input rows yield duplicated output pairs (one per input
+    row combination), unlike the pre-r4 row-grained form which
+    deduplicated id pairs. Callers needing distinct id pairs should
+    `.distinct()` the result (id-pair frame, far smaller than the
+    verify work) or dedup inputs first."""
+    if left_text == right_text:
+        raise ValueError(
+            "left_text and right_text must be distinct column names "
+            f"(both survive into the output); got {left_text!r} twice — "
+            "alias one side before calling fuzzy_join"
+        )
     text_pairs = _text_pairs(left, right, left_text, right_text, max_dist, prefix)
     return (
         left.select(left_id, left_text)

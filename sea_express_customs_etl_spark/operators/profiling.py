@@ -34,21 +34,40 @@ from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
 
-def profile_table(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def _sql_str(name: str) -> str:
+    """Embed a caller-supplied name as a SQL string literal inside the
+    generated stack() expression — single quotes doubled, so a name
+    containing a quote or comma can't break parsing (ADVICE r4)."""
+    return "'" + name.replace("'", "''") + "'"
+
+
+def profile_table(
+    df: DataFrame, cols: Sequence[str], exact_ndv: bool = True
+) -> DataFrame:
     """One row per profiled column: column, n_rows, n_nulls,
-    n_distinct (exact, excludes NULL), lo / hi (min/max cast to
-    string so heterogeneous column types stack into one frame)."""
+    n_distinct (excludes NULL), lo / hi (min/max cast to
+    string so heterogeneous column types stack into one frame).
+
+    ``exact_ndv=True`` uses ``countDistinct`` — exact, but Spark
+    rewrites multiple distinct aggregates via Expand, multiplying the
+    scanned rows |cols|-fold. ``exact_ndv=False`` swaps in
+    ``approx_count_distinct`` (HLL++, ±2.3% default rsd): all columns
+    profile in ONE partial-aggregated pass with no Expand — the 100 TB
+    form. The plan shape difference is pinned by
+    tests/test_profiling.py::test_profile_approx_no_expand."""
+    ndv = F.countDistinct if exact_ndv else F.approx_count_distinct
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nulls_{c}"),
-            F.countDistinct(F.col(c)).alias(f"_nd_{c}"),
-            F.min(F.col(c)).cast("string").alias(f"_lo_{c}"),
-            F.max(F.col(c)).cast("string").alias(f"_hi_{c}"),
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nulls_{i}"),
+            ndv(F.col(c)).alias(f"_nd_{i}"),
+            F.min(F.col(c)).cast("string").alias(f"_lo_{i}"),
+            F.max(F.col(c)).cast("string").alias(f"_hi_{i}"),
         ]
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', _nulls_{c}, _nd_{c}, _lo_{c}, _hi_{c}" for c in cols
+        f"{_sql_str(c)}, _nulls_{i}, _nd_{i}, _lo_{i}, _hi_{i}"
+        for i, c in enumerate(cols)
     )
     return wide.select(
         F.expr(
@@ -68,16 +87,16 @@ def check_constraints(
     dbt semantics), pass (violations == 0)."""
     aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
     names = list(rules)
-    for name in names:
+    for i, name in enumerate(names):
         cond = rules[name]
         aggs.append(
             F.sum(
                 F.when(cond.isNull() | ~cond, F.lit(1)).otherwise(F.lit(0))
-            ).alias(f"_v_{names.index(name)}")
+            ).alias(f"_v_{i}")
         )
     wide = df.agg(*aggs)
     stack_args = ", ".join(
-        f"'{name}', _v_{i}" for i, name in enumerate(names)
+        f"{_sql_str(name)}, _v_{i}" for i, name in enumerate(names)
     )
     return wide.select(
         F.expr(f"stack({len(names)}, {stack_args}) AS (rule, n_violations)"),

@@ -103,7 +103,8 @@ def sq8_encode(
     scale pass a bounded deterministic sample — the stats stay 2·dim
     numbers either way.
     """
-    enc = _encoded(df, sq8_stats(train_df or df, vec_col, id_col), vec_col, id_col)
+    train = train_df if train_df is not None else df
+    enc = _encoded(df, sq8_stats(train, vec_col, id_col), vec_col, id_col)
     return enc.select(
         id_col, F.posexplode("codes").alias("dim", "code")
     )
@@ -126,7 +127,7 @@ def sq8_topk(
     full-precision) is a pinned broadcast (query sets are model-sized
     by definition); the only shuffle is the per-query top-k window.
     """
-    stats = sq8_stats(train_df or df, vec_col, id_col)
+    stats = sq8_stats(train_df if train_df is not None else df, vec_col, id_col)
     enc = _encoded(df, stats, vec_col, id_col)
     recon = F.zip_with(
         F.zip_with(

@@ -477,10 +477,14 @@ LIMIT 20
 
 # registered Python UDTF (functions/udtfs.py:ParseProps) -- DuckDB
 # replays the lateral explode with json_keys + per-key extraction
-# (this build has no json_each table function); values are flat ints
+# (this build has no json_each table function). The UDTF skips
+# non-integer and boolean values per-row, so the oracle mirrors that
+# with a json_type filter rather than relying on an all-int data
+# invariant (ADVICE r4): BIGINT/UBIGINT are DuckDB's JSON int types.
 PROPS_KV_UDTF_SQL = """
 SELECT event_id, k AS prop_key,
        CAST(json_extract(props, '$.' || k) AS BIGINT) AS prop_value
 FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
       FROM events WHERE event_id % 10 = 0)
+WHERE json_type(props, '$.' || k) IN ('BIGINT', 'UBIGINT')
 """

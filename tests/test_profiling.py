@@ -21,6 +21,41 @@ def test_profile_counts_nulls_distincts_and_extremes(spark):
     assert got["s"].n_nulls == 1 and got["s"].n_distinct == 2
 
 
+def test_profile_approx_no_expand(spark):
+    """exact_ndv=False must collapse to ONE aggregation pass: no Expand
+    node (the |cols|-way scan multiplication countDistinct incurs), and
+    the approx counts stay sane on low-cardinality data."""
+    df = spark.createDataFrame(
+        [(i % 3, str(i % 5)) for i in range(200)], "x long, s string"
+    )
+    approx = profile_table(df, ["x", "s"], exact_ndv=False)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" not in plan
+    exact_plan = (
+        profile_table(df, ["x", "s"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in exact_plan  # the contrast the flag exists to remove
+    got = {r.column: r for r in approx.collect()}
+    # HLL++ at default rsd is exact at these cardinalities
+    assert got["x"].n_distinct == 3 and got["s"].n_distinct == 5
+    assert got["x"].n_rows == 200
+
+
+def test_profile_and_constraints_escape_quoted_names(spark):
+    df = spark.createDataFrame([(1,)], "x long").select(
+        F.col("x").alias("it's, tricky")
+    )
+    prof = profile_table(df, ["it's, tricky"]).collect()
+    assert prof[0].column == "it's, tricky" and prof[0].n_distinct == 1
+    rules = check_constraints(
+        df, {"it's, a rule": F.col("`it's, tricky`") > 0}
+    ).collect()
+    assert rules[0].rule == "it's, a rule" and rules[0].n_violations == 0
+
+
 def test_constraints_null_counts_as_violation(spark):
     df = spark.createDataFrame([(5,), (None,), (-1,)], "x long")
     got = {
