@@ -47,7 +47,10 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     both directions, deduplicated. The per-order self-join fans out
     |order|² pairs — bounded by the max basket size (7 in TPC-H), so
     edge volume is a small constant multiple of lineitem, not n²."""
-    items = lineitem.select("l_orderkey", "l_partkey").distinct()
+    # persisted: the distinct scan feeds BOTH sides of the self-join
+    # (and, downstream, every pagerank sweep's edge frame) — without
+    # the pin the lineitem scan+distinct runs once per alias
+    items = lineitem.select("l_orderkey", "l_partkey").distinct().persist()
     a = items.alias("a")
     b = items.alias("b")
     return (
@@ -65,6 +68,7 @@ def pagerank(
     edges: DataFrame,
     iters: int = 3,
     damping_u6: int = 850_000,
+    tol_u6: int | None = None,
 ) -> DataFrame:
     """Integer PageRank over an (src, dst) edge list. Output: node,
     rank_u6 (bigint micro-units; a rank of 1.0 is 1_000_000).
@@ -72,7 +76,23 @@ def pagerank(
     Nodes = distinct sources (callers with one-directional sinks add
     them explicitly). The (edges ⋈ outdeg) frame is static across
     iterations and persisted once — each sweep then costs exactly one
-    rank join + one aggregate."""
+    rank join + one aggregate.
+
+    Lineage control (the ``dedup_clusters`` pattern, VERDICT r4 #5):
+    every sweep ends in a LAZY ``localCheckpoint`` — materialized by
+    whichever action first needs it, but truncating the plan so 20+
+    iterations stay linear-time in planning instead of nesting each
+    sweep inside the next (quadratic analysis + a lineage that can
+    overflow the planner). Per-sweep cost is flat at any iteration
+    count.
+
+    ``tol_u6`` enables the convergence probe: every SECOND sweep,
+    count nodes whose rank moved by more than ``tol_u6`` micro-units
+    vs the previous sweep and stop early at zero (``tol_u6=0`` = exact
+    stationarity — well-defined here because the trajectory is exact
+    integer arithmetic). ``None`` (default) runs exactly ``iters``
+    sweeps with no probe jobs — the oracle-checked fixed-trajectory
+    form."""
     base_u6 = MICRO - damping_u6
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
     ed = edges.join(deg, "src").persist()
@@ -84,9 +104,10 @@ def pagerank(
         f"CAST(CAST({damping_u6} AS DECIMAL(38,0)) * "
         f"CAST(_s AS DECIMAL(38,0)) DIV 1000000 AS BIGINT)"
     )
-    for _ in range(iters):
+    for it in range(iters):
+        prev = ranks
         ranks = (
-            ed.join(ranks, ed.src == ranks.node)
+            ed.join(prev, ed.src == prev.node)
             .select("dst", F.expr("r DIV _d").alias("_c"))
             .groupBy("dst")
             .agg(F.sum("_c").alias("_s"))
@@ -94,5 +115,19 @@ def pagerank(
                 F.col("dst").alias("node"),
                 F.expr(step).alias("r"),
             )
+            .localCheckpoint(eager=False)
         )
+        # probe every second sweep (and never after the last — the
+        # caller's action is about to run anyway): one count job that
+        # doubles as the checkpoint materializer, same as dedup_clusters
+        if tol_u6 is not None and it % 2 == 1 and it < iters - 1:
+            moved = (
+                ranks.join(
+                    prev.select("node", F.col("r").alias("_pr")), "node"
+                )
+                .filter(F.abs(F.col("r") - F.col("_pr")) > tol_u6)
+                .count()
+            )
+            if moved == 0:
+                break
     return ranks.select("node", F.col("r").alias("rank_u6"))

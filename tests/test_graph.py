@@ -46,6 +46,28 @@ def test_layout_invariance(spark):
     assert a == b
 
 
+def test_deep_iteration_completes_and_converges(spark):
+    """20 sweeps with per-sweep lazy checkpoints: lineage stays
+    bounded (this test hangs/overflows without them at higher counts),
+    and the tol_u6=0 probe stops at the integer fixed point — the
+    symmetric pair is stationary from sweep 1, so early-exit and the
+    full 20-sweep run must agree exactly."""
+    e = _edges(spark, [(1, 2), (2, 1)])
+    full = sorted(map(tuple, pagerank(e, iters=20).collect()))
+    probed = sorted(map(tuple, pagerank(e, iters=20, tol_u6=0).collect()))
+    assert full == probed == [(1, 1_000_000), (2, 1_000_000)]
+
+
+def test_probe_does_not_change_fixed_trajectory(spark):
+    """tol_u6 must never alter results when the graph has NOT
+    converged within iters — only stop early when it has."""
+    pairs = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    df = _edges(spark, pairs)
+    a = sorted(map(tuple, pagerank(df, iters=4).collect()))
+    b = sorted(map(tuple, pagerank(df, iters=4, tol_u6=0).collect()))
+    assert a == b
+
+
 def test_copurchase_edges_shape(spark):
     li = spark.createDataFrame(
         [(1, 10), (1, 11), (1, 10), (2, 11), (2, 12), (3, 13)],
