@@ -431,6 +431,44 @@ def _q_ivfpq_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of every approximate index vs brute-force cosine truth
+    (VERDICT r4 #7): per (method, query) integer hit counts, so any
+    quality regression in the ANN family — a probe-ranking change, a
+    quantizer drift, an LUT bug — surfaces as a HASH MISMATCH in the
+    gate, not just a property-test failure. The truth table is the
+    checked ``cosine_topk`` result re-ranked to its top 5; retrieved
+    sets are the checked method queries verbatim."""
+    truth = _q_cosine_topk(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    truth5 = (
+        truth.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .select("query_id", "neighbor_id", F.lit(1).alias("_t"))
+    )
+    retrieved = None
+    for name, fn in (
+        ("ivf_nprobe2", _q_ann_ivf_nprobe2),
+        ("sq8", _q_sq8_topk),
+        ("ivfpq_nprobe2", _q_ivfpq_nprobe2),
+    ):
+        part = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        retrieved = part if retrieved is None else retrieved.unionByName(part)
+    # truth5 is |queries|·5 rows at ANY corpus size — model-sized pin
+    return (
+        retrieved.join(
+            F.broadcast(truth5), ["query_id", "neighbor_id"], "left"
+        )
+        .groupBy("method", "query_id")
+        .agg(F.count("_t").alias("hits_at_5"))
+        .withColumn("k", F.lit(5).cast("bigint"))
+    )
+
+
 def _q_kmeans_q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bit-portable k-means: training over micro-unit integer vectors
     (exact distances/sums, floor means, md5-seeded init) — the trained
@@ -1593,6 +1631,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_key_recovery": _q_fuzzy_key_recovery,
         # iterative graph analytics: integer PageRank, unrolled oracle
         "copurchase_pagerank": _q_copurchase_pagerank,
+        # ANN quality harness: integer recall@5 of every approximate
+        # index vs brute-force truth (VERDICT r4 #7)
+        "ann_recall_matrix": _q_ann_recall_matrix,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -1744,4 +1785,5 @@ def oracle_sql() -> dict[str, str]:
         "pit_order_version": ext.PIT_ORDER_VERSION_SQL,
         "incremental_agg_merge": rel.INCREMENTAL_AGG_MERGE_SQL,
         "key_skew_stats": rel.KEY_SKEW_STATS_SQL,
+        "ann_recall_matrix": ext.ANN_RECALL_MATRIX_SQL,
     }

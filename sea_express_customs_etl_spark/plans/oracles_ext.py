@@ -1913,3 +1913,37 @@ JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
 JOIN sizes za ON za.doc_id = e.id_a
 JOIN sizes zb ON zb.doc_id = e.id_b
 """
+
+# --------------------------------------------------------------------------
+# ANN recall harness (VERDICT r4 #7): integer recall@5 of each
+# compressed/probed index vs brute-force cosine ground truth. Composes
+# the per-method oracle statements verbatim as subqueries — any change
+# to a method's semantics shifts its hits_at_5 counts and breaks the
+# hash, so the ANN family's QUALITY (not just its own self-consistency)
+# is pinned by the gate. Counts are integers → hash-portable.
+# --------------------------------------------------------------------------
+
+ANN_RECALL_MATRIX_SQL = f"""
+WITH truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rn5
+    FROM ({COSINE_TOPK_SQL}))
+  WHERE rn5 <= 5),
+retrieved AS (
+  SELECT 'ivf_nprobe2' AS method, query_id, neighbor_id
+  FROM ({ANN_IVF_NPROBE2_SQL})
+  UNION ALL
+  SELECT 'sq8' AS method, query_id, neighbor_id FROM ({SQ8_TOPK_SQL})
+  UNION ALL
+  SELECT 'ivfpq_nprobe2' AS method, query_id, neighbor_id
+  FROM ({IVFPQ_NPROBE2_SQL}))
+SELECT r.method, r.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT) AS hits_at_5,
+       CAST(5 AS BIGINT) AS k
+FROM retrieved r
+LEFT JOIN truth t
+  ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+GROUP BY 1, 2
+"""

@@ -71,6 +71,8 @@ FORCED_BROADCAST_ALLOWED = {
     "key_skew_stats",      # 1-row total-rows scalar
     "pretrain_prep_pack",  # bpe distinct-word dictionary (same dial
     #                        as bpe_encode_fixed)
+    "ann_recall_matrix",   # composes the pinned ANN queries above +
+    #                        a |queries|·5-row truth table
 }
 
 
