@@ -1923,6 +1923,129 @@ JOIN sizes zb ON zb.doc_id = e.id_b
 # is pinned by the gate. Counts are integers → hash-portable.
 # --------------------------------------------------------------------------
 
+# (ANN_RECALL_MATRIX_SQL is defined at the END of this module — it
+# composes the per-method statements, including IVFPQ_TRAINED_TOPK_SQL
+# defined below.)
+
+# --------------------------------------------------------------------------
+# TRAINED IVFPQ (operators/pq.py:ivfpq_trained_topk, VERDICT r4 #3):
+# the pq_train_q integer Lloyd's recipe unrolled per subspace —
+# residuals quantized to micro-units, init = the 16 lowest-(md5, id)
+# sample ids' subvectors, 2 exact-integer iterations with
+# floor(sum/count) means and empty-code carry-over, then encode + the
+# cell-relative nprobe=2 ADC of the sampled-codebook form. Both the
+# trained codebooks AND the search results hash-match.
+# --------------------------------------------------------------------------
+
+_D2INT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "z -> (z[1]-z[2])*(z[1]-z[2])))"
+)
+
+_PQQ_ITER = f"""
+a{{i}} AS (
+  SELECT s.vec_id, s.subspace, s.subvec, c.code,
+         row_number() OVER (PARTITION BY s.vec_id, s.subspace
+             ORDER BY {_D2INT.format(a='s.subvec', b='c.cw')}, c.code) AS rn
+  FROM samp s JOIN cb{{j}} c USING (subspace)),
+m{{i}} AS (
+  SELECT subspace, code, g.p AS pos,
+         CAST(floor(sum(subvec[g.p + 1]) / count(*)) AS BIGINT) AS mv
+  FROM a{{i}}, generate_series(0, 7) g(p)
+  WHERE rn = 1
+  GROUP BY 1, 2, 3),
+b{{i}} AS (
+  SELECT subspace, code, list(mv ORDER BY pos) AS cw
+  FROM m{{i}} GROUP BY 1, 2),
+cb{{i}} AS (
+  SELECT p.subspace, p.code, coalesce(b.cw, p.cw) AS cw
+  FROM cb{{j}} p LEFT JOIN b{{i}} b
+    ON b.subspace = p.subspace AND b.code = p.code)
+"""
+
+_PQQ_PRELUDE = f"""
+base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cen AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, v, cluster, cv FROM (
+    SELECT b.vec_id, b.v, c.cid AS cluster, c.cv,
+           row_number() OVER (PARTITION BY b.vec_id ORDER BY
+               {_D2U6.format(a='b.v', b='c.cv')}, c.cid) AS rn
+    FROM base b, cen c)
+  WHERE rn = 1),
+resq AS (
+  SELECT vec_id, cluster,
+         list_transform(list_zip(v, cv),
+             s -> CAST(round((s[1] - s[2]) * 1000000.0) AS BIGINT)) AS r
+  FROM asg),
+rsv AS (
+  SELECT vec_id, cluster, g.j AS subspace, r[g.j*8+1 : g.j*8+8] AS subvec
+  FROM resq, generate_series(0, 7) g(j)),
+samp AS (SELECT vec_id, subspace, subvec FROM rsv
+         WHERE vec_id >= 16 AND vec_id < 48),
+initids AS (
+  SELECT vec_id, code FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                              vec_id) - 1 AS code
+    FROM (SELECT DISTINCT vec_id FROM samp))
+  WHERE code < 16),
+cb0 AS (
+  SELECT s.subspace, i.code, s.subvec AS cw
+  FROM samp s JOIN initids i USING (vec_id)),
+{_PQQ_ITER.format(i=1, j=0)},
+{_PQQ_ITER.format(i=2, j=1)}
+"""
+
+IVFPQ_TRAINED_TOPK_SQL = f"""
+WITH {_PQQ_PRELUDE},
+scored AS (
+  SELECT rsv.vec_id, rsv.cluster, rsv.subspace, c.code,
+         {_D2INT.format(a='rsv.subvec', b='c.cw')} AS d
+  FROM rsv JOIN cb2 c USING (subspace)),
+enc AS (
+  SELECT vec_id, cluster, subspace, code
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, subspace
+             ORDER BY d, code) AS rn FROM scored)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, cid AS qc, qr FROM (
+    SELECT q.query_id, c.cid,
+           list_transform(list_zip(q.v, c.cv),
+               s -> CAST(round((s[1] - s[2]) * 1000000.0) AS BIGINT)) AS qr,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+               {_D2U6.format(a='q.v', b='c.cv')}, c.cid) AS pr
+    FROM q CROSS JOIN cen c)
+  WHERE pr <= 2),
+qsv AS (
+  SELECT query_id, qc, g.j AS subspace, qr[g.j*8+1 : g.j*8+8] AS subvec
+  FROM probes, generate_series(0, 7) g(j)),
+lut AS (
+  SELECT s.query_id, s.qc, s.subspace, c.code,
+         {_D2INT.format(a='s.subvec', b='c.cw')} AS d
+  FROM qsv s JOIN cb2 c USING (subspace)),
+sims AS (
+  SELECT l.query_id, e.vec_id AS neighbor_id, e.cluster,
+         CAST(SUM(l.d) AS BIGINT) AS dist_u12
+  FROM enc e JOIN lut l
+    ON e.cluster = l.qc AND e.subspace = l.subspace AND e.code = l.code
+  WHERE e.vec_id <> l.query_id
+  GROUP BY 1, 2, 3)
+SELECT query_id, neighbor_id, cluster, dist_u12
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY dist_u12, neighbor_id) AS rn FROM sims)
+WHERE rn <= 5
+"""
+
+# the trained codebooks themselves as a checked artifact: m·k·(dim/m)
+# rows of exact integer codeword components
+PQ_TRAINED_CODEBOOK_SQL = f"""
+WITH {_PQQ_PRELUDE}
+SELECT subspace, code, g.p AS pos, cw[g.p + 1] AS c_u6
+FROM cb2, generate_series(0, 7) g(p)
+"""
+
 ANN_RECALL_MATRIX_SQL = f"""
 WITH truth AS (
   SELECT query_id, neighbor_id FROM (
@@ -1938,7 +2061,10 @@ retrieved AS (
   SELECT 'sq8' AS method, query_id, neighbor_id FROM ({SQ8_TOPK_SQL})
   UNION ALL
   SELECT 'ivfpq_nprobe2' AS method, query_id, neighbor_id
-  FROM ({IVFPQ_NPROBE2_SQL}))
+  FROM ({IVFPQ_NPROBE2_SQL})
+  UNION ALL
+  SELECT 'ivfpq_trained' AS method, query_id, neighbor_id
+  FROM ({IVFPQ_TRAINED_TOPK_SQL}))
 SELECT r.method, r.query_id,
        CAST(count(t.neighbor_id) AS BIGINT) AS hits_at_5,
        CAST(5 AS BIGINT) AS k

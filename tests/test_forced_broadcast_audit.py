@@ -73,6 +73,10 @@ FORCED_BROADCAST_ALLOWED = {
     #                        as bpe_encode_fixed)
     "ann_recall_matrix",   # composes the pinned ANN queries above +
     #                        a |queries|·5-row truth table
+    "pq_trained_codebook",  # trained codebook model (m·k entries) +
+    #                         coarse centroids
+    "ivfpq_trained_topk",  # trained codebook + centroids + LUT —
+    #                        same pins as ivfpq_nprobe2
 }
 
 

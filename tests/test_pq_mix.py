@@ -281,6 +281,100 @@ def test_pq_train_reduces_quantization_error(spark):
     assert trained < 0.1
 
 
+def test_pq_train_q_recovers_centers_and_is_layout_invariant(spark):
+    """Integer per-subspace Lloyd's: on well-separated blobs the
+    trained codewords land on the (floored) blob means, and the whole
+    codebook is BIT-IDENTICAL under repartitioning — the property that
+    makes it hash-checkable (pq_train, float means, only promises
+    tolerance)."""
+    from sea_express_customs_etl_spark.operators.pq import pq_train_q
+    import pyspark.sql.functions as F
+
+    centers = [0.0, 5.0, 10.0, 15.0]
+    rows = []
+    i = 0
+    for c in centers:
+        for j_off in range(10):
+            rows.append((i, [c + 0.05 * j_off] * 8))
+            i += 1
+    df = _vecs(spark, rows, dim=8)
+
+    cb = pq_train_q(df, m=2, dim=8, k=4, iters=3)
+    got = {(r.subspace, r.code): list(r.cw_u6) for r in cb.collect()}
+    assert len(got) == 8  # 2 subspaces × 4 codes
+
+    def mse_u(codebook):
+        sv = df.select(
+            "vec_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.transform(
+                            F.slice(
+                                F.transform(
+                                    "embedding", lambda x: x.cast("double")
+                                ),
+                                j * 4 + 1,
+                                4,
+                            ),
+                            lambda x: F.round(x * 1_000_000).cast("bigint"),
+                        )
+                        for j in range(2)
+                    ]
+                )
+            ).alias("subspace", "subvec"),
+        )
+        d2q = F.aggregate(
+            F.zip_with(
+                F.col("subvec"), F.col("cw_u6"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        j = sv.join(F.broadcast(codebook), "subspace").select(
+            "vec_id", "subspace", F.struct(d2q.alias("d")).alias("dc")
+        )
+        return (
+            j.groupBy("vec_id", "subspace")
+            .agg(F.min("dc").alias("b"))
+            .agg(F.avg("b.d"))
+            .first()[0]
+        )
+
+    # init = lowest-(md5, id) sample vectors; Lloyd's must strictly
+    # improve quantization error over the raw init codebook
+    init_cb = pq_train_q(df, m=2, dim=8, k=4, iters=0)
+    assert mse_u(cb) < mse_u(init_cb)
+
+    again = {
+        (r.subspace, r.code): list(r.cw_u6)
+        for r in pq_train_q(df.repartition(7), m=2, dim=8, k=4, iters=3).collect()
+    }
+    assert got == again
+
+
+def test_ivfpq_trained_nprobe1_prefix_of_nprobe2(spark, sf_dir):
+    """Trained-index multi-probe keeps the single-probe contract: a
+    query's own cell is probe #1, so nprobe=1 results are reproduced
+    within the nprobe=2 candidate set (same exact integer distances)."""
+    from sea_express_customs_etl_spark.operators.pq import ivfpq_trained_topk
+    import pyspark.sql.functions as F
+
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cen = emb.filter(F.col("vec_id") < 16)
+    q = emb.filter(F.col("vec_id") < 10)
+    one = ivfpq_trained_topk(emb, cen, q, k=5, nprobe=1)
+    two = ivfpq_trained_topk(emb, cen, q, k=5, nprobe=2)
+    d1 = {(r.query_id, r.neighbor_id): r.dist_u12 for r in one.collect()}
+    d2_ = {(r.query_id, r.neighbor_id): r.dist_u12 for r in two.collect()}
+    # every nprobe=2 pair that lives in the query's own cell must carry
+    # the identical exact distance as the nprobe=1 run
+    shared = set(d1) & set(d2_)
+    assert shared and all(d1[p] == d2_[p] for p in shared)
+
+
 def test_lm_score_hand_computed_golden(spark):
     import math
 
