@@ -1378,6 +1378,30 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, pairs)
 
 
+def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch incremental dedup (VERDICT r4 #1): the corpus
+    arrives as two batches (doc_id parity); batch 1 dedups against
+    itself, batch 2 LSH-joins only new×(new ∪ store) — store×store is
+    never rescanned. The accumulated edges resolve to components that
+    must HASH-MATCH the full-corpus ``dedup_clusters`` oracle (the
+    fold invariant: pairwise Jaccard makes each step's edges exactly
+    the full edge set restricted to pairs whose later member is in
+    that batch)."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_increment,
+        shingle_profiles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    p1 = shingle_profiles(docs.filter(F.col("doc_id") % 2 == 0)).persist()
+    p2 = shingle_profiles(docs.filter(F.col("doc_id") % 2 == 1)).persist()
+    edges = dedup_increment(p1).unionByName(
+        dedup_increment(p2, store_profiles=p1)
+    )
+    return dedup_clusters(docs, edges)
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.hygiene import decontaminate
 
@@ -1686,6 +1710,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trained-index search both hash-check (VERDICT r4 #3)
         "pq_trained_codebook": _q_pq_trained_codebook,
         "ivfpq_trained_topk": _q_ivfpq_trained_topk,
+        # cross-batch incremental dedup: two-batch fold ≡ full-corpus
+        # dedup_clusters, checked against the SAME oracle (r4 #1)
+        "dedup_incremental": _q_dedup_incremental,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -1840,4 +1867,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_recall_matrix": ext.ANN_RECALL_MATRIX_SQL,
         "pq_trained_codebook": ext.PQ_TRAINED_CODEBOOK_SQL,
         "ivfpq_trained_topk": ext.IVFPQ_TRAINED_TOPK_SQL,
+        # incremental fold must equal the FULL-corpus result — the
+        # oracle is dedup_clusters's own SQL, verbatim
+        "dedup_incremental": ext.DEDUP_CLUSTERS_SQL,
     }

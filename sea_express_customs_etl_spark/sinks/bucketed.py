@@ -39,3 +39,23 @@ def bucketed_join(
     specs Spark plans this without any shuffle exchange (verify with
     ``.explain`` — no ``Exchange hashpartitioning`` above the scans)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def append_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 64,
+    sort_cols: tuple[str, ...] | None = None,
+) -> None:
+    """Append a batch into a bucketed catalog table, creating it on
+    first call — the grow-only store shape (signature stores, CDC
+    history). Spark enforces that appends match the table's bucket
+    spec, so every batch lands bucket-aligned and later joins on the
+    bucket key stay exchange-free on the store side."""
+    w = df.write.mode("append").format("parquet").bucketBy(
+        num_buckets, *bucket_cols
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)
