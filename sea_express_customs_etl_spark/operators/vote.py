@@ -43,11 +43,7 @@ def majority_vote(
       kept for parity demonstration and as the shape Catalyst sees for
       generic top-k.
     """
-    votes = (
-        df.filter(F.col(src_col) != "")
-        .groupBy(src_col, *target_cols)
-        .agg(F.count(F.lit(1)).alias(freq_col))
-    )
+    votes = vote_counts(df, src_col, target_cols, freq_col)
     if strategy == "window":
         win = Window.partitionBy(src_col).orderBy(
             F.col(freq_col).desc(), *[F.col(c).asc() for c in target_cols]
@@ -57,8 +53,37 @@ def majority_vote(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-    # min over struct(-freq, targets..., freq): -freq ASC == freq DESC,
-    # then the target columns ascending — same total order as the window.
+    return state_winners(votes, src_col, target_cols, freq_col)
+
+
+def vote_counts(
+    df: DataFrame,
+    src_col: str = "original_description",
+    target_cols: tuple[str, ...] = ("official_description", "ccc_code"),
+    freq_col: str = "frequency",
+) -> DataFrame:
+    """The vote-count STATE: one row per (src, target tuple) with its
+    frequency — an algebraic (summable) aggregate, which is what makes
+    the knowledge base incrementally maintainable: per-batch states
+    merge by addition (``profiling.merge_agg_states``), no realignment
+    of history."""
+    return (
+        df.filter(F.col(src_col) != "")
+        .groupBy(src_col, *target_cols)
+        .agg(F.count(F.lit(1)).alias(freq_col))
+    )
+
+
+def state_winners(
+    votes: DataFrame,
+    src_col: str = "original_description",
+    target_cols: tuple[str, ...] = ("official_description", "ccc_code"),
+    freq_col: str = "frequency",
+) -> DataFrame:
+    """Winner per source from a vote-count state — the aggregate
+    (non-window) top-1: min over struct(-freq, targets..., freq);
+    -freq ASC == freq DESC, then target columns ascending — the same
+    total order as the window form, map-side combinable."""
     winner = F.min(
         F.struct(
             (-F.col(freq_col)).alias("_nf"),

@@ -54,6 +54,22 @@ def knowledge_base(
       → (key, pos) equi-join → vote). Same semantics, ~4 shuffles; kept
       because it demonstrates the §2 operators directly.
     """
+    aligned = knowledge_aligned(
+        df_a, df_b, use_nfkc=use_nfkc, strategy=strategy
+    )
+    return majority_vote(aligned).select(
+        "original_description", "official_description", "ccc_code", "frequency"
+    )
+
+
+def knowledge_aligned(
+    df_a: DataFrame, df_b: DataFrame, *, use_nfkc: bool = True, strategy: str = "array"
+) -> DataFrame:
+    """The link-and-align stage of :func:`knowledge_base`, exposed so
+    the vote can be computed as mergeable STATE (incremental
+    maintenance) instead of folded straight to winners. Output:
+    (original_description, official_description, ccc_code) — one row
+    per aligned item pair."""
     a = add_link_key(
         df_a.filter(
             F.col("mawb_no").isNotNull()
@@ -114,6 +130,62 @@ def knowledge_base(
             b_valid,
         ).withColumnRenamed("description_official", "official_description")
 
-    return majority_vote(aligned).select(
-        "original_description", "official_description", "ccc_code", "frequency"
+    return aligned
+
+
+def knowledge_base_ivm(
+    state: DataFrame,
+    kb: DataFrame,
+    delta_a: DataFrame,
+    delta_b: DataFrame,
+    *,
+    use_nfkc: bool = True,
+    strategy: str = "array",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental knowledge-base maintenance (VERDICT r4 #2). The
+    reference rebuilds ``standard_knowledge_base`` wholesale every run
+    (``/root/reference/src/batch_train.py:154-176``); here only the
+    DELTA is linked/aligned, and history participates as mergeable
+    vote-count STATE:
+
+    1. ``delta_votes`` — align the new load, count votes (the only
+       corpus-shaped work; cost ∝ delta);
+    2. ``state'``     — merge per-(src, target) counts by addition
+       (``merge_agg_states``: state is |distinct tuples|-sized, not
+       row-sized);
+    3. ``kb'``        — recompute winners ONLY for touched sources:
+       untouched rows pass through by anti-join, touched sources
+       re-rank over the merged state (semi-join).
+
+    Returns ``(state', kb')``. Invariant (oracle-checked by the
+    ``knowledge_ivm`` query): folding any waybill-complete batch
+    sequence yields ``kb'`` identical to a full rebuild — vote counts
+    are algebraic, and alignment is per-waybill, so a waybill-complete
+    delta contributes exactly its full-run votes. The ``touched`` side
+    is delta-sized (grows with load size) — deliberately hint-free, AQE
+    broadcasts it when small."""
+    from sea_express_customs_etl_spark.operators.profiling import (
+        merge_agg_states,
+    )
+    from sea_express_customs_etl_spark.operators.vote import (
+        state_winners,
+        vote_counts,
+    )
+
+    keys = ("original_description", "official_description", "ccc_code")
+    delta_votes = vote_counts(
+        knowledge_aligned(delta_a, delta_b, use_nfkc=use_nfkc, strategy=strategy)
+    )
+    new_state = merge_agg_states(
+        [state, delta_votes], key_cols=keys, count_cols=("frequency",)
+    )
+    touched = delta_votes.select("original_description").distinct()
+    kept = kb.join(touched, "original_description", "left_anti")
+    rewon = state_winners(
+        new_state.join(touched, "original_description", "left_semi")
+    )
+    return new_state, kept.unionByName(
+        rewon.select(
+            "original_description", "official_description", "ccc_code", "frequency"
+        )
     )

@@ -144,3 +144,76 @@ def test_majority_vote_permutation_invariant(spark):
         spark.createDataFrame(list(reversed(rows)), schema).repartition(3)
     ).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, perm))
+
+
+def test_knowledge_ivm_three_batch_fold_equals_rebuild(spark, sf_dir):
+    """Folding three waybill-complete loads through knowledge_base_ivm
+    must equal the full rebuild exactly — winners, frequencies, and
+    tie-breaks (the merged state re-ranks touched sources over FULL
+    history, so a late batch can flip a winner and must)."""
+    from sea_express_customs_etl_spark.functions.strings import link_key
+    from sea_express_customs_etl_spark.operators.vote import (
+        state_winners,
+        vote_counts,
+    )
+    from sea_express_customs_etl_spark.plans.knowledge import (
+        knowledge_aligned,
+        knowledge_base,
+        knowledge_base_ivm,
+    )
+    from sea_express_customs_etl_spark.plans.standins import (
+        declared_table,
+        official_table,
+    )
+
+    a = declared_table(spark, sf_dir)
+    b = official_table(spark, sf_dir)
+
+    def part(df, i):
+        lk = link_key(F.col("mawb_no"), F.col("hawb_no"))
+        return df.filter(F.crc32(lk) % 3 == i)
+
+    state = vote_counts(
+        knowledge_aligned(part(a, 0), part(b, 0), use_nfkc=False)
+    )
+    kb = state_winners(state).select(
+        "original_description", "official_description", "ccc_code", "frequency"
+    )
+    for i in (1, 2):
+        state, kb = knowledge_base_ivm(
+            state, kb, part(a, i), part(b, i), use_nfkc=False
+        )
+    got = sorted(map(tuple, kb.collect()))
+    want = sorted(map(tuple, knowledge_base(a, b, use_nfkc=False).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_knowledge_ivm_empty_delta_is_identity(spark, sf_dir):
+    """A delta with no rows must leave state and KB unchanged (no
+    sources touched -> pure anti-join passthrough)."""
+    from sea_express_customs_etl_spark.operators.vote import (
+        state_winners,
+        vote_counts,
+    )
+    from sea_express_customs_etl_spark.plans.knowledge import (
+        knowledge_aligned,
+        knowledge_base_ivm,
+    )
+    from sea_express_customs_etl_spark.plans.standins import (
+        declared_table,
+        official_table,
+    )
+
+    a = declared_table(spark, sf_dir)
+    b = official_table(spark, sf_dir)
+    state = vote_counts(knowledge_aligned(a, b, use_nfkc=False))
+    kb = state_winners(state).select(
+        "original_description", "official_description", "ccc_code", "frequency"
+    )
+    state2, kb2 = knowledge_base_ivm(
+        state, kb, a.limit(0), b.limit(0), use_nfkc=False
+    )
+    assert sorted(map(tuple, kb2.collect())) == sorted(map(tuple, kb.collect()))
+    assert sorted(map(tuple, state2.collect())) == sorted(
+        map(tuple, state.collect())
+    )
