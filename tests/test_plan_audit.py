@@ -43,6 +43,10 @@ BNLJ_ALLOWED = {
     "sq8_topk",           # same 1-row stats + query-set broadcast
     "trigram_backoff",    # 1-row total-N scalar broadcast
     "key_skew_stats",     # 1-row total-rows scalar broadcast
+    "ann_recall_matrix",  # composes cosine_topk/sq8_topk — their
+    #                       query-set broadcasts (allowlisted above)
+    "ivfpq_trained_topk",  # coarse-centroid broadcast, as ivfpq_topk
+    "pq_trained_codebook",  # centroid broadcast in the residual build
 }
 
 
