@@ -633,6 +633,19 @@ def _q_cms_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_cells(_sketch_tokens(spark, sf_dir), "tok")
 
 
+def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate heavy hitters from the CMS state: distinct-vocab
+    probe, ≥5000 ppm admit, top-20 — the frequency-gate building block
+    (stopword discovery, boilerplate detection) in mergeable-sketch
+    form; exact integer estimates make even the collision overshoot
+    hash-match."""
+    from sea_express_customs_etl_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    return cms_heavy_hitters(_sketch_tokens(spark, sf_dir), "tok")
+
+
 def _q_bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter membership pruning end-to-end: build the word
     table over the tokens of every 7th document, probe the full
@@ -1753,6 +1766,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental KB maintenance: delta-only align + state merge +
         # touched-source re-rank ≡ full rebuild, same oracle (r4 #2)
         "knowledge_ivm": _q_knowledge_ivm,
+        # approximate heavy hitters over the mergeable CMS state
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -1913,4 +1928,5 @@ def oracle_sql() -> dict[str, str]:
         # incremental maintenance must equal the full rebuild — the
         # flagship's own oracle, verbatim
         "knowledge_ivm": oracles.KNOWLEDGE_EXTRACTION_SQL,
+        "cms_heavy_hitters": ext.CMS_HEAVY_HITTERS_SQL,
     }

@@ -191,6 +191,55 @@ def cms_point_estimates(
     )
 
 
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_share_ppm: int = 5000,
+    k: int = 20,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    salt: str = "",
+) -> DataFrame:
+    """Approximate heavy hitters from the Count-Min sketch: every
+    DISTINCT value is probed against the cell table and kept when its
+    estimate reaches ``min_share_ppm`` of the total row count; top-``k``
+    by (estimate desc, value asc). Output: value, est_count,
+    share_ppm (exact integer floor-division ppm of the ESTIMATE).
+
+    The CMS one-sided guarantee (estimate ≥ true count) makes recall 1
+    for true heavy hitters — misses are impossible, only borderline
+    false admits (collision overshoot), the standard heavy-hitter
+    contract.
+
+    Scale: the candidate set is the distinct vocabulary (one
+    partial-aggregated shuffle — Heaps-law sized, not corpus-sized);
+    probing is map-only against the broadcast d·w cell table; the
+    1-row total is a broadcast scalar; top-k is TakeOrdered, never a
+    global sort. At 100 TB the exact per-token count table this
+    replaces is itself vocabulary-sized — the sketch's win is that the
+    CELLS are mergeable across shards/streams (``cms_cells`` is
+    linear), so the estimate state stays d·w rows under any ingestion
+    pattern."""
+    cells = cms_cells(df, value_col, None, d, w, salt)
+    cand = df.select(value_col).distinct()
+    est = cms_point_estimates(cand, cells, value_col, d, w, salt)
+    total = df.groupBy().agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        est.join(F.broadcast(total))
+        .filter(
+            F.col("est_count") * F.lit(1_000_000)
+            >= F.col("_n") * F.lit(min_share_ppm)
+        )
+        .select(
+            value_col,
+            "est_count",
+            F.expr("est_count * 1000000 DIV _n").alias("share_ppm"),
+        )
+        .orderBy(F.col("est_count").desc(), F.col(value_col).asc())
+        .limit(k)
+    )
+
+
 # --------------------------------------------------------------------------
 # Bloom filter (k hashes over m bits, packed 32 bits per bigint word)
 # --------------------------------------------------------------------------

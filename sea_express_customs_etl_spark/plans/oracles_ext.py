@@ -2073,3 +2073,34 @@ LEFT JOIN truth t
   ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
 GROUP BY 1, 2
 """
+
+# CMS heavy hitters (operators/sketches.py:cms_heavy_hitters): distinct
+# vocabulary probed against the d=4×w=256 cell table; keep estimates
+# reaching 5000 ppm of total tokens, top-20 by (est DESC, tok).
+CMS_HEAVY_HITTERS_SQL = f"""
+WITH {_SKETCH_TOKS},
+cells AS (
+  SELECT sketch_row, col, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT g.i AS sketch_row,
+           ({_H48.format(v="CAST(g.i AS VARCHAR) || '|' || tok")} % 256)::INTEGER
+               AS col
+    FROM toks, generate_series(0, 3) g(i))
+  GROUP BY 1, 2),
+cand AS (SELECT DISTINCT tok FROM toks),
+probes AS (
+  SELECT cand.tok, g.i AS sketch_row,
+         ({_H48.format(v="CAST(g.i AS VARCHAR) || '|' || cand.tok")} % 256)::INTEGER
+             AS col
+  FROM cand, generate_series(0, 3) g(i)),
+est AS (
+  SELECT p.tok, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est_count
+  FROM probes p LEFT JOIN cells c USING (sketch_row, col)
+  GROUP BY 1),
+t AS (SELECT count(*) AS n FROM toks)
+SELECT tok, est_count,
+       CAST(est_count * 1000000 // t.n AS BIGINT) AS share_ppm
+FROM est, t
+WHERE est_count * 1000000 >= t.n * 5000
+ORDER BY est_count DESC, tok
+LIMIT 20
+"""

@@ -135,3 +135,30 @@ def test_hll_registers_by_group_isolates_groups(spark):
             ).collect()
         }
         assert {k: v for k, v in grouped.items() if k[0] == g} == solo
+
+
+def test_cms_heavy_hitters_never_misses_true_hitters(spark):
+    """One-sided CMS error => every value whose TRUE share clears the
+    threshold must be admitted (recall 1); estimates dominate truth."""
+    import pyspark.sql.functions as F
+
+    from sea_express_customs_etl_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    rows = (
+        [("hot",)] * 400
+        + [("warm",)] * 100
+        + [(f"cold{i}",) for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "tok string")
+    got = {r.tok: r.est_count for r in cms_heavy_hitters(
+        df, "tok", min_share_ppm=100_000, k=10
+    ).collect()}
+    # true shares: hot 66%, warm 16% — both >= 10%; colds 0.16% each
+    assert "hot" in got and "warm" in got
+    assert got["hot"] >= 400 and got["warm"] >= 100  # estimate >= truth
+    trues = {r.tok: r.n for r in df.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    for tok, est in got.items():
+        assert est >= trues[tok]
