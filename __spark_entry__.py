@@ -633,6 +633,29 @@ def _q_cms_token_freqs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_cells(_sketch_tokens(spark, sf_dir), "tok")
 
 
+def _q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup from raw bytes: deterministic PGMs (every
+    10th id also ships a brightness-shifted copy), REAL PNM decode →
+    8×8 integer average-hash → 4×16-bit band LSH → popcount verify.
+    Catches the visually-identical/not-byte-identical duplicates a
+    content-digest dedup misses; the oracle recomputes the hashes
+    analytically from the fixture's closed form, so the whole decode →
+    hash → dedup chain is hash-checked."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        ahash_hamming_pairs,
+        image_ahash,
+        synth_pgm_near_dups,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    ids = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("media_id"))
+        .filter(F.col("media_id") <= 2000)
+    )
+    return ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
+
+
 def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters from the CMS state: distinct-vocab
     probe, ≥5000 ppm admit, top-20 — the frequency-gate building block
@@ -1768,6 +1791,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knowledge_ivm": _q_knowledge_ivm,
         # approximate heavy hitters over the mergeable CMS state
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        # perceptual (aHash) image dedup from raw bytes
+        "image_ahash_dups": _q_image_ahash_dups,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -1929,4 +1954,5 @@ def oracle_sql() -> dict[str, str]:
         # flagship's own oracle, verbatim
         "knowledge_ivm": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "cms_heavy_hitters": ext.CMS_HEAVY_HITTERS_SQL,
+        "image_ahash_dups": ext.IMAGE_AHASH_DUPS_SQL,
     }

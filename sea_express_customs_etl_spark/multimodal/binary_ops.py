@@ -485,3 +485,186 @@ def decode_wav(
             )
 
     return df.select(id_col, binary_col).mapInPandas(kernel, _WAV_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# perceptual image dedup: average-hash (aHash) over REAL decoded pixels
+# — the multimodal × dedup crossover a training-data pipeline runs to
+# drop re-encoded/brightness-shifted duplicate images. All arithmetic
+# is integer (index-sampled downscale, strict sum comparison), so the
+# hashes themselves hash-match an analytic SQL oracle.
+# --------------------------------------------------------------------------
+
+
+def synth_pgm_near_dups(
+    ids: DataFrame,
+    id_col: str = "media_id",
+    every: int = 10,
+    offset: int = 100_000,
+) -> DataFrame:
+    """The near-dup fixture for the perceptual-hash path: every id
+    gets a deterministic PGM whose gradient and curvature COEFFICIENTS
+    depend on the id — ``w = 16 + id%13``, ``h = 16 + id%11``,
+    ``pixel(i, j) = (3·id + (5 + id%7)·i + (7 + id%5)·j
+    + (1 + id%11)·i·j) mod 251`` — so different ids produce
+    structurally different bit patterns (a pure constant-offset family
+    would be a degenerate fixture: aHash is brightness-shift
+    invariant, everything would near-dup everything). Every
+    ``every``-th id ALSO emits a
+    brightness-perturbed copy under ``id + offset`` (every pixel +1
+    mod 251) — visually identical, not byte-identical: exactly what a
+    hash-of-bytes dedup misses and a perceptual hash must catch."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 16 + mid % 13, 16 + mid % 11
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                arr = (
+                    (
+                        3 * mid
+                        + (5 + mid % 7) * i
+                        + (7 + mid % 5) * j
+                        + (1 + mid % 11) * i * j
+                    )
+                    % 251
+                ).astype(np.uint8)
+                out_ids.append(mid)
+                payloads.append(encode_ppm(arr[:, :, None]))
+                if every and mid % every == 0:
+                    out_ids.append(mid + offset)
+                    payloads.append(
+                        encode_ppm((((arr.astype(np.int64)) + 1) % 251)
+                                   .astype(np.uint8)[:, :, None])
+                    )
+            yield pd.DataFrame({id_col: out_ids, "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(
+        kernel, f"{id_col} long, payload binary"
+    )
+
+
+def image_ahash(
+    df: DataFrame, binary_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """64-bit average hash from REAL PNM decode: nearest-neighbor
+    index-sample an 8×8 grid (``row k → k·h//8`` — pure integer, so
+    any engine replays it), gray = channel 0 (PGM) or integer
+    ``(r+g+b)//3`` (PPM), bit_k = 1 iff ``p_k·64 > Σp`` (strict,
+    division-free). The hash ships as TWO 32-bit words (ahash_hi bits
+    63..32, ahash_lo bits 31..0) — no int64 sign games in either
+    engine. Undecodable rows surface ``ahash_error`` per row.
+
+    Scale: Arrow-batched ``mapInPandas``, map-only — the decode cost IS
+    the operator; downstream dedup touches only the 2-word hashes."""
+
+    def one(content: bytes) -> tuple:
+        try:
+            arr, _ = decode_pnm(bytes(content))
+            gray = (
+                arr[:, :, 0].astype(np.int64)
+                if arr.shape[2] == 1
+                else arr.astype(np.int64).sum(axis=2) // 3
+            )
+            h, w = gray.shape
+            yi = np.arange(8) * h // 8
+            xi = np.arange(8) * w // 8
+            s = gray[yi[:, None], xi[None, :]]
+            total = int(s.sum())
+            bits = (s * 64 > total).astype(np.int64).ravel()  # k = i*8 + j
+            hi = int((bits[32:] << np.arange(32)).sum())
+            lo = int((bits[:32] << np.arange(32)).sum())
+            return (hi, lo, None)
+        except Exception as e:
+            return (None, None, str(e)[:200])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(c) for c in pdf[binary_col]]
+            hi, lo, err = (list(x) for x in zip(*out)) if out else ([],) * 3
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "ahash_hi": pd.array(hi, dtype="Int64"),
+                    "ahash_lo": pd.array(lo, dtype="Int64"),
+                    "ahash_error": err,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel, f"{id_col} long, ahash_hi long, ahash_lo long, ahash_error string"
+    )
+
+
+def ahash_hamming_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup image pairs by banded LSH over the 64-bit aHash: the
+    four 16-bit slices are the band keys (pigeonhole: any pair within
+    ``max_hamming < bands`` bit flips shares an untouched band — EXACT,
+    not approximate, for the default parameters), verify =
+    ``bit_count(xor)`` over both words. Same shape as
+    ``dedup.simhash_hamming_pairs``: bucket self-join on tiny band
+    buckets, popcount verify on candidates only."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands} loses the "
+            "pigeonhole exactness guarantee"
+        )
+    import pyspark.sql.functions as F
+
+    mask = (1 << 16) - 1
+    slices = [
+        F.col("ahash_lo").bitwiseAND(F.lit(mask)),
+        F.shiftright(F.col("ahash_lo"), 16).bitwiseAND(F.lit(mask)),
+        F.col("ahash_hi").bitwiseAND(F.lit(mask)),
+        F.shiftright(F.col("ahash_hi"), 16).bitwiseAND(F.lit(mask)),
+    ]
+    banded = hashes.filter(F.col("ahash_error").isNull()).select(
+        id_col,
+        "ahash_hi",
+        "ahash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("_band"), s.alias("_slice"))
+                    for b, s in enumerate(slices[:bands])
+                ]
+            )
+        ).alias("_bk"),
+    ).select(id_col, "ahash_hi", "ahash_lo", "_bk._band", "_bk._slice")
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("ahash_hi").alias("_ha"),
+        F.col("ahash_lo").alias("_la"),
+        "_band",
+        "_slice",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("ahash_hi").alias("_hb"),
+        F.col("ahash_lo").alias("_lb"),
+        "_band",
+        "_slice",
+    )
+    return (
+        left.join(right, ["_band", "_slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_la", "_hb", "_lb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            (
+                F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+                + F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

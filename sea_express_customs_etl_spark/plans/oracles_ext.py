@@ -2104,3 +2104,68 @@ WHERE est_count * 1000000 >= t.n * 5000
 ORDER BY est_count DESC, tok
 LIMIT 20
 """
+
+# --------------------------------------------------------------------------
+# perceptual image dedup (multimodal/binary_ops.py: synth_pgm_near_dups
+# → image_ahash → ahash_hamming_pairs): the oracle recomputes the
+# 8×8 average-hash ANALYTICALLY from the fixture's closed form —
+# pixel(i,j) = (3g + (5+g%7)i + (7+g%5)j + (1+g%11)ij) mod 251,
+# w = 16+g%13, h = 16+g%11, dup rows (+100000) add +1 per pixel —
+# sampled at the same integer nearest-neighbor grid (k·h//8), bit =
+# p·64 > Σp, hash as two 32-bit words, 4×16-bit band LSH + bit_count
+# verify (exact for max_hamming < bands by pigeonhole). The Spark side
+# does the REAL bytes → PNM decode → numpy path; hash equality checks
+# the full decode chain, pair equality checks the dedup.
+# --------------------------------------------------------------------------
+
+IMAGE_AHASH_DUPS_SQL = """
+WITH ids AS (SELECT p_partkey AS gid FROM part WHERE p_partkey <= 2000),
+imgs AS (
+  SELECT gid, gid AS media_id, 0 AS dd FROM ids
+  UNION ALL
+  SELECT gid, gid + 100000 AS media_id, 1 AS dd FROM ids WHERE gid % 10 = 0),
+dims AS (SELECT media_id, gid, dd, 16 + gid % 13 AS w, 16 + gid % 11 AS h
+         FROM imgs),
+px AS (
+  SELECT d.media_id, gi.k AS ki, gj.k AS kj,
+         (3*d.gid + (5 + d.gid % 7) * ((gi.k * d.h) // 8)
+                  + (7 + d.gid % 5) * ((gj.k * d.w) // 8)
+                  + (1 + d.gid % 11) * ((gi.k * d.h) // 8)
+                                    * ((gj.k * d.w) // 8)
+          + d.dd) % 251 AS p
+  FROM dims d, generate_series(0, 7) gi(k), generate_series(0, 7) gj(k)),
+tot AS (SELECT media_id, sum(p) AS s FROM px GROUP BY 1),
+bits AS (
+  SELECT px.media_id, px.ki * 8 + px.kj AS k,
+         CASE WHEN px.p * 64 > t.s THEN 1 ELSE 0 END AS bit
+  FROM px JOIN tot t USING (media_id)),
+hashes AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN k >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                       ELSE 0 END) AS BIGINT) AS ahash_hi,
+         CAST(sum(CASE WHEN k < 32
+                       THEN bit * (CAST(1 AS BIGINT) << k)
+                       ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM bits GROUP BY 1),
+banded AS (
+  SELECT media_id, ahash_hi, ahash_lo, b.band,
+         CASE b.band
+           WHEN 0 THEN ahash_lo % 65536
+           WHEN 1 THEN (ahash_lo // 65536) % 65536
+           WHEN 2 THEN ahash_hi % 65536
+           ELSE (ahash_hi // 65536) % 65536 END AS slice
+  FROM hashes, generate_series(0, 3) b(band)),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.ahash_hi AS ha, a.ahash_lo AS la,
+         b.ahash_hi AS hb, b.ahash_lo AS lb
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.slice = b.slice
+               AND a.media_id < b.media_id)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) AS INTEGER)
+           AS hamming
+FROM pairs
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
+"""

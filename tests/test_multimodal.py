@@ -204,3 +204,62 @@ def test_synth_video_frames_walk(spark):
     ).collect()
     assert [f.frame_idx for f in frames] == [0, 1, 2, 3]
     assert all(bytes(f.frame)[:2] == b"P5" for f in frames)
+
+
+def test_image_ahash_brightness_invariance_and_containment(spark):
+    """aHash must be invariant to a uniform brightness shift with no
+    mod-wrap (the perceptual property), and undecodable payloads must
+    surface ahash_error per row instead of failing the stage."""
+    import numpy as np
+
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        encode_ppm,
+        image_ahash,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(40, 160, size=(12, 17), dtype=np.int64)  # +60 safe
+    rows = [
+        (1, bytearray(encode_ppm(base.astype(np.uint8)[:, :, None]))),
+        (2, bytearray(encode_ppm((base + 60).astype(np.uint8)[:, :, None]))),
+        (3, bytearray(b"JUNKDATA")),
+    ]
+    got = {
+        r.media_id: r
+        for r in image_ahash(
+            spark.createDataFrame(rows, "media_id long, payload binary")
+        ).collect()
+    }
+    assert got[1].ahash_error is None and got[2].ahash_error is None
+    assert (got[1].ahash_hi, got[1].ahash_lo) == (
+        got[2].ahash_hi,
+        got[2].ahash_lo,
+    )
+    assert got[3].ahash_error is not None
+    assert got[3].ahash_hi is None
+
+
+def test_ahash_pairs_catch_planted_dups_and_guard_params(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        ahash_hamming_pairs,
+        image_ahash,
+        synth_pgm_near_dups,
+    )
+
+    ids = spark.range(1, 80).select(F.col("id").alias("media_id"))
+    hashes = image_ahash(synth_pgm_near_dups(ids))
+    pairs = ahash_hamming_pairs(hashes).collect()
+    planted = {
+        (r.id_a, r.id_b): r.hamming
+        for r in pairs
+        if r.id_b - r.id_a == 100_000
+    }
+    # most +1-brightness copies survive at hamming <= 3 (wrap pixels
+    # can flip bits; a handful escaping is the honest behavior)
+    assert len(planted) >= 5
+    assert all(h <= 3 for h in planted.values())
+    with pytest.raises(ValueError):
+        ahash_hamming_pairs(hashes, max_hamming=4, bands=4)
