@@ -656,6 +656,28 @@ def _q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
 
 
+def _q_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual audio dedup from raw bytes: real RIFF/PCM decode →
+    31-bit energy-difference fingerprint (attenuation-invariant by
+    construction — both sides of every window comparison scale
+    together) → banded Hamming pairs. Catches the −1.6%-attenuated
+    planted copies whose byte digests differ; oracle replays the
+    fingerprint analytically from the fixture's closed form."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        audio_fingerprint,
+        audio_fp_hamming_pairs,
+        synth_wav_near_dups,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    ids = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("media_id"))
+        .filter(F.col("media_id") <= 2000)
+    )
+    return audio_fp_hamming_pairs(audio_fingerprint(synth_wav_near_dups(ids)))
+
+
 def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate heavy hitters from the CMS state: distinct-vocab
     probe, ≥5000 ppm admit, top-20 — the frequency-gate building block
@@ -1793,6 +1815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         # perceptual (aHash) image dedup from raw bytes
         "image_ahash_dups": _q_image_ahash_dups,
+        # perceptual audio dedup (energy-difference fingerprint)
+        "audio_fp_dups": _q_audio_fp_dups,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -1955,4 +1979,5 @@ def oracle_sql() -> dict[str, str]:
         "knowledge_ivm": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "cms_heavy_hitters": ext.CMS_HEAVY_HITTERS_SQL,
         "image_ahash_dups": ext.IMAGE_AHASH_DUPS_SQL,
+        "audio_fp_dups": ext.AUDIO_FP_DUPS_SQL,
     }

@@ -421,6 +421,36 @@ _WAV_SCHEMA = (
 )
 
 
+def _parse_wav(buf: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """RIFF chunk walk (fmt then data, skipping unknown chunks per
+    spec, word-aligned) → (rate, n_channels, bits, int samples).
+    Raises on malformed/unsupported input — callers contain per row."""
+    import struct
+
+    if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+        body = buf[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing chunk")
+    audio_fmt, n_ch, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits not in (8, 16):
+        raise ValueError(f"unsupported fmt {audio_fmt}/{bits}")
+    dt = np.dtype("<i2") if bits == 16 else np.dtype("u1")
+    samples = np.frombuffer(data, dtype=dt)
+    if bits == 8:
+        samples = samples.astype(np.int64) - 128
+    return rate, n_ch, bits, samples
+
+
 def decode_wav(
     df: DataFrame, binary_col: str = "payload", id_col: str = "media_id"
 ) -> DataFrame:
@@ -433,31 +463,8 @@ def decode_wav(
     payloads surface ``decode_error`` per row, never fail the stage."""
 
     def one(buf: bytes) -> tuple:
-        import struct
-
         try:
-            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
-                return (None, None, None, None, None, None, "not a RIFF/WAVE")
-            pos, fmt, data = 12, None, None
-            while pos + 8 <= len(buf):
-                cid = buf[pos : pos + 4]
-                (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-                body = buf[pos + 8 : pos + 8 + clen]
-                if cid == b"fmt ":
-                    fmt = struct.unpack("<HHIIHH", body[:16])
-                elif cid == b"data":
-                    data = body
-                pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-            if fmt is None or data is None:
-                return (None, None, None, None, None, None, "missing chunk")
-            audio_fmt, n_ch, rate, _br, _ba, bits = fmt
-            if audio_fmt != 1 or bits not in (8, 16):
-                return (None, None, None, None, None, None,
-                        f"unsupported fmt {audio_fmt}/{bits}")
-            dt = np.dtype("<i2") if bits == 16 else np.dtype("u1")
-            samples = np.frombuffer(data, dtype=dt)
-            if bits == 8:
-                samples = samples.astype(np.int64) - 128
+            rate, n_ch, bits, samples = _parse_wav(buf)
             n = len(samples) // n_ch
             dur_ms = (n * 1000) // rate
             abs_sum = int(np.abs(samples.astype(np.int64)).sum())
@@ -664,6 +671,173 @@ def ahash_hamming_pairs(
                 F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
                 + F.bit_count(F.col("_la").bitwiseXOR(F.col("_lb")))
             ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# --------------------------------------------------------------------------
+# perceptual audio dedup: energy-difference fingerprint (Haitsma-
+# Kalker shape, integer-exact) over REAL WAV decode — the audio
+# sibling of image_ahash: catches re-mastered/attenuated duplicates a
+# byte-digest misses.
+# --------------------------------------------------------------------------
+
+
+def synth_wav_near_dups(
+    ids: DataFrame,
+    n_samples: int = 512,
+    sample_rate: int = 8000,
+    id_col: str = "media_id",
+    every: int = 10,
+    offset: int = 100_000,
+) -> DataFrame:
+    """Near-dup WAV fixture: per id a REAL 16-bit mono PCM container
+    holding ``v(k) = ((g+k)²·(g+2k+1) mod 65536) − 32768`` — the
+    id-mixing makes energy profiles structurally distinct across ids
+    (a linear sawtooth family is degenerate for a DIFFERENTIAL
+    fingerprint: every window carries the same energy). Every
+    ``every``-th id also emits an ATTENUATED copy under ``id +
+    offset``: magnitude scaled to ``m − m·//64`` (≈ −1.6%), sign kept —
+    audibly identical, byte-distinct."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        def container(samples: "np.ndarray") -> bytes:
+            data = samples.astype("<i2").tobytes()
+            return (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack(
+                    "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+                )
+                + b"data"
+                + struct.pack("<I", len(data))
+                + data
+            )
+
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for mid in pdf[id_col]:
+                g = int(mid)
+                k = np.arange(n_samples, dtype=np.int64)
+                v = ((g + k) * (g + k) * (g + 2 * k + 1)) % 65536 - 32768
+                out_ids.append(g)
+                payloads.append(container(v))
+                if every and g % every == 0:
+                    m = np.abs(v)
+                    att = np.sign(v) * (m - m // 64)
+                    out_ids.append(g + offset)
+                    payloads.append(container(att))
+            yield pd.DataFrame({id_col: out_ids, "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(
+        kernel, f"{id_col} long, payload binary"
+    )
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    n_windows: int = 32,
+    win: int = 16,
+) -> DataFrame:
+    """31-bit energy-difference fingerprint from REAL WAV decode:
+    window ``w`` energy ``E_w = Σ|sample|`` over ``win`` samples,
+    ``bit_w = 1 iff E_{w+1} > E_w`` (w = 0..n_windows−2) — the
+    differential coding that makes the fingerprint invariant to
+    uniform attenuation (both sides of every comparison scale
+    together). Pure integers end-to-end → hash-portable. Short or
+    malformed payloads surface ``fp_error`` per row.
+
+    Scale: Arrow-batched ``mapInPandas``, map-only; downstream dedup
+    touches only (id, fp) rows."""
+    need = n_windows * win
+
+    def one(buf: bytes) -> tuple:
+        try:
+            _rate, n_ch, _bits, samples = _parse_wav(bytes(buf))
+            if n_ch != 1:
+                return (None, "multichannel unsupported")
+            if len(samples) < need:
+                return (None, f"need {need} samples, got {len(samples)}")
+            m = np.abs(samples[:need].astype(np.int64))
+            e = m.reshape(n_windows, win).sum(axis=1)
+            bits = (e[1:] > e[:-1]).astype(np.int64)
+            return (int((bits << np.arange(n_windows - 1)).sum()), None)
+        except Exception as exc:
+            return (None, str(exc)[:200])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(c) for c in pdf[binary_col]]
+            fp, err = (list(x) for x in zip(*out)) if out else ([], [])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "fp": pd.array(fp, dtype="Int64"),
+                    "fp_error": err,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel, f"{id_col} long, fp long, fp_error string"
+    )
+
+
+def audio_fp_hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup audio pairs over the 31-bit fingerprint: 4 band slices
+    (8+8+8+7 bits) as LSH keys, ``bit_count(xor)`` verify — exact for
+    ``max_hamming < 4`` by pigeonhole, same contract as the simhash
+    and aHash siblings. Output: id_a < id_b, hamming."""
+    if max_hamming >= 4:
+        raise ValueError("max_hamming must be < 4 bands for exactness")
+    import pyspark.sql.functions as F
+
+    slices = [
+        F.col("fp").bitwiseAND(F.lit(0xFF)),
+        F.shiftright(F.col("fp"), 8).bitwiseAND(F.lit(0xFF)),
+        F.shiftright(F.col("fp"), 16).bitwiseAND(F.lit(0xFF)),
+        F.shiftright(F.col("fp"), 24).bitwiseAND(F.lit(0x7F)),
+    ]
+    banded = (
+        fps.filter(F.col("fp_error").isNull())
+        .select(
+            id_col,
+            "fp",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("_band"), s.alias("_slice"))
+                        for b, s in enumerate(slices)
+                    ]
+                )
+            ).alias("_bk"),
+        )
+        .select(id_col, "fp", "_bk._band", "_bk._slice")
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("fp").alias("_fa"), "_band", "_slice"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("fp").alias("_fb"), "_band", "_slice"
+    )
+    return (
+        left.join(right, ["_band", "_slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fa", "_fb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("int"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -2169,3 +2169,57 @@ SELECT id_a, id_b,
 FROM pairs
 WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3
 """
+
+# --------------------------------------------------------------------------
+# perceptual audio dedup (multimodal/binary_ops.py: synth_wav_near_dups
+# → audio_fingerprint → audio_fp_hamming_pairs): analytic replay of the
+# 31-bit energy-difference fingerprint — |v(k)| with v(k) = ((g+k)²·
+# (g+2k+1) mod 65536) − 32768, attenuated copies m−m//64, 32 windows of
+# 16, bit_w = E_{w+1} > E_w, 8+8+8+7-bit band LSH + bit_count verify.
+# The Spark side does the REAL bytes → RIFF walk → PCM → numpy path.
+# --------------------------------------------------------------------------
+
+AUDIO_FP_DUPS_SQL = """
+WITH ids AS (SELECT p_partkey AS gid FROM part WHERE p_partkey <= 2000),
+tracks AS (
+  SELECT gid, gid AS media_id, 0 AS att FROM ids
+  UNION ALL
+  SELECT gid, gid + 100000 AS media_id, 1 AS att FROM ids WHERE gid % 10 = 0),
+mags AS (
+  SELECT t.media_id, g.k,
+         abs(((t.gid + g.k) * (t.gid + g.k) * (t.gid + 2*g.k + 1)) % 65536
+             - 32768) AS m0,
+         t.att
+  FROM tracks t, generate_series(0, 511) g(k)),
+m AS (SELECT media_id, k,
+             CASE WHEN att = 1 THEN m0 - m0 // 64 ELSE m0 END AS m
+      FROM mags),
+ener AS (
+  SELECT media_id, k // 16 AS w, sum(m) AS e
+  FROM m GROUP BY 1, 2),
+bits AS (
+  SELECT a.media_id, a.w - 1 AS bitpos,
+         CASE WHEN a.e > p.e THEN 1 ELSE 0 END AS bit
+  FROM ener a JOIN ener p ON p.media_id = a.media_id AND p.w = a.w - 1),
+fps AS (
+  SELECT media_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << bitpos)) AS BIGINT) AS fp
+  FROM bits GROUP BY 1),
+banded AS (
+  SELECT media_id, fp, b.band,
+         CASE b.band
+           WHEN 0 THEN fp % 256
+           WHEN 1 THEN (fp // 256) % 256
+           WHEN 2 THEN (fp // 65536) % 256
+           ELSE (fp // 16777216) % 128 END AS slice
+  FROM fps, generate_series(0, 3) b(band)),
+pairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.fp AS fa, b.fp AS fb
+  FROM banded a
+  JOIN banded b ON a.band = b.band AND a.slice = b.slice
+               AND a.media_id < b.media_id)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM pairs
+WHERE bit_count(xor(fa, fb)) <= 3
+"""

@@ -263,3 +263,68 @@ def test_ahash_pairs_catch_planted_dups_and_guard_params(spark):
     assert all(h <= 3 for h in planted.values())
     with pytest.raises(ValueError):
         ahash_hamming_pairs(hashes, max_hamming=4, bands=4)
+
+
+def test_audio_fingerprint_attenuation_invariance_and_containment(spark):
+    """The differential fingerprint must be EXACTLY invariant to
+    uniform attenuation (energy ordering preserved when every window
+    scales together), and malformed/short/multichannel payloads must
+    surface fp_error per row."""
+    import numpy as np
+    import struct
+
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        audio_fingerprint,
+    )
+
+    def wav(samples, n_ch=1):
+        data = samples.astype("<i2").tobytes()
+        return bytearray(
+            b"RIFF"
+            + struct.pack("<I", 36 + len(data))
+            + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, n_ch, 8000, 16000, 2, 16)
+            + b"data"
+            + struct.pack("<I", len(data))
+            + data
+        )
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(-20000, 20000, size=512, dtype=np.int64)
+    halved = base // 2  # uniform scaling keeps every E_{w+1} vs E_w order
+    rows = [
+        (1, wav(base)),
+        (2, wav(np.abs(base) // 2 * np.sign(base))),
+        (3, wav(base[:100])),          # too short
+        (4, bytearray(b"JUNKDATA")),   # not RIFF
+        (5, wav(np.tile(base, 2), n_ch=2)),  # multichannel
+    ]
+    del halved
+    got = {
+        r.media_id: r
+        for r in audio_fingerprint(
+            spark.createDataFrame(rows, "media_id long, payload binary")
+        ).collect()
+    }
+    assert got[1].fp_error is None and got[2].fp_error is None
+    assert got[1].fp == got[2].fp
+    for bad in (3, 4, 5):
+        assert got[bad].fp is None and got[bad].fp_error is not None
+
+
+def test_audio_fp_pairs_catch_planted_attenuated_copies(spark):
+    import pyspark.sql.functions as F
+
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        audio_fingerprint,
+        audio_fp_hamming_pairs,
+        synth_wav_near_dups,
+    )
+
+    ids = spark.range(1, 80).select(F.col("id").alias("media_id"))
+    pairs = audio_fp_hamming_pairs(
+        audio_fingerprint(synth_wav_near_dups(ids))
+    ).collect()
+    planted = [r for r in pairs if r.id_b - r.id_a == 100_000]
+    assert len(planted) == 7  # ids 10, 20, ..., 70
+    assert all(r.hamming == 0 for r in planted)
