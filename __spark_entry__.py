@@ -656,6 +656,21 @@ def _q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
 
 
+def _q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the co-purchase graph — the
+    clustering-structure sibling of copurchase_pagerank (wedge-close
+    joins, exact integer counts)."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        copurchase_edges,
+        triangle_counts,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    return triangle_counts(
+        copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
 def _q_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual audio dedup from raw bytes: real RIFF/PCM decode →
     31-bit energy-difference fingerprint (attenuation-invariant by
@@ -1817,6 +1832,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_dups": _q_image_ahash_dups,
         # perceptual audio dedup (energy-difference fingerprint)
         "audio_fp_dups": _q_audio_fp_dups,
+        # graph clustering structure: per-node triangle counts
+        "copurchase_triangles": _q_copurchase_triangles,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -1980,4 +1997,5 @@ def oracle_sql() -> dict[str, str]:
         "cms_heavy_hitters": ext.CMS_HEAVY_HITTERS_SQL,
         "image_ahash_dups": ext.IMAGE_AHASH_DUPS_SQL,
         "audio_fp_dups": ext.AUDIO_FP_DUPS_SQL,
+        "copurchase_triangles": ext.COPURCHASE_TRIANGLES_SQL,
     }

@@ -131,3 +131,39 @@ def pagerank(
             if moved == 0:
                 break
     return ranks.select("node", F.col("r").alias("rank_u6"))
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (either
+    or both directions may be present; deduplicated internally).
+    Output: node, n_triangles — nodes in no triangle are absent.
+
+    Plan: canonicalize to ``src < dst``, then the two-join wedge close
+    (ab ⋈ bc on b, closed by ac) — each triangle a<b<c is materialized
+    exactly once, and the per-node counts are one explode + one
+    partial-aggregated groupBy. Canonical-id orientation is the simple
+    variant; at 100 TB with power-law graphs, orient edges by
+    (degree, id) instead — the compact-forward optimization — so
+    wedges pivot on LOW-degree nodes and hub fan-out never explodes
+    (Σ deg(v)² over pivot nodes is the join size either way; degree
+    orientation minimizes it). Co-purchase graphs here are
+    basket-bounded, so canonical orientation is already safe."""
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()  # three scans below (ab, bc, ac)
+    )
+    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tris = ab.join(bc, "y").join(ac, ["x", "z"])
+    return (
+        tris.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )

@@ -2223,3 +2223,27 @@ SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
 FROM pairs
 WHERE bit_count(xor(fa, fb)) <= 3
 """
+
+# per-node triangle counts over the co-purchase graph
+# (operators/graph.py:triangle_counts): canonical a<b edges, wedge
+# close, one count per incident node.
+COPURCHASE_TRIANGLES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges),
+tris AS (
+  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+  FROM e ab
+  JOIN e bc ON bc.a = ab.b
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+nodes AS (
+  SELECT x AS node FROM tris
+  UNION ALL SELECT y FROM tris
+  UNION ALL SELECT z FROM tris)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY 1
+"""

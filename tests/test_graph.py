@@ -76,3 +76,16 @@ def test_copurchase_edges_shape(spark):
     got = {(r.src, r.dst) for r in copurchase_edges(li).collect()}
     # duplicates collapse; both directions; single-item orders drop
     assert got == {(10, 11), (11, 10), (11, 12), (12, 11)}
+
+
+def test_triangle_counts_golden_and_direction_insensitive(spark):
+    from sea_express_customs_etl_spark.operators.graph import triangle_counts
+
+    # K4 on {1,2,3,4}: every node is in C(3,2) = 3 triangles
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+    got = {r.node: r.n_triangles for r in triangle_counts(_edges(spark, k4)).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # one direction only + a dangling edge: same triangles
+    one_dir = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+    got2 = {r.node: r.n_triangles for r in triangle_counts(_edges(spark, one_dir)).collect()}
+    assert got2 == got
