@@ -656,6 +656,23 @@ def _q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
 
 
+def _q_pps_length_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic PPS systematic sample: exactly 100 picks over
+    documents proportional to token count — the 'sample training docs
+    by length/quality mass' op, in exact integer arithmetic (global
+    two-phase cumsum, map-only closed-form pick counting)."""
+    from sea_express_customs_etl_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    weighted = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    return pps_systematic_sample(weighted, k=100, weight_col="n_tokens")
+
+
 def _q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the co-purchase graph — the
     clustering-structure sibling of copurchase_pagerank (wedge-close
@@ -1834,6 +1851,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_dups": _q_audio_fp_dups,
         # graph clustering structure: per-node triangle counts
         "copurchase_triangles": _q_copurchase_triangles,
+        # exact-integer PPS systematic sampling by token mass
+        "pps_length_sample": _q_pps_length_sample,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -1998,4 +2017,5 @@ def oracle_sql() -> dict[str, str]:
         "image_ahash_dups": ext.IMAGE_AHASH_DUPS_SQL,
         "audio_fp_dups": ext.AUDIO_FP_DUPS_SQL,
         "copurchase_triangles": ext.COPURCHASE_TRIANGLES_SQL,
+        "pps_length_sample": ext.PPS_SAMPLE_SQL,
     }

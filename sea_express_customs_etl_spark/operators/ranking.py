@@ -109,3 +109,52 @@ def ntile_by_rank(
         .withColumn("bucket", bucket.cast("int"))
         .drop("_N")
     )
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_by: list[Column],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact global cumulative sum of ``value_col`` under the TOTAL
+    order ``order_by`` (include a unique tie-break) — the weighted
+    sibling of :func:`global_rank`, same two-phase shape: range
+    shuffle → per-partition cumsum window (bounded state) →
+    model-sized per-partition offset collect broadcast back. Never a
+    single-partition window funnel."""
+    n_parts = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    ranged = (
+        df.repartitionByRange(int(n_parts), *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_psum"))
+        .select(
+            "_pid",
+            F.sum("_psum")
+            .over(
+                Window.orderBy("_pid").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            )
+            .alias("_off"),
+        )
+        .fillna(0, subset=["_off"])
+    )
+    within = F.sum(value_col).over(
+        Window.partitionBy("_pid")
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.withColumn("_cs", within)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_cs")).cast("bigint"))
+        .drop("_pid", "_cs", "_off")
+    )

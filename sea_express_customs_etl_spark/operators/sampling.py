@@ -175,3 +175,77 @@ def stratified_exact(
         .filter(F.col("_rk") <= n_per_stratum)
         .drop("_rk")
     )
+
+
+def pps_systematic_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic probability-proportional-to-size (PPS) SYSTEMATIC
+    sampling — the survey-statistics workhorse for "sample k documents
+    proportional to length/quality-mass": lay items end-to-end in
+    cumulative INTEGER weight space under the (md5(id), id) order (a
+    reproducible pseudo-random shuffle, decorrelated from ingest
+    order), then take k picks at the centered rational positions
+    ``p_j = (2j+1)·T / (2k)``. An item is picked once per position
+    inside its [C−w, C) span, so ``Σ n_picks = k`` EXACTLY and an item
+    heavier than T/k is picked multiple times — textbook systematic
+    PPS, with zero floating point: the position test
+    ``2k(C−w) ≤ (2j+1)T < 2kC`` is counted in closed form,
+
+        g(x) = #{j < k : (2j+1)·T < x} = 0                if x ≤ T
+             = (x − 1 − T) div 2T + 1                     otherwise
+        n_picks = g(2kC) − g(2k(C−w))
+
+    (both arguments nonnegative, so truncating and floor division
+    agree across engines). Output: id, weight, n_picks (> 0 rows
+    only).
+
+    Scale: one :func:`...ranking.global_cumsum` (range shuffle +
+    bounded windows + model-sized offset collect), then MAP-ONLY
+    arithmetic with a 1-row total broadcast — no position join at all,
+    where the naive form range-joins k pick rows against the corpus.
+    """
+    from sea_express_customs_etl_spark.operators.ranking import global_cumsum
+
+    base = df.select(F.col(id_col), F.col(weight_col).cast("bigint").alias("_w"))
+    cum = global_cumsum(
+        base,
+        [F.md5(F.col(id_col).cast("string")), F.col(id_col)],
+        "_w",
+        out_col="_c",
+        num_partitions=num_partitions,
+    )
+    total = base.agg(F.sum("_w").alias("_t"))  # 1-row scalar broadcast
+
+    two_k = F.lit(2 * k).cast("bigint")
+
+    def g(x):  # noqa: ANN001 — Column in, Column out
+        # #{j < k : (2j+1)·T < x}; floor-of-double is exact while
+        # 2k·T < 2^53 (k picks over ~10^12 total weight — far above
+        # any sane sampling call; beyond that, pre-scale the weights)
+        return (
+            F.when(x <= F.col("_t"), F.lit(0).cast("bigint"))
+            .otherwise(
+                F.floor((x - 1 - F.col("_t")) / (2 * F.col("_t"))) + 1
+            )
+            .cast("bigint")
+        )
+
+    picked = (
+        cum.join(F.broadcast(total))
+        .withColumn(
+            "n_picks",
+            g(two_k * F.col("_c")) - g(two_k * (F.col("_c") - F.col("_w"))),
+        )
+        .filter(F.col("n_picks") > 0)
+        .select(
+            F.col(id_col),
+            F.col("_w").alias(weight_col),
+            "n_picks",
+        )
+    )
+    return picked

@@ -2247,3 +2247,28 @@ nodes AS (
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY 1
 """
+
+# PPS systematic sampling (operators/sampling.py:pps_systematic_sample):
+# k=100 picks over documents weighted by whitespace token count,
+# (md5(doc_id), doc_id) order, centered rational positions counted in
+# closed form — pure integers, Σ n_picks = k exactly.
+PPS_SAMPLE_SQL = f"""
+WITH w AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS weight FROM documents),
+c AS (
+  SELECT doc_id, weight,
+         sum(weight) OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                           ROWS UNBOUNDED PRECEDING) AS c
+  FROM w),
+t AS (SELECT sum(weight) AS T FROM w),
+n AS (
+  SELECT doc_id, weight,
+         (CASE WHEN 200 * c <= t.T THEN 0
+               ELSE (200 * c - 1 - t.T) // (2 * t.T) + 1 END)
+         - (CASE WHEN 200 * (c - weight) <= t.T THEN 0
+                 ELSE (200 * (c - weight) - 1 - t.T) // (2 * t.T) + 1 END)
+             AS n_picks
+  FROM c, t)
+SELECT doc_id, weight AS n_tokens, CAST(n_picks AS BIGINT) AS n_picks
+FROM n WHERE n_picks > 0
+"""

@@ -189,3 +189,41 @@ def test_num_coerce_total(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "s string")
     got = [r.v for r in df.select(num_coerce(F.col("s")).alias("v")).collect()]
     assert all(isinstance(v, float) for v in got)  # never null, never throws
+
+
+def test_pps_systematic_exact_k_and_heavy_multiplicity(spark):
+    """Σ n_picks == k exactly; an item heavier than T/k is picked
+    multiple times; bit-identical under repartitioning."""
+    import pyspark.sql.functions as F
+
+    from sea_express_customs_etl_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(500)], "doc_id long, w long"
+    )
+    rows = pps_systematic_sample(df, 40, "w").collect()
+    assert sum(r.n_picks for r in rows) == 40
+    a = sorted(map(tuple, rows))
+    b = sorted(
+        map(tuple, pps_systematic_sample(df.repartition(11), 40, "w").collect())
+    )
+    assert a == b
+
+    heavy = spark.createDataFrame(
+        [(1, 900)] + [(i, 1) for i in range(2, 102)], "doc_id long, w long"
+    )
+    hrows = {r.doc_id: r.n_picks for r in pps_systematic_sample(heavy, 10, "w").collect()}
+    assert sum(hrows.values()) == 10
+    assert hrows[1] == 9  # w/T = 0.9 of 10 picks
+
+    # proportionality: expected picks for weight-7 items ~ 7x weight-1
+    df7 = spark.createDataFrame(
+        [(i, 7 if i % 2 == 0 else 1) for i in range(2000)],
+        "doc_id long, w long",
+    )
+    picks = pps_systematic_sample(df7, 200, "w").collect()
+    p7 = sum(r.n_picks for r in picks if r.doc_id % 2 == 0)
+    p1 = sum(r.n_picks for r in picks if r.doc_id % 2 == 1)
+    assert p7 + p1 == 200 and p7 > 5 * p1
