@@ -656,6 +656,23 @@ def _q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
 
 
+def _q_event_sigma_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type 1.7-sigma outliers with zero floating point:
+    the cross-multiplied integer test (DECIMAL(38,0) products) over
+    centi-unit values — the drift gate that stays hash-portable."""
+    from sea_express_customs_etl_spark.operators.profiling import (
+        sigma_outliers,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    return sigma_outliers(ev, "value_c", ["event_type"], ["event_id"])
+
+
 def _q_pps_length_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic PPS systematic sample: exactly 100 picks over
     documents proportional to token count — the 'sample training docs
@@ -1853,6 +1870,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": _q_copurchase_triangles,
         # exact-integer PPS systematic sampling by token mass
         "pps_length_sample": _q_pps_length_sample,
+        # zero-float k-sigma outlier gate (int128 cross-multiply)
+        "event_sigma_outliers": _q_event_sigma_outliers,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -2018,4 +2037,5 @@ def oracle_sql() -> dict[str, str]:
         "audio_fp_dups": ext.AUDIO_FP_DUPS_SQL,
         "copurchase_triangles": ext.COPURCHASE_TRIANGLES_SQL,
         "pps_length_sample": ext.PPS_SAMPLE_SQL,
+        "event_sigma_outliers": ext.EVENT_SIGMA_OUTLIERS_SQL,
     }

@@ -167,3 +167,53 @@ def merge_agg_states(
         + [F.max(c).alias(c) for c in max_cols]
     )
     return out.groupBy(*key_cols).agg(*aggs)
+
+
+def sigma_outliers(
+    df: DataFrame,
+    value_c_col: str,
+    group_cols: Sequence[str],
+    keep_cols: Sequence[str],
+    k_tenths: int = 17,
+) -> DataFrame:
+    """Per-group k-sigma outlier detection with ZERO floating point —
+    the drift/data-quality gate that stays hash-portable: a row is
+    anomalous iff ``|x − μ| > (k/10)·σ`` over its group, tested in the
+    equivalent cross-multiplied integer form
+
+        100 · (n·x − S)² > k² · (n·Q − S²)
+
+    with ``S = Σx``, ``Q = Σx²`` (x pre-quantized to integer units by
+    the caller — the repo's float-through-aggregation rule). All
+    products run in DECIMAL(38,0) (the pagerank damping precedent):
+    exact up to |n·x| < 10¹⁹ — a 10¹²-row group of 10⁵-unit values
+    squares to 10³⁴, inside DECIMAL(38).
+
+    Plan: one partial-aggregated stats pass (|groups| rows — model-
+    sized, hint-free join back; AQE broadcasts it), then a MAP-ONLY
+    filter. Output: keep_cols + group_cols + x + n (outlier rows
+    only)."""
+    gc = list(group_cols)
+    x = F.col(value_c_col)
+    stats = df.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_q"),
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    dev = f"({d.format('_n')} * {d.format(value_c_col)} - {d.format('_s')})"
+    lhs = f"100 * {dev} * {dev}"
+    rhs = (
+        f"{k_tenths * k_tenths} * "
+        f"({d.format('_n')} * {d.format('_q')} - {d.format('_s')} * {d.format('_s')})"
+    )
+    return (
+        df.join(stats, gc)
+        .filter(F.expr(f"{lhs} > {rhs}"))
+        .select(
+            *keep_cols,
+            *gc,
+            x.alias("value_c"),
+            F.col("_n").cast("bigint").alias("n_group"),
+        )
+    )

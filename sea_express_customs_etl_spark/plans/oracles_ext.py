@@ -2272,3 +2272,18 @@ n AS (
 SELECT doc_id, weight AS n_tokens, CAST(n_picks AS BIGINT) AS n_picks
 FROM n WHERE n_picks > 0
 """
+
+# exact-integer k-sigma outliers (operators/profiling.py:sigma_outliers):
+# per-event-type 1.7σ gate via the cross-multiplied form in int128 —
+# no sqrt, no float aggregation.
+EVENT_SIGMA_OUTLIERS_SQL = """
+WITH e AS (SELECT event_id, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS x FROM events),
+s AS (SELECT event_type, count(*) AS n, sum(x) AS s, sum(x*x) AS q
+      FROM e GROUP BY 1)
+SELECT e.event_id, e.event_type, e.x AS value_c, CAST(s.n AS BIGINT) AS n_group
+FROM e JOIN s USING (event_type)
+WHERE 100 * CAST(s.n * e.x - s.s AS HUGEINT) * CAST(s.n * e.x - s.s AS HUGEINT)
+      > 289 * (CAST(s.n AS HUGEINT) * CAST(s.q AS HUGEINT)
+               - CAST(s.s AS HUGEINT) * CAST(s.s AS HUGEINT))
+"""

@@ -78,3 +78,30 @@ def test_latest_by_key_tiebreak(spark):
     got = {r.k: r for r in latest_by_key(df, ["k"], "o", "t", ["p"]).collect()}
     assert got[1].p == "b"  # equal order 10 → higher tiebreak wins
     assert got[2].p == "d"
+
+
+def test_sigma_outliers_golden_and_no_float(spark):
+    """A planted extreme value is flagged, uniform-ish values are not;
+    layout invariance (pure integer/decimal arithmetic)."""
+    from sea_express_customs_etl_spark.operators.profiling import (
+        sigma_outliers,
+    )
+
+    rows = (
+        [(i, "a", 10 + (i % 3)) for i in range(60)]
+        + [(99, "a", 5000)]
+        + [(200 + i, "b", i % 5) for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, g string, x long")
+    out = sigma_outliers(df, "x", ["g"], ["event_id"], k_tenths=30)
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(99, "a", 5000, 61)]
+    again = sorted(
+        map(
+            tuple,
+            sigma_outliers(
+                df.repartition(7), "x", ["g"], ["event_id"], k_tenths=30
+            ).collect(),
+        )
+    )
+    assert got == again
