@@ -75,6 +75,9 @@ FORCED_BROADCAST_ALLOWED = {
     #                        a |queries|·5-row truth table
     "pq_trained_codebook",  # trained codebook model (m·k entries) +
     #                         coarse centroids
+    "cms_heavy_hitters",   # d·w cell table + 1-row total (model-sized)
+    "pps_length_sample",   # |partitions|-row cumsum offsets + 1-row
+    #                        total weight (the global_rank license)
     "ivfpq_trained_topk",  # trained codebook + centroids + LUT —
     #                        same pins as ivfpq_nprobe2
 }

@@ -45,6 +45,8 @@ BNLJ_ALLOWED = {
     "key_skew_stats",     # 1-row total-rows scalar broadcast
     "ann_recall_matrix",  # composes cosine_topk/sq8_topk — their
     #                       query-set broadcasts (allowlisted above)
+    "cms_heavy_hitters",  # 1-row total-N scalar broadcast
+    "pps_length_sample",  # 1-row total-weight scalar broadcast
     "ivfpq_trained_topk",  # coarse-centroid broadcast, as ivfpq_topk
     "pq_trained_codebook",  # centroid broadcast in the residual build
 }
