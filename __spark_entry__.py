@@ -1510,9 +1510,10 @@ def _q_knowledge_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         lk = link_key(F.col("mawb_no"), F.col("hawb_no"))
         return df.filter(F.crc32(lk) % 2 == i)
 
+    # persisted: state0 feeds both kb0 and the merge inside the IVM step
     state0 = vote_counts(
         knowledge_aligned(half(a, 0), half(b, 0), use_nfkc=False)
-    )
+    ).persist()
     kb0 = state_winners(state0).select(
         "original_description", "official_description", "ccc_code", "frequency"
     )

@@ -173,9 +173,12 @@ def knowledge_base_ivm(
     )
 
     keys = ("original_description", "official_description", "ccc_code")
+    # persisted: the delta's whole align+count chain feeds BOTH the
+    # state merge and the touched-source set — without the pin it
+    # executes once per consumer (measured 11.5 → ~7 s at sf0.1)
     delta_votes = vote_counts(
         knowledge_aligned(delta_a, delta_b, use_nfkc=use_nfkc, strategy=strategy)
-    )
+    ).persist()
     new_state = merge_agg_states(
         [state, delta_votes], key_cols=keys, count_cols=("frequency",)
     )
