@@ -227,3 +227,30 @@ def test_pps_systematic_exact_k_and_heavy_multiplicity(spark):
     p7 = sum(r.n_picks for r in picks if r.doc_id % 2 == 0)
     p1 = sum(r.n_picks for r in picks if r.doc_id % 2 == 1)
     assert p7 + p1 == 200 and p7 > 5 * p1
+
+
+def test_pps_exact_k_property(spark):
+    """Hypothesis sweep: Σ n_picks == k for arbitrary positive weight
+    multisets and k — the systematic-sampling invariant, exact by
+    integer construction."""
+    from hypothesis import given, settings, strategies as st
+
+    from sea_express_customs_etl_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        ws=st.lists(st.integers(min_value=1, max_value=10_000), min_size=1,
+                    max_size=60),
+        k=st.integers(min_value=1, max_value=50),
+    )
+    def run(ws, k):
+        df = spark.createDataFrame(
+            list(enumerate(ws)), "doc_id long, w long"
+        )
+        rows = pps_systematic_sample(df, k, "w").collect()
+        assert sum(r.n_picks for r in rows) == k
+        assert all(r.n_picks > 0 for r in rows)
+
+    run()

@@ -148,3 +148,30 @@ def test_bpe_encode_uses_dictionary_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+
+
+TOPK_WINDOW_QUERIES = [
+    "cosine_topk",
+    "ann_ivf_nprobe2",
+    "sq8_topk",
+    "ivfpq_nprobe2",
+    "ivfpq_trained_topk",
+]
+
+
+@pytest.mark.parametrize("name", TOPK_WINDOW_QUERIES)
+def test_topk_windows_ride_window_group_limit(spark, name):
+    """Every per-query top-k in the ANN family must keep Spark's
+    WindowGroupLimit rewrite (rank <= k pushed below the window's
+    shuffle as a map-side partial top-k) — the difference between
+    shuffling k rows per (query, partition) and shuffling the whole
+    scored corpus. A refactor that breaks the rewrite pattern
+    (e.g. filtering on a derived column) silently loses it."""
+    df = entry.queries()[name](spark, SF_DIR)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "WindowGroupLimit" in buf.getvalue(), (
+        f"{name}: WindowGroupLimit missing — top-k filter no longer "
+        "pushes below the window shuffle"
+    )
