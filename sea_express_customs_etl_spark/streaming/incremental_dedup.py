@@ -125,3 +125,45 @@ def committed_profiles(spark: SparkSession, table_prefix: str, id_col: str = "do
     """Exactly-once signature store view (see :func:`committed_edges`):
     one profile row per document."""
     return spark.table(f"{table_prefix}_profiles").dropDuplicates([id_col])
+
+
+def compact_dedup_store(
+    spark: SparkSession, table_prefix: str, num_buckets: int = 8
+) -> None:
+    """Fold the signature store's committed log into one generation:
+    exact duplicates from crash-window replays drop, the edge table
+    collapses to distinct committed pairs, and the marker table to one
+    id. Bucketing is preserved — pass the writer's ``num_buckets`` so
+    the staging tables carry the SAME bucket spec before the
+    atomic-rename swap (post-compaction appends reject a mismatched
+    spec). Same quiesced-stream contract and idempotence as
+    ``sketch_store.compact_sketch_store``."""
+    m_tab = f"{table_prefix}_batches"
+    gen = spark.table(m_tab).agg(F.max("batch_id")).first()[0]
+    if gen is None:
+        return
+
+    def swap(table: str, df: DataFrame, bucket_col: str | None) -> None:
+        staging = f"{table}_compact_staging"
+        w = df.write.mode("overwrite").format("parquet")
+        if bucket_col:
+            w = w.bucketBy(num_buckets, bucket_col)
+        w.saveAsTable(staging)
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+
+    edges = committed_edges(spark, table_prefix).select(
+        "id_a", "id_b", F.lit(int(gen)).cast("bigint").alias("batch_id")
+    )
+    profiles = spark.table(f"{table_prefix}_profiles").dropDuplicates(
+        ["doc_id"]
+    )
+    bands = spark.table(f"{table_prefix}_bands").distinct()
+    swap(f"{table_prefix}_edges", edges, None)
+    swap(f"{table_prefix}_profiles", profiles, "doc_id")
+    swap(f"{table_prefix}_bands", bands, "band")
+    swap(
+        m_tab,
+        spark.createDataFrame([(int(gen),)], "batch_id bigint"),
+        None,
+    )

@@ -106,3 +106,42 @@ def merged_histogram(
         .groupBy(*group_cols, "bin")
         .agg(F.sum("n").alias("n"))
     )
+
+
+def compact_sketch_store(spark: SparkSession, table_prefix: str) -> None:
+    """Fold the committed per-batch log into ONE state generation —
+    the maintenance job that keeps read-side merge cost flat when the
+    log grows long. The merged registers/bins are rewritten under a
+    single synthetic ``batch_id`` (the max committed id, so the
+    streaming checkpoint's monotone batch counter stays ahead of it),
+    uncommitted crash-window rows are dropped by construction, and the
+    marker table collapses to that one id. Cost ∝ log size (model-
+    sized rows per batch) — raw data is never touched.
+
+    MUST run with the writing stream quiesced (the standard compaction
+    contract: the commit-marker fence protects batch replay, not a
+    concurrent compactor). Idempotent — compacting a compacted store
+    rewrites it to itself."""
+    m_tab = f"{table_prefix}_batches"
+    gen = spark.table(m_tab).agg(F.max("batch_id")).first()[0]
+    if gen is None:
+        return
+    bid = F.lit(int(gen)).cast("bigint").alias("batch_id")
+
+    def swap(table: str, df: DataFrame) -> None:
+        staging = f"{table}_compact_staging"
+        df.write.mode("overwrite").format("parquet").saveAsTable(staging)
+        spark.sql(f"DROP TABLE {table}")
+        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+
+    swap(
+        f"{table_prefix}_hll",
+        merged_hll(spark, table_prefix).select(bid, "bucket", "max_rank"),
+    )
+    swap(
+        f"{table_prefix}_hist",
+        merged_histogram(spark, table_prefix).select(
+            bid, "event_type", "bin", "n"
+        ),
+    )
+    swap(m_tab, spark.createDataFrame([(int(gen),)], "batch_id bigint"))

@@ -130,3 +130,31 @@ def test_streaming_foreachbatch_end_to_end(spark, sf_dir, tmp_path):
     got = _keep_map(dedup_clusters(docs, committed_edges(spark, prefix)))
     want = _keep_map(dedup_clusters(docs, _full_edges(docs)))
     assert got == want
+
+
+def test_dedup_store_compaction_preserves_resolution(spark, sf_dir):
+    from sea_express_customs_etl_spark.streaming.incremental_dedup import (
+        compact_dedup_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix = f"incc_{uuid.uuid4().hex[:8]}"
+    writer = incremental_dedup_batch_writer(prefix, num_buckets=4)
+    writer(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    writer(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    # plant a crash-window duplicate before compaction
+    dup = spark.table(f"{prefix}_edges").filter(F.col("batch_id") == 0)
+    dup.write.mode("append").format("parquet").saveAsTable(f"{prefix}_edges")
+    want = _keep_map(dedup_clusters(docs, committed_edges(spark, prefix)))
+
+    compact_dedup_store(spark, prefix, num_buckets=4)
+    assert spark.table(f"{prefix}_batches").count() == 1
+    assert _keep_map(
+        dedup_clusters(docs, committed_edges(spark, prefix))
+    ) == want
+    # post-compaction increments still fold correctly against the store
+    extra = docs.limit(0)
+    writer(extra, 9)  # empty batch exercises the append path
+    assert _keep_map(
+        dedup_clusters(docs, committed_edges(spark, prefix))
+    ) == want

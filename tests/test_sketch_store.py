@@ -103,3 +103,35 @@ def test_streaming_end_to_end(spark, sf_dir, tmp_path):
     assert sorted(
         map(tuple, merged_histogram(spark, prefix).collect())
     ) == sorted(map(tuple, value_histogram(ev).collect()))
+
+
+def test_compaction_preserves_states_and_future_appends(spark, sf_dir):
+    """Compacting the log folds it to one generation with identical
+    merged states; appends after compaction keep merging correctly;
+    compaction is idempotent."""
+    import pyspark.sql.functions as F
+
+    from sea_express_customs_etl_spark.streaming.sketch_store import (
+        compact_sketch_store,
+    )
+
+    ev = _events(spark, sf_dir)
+    prefix = f"skc_{uuid.uuid4().hex[:8]}"
+    writer = sketch_batch_writer(prefix)
+    for i in range(3):
+        writer(ev.filter(F.col("user_id") % 4 == i), i)
+    before = sorted(map(tuple, merged_histogram(spark, prefix).collect()))
+    n_rows_before = spark.table(f"{prefix}_hist").count()
+
+    compact_sketch_store(spark, prefix)
+    assert sorted(map(tuple, merged_histogram(spark, prefix).collect())) == before
+    assert spark.table(f"{prefix}_hist").count() < n_rows_before
+    assert spark.table(f"{prefix}_batches").count() == 1
+
+    compact_sketch_store(spark, prefix)  # idempotent
+    assert sorted(map(tuple, merged_histogram(spark, prefix).collect())) == before
+
+    writer(ev.filter(F.col("user_id") % 4 == 3), 7)  # post-compaction append
+    got = sorted(map(tuple, merged_hll(spark, prefix).collect()))
+    want = sorted(map(tuple, hll_registers(ev, "user_id").collect()))
+    assert got == want
