@@ -656,6 +656,66 @@ def _q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
 
 
+def _q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH quality harness (the dedup sibling of
+    ann_recall_matrix): exact Jaccard over every co-shingle pair,
+    bucketed by the INTEGER decile floor(10·j), against the banded
+    candidate set — the classic S-curve as hash-checked counts, so a
+    shingling/banding regression breaks the gate, not a property
+    test."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # varying-overlap copies (30..90% prefixes) so the curve spans
+    # mid-range deciles; integer `DIV 100` prefix length (CAST of a
+    # double truncates in Spark but rounds in DuckDB)
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.expr(
+                "substring(text, 1, CAST((length(text) * "
+                "(30 + 15 * ((doc_id DIV 20) % 5))) DIV 100 AS INT))"
+            ).alias("text"),
+        )
+    )
+    prof = shingle_profiles(aug).persist()
+    sh = prof.select("doc_id", F.explode("_sh_set").alias("shingle"))
+    left = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    right = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    co = (
+        left.join(right, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_n_inter"))
+    )
+    sizes = prof.select("doc_id", "n_sh")
+    truth = (
+        co.join(sizes.select(F.col("doc_id").alias("id_a"),
+                             F.col("n_sh").alias("_na")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"),
+                           F.col("n_sh").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("CAST((10 * _n_inter) DIV (_na + _nb - _n_inter) AS INT)")
+            .alias("j_bucket"),
+        )
+    )
+    cands = lsh_candidate_pairs(lsh_bands(prof)).withColumn("_f", F.lit(1))
+    return (
+        truth.join(cands, ["id_a", "id_b"], "left")
+        .groupBy("j_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("_f").alias("n_found"),
+        )
+    )
+
+
 def _q_event_sigma_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type 1.7-sigma outliers with zero floating point:
     the cross-multiplied integer test (DECIMAL(38,0) products) over
@@ -1873,6 +1933,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_length_sample": _q_pps_length_sample,
         # zero-float k-sigma outlier gate (int128 cross-multiply)
         "event_sigma_outliers": _q_event_sigma_outliers,
+        # MinHash-LSH recall S-curve as hash-checked counts
+        "lsh_recall_curve": _q_lsh_recall_curve,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -2039,4 +2101,5 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_triangles": ext.COPURCHASE_TRIANGLES_SQL,
         "pps_length_sample": ext.PPS_SAMPLE_SQL,
         "event_sigma_outliers": ext.EVENT_SIGMA_OUTLIERS_SQL,
+        "lsh_recall_curve": ext.LSH_RECALL_CURVE_SQL,
     }

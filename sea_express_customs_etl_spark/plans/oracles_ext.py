@@ -2287,3 +2287,47 @@ WHERE 100 * CAST(s.n * e.x - s.s AS HUGEINT) * CAST(s.n * e.x - s.s AS HUGEINT)
       > 289 * (CAST(s.n AS HUGEINT) * CAST(s.q AS HUGEINT)
                - CAST(s.s AS HUGEINT) * CAST(s.s AS HUGEINT))
 """
+
+# LSH recall curve (dedup-family quality harness, sibling of
+# ANN_RECALL_MATRIX): exact Jaccard over all co-shingle pairs bucketed
+# by floor(10·j) — pure integer ratio — vs the banded MinHash candidate
+# set. Any change to shingling, minhashing, or banding moves the
+# per-bucket (n_true, n_found) counts and breaks the hash.
+# corpus augmented with VARYING-overlap prefix copies (every 20th doc,
+# prefix fraction 30/45/60/75/90% by id) so the curve spans mid-range
+# Jaccard deciles instead of the corpus's bimodal 0/0.9 split; integer
+# `// 100` prefix arithmetic (CAST(double AS INT) truncates in Spark
+# but ROUNDS in DuckDB — the known gotcha, dodged).
+_CURVE_AUG = """
+aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         substring(text, 1,
+             CAST((length(text) * (30 + 15 * ((doc_id // 20) % 5))) // 100
+                  AS INTEGER)) AS text
+  FROM documents WHERE doc_id % 20 = 0)
+"""
+
+LSH_RECALL_CURVE_SQL = f"""
+WITH {_CURVE_AUG}, {_AUG_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+co AS (
+  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b, count(*) AS n_inter
+  FROM sh sa JOIN sh sb ON sb.shingle = sa.shingle
+   AND sa.doc_id < sb.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT c.id_a, c.id_b,
+         CAST((10 * c.n_inter) // (za.n_sh + zb.n_sh - c.n_inter)
+              AS INTEGER) AS j_bucket
+  FROM co c
+  JOIN sizes za ON za.doc_id = c.id_a
+  JOIN sizes zb ON zb.doc_id = c.id_b)
+SELECT t.j_bucket,
+       CAST(count(*) AS BIGINT) AS n_true,
+       CAST(count(p.id_a) AS BIGINT) AS n_found
+FROM truth t
+LEFT JOIN pairs p ON p.id_a = t.id_a AND p.id_b = t.id_b
+GROUP BY 1
+"""
