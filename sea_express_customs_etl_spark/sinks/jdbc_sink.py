@@ -1,9 +1,13 @@
-"""JDBC sinks — retained connector parity with the reference's MySQL
-store (``src/database.py``, ``to_sql(..., if_exists='append')``).
+"""JDBC sinks — connector parity with the reference's MySQL store
+(``src/database.py``, ``to_sql(..., if_exists='append')``).
 
-No database exists in the test environment, so these helpers are
-import-safe and exercised only for plan/option assembly; the write
-calls themselves are the standard Spark JDBC writer.
+LIVE in this environment since r5: ``tests/test_jdbc_live.py`` runs
+append, staging write, and the backup→swap replace flow (run_swap
+executing real DDL over a JDBC connection) against embedded Apache
+Derby from Spark's own jars. ``swap_sql`` stays the MySQL-family
+single-statement atomic form (the production target); Derby's
+one-rename-per-statement dialect is handled by the caller's
+``run_swap``, as designed.
 """
 
 from __future__ import annotations
@@ -14,9 +18,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def jdbc_options(
-    url: str, table: str, user: str | None = None, password: str | None = None
+    url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    **props: str,
 ) -> dict[str, str]:
-    opts = {"url": url, "dbtable": table}
+    """Writer options; ``props`` passes any extra JDBC option through
+    (e.g. ``driver=`` for databases Spark can't infer from the URL,
+    like embedded Derby in the live tests)."""
+    opts = {"url": url, "dbtable": table, **props}
     if user is not None:
         opts["user"] = user
     if password is not None:

@@ -8,8 +8,12 @@ into the generated query automatically, and ``partitionColumn`` splits
 the read across executors (the reference's 14 s single-threaded pull
 becomes N parallel range queries).
 
-No database exists in this environment, so the read itself is untested
-here; option assembly and the partitioning math are unit-tested.
+LIVE in this environment since r5: Spark ships embedded Apache Derby
+in its own jars, so ``tests/test_jdbc_live.py`` executes the
+partitioned read (4 concurrent range queries, row parity vs the plain
+read), JDBC predicate pushdown (PushedFilters in the plan), and the
+option-assembly guards against a real SQL database — no install, same
+JVM.
 """
 
 from __future__ import annotations
