@@ -656,6 +656,46 @@ def _q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
 
 
+def _q_jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JDBC connector as a gate-checked lineage query (the
+    manifest_xlsx_ingest pattern applied to OP-SRC-JDBC): nation rows
+    are WRITTEN to an embedded Derby database (real SQL engine inside
+    Spark's own jars), read back through the partitioned-range JDBC
+    source (2 concurrent range queries), and must hash-match DuckDB's
+    direct read of the parquet — the write path, the DB, and the
+    partitioned read are all inside the checked lineage."""
+    import tempfile
+
+    from sea_express_customs_etl_spark.sinks.jdbc_sink import jdbc_options
+    from sea_express_customs_etl_spark.sources.jdbc import (
+        partitioned_read_options,
+        read_jdbc_table,
+    )
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    d = tempfile.mkdtemp(prefix="jdbc_rt_")
+    url = f"jdbc:derby:{d}/db;create=true"
+    drv = "org.apache.derby.jdbc.EmbeddedDriver"
+    nation.write.format("jdbc").options(
+        **jdbc_options(url, "nation_rt", driver=drv)
+    ).mode("overwrite").save()
+    back = read_jdbc_table(
+        spark,
+        **partitioned_read_options(
+            url,
+            "nation_rt",
+            partition_column="n_nationkey",
+            lower_bound=0,
+            upper_bound=25,
+            num_partitions=2,
+            driver=drv,
+        ),
+    )
+    return back.select("n_nationkey", "n_name", "n_regionkey")
+
+
 def _q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH quality harness (the dedup sibling of
     ann_recall_matrix): exact Jaccard over every co-shingle pair,
@@ -1935,6 +1975,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sigma_outliers": _q_event_sigma_outliers,
         # MinHash-LSH recall S-curve as hash-checked counts
         "lsh_recall_curve": _q_lsh_recall_curve,
+        # JDBC connector lineage: write -> embedded Derby ->
+        # partitioned read back, hash-matched against the parquet
+        "jdbc_roundtrip_nation": _q_jdbc_roundtrip_nation,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -2102,4 +2145,6 @@ def oracle_sql() -> dict[str, str]:
         "pps_length_sample": ext.PPS_SAMPLE_SQL,
         "event_sigma_outliers": ext.EVENT_SIGMA_OUTLIERS_SQL,
         "lsh_recall_curve": ext.LSH_RECALL_CURVE_SQL,
+        "jdbc_roundtrip_nation":
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     }
