@@ -656,6 +656,35 @@ def _q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
 
 
+def _q_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup: TEXT near-dup edges (shingle-LSH + exact
+    Jaccard) unioned with SEMANTIC edges (IVF-blocked embedding
+    cosine; vec_id ≡ doc_id in the synthetic corpus) resolved in ONE
+    component pass — a duplicate seen by either signal lands in the
+    cluster, the composition a production curation stack actually
+    runs (surface dedup misses paraphrases, embedding dedup misses
+    short verbatim snippets)."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        ivf_near_dups,
+        jaccard_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prof = shingle_profiles(docs).persist()
+    text_pairs = jaccard_verify_profiles(
+        lsh_candidate_pairs(lsh_bands(prof)), prof
+    ).select("id_a", "id_b")
+    emb = _emb(spark, sf_dir)
+    sem_pairs = ivf_near_dups(
+        emb, emb.filter(F.col("vec_id") < 16), threshold=0.4
+    ).select("id_a", "id_b")
+    return dedup_clusters(docs, text_pairs.unionByName(sem_pairs))
+
+
 def _q_jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The JDBC connector as a gate-checked lineage query (the
     manifest_xlsx_ingest pattern applied to OP-SRC-JDBC): nation rows
@@ -1978,6 +2007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JDBC connector lineage: write -> embedded Derby ->
         # partitioned read back, hash-matched against the parquet
         "jdbc_roundtrip_nation": _q_jdbc_roundtrip_nation,
+        # text-LSH ∪ embedding-IVF edges -> one component resolution
+        "multisignal_dedup": _q_multisignal_dedup,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -2147,4 +2178,5 @@ def oracle_sql() -> dict[str, str]:
         "lsh_recall_curve": ext.LSH_RECALL_CURVE_SQL,
         "jdbc_roundtrip_nation":
             "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "multisignal_dedup": ext.MULTISIGNAL_DEDUP_SQL,
     }

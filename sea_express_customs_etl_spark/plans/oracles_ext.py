@@ -2331,3 +2331,38 @@ FROM truth t
 LEFT JOIN pairs p ON p.id_a = t.id_a AND p.id_b = t.id_b
 GROUP BY 1
 """
+
+# multi-signal dedup: TEXT near-dup edges (shingle-LSH + exact Jaccard,
+# the dedup_clusters prelude, renamed to vp_text) UNIONed with SEMANTIC
+# near-dup edges (IVF-blocked embedding cosine, vec_id ≡ doc_id in the
+# synthetic corpus) feeding ONE component resolution — duplicates that
+# only one signal sees still merge into the same cluster.
+_VPAIRS_TEXT = _VPAIRS.replace("vp AS (", "vp_text AS (")
+
+MULTISIGNAL_DEDUP_SQL = f"""
+WITH RECURSIVE {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS_TEXT},
+{_NRM},
+cen AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn FROM nrm
+        WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, v, n, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.v, e.n, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.v, c.cv)
+                              / (e.n * c.cn), 6) DESC,
+                        c.centroid_id) AS rn
+    FROM nrm e CROSS JOIN cen c)
+  WHERE rn = 1),
+vp_sem AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4),
+vp AS (SELECT id_a, id_b FROM vp_text
+       UNION SELECT id_a, id_b FROM vp_sem),
+{_CCOMP}
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN coalesce(c.cluster_id, d.doc_id) = d.doc_id
+                 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
