@@ -1,0 +1,82 @@
+"""Incremental ANN index maintenance (streaming/ann_store.py):
+frozen-model encode invariance, store/search parity with the one-shot
+index, and replay idempotence."""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+
+from sea_express_customs_etl_spark.operators.pq import ivfpq_trained_topk
+from sea_express_customs_etl_spark.plans.standins import load_table
+from sea_express_customs_etl_spark.streaming.ann_store import (
+    ann_store_batch_writer,
+    committed_codes,
+    encode_with_frozen_model,
+    store_adc_topk,
+    train_frozen_model,
+)
+
+
+def _setup(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cen = emb.filter(F.col("vec_id") < 16)
+    sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
+    codebook = train_frozen_model(sample, cen).persist()
+    codebook.count()
+    return emb, cen, codebook
+
+
+def test_incremental_codes_equal_full_encode(spark, sf_dir):
+    """Per-row determinism: codes built batch-by-batch with the frozen
+    model are row-identical to one full-corpus encode."""
+    emb, cen, codebook = _setup(spark, sf_dir)
+    prefix = f"ann_{uuid.uuid4().hex[:8]}"
+    writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
+    for i in range(3):
+        writer(emb.filter(F.col("vec_id") % 3 == i), i)
+    got = sorted(map(tuple, committed_codes(spark, prefix).collect()))
+    want = sorted(
+        map(tuple, encode_with_frozen_model(emb, cen, codebook).collect())
+    )
+    assert got == want and len(got) > 0
+
+    # committed replay is a no-op; crash-window duplicates collapse
+    n = spark.table(f"{prefix}_codes").count()
+    writer(emb.filter(F.col("vec_id") % 3 == 1), 1)
+    assert spark.table(f"{prefix}_codes").count() == n
+    dup = spark.table(f"{prefix}_codes").filter(F.col("batch_id") == 0)
+    dup.write.mode("append").format("parquet").bucketBy(
+        4, "cluster"
+    ).saveAsTable(f"{prefix}_codes")
+    assert (
+        sorted(map(tuple, committed_codes(spark, prefix).collect())) == got
+    )
+
+
+def test_store_search_matches_one_shot_trained_index(spark, sf_dir):
+    """Search over the incrementally built store must return the SAME
+    rows as ivfpq_trained_topk's one-shot build (same frozen-model
+    recipe, same ranking) — the index.add() soundness property."""
+    emb, cen, codebook = _setup(spark, sf_dir)
+    prefix = f"ann_{uuid.uuid4().hex[:8]}"
+    writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
+    writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    q = emb.filter(F.col("vec_id") < 10)
+    got = sorted(
+        map(
+            tuple,
+            store_adc_topk(
+                spark, prefix, cen, codebook, q, k=5, nprobe=2
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_trained_topk(emb, cen, q, k=5, nprobe=2).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
