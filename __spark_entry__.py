@@ -656,6 +656,40 @@ def _q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
 
 
+def _q_ann_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index as a gate-checked query: the corpus
+    arrives as two vector batches, each assigned + residual-encoded
+    against a FROZEN trained model (the FAISS index.add() shape) into
+    a cell-bucketed code store; the multi-probe ADC search over the
+    store must hash-match the ONE-SHOT ivfpq_trained_topk oracle
+    verbatim — per-row encode determinism makes the incremental index
+    bit-identical to a full build. Idempotent across invocations (the
+    commit-marker fence skips committed batches)."""
+    from sea_express_customs_etl_spark.streaming.ann_store import (
+        ann_store_batch_writer,
+        store_adc_topk,
+        train_frozen_model,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cen = emb.filter(F.col("vec_id") < 16)
+    sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
+    codebook = train_frozen_model(sample, cen).persist()
+    prefix = "annstore_q"
+    writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
+    writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    return store_adc_topk(
+        spark,
+        prefix,
+        cen,
+        codebook,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=2,
+    )
+
+
 def _q_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal dedup: TEXT near-dup edges (shingle-LSH + exact
     Jaccard) unioned with SEMANTIC edges (IVF-blocked embedding
@@ -2009,6 +2043,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jdbc_roundtrip_nation": _q_jdbc_roundtrip_nation,
         # text-LSH ∪ embedding-IVF edges -> one component resolution
         "multisignal_dedup": _q_multisignal_dedup,
+        # incremental (two-batch) ANN store search ≡ one-shot trained
+        # index, checked against the SAME oracle
+        "ann_store_topk": _q_ann_store_topk,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -2179,4 +2216,7 @@ def oracle_sql() -> dict[str, str]:
         "jdbc_roundtrip_nation":
             "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "multisignal_dedup": ext.MULTISIGNAL_DEDUP_SQL,
+        # incremental store must equal the one-shot build — the
+        # trained-IVFPQ oracle, verbatim
+        "ann_store_topk": ext.IVFPQ_TRAINED_TOPK_SQL,
     }

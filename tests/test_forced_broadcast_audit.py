@@ -76,6 +76,8 @@ FORCED_BROADCAST_ALLOWED = {
     "pq_trained_codebook",  # trained codebook model (m·k entries) +
     #                         coarse centroids
     "cms_heavy_hitters",   # d·w cell table + 1-row total (model-sized)
+    "ann_store_topk",      # frozen centroids + codebook + LUT + marker
+    #                        table (all model-sized)
     "pps_length_sample",   # |partitions|-row cumsum offsets + 1-row
     #                        total weight (the global_rank license)
     "ivfpq_trained_topk",  # trained codebook + centroids + LUT —

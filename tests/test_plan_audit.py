@@ -49,6 +49,7 @@ BNLJ_ALLOWED = {
     "pps_length_sample",  # 1-row total-weight scalar broadcast
     "ivfpq_trained_topk",  # coarse-centroid broadcast, as ivfpq_topk
     "pq_trained_codebook",  # centroid broadcast in the residual build
+    "ann_store_topk",      # same frozen-model broadcasts over the store
 }
 
 
