@@ -8,6 +8,7 @@
 from __future__ import annotations
 
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -675,7 +676,13 @@ def _q_ann_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cen = emb.filter(F.col("vec_id") < 16)
     sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
     codebook = train_frozen_model(sample, cen).persist()
-    prefix = "annstore_q"
+    # session-unique prefix: catalog state is per-session but warehouse
+    # DIRECTORIES persist — a fixed name collides with a previous
+    # session's leftover location (caught by the gate). Within one
+    # session re-invocation stays idempotent via the commit markers.
+    prefix = "annstore_" + re.sub(
+        r"\W", "_", spark.sparkContext.applicationId
+    )
     writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
     writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
     writer(emb.filter(F.col("vec_id") % 2 == 1), 1)

@@ -135,7 +135,46 @@ def cases() -> dict:
         "trigram_backoff": lambda docs, emb: _backoff(docs),
         "inverted_index": lambda docs, emb: _invidx(docs),
         "pretrain_prep_pack": lambda docs, emb: _pretrain(docs),
+        # r5: PPS sampling (global cumsum + map-only pick counting),
+        # perceptual hashing (map-only Arrow decode), CMS heavy hitters
+        "pps_length_sample": lambda docs, emb: _pps(docs),
+        "image_ahash": lambda docs, emb: _ahash(docs),
+        "cms_heavy_hitters": lambda docs, emb: _hh(docs),
     }
+
+
+def _pps(docs):
+    from sea_express_customs_etl_spark.operators.sampling import (
+        pps_systematic_sample,
+    )
+
+    w = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+    )
+    return pps_systematic_sample(w, k=100, weight_col="n_tokens")
+
+
+def _ahash(docs):
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        image_ahash,
+        synth_pgm_near_dups,
+    )
+
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    return image_ahash(synth_pgm_near_dups(ids, every=0))
+
+
+def _hh(docs):
+    from sea_express_customs_etl_spark.operators.sketches import (
+        cms_heavy_hitters,
+    )
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok"),
+    )
+    return cms_heavy_hitters(toks, "tok")
 
 
 def _pretrain(docs):
