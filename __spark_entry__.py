@@ -657,6 +657,28 @@ def _q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
 
 
+def _q_event_winsorized_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type sums before/after sketch-based winsorization (clamp to
+    the [p01, p99] discrete quantiles) — the robust-statistics tail
+    treatment as exact integer sums; composes the mergeable histogram
+    state with a map-only clamp."""
+    from sea_express_customs_etl_spark.operators.quantiles import (
+        winsorize_by_group,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    w = winsorize_by_group(ev, "value_c")
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_c").alias("sum_raw_c"),
+        F.sum("value_c_winsor").alias("sum_winsor_c"),
+    )
+
+
 def _q_ann_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN index as a gate-checked query: the corpus
     arrives as two vector batches, each assigned + residual-encoded
@@ -2053,6 +2075,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental (two-batch) ANN store search ≡ one-shot trained
         # index, checked against the SAME oracle
         "ann_store_topk": _q_ann_store_topk,
+        # sketch-based per-group winsorization, exact integer sums
+        "event_winsorized_sums": _q_event_winsorized_sums,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -2226,4 +2250,5 @@ def oracle_sql() -> dict[str, str]:
         # incremental store must equal the one-shot build — the
         # trained-IVFPQ oracle, verbatim
         "ann_store_topk": ext.IVFPQ_TRAINED_TOPK_SQL,
+        "event_winsorized_sums": ext.EVENT_WINSORIZED_SUMS_SQL,
     }

@@ -108,3 +108,46 @@ def sketch_quantiles(
     return histogram_quantiles(
         value_histogram(df, value_col, group_cols, scale), qs, group_cols
     )
+
+
+def winsorize_by_group(
+    df: DataFrame,
+    value_c_col: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    lo: tuple[int, int] = (1, 100),
+    hi: tuple[int, int] = (99, 100),
+) -> DataFrame:
+    """Per-group winsorization from the histogram sketch: clamp the
+    (pre-quantized integer) value column to the group's [lo, hi]
+    discrete quantiles — the robust-statistics tail treatment (cap
+    outliers instead of dropping rows) composed entirely from the
+    module's mergeable state: integer bins at unit granularity
+    (scale=1: the value IS the bin), quantile = lower edge of the
+    first bin reaching ceil(q·N), clamp map-side.
+
+    Plan: one (group, bin)-bounded count shuffle for the histogram,
+    the cumulative window bounded by occupied bins, a |groups|-row
+    bounds table joined back hint-free (AQE broadcasts it), then a
+    map-only ``least(greatest(...))``. Adds ``<value>_winsor`` next to
+    the original column."""
+    hist = value_histogram(df, value_c_col, group_cols, scale=1)
+    qs = (("lo", lo[0], lo[1]), ("hi", hi[0], hi[1]))
+    bounds = (
+        histogram_quantiles(hist, qs, group_cols)
+        .groupBy(*group_cols)
+        .agg(
+            F.max(F.when(F.col("q") == "lo", F.col("bin"))).alias("_lo"),
+            F.max(F.when(F.col("q") == "hi", F.col("bin"))).alias("_hi"),
+        )
+    )
+    out_col = f"{value_c_col}_winsor"
+    return (
+        df.join(bounds, list(group_cols))
+        .withColumn(
+            out_col,
+            F.least(
+                F.greatest(F.col(value_c_col), F.col("_lo")), F.col("_hi")
+            ),
+        )
+        .drop("_lo", "_hi")
+    )

@@ -2366,3 +2366,27 @@ SELECT d.doc_id,
                  THEN 1 ELSE 0 END AS INTEGER) AS keep
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
+
+# sketch-based winsorization (operators/quantiles.py:winsorize_by_group):
+# per-type [p01, p99] discrete-quantile clamp — quantile = lower edge of
+# the first unit bin reaching ceil(q·N), the histogram_quantiles rule.
+EVENT_WINSORIZED_SUMS_SQL = """
+WITH e AS (SELECT event_type,
+                  CAST(round(value * 100) AS BIGINT) AS x FROM events),
+h AS (SELECT event_type, x AS bin, count(*) AS n FROM e GROUP BY 1, 2),
+c AS (SELECT event_type, bin,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS N
+      FROM h),
+q AS (SELECT event_type,
+             min(CASE WHEN cum >= (N * 1 + 99) // 100 THEN bin END) AS lo,
+             min(CASE WHEN cum >= (N * 99 + 99) // 100 THEN bin END) AS hi
+      FROM c GROUP BY 1)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(e.x) AS BIGINT) AS sum_raw_c,
+       CAST(sum(least(greatest(e.x, q.lo), q.hi)) AS BIGINT) AS sum_winsor_c
+FROM e JOIN q USING (event_type)
+GROUP BY 1
+"""

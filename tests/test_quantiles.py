@@ -78,3 +78,21 @@ def test_negative_values_floor_binning(spark):
     hist = {r.bin: r.n for r in value_histogram(df).collect()}
     # floor(-1.5)=-2, floor(-0.5)=-1, floor(0.5)=0
     assert hist == {-2: 1, -1: 1, 0: 1}
+
+
+def test_winsorize_clamps_tails_only(spark):
+    """Values inside [p01, p99] pass through; tails clamp to the
+    discrete quantile bins; sums shrink accordingly."""
+    import pyspark.sql.functions as F
+
+    from sea_express_customs_etl_spark.operators.quantiles import (
+        winsorize_by_group,
+    )
+
+    rows = [("a", v) for v in range(1, 101)]  # 1..100, p01=1? ceil rule
+    df = spark.createDataFrame(rows, "g string, x long")
+    w = winsorize_by_group(df, "x", group_cols=("g",))
+    got = {r.x: r.x_winsor for r in w.collect()}
+    # ceil(0.01*100)=1 -> lo bin = 1; ceil(0.99*100)=99 -> hi bin = 99
+    assert got[1] == 1 and got[100] == 99 and got[50] == 50
+    assert sum(got.values()) == sum(range(1, 101)) - 1
