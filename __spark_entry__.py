@@ -657,6 +657,24 @@ def _q_image_ahash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
 
 
+def _q_orc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC format lineage: nation rows written as ORC (the other
+    columnar format Spark ships built-in) and read back must
+    hash-match DuckDB's direct parquet read — the format encoder and
+    decoder both sit inside the checked lineage, same pattern as the
+    xlsx/JDBC connector queries."""
+    import tempfile
+
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    nation.write.mode("overwrite").orc(f"{d}/nation_orc")
+    return spark.read.orc(f"{d}/nation_orc").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
 def _q_event_winsorized_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type sums before/after sketch-based winsorization (clamp to
     the [p01, p99] discrete quantiles) — the robust-statistics tail
@@ -2077,6 +2095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_store_topk": _q_ann_store_topk,
         # sketch-based per-group winsorization, exact integer sums
         "event_winsorized_sums": _q_event_winsorized_sums,
+        # ORC format encoder+decoder inside the checked lineage
+        "orc_roundtrip_nation": _q_orc_roundtrip_nation,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -2251,4 +2271,6 @@ def oracle_sql() -> dict[str, str]:
         # trained-IVFPQ oracle, verbatim
         "ann_store_topk": ext.IVFPQ_TRAINED_TOPK_SQL,
         "event_winsorized_sums": ext.EVENT_WINSORIZED_SUMS_SQL,
+        "orc_roundtrip_nation":
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation",
     }
