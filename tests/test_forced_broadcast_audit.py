@@ -78,6 +78,7 @@ FORCED_BROADCAST_ALLOWED = {
     "cms_heavy_hitters",   # d·w cell table + 1-row total (model-sized)
     "ann_store_topk",      # frozen centroids + codebook + LUT + marker
     #                        table (all model-sized)
+    "event_winsorized_sums",  # 2-literal-row quantile-spec table
     "pps_length_sample",   # |partitions|-row cumsum offsets + 1-row
     #                        total weight (the global_rank license)
     "ivfpq_trained_topk",  # trained codebook + centroids + LUT —

@@ -50,6 +50,8 @@ BNLJ_ALLOWED = {
     "ivfpq_trained_topk",  # coarse-centroid broadcast, as ivfpq_topk
     "pq_trained_codebook",  # centroid broadcast in the residual build
     "ann_store_topk",      # same frozen-model broadcasts over the store
+    "event_winsorized_sums",  # 2-literal-row quantile-spec broadcast
+    #                           (the event_value_qsketch class)
 }
 
 
