@@ -2097,6 +2097,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_winsorized_sums": _q_event_winsorized_sums,
         # ORC format encoder+decoder inside the checked lineage
         "orc_roundtrip_nation": _q_orc_roundtrip_nation,
+        # custom (non-prefix) grouping sets with grouping_id
+        "order_grouping_sets": rel.grouping_sets_order_stats,
         # no-oracle by design (float-mean k-means isn't bit-portable;
         # its quantized sibling kmeans_q_centroids hash-checks trained
         # centroids inside the prefix) — kept at the very tail so it
@@ -2273,4 +2275,5 @@ def oracle_sql() -> dict[str, str]:
         "event_winsorized_sums": ext.EVENT_WINSORIZED_SUMS_SQL,
         "orc_roundtrip_nation":
             "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+        "order_grouping_sets": rel.GROUPING_SETS_ORDER_STATS_SQL,
     }

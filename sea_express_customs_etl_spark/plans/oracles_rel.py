@@ -488,3 +488,15 @@ FROM (SELECT event_id, props, unnest(json_keys(props)) AS k
       FROM events WHERE event_id % 10 = 0)
 WHERE json_type(props, '$.' || k) IN ('BIGINT', 'UBIGINT')
 """
+
+# custom grouping sets ((status),(priority)) — grouping_id per row.
+# DuckDB's GROUPING(a, b) bitmask matches Spark's grouping_id order.
+GROUPING_SETS_ORDER_STATS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_u2
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+"""

@@ -619,3 +619,25 @@ def events_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_u6",
         )
     )
+
+
+def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM grouping sets — ((status), (priority)): the non-prefix
+    set combination neither ROLLUP nor CUBE expresses (two independent
+    one-dimension summaries in ONE scan via Expand). grouping_id
+    disambiguates which dimension each output row summarizes; price
+    sums are micro-unit integers (the float-through-aggregation
+    rule)."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT)
+                   AS gid,
+               count(*) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_u2
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
