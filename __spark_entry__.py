@@ -1733,6 +1733,30 @@ def _q_knowledge_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kb1
 
 
+def _q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-policy dedup: same clusters as dedup_clusters, but the
+    kept representative is the LONGEST member (ties → lowest id) — the
+    curation-grade policy, computed as a partial-aggregated min-struct
+    per cluster, never a window sort."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_verify_profiles,
+        keep_by_quality,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prof = shingle_profiles(docs).persist()
+    pairs = jaccard_verify_profiles(
+        lsh_candidate_pairs(lsh_bands(prof)), prof
+    ).select("id_a", "id_b")
+    clustered = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    quality = docs.select("doc_id", F.length("text").alias("quality"))
+    return keep_by_quality(clustered, quality)
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch incremental dedup (VERDICT r4 #1): the corpus
     arrives as two batches (doc_id parity); batch 1 dedups against
@@ -2068,6 +2092,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-batch incremental dedup: two-batch fold ≡ full-corpus
         # dedup_clusters, checked against the SAME oracle (r4 #1)
         "dedup_incremental": _q_dedup_incremental,
+        # keep-policy variant: longest member kept per cluster
+        "dedup_keep_longest": _q_dedup_keep_longest,
         # incremental KB maintenance: delta-only align + state merge +
         # touched-source re-rank ≡ full rebuild, same oracle (r4 #2)
         "knowledge_ivm": _q_knowledge_ivm,
@@ -2276,4 +2302,5 @@ def oracle_sql() -> dict[str, str]:
         "orc_roundtrip_nation":
             "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "order_grouping_sets": rel.GROUPING_SETS_ORDER_STATS_SQL,
+        "dedup_keep_longest": ext.DEDUP_KEEP_LONGEST_SQL,
     }

@@ -876,3 +876,44 @@ def dedup_increment(
     return jaccard_verify_profiles(pairs, prof, id_col, threshold).select(
         "id_a", "id_b"
     )
+
+
+def keep_by_quality(
+    clustered: DataFrame,
+    quality: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Re-point each cluster's ``keep`` flag at its highest-QUALITY
+    member (ties → lowest id) instead of the min-id canonical — the
+    production keep policy ("keep the longest / cleanest copy"); the
+    min-id representative is an artifact of label propagation, not a
+    curation decision. ``quality`` is (id, quality_col); members
+    missing from it rank lowest (quality −1).
+
+    Plan: one partial-aggregated min-struct per cluster (no window
+    sort) + a join back on ``cluster_id``; cluster assignments are
+    unchanged, only the representative moves — so Σ keep per cluster
+    stays exactly 1."""
+    q = quality.select(
+        F.col(id_col), F.col(quality_col).cast("bigint").alias("_q")
+    )
+    j = clustered.join(q, id_col, "left").withColumn(
+        "_q", F.coalesce(F.col("_q"), F.lit(-1))
+    )
+    best = j.groupBy("cluster_id").agg(
+        F.min(
+            F.struct((-F.col("_q")).alias("_nq"), F.col(id_col).alias("_id"))
+        ).alias("_b")
+    )
+    return (
+        clustered.select(id_col, "cluster_id")
+        .join(best, "cluster_id")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.when(F.col(id_col) == F.col("_b._id"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )

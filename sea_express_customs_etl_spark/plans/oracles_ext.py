@@ -2390,3 +2390,25 @@ SELECT e.event_type,
 FROM e JOIN q USING (event_type)
 GROUP BY 1
 """
+
+# keep-by-quality dedup (operators/dedup.py:keep_by_quality): same
+# components as DEDUP_CLUSTERS_SQL, representative = (max text length,
+# min id) instead of min id.
+DEDUP_KEEP_LONGEST_SQL = f"""
+WITH RECURSIVE {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS}, {_CCOMP},
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         length(d.text) AS q
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+best AS (
+  SELECT cluster_id, doc_id FROM (
+    SELECT cluster_id, doc_id,
+           row_number() OVER (PARTITION BY cluster_id
+               ORDER BY q DESC, doc_id) AS rn
+    FROM lab)
+  WHERE rn = 1)
+SELECT l.doc_id, l.cluster_id,
+       CAST(CASE WHEN l.doc_id = b.doc_id THEN 1 ELSE 0 END AS INTEGER)
+           AS keep
+FROM lab l JOIN best b ON b.cluster_id = l.cluster_id
+"""

@@ -160,3 +160,23 @@ def test_containment_catches_prefix_dup_jaccard_misses(spark):
     r = got[0]
     assert r.containment == 1.0  # all 8 short-doc shingles inside long doc
     assert r.jaccard < 0.25  # symmetric measure reads it as unrelated
+
+
+def test_keep_by_quality_moves_representative_only(spark):
+    """keep_by_quality must keep exactly one member per cluster (the
+    highest-quality, ties -> lowest id) without changing cluster
+    assignments; members missing a quality row rank lowest."""
+    import pyspark.sql.functions as F
+
+    from sea_express_customs_etl_spark.operators.dedup import keep_by_quality
+
+    clustered = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (9, 9)], "doc_id long, cluster_id long"
+    )
+    quality = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99)], "doc_id long, quality long"
+    )  # doc 9 has no quality row
+    got = {r.doc_id: (r.cluster_id, r.keep) for r in keep_by_quality(
+        clustered, quality
+    ).collect()}
+    assert got == {1: (1, 0), 2: (1, 1), 3: (1, 0), 9: (9, 1)}
