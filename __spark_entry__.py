@@ -866,6 +866,26 @@ def _q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_order_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority Gini concentration of order value in exact integer
+    ppm — the inequality diagnostic with zero floats; within-group
+    ranks ride the range-partitioned two-phase machinery, so
+    corpus-sized groups never funnel through one task."""
+    from sea_express_customs_etl_spark.operators.profiling import (
+        gini_by_group,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("value_c"),
+    )
+    return gini_by_group(
+        orders, "value_c", ["o_orderpriority"], "o_orderkey"
+    )
+
+
 def _q_event_sigma_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type 1.7-sigma outliers with zero floating point:
     the cross-multiplied integer test (DECIMAL(38,0) products) over
@@ -2109,6 +2129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_length_sample": _q_pps_length_sample,
         # zero-float k-sigma outlier gate (int128 cross-multiply)
         "event_sigma_outliers": _q_event_sigma_outliers,
+        # per-group integer Gini via distributed grouped ranks
+        "order_value_gini": _q_order_value_gini,
         # MinHash-LSH recall S-curve as hash-checked counts
         "lsh_recall_curve": _q_lsh_recall_curve,
         # JDBC connector lineage: write -> embedded Derby ->
@@ -2303,4 +2325,5 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "order_grouping_sets": rel.GROUPING_SETS_ORDER_STATS_SQL,
         "dedup_keep_longest": ext.DEDUP_KEEP_LONGEST_SQL,
+        "order_value_gini": ext.ORDER_VALUE_GINI_SQL,
     }

@@ -217,3 +217,61 @@ def sigma_outliers(
             F.col("_n").cast("bigint").alias("n_group"),
         )
     )
+
+
+def gini_by_group(
+    df: DataFrame,
+    value_c_col: str,
+    group_cols: Sequence[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-group Gini concentration index in exact integer ppm — the
+    inequality diagnostic (revenue concentration, token-frequency
+    skew) with zero floating point: over the within-group ascending
+    rank i (ties broken by ``tiebreak_col`` — deterministic),
+
+        gini_ppm = floor( 10⁶ · Σ(2i − n − 1)·x  /  (n · Σx) )
+
+    Ranks come from ``ranking.grouped_rank_via_global`` (range-
+    partitioned two-phase — corpus-sized groups never funnel through
+    one task); both Σ terms are partial-aggregated; the final ratio is
+    one floor division per group in DECIMAL(38,0) (i·x reaches ~10¹⁸
+    at 10⁶-unit values × 10¹²-row groups — past int64, inside
+    decimal38). Output: group..., n_rows, gini_ppm. Requires
+    nonnegative values (standard Gini domain)."""
+    from sea_express_customs_etl_spark.operators.ranking import (
+        grouped_rank_via_global,
+    )
+
+    gc = list(group_cols)
+    ranked = grouped_rank_via_global(
+        df.select(*gc, value_c_col, tiebreak_col),
+        gc,
+        [F.col(value_c_col), F.col(tiebreak_col)],
+    )
+    d = "CAST({} AS DECIMAL(38,0))"
+    term = (
+        f"(2 * {d.format('group_rank')} - CAST(_n AS DECIMAL(38,0)) - 1) "
+        f"* {d.format(value_c_col)}"
+    )
+    counts = ranked.groupBy(*gc).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(value_c_col).alias("_sx")
+    )
+    return (
+        ranked.join(counts, gc)
+        .groupBy(*gc)
+        .agg(
+            F.first("_n").alias("n_rows"),
+            F.sum(F.expr(term)).alias("_num"),
+            F.first("_sx").alias("_sx"),
+        )
+        .select(
+            *gc,
+            F.col("n_rows").cast("bigint").alias("n_rows"),
+            F.expr(
+                "CAST(CAST(1000000 AS DECIMAL(38,0)) * _num "
+                "DIV (CAST(n_rows AS DECIMAL(38,0)) "
+                "* CAST(_sx AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )

@@ -158,3 +158,29 @@ def global_cumsum(
         .withColumn(out_col, (F.col("_off") + F.col("_cs")).cast("bigint"))
         .drop("_pid", "_cs", "_off")
     )
+
+
+def grouped_rank_via_global(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    rank_col: str = "group_rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based rank WITHIN each group, without ever sending a
+    whole group to one task: rank globally under the composite total
+    order (group..., order...) — the two-phase :func:`global_rank`,
+    range-shuffled, bounded windows — then subtract each group's
+    minimum global rank (a |groups|-row aggregate joined back,
+    hint-free). A plain ``Window.partitionBy(group)`` funnels every
+    group through a single partition — fatal when groups are
+    corpus-sized (5 order priorities × 10¹¹ rows); this shape keeps
+    every stage range-partitioned."""
+    composite = [F.col(c) for c in group_cols] + list(order_by)
+    ranked = global_rank(df, composite, "_gr", num_partitions)
+    mins = ranked.groupBy(*group_cols).agg(F.min("_gr").alias("_g0"))
+    return (
+        ranked.join(mins, group_cols)
+        .withColumn(rank_col, (F.col("_gr") - F.col("_g0") + 1).cast("bigint"))
+        .drop("_gr", "_g0")
+    )

@@ -2412,3 +2412,23 @@ SELECT l.doc_id, l.cluster_id,
            AS keep
 FROM lab l JOIN best b ON b.cluster_id = l.cluster_id
 """
+
+# per-group integer Gini (operators/profiling.py:gini_by_group):
+# within-group ascending rank (ties -> orderkey), ppm floor ratio in
+# int128.
+ORDER_VALUE_GINI_SQL = """
+WITH b AS (SELECT o_orderpriority AS g, o_orderkey AS k,
+                  CAST(round(o_totalprice * 100) AS BIGINT) AS x
+           FROM orders),
+r AS (SELECT g, x,
+             row_number() OVER (PARTITION BY g ORDER BY x, k) AS i,
+             count(*) OVER (PARTITION BY g) AS n,
+             sum(x) OVER (PARTITION BY g) AS sx
+      FROM b)
+SELECT g AS o_orderpriority,
+       CAST(max(n) AS BIGINT) AS n_rows,
+       CAST((1000000 * sum(CAST(2*i - n - 1 AS HUGEINT) * CAST(x AS HUGEINT)))
+            // (CAST(max(n) AS HUGEINT) * CAST(max(sx) AS HUGEINT))
+            AS BIGINT) AS gini_ppm
+FROM r GROUP BY 1
+"""

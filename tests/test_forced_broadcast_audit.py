@@ -79,6 +79,8 @@ FORCED_BROADCAST_ALLOWED = {
     "ann_store_topk",      # frozen centroids + codebook + LUT + marker
     #                        table (all model-sized)
     "event_winsorized_sums",  # 2-literal-row quantile-spec table
+    "order_value_gini",    # |partitions|-row rank-offset broadcast
+    #                        (the global_rank license, as lm_terciles)
     "pps_length_sample",   # |partitions|-row cumsum offsets + 1-row
     #                        total weight (the global_rank license)
     "ivfpq_trained_topk",  # trained codebook + centroids + LUT —

@@ -105,3 +105,23 @@ def test_sigma_outliers_golden_and_no_float(spark):
         )
     )
     assert got == again
+
+
+def test_gini_goldens_and_layout_invariance(spark):
+    from sea_express_customs_etl_spark.operators.profiling import (
+        gini_by_group,
+    )
+
+    rows = [("eq", i, 10) for i in range(4)] + [
+        ("one", 0, 0), ("one", 1, 0), ("one", 2, 0), ("one", 3, 100)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    got = {r.g: (r.n_rows, r.gini_ppm) for r in gini_by_group(
+        df, "x", ["g"], "id"
+    ).collect()}
+    # equal shares -> 0; single holder of n=4 -> (n-1)/n = 0.75
+    assert got == {"eq": (4, 0), "one": (4, 750_000)}
+    again = {r.g: (r.n_rows, r.gini_ppm) for r in gini_by_group(
+        df.repartition(7), "x", ["g"], "id"
+    ).collect()}
+    assert got == again
