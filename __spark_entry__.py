@@ -32,6 +32,21 @@ from sea_express_customs_etl_spark.plans.standins import (
 )
 
 
+def _session_scratch(spark: SparkSession, name: str) -> str:
+    """Session-scoped scratch directory for queries whose plan BUILD
+    performs an eager write (ORC/Derby/xlsx roundtrips). Keyed by
+    ``applicationId`` (the ann_store table-prefix convention): repeated
+    plan builds in one session — gate, bench best-of-2, both plan
+    audits — reuse and overwrite ONE directory instead of leaking a
+    fresh ``mkdtemp`` per build."""
+    import tempfile
+
+    app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    d = os.path.join(tempfile.gettempdir(), f"spark_graft_{app}", name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
 
@@ -663,12 +678,10 @@ def _q_orc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match DuckDB's direct parquet read — the format encoder and
     decoder both sit inside the checked lineage, same pattern as the
     xlsx/JDBC connector queries."""
-    import tempfile
-
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    d = tempfile.mkdtemp(prefix="orc_rt_")
+    d = _session_scratch(spark, "orc_rt")
     nation.write.mode("overwrite").orc(f"{d}/nation_orc")
     return spark.read.orc(f"{d}/nation_orc").select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -774,8 +787,6 @@ def _q_jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     source (2 concurrent range queries), and must hash-match DuckDB's
     direct read of the parquet — the write path, the DB, and the
     partitioned read are all inside the checked lineage."""
-    import tempfile
-
     from sea_express_customs_etl_spark.sinks.jdbc_sink import jdbc_options
     from sea_express_customs_etl_spark.sources.jdbc import (
         partitioned_read_options,
@@ -785,7 +796,7 @@ def _q_jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
     )
-    d = tempfile.mkdtemp(prefix="jdbc_rt_")
+    d = _session_scratch(spark, "jdbc_rt")
     url = f"jdbc:derby:{d}/db;create=true"
     drv = "org.apache.derby.jdbc.EmbeddedDriver"
     nation.write.format("jdbc").options(
@@ -1224,8 +1235,6 @@ def _q_manifest_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~300-row driver-side collect builds the FILE, not the result —
     fixture-writing is inherently driver-side, like bench.py's ingest
     fixtures; the parse itself is fully distributed."""
-    import tempfile
-
     from sea_express_customs_etl_spark.sources import (
         declared_cargo,
         read_manifests_raw,
@@ -1251,7 +1260,7 @@ def _q_manifest_xlsx_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
              r.p_size, "PCE", None, None, r.p_size * 10,
              r.p_size * 10 * r.p_size]
         )
-    out_dir = tempfile.mkdtemp(prefix="manifest_oracle_")
+    out_dir = _session_scratch(spark, "manifest_oracle")
     with open(os.path.join(out_dir, "M77EX.xlsx"), "wb") as f:
         f.write(write_xlsx(grid))
     return declared_cargo(read_manifests_raw(spark, out_dir)).select(

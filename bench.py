@@ -220,6 +220,11 @@ def main() -> None:
             }
         )
     )
+    # Third line: the 10 slowest queries, compact enough to survive the
+    # driver's tail truncation — round-over-round regressions in the
+    # heavy queries stay visible even as the full per-query map grows.
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    print(json.dumps({"slowest": [[n, s] for n, s in slowest]}))
     spark.stop()
 
 

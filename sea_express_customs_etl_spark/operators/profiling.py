@@ -195,10 +195,14 @@ def sigma_outliers(
     only)."""
     gc = list(group_cols)
     x = F.col(value_c_col)
+    # accumulate in DECIMAL(38,0), not BIGINT: Σx² of 10⁵-unit values
+    # wraps int64 silently near 10⁹ rows while the DuckDB oracle sums
+    # in HUGEINT — the decimal sum keeps Spark exact (and oracle-
+    # matching) through the 10¹²-row bound the docstring claims
     stats = df.groupBy(*gc).agg(
         F.count(F.lit(1)).alias("_n"),
-        F.sum(x).alias("_s"),
-        F.sum(x * x).alias("_q"),
+        F.sum(x.cast("decimal(38,0)")).alias("_s"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("_q"),
     )
     d = "CAST({} AS DECIMAL(38,0))"
     dev = f"({d.format('_n')} * {d.format(value_c_col)} - {d.format('_s')})"

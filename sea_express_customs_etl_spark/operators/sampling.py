@@ -223,23 +223,23 @@ def pps_systematic_sample(
 
     two_k = F.lit(2 * k).cast("bigint")
 
-    def g(x):  # noqa: ANN001 — Column in, Column out
-        # #{j < k : (2j+1)·T < x}; floor-of-double is exact while
-        # 2k·T < 2^53 (k picks over ~10^12 total weight — far above
-        # any sane sampling call; beyond that, pre-scale the weights)
-        return (
-            F.when(x <= F.col("_t"), F.lit(0).cast("bigint"))
-            .otherwise(
-                F.floor((x - 1 - F.col("_t")) / (2 * F.col("_t"))) + 1
-            )
-            .cast("bigint")
-        )
+    # #{j < k : (2j+1)·T < x} via INTEGRAL division (x, T nonnegative so
+    # DIV == floor): exact bigint arithmetic end to end — no 2^53
+    # floor-of-double caveat, and bit-identical to the oracle's `//`
+    _g = (
+        "CASE WHEN {x} <= _t THEN CAST(0 AS BIGINT) "
+        "ELSE ({x} - 1 - _t) DIV (2 * _t) + 1 END"
+    )
 
     picked = (
         cum.join(F.broadcast(total))
+        .withColumn("_x_hi", two_k * F.col("_c"))
+        .withColumn("_x_lo", two_k * (F.col("_c") - F.col("_w")))
         .withColumn(
             "n_picks",
-            g(two_k * F.col("_c")) - g(two_k * (F.col("_c") - F.col("_w"))),
+            F.expr(
+                f"({_g.format(x='_x_hi')}) - ({_g.format(x='_x_lo')})"
+            ).cast("bigint"),
         )
         .filter(F.col("n_picks") > 0)
         .select(

@@ -134,23 +134,27 @@ def compact_dedup_store(
     exact duplicates from crash-window replays drop, the edge table
     collapses to distinct committed pairs, and the marker table to one
     id. Bucketing is preserved — pass the writer's ``num_buckets`` so
-    the staging tables carry the SAME bucket spec before the
-    atomic-rename swap (post-compaction appends reject a mismatched
-    spec). Same quiesced-stream contract and idempotence as
+    the staging tables carry the SAME bucket spec through the
+    backup-then-swap generation replacement (``table_swap.backup_swap``
+    — crash-safe in the no-data-loss sense, not transactional;
+    post-compaction appends reject a mismatched spec). Same
+    quiesced-stream contract and idempotence as
     ``sketch_store.compact_sketch_store``."""
+    from sea_express_customs_etl_spark.streaming.table_swap import backup_swap
+
     m_tab = f"{table_prefix}_batches"
     gen = spark.table(m_tab).agg(F.max("batch_id")).first()[0]
     if gen is None:
         return
 
     def swap(table: str, df: DataFrame, bucket_col: str | None) -> None:
-        staging = f"{table}_compact_staging"
-        w = df.write.mode("overwrite").format("parquet")
-        if bucket_col:
-            w = w.bucketBy(num_buckets, bucket_col)
-        w.saveAsTable(staging)
-        spark.sql(f"DROP TABLE {table}")
-        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        def write_staging(staging: str) -> None:
+            w = df.write.mode("overwrite").format("parquet")
+            if bucket_col:
+                w = w.bucketBy(num_buckets, bucket_col)
+            w.saveAsTable(staging)
+
+        backup_swap(spark, table, write_staging)
 
     edges = committed_edges(spark, table_prefix).select(
         "id_a", "id_b", F.lit(int(gen)).cast("bigint").alias("batch_id")

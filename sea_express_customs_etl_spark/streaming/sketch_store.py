@@ -121,7 +121,11 @@ def compact_sketch_store(spark: SparkSession, table_prefix: str) -> None:
     MUST run with the writing stream quiesced (the standard compaction
     contract: the commit-marker fence protects batch replay, not a
     concurrent compactor). Idempotent — compacting a compacted store
-    rewrites it to itself."""
+    rewrites it to itself. Generation replacement goes through
+    ``table_swap.backup_swap`` (backup-then-swap: crash-safe in the
+    no-data-loss sense, not transactional)."""
+    from sea_express_customs_etl_spark.streaming.table_swap import backup_swap
+
     m_tab = f"{table_prefix}_batches"
     gen = spark.table(m_tab).agg(F.max("batch_id")).first()[0]
     if gen is None:
@@ -129,10 +133,13 @@ def compact_sketch_store(spark: SparkSession, table_prefix: str) -> None:
     bid = F.lit(int(gen)).cast("bigint").alias("batch_id")
 
     def swap(table: str, df: DataFrame) -> None:
-        staging = f"{table}_compact_staging"
-        df.write.mode("overwrite").format("parquet").saveAsTable(staging)
-        spark.sql(f"DROP TABLE {table}")
-        spark.sql(f"ALTER TABLE {staging} RENAME TO {table}")
+        backup_swap(
+            spark,
+            table,
+            lambda staging: df.write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(staging),
+        )
 
     swap(
         f"{table_prefix}_hll",
