@@ -293,6 +293,105 @@ def kmeans_fit_q(
     )
 
 
+def _d2_q(a: Column, b: Column) -> Column:
+    """Exact integer squared-L2 between micro-unit vectors (bigint
+    fold — associative, so bit-identical under any evaluation order).
+    Bound: 64 dims of |x| ≤ 2·10⁷ micro-units sum to < 2.6·10¹⁶ ≪ 2⁶³."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_topk_q(
+    df: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF search over TRAINED integer centroids — the search stage
+    that makes the whole train→index→query pipeline hash-checkable
+    (VERDICT r5 #1): :func:`kmeans_fit_q` trains bit-portable
+    centroids, and every distance here is an exact bigint squared-L2
+    over micro-unit vectors, so assignment, probe ranking AND the
+    final top-k are engine-portable (ties → lowest cluster / lowest
+    neighbor id, the family's deterministic tie-break).
+
+    ``centroids`` is ``kmeans_fit_q`` output — long format
+    ``(cluster, dim, c_u6)``; reassembled to arrays here (k·dim rows,
+    model-sized).
+
+    Output: query_id, neighbor_id, cluster, d2_u12 (squared L2 in
+    units of 10⁻¹² — ascending = most similar).
+
+    Scale shape identical to :func:`ivf_topk`: broadcast-argmin
+    assignment (map-only + one partial-aggregated shuffle), probe
+    table |queries|·nprobe rows broadcast, search join shuffles on
+    ``cluster`` — never a corpus cross product.
+    """
+    cen = (
+        centroids.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c_u6"))).alias("_s"))
+        .select(
+            "cluster", F.transform("_s", lambda s: s["c_u6"]).alias("cv")
+        )
+    )
+    base = quantize_u6(df, vec_col, id_col)
+    assigned = (
+        base.join(F.broadcast(cen))
+        .select(
+            id_col,
+            "v",
+            F.struct(
+                _d2_q(F.col("v"), F.col("cv")).alias("d"),
+                F.col("cluster").alias("c"),
+            ).alias("_dc"),
+        )
+        .groupBy(id_col)
+        # v is constant within the group — first() is value-deterministic
+        .agg(F.min("_dc").alias("_b"), F.first("v").alias("v"))
+        .select(id_col, "v", F.col("_b.c").alias("cluster"))
+    )
+    q = base.join(queries.select(F.col(id_col)), id_col, "left_semi").select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("_qv")
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("cluster").asc()
+    )
+    probes = (
+        q.join(F.broadcast(cen))
+        .select(
+            "query_id", "_qv", "cluster", _d2_q(F.col("_qv"), F.col("cv")).alias("_d")
+        )
+        .withColumn("_pr", F.row_number().over(pw))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qv", "cluster")
+    )
+    sims = (
+        assigned.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cluster",
+            _d2_q(F.col("_qv"), F.col("v")).alias("d2_u12"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2_u12").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def kmeans_fit(
     df: DataFrame,
     k: int = 8,

@@ -383,8 +383,8 @@ cent{i} AS (
   FROM cent{j} p LEFT JOIN built{i} b USING (cluster))
 """
 
-KMEANS_Q_SQL = f"""
-WITH q AS (
+_KMQ_PRELUDE = f"""
+q AS (
   SELECT vec_id,
          list_transform(CAST(embedding AS DOUBLE[]),
                         x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v
@@ -397,8 +397,50 @@ cent0 AS (
   LIMIT 4),
 {_KMQ_ITER.format(i=1, j=0)},
 {_KMQ_ITER.format(i=2, j=1)}
+"""
+
+KMEANS_Q_SQL = f"""
+WITH {_KMQ_PRELUDE}
 SELECT cluster, g.d AS dim, v[g.d + 1] AS c_u6
 FROM cent2, generate_series(0, 63) g(d)
+"""
+
+# IVF search over the TRAINED integer centroids (operators/
+# similarity.py:ivf_topk_q, VERDICT r5 #1): assignment, probe ranking
+# (nprobe=2) and the final top-5 all use the exact bigint squared-L2
+# of the training loop — train → index → query hash-checked end to
+# end. Ties → lowest cluster / lowest neighbor id.
+_KMQ_D2 = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "s -> (s[1]-s[2])*(s[1]-s[2])))"
+)
+
+KMEANS_IVF_TOPK_SQL = f"""
+WITH {_KMQ_PRELUDE},
+asg AS (
+  SELECT vec_id, v, cluster FROM (
+    SELECT q.vec_id, q.v, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               {_KMQ_D2.format(a='q.v', b='c.v')}, c.cluster) AS rn
+    FROM q, cent2 c)
+  WHERE rn = 1),
+qq AS (SELECT vec_id AS query_id, v AS qv FROM q WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, qv, cluster FROM (
+    SELECT qq.query_id, qq.qv, c.cluster,
+           row_number() OVER (PARTITION BY qq.query_id ORDER BY
+               {_KMQ_D2.format(a='qq.qv', b='c.v')}, c.cluster) AS pr
+    FROM qq, cent2 c)
+  WHERE pr <= 2),
+sims AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, a.cluster,
+         CAST({_KMQ_D2.format(a='p.qv', b='a.v')} AS BIGINT) AS d2_u12
+  FROM asg a JOIN probes p USING (cluster)
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, cluster, d2_u12
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY d2_u12, neighbor_id) AS rn FROM sims)
+WHERE rn <= 5
 """
 
 PQ_CODES_SQL = f"""
