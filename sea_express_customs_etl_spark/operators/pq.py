@@ -531,6 +531,40 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_residual_codebook(
+    df: DataFrame,
+    centroids: DataFrame,
+    m: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook_lo: int = 16,
+    codebook_hi: int = 48,
+    train_k: int = 16,
+    train_iters: int = 2,
+) -> DataFrame:
+    """Train the :func:`ivfpq_trained_topk` codebook standalone (exact
+    integer Lloyd's over the micro-unit RESIDUALS of the
+    ``[codebook_lo, codebook_hi)`` sample) so several searches over one
+    index can share a single training run — pass the result as that
+    function's ``codebook``."""
+    assigned = _l2_assign(df, centroids, vec_col, id_col)
+    r_u6 = F.zip_with(
+        F.col("_v"),
+        F.col("_cv"),
+        lambda x, y: F.round((x - y) * MICRO).cast("bigint"),
+    )
+    sample = (
+        assigned.select(id_col, r_u6.alias("_r"))
+        .filter((F.col(id_col) >= codebook_lo) & (F.col(id_col) < codebook_hi))
+        .select(id_col, F.col("_r").alias("v"))
+    )
+    return pq_train_q(
+        sample, m, dim, k=train_k, iters=train_iters,
+        vec_col="v", id_col=id_col, quantized=True,
+    )
+
+
 def ivfpq_trained_topk(
     df: DataFrame,
     centroids: DataFrame,
@@ -545,6 +579,7 @@ def ivfpq_trained_topk(
     nprobe: int = 1,
     train_k: int = 16,
     train_iters: int = 2,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVFPQ with TRAINED codebooks, hash-checkable end-to-end
     (VERDICT r4 #3): same index shape as :func:`ivfpq_topk` — coarse
@@ -564,7 +599,12 @@ def ivfpq_trained_topk(
     Scale shape identical to ``ivfpq_topk``: train adds ``iters``
     broadcast-argmin passes over the SAMPLE (bounded), encode is one
     corpus×m shuffle, the LUT is |queries|·nprobe·m·train_k rows —
-    broadcast-sized."""
+    broadcast-sized.
+
+    ``codebook``: pass a pre-trained :func:`pq_train_q` result to skip
+    training — callers composing several searches over ONE index
+    (e.g. the recall matrix's ADC + refined pipelines) train once and
+    share the model instead of re-running Lloyd's per pipeline."""
     assigned = _l2_assign(df, centroids, vec_col, id_col)
     # residuals in micro-unit integers: every downstream distance exact
     r_u6 = F.zip_with(
@@ -573,13 +613,11 @@ def ivfpq_trained_topk(
         lambda x, y: F.round((x - y) * MICRO).cast("bigint"),
     )
     residuals = assigned.select(id_col, "cluster", r_u6.alias("_r"))
-    sample = residuals.filter(
-        (F.col(id_col) >= codebook_lo) & (F.col(id_col) < codebook_hi)
-    ).select(id_col, F.col("_r").alias("v"))
-    codebook = pq_train_q(
-        sample, m, dim, k=train_k, iters=train_iters,
-        vec_col="v", id_col=id_col, quantized=True,
-    )
+    if codebook is None:
+        codebook = ivfpq_residual_codebook(
+            df, centroids, m, dim, vec_col, id_col,
+            codebook_lo, codebook_hi, train_k, train_iters,
+        )
     d = dim // m
     sub = F.posexplode(
         F.array(*[F.slice(F.col("_r"), j * d + 1, d) for j in range(m)])

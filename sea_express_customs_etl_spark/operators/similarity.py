@@ -195,6 +195,69 @@ def ivf_topk(
     )
 
 
+def refine_exact_topk(
+    df: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The REFINE stage of a compressed ANN index (VERDICT r5 #2): a
+    compressed scan (IVFPQ/SQ8 ADC) proposes top-R candidates per
+    query, then the ORIGINAL vectors of those candidates — and only
+    those — are fetched and re-ranked by the exact rounded cosine of
+    :func:`brute_force_topk` (ties → lowest neighbor id). This is the
+    standard production recipe (every FAISS IVFPQ deployment re-ranks
+    ADC output): recall recovered to candidate-coverage level at PQ
+    memory cost, since the exact distance runs on |queries|·R rows,
+    never the corpus.
+
+    ``candidates``: (query_id, neighbor_id) — model-sized. The CALLER
+    should persist it when it feeds this function (it is consumed
+    twice below) and anything else — the CLAUDE.md ≥2-consumers rule.
+    Output: query_id, neighbor_id, cosine — the exact top-k within
+    the candidate set.
+
+    Scale: two corpus scans, each the only corpus-touching step of its
+    branch — one broadcast semi-join fetches the |queries| query
+    vectors, one streams the corpus against the broadcast candidate
+    list (with the query vectors already attached), so the exact
+    distance runs map-side in that single pass; min/max row-group
+    stats prune both scans.
+    """
+    cand = candidates.select("query_id", "neighbor_id")
+    c = with_norm(df, vec_col, id_col)
+    qv = c.join(
+        F.broadcast(cand.select(F.col("query_id").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+    )
+    candq = cand.join(F.broadcast(qv), "query_id")
+    sims = (
+        c.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(candq), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(
+                F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_n")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
 def quantize_u6(
     df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> DataFrame:

@@ -2039,7 +2039,7 @@ cb0 AS (
 {_PQQ_ITER.format(i=2, j=1)}
 """
 
-IVFPQ_TRAINED_TOPK_SQL = f"""
+_IVFPQ_TRAINED_TMPL = f"""
 WITH {_PQQ_PRELUDE},
 scored AS (
   SELECT rsv.vec_id, rsv.cluster, rsv.subspace, c.code,
@@ -2077,6 +2077,30 @@ sims AS (
 SELECT query_id, neighbor_id, cluster, dist_u12
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
            ORDER BY dist_u12, neighbor_id) AS rn FROM sims)
+WHERE rn <= __TOPK__
+"""
+
+IVFPQ_TRAINED_TOPK_SQL = _IVFPQ_TRAINED_TMPL.replace("__TOPK__", "5", 1)
+
+# ANN refine stage (operators/similarity.py:refine_exact_topk over the
+# trained index, VERDICT r5 #2): the trained ADC's top-200 candidates
+# per query, re-ranked by the EXACT rounded cosine of COSINE_TOPK_SQL
+# (ties → lowest neighbor id), top 5. The candidate set is the trained
+# statement verbatim at rn <= 200, so both stages stay hash-pinned.
+ANN_REFINED_TOPK_SQL = f"""
+WITH cand AS (
+  SELECT query_id, neighbor_id
+  FROM ({_IVFPQ_TRAINED_TMPL.replace("__TOPK__", "200", 1)})),
+{_NRM},
+sims AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_inner_product(q.v, n.v) / (q.n * n.n), 6) AS cosine
+  FROM cand c
+  JOIN nrm n ON n.vec_id = c.neighbor_id
+  JOIN nrm q ON q.vec_id = c.query_id)
+SELECT query_id, neighbor_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+           ORDER BY cosine DESC, neighbor_id) AS rn FROM sims)
 WHERE rn <= 5
 """
 
@@ -2106,7 +2130,10 @@ retrieved AS (
   FROM ({IVFPQ_NPROBE2_SQL})
   UNION ALL
   SELECT 'ivfpq_trained' AS method, query_id, neighbor_id
-  FROM ({IVFPQ_TRAINED_TOPK_SQL}))
+  FROM ({IVFPQ_TRAINED_TOPK_SQL})
+  UNION ALL
+  SELECT 'ivfpq_refined' AS method, query_id, neighbor_id
+  FROM ({ANN_REFINED_TOPK_SQL}))
 SELECT r.method, r.query_id,
        CAST(count(t.neighbor_id) AS BIGINT) AS hits_at_5,
        CAST(5 AS BIGINT) AS k

@@ -85,6 +85,9 @@ FORCED_BROADCAST_ALLOWED = {
     #                        total weight (the global_rank license)
     "ivfpq_trained_topk",  # trained codebook + centroids + LUT —
     #                        same pins as ivfpq_nprobe2
+    "ann_refined_topk",    # same trained-index pins + the model-sized
+    #                        candidate list / query-vector broadcasts
+    #                        of the refine stage
 }
 
 

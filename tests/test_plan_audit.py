@@ -48,6 +48,8 @@ BNLJ_ALLOWED = {
     "cms_heavy_hitters",  # 1-row total-N scalar broadcast
     "pps_length_sample",  # 1-row total-weight scalar broadcast
     "ivfpq_trained_topk",  # coarse-centroid broadcast, as ivfpq_topk
+    "ann_refined_topk",    # trained-index candidates (|queries|·50)
+    #                        + query vectors broadcast into the refine
     "pq_trained_codebook",  # centroid broadcast in the residual build
     "ann_store_topk",      # same frozen-model broadcasts over the store
     "event_winsorized_sums",  # 2-literal-row quantile-spec broadcast

@@ -126,3 +126,36 @@ def test_kmeans_ivf_recall_floor(spark):
     hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
     total = sum(len(v) for v in truth.values())
     assert hits / total >= 0.9, f"recall {hits}/{total}"
+
+
+def test_refine_exact_topk_recovers_exact_ranking(spark):
+    """The refine stage's contract: when the candidate set CONTAINS the
+    exact top-k, re-ranking returns exactly the brute-force result —
+    recall limited only by candidate coverage (VERDICT r5 #2)."""
+    from sea_express_customs_etl_spark.operators.similarity import (
+        refine_exact_topk,
+    )
+
+    emb = _blob_corpus(spark)
+    queries = emb.filter(F.col("vec_id") % 40 < 1)  # 1 per blob
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    # candidate set = every (query, neighbor) pair in the query's own
+    # blob — a superset of the exact top-5 (blobs are tight)
+    cand = (
+        queries.select(F.col("vec_id").alias("query_id"))
+        .join(emb.select(F.col("vec_id").alias("neighbor_id")))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (
+                F.floor(F.col("neighbor_id") / 40)
+                == F.floor(F.col("query_id") / 40)
+            )
+        )
+    )
+    got = refine_exact_topk(emb, cand, k=5).collect()
+    want = {(r.query_id, r.neighbor_id, r.cosine) for r in exact}
+    have = {(r.query_id, r.neighbor_id, r.cosine) for r in got}
+    assert have <= want or have == want  # subset only if blob < 5+1
+    assert {(r.query_id, r.neighbor_id) for r in got} == {
+        (r.query_id, r.neighbor_id) for r in exact
+    }
