@@ -1861,6 +1861,38 @@ def _q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_by_quality(clustered, quality)
 
 
+def _q_knowledge_ivm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship's PERSISTED-STATE streaming loop (VERDICT r5 #3),
+    gate-checked like ann_store_topk: two waybill-complete loads fold
+    through knowledge_batch_writer into the vote-state store (append +
+    commit-marker fencing), and the knowledge base read back from the
+    store must hash-match the full-rebuild knowledge_extraction oracle
+    verbatim — the reference's nightly incremental operating mode
+    (/root/reference/src/import_xml_history.py:181-216) as a
+    Structured-Streaming-shaped sink. Idempotent across invocations
+    (committed batches are skipped)."""
+    from sea_express_customs_etl_spark.functions.strings import link_key
+    from sea_express_customs_etl_spark.streaming.knowledge_store import (
+        knowledge_batch_writer,
+        knowledge_store_kb,
+    )
+
+    a = declared_table(spark, sf_dir)
+    b = official_table(spark, sf_dir)
+
+    def half(df: DataFrame, i: int) -> DataFrame:
+        lk = link_key(F.col("mawb_no"), F.col("hawb_no"))
+        return df.filter(F.crc32(lk) % 2 == i)
+
+    prefix = "kbstore_" + re.sub(
+        r"\W", "_", spark.sparkContext.applicationId
+    )
+    writer = knowledge_batch_writer(prefix, use_nfkc=False)
+    writer(half(a, 0), half(b, 0), 0)
+    writer(half(a, 1), half(b, 1), 1)
+    return knowledge_store_kb(spark, prefix)
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch incremental dedup (VERDICT r4 #1): the corpus
     arrives as two batches (doc_id parity); batch 1 dedups against
@@ -2202,6 +2234,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # incremental KB maintenance: delta-only align + state merge +
         # touched-source re-rank ≡ full rebuild, same oracle (r4 #2)
         "knowledge_ivm": _q_knowledge_ivm,
+        "knowledge_ivm_stream": _q_knowledge_ivm_stream,
         # approximate heavy hitters over the mergeable CMS state
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         # perceptual (aHash) image dedup from raw bytes
@@ -2389,6 +2422,7 @@ def oracle_sql() -> dict[str, str]:
         # incremental maintenance must equal the full rebuild — the
         # flagship's own oracle, verbatim
         "knowledge_ivm": oracles.KNOWLEDGE_EXTRACTION_SQL,
+        "knowledge_ivm_stream": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "cms_heavy_hitters": ext.CMS_HEAVY_HITTERS_SQL,
         "image_ahash_dups": ext.IMAGE_AHASH_DUPS_SQL,
         "audio_fp_dups": ext.AUDIO_FP_DUPS_SQL,

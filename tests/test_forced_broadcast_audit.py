@@ -88,6 +88,8 @@ FORCED_BROADCAST_ALLOWED = {
     "ann_refined_topk",    # same trained-index pins + the model-sized
     #                        candidate list / query-vector broadcasts
     #                        of the refine stage
+    "knowledge_ivm_stream",  # commit-marker table broadcast
+    #                          (|batches| rows — the ann_store license)
 }
 
 
