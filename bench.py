@@ -166,6 +166,7 @@ def main() -> None:
     # end-to-end once so JIT/codegen/shuffle machinery is warm — the
     # measured numbers are steady-state throughput, which is what a
     # long-lived cluster sees.
+    from sea_express_customs_etl_spark.plans.cache import release_tracked
     from sea_express_customs_etl_spark.plans.standins import load_table
 
     for t in ("lineitem", "orders", "part", "documents", "embeddings", "events"):
@@ -184,6 +185,7 @@ def main() -> None:
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+        release_tracked()  # queries stay independent; reps share pins
         timings[name] = round(best, 3)
 
     rates = _ingest_rates(spark)

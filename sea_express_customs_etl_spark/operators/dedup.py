@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
+
+from ..plans.cache import tracked_persist
 import pyspark.sql.types as T
 
 
@@ -749,7 +751,7 @@ def simhash_hamming_pairs(
         )
     r = num_bits // bands
     mask = (1 << r) - 1
-    sig = simhash(df, text_col, id_col, num_bits).persist()
+    sig = tracked_persist(simhash(df, text_col, id_col, num_bits))
     banded = sig.select(
         F.col(id_col),
         F.col("simhash"),

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from ..plans.cache import tracked_persist
+
 MICRO = 1_000_000
 
 
@@ -138,7 +140,7 @@ def dsir_pipeline(
     md5 pass over the corpus (the same measured staging decision as
     ``plans/curation.py``'s shingle frame — the persisted rows are two
     ints each, far narrower than the text they derive from)."""
-    tb = token_buckets(raw, text_col, id_col, buckets).persist()
+    tb = tracked_persist(token_buckets(raw, text_col, id_col, buckets))
     rc = tb.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_r"))
     tc = (
         token_buckets(target, text_col, id_col, buckets)

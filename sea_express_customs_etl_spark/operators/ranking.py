@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 import pyspark.sql.functions as F
 
+from ..plans.cache import tracked_persist
+
 
 def global_rank(
     df: DataFrame,
@@ -56,10 +58,9 @@ def global_rank(
     # after the range shuffle — later exchanges (the window's, the
     # groupBy's) then carry the value instead of re-evaluating
     # spark_partition_id() on a different partitioning
-    ranged = (
+    ranged = tracked_persist(
         df.repartitionByRange(int(n_parts), *order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     # model-sized collect path: one (pid, count) row per partition
     offsets = (
@@ -127,10 +128,9 @@ def global_cumsum(
     n_parts = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
-    ranged = (
+    ranged = tracked_persist(
         df.repartitionByRange(int(n_parts), *order_by)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     offsets = (
         ranged.groupBy("_pid")

@@ -44,6 +44,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
+from ..plans.cache import tracked_persist
+
 from sea_express_customs_etl_spark.operators.similarity import cosine, with_norm
 
 MICRO = 1_000_000
@@ -157,7 +159,7 @@ def srp_near_dups(
         raise ValueError("bands must divide n_planes")
     r = n_planes // bands
     mask = (1 << r) - 1
-    sig = srp_signatures(df, n_planes, dim, vec_col, id_col, salt).persist()
+    sig = tracked_persist(srp_signatures(df, n_planes, dim, vec_col, id_col, salt))
     banded = sig.select(
         F.col(id_col),
         F.explode(

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from .cache import tracked_persist
+
 from sea_express_customs_etl_spark.operators.dedup import (
     dedup_clusters,
     jaccard_verify_profiles,
@@ -67,12 +69,12 @@ def curation_pipeline(
     # evicting). A window-over-digest formulation of the exact dedup
     # was measured SLOWER here (full-row sort shuffle vs digest agg +
     # AQE broadcast join), so the agg+join stays.
-    exact_kept = passed.join(
+    exact_kept = tracked_persist(passed.join(
         passed.groupBy(F.md5(F.col(text_col)).alias("_h"))
         .agg(F.min(F.col(id_col)).alias(id_col))
         .select(id_col),
         id_col,
-    ).persist()
+    ))
 
     # the fused shingle-profile frame (sets + minhashes from one
     # explode + one groupBy, r4) is referenced three times (bands +
@@ -80,7 +82,7 @@ def curation_pipeline(
     # a production LSH pipeline materializes (MEMORY_AND_DISK: spills
     # at corpus scale rather than evicting). Doc-grained (one row per
     # survivor), far smaller than the r3 exploded shingle frame.
-    prof = shingle_profiles(exact_kept, text_col, id_col).persist()
+    prof = tracked_persist(shingle_profiles(exact_kept, text_col, id_col))
     pairs = jaccard_verify_profiles(
         lsh_candidate_pairs(lsh_bands(prof)), prof
     ).select("id_a", "id_b")

@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from .cache import tracked_persist
+
 from sea_express_customs_etl_spark.functions.strings import normalize_text_col
 from sea_express_customs_etl_spark.operators.linking import (
     add_link_key,
@@ -176,9 +178,9 @@ def knowledge_base_ivm(
     # persisted: the delta's whole align+count chain feeds BOTH the
     # state merge and the touched-source set — without the pin it
     # executes once per consumer (measured 11.5 → ~7 s at sf0.1)
-    delta_votes = vote_counts(
+    delta_votes = tracked_persist(vote_counts(
         knowledge_aligned(delta_a, delta_b, use_nfkc=use_nfkc, strategy=strategy)
-    ).persist()
+    ))
     new_state = merge_agg_states(
         [state, delta_votes], key_cols=keys, count_cols=("frequency",)
     )

@@ -53,6 +53,7 @@ def main() -> int:
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
 
+    from sea_express_customs_etl_spark.plans.cache import release_tracked
     from sea_express_customs_etl_spark.session import get_spark
 
     spark = get_spark(shuffle_partitions=8)
@@ -74,6 +75,7 @@ def main() -> int:
         scols = sdf.columns
         srows = [tuple(r) for r in sdf.collect()]
         t_spark = time.time() - t0
+        release_tracked()  # operator-internal pins die with the query
         if name not in oracles:
             print(f"{name:24s} rows={len(srows):7d} (rows-only, no oracle) {t_spark:.1f}s")
             continue
