@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from ..plans.cache import tracked_persist
+
 MICRO = 1_000_000
 
 
@@ -50,7 +52,7 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     # persisted: the distinct scan feeds BOTH sides of the self-join
     # (and, downstream, every pagerank sweep's edge frame) — without
     # the pin the lineitem scan+distinct runs once per alias
-    items = lineitem.select("l_orderkey", "l_partkey").distinct().persist()
+    items = tracked_persist(lineitem.select("l_orderkey", "l_partkey").distinct())
     a = items.alias("a")
     b = items.alias("b")
     return (
@@ -95,7 +97,7 @@ def pagerank(
     form."""
     base_u6 = MICRO - damping_u6
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
-    ed = edges.join(deg, "src").persist()
+    ed = tracked_persist(edges.join(deg, "src"))
     ranks = deg.select(
         F.col("src").alias("node"), F.lit(MICRO).cast("bigint").alias("r")
     )
@@ -133,33 +135,146 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("rank_u6"))
 
 
-def triangle_counts(edges: DataFrame) -> DataFrame:
+def cooccur_edges(lineitem: DataFrame, min_weight: int = 2) -> DataFrame:
+    """Thresholded co-purchase edges: part pairs co-occurring in at
+    least ``min_weight`` distinct orders (both directions). The weight
+    filter is the standard sparsifier for co-occurrence graphs — it
+    drops the long tail of one-off pairings (noise at corpus scale)
+    and bounds the graph to genuinely associated items. Same
+    basket-bounded fan-out as :func:`copurchase_edges`; the groupBy
+    adds one partial-aggregated shuffle on the pair key."""
+    items = tracked_persist(
+        lineitem.select("l_orderkey", "l_partkey").distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .filter(F.col("_w") >= min_weight)
+        .select("src", "dst")
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    converge: bool = False,
+) -> DataFrame:
+    """k-core sieve: iteratively peel nodes of degree < ``k`` from an
+    undirected edge list (both directions present). Output: node,
+    core_deg — each surviving node with its degree in the surviving
+    subgraph after ``rounds`` peels.
+
+    The fixed-``rounds`` form is the oracle-checked trajectory (the
+    pagerank discipline: both engines run exactly R sieve passes, so
+    results match even before the fixed point); peeling is monotone —
+    extra rounds after convergence are no-ops — so a converged run
+    equals the true k-core. ``converge=True`` adds the per-round
+    emptiness probe and stops early (production mode; worst case the
+    peel cascades O(diameter) rounds — a chain unravels one node per
+    round — so production pairs it with a round cap).
+
+    Scale shape: each round is one partial-aggregated degree count
+    (graph-sized) + two broadcast-able anti-joins against the peeled
+    node set (strictly smaller each round) + a lazy localCheckpoint to
+    keep lineage flat. Nothing collects to the driver."""
+    e = edges
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        bad = deg.filter(F.col("_d") < k).select(F.col("src").alias("node"))
+        if converge and bad.isEmpty():
+            break
+        e = (
+            e.join(bad.withColumnRenamed("node", "src"), "src", "left_anti")
+            .join(bad.withColumnRenamed("node", "dst"), "dst", "left_anti")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return e.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_deg")
+    ).select(F.col("src").alias("node"), "core_deg")
+
+
+def triangle_counts(edges: DataFrame, orient: str = "degree") -> DataFrame:
     """Per-node triangle counts over an undirected edge list (either
     or both directions may be present; deduplicated internally).
-    Output: node, n_triangles — nodes in no triangle are absent.
+    Output: node, n_triangles — nodes in no triangle are absent. The
+    count is orientation-invariant: each triangle is materialized
+    exactly once under any strict total order on nodes, and the
+    per-node counts are one explode + one partial-aggregated groupBy.
 
-    Plan: canonicalize to ``src < dst``, then the two-join wedge close
-    (ab ⋈ bc on b, closed by ac) — each triangle a<b<c is materialized
-    exactly once, and the per-node counts are one explode + one
-    partial-aggregated groupBy. Canonical-id orientation is the simple
-    variant; at 100 TB with power-law graphs, orient edges by
-    (degree, id) instead — the compact-forward optimization — so
-    wedges pivot on LOW-degree nodes and hub fan-out never explodes
-    (Σ deg(v)² over pivot nodes is the join size either way; degree
-    orientation minimizes it). Co-purchase graphs here are
-    basket-bounded, so canonical orientation is already safe."""
-    e = (
+    ``orient`` picks the total order that directs the wedge joins:
+
+    - ``"degree"`` (default) — the compact-forward optimization:
+      direct each edge from the (degree, id)-smaller endpoint to the
+      larger, pivot wedges on the LOW-degree node. Per-pivot fan-out
+      is the FORWARD degree, which is O(√m) for any graph (a node
+      with forward-degree d has d neighbors of degree ≥ its own, so
+      d² ≤ Σdeg = 2m) — hub nodes in a power-law graph contribute
+      O(m) wedges instead of O(deg²). This is the 100 TB dial the
+      canonical form lacks; measured on a skewed star-heavy graph in
+      ``tools/scale_probe.py`` (SCALE.md).
+    - ``"canonical"`` — direct by node id only (a < b). One fewer
+      degree join; safe when degrees are bounded (TPC-H co-purchase
+      baskets cap at 7), quadratic on hubs otherwise.
+    """
+    e = tracked_persist(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .persist()  # three scans below (ab, bc, ac)
-    )
-    ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tris = ab.join(bc, "y").join(ac, ["x", "z"])
+    )  # multi-scan: wedge sides + closing side (and the degree count)
+    if orient == "canonical":
+        ab = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+        bc = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+        ac = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+        tris = ab.join(bc, "y").join(ac, ["x", "z"])
+    elif orient == "degree":
+        deg = (
+            e.select(F.explode(F.array("a", "b")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_deg"))
+        )
+        # forward-direct each edge by the (degree, id) total order —
+        # plain scalar comparisons, not struct keys (structs shuffle
+        # and compare slower than two long columns); carry the head's
+        # (degree, id) so the wedge pair orders without re-joining
+        a_first = (F.col("_da") < F.col("_db")) | (
+            (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+        )
+        fwd = tracked_persist(
+            e.join(deg.select(F.col("node").alias("a"), F.col("_deg").alias("_da")), "a")
+            .join(deg.select(F.col("node").alias("b"), F.col("_deg").alias("_db")), "b")
+            .select(
+                F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+                F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+                F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_dv"),
+            )
+        )  # three scans: both wedge sides + the closing edge
+        w1 = fwd.select("u", F.col("v").alias("x2"), F.col("_dv").alias("_d1"))
+        w2 = fwd.select("u", F.col("v").alias("z"), F.col("_dv").alias("_d2"))
+        fwd_lt = (F.col("_d1") < F.col("_d2")) | (
+            (F.col("_d1") == F.col("_d2")) & (F.col("x2") < F.col("z"))
+        )
+        wedges = (
+            w1.join(w2, "u")
+            .filter(fwd_lt)
+            .select(F.col("u").alias("x"), F.col("x2").alias("y"), "z")
+        )
+        # the closing edge {y,z} has key(y) < key(z), so if present it is
+        # oriented y→z — one equi-join, no direction disjunction
+        tris = wedges.join(
+            fwd.select(F.col("u").alias("y"), F.col("v").alias("z")), ["y", "z"]
+        )
+    else:
+        raise ValueError(f"orient must be 'degree' or 'canonical', got {orient!r}")
     return (
         tris.select(
             F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")

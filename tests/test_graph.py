@@ -81,11 +81,67 @@ def test_copurchase_edges_shape(spark):
 def test_triangle_counts_golden_and_direction_insensitive(spark):
     from sea_express_customs_etl_spark.operators.graph import triangle_counts
 
-    # K4 on {1,2,3,4}: every node is in C(3,2) = 3 triangles
+    for orient in ("degree", "canonical"):
+        # K4 on {1,2,3,4}: every node is in C(3,2) = 3 triangles
+        k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
+        got = {
+            r.node: r.n_triangles
+            for r in triangle_counts(_edges(spark, k4), orient=orient).collect()
+        }
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}, orient
+        # one direction only + a dangling edge: same triangles
+        one_dir = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
+        got2 = {
+            r.node: r.n_triangles
+            for r in triangle_counts(_edges(spark, one_dir), orient=orient).collect()
+        }
+        assert got2 == got, orient
+
+
+def test_kcore_peel_cascade_golden(spark):
+    """Triangle {1,2,3} + pendant chain 3-4-5: k=2 peeling unravels
+    the chain one node per round (5 first, then 4), leaving exactly
+    the triangle with core degree 2 — and the cascade needs TWO
+    rounds, so rounds=1 must still contain node 4."""
+    from sea_express_customs_etl_spark.operators.graph import kcore
+
+    und = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    pairs = und + [(b, a) for (a, b) in und]
+    df = _edges(spark, pairs)
+    got = {r.node: r.core_deg for r in kcore(df, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    partial = {r.node: r.core_deg for r in kcore(df, k=2, rounds=1).collect()}
+    assert 4 in partial and 5 not in partial
+    # converge mode reaches the same fixed point and extra rounds
+    # after convergence are no-ops
+    conv = {
+        r.node: r.core_deg
+        for r in kcore(df, k=2, rounds=10, converge=True).collect()
+    }
+    assert conv == got
+
+
+def test_kcore_already_core_is_identity(spark):
+    from sea_express_customs_etl_spark.operators.graph import kcore
+
     k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a != b]
-    got = {r.node: r.n_triangles for r in triangle_counts(_edges(spark, k4)).collect()}
+    got = {r.node: r.core_deg for r in kcore(_edges(spark, k4), k=3, rounds=3).collect()}
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
-    # one direction only + a dangling edge: same triangles
-    one_dir = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 9)]
-    got2 = {r.node: r.n_triangles for r in triangle_counts(_edges(spark, one_dir)).collect()}
-    assert got2 == got
+
+
+def test_triangle_orientations_agree_on_skewed_graph(spark):
+    """Degree orientation is a pure physical-plan change: per-node
+    counts are identical to the canonical form on a hub-heavy graph
+    (200-leaf star + chain + random edges — hubs, ties, dangling
+    edges, and degree-equal nodes all present)."""
+    import random
+
+    from sea_express_customs_etl_spark.operators.graph import triangle_counts
+
+    rnd = random.Random(7)
+    pairs = [(0, i) for i in range(1, 201)] + [(i, i + 1) for i in range(1, 150)]
+    pairs += [(rnd.randrange(300), rnd.randrange(300)) for _ in range(800)]
+    df = _edges(spark, pairs)
+    a = sorted(map(tuple, triangle_counts(df, orient="degree").collect()))
+    b = sorted(map(tuple, triangle_counts(df, orient="canonical").collect()))
+    assert a == b and len(a) > 50

@@ -26,6 +26,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from sea_express_customs_etl_spark.plans.cache import release_tracked
+
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REP = 8
 _OFFSET = 10_000_000
@@ -323,6 +325,40 @@ def _terciles(docs):
     return ntile_by_rank(ranked, 3).select("doc_id", "bucket")
 
 
+def _skewed_edges(spark, scale: int) -> DataFrame:
+    """Deterministic hub-heavy graph: a (2000·scale)-leaf star on a
+    MID-RANGE-id hub plus a leaf ring (every consecutive leaf pair
+    closes a triangle through the hub). Canonical (id) orientation
+    pivots a wedge on the middle-id node of each ordered path, so the
+    hub — with half its neighbors below it and half above — fans out
+    (d/2)² wedge pairs, quadratic in scale; degree orientation pivots
+    on the ring leaves (forward degree O(1)), linear. This is the
+    power-law shape TPC-H co-purchase baskets never produce. The hub
+    id matters only to the canonical form — degree orientation is id-
+    agnostic up to ties."""
+    d = 2000 * scale
+    h = d // 2
+    # leaf ids 1..d+1 skipping h, so the hub id splits the leaf range
+    leaf = lambda c: F.when(c < h, c).otherwise(c + 1)  # noqa: E731
+    idx = spark.range(1, d + 1)
+    star = idx.select(
+        F.lit(h).cast("long").alias("src"), leaf(F.col("id")).alias("dst")
+    )
+    ring = spark.range(1, d).select(
+        leaf(F.col("id")).alias("src"), leaf(F.col("id") + 1).alias("dst")
+    )
+    return star.unionByName(ring)
+
+
+def cases_graph() -> dict:
+    from sea_express_customs_etl_spark.operators.graph import triangle_counts
+
+    return {
+        "triangles_canonical": lambda g: triangle_counts(g, orient="canonical"),
+        "triangles_degree": lambda g: triangle_counts(g, orient="degree"),
+    }
+
+
 def main() -> None:
     from sea_express_customs_etl_spark.plans.standins import load_table
     from sea_express_customs_etl_spark.session import get_spark
@@ -346,19 +382,25 @@ def main() -> None:
 
     wanted = sys.argv[1:] or None
     ev_cases = cases_ev()
+    graph_cases = cases_graph()
     all_cases = dict(cases())
     for nm, fn_ev in ev_cases.items():
         # adapt to the (d, e) calling convention; e is unused
         all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_ev)
+    for nm, fn_g in graph_cases.items():
+        all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_g)
+    g1 = _skewed_edges(spark, 1)
+    g8 = _skewed_edges(spark, REP)
     names = wanted or list(all_cases)
     for name in names:
         fn = all_cases[name]
         walls = {}
-        scales = (
-            {"1x": (ev1, None), "8x": (ev8, None)}
-            if name in ev_cases
-            else {"1x": (docs1, emb1), "8x": (docs8, emb8)}
-        )
+        if name in graph_cases:
+            scales = {"1x": (g1, None), "8x": (g8, None)}
+        elif name in ev_cases:
+            scales = {"1x": (ev1, None), "8x": (ev8, None)}
+        else:
+            scales = {"1x": (docs1, emb1), "8x": (docs8, emb8)}
         for scale, (d, e) in scales.items():
             # scaled-k only differs from fixed-k at 8×; at 1× it IS k=16
             if name == "semantic_dedup_scaled_k" and scale == "1x":
@@ -368,6 +410,7 @@ def main() -> None:
                 t0 = time.time()
                 fn(d, e).write.format("noop").mode("overwrite").save()
                 best = min(best, time.time() - t0)
+                release_tracked()  # operator-internal pins die per run
             walls[scale] = round(best, 2)
         one, eight = walls.get("1x"), walls.get("8x")
         ratio = f"{eight / one:.1f}x" if one else "-"
