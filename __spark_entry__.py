@@ -24,6 +24,9 @@ from sea_express_customs_etl_spark.operators.linking import (
     count_matched_keys,
 )
 from sea_express_customs_etl_spark.plans import oracles
+from sea_express_customs_etl_spark.plans.cache import (
+    tracked_persist as _tracked_persist,
+)
 from sea_express_customs_etl_spark.plans.knowledge import knowledge_base
 from sea_express_customs_etl_spark.plans.standins import (
     declared_table,
@@ -224,7 +227,7 @@ def _q_ngram_jaccard_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the profile frame is referenced three times (bands + both
     # Jaccard sides) — persist the doc-grained frame (one row per
     # document), not the exploded shingles
-    prof = shingle_profiles(_docs(spark, sf_dir)).persist()
+    prof = _tracked_persist(shingle_profiles(_docs(spark, sf_dir)))
     pairs = lsh_candidate_pairs(lsh_bands(prof))
     return jaccard_verify_profiles(pairs, prof)
 
@@ -242,7 +245,7 @@ def _q_minhash_estimate_vs_true(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_profiles,
     )
 
-    prof = shingle_profiles(_docs(spark, sf_dir)).persist()
+    prof = _tracked_persist(shingle_profiles(_docs(spark, sf_dir)))
     pairs = lsh_candidate_pairs(lsh_bands(prof))
     jac = jaccard_verify_profiles(pairs, prof, threshold=0.0)
     a = prof.select(
@@ -392,7 +395,7 @@ def _q_containment_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    prof = shingle_profiles(aug).persist()
+    prof = _tracked_persist(shingle_profiles(aug))
     pairs = lsh_candidate_pairs(lsh_bands(prof))
     return containment_verify_profiles(pairs, prof, threshold=0.8)
 
@@ -508,7 +511,8 @@ def _q_ann_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb(spark, sf_dir)
-    cand = (
+    # pinned: consumed twice inside the refine (ids + join)
+    cand = _tracked_persist(
         ivfpq_trained_topk(
             emb,
             emb.filter(F.col("vec_id") < 16),
@@ -517,7 +521,6 @@ def _q_ann_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             nprobe=2,
         )
         .select("query_id", "neighbor_id")
-        .persist()  # consumed twice inside the refine (ids + join)
     )
     return refine_exact_topk(emb, cand, k=5)
 
@@ -550,7 +553,7 @@ def _q_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sea_express_customs_etl_spark.operators.sq import sq8_topk
 
-    emb = _emb(spark, sf_dir).persist()
+    emb = _tracked_persist(_emb(spark, sf_dir))
     cen = emb.filter(F.col("vec_id") < 16)
     q10 = emb.filter(F.col("vec_id") < 10)
 
@@ -564,11 +567,11 @@ def _q_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.lit(1).alias("_t"))
     )
 
-    codebook = ivfpq_residual_codebook(emb, cen).persist()
-    adc50 = (
+    codebook = _tracked_persist(ivfpq_residual_codebook(emb, cen))
+    # pinned: feeds BOTH the trained top-5 and the refine stage
+    adc50 = _tracked_persist(
         ivfpq_trained_topk(emb, cen, q10, k=200, nprobe=2, codebook=codebook)
         .select("query_id", "neighbor_id", "dist_u12")
-        .persist()  # feeds BOTH the trained top-5 and the refine stage
     )
     tw = Window.partitionBy("query_id").orderBy(
         F.col("dist_u12").asc(), F.col("neighbor_id").asc()
@@ -803,7 +806,7 @@ def _q_ann_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     cen = emb.filter(F.col("vec_id") < 16)
     sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
-    codebook = train_frozen_model(sample, cen).persist()
+    codebook = _tracked_persist(train_frozen_model(sample, cen))
     # session-unique prefix: catalog state is per-session but warehouse
     # DIRECTORIES persist — a fixed name collides with a previous
     # session's leftover location (caught by the gate). Within one
@@ -843,7 +846,7 @@ def _q_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    prof = shingle_profiles(docs).persist()
+    prof = _tracked_persist(shingle_profiles(docs))
     text_pairs = jaccard_verify_profiles(
         lsh_candidate_pairs(lsh_bands(prof)), prof
     ).select("id_a", "id_b")
@@ -918,7 +921,7 @@ def _q_lsh_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    prof = shingle_profiles(aug).persist()
+    prof = _tracked_persist(shingle_profiles(aug))
     sh = prof.select("doc_id", F.explode("_sh_set").alias("shingle"))
     left = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     right = sh.select(F.col("doc_id").alias("id_b"), "shingle")
@@ -1018,6 +1021,66 @@ def _q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return triangle_counts(
         copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leak-proof train/val/test split: hash_split keyed on the
+    near-dup CLUSTER label instead of the doc id, so no near-duplicate
+    pair ever straddles a split boundary — the assignment a pipeline
+    needs when it keeps duplicates (for weighting) rather than
+    dropping them (curation_pipeline's mode)."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+    from sea_express_customs_etl_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    prof = _tracked_persist(shingle_profiles(docs))
+    pairs = jaccard_verify_profiles(
+        lsh_candidate_pairs(lsh_bands(prof)), prof
+    ).select("id_a", "id_b")
+    labels = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    return hash_split(
+        labels,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_col="cluster_id",
+        salt="split",
+    )
+
+
+def _q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sparse similarity join: TF-IDF cosine >= 1/2 over word
+    bigrams — rare-term-weighted near-dup detection, the IR-classic
+    complement to the Jaccard/MinHash set-overlap family (integer-
+    rational IDF + cross-multiplied threshold: exact end to end)."""
+    from sea_express_customs_etl_spark.operators.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    return tfidf_cosine_pairs(_docs(spark, sf_dir), df_max=60)
+
+
+def _q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-round k=3 core sieve over the ≥2-co-occurrence co-purchase
+    graph — the density-structure sibling of copurchase_triangles
+    (per-round degree count + anti-join peel, exact integers, lazy
+    checkpoints; fixed rounds so the trajectory hash-matches the
+    unrolled oracle)."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        cooccur_edges,
+        kcore,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    return kcore(
+        cooccur_edges(load_table(spark, sf_dir, "lineitem"), min_weight=2),
+        k=3,
+        rounds=4,
     )
 
 
@@ -1792,7 +1855,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    prof = shingle_profiles(docs).persist()
+    prof = _tracked_persist(shingle_profiles(docs))
     pairs = jaccard_verify_profiles(
         lsh_candidate_pairs(lsh_bands(prof)), prof
     ).select("id_a", "id_b")
@@ -1825,9 +1888,9 @@ def _q_knowledge_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         return df.filter(F.crc32(lk) % 2 == i)
 
     # persisted: state0 feeds both kb0 and the merge inside the IVM step
-    state0 = vote_counts(
+    state0 = _tracked_persist(vote_counts(
         knowledge_aligned(half(a, 0), half(b, 0), use_nfkc=False)
-    ).persist()
+    ))
     kb0 = state_winners(state0).select(
         "original_description", "official_description", "ccc_code", "frequency"
     )
@@ -1852,7 +1915,7 @@ def _q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    prof = shingle_profiles(docs).persist()
+    prof = _tracked_persist(shingle_profiles(docs))
     pairs = jaccard_verify_profiles(
         lsh_candidate_pairs(lsh_bands(prof)), prof
     ).select("id_a", "id_b")
@@ -1909,8 +1972,8 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    p1 = shingle_profiles(docs.filter(F.col("doc_id") % 2 == 0)).persist()
-    p2 = shingle_profiles(docs.filter(F.col("doc_id") % 2 == 1)).persist()
+    p1 = _tracked_persist(shingle_profiles(docs.filter(F.col("doc_id") % 2 == 0)))
+    p2 = _tracked_persist(shingle_profiles(docs.filter(F.col("doc_id") % 2 == 1)))
     edges = dedup_increment(p1).unionByName(
         dedup_increment(p2, store_profiles=p1)
     )
@@ -2243,6 +2306,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fp_dups": _q_audio_fp_dups,
         # graph clustering structure: per-node triangle counts
         "copurchase_triangles": _q_copurchase_triangles,
+        # graph density structure: 4-round k-core sieve
+        "copurchase_kcore": _q_copurchase_kcore,
+        # weighted sparse similarity: TF-IDF cosine pairs
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        # leakage-safe split: whole near-dup clusters per split
+        "cluster_safe_split": _q_cluster_safe_split,
         # exact-integer PPS systematic sampling by token mass
         "pps_length_sample": _q_pps_length_sample,
         # zero-float k-sigma outlier gate (int128 cross-multiply)
@@ -2427,6 +2496,12 @@ def oracle_sql() -> dict[str, str]:
         "image_ahash_dups": ext.IMAGE_AHASH_DUPS_SQL,
         "audio_fp_dups": ext.AUDIO_FP_DUPS_SQL,
         "copurchase_triangles": ext.COPURCHASE_TRIANGLES_SQL,
+        "copurchase_kcore": ext.COPURCHASE_KCORE_SQL,
+        "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
+        "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(
+            t_train=_hex_threshold(0.8),
+            t_val=_hex_threshold(0.9),
+        ),
         "pps_length_sample": ext.PPS_SAMPLE_SQL,
         "event_sigma_outliers": ext.EVENT_SIGMA_OUTLIERS_SQL,
         "lsh_recall_curve": ext.LSH_RECALL_CURVE_SQL,

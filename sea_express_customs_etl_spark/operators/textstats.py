@@ -542,3 +542,110 @@ def inverted_index(
         ),
     )
     return agg.select("term", "df", "total_tf", gaps.alias("gaps"))
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+    df_cap_ratio: int = 10,
+    df_max: int | None = None,
+    idf_unit: int = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity join over word-bigram terms —
+    the WEIGHTED sibling of the MinHash/Jaccard dedup family (set
+    overlap treats every shingle equally; TF-IDF cosine up-weights
+    rare terms, the classic IR similarity). Output: id_a < id_b,
+    n_shared (bigint count of shared kept terms) for every pair with
+    cosine ≥ threshold_num/threshold_den.
+
+    Exact-integer discipline (the ``kmeans_fit_q`` rule): weights are
+    w = tf · ((N · idf_unit) DIV df) — an integer-rational IDF,
+    monotone in N/df (documented divergence from ln-IDF: floats never
+    enter). The threshold test cross-multiplies instead of dividing:
+    den²·dot² ≥ num²·‖a‖²·‖b‖², with dot/norms accumulated in
+    DECIMAL(38,0) (DuckDB mirrors in HUGEINT) — both 128-bit-exact.
+    At extreme corpus sizes the squared comparison needs
+    dot < ~1e19·√den⁻¹; ``idf_unit`` is the dial (drop to 1 and the
+    bound relaxes by 1e6).
+
+    Scale shape: bigram terms are built map-side (array transform, no
+    positional self-join); df-capped terms (df · df_cap_ratio ≤ N —
+    the standard stop-term prune bounding posting-list fan-out: the
+    candidate join is Σ df² over KEPT terms only). The RATIO cap alone
+    does not bound the join when the vocabulary is fixed (df grows
+    with N, so Σ df² grows N²); ``df_max`` adds the ABSOLUTE
+    posting-list truncation production indexes use — Σ df² ≤
+    vocab · df_max², corpus-size-independent. Docs whose terms are all
+    pruned simply propose no candidates (rare-term fingerprinting).
+    One term-keyed
+    self-join proposes candidates; per-pair partial-aggregated dot.
+    The doc count joins in as a 1-row broadcast scalar. The weight
+    frame feeds three consumers (norms + both join sides) → pinned
+    via tracked_persist.
+    """
+    from ..plans.cache import tracked_persist
+
+    # materialize the token array BEFORE the bigram lambda: an inline
+    # split() inside transform() re-evaluates per element (O(len²)
+    # re-splits per doc — measured 5.4 s for a 0.4 M-token corpus vs
+    # 0.5 s staged)
+    big = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    ).select(F.col(id_col), F.explode(_bigrams(F.col("_toks"))).alias("term"))
+    tf = big.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_tf")
+    )
+    dft = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("_df"))
+    n = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    w = tracked_persist(
+        tf.join(dft, "term")
+        .join(F.broadcast(n))
+        .filter(
+            (F.col("_df") * df_cap_ratio <= F.col("_n"))
+            & (
+                F.col("_df") <= df_max
+                if df_max is not None
+                else F.lit(True)
+            )
+        )
+        .select(
+            F.col(id_col),
+            "term",
+            (
+                F.col("_tf")
+                * F.expr(f"(_n * {int(idf_unit)}) DIV _df")
+            ).alias("_w"),
+        )
+    )
+    dec = "decimal(38,0)"
+    nrm = w.groupBy(id_col).agg(
+        F.sum(F.col("_w").cast(dec) * F.col("_w").cast(dec)).alias("_n2")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dot = (
+        a.join(b, "term")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(
+            F.sum(F.col("a._w").cast(dec) * F.col("b._w").cast(dec)).alias("_d"),
+            F.count(F.lit(1)).cast("bigint").alias("n_shared"),
+        )
+    )
+    num2 = int(threshold_num) * int(threshold_num)
+    den2 = int(threshold_den) * int(threshold_den)
+    return (
+        dot.join(nrm.select(F.col(id_col).alias("id_a"), F.col("_n2").alias("_na")), "id_a")
+        .join(nrm.select(F.col(id_col).alias("id_b"), F.col("_n2").alias("_nb")), "id_b")
+        .filter(
+            F.lit(den2).cast(dec) * F.col("_d") * F.col("_d")
+            >= F.lit(num2).cast(dec) * F.col("_na") * F.col("_nb")
+        )
+        .select("id_a", "id_b", "n_shared")
+    )

@@ -1085,6 +1085,26 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
+# leak-proof split (operators/sampling.py:hash_split keyed on the dedup
+# cluster label): every member of a near-dup cluster lands in the SAME
+# split -- the leakage-safe assignment a pretraining pipeline needs when
+# it keeps duplicates (weighting) instead of dropping them. Same
+# connected components as DEDUP_CLUSTERS_SQL; thresholds are
+# hex_threshold() literals supplied at lookup time.
+CLUSTER_SAFE_SPLIT_SQL = f"""
+WITH RECURSIVE {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS}, {_CCOMP}
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       CASE WHEN substring(md5('split' ||
+                 CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+                 < '{{t_train}}' THEN 'train'
+            WHEN substring(md5('split' ||
+                 CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+                 < '{{t_val}}' THEN 'val'
+            ELSE 'test' END AS split
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
 # decontamination: benchmark = doc_id % 50 = 0, corpus = the rest, 5-gram
 # overlap. Calibration (sf0.01): trigrams flag 257/490 corpus docs (pure
 # chance collisions on a ~30-word vocabulary), 5-grams flag exactly the
@@ -2315,6 +2335,76 @@ nodes AS (
   UNION ALL SELECT z FROM tris)
 SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY 1
+"""
+
+# 4-round k-core sieve (operators/graph.py:kcore) over the
+# ≥2-co-occurrence co-purchase graph (graph.py:cooccur_edges): each
+# round removes nodes of degree < 3 and their edges; output = each
+# survivor's degree in the surviving subgraph. Fixed rounds on both
+# engines — the pagerank fixed-trajectory discipline, exact integers
+# throughout.
+COPURCHASE_KCORE_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+d0 AS (SELECT src, count(*) AS d FROM e0 GROUP BY src),
+bad0 AS (SELECT src AS node FROM d0 WHERE d < 3),
+e1 AS (SELECT * FROM e0 WHERE src NOT IN (SELECT node FROM bad0)
+                          AND dst NOT IN (SELECT node FROM bad0)),
+d1 AS (SELECT src, count(*) AS d FROM e1 GROUP BY src),
+bad1 AS (SELECT src AS node FROM d1 WHERE d < 3),
+e2 AS (SELECT * FROM e1 WHERE src NOT IN (SELECT node FROM bad1)
+                          AND dst NOT IN (SELECT node FROM bad1)),
+d2 AS (SELECT src, count(*) AS d FROM e2 GROUP BY src),
+bad2 AS (SELECT src AS node FROM d2 WHERE d < 3),
+e3 AS (SELECT * FROM e2 WHERE src NOT IN (SELECT node FROM bad2)
+                          AND dst NOT IN (SELECT node FROM bad2)),
+d3 AS (SELECT src, count(*) AS d FROM e3 GROUP BY src),
+bad3 AS (SELECT src AS node FROM d3 WHERE d < 3),
+e4 AS (SELECT * FROM e3 WHERE src NOT IN (SELECT node FROM bad3)
+                          AND dst NOT IN (SELECT node FROM bad3))
+SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+FROM e4 GROUP BY 1
+"""
+
+# sparse TF-IDF cosine join (operators/textstats.py:tfidf_cosine_pairs):
+# bigram terms, integer-rational IDF w = tf·((N·1000) // df), df-capped
+# (df·10 ≤ N), HUGEINT dot/norms (Spark mirrors in DECIMAL(38,0)),
+# cross-multiplied cosine ≥ 1/2 test — floats never enter.
+TFIDF_COSINE_PAIRS_SQL = f"""
+WITH n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+toks AS (
+  SELECT doc_id, tok, i FROM (
+    SELECT doc_id, unnest({_TOKS}) AS tok,
+           unnest(range(1, len({_TOKS}) + 1)) AS i
+    FROM documents)
+), big AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS term
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+), tf AS (
+  SELECT doc_id, term, count(*)::BIGINT AS tf FROM big GROUP BY 1, 2
+), df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+), w AS (
+  SELECT tf.doc_id, tf.term, tf.tf * ((n.n_docs * 1000) // df.df) AS w
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE df.df * 10 <= n.n_docs AND df.df <= 60
+), nrm AS (
+  SELECT doc_id, sum(w::HUGEINT * w::HUGEINT) AS n2 FROM w GROUP BY doc_id
+), dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         sum(a.w::HUGEINT * b.w::HUGEINT) AS d,
+         count(*)::BIGINT AS n_shared
+  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, n_shared
+FROM dot
+JOIN nrm na ON dot.id_a = na.doc_id
+JOIN nrm nb ON dot.id_b = nb.doc_id
+WHERE 4 * d * d >= 1 * na.n2 * nb.n2
 """
 
 # PPS systematic sampling (operators/sampling.py:pps_systematic_sample):

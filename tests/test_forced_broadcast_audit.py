@@ -48,6 +48,7 @@ FORCED_BROADCAST_ALLOWED = {
     "ivfpq_nprobe2",       # same, LUT = |queries|·nprobe·m·k rows
     "decontaminate",       # eval-set n-grams (eval-sized, correct side)
     "tfidf_top_terms",     # 1-row corpus-size N
+    "tfidf_cosine_pairs",  # 1-row corpus-size N (IDF scalar)
     "events_gapfill_locf",  # 1-row (lo, hi) hour bounds
     "lm_score",            # 1-row vocabulary-size V (counts NOT pinned)
     "domain_mix_sample",   # per-domain targets/budget/thresholds

