@@ -135,6 +135,65 @@ def pagerank(
     return ranks.select("node", F.col("r").alias("rank_u6"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 3,
+    damping_u6: int = 850_000,
+) -> DataFrame:
+    """Seeded (topic-sensitive) PageRank: the teleport mass lands ONLY
+    on the ``seeds`` node set (one ``node`` column; restricted to
+    nodes present in the graph), so ranks measure proximity to the
+    seed topic instead of global importance — the related-items /
+    recommendation form of :func:`pagerank`. Output: node, ppr_u6
+    (bigint micro-units) for EVERY graph node (non-seed nodes far from
+    the seeds decay to 0 — kept, for rank-conservation checks).
+
+    Same exact-integer trajectory as :func:`pagerank` (micro-unit
+    ranks, contrib = r DIV outdeg, damping product in DECIMAL(38,0),
+    lazy per-sweep checkpoints); the seed indicator rides the rank
+    frame so each sweep is still one join + one aggregate + one
+    node-frame left join. r0 = MICRO·[n ∈ seeds]."""
+    base_u6 = MICRO - damping_u6
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    ed = tracked_persist(edges.join(deg, "src"))
+    nodes = tracked_persist(
+        deg.select(F.col("src").alias("node"))
+        .join(
+            seeds.select("node").distinct().withColumn("_s1", F.lit(1)),
+            "node",
+            "left",
+        )
+        .select(
+            "node", F.coalesce(F.col("_s1"), F.lit(0)).alias("_seed")
+        )
+    )  # one scan per sweep + the init
+    ranks = nodes.select(
+        "node",
+        "_seed",
+        (F.col("_seed").cast("bigint") * MICRO).alias("r"),
+    )
+    step = (
+        f"CAST({base_u6} AS BIGINT) * CAST(_seed AS BIGINT) + "
+        f"CAST(CAST({damping_u6} AS DECIMAL(38,0)) * "
+        f"CAST(coalesce(_s, CAST(0 AS BIGINT)) AS DECIMAL(38,0)) "
+        f"DIV 1000000 AS BIGINT)"
+    )
+    for _ in range(iters):
+        contribs = (
+            ed.join(ranks.select("node", "r"), ed.src == F.col("node"))
+            .select("dst", F.expr("r DIV _d").alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select("node", "_seed", F.expr(step).alias("r"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("r").alias("ppr_u6"))
+
+
 def cooccur_edges(lineitem: DataFrame, min_weight: int = 2) -> DataFrame:
     """Thresholded co-purchase edges: part pairs co-occurring in at
     least ``min_weight`` distinct orders (both directions). The weight

@@ -1533,6 +1533,56 @@ LIMIT 50
 """
 )
 
+# seeded / topic-sensitive PageRank (operators/graph.py:
+# personalized_pagerank): teleport mass restricted to Brand#11 parts,
+# same micro-unit integer trajectory as COPURCHASE_PAGERANK_SQL, 3
+# sweeps unrolled; every sweep re-joins the full node frame so
+# contribution-less nodes decay exactly (coalesce 0).
+
+_PPR_STEP = """
+  SELECT n.node, n.seed,
+         CAST(150000 * n.seed
+              + (850000::HUGEINT * coalesce(c.s, 0)) // 1000000
+              AS BIGINT) AS r
+  FROM nodes n
+  LEFT JOIN (SELECT e.dst AS node, sum(r.r // e.d) AS s
+             FROM ed e JOIN {prev} r ON e.src = r.node
+             GROUP BY 1) c ON c.node = n.node
+"""
+
+BRAND_SEEDED_PPR_SQL = (
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.d FROM edges e JOIN deg ON deg.src = e.src),
+nodes AS (
+  SELECT g.node,
+         CAST(CASE WHEN p.p_partkey IS NOT NULL THEN 1 ELSE 0 END
+              AS BIGINT) AS seed
+  FROM (SELECT src AS node FROM deg) g
+  LEFT JOIN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#11') p
+    ON p.p_partkey = g.node),
+r0 AS (SELECT node, seed, CAST(seed * 1000000 AS BIGINT) AS r FROM nodes),
+it1 AS ("""
+    + _PPR_STEP.format(prev="r0")
+    + """),
+it2 AS ("""
+    + _PPR_STEP.format(prev="it1")
+    + """),
+it3 AS ("""
+    + _PPR_STEP.format(prev="it2")
+    + """)
+SELECT node AS part, r AS ppr_u6
+FROM it3
+ORDER BY ppr_u6 DESC, node
+LIMIT 50
+"""
+)
+
 # --------------------------------------------------------------------------
 # SQ8 scalar quantization (operators/sq.py): per-dimension micro-unit
 # (lo, span) stats, code = clamp(floor((x-lo)*255/span)); asymmetric

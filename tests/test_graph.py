@@ -98,6 +98,48 @@ def test_triangle_counts_golden_and_direction_insensitive(spark):
         assert got2 == got, orient
 
 
+def test_personalized_pagerank_mass_stays_near_seeds(spark):
+    """Two disconnected symmetric pairs, seeds on one: the seeded
+    component is at its MICRO fixpoint, the other decays to exactly 0
+    (no teleport mass, no inflow)."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    e = _edges(spark, [(1, 2), (2, 1), (3, 4), (4, 3)])
+    seeds = spark.createDataFrame([(1,), (2,)], ["node"])
+    out = {
+        r.node: r.ppr_u6
+        for r in personalized_pagerank(e, seeds, iters=3).collect()
+    }
+    assert out == {1: 1_000_000, 2: 1_000_000, 3: 0, 4: 0}
+
+
+def test_personalized_pagerank_star_golden(spark):
+    """Hub 0 <-> leaves 1..4, seed = leaf 1 only. Hand-computed:
+    r0 = (0:0, 1:1e6, leaves else 0)
+    it1: hub gets 850000·(1e6 DIV 1) DIV 1e6 ... leaf1 contributes
+    1e6 via its single edge to hub; hub had 0 so leaves get 0; leaf1
+    gets base 150000."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    pairs = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {
+        r.node: r.ppr_u6
+        for r in personalized_pagerank(_edges(spark, pairs), seeds, iters=2).collect()
+    }
+    # it1: hub = 850000*1e6 DIV 1e6 = 850000; leaf1 = 150000; others 0
+    # it2: hub = 850000*150000 DIV 1e6 = 127500
+    #      each leaf = 850000*(850000 DIV 4) DIV 1e6 = 180625
+    #      leaf1 adds base: 150000 + 180625 = 330625
+    assert out[0] == 127_500
+    assert out[1] == 330_625
+    assert out[2] == out[3] == out[4] == 180_625
+
+
 def test_kcore_peel_cascade_golden(spark):
     """Triangle {1,2,3} + pendant chain 3-4-5: k=2 peeling unravels
     the chain one node per round (5 first, then 4), leaving exactly
