@@ -1869,6 +1869,33 @@ def _q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change detection from raw bytes: 6-frame PGM streams with
+    a REAL structural scene switch planted at frame 3 for every third
+    id, decoded frame by frame and scored by consecutive-frame SAD in
+    one stream-local Arrow pass (no join, no shuffle — the map-only
+    decode shape). Exact sums + an exact threshold flag hash-match the
+    analytic closed-form oracle."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        synth_video_scenes,
+        video_scene_sads,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 40)
+        .select(F.col("p_partkey").alias("media_id"))
+    )
+    sads = video_scene_sads(synth_video_scenes(ids))
+    return sads.select(
+        "media_id",
+        "frame_idx",
+        "sad",
+        "n_px",
+        (F.col("sad") > 40 * F.col("n_px")).cast("int").alias("is_cut"),
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dedup import (
         dedup_clusters,
@@ -2275,6 +2302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
+        # temporal multimodal: consecutive-frame SAD scene cuts
+        "video_scene_cuts": _q_video_scene_cuts,
         # z-order layout keys + SCD2 warehouse history + PIT consumer
         "zorder_locality": _q_zorder_locality,
         "scd2_history": _q_scd2_history,
@@ -2500,6 +2529,7 @@ def oracle_sql() -> dict[str, str]:
         "image_decode_stats": ext.IMAGE_DECODE_STATS_SQL,
         "audio_decode_stats": ext.AUDIO_DECODE_STATS_SQL,
         "video_frame_stats": ext.VIDEO_FRAME_STATS_SQL,
+        "video_scene_cuts": ext.VIDEO_SCENE_CUTS_SQL,
         "zorder_locality": ext.ZORDER_LOCALITY_SQL,
         "scd2_history": ext.SCD2_HISTORY_SQL,
         "trigram_backoff": ext.TRIGRAM_BACKOFF_SQL,

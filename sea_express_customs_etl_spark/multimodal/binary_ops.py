@@ -842,3 +842,97 @@ def audio_fp_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def synth_video_scenes(
+    ids: DataFrame,
+    n_frames: int = 6,
+    cut_at: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Deterministic frame stream WITH scene changes: frames below
+    ``cut_at`` use gradient coefficients (5, 7); from ``cut_at`` on,
+    ids divisible by 3 switch to (13, 17) — a real structural change
+    (FIXTURES.md rule: vary structure, not a constant offset, so
+    difference-based detectors see it) while the other ids stay
+    continuous. pixel(f, i, j) = (3·id + 11·f + a·i + b·j) mod 251,
+    w = 4 + id%7, h = 4 + id%5 — the same closed form the SQL oracle
+    replays."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                w, h = 4 + mid % 7, 4 + mid % 5
+                i = np.arange(h)[:, None]
+                j = np.arange(w)[None, :]
+                chunks = []
+                for f in range(n_frames):
+                    a, b = (
+                        (13, 17)
+                        if f >= cut_at and mid % 3 == 0
+                        else (5, 7)
+                    )
+                    arr = (
+                        (3 * mid + 11 * f + a * i + b * j) % 251
+                    ).astype(np.uint8)
+                    chunks.append(encode_ppm(arr[:, :, None]))
+                payloads.append(b"".join(chunks))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(
+        kernel, f"{id_col} long, payload binary"
+    )
+
+
+def video_scene_sads(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Scene-change signal from a concatenated-PPM stream: REAL frame
+    decode, then the sum of absolute pixel differences (SAD) between
+    each consecutive frame pair — the classic cut detector. Output:
+    (id, frame_idx of the LATER frame, sad bigint, n_px int).
+
+    Stream-local by construction: consecutive frames live in the same
+    payload row, so the whole computation is one Arrow ``mapInPandas``
+    pass — no join, no shuffle; corrupt tails stop the walk for that
+    row only (frames seen so far still pair up). At 100 TB this is the
+    map-only decode shape (the scan IS the cost), like
+    ``image_decode_stats``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sads, npx = [], [], [], []
+            for mid, content in zip(pdf[id_col], pdf[binary_col]):
+                buf = bytes(content)
+                pos = frame_no = 0
+                prev = None
+                while pos < len(buf):
+                    try:
+                        arr, consumed = decode_pnm(buf[pos:])
+                    except Exception:
+                        break
+                    cur = arr.astype(np.int64)
+                    if prev is not None and prev.shape == cur.shape:
+                        ids.append(mid)
+                        idxs.append(frame_no)
+                        sads.append(int(np.abs(cur - prev).sum()))
+                        npx.append(int(cur.shape[0] * cur.shape[1]))
+                    prev = cur
+                    pos += consumed
+                    frame_no += 1
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "sad": sads,
+                    "n_px": npx,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel, f"{id_col} long, frame_idx int, sad long, n_px int"
+    )

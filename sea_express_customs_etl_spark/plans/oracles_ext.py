@@ -1930,6 +1930,41 @@ FROM px
 """
 
 
+
+
+# scene-cut detection (multimodal/binary_ops.py:video_scene_sads over
+# synth_video_scenes): consecutive-frame SAD replayed analytically —
+# pixel(f,i,j) = (3id + 11f + a·i + b·j) mod 251 with (a,b) switching
+# (5,7)→(13,17) at f≥3 for ids % 3 = 0 (the planted cut). The flag is
+# exact on both sides: is_cut = sad > 40·n_px.
+VIDEO_SCENE_CUTS_SQL = """
+WITH ids AS (SELECT p_partkey AS media_id FROM part WHERE p_partkey <= 40),
+dims AS (SELECT media_id, 4 + media_id % 7 AS w, 4 + media_id % 5 AS h
+         FROM ids),
+px AS (
+  SELECT d.media_id, fr.f, d.w, d.h, gi.i, gj.j,
+         (3 * d.media_id + 11 * fr.f
+          + (CASE WHEN fr.f >= 3 AND d.media_id % 3 = 0
+                  THEN 13 ELSE 5 END) * gi.i
+          + (CASE WHEN fr.f >= 3 AND d.media_id % 3 = 0
+                  THEN 17 ELSE 7 END) * gj.j) % 251 AS v
+  FROM dims d
+  JOIN generate_series(0, 5) fr(f) ON TRUE
+  JOIN generate_series(0, 9) gi(i) ON gi.i < d.h
+  JOIN generate_series(0, 10) gj(j) ON gj.j < d.w),
+sad AS (
+  SELECT a.media_id, b.f AS frame_idx,
+         CAST(sum(abs(b.v - a.v)) AS BIGINT) AS sad,
+         CAST(max(a.w * a.h) AS INTEGER) AS n_px
+  FROM px a JOIN px b ON a.media_id = b.media_id AND b.f = a.f + 1
+        AND a.i = b.i AND a.j = b.j
+  GROUP BY 1, 2)
+SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx, sad, n_px,
+       CAST(CASE WHEN sad > 40 * n_px THEN 1 ELSE 0 END AS INTEGER)
+           AS is_cut
+FROM sad
+"""
+
 def pretrain_prep_sql(merges) -> str:
     """Composed pretraining-prep oracle: quality gate -> BPE tokenize
     (real token counts, not the chars/4 estimate) -> 512-token packing

@@ -328,3 +328,37 @@ def test_audio_fp_pairs_catch_planted_attenuated_copies(spark):
     planted = [r for r in pairs if r.id_b - r.id_a == 100_000]
     assert len(planted) == 7  # ids 10, 20, ..., 70
     assert all(r.hamming == 0 for r in planted)
+
+
+def test_video_scene_sads_detects_planted_cut(spark):
+    """The SAD signal spikes exactly at the planted coefficient switch
+    (frame 3, ids % 3 == 0) and stays continuous elsewhere; a corrupt
+    tail drops later pairs for that row only."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        synth_video_scenes,
+        video_scene_sads,
+    )
+    import pyspark.sql.functions as F
+
+    ids = spark.createDataFrame([(3,), (4,)], ["media_id"])
+    out = video_scene_sads(synth_video_scenes(ids)).collect()
+    by = {(r.media_id, r.frame_idx): r for r in out}
+    # 6 frames -> 5 consecutive pairs per id
+    assert sorted(k for k in by) == [
+        (m, f) for m in (3, 4) for f in range(1, 6)
+    ]
+    # id 3 (planted): the frame-2->3 SAD dwarfs its neighbours
+    r3 = {f: by[(3, f)].sad for f in range(1, 6)}
+    assert r3[3] > 3 * max(r3[1], r3[2], r3[4], r3[5])
+    # id 4 (continuous): no pair stands out by that margin
+    r4 = {f: by[(4, f)].sad for f in range(1, 6)}
+    assert max(r4.values()) <= 3 * min(r4.values())
+
+    # corrupt tail: truncate one payload mid-stream
+    vids = synth_video_scenes(ids)
+    cut = vids.select(
+        "media_id",
+        F.expr("substring(payload, 1, 60)").alias("payload"),
+    )
+    short = video_scene_sads(cut).collect()
+    assert all(r.frame_idx <= 1 for r in short)

@@ -359,6 +359,47 @@ def cases_graph() -> dict:
     }
 
 
+def cases_li() -> dict:
+    """Probes over the replicated lineitem graph: 8× disjoint copies
+    of the co-purchase graph (order AND part keys shifted), so node
+    count grows 8× while per-node degree structure is held constant —
+    the per-round/per-sweep shuffles are what scales."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        cooccur_edges,
+        copurchase_edges,
+        kcore,
+        personalized_pagerank,
+    )
+
+    def _kcore(li):
+        return kcore(cooccur_edges(li, min_weight=2), k=3, rounds=4)
+
+    def _ppr(li):
+        edges = copurchase_edges(li)
+        seeds = edges.select(F.col("src").alias("node")).filter(
+            F.col("node") % 25 == 11
+        ).distinct()
+        return personalized_pagerank(edges, seeds, iters=3)
+
+    return {"kcore_sieve": _kcore, "seeded_ppr": _ppr}
+
+
+def cases_tfidf() -> dict:
+    from sea_express_customs_etl_spark.operators.textstats import (
+        tfidf_cosine_pairs,
+    )
+
+    # replication multiplies df 8×: the ABSOLUTE df_max cap prunes
+    # harder as the corpus grows — candidate volume is bounded by
+    # vocab · df_max² regardless of N (the documented dial); the
+    # bigram/tf/df scans still read 8× rows.
+    return {
+        "tfidf_cosine": lambda docs, emb: tfidf_cosine_pairs(
+            docs, df_max=60
+        )
+    }
+
+
 def main() -> None:
     from sea_express_customs_etl_spark.plans.standins import load_table
     from sea_express_customs_etl_spark.session import get_spark
@@ -380,15 +421,28 @@ def main() -> None:
     for df in (docs1, emb1, ev1):
         df.count()  # warm the scans
 
+    li1 = load_table(spark, SF_DIR, "lineitem")
+    li8 = None
+    for i in range(REP):
+        part = li1.withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.lit(i * _OFFSET)
+        ).withColumn("l_partkey", F.col("l_partkey") + F.lit(i * _OFFSET))
+        li8 = part if li8 is None else li8.unionByName(part)
+    li1.count()
+
     wanted = sys.argv[1:] or None
     ev_cases = cases_ev()
     graph_cases = cases_graph()
+    li_cases = cases_li()
     all_cases = dict(cases())
+    all_cases.update(cases_tfidf())
     for nm, fn_ev in ev_cases.items():
         # adapt to the (d, e) calling convention; e is unused
         all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_ev)
     for nm, fn_g in graph_cases.items():
         all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_g)
+    for nm, fn_li in li_cases.items():
+        all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_li)
     g1 = _skewed_edges(spark, 1)
     g8 = _skewed_edges(spark, REP)
     names = wanted or list(all_cases)
@@ -397,6 +451,8 @@ def main() -> None:
         walls = {}
         if name in graph_cases:
             scales = {"1x": (g1, None), "8x": (g8, None)}
+        elif name in li_cases:
+            scales = {"1x": (li1, None), "8x": (li8, None)}
         elif name in ev_cases:
             scales = {"1x": (ev1, None), "8x": (ev8, None)}
         else:
