@@ -1065,6 +1065,26 @@ def _q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(_docs(spark, sf_dir), df_max=60)
 
 
+def _q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the ≥2-co-occurrence graph: the dedup
+    family's min-label resolution (union-find below the model-size
+    threshold, distributed label-prop sweeps above — identical labels
+    either way, property-tested) exposed as the graph primitive.
+    Output: node, cluster_id (component minimum id)."""
+    from sea_express_customs_etl_spark.operators.dedup import dedup_clusters
+    from sea_express_customs_etl_spark.operators.graph import cooccur_edges
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    edges = cooccur_edges(load_table(spark, sf_dir, "lineitem"), min_weight=2)
+    und = edges.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    return dedup_clusters(nodes, und, id_col="node").select(
+        "node", "cluster_id"
+    )
+
+
 def _q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-round k=3 core sieve over the ≥2-co-occurrence co-purchase
     graph — the density-structure sibling of copurchase_triangles
@@ -2363,6 +2383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_triangles": _q_copurchase_triangles,
         # graph density structure: 4-round k-core sieve
         "copurchase_kcore": _q_copurchase_kcore,
+        # graph connectivity: components via the dedup label machinery
+        "copurchase_components": _q_copurchase_components,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
@@ -2553,6 +2575,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_fp_dups": ext.AUDIO_FP_DUPS_SQL,
         "copurchase_triangles": ext.COPURCHASE_TRIANGLES_SQL,
         "copurchase_kcore": ext.COPURCHASE_KCORE_SQL,
+        "copurchase_components": ext.COPURCHASE_COMPONENTS_SQL,
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(

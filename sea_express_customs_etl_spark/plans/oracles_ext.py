@@ -2422,6 +2422,27 @@ SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY 1
 """
 
+# connected components over the >=2-co-occurrence co-purchase graph
+# (operators/dedup.py:dedup_clusters applied to graph nodes — the same
+# min-label resolution the dedup family uses, exposed as the graph
+# primitive): per-node component label = component minimum id.
+COPURCHASE_COMPONENTS_SQL = """
+WITH RECURSIVE items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+edges AS (SELECT src, dst FROM e0),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src)
+SELECT id AS node, cluster_id FROM comp
+"""
+
 # 4-round k-core sieve (operators/graph.py:kcore) over the
 # ≥2-co-occurrence co-purchase graph (graph.py:cooccur_edges): each
 # round removes nodes of degree < 3 and their edges; output = each
