@@ -1065,6 +1065,23 @@ def _q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(_docs(spark, sf_dir), df_max=60)
 
 
+def _q_quality_perceptron_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier TRAINING inside the engine: 3 full-batch epochs of an
+    integer perceptron over hashed token buckets (labels = English),
+    the learnable side of hashed_logit_score's fixed-weight inference.
+    The whole trajectory is exact integer arithmetic — one broadcast
+    model join + two partial-aggregated shuffles + one B-row collect
+    per epoch — and the TRAINED WEIGHTS hash-match the unrolled
+    3-epoch oracle."""
+    from sea_express_customs_etl_spark.operators.perceptron import (
+        train_perceptron_q,
+    )
+
+    return train_perceptron_q(
+        _docs(spark, sf_dir), F.col("lang") == "en", buckets=64, epochs=3
+    )
+
+
 def _q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the ≥2-co-occurrence graph: the dedup
     family's min-label resolution (union-find below the model-size
@@ -2385,6 +2402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_kcore": _q_copurchase_kcore,
         # graph connectivity: components via the dedup label machinery
         "copurchase_components": _q_copurchase_components,
+        # in-engine classifier training: integer perceptron weights
+        "quality_perceptron_weights": _q_quality_perceptron_weights,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
@@ -2576,6 +2595,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_triangles": ext.COPURCHASE_TRIANGLES_SQL,
         "copurchase_kcore": ext.COPURCHASE_KCORE_SQL,
         "copurchase_components": ext.COPURCHASE_COMPONENTS_SQL,
+        "quality_perceptron_weights": ext.PERCEPTRON_WEIGHTS_SQL,
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(

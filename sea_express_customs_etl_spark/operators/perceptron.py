@@ -1,0 +1,102 @@
+"""In-engine classifier TRAINING: a full-batch integer perceptron over
+hashed token-bucket features — the "train the quality classifier
+inside the pipeline" op (fastText-style linear text classifiers are
+the standard quality-filter models; ``textstats.hashed_logit_score``
+is the inference side with fixed weights, this module learns them).
+
+Why full-batch: per-sample perceptron updates are inherently
+sequential (the trajectory depends on sample order → partitioning-
+dependent, unhashable, undistributable). The full-batch form
+
+    w_{e+1}[b] = w_e[b] + Σ_docs (y_doc − 1[w_e·x_doc > 0]) · x_doc[b]
+
+needs ONE aggregate per epoch, is embarrassingly parallel, and its
+trajectory is exact integer arithmetic — partitioning-independent and
+hash-checkable against an unrolled SQL oracle (the ``kmeans_fit_q``
+discipline applied to supervised training).
+
+Scale shape: features are (doc, bucket, count) rows — one explode +
+one partial-aggregated groupBy off the corpus scan, persisted across
+epochs. Each epoch is: one broadcast join against the B-row weight
+table (model-sized), one per-doc partial-aggregated score sum, one
+per-bucket partial-aggregated delta sum, and one B-row collect (the
+k-means centroid license: the MODEL crosses the driver, never the
+corpus). Epoch cost is two shuffles regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ..plans.cache import tracked_persist
+from .dsir import token_buckets
+
+
+def train_perceptron_q(
+    df: DataFrame,
+    label_expr,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+    epochs: int = 3,
+) -> DataFrame:
+    """Train integer perceptron weights. ``label_expr`` is a Column
+    evaluating to the 0/1 label per row. Output: (bucket int, w
+    bigint) — one row per bucket OCCUPIED by the corpus (buckets no
+    token hashes into can never receive an update and are omitted,
+    matching the oracle).
+
+    Epoch semantics (all integer, ties predict 0 — ``score > 0`` is
+    strict on both engines): epoch 1 starts from w = 0, so every
+    prediction is 0 and the first update is +Σ over positive docs —
+    the class-conditional count vector; later epochs correct against
+    the running sign.
+    """
+    spark = df.sparkSession
+    cnt = tracked_persist(
+        token_buckets(df, text_col, id_col, buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )  # scanned twice per epoch (score + delta)
+    labels = tracked_persist(
+        df.select(F.col(id_col), label_expr.cast("bigint").alias("_y"))
+    )
+    w: dict[int, int] = {}
+    for _ in range(epochs):
+        if w:
+            wdf = spark.createDataFrame(
+                [(b, v) for b, v in sorted(w.items())], "bucket int, _w long"
+            )
+            scores = (
+                cnt.join(F.broadcast(wdf), "bucket")
+                .groupBy(id_col)
+                .agg(F.sum(F.col("_w") * F.col("_c")).alias("_s"))
+            )
+        else:
+            # w = 0 → every score is 0; skip the join entirely
+            scores = cnt.select(id_col).distinct().withColumn(
+                "_s", F.lit(0).cast("bigint")
+            )
+        err = labels.join(scores, id_col, "left").select(
+            F.col(id_col),
+            (
+                F.col("_y")
+                - (F.coalesce(F.col("_s"), F.lit(0)) > 0).cast("bigint")
+            ).alias("_e"),
+        )
+        delta = (
+            cnt.join(err, id_col)
+            .groupBy("bucket")
+            .agg(F.sum(F.col("_e") * F.col("_c")).alias("_dw"))
+            .collect()  # B rows — the model crosses the driver, nothing else
+        )
+        for r in delta:
+            w[r.bucket] = w.get(r.bucket, 0) + r._dw
+    occupied = cnt.select("bucket").distinct()
+    wdf = spark.createDataFrame(
+        [(b, v) for b, v in sorted(w.items())], "bucket int, w long"
+    )
+    return occupied.join(wdf, "bucket", "left").select(
+        "bucket", F.coalesce(F.col("w"), F.lit(0)).cast("bigint").alias("w")
+    )

@@ -1335,6 +1335,48 @@ WHERE round(list_inner_product(na.nv, nb.nv) / (na.nn * nb.nn), 6) >= 0.4
 
 
 # --------------------------------------------------------------------------
+# Integer perceptron training (operators/perceptron.py): 3 full-batch
+# epochs unrolled — w_{e+1}[b] = w_e[b] + sum_docs (y - 1[w_e.x > 0]).x[b],
+# all integers, labels y = (lang = 'en'). Epoch 1 starts from w = 0 so
+# its update is the positive-class count vector; every occupied bucket
+# appears from epoch 1 on, so later epochs join on equal key sets.
+# --------------------------------------------------------------------------
+_PERC_BUCKET = (
+    "CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS INTEGER)"
+)
+
+_PERC_EPOCH = """
+s{e} AS (SELECT c.doc_id, sum(w{p}.w * c.c) AS s
+       FROM cnt c JOIN w{p} USING (bucket) GROUP BY 1),
+e{e} AS (SELECT l.doc_id,
+             l.y - CASE WHEN coalesce(s.s, 0) > 0 THEN 1 ELSE 0 END AS e
+       FROM lab l LEFT JOIN s{e} s USING (doc_id)),
+w{e} AS (SELECT w{p}.bucket, w{p}.w + d.dw AS w
+       FROM w{p} JOIN (SELECT c.bucket, sum(e{e}.e * c.c) AS dw
+                       FROM cnt c JOIN e{e} USING (doc_id)
+                       GROUP BY 1) d USING (bucket))
+"""
+
+PERCEPTRON_WEIGHTS_SQL = (
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tb AS (SELECT doc_id, {_PERC_BUCKET} AS bucket FROM toks),
+cnt AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM tb GROUP BY 1, 2),
+lab AS (SELECT doc_id,
+               CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM documents),
+w1 AS (SELECT c.bucket, sum(l.y * c.c) AS w
+       FROM cnt c JOIN lab l USING (doc_id) GROUP BY 1),"""
+    + _PERC_EPOCH.format(e=2, p=1)
+    + ","
+    + _PERC_EPOCH.format(e=3, p=2)
+    + """
+SELECT bucket, CAST(w AS BIGINT) AS w FROM w3
+"""
+)
+
+# --------------------------------------------------------------------------
 # DSIR importance scores (operators/dsir.py): hashed-token buckets via
 # ('0x'||md5[:8])::BIGINT % B (== Spark conv(substring(md5,1,8),16,10)
 # % B), Laplace-smoothed micro-unit integer ratios, integer doc sums.
