@@ -1082,6 +1082,36 @@ def _q_quality_perceptron_weights(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_learned_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → apply in one plan: the 3-epoch integer perceptron's
+    trained weights score every document (broadcast model join + one
+    partial-aggregated sum) and the gate keeps score > 0 — the full
+    learned-quality-filter loop a pretraining pipeline runs, composed
+    and hash-checked as ONE statement."""
+    from sea_express_customs_etl_spark.operators.dsir import token_buckets
+    from sea_express_customs_etl_spark.operators.perceptron import (
+        train_perceptron_q,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = train_perceptron_q(docs, F.col("lang") == "en", buckets=64, epochs=3)
+    cnt = (
+        token_buckets(docs, buckets=64)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    score = (
+        cnt.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("_c")).alias("_score"))
+    )
+    return docs.select("doc_id").join(score, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("_score"), F.lit(0)).cast("bigint").alias("score"),
+        (F.coalesce(F.col("_score"), F.lit(0)) > 0).cast("int").alias("kept"),
+    )
+
+
 def _q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the ≥2-co-occurrence graph: the dedup
     family's min-label resolution (union-find below the model-size
@@ -2404,6 +2434,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_components": _q_copurchase_components,
         # in-engine classifier training: integer perceptron weights
         "quality_perceptron_weights": _q_quality_perceptron_weights,
+        # composed train -> apply: learned gate over the corpus
+        "learned_quality_filter": _q_learned_quality_filter,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
@@ -2596,6 +2628,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_kcore": ext.COPURCHASE_KCORE_SQL,
         "copurchase_components": ext.COPURCHASE_COMPONENTS_SQL,
         "quality_perceptron_weights": ext.PERCEPTRON_WEIGHTS_SQL,
+        "learned_quality_filter": ext.LEARNED_QUALITY_FILTER_SQL,
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(

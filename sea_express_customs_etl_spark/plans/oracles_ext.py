@@ -1357,9 +1357,8 @@ w{e} AS (SELECT w{p}.bucket, w{p}.w + d.dw AS w
                        GROUP BY 1) d USING (bucket))
 """
 
-PERCEPTRON_WEIGHTS_SQL = (
-    f"""
-WITH toks AS (
+_PERC_PRELUDE = (
+    f"""toks AS (
   SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
 tb AS (SELECT doc_id, {_PERC_BUCKET} AS bucket FROM toks),
 cnt AS (SELECT doc_id, bucket, count(*)::BIGINT AS c FROM tb GROUP BY 1, 2),
@@ -1371,8 +1370,29 @@ w1 AS (SELECT c.bucket, sum(l.y * c.c) AS w
     + _PERC_EPOCH.format(e=2, p=1)
     + ","
     + _PERC_EPOCH.format(e=3, p=2)
+)
+
+PERCEPTRON_WEIGHTS_SQL = (
+    "WITH "
+    + _PERC_PRELUDE
     + """
 SELECT bucket, CAST(w AS BIGINT) AS w FROM w3
+"""
+)
+
+# train -> apply composed in one statement: the trained epoch-3 weights
+# score EVERY document and the gate keeps score > 0 (strict, ties drop
+# -- same tie rule the training trajectory uses).
+LEARNED_QUALITY_FILTER_SQL = (
+    "WITH "
+    + _PERC_PRELUDE
+    + """,
+sc AS (SELECT c.doc_id, sum(w3.w * c.c) AS score
+       FROM cnt c JOIN w3 USING (bucket) GROUP BY 1)
+SELECT d.doc_id, CAST(coalesce(sc.score, 0) AS BIGINT) AS score,
+       CAST(CASE WHEN coalesce(sc.score, 0) > 0 THEN 1 ELSE 0 END
+            AS INTEGER) AS kept
+FROM documents d LEFT JOIN sc USING (doc_id)
 """
 )
 
