@@ -98,3 +98,25 @@ def test_write_zordered_files_cover_disjoint_z_ranges(spark, tmp_path):
     assert len(spans) > 1
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 <= lo2  # disjoint, ordered intervals
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema drift across appended batches (a column added mid-stream
+    — the nightly-feed reality): mergeSchema reads the union schema
+    with NULLs for pre-drift rows, and the narrow read still prunes to
+    the requested columns."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], ["k", "v"]).write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", 7)], ["k", "v", "extra"]
+    ).write.mode("append").parquet(path)
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"k", "v", "extra"}
+    rows = {r.k: r.extra for r in merged.collect()}
+    assert rows == {1: None, 2: 7}
+    # without mergeSchema Spark picks one file's schema; the union
+    # read above is the contract consumers rely on
+    narrow = merged.select("k").collect()
+    assert sorted(r.k for r in narrow) == [1, 2]

@@ -385,6 +385,11 @@ def cases_li() -> dict:
 
 
 def cases_tfidf() -> dict:
+    import pyspark.sql.functions as _F
+
+    from sea_express_customs_etl_spark.operators.perceptron import (
+        train_perceptron_q,
+    )
     from sea_express_customs_etl_spark.operators.textstats import (
         tfidf_cosine_pairs,
     )
@@ -396,7 +401,12 @@ def cases_tfidf() -> dict:
     return {
         "tfidf_cosine": lambda docs, emb: tfidf_cosine_pairs(
             docs, df_max=60
-        )
+        ),
+        # 3 epochs x (1 broadcast model join + 2 partial-agg shuffles
+        # + B-row collect): corpus scans grow 8x, the model doesn't
+        "perceptron_train": lambda docs, emb: train_perceptron_q(
+            docs, _F.col("lang") == "en", buckets=64, epochs=3
+        ),
     }
 
 
