@@ -1082,6 +1082,23 @@ def _q_quality_perceptron_weights(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_top_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus forensics: the most-duplicated 5-grams (document
+    frequency over distinct per-doc shingles) — the repeated-n-gram
+    analysis C4/Gopher-style cleaning runs to surface boilerplate.
+    Global top-50 via orderBy+limit (TakeOrderedAndProject: map-side
+    partial top-k, never a single-partition window)."""
+    from sea_express_customs_etl_spark.operators.dedup import shingles
+
+    sh = shingles(_docs(spark, sf_dir), n=5)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("shingle"))
+        .limit(50)
+    )
+
+
 def _q_learned_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train → apply in one plan: the 3-epoch integer perceptron's
     trained weights score every document (broadcast model join + one
@@ -2436,6 +2453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_perceptron_weights": _q_quality_perceptron_weights,
         # composed train -> apply: learned gate over the corpus
         "learned_quality_filter": _q_learned_quality_filter,
+        # corpus forensics: boilerplate surfacing via repeated 5-grams
+        "top_duplicated_ngrams": _q_top_duplicated_ngrams,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
@@ -2629,6 +2648,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_components": ext.COPURCHASE_COMPONENTS_SQL,
         "quality_perceptron_weights": ext.PERCEPTRON_WEIGHTS_SQL,
         "learned_quality_filter": ext.LEARNED_QUALITY_FILTER_SQL,
+        "top_duplicated_ngrams": ext.TOP_DUP_NGRAMS_SQL,
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(

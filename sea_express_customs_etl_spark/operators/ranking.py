@@ -62,7 +62,10 @@ def global_rank(
         df.repartitionByRange(int(n_parts), *order_by)
         .withColumn("_pid", F.spark_partition_id())
     )
-    # model-sized collect path: one (pid, count) row per partition
+    # model-sized collect path: one (pid, count) row per partition.
+    # The unpartitioned window below is what emits Spark's "WindowExec:
+    # No Partition Defined" warning in gate logs — intentional: this
+    # frame is num_partitions rows (model-sized), never the corpus.
     offsets = (
         ranged.groupBy("_pid")
         .agg(F.count(F.lit(1)).alias("_cnt"))
@@ -132,6 +135,8 @@ def global_cumsum(
         df.repartitionByRange(int(n_parts), *order_by)
         .withColumn("_pid", F.spark_partition_id())
     )
+    # (same "No Partition Defined" warning license as global_rank:
+    # the offsets frame is num_partitions rows)
     offsets = (
         ranged.groupBy("_pid")
         .agg(F.sum(value_col).alias("_psum"))

@@ -2484,6 +2484,25 @@ SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY 1
 """
 
+# corpus forensics: the most-duplicated 5-grams (the C4/Gopher-style
+# repeated-n-gram analysis that surfaces boilerplate) — document
+# frequency over DISTINCT per-doc 5-gram shingles, global top 50 with
+# a deterministic (n_docs DESC, shingle ASC) tie-break.
+TOP_DUP_NGRAMS_SQL = f"""
+WITH sh5 AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(toks) - 3),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                       || ' ' || toks[i+3] || ' ' || toks[i+4])) AS shingle
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    WHERE len(toks) >= 5))
+SELECT shingle, CAST(count(*) AS BIGINT) AS n_docs
+FROM sh5 GROUP BY shingle
+ORDER BY n_docs DESC, shingle
+LIMIT 50
+"""
+
 # connected components over the >=2-co-occurrence co-purchase graph
 # (operators/dedup.py:dedup_clusters applied to graph nodes — the same
 # min-label resolution the dedup family uses, exposed as the graph
