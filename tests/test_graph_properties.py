@@ -1,0 +1,179 @@
+"""Property tests: round-6 graph/training operators vs independent
+pure-Python reference implementations on random inputs. These pin the
+exact integer semantics (tie-breaks, decay, peel order-independence)
+that goldens alone can miss."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, ["src", "dst"])
+
+
+def _rand_graph(rnd, n, m):
+    pairs = set()
+    while len(pairs) < m:
+        a, b = rnd.randrange(n), rnd.randrange(n)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    return sorted(pairs)
+
+
+def _ref_triangles(und):
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            for n in (a, b, c):
+                counts[n] = counts.get(n, 0) + 1
+    # each triangle seen from 3 of its edges → /3 per node... no:
+    # node n participates once per (edge, common-neighbor) pair that
+    # forms its triangle; triangle {x,y,z} is found from each of its 3
+    # edges, incrementing each member once per discovery → 3× per node
+    return {n: c // 3 for n, c in counts.items()}
+
+
+def test_triangles_match_reference_on_random_graphs(spark):
+    rnd = random.Random(42)
+    for trial in range(3):
+        und = _rand_graph(rnd, 25, 80)
+        from sea_express_customs_etl_spark.operators.graph import (
+            triangle_counts,
+        )
+
+        df = _edges(spark, und)
+        ref = _ref_triangles(und)
+        for orient in ("degree", "canonical"):
+            got = {
+                r.node: r.n_triangles
+                for r in triangle_counts(df, orient=orient).collect()
+            }
+            assert got == ref, (trial, orient)
+
+
+def _ref_kcore(und, k, rounds):
+    edges = set(und) | {(b, a) for a, b in und}
+    for _ in range(rounds):
+        deg = {}
+        for a, _b in edges:
+            deg[a] = deg.get(a, 0) + 1
+        bad = {n for n, d in deg.items() if d < k}
+        if not bad:
+            break
+        edges = {(a, b) for a, b in edges if a not in bad and b not in bad}
+    deg = {}
+    for a, _b in edges:
+        deg[a] = deg.get(a, 0) + 1
+    return deg
+
+
+def test_kcore_matches_reference_on_random_graphs(spark):
+    rnd = random.Random(7)
+    from sea_express_customs_etl_spark.operators.graph import kcore
+
+    for trial in range(3):
+        und = _rand_graph(rnd, 30, 45 + 15 * trial)
+        pairs = und + [(b, a) for a, b in und]
+        for k in (2, 3):
+            got = {
+                r.node: r.core_deg
+                for r in kcore(_edges(spark, pairs), k=k, rounds=4).collect()
+            }
+            assert got == _ref_kcore(und, k, 4), (trial, k)
+
+
+def _ref_ppr(und, seeds, iters, damping=850_000, micro=1_000_000):
+    edges = sorted(set(und) | {(b, a) for a, b in und})
+    outdeg = {}
+    for a, _b in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    nodes = sorted(outdeg)
+    base = micro - damping
+    r = {n: (micro if n in seeds else 0) for n in nodes}
+    for _ in range(iters):
+        contrib = {}
+        for a, b in edges:
+            contrib[b] = contrib.get(b, 0) + r[a] // outdeg[a]
+        r = {
+            n: base * (1 if n in seeds else 0)
+            + (damping * contrib.get(n, 0)) // micro
+            for n in nodes
+        }
+    return r
+
+
+def test_personalized_pagerank_matches_reference(spark):
+    rnd = random.Random(11)
+    from sea_express_customs_etl_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    und = _rand_graph(rnd, 20, 40)
+    pairs = und + [(b, a) for a, b in und]
+    seeds = {n for n, _ in und[:5]}
+    got = {
+        r.node: r.ppr_u6
+        for r in personalized_pagerank(
+            _edges(spark, pairs),
+            spark.createDataFrame([(s,) for s in seeds], ["node"]),
+            iters=3,
+        ).collect()
+    }
+    assert got == _ref_ppr(und, seeds, 3)
+
+
+def _ref_perceptron(docs, labels, buckets, epochs, bucket_of):
+    cnt = {}
+    for did, text in docs:
+        for tok in text.split():
+            b = bucket_of(tok)
+            cnt[(did, b)] = cnt.get((did, b), 0) + 1
+    w = {}
+    for _ in range(epochs):
+        score = {}
+        for (did, b), c in cnt.items():
+            score[did] = score.get(did, 0) + w.get(b, 0) * c
+        err = {
+            did: labels[did] - (1 if score.get(did, 0) > 0 else 0)
+            for did, _ in docs
+        }
+        for (did, b), c in cnt.items():
+            w[b] = w.get(b, 0) + err[did] * c
+    occupied = {b for (_d, b) in cnt}
+    return {b: w.get(b, 0) for b in occupied}
+
+
+def test_perceptron_matches_reference(spark):
+    import hashlib
+
+    from sea_express_customs_etl_spark.operators.perceptron import (
+        train_perceptron_q,
+    )
+
+    rnd = random.Random(3)
+    vocab = [f"w{i}" for i in range(15)]
+    docs = [
+        (i, " ".join(rnd.choices(vocab, k=rnd.randrange(3, 10))))
+        for i in range(30)
+    ]
+    labels = {i: i % 2 for i in range(30)}
+    rows = [(i, t, "en" if labels[i] else "de") for i, t in docs]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {
+        r.bucket: r.w
+        for r in train_perceptron_q(
+            df, F.col("lang") == "en", buckets=64, epochs=3
+        ).collect()
+    }
+
+    def bucket_of(tok):
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
+
+    assert got == _ref_perceptron(docs, labels, 64, 3, bucket_of)
