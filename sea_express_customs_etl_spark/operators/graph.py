@@ -48,22 +48,10 @@ def copurchase_edges(lineitem: DataFrame) -> DataFrame:
     """Undirected co-purchase edges: parts appearing in the same order,
     both directions, deduplicated. The per-order self-join fans out
     |order|² pairs — bounded by the max basket size (7 in TPC-H), so
-    edge volume is a small constant multiple of lineitem, not n²."""
-    # persisted: the distinct scan feeds BOTH sides of the self-join
-    # (and, downstream, every pagerank sweep's edge frame) — without
-    # the pin the lineitem scan+distinct runs once per alias
-    items = tracked_persist(lineitem.select("l_orderkey", "l_partkey").distinct())
-    a = items.alias("a")
-    b = items.alias("b")
-    return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"),
-            F.col("b.l_partkey").alias("dst"),
-        )
-        .distinct()
-    )
+    edge volume is a small constant multiple of lineitem, not n².
+    Exactly :func:`cooccur_edges` with no weight threshold (distinct ≡
+    count ≥ 1) — one implementation, two entry points."""
+    return cooccur_edges(lineitem, min_weight=1)
 
 
 def pagerank(
@@ -247,8 +235,13 @@ def kcore(
     for _ in range(rounds):
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
         bad = deg.filter(F.col("_d") < k).select(F.col("src").alias("node"))
-        if converge and bad.isEmpty():
-            break
+        if converge:
+            # pin BEFORE the probe: the count materializes (and caches)
+            # the peel set, so the two anti-joins below reuse it instead
+            # of re-running the graph-sized degree aggregation
+            bad = tracked_persist(bad)
+            if bad.count() == 0:
+                break
         e = (
             e.join(bad.withColumnRenamed("node", "src"), "src", "left_anti")
             .join(bad.withColumnRenamed("node", "dst"), "dst", "left_anti")

@@ -60,7 +60,13 @@ def train_perceptron_q(
         .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
     )  # scanned twice per epoch (score + delta)
     labels = tracked_persist(
-        df.select(F.col(id_col), label_expr.cast("bigint").alias("_y"))
+        # coalesce: a NULL label must behave like the oracle's CASE
+        # ... ELSE 0 (a NULL error term would silently drop the doc
+        # from every delta sum instead of applying the -pred correction)
+        df.select(
+            F.col(id_col),
+            F.coalesce(label_expr.cast("bigint"), F.lit(0)).alias("_y"),
+        )
     )
     w: dict[int, int] = {}
     for _ in range(epochs):

@@ -640,12 +640,23 @@ def tfidf_cosine_pairs(
     )
     num2 = int(threshold_num) * int(threshold_num)
     den2 = int(threshold_den) * int(threshold_den)
+    lhs = F.lit(den2).cast(dec) * F.col("_d") * F.col("_d")
+    rhs = F.lit(num2).cast(dec) * F.col("_na") * F.col("_nb")
+    # overflow guard: with ANSI off a DECIMAL(38,0) overflow yields
+    # NULL and the filter would silently DROP a qualifying pair (while
+    # the DuckDB oracle's HUGEINT raises) — fail loudly instead; the
+    # remedy is the idf_unit dial documented above
+    guard = F.assert_true(
+        lhs.isNotNull() & rhs.isNotNull(),
+        F.lit(
+            "tfidf_cosine_pairs: cosine comparison overflowed "
+            "DECIMAL(38,0) — lower idf_unit"
+        ),
+    )
     return (
         dot.join(nrm.select(F.col(id_col).alias("id_a"), F.col("_n2").alias("_na")), "id_a")
         .join(nrm.select(F.col(id_col).alias("id_b"), F.col("_n2").alias("_nb")), "id_b")
-        .filter(
-            F.lit(den2).cast(dec) * F.col("_d") * F.col("_d")
-            >= F.lit(num2).cast(dec) * F.col("_na") * F.col("_nb")
-        )
+        .withColumn("_g", guard)
+        .filter(lhs >= rhs)
         .select("id_a", "id_b", "n_shared")
     )

@@ -49,7 +49,17 @@ def release_tracked() -> int:
             df.unpersist()
             n += 1
         except Exception:
-            pass  # session already stopped — nothing to free
+            # swallow ONLY the stopped-session case (nothing to free);
+            # a live-session unpersist failure means storage stayed
+            # pinned — exactly what this module exists to prevent, so
+            # surface it
+            try:
+                sc = df.sparkSession.sparkContext
+                alive = sc is not None and sc._jsc is not None
+            except Exception:
+                alive = False
+            if alive:
+                raise
     return n
 
 

@@ -63,8 +63,9 @@ def test_no_untracked_persist_calls():
                 continue
             if f == "standins.py":
                 continue  # the intentional session-long table cache
-            if ".unpersist(" in src:
-                continue  # eager train→consume→release, scoped in-file
+            releases = len(re.findall(r"\.unpersist\(", src))
+            if releases >= uses:
+                continue  # every persist eagerly released in-file
             offenders.append(path)
     entry_src = open(os.path.join(PKG, "__spark_entry__.py")).read()
     if re.search(r"\.persist\(", entry_src):

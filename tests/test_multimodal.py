@@ -354,11 +354,15 @@ def test_video_scene_sads_detects_planted_cut(spark):
     r4 = {f: by[(4, f)].sad for f in range(1, 6)}
     assert max(r4.values()) <= 3 * min(r4.values())
 
-    # corrupt tail: truncate one payload mid-stream
+    # corrupt tail: truncate mid-stream, AFTER several complete
+    # frames, so the pairs seen before the corruption must survive
+    # (id 3: 60-byte frames -> 3 complete + a torn 4th -> pairs 1, 2;
+    # id 4: 75-byte frames -> 2 complete + torn -> pair 1)
     vids = synth_video_scenes(ids)
     cut = vids.select(
         "media_id",
-        F.expr("substring(payload, 1, 60)").alias("payload"),
+        F.expr("substring(payload, 1, 200)").alias("payload"),
     )
     short = video_scene_sads(cut).collect()
-    assert all(r.frame_idx <= 1 for r in short)
+    got = sorted((r.media_id, r.frame_idx) for r in short)
+    assert got == [(3, 1), (3, 2), (4, 1)]
