@@ -1082,6 +1082,47 @@ def _q_quality_perceptron_weights(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet-for-datasets snapshot: per (lang, source) slice —
+    doc count, token mass, integer average length, corpus share in
+    ppm, exact-duplicate count. One partial-aggregated pass over the
+    corpus + a digest-grained dup join; the 1-row total joins in as a
+    broadcast scalar. Every figure integer-exact."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("_nt"),
+        F.md5(F.col("text")).alias("_h"),
+    )
+    total = d.agg(F.count(F.lit(1)).cast("bigint").alias("_total"))
+    dup = (
+        d.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_h", F.lit(1).alias("_isdup"))
+    )
+    return (
+        d.join(F.broadcast(total))
+        .join(dup, "_h", "left")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("_nt").cast("bigint").alias("total_tokens"),
+            F.expr("sum(_nt) DIV count(1)").cast("bigint").alias("avg_tokens"),
+            F.expr("(count(1) * 1000000) DIV max(_total)")
+            .cast("bigint")
+            .alias("share_ppm"),
+            F.sum(F.coalesce(F.col("_isdup"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+        )
+    )
+
+
 def _q_top_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus forensics: the most-duplicated 5-grams (document
     frequency over distinct per-doc shingles) — the repeated-n-gram
@@ -2455,6 +2496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "learned_quality_filter": _q_learned_quality_filter,
         # corpus forensics: boilerplate surfacing via repeated 5-grams
         "top_duplicated_ngrams": _q_top_duplicated_ngrams,
+        # datasheet-for-datasets: per-slice corpus statistics
+        "corpus_datacard": _q_corpus_datacard,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
@@ -2649,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_perceptron_weights": ext.PERCEPTRON_WEIGHTS_SQL,
         "learned_quality_filter": ext.LEARNED_QUALITY_FILTER_SQL,
         "top_duplicated_ngrams": ext.TOP_DUP_NGRAMS_SQL,
+        "corpus_datacard": ext.CORPUS_DATACARD_SQL,
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(

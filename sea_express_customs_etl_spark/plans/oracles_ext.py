@@ -2484,6 +2484,29 @@ SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY 1
 """
 
+# corpus datacard (the "datasheet for datasets" snapshot): per
+# (lang, source) slice — doc count, token mass, integer average,
+# corpus share in ppm, exact-duplicate count. One partial-agg pass +
+# a digest self-check; every figure integer-exact.
+CORPUS_DATACARD_SQL = f"""
+WITH d AS (
+  SELECT doc_id, lang, source, text,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+         md5(text) AS h
+  FROM documents),
+n AS (SELECT count(*)::BIGINT AS total FROM d),
+dup AS (SELECT h FROM d GROUP BY h HAVING count(*) > 1)
+SELECT d.lang, d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(d.n_tokens)::BIGINT AS total_tokens,
+       (sum(d.n_tokens) // count(*))::BIGINT AS avg_tokens,
+       ((count(*) * 1000000) // max(n.total))::BIGINT AS share_ppm,
+       sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_dup_docs
+FROM d CROSS JOIN n LEFT JOIN dup ON d.h = dup.h
+GROUP BY 1, 2
+"""
+
 # corpus forensics: the most-duplicated 5-grams (the C4/Gopher-style
 # repeated-n-gram analysis that surfaces boilerplate) — document
 # frequency over DISTINCT per-doc 5-gram shingles, global top 50 with

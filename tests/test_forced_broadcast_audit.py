@@ -63,6 +63,7 @@ FORCED_BROADCAST_ALLOWED = {
     "nation_year_pivot",   # nation (25 rows)
     "dsir_scores",         # per-bucket weight table (B=1024 rows, fixed)
     "learned_quality_filter",  # trained B=64-row perceptron model join
+    "corpus_datacard",     # 1-row corpus-total scalar
     "event_value_qsketch",  # quantile-spec table (3 literal rows)
     "lm_terciles",         # 1-row total-N + |partitions|-row rank offsets
     "pmi_collocations",    # 1-row bigram-total N (count tables NOT pinned)

@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "lm_terciles",        # 1-row total-N scalar broadcast (ntile_by_rank)
     "tfidf_cosine_pairs",  # 1-row corpus-size N broadcast (IDF scalar)
     "learned_quality_filter",  # B=64-row trained model broadcast
+    "corpus_datacard",    # 1-row corpus-total scalar broadcast
     "pmi_collocations",   # 1-row bigram-total N broadcast
     "domain_kl_divergence",  # 1-row (T, V) totals broadcast
     "sq8_codes",          # 1-row (lo_arr, span_arr) quantizer broadcast
