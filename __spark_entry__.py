@@ -1082,6 +1082,16 @@ def _q_quality_perceptron_weights(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_word_dropout_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic T5-style word dropout (15%): positional md5
+    replaces randomness so the corruption replays bit-for-bit across
+    engines, retries, and partitionings — map-only, the token array
+    never leaves its row. The corrupted TEXT itself is hash-checked."""
+    from sea_express_customs_etl_spark.operators.augment import word_dropout
+
+    return word_dropout(_docs(spark, sf_dir), drop_fraction=0.15)
+
+
 def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasheet-for-datasets snapshot: per (lang, source) slice —
     doc count, token mass, integer average length, corpus share in
@@ -2498,6 +2508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_duplicated_ngrams": _q_top_duplicated_ngrams,
         # datasheet-for-datasets: per-slice corpus statistics
         "corpus_datacard": _q_corpus_datacard,
+        # deterministic augmentation: replayable word dropout
+        "word_dropout_aug": _q_word_dropout_aug,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
@@ -2693,6 +2705,9 @@ def oracle_sql() -> dict[str, str]:
         "learned_quality_filter": ext.LEARNED_QUALITY_FILTER_SQL,
         "top_duplicated_ngrams": ext.TOP_DUP_NGRAMS_SQL,
         "corpus_datacard": ext.CORPUS_DATACARD_SQL,
+        "word_dropout_aug": ext.WORD_DROPOUT_SQL.format(
+            t=_hex_threshold(0.15)
+        ),
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(

@@ -2484,6 +2484,35 @@ SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
 FROM nodes GROUP BY 1
 """
 
+# deterministic word-dropout augmentation (operators/augment.py):
+# positional md5 replaces randomness, so the corrupted text is
+# replayable bit-for-bit — thresholds are hex_threshold() literals
+# supplied at lookup time.
+WORD_DROPOUT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok, i FROM (
+    SELECT doc_id, unnest({_TOKS}) AS tok,
+           unnest(range(1, len({_TOKS}) + 1)) AS i
+    FROM documents)),
+kept AS (
+  SELECT doc_id, tok, i FROM toks
+  WHERE substring(md5(CAST(doc_id AS VARCHAR) || '_' ||
+                       CAST(i AS VARCHAR)), 1, 8) >= '{{t}}'),
+agg AS (
+  SELECT t.doc_id,
+         count(*)::BIGINT AS n_tokens,
+         coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         coalesce(k.aug_text, '') AS aug_text
+  FROM (SELECT doc_id, count(*) AS n FROM toks GROUP BY 1) tt
+  JOIN toks t USING (doc_id)
+  LEFT JOIN (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(tok, ' ' ORDER BY i) AS aug_text
+    FROM kept GROUP BY doc_id) k USING (doc_id)
+  GROUP BY t.doc_id, k.n_kept, k.aug_text)
+SELECT doc_id, n_tokens, n_kept, aug_text FROM agg
+"""
+
 # corpus datacard (the "datasheet for datasets" snapshot): per
 # (lang, source) slice — doc count, token mass, integer average,
 # corpus share in ppm, exact-duplicate count. One partial-agg pass +
