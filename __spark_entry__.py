@@ -1082,6 +1082,24 @@ def _q_quality_perceptron_weights(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAINING in-engine, hash-checked: 10 BPE merge rounds
+    learned from the corpus (pair counts over the word-frequency
+    dictionary — the Heaps-bounded model table — 1-row argmax collect
+    per round, map-side merge application). The ENTIRE argmax
+    trajectory matches the oracle, which threads each round's winner
+    into the next round's replace via CTE cross joins — no replayed
+    literals. Completes the tokenization family: bpe_encode_fixed is
+    the apply side of this learn side."""
+    from sea_express_customs_etl_spark.operators.bpe import bpe_train
+
+    merges = bpe_train(_docs(spark, sf_dir), n_merges=10)
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "step int, left string, right string",
+    )
+
+
 def _q_word_dropout_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic T5-style word dropout (15%): positional md5
     replaces randomness so the corruption replays bit-for-bit across
@@ -2510,6 +2528,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": _q_corpus_datacard,
         # deterministic augmentation: replayable word dropout
         "word_dropout_aug": _q_word_dropout_aug,
+        # tokenizer training: the learned merge trajectory itself
+        "bpe_learned_merges": _q_bpe_learned_merges,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
@@ -2708,6 +2728,7 @@ def oracle_sql() -> dict[str, str]:
         "word_dropout_aug": ext.WORD_DROPOUT_SQL.format(
             t=_hex_threshold(0.15)
         ),
+        "bpe_learned_merges": ext.bpe_train_sql(10),
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(

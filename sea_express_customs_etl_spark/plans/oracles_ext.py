@@ -961,6 +961,53 @@ FROM docs
 """
 
 
+
+def bpe_train_sql(n_merges: int = 10, src: str = "documents") -> str:
+    """DuckDB replica of ``operators/bpe.bpe_train``: the whole
+    training TRAJECTORY unrolled — per round, adjacent-pair counts
+    over the evolving wrapped-symbol dictionary (weighted by word
+    frequency, overlapping pairs counted per position), the 1-row
+    argmax (count DESC, pair ASC) threaded into the next round's
+    ``replace`` via CROSS JOIN. No literals are data-dependent: the
+    learned merges are themselves CTE values, so the statement checks
+    the full argmax trajectory, not a replayed answer."""
+    s31 = chr(31)
+    stages = [
+        f"""v0 AS (
+  SELECT count(*)::BIGINT AS freq,
+         '{s31}' || array_to_string(
+             list_append(regexp_split_to_array(w, ''), '</w>'),
+             '{s31}{s31}') || '{s31}' AS enc
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM {src})
+  WHERE w <> '' GROUP BY w)"""
+    ]
+    for k in range(1, n_merges + 1):
+        stages.append(f"""p{k} AS (
+  SELECT pr.l, pr.r, sum(freq) AS n FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(sy)),
+                  i -> struct_pack(l := sy[i], r := sy[i + 1]))) AS pr
+    FROM (SELECT freq, string_split(trim(enc, '{s31}'), '{s31}{s31}') AS sy
+          FROM v{k - 1}))
+  GROUP BY 1, 2),
+m{k} AS (SELECT l, r FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+v{k} AS (
+  SELECT freq,
+         replace(enc, '{s31}' || m.l || '{s31}{s31}' || m.r || '{s31}',
+                 '{s31}' || m.l || m.r || '{s31}') AS enc
+  FROM v{k - 1} CROSS JOIN m{k} m)""")
+    finals = " UNION ALL ".join(
+        f'SELECT {k} AS step, l AS "left", r AS "right" FROM m{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + '\nSELECT CAST(step AS INTEGER) AS step, "left", "right"'
+        + f" FROM ({finals})"
+    )
+
 LANG_ID_TWO_WAYS_SQL = f"""
 SELECT m.doc_id, m.predicted_lang AS marker_lang,
        n.predicted_lang, n.top_score
