@@ -1198,6 +1198,24 @@ def _q_learned_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style sampling: 2 walks x 4 steps from
+    every node of the >=2-co-occurrence graph, next-neighbor chosen by
+    positional md5 argmin — the walk corpus replays bit-for-bit (never
+    stored), endpoints hash-match the 4-step unrolled oracle."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        cooccur_edges,
+        hash_walks,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    return hash_walks(
+        cooccur_edges(load_table(spark, sf_dir, "lineitem"), min_weight=2),
+        walk_length=4,
+        n_walks=2,
+    )
+
+
 def _q_copurchase_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components of the ≥2-co-occurrence graph: the dedup
     family's min-label resolution (union-find below the model-size
@@ -2518,6 +2536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_kcore": _q_copurchase_kcore,
         # graph connectivity: components via the dedup label machinery
         "copurchase_components": _q_copurchase_components,
+        # graph sampling: deterministic hash-seeded walks
+        "graph_hash_walks": _q_graph_hash_walks,
         # in-engine classifier training: integer perceptron weights
         "quality_perceptron_weights": _q_quality_perceptron_weights,
         # composed train -> apply: learned gate over the corpus
@@ -2721,6 +2741,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_triangles": ext.COPURCHASE_TRIANGLES_SQL,
         "copurchase_kcore": ext.COPURCHASE_KCORE_SQL,
         "copurchase_components": ext.COPURCHASE_COMPONENTS_SQL,
+        "graph_hash_walks": ext.GRAPH_HASH_WALKS_SQL,
         "quality_perceptron_weights": ext.PERCEPTRON_WEIGHTS_SQL,
         "learned_quality_filter": ext.LEARNED_QUALITY_FILTER_SQL,
         "top_duplicated_ngrams": ext.TOP_DUP_NGRAMS_SQL,

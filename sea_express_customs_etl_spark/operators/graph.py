@@ -334,3 +334,58 @@ def triangle_counts(edges: DataFrame, orient: str = "degree") -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
+
+
+def hash_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    n_walks: int = 2,
+) -> DataFrame:
+    """Deterministic 'random' walks — the DeepWalk/node2vec sampling
+    primitive with positional hashing in place of randomness (the
+    ``word_dropout`` discipline applied to graphs): from every node,
+    ``n_walks`` walks of ``walk_length`` steps; at each step the next
+    neighbor is the argmin of ``md5(walk_id _ step _ cur _ neighbor)``
+    — replayable bit-for-bit across engines, retries, and
+    partitionings, so walk corpora never need to be stored. Output:
+    start, walk_id, endpoint (the node after the final step). Walks
+    reaching a node with no out-edges terminate (dropped); symmetric
+    edge lists have none.
+
+    Scale shape: the frontier is |nodes|·n_walks rows; each step is
+    one edge join (fan-out = degree) + a per-walk argmin window whose
+    rank-filter keeps Spark's WindowGroupLimit rewrite (map-side
+    partial top-1), then a lazy checkpoint to truncate lineage —
+    node2vec's sampling pass, one join per step, nothing driver-side."""
+    from pyspark.sql import Window
+
+    frontier = (
+        edges.select(F.col("src").alias("start"))
+        .distinct()
+        .select(
+            "start",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(int(n_walks) - 1))
+            ).alias("walk_id"),
+        )
+        .withColumn("cur", F.col("start"))
+    )
+    for t in range(1, walk_length + 1):
+        h = F.md5(
+            F.concat_ws(
+                "_",
+                F.col("walk_id"),
+                F.lit(t),
+                F.col("cur"),
+                F.col("dst"),
+            )
+        )
+        w = Window.partitionBy("start", "walk_id").orderBy(h, F.col("dst"))
+        frontier = (
+            frontier.join(edges, edges.src == frontier.cur)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("start", "walk_id", F.col("dst").alias("cur"))
+            .localCheckpoint(eager=False)
+        )
+    return frontier.select("start", "walk_id", F.col("cur").alias("endpoint"))

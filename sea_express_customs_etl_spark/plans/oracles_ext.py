@@ -2602,6 +2602,59 @@ ORDER BY n_docs DESC, shingle
 LIMIT 50
 """
 
+# deterministic hash-seeded random walks (operators/graph.py:
+# hash_walks): the DeepWalk sampling primitive with positional md5 in
+# place of randomness — per step, next = argmin md5(walk_step_cur_nb),
+# 4 steps unrolled, 2 walks per node over the >=2-co-occurrence graph.
+GRAPH_HASH_WALKS_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+w0 AS (
+  SELECT src AS start, w.w AS walk_id, src AS cur
+  FROM (SELECT DISTINCT src FROM e0), (VALUES (0), (1)) w(w)),
+s1 AS (
+  SELECT start, walk_id, dst AS cur FROM (
+    SELECT f.start, f.walk_id, e.dst,
+           row_number() OVER (PARTITION BY f.start, f.walk_id
+             ORDER BY md5(CAST(f.walk_id AS VARCHAR) || '_' || '1' || '_' ||
+                          CAST(f.cur AS VARCHAR) || '_' ||
+                          CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM w0 f JOIN e0 e ON e.src = f.cur)
+  WHERE rn = 1),
+s2 AS (
+  SELECT start, walk_id, dst AS cur FROM (
+    SELECT f.start, f.walk_id, e.dst,
+           row_number() OVER (PARTITION BY f.start, f.walk_id
+             ORDER BY md5(CAST(f.walk_id AS VARCHAR) || '_' || '2' || '_' ||
+                          CAST(f.cur AS VARCHAR) || '_' ||
+                          CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM s1 f JOIN e0 e ON e.src = f.cur)
+  WHERE rn = 1),
+s3 AS (
+  SELECT start, walk_id, dst AS cur FROM (
+    SELECT f.start, f.walk_id, e.dst,
+           row_number() OVER (PARTITION BY f.start, f.walk_id
+             ORDER BY md5(CAST(f.walk_id AS VARCHAR) || '_' || '3' || '_' ||
+                          CAST(f.cur AS VARCHAR) || '_' ||
+                          CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM s2 f JOIN e0 e ON e.src = f.cur)
+  WHERE rn = 1),
+s4 AS (
+  SELECT start, walk_id, dst AS cur FROM (
+    SELECT f.start, f.walk_id, e.dst,
+           row_number() OVER (PARTITION BY f.start, f.walk_id
+             ORDER BY md5(CAST(f.walk_id AS VARCHAR) || '_' || '4' || '_' ||
+                          CAST(f.cur AS VARCHAR) || '_' ||
+                          CAST(e.dst AS VARCHAR)), e.dst) AS rn
+    FROM s3 f JOIN e0 e ON e.src = f.cur)
+  WHERE rn = 1)
+SELECT start, walk_id, cur AS endpoint FROM s4
+"""
+
 # connected components over the >=2-co-occurrence co-purchase graph
 # (operators/dedup.py:dedup_clusters applied to graph nodes — the same
 # min-label resolution the dedup family uses, exposed as the graph

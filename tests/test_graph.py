@@ -187,3 +187,34 @@ def test_triangle_orientations_agree_on_skewed_graph(spark):
     a = sorted(map(tuple, triangle_counts(df, orient="degree").collect()))
     b = sorted(map(tuple, triangle_counts(df, orient="canonical").collect()))
     assert a == b and len(a) > 50
+
+
+def test_hash_walks_deterministic_and_structured(spark):
+    """Walk semantics on a 2-node cycle: the only neighbor is always
+    chosen, so endpoints alternate with parity of walk_length; layout
+    never changes the walks; dead ends terminate the walk."""
+    from sea_express_customs_etl_spark.operators.graph import hash_walks
+
+    cyc = _edges(spark, [(1, 2), (2, 1)])
+    got = {
+        (r.start, r.walk_id): r.endpoint
+        for r in hash_walks(cyc, walk_length=4, n_walks=2).collect()
+    }
+    # even length on a 2-cycle returns to the start, for every walk id
+    assert got == {(1, 0): 1, (1, 1): 1, (2, 0): 2, (2, 1): 2}
+    odd = {
+        (r.start, r.walk_id): r.endpoint
+        for r in hash_walks(cyc, walk_length=3, n_walks=1).collect()
+    }
+    assert odd == {(1, 0): 2, (2, 0): 1}
+
+    # layout invariance on a denser graph
+    pairs = [(a, b) for a in range(8) for b in range(8) if a != b]
+    df = _edges(spark, pairs)
+    a = sorted(map(tuple, hash_walks(df, 4, 2).collect()))
+    b = sorted(map(tuple, hash_walks(df.repartition(5), 4, 2).collect()))
+    assert a == b and len(a) == 16
+
+    # dead end: 1 -> 2 (no out-edge from 2) drops the walk
+    chain = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    assert hash_walks(chain, walk_length=2, n_walks=1).count() == 0
