@@ -1198,6 +1198,47 @@ def _q_learned_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end: fuzzy-blocked candidate pairs
+    over DISTINCT part names (the dictionary-grain rule), verified by
+    levenshtein <= 2, resolved to connected components, and every part
+    row labeled with its canonical (component-minimum) name — the
+    record-linkage composition of fuzzy_join + dedup_clusters."""
+    from sea_express_customs_etl_spark.operators.dedup import dedup_clusters
+    from sea_express_customs_etl_spark.operators.fuzzy import fuzzy_join
+
+    part = load_table(spark, sf_dir, "part")
+    names = part.select(
+        F.lower(F.trim(F.col("p_name"))).alias("name")
+    ).distinct()
+    pairs = (
+        fuzzy_join(
+            names.select(
+                F.col("name").alias("id_a"), F.col("name").alias("name_a")
+            ),
+            names.select(
+                F.col("name").alias("id_b"), F.col("name").alias("name_b")
+            ),
+            "id_a",
+            "id_b",
+            "name_a",
+            "name_b",
+            max_dist=2,
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    labels = dedup_clusters(names, pairs, id_col="name")
+    return (
+        part.select(
+            "p_partkey", F.lower(F.trim(F.col("p_name"))).alias("name")
+        )
+        .join(labels.select("name", "cluster_id"), "name")
+        .select("p_partkey", F.col("cluster_id").alias("entity"))
+    )
+
+
 def _q_graph_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic DeepWalk-style sampling: 2 walks x 4 steps from
     every node of the >=2-co-occurrence graph, next-neighbor chosen by
@@ -2538,6 +2579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_components": _q_copurchase_components,
         # graph sampling: deterministic hash-seeded walks
         "graph_hash_walks": _q_graph_hash_walks,
+        # record linkage: fuzzy-blocked entity resolution
+        "part_entity_resolution": _q_part_entity_resolution,
         # in-engine classifier training: integer perceptron weights
         "quality_perceptron_weights": _q_quality_perceptron_weights,
         # composed train -> apply: learned gate over the corpus
@@ -2742,6 +2785,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_kcore": ext.COPURCHASE_KCORE_SQL,
         "copurchase_components": ext.COPURCHASE_COMPONENTS_SQL,
         "graph_hash_walks": ext.GRAPH_HASH_WALKS_SQL,
+        "part_entity_resolution": ext.PART_ENTITY_RESOLUTION_SQL,
         "quality_perceptron_weights": ext.PERCEPTRON_WEIGHTS_SQL,
         "learned_quality_filter": ext.LEARNED_QUALITY_FILTER_SQL,
         "top_duplicated_ngrams": ext.TOP_DUP_NGRAMS_SQL,

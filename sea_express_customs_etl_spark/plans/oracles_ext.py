@@ -2602,6 +2602,31 @@ ORDER BY n_docs DESC, shingle
 LIMIT 50
 """
 
+# entity resolution over part names (fuzzy blocking -> components ->
+# canonical entity): the linking family composed end-to-end at
+# dictionary grain — candidate pairs from fuzzy_join's prefix/suffix
+# blocks + length band + levenshtein<=2 verify, resolved to connected
+# components, every part row labeled with its component-minimum name.
+PART_ENTITY_RESOLUTION_SQL = """
+WITH RECURSIVE names AS (SELECT DISTINCT lower(trim(p_name)) AS t FROM part),
+lk AS (SELECT t, unnest(['p:' || substr(t, 1, 4),
+                         's:' || substr(reverse(t), 1, 4)]) AS bk
+       FROM names),
+cand AS (SELECT DISTINCT a.t AS ta, b.t AS tb FROM lk a JOIN lk b USING (bk)
+         WHERE a.t < b.t AND abs(length(a.t) - length(b.t)) <= 2),
+vp AS (SELECT ta, tb FROM cand WHERE levenshtein(ta, tb) <= 2),
+edges AS (SELECT ta AS src, tb AS dst FROM vp
+          UNION ALL SELECT tb, ta FROM vp),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+comp AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src)
+SELECT p.p_partkey, coalesce(c.cluster_id, lower(trim(p.p_name))) AS entity
+FROM part p LEFT JOIN comp c ON c.id = lower(trim(p.p_name))
+"""
+
 # deterministic hash-seeded random walks (operators/graph.py:
 # hash_walks): the DeepWalk sampling primitive with positional md5 in
 # place of randomness — per step, next = argmin md5(walk_step_cur_nb),
