@@ -359,6 +359,10 @@ def hash_walks(
     node2vec's sampling pass, one join per step, nothing driver-side."""
     from pyspark.sql import Window
 
+    # one scan per step (plus the frontier init): without the pin the
+    # whole edge-derivation chain (e.g. cooccur's basket self-join)
+    # re-executes at every step's checkpoint materialization
+    edges = tracked_persist(edges.select("src", "dst"))
     frontier = (
         edges.select(F.col("src").alias("start"))
         .distinct()

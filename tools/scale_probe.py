@@ -367,6 +367,7 @@ def cases_li() -> dict:
     from sea_express_customs_etl_spark.operators.graph import (
         cooccur_edges,
         copurchase_edges,
+        hash_walks,
         kcore,
         personalized_pagerank,
     )
@@ -381,7 +382,12 @@ def cases_li() -> dict:
         ).distinct()
         return personalized_pagerank(edges, seeds, iters=3)
 
-    return {"kcore_sieve": _kcore, "seeded_ppr": _ppr}
+    def _walks(li):
+        return hash_walks(
+            cooccur_edges(li, min_weight=2), walk_length=4, n_walks=2
+        )
+
+    return {"kcore_sieve": _kcore, "seeded_ppr": _ppr, "hash_walks": _walks}
 
 
 def cases_tfidf() -> dict:
