@@ -1198,6 +1198,27 @@ def _q_learned_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_walk_covisit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk step 2: node similarity from shared walk context —
+    pairs of start nodes whose deterministic walks visit >= 3 common
+    nodes, with hub context nodes (visited from > 50 starts, the
+    graph's stop-words) pruned before the pair join. Makes the walk
+    corpus consumable, all exact integers."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        cooccur_edges,
+        walk_covisit_pairs,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    return walk_covisit_pairs(
+        cooccur_edges(load_table(spark, sf_dir, "lineitem"), min_weight=2),
+        walk_length=4,
+        n_walks=2,
+        visit_cap=50,
+        min_shared=3,
+    )
+
+
 def _q_part_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution end-to-end: fuzzy-blocked candidate pairs
     over DISTINCT part names (the dictionary-grain rule), verified by
@@ -2581,6 +2602,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_hash_walks": _q_graph_hash_walks,
         # record linkage: fuzzy-blocked entity resolution
         "part_entity_resolution": _q_part_entity_resolution,
+        # DeepWalk step 2: similarity from shared walk context
+        "walk_covisit_pairs": _q_walk_covisit_pairs,
         # in-engine classifier training: integer perceptron weights
         "quality_perceptron_weights": _q_quality_perceptron_weights,
         # composed train -> apply: learned gate over the corpus
@@ -2786,6 +2809,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_components": ext.COPURCHASE_COMPONENTS_SQL,
         "graph_hash_walks": ext.GRAPH_HASH_WALKS_SQL,
         "part_entity_resolution": ext.PART_ENTITY_RESOLUTION_SQL,
+        "walk_covisit_pairs": ext.GRAPH_WALK_COVISIT_SQL,
         "quality_perceptron_weights": ext.PERCEPTRON_WEIGHTS_SQL,
         "learned_quality_filter": ext.LEARNED_QUALITY_FILTER_SQL,
         "top_duplicated_ngrams": ext.TOP_DUP_NGRAMS_SQL,

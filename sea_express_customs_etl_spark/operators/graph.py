@@ -357,6 +357,17 @@ def hash_walks(
     rank-filter keeps Spark's WindowGroupLimit rewrite (map-side
     partial top-1), then a lazy checkpoint to truncate lineage —
     node2vec's sampling pass, one join per step, nothing driver-side."""
+    return _walk_frontiers(edges, walk_length, n_walks)[-1].select(
+        "start", "walk_id", F.col("cur").alias("endpoint")
+    )
+
+
+def _walk_frontiers(
+    edges: DataFrame, walk_length: int, n_walks: int
+) -> list[DataFrame]:
+    """The shared walk loop: returns the frontier AFTER each step
+    (length ``walk_length``; step t's frame has columns start,
+    walk_id, cur)."""
     from pyspark.sql import Window
 
     # one scan per step (plus the frontier init): without the pin the
@@ -374,6 +385,7 @@ def hash_walks(
         )
         .withColumn("cur", F.col("start"))
     )
+    out = []
     for t in range(1, walk_length + 1):
         h = F.md5(
             F.concat_ws(
@@ -392,4 +404,47 @@ def hash_walks(
             .select("start", "walk_id", F.col("dst").alias("cur"))
             .localCheckpoint(eager=False)
         )
-    return frontier.select("start", "walk_id", F.col("cur").alias("endpoint"))
+        out.append(frontier)
+    return out
+
+
+def walk_covisit_pairs(
+    edges: DataFrame,
+    walk_length: int = 4,
+    n_walks: int = 2,
+    visit_cap: int = 50,
+    min_shared: int = 3,
+) -> DataFrame:
+    """DeepWalk step 2 — node similarity from shared walk context:
+    two start nodes are related when their walks visit ≥ ``min_shared``
+    common nodes. Output: start_a < start_b, n_shared.
+
+    ``visit_cap`` drops nodes visited from more than that many starts
+    before the pair join — the same hot-key prune as
+    ``tfidf_cosine_pairs``' df cap: the co-visit join is Σ visits²
+    over KEPT nodes, so hub context nodes (visited from everywhere,
+    carrying no similarity signal — the stop-words of the graph) never
+    explode the pair stage. All counts exact integers."""
+    steps = _walk_frontiers(edges, walk_length, n_walks)
+    trail = steps[0].select("start", F.col("cur").alias("node"))
+    for fr in steps[1:]:
+        trail = trail.unionByName(
+            fr.select("start", F.col("cur").alias("node"))
+        )
+    visited = tracked_persist(trail.distinct())  # cap count + both join sides
+    vf = (
+        visited.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("_nv"))
+        .filter(F.col("_nv") <= visit_cap)
+        .select("node")
+    )
+    kept = tracked_persist(visited.join(vf, "node"))
+    a = kept.select(F.col("start").alias("start_a"), "node")
+    b = kept.select(F.col("start").alias("start_b"), "node")
+    return (
+        a.join(b, "node")
+        .filter(F.col("start_a") < F.col("start_b"))
+        .groupBy("start_a", "start_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

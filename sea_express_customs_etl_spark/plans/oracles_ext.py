@@ -2680,6 +2680,24 @@ s4 AS (
 SELECT start, walk_id, cur AS endpoint FROM s4
 """
 
+# DeepWalk step 2 (operators/graph.py:walk_covisit_pairs): distinct
+# visited nodes per start over all 4 steps, hot context nodes dropped
+# (visited from > 50 starts — the graph's stop-words), pair join on
+# shared visits, keep n_shared >= 3.
+GRAPH_WALK_COVISIT_SQL = (
+    GRAPH_HASH_WALKS_SQL.rsplit("SELECT", 1)[0]
+    + """, visited AS (
+  SELECT DISTINCT start, cur AS node FROM (
+    SELECT start, cur FROM s1 UNION ALL SELECT start, cur FROM s2
+    UNION ALL SELECT start, cur FROM s3 UNION ALL SELECT start, cur FROM s4)),
+vf AS (SELECT node FROM visited GROUP BY node HAVING count(*) <= 50),
+kept AS (SELECT v.start, v.node FROM visited v JOIN vf USING (node))
+SELECT a.start AS start_a, b.start AS start_b, count(*)::BIGINT AS n_shared
+FROM kept a JOIN kept b ON a.node = b.node AND a.start < b.start
+GROUP BY 1, 2 HAVING count(*) >= 3
+"""
+)
+
 # connected components over the >=2-co-occurrence co-purchase graph
 # (operators/dedup.py:dedup_clusters applied to graph nodes — the same
 # min-label resolution the dedup family uses, exposed as the graph

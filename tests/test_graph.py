@@ -218,3 +218,31 @@ def test_hash_walks_deterministic_and_structured(spark):
     # dead end: 1 -> 2 (no out-edge from 2) drops the walk
     chain = spark.createDataFrame([(1, 2)], ["src", "dst"])
     assert hash_walks(chain, walk_length=2, n_walks=1).count() == 0
+
+
+def test_walk_covisit_pairs_semantics(spark):
+    """Two disjoint 3-cliques: starts within a clique co-visit each
+    other's nodes; no cross-clique pair ever appears; the visit cap
+    prunes ubiquitous nodes."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        walk_covisit_pairs,
+    )
+
+    def clique(nodes):
+        return [(a, b) for a in nodes for b in nodes if a != b]
+
+    df = _edges(spark, clique([1, 2, 3]) + clique([10, 11, 12]))
+    got = {
+        (r.start_a, r.start_b): r.n_shared
+        for r in walk_covisit_pairs(
+            df, walk_length=4, n_walks=2, visit_cap=50, min_shared=1
+        ).collect()
+    }
+    assert got  # intra-clique pairs exist
+    assert all(
+        (a < 10) == (b < 10) for a, b in got
+    )  # never across components
+    # cap = 0 prunes every node -> no pairs at all
+    assert (
+        walk_covisit_pairs(df, 4, 2, visit_cap=0, min_shared=1).count() == 0
+    )
