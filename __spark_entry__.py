@@ -1168,6 +1168,94 @@ def _q_top_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental winnowing store, gate-checked like ann_store_topk:
+    the corpus arrives as two batches (doc_id parity) folded through
+    winnow_batch_writer (bucketed append + commit-marker fence,
+    history never re-winnowed); the match query over the committed
+    store must hash-match the one-shot full-corpus winnow_dups oracle
+    VERBATIM — fingerprints are per-document, so store ≡ union corpus
+    and the corpus-global df cap applies correctly at read time."""
+    from sea_express_customs_etl_spark.operators.fingerprint import (
+        pairs_from_fingerprints,
+    )
+    from sea_express_customs_etl_spark.streaming.winnow_store import (
+        committed_fingerprints,
+        winnow_batch_writer,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prefix = "winstore_" + re.sub(
+        r"\W", "_", spark.sparkContext.applicationId
+    )
+    writer = winnow_batch_writer(prefix, k=3, w=4)
+    writer(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    writer(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    fps = _tracked_persist(committed_fingerprints(spark, prefix))
+    return pairs_from_fingerprints(fps, min_shared=2, df_max=50)
+
+
+def _q_copurchase_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-sweep synchronous label-propagation communities over the
+    ≥2-co-occurrence co-purchase graph — modal-neighbor-label updates
+    with (count desc, label asc) tie-break; the fixed-round trajectory
+    hash-matches the unrolled oracle (kcore discipline)."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        cooccur_edges,
+        label_propagation,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    return label_propagation(
+        cooccur_edges(load_table(spark, sf_dir, "lineitem"), min_weight=2),
+        rounds=4,
+    )
+
+
+def _q_hashed_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-free retrieval: feature-hashed signed-count vectors
+    (256 md5 buckets) + per-query top-10 by float-free integer cosine
+    rank — the hashing-trick first-pass retriever; query panel =
+    doc_id % 97 == 0."""
+    from sea_express_customs_etl_spark.operators.fhash import (
+        hashed_doc_topk,
+    )
+
+    return hashed_doc_topk(_docs(spark, sf_dir), query_mod=97, k=10)
+
+
+def _q_resource_alloc_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-link prediction over the ≥2-co-occurrence co-purchase
+    graph: Resource-Allocation index (Σ ppm DIV deg over common
+    neighbors of non-adjacent pairs), exact integer ppm units, global
+    top-50 via orderBy+limit."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        cooccur_edges,
+        resource_alloc_links,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    return resource_alloc_links(
+        cooccur_edges(load_table(spark, sf_dir, "lineitem"), min_weight=2),
+        top_n=50,
+    )
+
+
+def _q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint near-dup pairs: md5 3-gram rolling
+    hashes thinned by a w=4 window-minimum, df-capped at 50 docs, pairs
+    sharing ≥ 2 fingerprints. Guarantees any shared 6-token run is
+    caught — the substring-level dedup the whole-document MinHash
+    family misses."""
+    from sea_express_customs_etl_spark.operators.fingerprint import (
+        winnow_dup_pairs,
+    )
+
+    return winnow_dup_pairs(
+        _docs(spark, sf_dir), k=3, w=4, min_shared=2, df_max=50
+    )
+
+
 def _q_learned_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train → apply in one plan: the 3-epoch integer perceptron's
     trained weights score every document (broadcast model join + one
@@ -2645,6 +2733,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash-checked since r6: integer-trained centroids + exact
         # integer search (VERDICT r5 #1) — zero rows-only queries left
         "kmeans_ivf_topk": _q_kmeans_ivf_topk,
+        # winnowing (MOSS) rolling-hash fingerprint near-dup pairs —
+        # substring-level sibling of the MinHash family
+        "winnow_dups": _q_winnow_dups,
+        # link prediction: Resource-Allocation index, integer ppm
+        "resource_alloc_links": _q_resource_alloc_links,
+        # hashing-trick vectorizer + float-free integer cosine top-k
+        "hashed_doc_topk": _q_hashed_doc_topk,
+        # community detection: 4-sweep synchronous label propagation
+        "copurchase_lpa": _q_copurchase_lpa,
+        # incremental MOSS index: fold two batches, match ≡ one-shot
+        "winnow_incremental": _q_winnow_incremental,
     }
 
 
@@ -2839,4 +2938,11 @@ def oracle_sql() -> dict[str, str]:
         "order_grouping_sets": rel.GROUPING_SETS_ORDER_STATS_SQL,
         "dedup_keep_longest": ext.DEDUP_KEEP_LONGEST_SQL,
         "order_value_gini": ext.ORDER_VALUE_GINI_SQL,
+        "winnow_dups": ext.WINNOW_DUPS_SQL,
+        "resource_alloc_links": ext.RESOURCE_ALLOC_LINKS_SQL,
+        "hashed_doc_topk": ext.HASHED_DOC_TOPK_SQL,
+        "copurchase_lpa": ext.lpa_sql(rounds=4),
+        # the incremental store must equal the one-shot match — the
+        # winnowing oracle, verbatim
+        "winnow_incremental": ext.WINNOW_DUPS_SQL,
     }

@@ -448,3 +448,135 @@ def walk_covisit_pairs(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def resource_alloc_links(
+    edges: DataFrame,
+    top_n: int = 50,
+    ppm: int = 1_000_000,
+    mid_deg_max: int | None = None,
+) -> DataFrame:
+    """Link prediction by the Resource-Allocation index (Zhou, Lü,
+    Zhang, Eur. Phys. J. B 2009): for every NON-adjacent pair (a < b)
+    sharing at least one neighbor, score = Σ_{z ∈ N(a)∩N(b)} 1/deg(z),
+    ranked descending — "which items will co-occur next". RA is the
+    exact-rational member of the common-neighbor family (Adamic-Adar's
+    1/ln(deg) needs a transcendental whose last bit libm implementations
+    disagree on; 1/deg does not), so the whole score is integer ppm
+    units — ``ppm DIV deg(z)`` summed in BIGINT, aggregation-order-exact
+    and oracle-portable. Output: id_a, id_b, n_common, score_ppm
+    (global top-``top_n``, ties broken by (id_a, id_b)).
+
+    Scale shape: one degree aggregation + one neighbor-keyed wedge
+    self-join + one partial-aggregated pair groupBy + a canonical-edge
+    anti-join; the final top-n is orderBy+limit (TakeOrderedAndProject
+    — map-side partial top-k, never a single-partition window). The
+    wedge fan-out is Σ deg(z)² over middle nodes — bounded on
+    basket-capped co-purchase graphs; on power-law graphs set
+    ``mid_deg_max`` to drop hub middles BEFORE the self-join (they
+    contribute ≤ ppm/deg each — vanishing signal, quadratic cost: the
+    same stop-key prune as ``walk_covisit_pairs.visit_cap``).
+
+    Beyond reference parity: the reference has no graph layer at all
+    (its linking is key-equality joins, ``src/batch_train.py:95-117``);
+    this extends the co-purchase family (pagerank/triangles/k-core)
+    with the standard missing-link score.
+    """
+    e = tracked_persist(
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )  # three scans: both neighbor-list halves + the adjacency anti-join
+    nbr = e.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionByName(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("_d"))
+    if mid_deg_max is not None:
+        deg = deg.filter(F.col("_d") <= mid_deg_max)
+    mid = tracked_persist(
+        nbr.join(deg, "node").select(
+            "node", "nb", F.expr(f"{int(ppm)} DIV _d").alias("_t")
+        )
+    )  # both wedge sides
+    x = mid.select("node", F.col("nb").alias("id_a"), "_t")
+    y = mid.select("node", F.col("nb").alias("id_b"))
+    pairs = (
+        x.join(y, "node")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("_t").cast("bigint").alias("score_ppm"),
+        )
+    )
+    nonadj = pairs.join(
+        e.select(F.col("a").alias("id_a"), F.col("b").alias("id_b")),
+        ["id_a", "id_b"],
+        "left_anti",
+    )
+    return nonadj.orderBy(
+        F.col("score_ppm").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(top_n)
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous label-propagation communities (Raghavan et al.
+    2007): labels start as node ids; each sweep every node adopts the
+    most frequent label among its neighbors' CURRENT labels (ties →
+    smallest label). Output after ``rounds`` sweeps: node, label.
+
+    Deterministic by construction — synchronous updates + integer
+    counts + the (count desc, label asc) tie-break — so the fixed-round
+    TRAJECTORY is oracle-checkable (the kcore/pagerank discipline:
+    both engines run exactly R sweeps; no "until converged"
+    nondeterminism, which for sync LPA can oscillate on bipartite
+    structures anyway — the fixed cap is also the standard remedy).
+
+    Scale shape per sweep: one edge⋈labels hash join (labels are
+    node-sized, edges graph-sized — the join shuffles on node key),
+    one (node, label) partial-aggregated count, one min-struct argmax
+    per node (partial-aggregatable, no window), then a lazy
+    localCheckpoint to keep lineage flat across sweeps. The edge frame
+    is pinned once and reused by every sweep.
+
+    Beyond reference parity: community structure over the co-purchase
+    graph — the modularity-style grouping the pagerank/triangles/
+    k-core family lacks; at curation scale the same operator groups
+    near-dup CLUSTERS into topical communities.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = tracked_persist(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+            e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+    )  # one scan per sweep plus the label init
+    lab = nbr.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(rounds):
+        cnt = (
+            nbr.join(lab.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        lab = (
+            cnt.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_c")).alias("_nc"), F.col("lbl").alias("l"))
+                ).alias("_b")
+            )
+            .select("node", F.col("_b.l").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+    return lab.select("node", F.col("lbl").cast("bigint").alias("label"))

@@ -2973,3 +2973,140 @@ SELECT g AS o_orderpriority,
             AS BIGINT) AS gini_ppm
 FROM r GROUP BY 1
 """
+
+# winnowing document fingerprinting (operators/fingerprint.py:
+# winnow_dup_pairs — Schleimer et al. SIGMOD'03 / MOSS): md5 3-gram
+# rolling hashes thinned by a w=4 sliding window-minimum (full windows
+# only), boilerplate fingerprints df-capped at 50 docs, pairs sharing
+# >= 2 fingerprints. Hex-string min is the portable order — no integer
+# conversion anywhere.
+WINNOW_DUPS_SQL = f"""
+WITH base AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+         unnest(range(1, len(t) - 1)) AS i,
+         unnest(list_transform(range(1, len(t) - 1),
+                i -> md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS h,
+         len(t) - 2 AS n_sh
+  FROM base WHERE len(t) >= 3),
+win AS (
+  SELECT doc_id, i, n_sh,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM sh),
+fps AS (SELECT DISTINCT doc_id, fp FROM win WHERE i <= n_sh - 3),
+cnt AS (SELECT fp, count(*) AS dfc FROM fps GROUP BY fp),
+keep AS (SELECT doc_id, fp FROM fps JOIN cnt USING (fp) WHERE dfc <= 50)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+
+# Resource-Allocation link prediction (operators/graph.py:
+# resource_alloc_links — Zhou/Lü/Zhang 2009): non-adjacent pairs
+# scored by sum(1_000_000 DIV deg(z)) over common neighbors z of the
+# >=2-co-occurrence co-purchase graph; integer ppm units end-to-end,
+# global top-50 with (score desc, id_a, id_b) deterministic order.
+RESOURCE_ALLOC_LINKS_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src <> dst),
+nbr AS (SELECT a AS node, b AS nb FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT node, count(*) AS d FROM nbr GROUP BY node),
+mid AS (SELECT nbr.node, nbr.nb, 1000000 // deg.d AS t
+        FROM nbr JOIN deg USING (node)),
+pairs AS (
+  SELECT x.nb AS id_a, y.nb AS id_b,
+         count(*) AS n_common, sum(x.t) AS score_ppm
+  FROM mid x JOIN mid y ON x.node = y.node AND x.nb < y.nb
+  GROUP BY 1, 2),
+nonadj AS (
+  SELECT p.* FROM pairs p
+  ANTI JOIN e ON e.a = p.id_a AND e.b = p.id_b)
+SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(score_ppm AS BIGINT) AS score_ppm
+FROM nonadj
+ORDER BY score_ppm DESC, id_a, id_b
+LIMIT 50
+"""
+
+# feature-hashing vectorizer retrieval (operators/fhash.py:
+# hashed_doc_topk — Weinberger et al. ICML'09 hashing trick): md5
+# hex-prefix buckets (256 dims), signed token counts, per-query top-10
+# by the float-free signed integer (10^12·dot²) DIV (na²·nb²) — cos²
+# at ppt granularity with cosine's sign, ties by neighbor id.
+HASHED_DOC_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+h AS (
+  SELECT doc_id, substr(md5(tok), 1, 2) AS bucket,
+         CASE WHEN substr(md5(tok), 3, 1) IN
+                   ('8','9','a','b','c','d','e','f')
+              THEN -1 ELSE 1 END AS s
+  FROM toks),
+v AS (
+  SELECT doc_id, bucket, CAST(sum(s) AS BIGINT) AS val
+  FROM h GROUP BY 1, 2 HAVING sum(s) <> 0),
+n2 AS (
+  SELECT doc_id, sum(CAST(val AS HUGEINT) * CAST(val AS HUGEINT)) AS n2
+  FROM v GROUP BY 1),
+dot AS (
+  SELECT q.doc_id AS query_id, c.doc_id AS neighbor_id,
+         sum(CAST(q.val AS HUGEINT) * CAST(c.val AS HUGEINT)) AS d
+  FROM v q JOIN v c ON q.bucket = c.bucket AND q.doc_id <> c.doc_id
+  WHERE q.doc_id % 97 = 0
+  GROUP BY 1, 2),
+sc AS (
+  SELECT query_id, neighbor_id,
+         (CASE WHEN d < 0 THEN -1 WHEN d > 0 THEN 1 ELSE 0 END)
+         * ((1000000000000::HUGEINT * d * d) // (na.n2 * nb.n2))
+             AS score_ppt
+  FROM dot
+  JOIN n2 na ON na.doc_id = dot.query_id
+  JOIN n2 nb ON nb.doc_id = dot.neighbor_id)
+SELECT query_id, neighbor_id, CAST(score_ppt AS BIGINT) AS score_ppt
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score_ppt DESC, neighbor_id) AS rn FROM sc)
+WHERE rn <= 10
+"""
+
+
+def lpa_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation oracle over the
+    >=2-co-occurrence co-purchase graph (operators/graph.py:
+    label_propagation): per sweep, each node takes the modal neighbor
+    label (ties -> smallest), exactly ``rounds`` sweeps — the
+    kcore-style trajectory unroll."""
+    parts = [
+        """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src <> dst),
+nbr AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM nbr)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+c{r} AS (SELECT n.dst AS node, l.lbl, count(*) AS c
+        FROM nbr n JOIN l{r} l ON l.node = n.src GROUP BY 1, 2),
+l{r + 1} AS (SELECT node, lbl FROM (
+    SELECT node, lbl,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
+    FROM c{r}) WHERE rn = 1)"""
+        )
+    parts.append(
+        f"""
+SELECT node, CAST(lbl AS BIGINT) AS label FROM l{rounds}"""
+    )
+    return "".join(parts)

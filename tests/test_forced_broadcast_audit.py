@@ -93,6 +93,8 @@ FORCED_BROADCAST_ALLOWED = {
     #                        of the refine stage
     "knowledge_ivm_stream",  # commit-marker table broadcast
     #                          (|batches| rows — the ann_store license)
+    "winnow_incremental",  # commit-marker table broadcast (|batches|
+    #                        rows — same license as knowledge_ivm_stream)
 }
 
 

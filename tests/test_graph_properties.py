@@ -177,3 +177,114 @@ def test_perceptron_matches_reference(spark):
         return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 64
 
     assert got == _ref_perceptron(docs, labels, 64, 3, bucket_of)
+
+
+def _ref_resource_alloc(und, ppm=1_000_000):
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if b in adj[a]:
+                continue
+            common = adj[a] & adj[b]
+            if common:
+                out[(a, b)] = (
+                    len(common),
+                    sum(ppm // len(adj[z]) for z in common),
+                )
+    return out
+
+
+def test_resource_alloc_links_match_reference(spark):
+    from sea_express_customs_etl_spark.operators.graph import (
+        resource_alloc_links,
+    )
+
+    rnd = random.Random(99)
+    for trial in range(3):
+        und = _rand_graph(rnd, 20, 50)
+        ref = _ref_resource_alloc(und)
+        got = {
+            (r.id_a, r.id_b): (r.n_common, r.score_ppm)
+            for r in resource_alloc_links(
+                _edges(spark, und), top_n=10_000
+            ).collect()
+        }
+        assert got == ref, trial
+
+
+def test_resource_alloc_mid_deg_cap(spark):
+    """Capping the middle degree drops hub-mediated wedges only: on a
+    star plus one triangle, the hub middle is excluded but the
+    low-degree middles survive."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        resource_alloc_links,
+    )
+
+    # hub 0 connected to 1..5; extra edge (1,2) so pair (1,2) adjacent
+    und = [(0, i) for i in range(1, 6)] + [(1, 2)]
+    got = {
+        (r.id_a, r.id_b): r.score_ppm
+        for r in resource_alloc_links(
+            _edges(spark, und), top_n=100, mid_deg_max=3
+        ).collect()
+    }
+    # hub (deg 5) is the only common neighbor of leaf pairs -> all gone
+    assert got == {}
+
+
+def _ref_lpa(und, rounds):
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    lab = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            cnt = {}
+            for nb in adj[n]:
+                cnt[lab[nb]] = cnt.get(lab[nb], 0) + 1
+            nxt[n] = min(cnt, key=lambda l: (-cnt[l], l))
+        lab = nxt
+    return lab
+
+
+def test_label_propagation_matches_reference(spark):
+    from sea_express_customs_etl_spark.operators.graph import (
+        label_propagation,
+    )
+
+    rnd = random.Random(5)
+    for trial in range(3):
+        und = _rand_graph(rnd, 18, 40)
+        for rounds in (1, 4):
+            got = {
+                r.node: r.label
+                for r in label_propagation(
+                    _edges(spark, und), rounds=rounds
+                ).collect()
+            }
+            assert got == _ref_lpa(und, rounds), (trial, rounds)
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two cliques joined by one bridge edge settle into two
+    communities labeled by each clique's minimum id."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        label_propagation,
+    )
+
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    und = c1 + c2 + [(3, 10)]
+    got = {
+        r.node: r.label
+        for r in label_propagation(_edges(spark, und), rounds=4).collect()
+    }
+    assert {got[n] for n in range(4)} == {0}
+    assert {got[n] for n in range(11, 14)} == {10}

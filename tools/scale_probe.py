@@ -387,7 +387,21 @@ def cases_li() -> dict:
             cooccur_edges(li, min_weight=2), walk_length=4, n_walks=2
         )
 
-    return {"kcore_sieve": _kcore, "seeded_ppr": _ppr, "hash_walks": _walks}
+    def _ra(li):
+        from sea_express_customs_etl_spark.operators.graph import (
+            resource_alloc_links,
+        )
+
+        return resource_alloc_links(cooccur_edges(li, min_weight=2), top_n=50)
+
+    return {
+        "kcore_sieve": _kcore,
+        "seeded_ppr": _ppr,
+        "hash_walks": _walks,
+        # 8× disjoint graph copies: wedge volume grows linearly (per-
+        # node degree held constant), global top-50 is map-side partial
+        "resource_alloc_links": _ra,
+    }
 
 
 def cases_tfidf() -> dict:
@@ -413,7 +427,40 @@ def cases_tfidf() -> dict:
         "perceptron_train": lambda docs, emb: train_perceptron_q(
             docs, _F.col("lang") == "en", buckets=64, epochs=3
         ),
+        # replication makes every replica an exact dup -> identical
+        # fingerprints; the absolute df cap (50) prunes the 8x-df
+        # boilerplate BEFORE the pair join, same bound as tfidf_cosine
+        "winnow_dups": lambda docs, emb: _winnow(docs),
+        # corpus-derived query panel grows with the corpus (panel x8,
+        # candidates x64 worst case) — the documented anti-pattern...
+        "hashed_topk_grown_panel": lambda docs, emb: _hashed_topk(
+            docs, fixed_panel=False
+        ),
+        # ...vs the production shape: FIXED query panel, corpus x8 —
+        # candidate volume grows linearly with the corpus only
+        "hashed_topk_fixed_panel": lambda docs, emb: _hashed_topk(
+            docs, fixed_panel=True
+        ),
     }
+
+
+def _winnow(docs):
+    from sea_express_customs_etl_spark.operators.fingerprint import (
+        winnow_dup_pairs,
+    )
+
+    return winnow_dup_pairs(docs, k=3, w=4, min_shared=2, df_max=50)
+
+
+def _hashed_topk(docs, fixed_panel: bool):
+    from sea_express_customs_etl_spark.operators.fhash import hashed_doc_topk
+
+    pred = (
+        (F.col("doc_id") % 97 == 0) & (F.col("doc_id") < _OFFSET)
+        if fixed_panel
+        else None
+    )
+    return hashed_doc_topk(docs, query_mod=97, k=10, query_pred=pred)
 
 
 def main() -> None:
