@@ -1168,6 +1168,36 @@ def _q_top_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_snm_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs over distinct part names:
+    window-3 sort adjacency + Levenshtein ≤ 4 verify — the sort-based
+    third blocking strategy beside fuzzy_join's prefix/suffix blocks
+    and the LSH family; global positions ride the two-phase
+    global_rank, the neighbor join is an exploded-rank EQUI-join."""
+    from sea_express_customs_etl_spark.operators.fuzzy import snm_pairs
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    return snm_pairs(
+        load_table(spark, sf_dir, "part"), "p_name", window=3, max_dist=4
+    )
+
+
+def _q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality score for the LPA partition: Newman modularity of the
+    4-sweep communities in exact integer ppm — Q = (4m·e_in − Σd_c²)
+    DIV (4m²) with sign split from magnitude; community-structure
+    drift now breaks a gate hash."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        cooccur_edges,
+        label_propagation,
+        modularity,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    edges = cooccur_edges(load_table(spark, sf_dir, "lineitem"), min_weight=2)
+    return modularity(edges, label_propagation(edges, rounds=4))
+
+
 def _q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental winnowing store, gate-checked like ann_store_topk:
     the corpus arrives as two batches (doc_id parity) folded through
@@ -2744,6 +2774,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_lpa": _q_copurchase_lpa,
         # incremental MOSS index: fold two batches, match ≡ one-shot
         "winnow_incremental": _q_winnow_incremental,
+        # partition quality: Newman modularity of the LPA communities
+        "lpa_modularity": _q_lpa_modularity,
+        # sort-based blocking: sorted-neighborhood candidate pairs
+        "snm_part_pairs": _q_snm_part_pairs,
     }
 
 
@@ -2945,4 +2979,6 @@ def oracle_sql() -> dict[str, str]:
         # the incremental store must equal the one-shot match — the
         # winnowing oracle, verbatim
         "winnow_incremental": ext.WINNOW_DUPS_SQL,
+        "lpa_modularity": ext.lpa_modularity_sql(rounds=4),
+        "snm_part_pairs": ext.SNM_PART_PAIRS_SQL,
     }

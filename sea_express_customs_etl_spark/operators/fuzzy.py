@@ -195,3 +195,57 @@ def fuzzy_best_link(
     return right.select(right_id, right_text).join(
         best_per_text, right_text
     ).select(right_id, left_id, "dist")
+
+
+def snm_pairs(
+    df: DataFrame,
+    text_col: str,
+    window: int = 3,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995):
+    sort the DISTINCT values of ``text_col`` lexicographically and
+    verify only pairs within ``window`` positions of each other —
+    the third blocking strategy of the linkage family (prefix/suffix
+    blocks in :func:`fuzzy_join`, LSH in :mod:`.dedup`, and now the
+    sort-based sweep: candidate volume is EXACTLY n·window regardless
+    of value distribution, the property block-based schemes lose when
+    one block goes hot). Output: name_a < name_b (lexicographic, the
+    sort order), dist (Levenshtein, ≤ ``max_dist``).
+
+    Scale shape: values dedupe to dictionary grain first (the
+    ``fuzzy_join`` discipline — repeated values never multiply pair
+    work); the global sort position comes from the two-phase
+    ``ranking.global_rank`` (range partition + per-partition window +
+    |partitions|-row offsets — never a single-partition funnel); the
+    neighbor join is an EQUI-join on exploded rank keys (each value
+    emits ``window`` probe keys rn+1..rn+window) so Spark plans a
+    hash join, not a range BNLJ; the Levenshtein verify is map-side on
+    the join output. The classic SNM caveat holds here too: a typo in
+    the FIRST character defeats sort adjacency — production multi-pass
+    SNM re-runs with a second sort key (e.g. the reversed string),
+    exactly the two-pass trick ``fuzzy_join``'s blocks encode.
+    """
+    from .ranking import global_rank
+
+    names = df.select(F.trim(F.lower(F.col(text_col))).alias("_t")).distinct()
+    # rank_col must not be named "_rn" — global_rank's internal
+    # per-partition row_number uses that name and drops it on exit
+    ranked = global_rank(names, [F.col("_t")], rank_col="_pos")
+    probes = ranked.select(
+        F.col("_t").alias("name_a"),
+        F.explode(
+            F.sequence(F.col("_pos") + 1, F.col("_pos") + window)
+        ).alias("_pos"),
+    )
+    cand = probes.join(
+        ranked.select(F.col("_t").alias("name_b"), "_pos"), "_pos"
+    )
+    return (
+        cand.select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

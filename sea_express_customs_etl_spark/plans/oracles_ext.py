@@ -3077,12 +3077,10 @@ WHERE rn <= 10
 """
 
 
-def lpa_sql(rounds: int = 4) -> str:
-    """Unrolled synchronous label-propagation oracle over the
-    >=2-co-occurrence co-purchase graph (operators/graph.py:
-    label_propagation): per sweep, each node takes the modal neighbor
-    label (ties -> smallest), exactly ``rounds`` sweeps — the
-    kcore-style trajectory unroll."""
+def _lpa_ctes(rounds: int) -> str:
+    """The shared WITH-body for the LPA family: co-purchase graph +
+    ``rounds`` unrolled synchronous sweeps, final labels in
+    ``l{rounds}``."""
     parts = [
         """WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
 e0 AS (
@@ -3105,8 +3103,64 @@ l{r + 1} AS (SELECT node, lbl FROM (
            row_number() OVER (PARTITION BY node ORDER BY c DESC, lbl) AS rn
     FROM c{r}) WHERE rn = 1)"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def lpa_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous label-propagation oracle over the
+    >=2-co-occurrence co-purchase graph (operators/graph.py:
+    label_propagation): per sweep, each node takes the modal neighbor
+    label (ties -> smallest), exactly ``rounds`` sweeps — the
+    kcore-style trajectory unroll."""
+    return (
+        _lpa_ctes(rounds)
+        + f"""
 SELECT node, CAST(lbl AS BIGINT) AS label FROM l{rounds}"""
     )
-    return "".join(parts)
+
+
+def lpa_modularity_sql(rounds: int = 4) -> str:
+    """Newman modularity of the ``rounds``-sweep LPA partition in
+    exact integer ppm (operators/graph.py:modularity): Q = (4m·e_in −
+    Σ d_c²) / (4m²) with HUGEINT arithmetic, truncation-toward-zero
+    division on a sign-split magnitude (both engines floor the
+    nonnegative magnitude identically)."""
+    return (
+        _lpa_ctes(rounds)
+        + f""",
+lab AS (SELECT node, lbl FROM l{rounds}),
+m AS (SELECT count(*)::HUGEINT AS m FROM e),
+ein AS (
+  SELECT count(*)::HUGEINT AS e_in
+  FROM e JOIN lab la ON la.node = e.a JOIN lab lb ON lb.node = e.b
+  WHERE la.lbl = lb.lbl),
+deg AS (SELECT src AS node, count(*)::HUGEINT AS d FROM nbr GROUP BY 1),
+dc AS (SELECT la.lbl, sum(deg.d) AS d_c
+       FROM deg JOIN lab la USING (node) GROUP BY 1),
+parts AS (
+  SELECT (SELECT count(*) FROM dc)::BIGINT AS n_communities,
+         4 * m.m * (SELECT e_in FROM ein)
+           - (SELECT sum(d_c * d_c) FROM dc) AS num,
+         4 * m.m * m.m AS den
+  FROM m)
+SELECT n_communities,
+       CAST((CASE WHEN num < 0 THEN -1 ELSE 1 END)
+            * ((1000000 * abs(num)) // den) AS BIGINT) AS modularity_ppm
+FROM parts"""
+    )
+
+
+# sorted-neighborhood blocking (operators/fuzzy.py:snm_pairs —
+# Hernández & Stolfo SIGMOD'95): distinct lowered part names in
+# lexicographic order, pairs within 3 sort positions verified by
+# Levenshtein <= 4 — candidate volume exactly n·window.
+SNM_PART_PAIRS_SQL = """
+WITH names AS (SELECT DISTINCT lower(trim(p_name)) AS t FROM part),
+r AS (SELECT t, row_number() OVER (ORDER BY t) AS rn FROM names),
+cand AS (
+  SELECT a.t AS name_a, b.t AS name_b
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3)
+SELECT name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
+FROM cand WHERE levenshtein(name_a, name_b) <= 4
+"""

@@ -36,6 +36,7 @@ from sea_express_customs_etl_spark.plans import standins
 SF_DIR = "/root/testdata/sf0.001"
 
 FORCED_BROADCAST_ALLOWED = {
+    "lpa_modularity",      # 1-row m / e_in scalars (the 1-row license)
     "cosine_topk",         # query set (10 vectors)
     "ann_ivf_nprobe2",     # centroids + probe ranking table
     "kmeans_ivf_topk",     # trained centroids (k=8)
@@ -95,6 +96,8 @@ FORCED_BROADCAST_ALLOWED = {
     #                          (|batches| rows — the ann_store license)
     "winnow_incremental",  # commit-marker table broadcast (|batches|
     #                        rows — same license as knowledge_ivm_stream)
+    "snm_part_pairs",      # |partitions|-row rank-offset broadcast
+    #                        (the global_rank license, as order_value_gini)
 }
 
 

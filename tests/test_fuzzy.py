@@ -109,3 +109,43 @@ def test_fuzzy_best_link_equals_best_match_of_fuzzy_join(spark):
     assert fused == composed
     assert (1, 3, 0) in fused  # repeated 'house': min lid 3 wins
     assert (6, 11, 2) not in fused and not any(r[0] == 6 for r in fused)
+
+
+def test_snm_pairs_match_reference(spark):
+    """Sorted-neighborhood candidates vs a pure-Python sweep."""
+    import random as _random
+
+    from sea_express_customs_etl_spark.operators.fuzzy import snm_pairs
+
+    def _lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    rnd = _random.Random(31)
+    vals = list(
+        {
+            "".join(rnd.choice("abcd") for _ in range(rnd.randrange(3, 7)))
+            for _ in range(40)
+        }
+    )
+    rows = [(v.upper() if i % 2 else v,) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["t"])
+    for window, max_dist in ((3, 2), (2, 1)):
+        got = {
+            (r.name_a, r.name_b, r.dist)
+            for r in snm_pairs(df, "t", window=window, max_dist=max_dist).collect()
+        }
+        s = sorted(set(v.lower() for v in vals))
+        ref = {
+            (s[i], s[j], _lev(s[i], s[j]))
+            for i in range(len(s))
+            for j in range(i + 1, min(i + window, len(s) - 1) + 1)
+            if _lev(s[i], s[j]) <= max_dist
+        }
+        assert got == ref, (window, max_dist)

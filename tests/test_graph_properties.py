@@ -288,3 +288,62 @@ def test_label_propagation_two_cliques(spark):
     }
     assert {got[n] for n in range(4)} == {0}
     assert {got[n] for n in range(11, 14)} == {10}
+
+
+def _ref_modularity_ppm(und, labels):
+    import math
+
+    edges = {(min(a, b), max(a, b)) for a, b in und if a != b}
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m = len(edges)
+    e_in = sum(1 for a, b in edges if labels[a] == labels[b])
+    dc = {}
+    for n, d in deg.items():
+        dc[labels[n]] = dc.get(labels[n], 0) + d
+    num = 4 * m * e_in - sum(d * d for d in dc.values())
+    den = 4 * m * m
+    sign = -1 if num < 0 else 1
+    return len(dc), sign * ((10**6 * abs(num)) // den)
+
+
+def test_modularity_matches_reference(spark):
+    from sea_express_customs_etl_spark.operators.graph import modularity
+
+    rnd = random.Random(23)
+    for trial in range(3):
+        und = _rand_graph(rnd, 15, 30)
+        nodes = sorted({n for e in und for n in e})
+        labels = {n: n % 3 for n in nodes}
+        lab_df = spark.createDataFrame(
+            [(n, l) for n, l in labels.items()], ["node", "label"]
+        )
+        row = modularity(_edges(spark, und), lab_df).collect()[0]
+        n_c, q_ppm = _ref_modularity_ppm(und, labels)
+        assert (row.n_communities, row.modularity_ppm) == (n_c, q_ppm), trial
+
+
+def test_modularity_extremes(spark):
+    """A single community has e_in = m and d_c = 2m, so Q = 1 − 1 = 0;
+    the perfect two-equal-clique split with no bridges scores exactly
+    1/2 (each half: e_c/m = 1/2, (d_c/2m)² = 1/4)."""
+    from sea_express_customs_etl_spark.operators.graph import modularity
+
+    c1 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    und = c1 + c2
+    one = spark.createDataFrame(
+        [(n, 0) for n in range(4)] + [(n, 0) for n in range(10, 14)],
+        ["node", "label"],
+    )
+    row = modularity(_edges(spark, und), one).collect()[0]
+    assert (row.n_communities, row.modularity_ppm) == (1, 0)
+    split = spark.createDataFrame(
+        [(n, 0) for n in range(4)] + [(n, 1) for n in range(10, 14)],
+        ["node", "label"],
+    )
+    row = modularity(_edges(spark, und), split).collect()[0]
+    assert row.n_communities == 2
+    assert row.modularity_ppm == 500000  # two equal halves, no bridges

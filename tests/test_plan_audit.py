@@ -23,6 +23,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # BNLJ-by-design: the broadcast side is small by construction.
 BNLJ_ALLOWED = {
+    "lpa_modularity",     # three 1-row scalars (m, e_in) cross-joined
     "cosine_topk",        # query set (10 vectors) broadcast vs corpus
     "ann_ivf_nprobe2",    # centroid table broadcast (|centroids| = 16)
     "kmeans_ivf_topk",    # trained centroid table broadcast (k = 8)

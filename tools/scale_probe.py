@@ -394,6 +394,13 @@ def cases_li() -> dict:
 
         return resource_alloc_links(cooccur_edges(li, min_weight=2), top_n=50)
 
+    def _lpa(li):
+        from sea_express_customs_etl_spark.operators.graph import (
+            label_propagation,
+        )
+
+        return label_propagation(cooccur_edges(li, min_weight=2), rounds=4)
+
     return {
         "kcore_sieve": _kcore,
         "seeded_ppr": _ppr,
@@ -401,6 +408,9 @@ def cases_li() -> dict:
         # 8× disjoint graph copies: wedge volume grows linearly (per-
         # node degree held constant), global top-50 is map-side partial
         "resource_alloc_links": _ra,
+        # per sweep: one node-keyed labels join + one partial-agg count
+        # + one argmax — all graph-sized, nothing quadratic
+        "lpa_4sweeps": _lpa,
     }
 
 
@@ -441,7 +451,24 @@ def cases_tfidf() -> dict:
         "hashed_topk_fixed_panel": lambda docs, emb: _hashed_topk(
             docs, fixed_panel=True
         ),
+        # sorted-neighborhood sweep over doc TEXTS (distinct values x8
+        # via the id-suffix variant): candidates stay exactly n·window
+        "snm_doc_texts": lambda docs, emb: _snm(docs),
     }
+
+
+def _snm(docs):
+    from sea_express_customs_etl_spark.operators.fuzzy import snm_pairs
+
+    # suffix the text with the replica-distinct doc id so DISTINCT
+    # value count (and thus the sorted sweep) actually grows 8x —
+    # replicated identical texts would collapse back to 1x
+    keyed = docs.select(
+        F.concat_ws(" ", F.substring("text", 1, 40), F.col("doc_id")).alias(
+            "t"
+        )
+    )
+    return snm_pairs(keyed, "t", window=3, max_dist=4)
 
 
 def _winnow(docs):
