@@ -1168,6 +1168,56 @@ def _q_top_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-method feature selection for the hashed classifier
+    family: per-bucket χ² vs the lang='en' label in exact micro-units
+    (χ² is rational for a 2×2 table — no logs, unlike MI), over the
+    same 64 buckets the integer perceptron trains on."""
+    from sea_express_customs_etl_spark.operators.featsel import (
+        chi2_feature_scores,
+    )
+
+    return chi2_feature_scores(
+        _docs(spark, sf_dir), F.col("lang") == "en", buckets=64
+    )
+
+
+def _q_item_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amazon-style item-item CF: per-item top-5 co-purchase
+    neighbors by exact-integer Jaccard over order sets
+    ((10⁶·cooc) DIV union, min_cooc=2) — WindowGroupLimit top-k."""
+    from sea_express_customs_etl_spark.operators.cf import item_item_jaccard
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    return item_item_jaccard(
+        load_table(spark, sf_dir, "lineitem"), min_cooc=2, k=5
+    )
+
+
+def _q_curriculum_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difficulty-stratified sharding: docs ranked by avg bigram
+    logprob (the lm_terciles order, two-phase global rank) and dealt
+    round-robin into 8 shards — every shard gets the same difficulty
+    distribution, the curriculum complement of hash_split."""
+    from sea_express_customs_etl_spark.operators.lm import lm_score
+    from sea_express_customs_etl_spark.operators.ranking import (
+        global_rank,
+        round_robin_shards,
+    )
+
+    scored = lm_score(_docs(spark, sf_dir)).withColumn(
+        "_avg",
+        F.col("logprob_u6").cast("double")
+        / F.greatest(F.col("n_bigrams"), F.lit(1)),
+    )
+    ranked = global_rank(
+        scored, [F.col("_avg").desc(), F.col("doc_id")], rank_col="rnk"
+    )
+    return round_robin_shards(ranked, 8, rank_col="rnk").select(
+        "doc_id", F.col("rnk").cast("bigint").alias("rnk"), "shard"
+    )
+
+
 def _q_snm_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood candidate pairs over distinct part names:
     window-3 sort adjacency + Levenshtein ≤ 4 verify — the sort-based
@@ -2778,6 +2828,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_modularity": _q_lpa_modularity,
         # sort-based blocking: sorted-neighborhood candidate pairs
         "snm_part_pairs": _q_snm_part_pairs,
+        # filter-method feature selection: exact-integer χ² per bucket
+        "chi2_features": _q_chi2_features,
+        # item-item CF: per-item top-5 by exact-integer Jaccard
+        "item_item_jaccard": _q_item_item_jaccard,
+        # curriculum: difficulty-stratified round-robin shards
+        "curriculum_shards": _q_curriculum_shards,
     }
 
 
@@ -2981,4 +3037,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_incremental": ext.WINNOW_DUPS_SQL,
         "lpa_modularity": ext.lpa_modularity_sql(rounds=4),
         "snm_part_pairs": ext.SNM_PART_PAIRS_SQL,
+        "chi2_features": ext.CHI2_FEATURES_SQL,
+        "item_item_jaccard": ext.ITEM_ITEM_JACCARD_SQL,
+        "curriculum_shards": ext.CURRICULUM_SHARDS_SQL,
     }

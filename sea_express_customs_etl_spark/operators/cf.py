@@ -1,0 +1,77 @@
+"""Item-item collaborative filtering over the order/part bipartite
+graph — the Amazon-style "customers who bought X also bought Y"
+recommender (Linden, Smith, York, IEEE Internet Computing 2003),
+scored by exact-integer Jaccard over order sets.
+
+Reference parity anchor: the reference has no recommendation layer
+(its joins are key-equality linking, ``/root/reference/src/
+batch_train.py:95-117``); this completes the co-purchase family —
+pagerank ranks items globally, triangles/k-core/LPA describe
+structure, resource-allocation predicts NEW links, and this scores
+EXISTING co-occurrence into per-item neighbor lists.
+
+Jaccard(a, b) = |orders(a) ∩ orders(b)| / |orders(a) ∪ orders(b)| is
+rational: micro-unit output via ``(10⁶·cooc) DIV (da + db − cooc)``
+— exact integers end-to-end, hash-portable, no floats.
+
+Scale shape: one distinct (order, item) projection feeds both sides;
+co-occurrence is the basket self-join (Σ basket² fan-out, bounded by
+order size — TPC-H caps at 7; real carts cap too, and ``min_cooc``
+prunes the one-off tail BEFORE the degree joins); per-item top-k
+keeps the row_number-then-filter-on-rank shape Spark rewrites to
+WindowGroupLimit (map-side partial top-k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from ..plans.cache import tracked_persist
+
+
+def item_item_jaccard(
+    lineitem: DataFrame,
+    min_cooc: int = 2,
+    k: int = 5,
+) -> DataFrame:
+    """Per-item top-``k`` co-purchase recommendations by integer
+    Jaccard: item_id, rec_id, sim_ppm (10⁶-scaled floor), ties broken
+    by rec_id. Pairs below ``min_cooc`` shared orders are pruned
+    before scoring (the sparsifier every production CF pipeline
+    applies — one-off co-occurrence is noise and volume)."""
+    items = tracked_persist(
+        lineitem.select("l_orderkey", "l_partkey").distinct()
+    )  # three scans: both co-occurrence sides + the degree count
+    deg = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_d")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    cooc = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("item_id"),
+            F.col("b.l_partkey").alias("rec_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .filter(F.col("_c") >= min_cooc)
+    )
+    scored = (
+        cooc.join(deg.withColumnRenamed("l_partkey", "item_id"), "item_id")
+        .withColumnRenamed("_d", "_da")
+        .join(deg.withColumnRenamed("l_partkey", "rec_id"), "rec_id")
+        .select(
+            "item_id",
+            "rec_id",
+            F.expr("(1000000 * _c) DIV (_da + _d - _c)").alias("sim_ppm"),
+        )
+    )
+    w = Window.partitionBy("item_id").orderBy(
+        F.col("sim_ppm").desc(), F.col("rec_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("item_id", "rec_id", "sim_ppm")
+    )

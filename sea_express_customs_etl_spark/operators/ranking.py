@@ -189,3 +189,22 @@ def grouped_rank_via_global(
         .withColumn(rank_col, (F.col("_gr") - F.col("_g0") + 1).cast("bigint"))
         .drop("_gr", "_g0")
     )
+
+
+def round_robin_shards(
+    ranked: DataFrame,
+    n_shards: int,
+    rank_col: str = "global_rank",
+) -> DataFrame:
+    """Difficulty-stratified sharding: documents ordered by a quality/
+    difficulty score (the caller's :func:`global_rank` order) dealt
+    round-robin into ``n_shards`` — every shard receives the same
+    difficulty DISTRIBUTION (rank residues), the property a curriculum
+    or mixed-difficulty training run wants from its file shards
+    (contrast hash_split: uniform but difficulty-blind; contrast
+    contiguous range sharding: each shard is a difficulty stratum).
+    Map-only on top of the two-phase rank — adds no shuffle. Output:
+    input columns + ``shard`` (int, 0-based)."""
+    return ranked.withColumn(
+        "shard", ((F.col(rank_col) - 1) % n_shards).cast("int")
+    )

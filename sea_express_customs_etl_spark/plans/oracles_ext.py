@@ -3164,3 +3164,80 @@ SELECT name_a, name_b,
        CAST(levenshtein(name_a, name_b) AS INTEGER) AS dist
 FROM cand WHERE levenshtein(name_a, name_b) <= 4
 """
+
+
+# χ² feature selection (operators/featsel.py:chi2_feature_scores):
+# 2×2 presence×(lang='en') contingency per 64-bucket hashed feature,
+# χ²·10⁶ = (10⁶·N·(ad−bc)²) // ((a+b)(c+d)(a+c)(b+d)) in HUGEINT,
+# zero marginals → 0. Bucket hash mirrors the DSIR/perceptron bucket.
+_FS_BUCKET = (
+    "CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS INTEGER)"
+)
+
+CHI2_FEATURES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+pres AS (SELECT DISTINCT doc_id, {_FS_BUCKET} AS bucket FROM toks),
+lab AS (SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents),
+cnt AS (
+  SELECT bucket, sum(y)::BIGINT AS a, (count(*) - sum(y))::BIGINT AS b
+  FROM pres JOIN lab USING (doc_id) GROUP BY bucket),
+tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS np FROM lab),
+w AS (
+  SELECT bucket, a, b,
+         (tot.np - a)::HUGEINT AS c,
+         (tot.n - tot.np - b)::HUGEINT AS d,
+         tot.n::HUGEINT AS n
+  FROM cnt CROSS JOIN tot)
+SELECT bucket, CAST(a AS BIGINT) AS n_pos, CAST(a + b AS BIGINT) AS n_docs,
+       CAST(CASE WHEN (a+b) * (c+d) * (a+c) * (b+d) = 0 THEN 0
+            ELSE (1000000::HUGEINT * n
+                  * (a::HUGEINT * d - b::HUGEINT * c)
+                  * (a::HUGEINT * d - b::HUGEINT * c))
+                 // ((a+b) * (c+d) * (a+c) * (b+d)) END AS BIGINT)
+           AS chi2_micro
+FROM w
+"""
+
+# item-item Jaccard CF (operators/cf.py:item_item_jaccard): per-item
+# top-5 co-purchase neighbors, sim_ppm = (10⁶·cooc) // (da+db−cooc),
+# min_cooc=2, ties by rec_id.
+ITEM_ITEM_JACCARD_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (SELECT l_partkey, count(*)::BIGINT AS d FROM items GROUP BY 1),
+cooc AS (
+  SELECT a.l_partkey AS item_id, b.l_partkey AS rec_id,
+         count(*)::BIGINT AS c
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sc AS (
+  SELECT item_id, rec_id,
+         (1000000 * c) // (da.d + db.d - c) AS sim_ppm
+  FROM cooc
+  JOIN deg da ON da.l_partkey = cooc.item_id
+  JOIN deg db ON db.l_partkey = cooc.rec_id)
+SELECT item_id, rec_id, CAST(sim_ppm AS BIGINT) AS sim_ppm
+FROM (SELECT *, row_number() OVER (PARTITION BY item_id
+          ORDER BY sim_ppm DESC, rec_id) AS rn FROM sc)
+WHERE rn <= 5
+"""
+
+# difficulty-stratified round-robin shards (operators/ranking.py:
+# round_robin_shards over the lm_score rank order): shard = (rank−1)%8
+# under the (avg bigram logprob desc, doc_id) total order — every
+# shard gets the same difficulty distribution.
+CURRICULUM_SHARDS_SQL = f"""
+WITH s AS ({LM_SCORE_SQL}),
+r AS (SELECT doc_id,
+             row_number() OVER (
+                 ORDER BY CAST(logprob_u6 AS DOUBLE)
+                          / greatest(n_bigrams, 1) DESC,
+                          doc_id) AS rnk
+      FROM s)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk,
+       CAST((rnk - 1) % 8 AS INTEGER) AS shard
+FROM r
+"""

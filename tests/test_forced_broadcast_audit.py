@@ -36,6 +36,9 @@ from sea_express_customs_etl_spark.plans import standins
 SF_DIR = "/root/testdata/sf0.001"
 
 FORCED_BROADCAST_ALLOWED = {
+    "chi2_features",       # 1-row (N, N_pos) totals (the 1-row license)
+    "curriculum_shards",   # |partitions|-row rank offsets + lm_score 1-row
+    #                        V scalar (the global_rank/lm_terciles license)
     "lpa_modularity",      # 1-row m / e_in scalars (the 1-row license)
     "cosine_topk",         # query set (10 vectors)
     "ann_ivf_nprobe2",     # centroids + probe ranking table

@@ -23,6 +23,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # BNLJ-by-design: the broadcast side is small by construction.
 BNLJ_ALLOWED = {
+    "chi2_features",      # 1-row (N, N_pos) totals cross-joined
+    "curriculum_shards",  # |partitions|-row rank offsets + 1-row V
+    #                       (the global_rank/lm license, as lm_terciles)
     "lpa_modularity",     # three 1-row scalars (m, e_in) cross-joined
     "cosine_topk",        # query set (10 vectors) broadcast vs corpus
     "ann_ivf_nprobe2",    # centroid table broadcast (|centroids| = 16)
