@@ -394,6 +394,13 @@ def cases_li() -> dict:
 
         return resource_alloc_links(cooccur_edges(li, min_weight=2), top_n=50)
 
+    def _cf(li):
+        from sea_express_customs_etl_spark.operators.cf import (
+            item_item_jaccard,
+        )
+
+        return item_item_jaccard(li, min_cooc=2, k=5)
+
     def _lpa(li):
         from sea_express_customs_etl_spark.operators.graph import (
             label_propagation,
@@ -411,6 +418,9 @@ def cases_li() -> dict:
         # per sweep: one node-keyed labels join + one partial-agg count
         # + one argmax — all graph-sized, nothing quadratic
         "lpa_4sweeps": _lpa,
+        # basket-bounded self-join + WindowGroupLimit top-5: linear in
+        # baskets, per-item state never exceeds k
+        "item_item_jaccard": _cf,
     }
 
 
@@ -454,7 +464,40 @@ def cases_tfidf() -> dict:
         # sorted-neighborhood sweep over doc TEXTS (distinct values x8
         # via the id-suffix variant): candidates stay exactly n·window
         "snm_doc_texts": lambda docs, emb: _snm(docs),
+        # one distinct presence pass + one B-row agg: the corpus scan
+        # grows 8x, the contingency state (64 rows) doesn't
+        "chi2_features": lambda docs, emb: _chi2(docs),
+        # lm_score scans x8; the rank is the two-phase global machinery
+        "curriculum_shards": lambda docs, emb: _curriculum(docs),
     }
+
+
+def _chi2(docs):
+    from sea_express_customs_etl_spark.operators.featsel import (
+        chi2_feature_scores,
+    )
+
+    return chi2_feature_scores(docs, F.col("lang") == "en", buckets=64)
+
+
+def _curriculum(docs):
+    from sea_express_customs_etl_spark.operators.lm import lm_score
+    from sea_express_customs_etl_spark.operators.ranking import (
+        global_rank,
+        round_robin_shards,
+    )
+
+    scored = lm_score(docs).withColumn(
+        "_avg",
+        F.col("logprob_u6").cast("double")
+        / F.greatest(F.col("n_bigrams"), F.lit(1)),
+    )
+    ranked = global_rank(
+        scored, [F.col("_avg").desc(), F.col("doc_id")], rank_col="rnk"
+    )
+    return round_robin_shards(ranked, 8, rank_col="rnk").select(
+        "doc_id", "rnk", "shard"
+    )
 
 
 def _snm(docs):
