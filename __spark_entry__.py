@@ -1168,6 +1168,37 @@ def _q_top_duplicated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_hashed_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text clustering without an embedding model, hash-checked end to
+    end: hashing-trick dense 64-dim vectors → bit-portable integer
+    k-means (k=4, 2 unrolled Lloyd iterations) → exact integer
+    squared-L2 assignment."""
+    from sea_express_customs_etl_spark.operators.fhash import (
+        hashed_doc_clusters,
+    )
+
+    return hashed_doc_clusters(_docs(spark, sf_dir), k=4, iters=2, dim=64)
+
+
+def _q_copurchase_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SGNS-style negative sampling over the co-purchase
+    graph: 2 positional-md5 draws per positive edge resolved against
+    the ranked part catalog, accidental positives rejected — the
+    replayable contrastive-training loader branch."""
+    from sea_express_customs_etl_spark.operators.graph import cooccur_edges
+    from sea_express_customs_etl_spark.operators.sampling import (
+        edge_negative_samples,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return edge_negative_samples(
+        cooccur_edges(li, min_weight=2),
+        li.select(F.col("l_partkey").alias("item")),
+        k=2,
+    )
+
+
 def _q_chi2_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter-method feature selection for the hashed classifier
     family: per-bucket χ² vs the lang='en' label in exact micro-units
@@ -2834,6 +2865,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "item_item_jaccard": _q_item_item_jaccard,
         # curriculum: difficulty-stratified round-robin shards
         "curriculum_shards": _q_curriculum_shards,
+        # contrastive-training loader: deterministic negative sampling
+        "copurchase_negatives": _q_copurchase_negatives,
+        # embedding-free text clustering: hashed vectors → integer
+        # k-means → exact assignment, one hash-checked statement
+        "hashed_doc_clusters": _q_hashed_doc_clusters,
     }
 
 
@@ -3040,4 +3076,6 @@ def oracle_sql() -> dict[str, str]:
         "chi2_features": ext.CHI2_FEATURES_SQL,
         "item_item_jaccard": ext.ITEM_ITEM_JACCARD_SQL,
         "curriculum_shards": ext.CURRICULUM_SHARDS_SQL,
+        "copurchase_negatives": ext.COPURCHASE_NEGATIVES_SQL,
+        "hashed_doc_clusters": ext.HASHED_DOC_CLUSTERS_SQL,
     }

@@ -150,3 +150,112 @@ def hashed_doc_topk(
         .filter(F.col("_rn") <= k)
         .select("query_id", "neighbor_id", "score_ppt")
     )
+
+
+def hashed_dense_vectors(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dense ``dim``-dimensional signed-count vectors via the hashing
+    trick — bucket = first-8-hex md5 mod ``dim`` (the DSIR/perceptron
+    bucket hash), sign = high bit of hex digit 9. The fixed-dimension
+    bridge from raw text into the integer ANN/k-means family
+    (:func:`..similarity.kmeans_fit_q` consumes this directly).
+    Output: id, embedding (array<bigint>, exact signed counts).
+
+    Scale shape: map-side hash + ONE (id, bucket) partial-aggregated
+    count + one per-doc map assembly — no joins, no windows; the dense
+    array is ``dim`` entries regardless of vocabulary.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("_tok"),
+    )
+    sv = (
+        toks.select(
+            F.col(id_col),
+            (
+                F.conv(F.substring(F.md5("_tok"), 1, 8), 16, 10).cast("bigint")
+                % dim
+            )
+            .cast("int")
+            .alias("_b"),
+            _sign(F.col("_tok"), 9).alias("_s"),
+        )
+        .groupBy(id_col, "_b")
+        .agg(F.sum("_s").cast("bigint").alias("_v"))
+    )
+    m = sv.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("_b", "_v"))).alias("_m")
+    )
+    return m.select(
+        F.col(id_col),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda b: F.coalesce(F.element_at(F.col("_m"), b.cast("int")), F.lit(0)),
+        ).alias("embedding"),
+    )
+
+
+def hashed_doc_clusters(
+    df: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Text clustering WITHOUT an embedding model, hash-checked end to
+    end: hashing-trick dense vectors → bit-portable integer k-means
+    (:func:`..similarity.kmeans_fit_q` — md5-seeded init, exact
+    integer Lloyd steps, fixed ``iters``) → exact integer squared-L2
+    assignment (ties → lowest cluster). Output: id, cluster — the
+    topical sharding a curation pipeline uses for stratified sampling
+    and leak-safe splits when no embedding model is in the loop.
+
+    Scale shape: the vectorizer is map+one-agg; training is the
+    kmeans_fit_q shape (broadcast-argmin assignment, partial-aggregated
+    per-dim sums, O(k·dim) model state); the final assignment is one
+    map-only broadcast-argmin pass over the persisted vector frame
+    (consumed by training AND assignment → pinned).
+    """
+    from ..plans.cache import tracked_persist
+    from .similarity import _d2_q, kmeans_fit_q, quantize_u6
+
+    # pre-scale counts by 1e-6 so kmeans_fit_q's quantize_u6 recovers
+    # the RAW integer counts exactly (round(val·1e-6·1e6) == val for
+    # any count < 2^52): distances then stay O(count²·dim) — a
+    # micro-unit count vector would overflow the bigint d2 fold for
+    # per-bucket counts beyond ~190
+    vecs = tracked_persist(
+        hashed_dense_vectors(
+            df, dim=dim, text_col=text_col, id_col=id_col
+        ).select(
+            F.col(id_col),
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.lit(1_000_000.0)
+            ).alias("embedding"),
+        )
+    )
+    cen = kmeans_fit_q(vecs, k=k, iters=iters, vec_col="embedding", id_col=id_col)
+    cen_arr = (
+        cen.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c_u6"))).alias("_s"))
+        .select("cluster", F.transform("_s", lambda s: s["c_u6"]).alias("_cv"))
+    )
+    q = quantize_u6(vecs, vec_col="embedding", id_col=id_col)
+    best = (
+        q.join(F.broadcast(cen_arr))
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            _d2_q(F.col("v"), F.col("_cv")).alias("_d2"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.min(F.struct(F.col("_d2"), F.col("cluster").alias("c"))).alias("_b")
+        )
+    )
+    return best.select(id_col, F.col("_b.c").cast("bigint").alias("cluster"))

@@ -249,3 +249,87 @@ def pps_systematic_sample(
         )
     )
     return picked
+
+
+def edge_negative_samples(
+    edges: DataFrame,
+    catalog: DataFrame,
+    k: int = 2,
+    item_col: str = "item",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (word2vec/SGNS, Mikolov et al. 2013; the graph-embedding loader's
+    negative branch): for every positive edge and slot i ∈ [0, k), draw
+    a pseudo-random catalog item via positional md5 —
+    ``md5(src|dst|slot) mod |catalog|`` resolved against a two-phase
+    global rank of the catalog — then REJECT draws that are accidental
+    positives (the drawn item equals an endpoint or is adjacent to the
+    source), the standard rejection step. Output: src, dst, slot,
+    neg_id; rejected slots are absent (re-draw policy is the trainer's
+    loop, kept out of the operator so the emitted set is a pure
+    function of its inputs).
+
+    Replayable bit-for-bit across engines/retries/partitionings — the
+    ``word_dropout`` discipline applied to the sampling side of
+    training: an interrupted epoch resumes with IDENTICAL negatives.
+
+    Scale shape: slots explode map-side (k rows per edge); the draw
+    resolves through ONE equi-join against the ranked catalog (hash
+    join on the rank value — never a range/BNLJ); rejection is one
+    canonical-edge anti-join. The catalog rank rides the two-phase
+    ``global_rank`` (|partitions|-row offsets); the catalog size joins
+    in as a pinned 1-row broadcast.
+    """
+    from .ranking import global_rank
+
+    e = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    cat = global_rank(
+        catalog.select(F.col(item_col).alias("_item")).distinct(),
+        [F.col("_item")],
+        rank_col="_r",
+    ).select((F.col("_r") - 1).alias("_r"), "_item")
+    n = cat.agg(F.count(F.lit(1)).alias("_n"))
+    slots = e.select(
+        F.col("a").alias("src"),
+        F.col("b").alias("dst"),
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+    )
+    drawn = (
+        slots.join(F.broadcast(n))
+        .withColumn(
+            "_r",
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.col("src").cast("string"),
+                            F.col("dst").cast("string"),
+                            F.col("slot").cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("_n"),
+        )
+        .join(cat, "_r")
+        .select("src", "dst", "slot", F.col("_item").alias("neg_id"))
+        .filter(
+            (F.col("neg_id") != F.col("src")) & (F.col("neg_id") != F.col("dst"))
+        )
+    )
+    # equi-keyed hash anti-join (canonicalize the probe pair first —
+    # an expression-on-both-sides condition would plan as a BNLJ)
+    probe = drawn.withColumn("_pa", F.least("src", "neg_id")).withColumn(
+        "_pb", F.greatest("src", "neg_id")
+    )
+    adj = e.select(F.col("a").alias("_pa"), F.col("b").alias("_pb"))
+    return probe.join(adj, ["_pa", "_pb"], "left_anti").select(
+        "src", "dst", "slot", "neg_id"
+    )

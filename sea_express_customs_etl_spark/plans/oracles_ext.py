@@ -3241,3 +3241,86 @@ SELECT doc_id, CAST(rnk AS BIGINT) AS rnk,
        CAST((rnk - 1) % 8 AS INTEGER) AS shard
 FROM r
 """
+
+
+# deterministic negative sampling (operators/sampling.py:
+# edge_negative_samples): per >=2-co-occurrence edge and slot in {0,1},
+# draw = md5(src|dst|slot) mod |catalog| resolved against the ranked
+# part catalog; reject draws equal to an endpoint or adjacent to the
+# source. Replayable bit-for-bit — the word_dropout discipline on the
+# sampling side of training.
+COPURCHASE_NEGATIVES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0 WHERE src <> dst),
+cat AS (
+  SELECT l_partkey AS item,
+         row_number() OVER (ORDER BY l_partkey) - 1 AS r
+  FROM (SELECT DISTINCT l_partkey FROM lineitem)),
+n AS (SELECT count(*) AS n FROM cat),
+slots AS (
+  SELECT e.a AS src, e.b AS dst, g.i AS slot
+  FROM e CROSS JOIN generate_series(0, 1) g(i)),
+drawn AS (
+  SELECT src, dst, slot, cat.item AS neg_id
+  FROM (SELECT src, dst, slot,
+               ('0x' || substring(md5(src || '|' || dst || '|' || slot),
+                                  1, 15))::BIGINT % n.n AS r
+        FROM slots, n) h
+  JOIN cat USING (r)
+  WHERE cat.item <> h.src AND cat.item <> h.dst)
+SELECT d.src, d.dst, CAST(d.slot AS INTEGER) AS slot, d.neg_id
+FROM drawn d
+ANTI JOIN e ON e.a = least(d.src, d.neg_id)
+           AND e.b = greatest(d.src, d.neg_id)
+"""
+
+
+# hashed-vector document clustering (operators/fhash.py:
+# hashed_doc_clusters): hashing-trick dense 64-dim signed-count
+# vectors (DSIR bucket hash, sign = hex digit 9) -> the kmeans_fit_q
+# integer Lloyd loop (md5-seeded init, 2 unrolled iterations, floor
+# means, empty clusters keep the prior centroid) -> exact integer
+# squared-L2 assignment, ties -> lowest cluster. Vector entries are
+# the RAW signed counts (the Spark side's 1e-6 pre-scale cancels
+# quantize_u6's 1e6).
+_HKM_BUCKET = "CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 AS INTEGER)"
+_HKM_SIGN = (
+    "CASE WHEN substring(md5(tok), 9, 1) IN "
+    "('8','9','a','b','c','d','e','f') THEN -1 ELSE 1 END"
+)
+
+HASHED_DOC_CLUSTERS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+tb AS (SELECT doc_id, {_HKM_BUCKET} AS b, {_HKM_SIGN} AS s FROM toks),
+sv AS (SELECT doc_id, b, sum(s) AS val FROM tb GROUP BY 1, 2),
+q AS (
+  SELECT doc_id AS vec_id, list(coalesce(val, 0) ORDER BY d) AS v
+  FROM (SELECT ids.doc_id, g.d, sv.val
+        FROM (SELECT DISTINCT doc_id FROM documents) ids
+        CROSS JOIN generate_series(0, 63) g(d)
+        LEFT JOIN sv ON sv.doc_id = ids.doc_id AND sv.b = g.d)
+  GROUP BY doc_id),
+cent0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             - 1 AS cluster, v
+  FROM q
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 4),
+{_KMQ_ITER.format(i=1, j=0)},
+{_KMQ_ITER.format(i=2, j=1)}
+SELECT vec_id AS doc_id, CAST(cluster AS BIGINT) AS cluster
+FROM (
+  SELECT q.vec_id, c.cluster,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             list_sum(list_transform(list_zip(q.v, c.v),
+                      s -> (s[1] - s[2]) * (s[1] - s[2]))), c.cluster) AS rn
+  FROM q, cent2 c)
+WHERE rn = 1
+"""

@@ -118,3 +118,53 @@ def test_round_robin_shards_even_and_stratified(spark):
     for s, rnks in by_shard.items():
         assert len(rnks) == 8
         assert {(r - 1) % 8 for r in rnks} == {s}
+
+
+def _ref_negatives(edges, catalog, k=2):
+    import hashlib
+
+    e = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    cat = sorted(set(catalog))
+    n = len(cat)
+    out = set()
+    for a, b in e:
+        for s in range(k):
+            h = hashlib.md5(f"{a}|{b}|{s}".encode()).hexdigest()
+            neg = cat[int(h[:15], 16) % n]
+            if neg in (a, b):
+                continue
+            if (min(a, neg), max(a, neg)) in e:
+                continue
+            out.add((a, b, s, neg))
+    return out
+
+
+def test_edge_negative_samples_match_reference(spark):
+    from sea_express_customs_etl_spark.operators.sampling import (
+        edge_negative_samples,
+    )
+
+    rnd = random.Random(53)
+    edges = {(rnd.randrange(30), rnd.randrange(30)) for _ in range(50)}
+    edges = [(a, b) for a, b in edges if a != b]
+    catalog = list(range(40))
+    e_df = spark.createDataFrame(edges, ["src", "dst"])
+    c_df = spark.createDataFrame([(i,) for i in catalog], ["item"])
+    got = {
+        (r.src, r.dst, r.slot, r.neg_id)
+        for r in edge_negative_samples(e_df, c_df, k=2).collect()
+    }
+    assert got == _ref_negatives(edges, catalog)
+    # determinism: a repartitioned re-run emits the identical set
+    again = {
+        (r.src, r.dst, r.slot, r.neg_id)
+        for r in edge_negative_samples(
+            e_df.repartition(7), c_df.repartition(3), k=2
+        ).collect()
+    }
+    assert again == got
+    # rejection: no emitted negative is an endpoint or adjacent to src
+    e_set = {(min(a, b), max(a, b)) for a, b in edges}
+    for a, b, s, neg in got:
+        assert neg not in (a, b)
+        assert (min(a, neg), max(a, neg)) not in e_set

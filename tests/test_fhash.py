@@ -77,3 +77,35 @@ def test_topk_order_matches_true_cosine(spark):
     # scores agree with the closed form computed in exact integers
     for (i, ppt), (_, c) in zip(got, cands):
         assert abs(ppt - math.copysign(round(1e12 * c * c), c)) <= 1, (i, ppt, c)
+
+
+def test_hashed_doc_clusters_group_structure(spark):
+    """Planted vocabulary groups separate; identical texts co-cluster;
+    a repartitioned re-run is bit-identical (determinism)."""
+    from sea_express_customs_etl_spark.operators.fhash import (
+        hashed_doc_clusters,
+    )
+
+    rnd = random.Random(61)
+    docs = []
+    for i in range(40):
+        g = i % 2
+        vocab = [f"g{g}w{j}" for j in range(8)]
+        docs.append(
+            (i, " ".join(rnd.choice(vocab) for _ in range(25)))
+        )
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.cluster
+        for r in hashed_doc_clusters(df, k=2, iters=2).collect()
+    }
+    assert len(got) == 40
+    # the two planted vocabularies land in different clusters
+    c0 = {got[i] for i in range(0, 40, 2)}
+    c1 = {got[i] for i in range(1, 40, 2)}
+    assert len(c0) == 1 and len(c1) == 1 and c0 != c1
+    again = {
+        r.doc_id: r.cluster
+        for r in hashed_doc_clusters(df.repartition(7), k=2, iters=2).collect()
+    }
+    assert again == got

@@ -36,6 +36,10 @@ from sea_express_customs_etl_spark.plans import standins
 SF_DIR = "/root/testdata/sf0.001"
 
 FORCED_BROADCAST_ALLOWED = {
+    "hashed_doc_clusters",  # trained k·dim centroid broadcasts (the
+    #                         kmeans_ivf_topk license)
+    "copurchase_negatives",  # 1-row |catalog| scalar + |partitions|-row
+    #                          rank offsets (the global_rank license)
     "chi2_features",       # 1-row (N, N_pos) totals (the 1-row license)
     "curriculum_shards",   # |partitions|-row rank offsets + lm_score 1-row
     #                        V scalar (the global_rank/lm_terciles license)

@@ -23,6 +23,9 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # BNLJ-by-design: the broadcast side is small by construction.
 BNLJ_ALLOWED = {
+    "hashed_doc_clusters",  # trained k=4 centroid table broadcast
+    #                         (the kmeans_ivf_topk license)
+    "copurchase_negatives",  # 1-row |catalog| scalar cross-joined
     "chi2_features",      # 1-row (N, N_pos) totals cross-joined
     "curriculum_shards",  # |partitions|-row rank offsets + 1-row V
     #                       (the global_rank/lm license, as lm_terciles)
