@@ -421,7 +421,23 @@ def cases_li() -> dict:
         # basket-bounded self-join + WindowGroupLimit top-5: linear in
         # baskets, per-item state never exceeds k
         "item_item_jaccard": _cf,
+        # map-side slot explode + one rank equi-join + one anti-join:
+        # edges x8, catalog x8, everything linear
+        "copurchase_negatives": _negs,
     }
+
+
+def _negs(li):
+    from sea_express_customs_etl_spark.operators.graph import cooccur_edges
+    from sea_express_customs_etl_spark.operators.sampling import (
+        edge_negative_samples,
+    )
+
+    return edge_negative_samples(
+        cooccur_edges(li, min_weight=2),
+        li.select(F.col("l_partkey").alias("item")),
+        k=2,
+    )
 
 
 def cases_tfidf() -> dict:
@@ -469,7 +485,18 @@ def cases_tfidf() -> dict:
         "chi2_features": lambda docs, emb: _chi2(docs),
         # lm_score scans x8; the rank is the two-phase global machinery
         "curriculum_shards": lambda docs, emb: _curriculum(docs),
+        # vectorize + 2 Lloyd iterations + assignment: corpus scans x8,
+        # model state stays k·dim
+        "hashed_doc_clusters": lambda docs, emb: _hclust(docs),
     }
+
+
+def _hclust(docs):
+    from sea_express_customs_etl_spark.operators.fhash import (
+        hashed_doc_clusters,
+    )
+
+    return hashed_doc_clusters(docs, k=4, iters=2, dim=64)
 
 
 def _chi2(docs):
