@@ -2592,6 +2592,80 @@ def _q_hash_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (from_type, to_type) counts + exact ppm row
+    probabilities under the (ts, event_id) total order — the
+    next-event model behind funnel design and bot detection."""
+    from sea_express_customs_etl_spark.operators.markov import (
+        transition_matrix,
+    )
+
+    return transition_matrix(load_table(spark, sf_dir, "events"))
+
+
+def _q_price_qty_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag OLS fit of extendedprice on quantity (centi-unit
+    integers) from the closed-form normal equations — slope/intercept/
+    r² as exact sign-split integer ratios, never a float aggregate."""
+    from sea_express_customs_etl_spark.operators.profiling import ols_by_group
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    return ols_by_group(li, "qty_c", "price_c", ["l_returnflag"])
+
+
+def _q_part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts under (minimize retail price, maximize
+    size): grain-reduced sort-based skyline with the two-phase
+    strict-prior running max — no global-window funnel."""
+    from sea_express_customs_etl_spark.operators.skyline import skyline_2d
+
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.floor(F.col("p_retailprice") * 100).cast("bigint").alias("price_c"),
+        F.col("p_size").cast("bigint").alias("size_v"),
+    )
+    return skyline_2d(parts, "price_c", "size_v", ["p_partkey"])
+
+
+def _q_bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 keyword retrieval in exact integer arithmetic
+    (k1=1.2, b=0.75 rationalized to one integer DIV per term;
+    integer-rational IDF — the tfidf_cosine discipline): top-10 docs
+    for each of the 3 pinned keyword queries."""
+    from sea_express_customs_etl_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), k=10)
+
+
+def _q_purchase_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS over the bipartite customer→part purchase graph
+    (2 exact integer iterations, L∞ normalization): top-20 authority
+    parts — endorsement weighted by endorser quality, a different
+    ranking from raw counts or PageRank."""
+    from sea_express_customs_etl_spark.operators.graph import hits_bipartite
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = orders.join(
+        lineitem, orders.o_orderkey == lineitem.l_orderkey
+    ).select(
+        F.col("o_custkey").alias("hub"), F.col("l_partkey").alias("auth")
+    )
+    _hubs, auths = hits_bipartite(edges, iters=2)
+    return (
+        auths.orderBy(F.col("auth_u6").desc(), F.col("node"))
+        .limit(20)
+        .select(F.col("node").alias("part_id"), "auth_u6")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -2870,6 +2944,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding-free text clustering: hashed vectors → integer
         # k-means → exact assignment, one hash-checked statement
         "hashed_doc_clusters": _q_hashed_doc_clusters,
+        # first-order Markov next-event transition matrix, exact ppm
+        "event_markov_transitions": _q_event_markov_transitions,
+        # closed-form OLS per group: sign-split integer slope/r²
+        "price_qty_ols": _q_price_qty_ols,
+        # 2-D Pareto skyline via grain-reduced two-phase prior max
+        "part_price_size_skyline": _q_part_price_size_skyline,
+        # integer Okapi BM25 keyword retrieval, 3 pinned queries
+        "bm25_doc_topk": _q_bm25_doc_topk,
+        # HITS authorities over the customer→part purchase bipartite
+        "purchase_hits_authorities": _q_purchase_hits_authorities,
     }
 
 
@@ -2878,6 +2962,13 @@ def _bpe_encode_fixed_sql() -> str:
     from sea_express_customs_etl_spark.plans.oracles_ext import bpe_encode_sql
 
     return bpe_encode_sql(FIXED_MERGES)
+
+
+def _bm25_doc_topk_sql() -> str:
+    from sea_express_customs_etl_spark.operators.bm25 import FIXED_QUERIES
+    from sea_express_customs_etl_spark.plans.oracles_ext import bm25_sql
+
+    return bm25_sql(FIXED_QUERIES, k=10)
 
 
 def _pretrain_prep_sql() -> str:
@@ -3078,4 +3169,9 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_shards": ext.CURRICULUM_SHARDS_SQL,
         "copurchase_negatives": ext.COPURCHASE_NEGATIVES_SQL,
         "hashed_doc_clusters": ext.HASHED_DOC_CLUSTERS_SQL,
+        "event_markov_transitions": ext.EVENT_MARKOV_TRANSITIONS_SQL,
+        "price_qty_ols": ext.PRICE_QTY_OLS_SQL,
+        "part_price_size_skyline": ext.PART_PRICE_SIZE_SKYLINE_SQL,
+        "bm25_doc_topk": _bm25_doc_topk_sql(),
+        "purchase_hits_authorities": ext.PURCHASE_HITS_SQL,
     }

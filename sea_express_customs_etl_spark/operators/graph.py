@@ -651,3 +651,79 @@ def modularity(
             ).alias("modularity_ppm"),
         )
     )
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+    iters: int = 2,
+) -> tuple[DataFrame, DataFrame]:
+    """Kleinberg HITS (JACM 1999) over a BIPARTITE edge list — hubs
+    score by the authorities they touch, authorities by the hubs that
+    touch them. On the customer→part purchase graph this separates
+    "customers with good taste" (hubs) from "parts bought by customers
+    with good taste" (authorities) — a different signal from raw
+    purchase counts or PageRank, because a hub's endorsement is
+    weighted by ITS quality.
+
+    Bit-portability: classic HITS normalizes by the L2 norm —
+    transcendental, never hash-portable. This uses L∞ (max)
+    normalization — documented divergence; the fixed point has the
+    same ranking structure and each half-step stays exact:
+
+        a(p) = (10⁶ · Σ_{c→p} h(c)) DIV max_p'(Σ h)
+        h(c) = (10⁶ · Σ_{c→p} a(p)) DIV max_c'(Σ a)
+
+    Every raw sum is nonneg; the 10⁶ cross-multiply runs in
+    DECIMAL(38,0) (raw sums reach 10⁶·degree ≈ 10¹⁵ on a billion-node
+    side — ×10⁶ overflows int64, the pagerank damping lesson). The
+    normalized max is exactly 10⁶ each half-step, and every node on
+    either side has degree ≥ 1 (it came from an edge), so the next max
+    is ≥ 10⁶ — the DIV is never by zero.
+
+    Scale shape: the edge frame is persisted once and reused by all
+    2·iters half-steps (each = one join keyed on one side + one
+    partial-aggregated sum on the other); normalization scalars are
+    1-row pinned-broadcast cross joins (the allowed class); per-sweep
+    lazy localCheckpoint keeps lineage flat (the pagerank rule).
+    Returns (hubs, auths): (node, hub_u6) / (node, auth_u6)."""
+    ed = tracked_persist(
+        edges.select(
+            F.col(hub_col).alias("_hub"), F.col(auth_col).alias("_auth")
+        ).distinct()
+    )
+    norm = (
+        "CAST(CAST(1000000 AS DECIMAL(38,0)) * "
+        "CAST(_s AS DECIMAL(38,0)) DIV CAST(_mx AS DECIMAL(38,0)) "
+        "AS BIGINT)"
+    )
+    h = ed.select("_hub").distinct().select(
+        F.col("_hub").alias("node"), F.lit(MICRO).cast("bigint").alias("v")
+    )
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            ed.join(h.withColumnRenamed("node", "_hub"), "_hub")
+            .groupBy("_auth")
+            .agg(F.sum("v").alias("_s"))
+        )
+        a = (
+            a_raw.crossJoin(F.broadcast(a_raw.agg(F.max("_s").alias("_mx"))))
+            .select(F.col("_auth").alias("node"), F.expr(norm).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            ed.join(a.withColumnRenamed("node", "_auth"), "_auth")
+            .groupBy("_hub")
+            .agg(F.sum("v").alias("_s"))
+        )
+        h = (
+            h_raw.crossJoin(F.broadcast(h_raw.agg(F.max("_s").alias("_mx"))))
+            .select(F.col("_hub").alias("node"), F.expr(norm).alias("v"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        h.select("node", F.col("v").alias("hub_u6")),
+        a.select("node", F.col("v").alias("auth_u6")),
+    )

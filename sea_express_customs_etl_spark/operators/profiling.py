@@ -279,3 +279,95 @@ def gini_by_group(
             ).alias("gini_ppm"),
         )
     )
+
+
+def ols_by_group(
+    df: DataFrame,
+    x_c_col: str,
+    y_c_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group simple linear regression (OLS y = a + b·x) from the
+    closed-form normal equations, entirely in exact integer
+    arithmetic — the "is price actually linear in quantity, and how
+    tight" profiling question answered without a single float
+    aggregation (``corr()``/``regr_slope()`` built-ins can never
+    hash-match across engines; the ``returnflag_qty_price_corr``
+    precedent, extended from correlation to the fitted line).
+
+    Inputs are pre-quantized integer units (the repo's
+    float-through-aggregation rule). With S = Σx, T = Σy, and the
+    centered second moments
+
+        Sxy = n·Σxy − S·T,   Sxx = n·Σx² − S²,   Syy = n·Σy² − T²
+
+    the outputs are
+
+        slope_ppm     = sign · (10⁶·|Sxy|) DIV Sxx
+        intercept_c   = sign · (|T·Sxx − S·Sxy|) DIV (n·Sxx)
+        r2_ppm        = (10⁶·(|Sxy| DIV n)²) DIV ((Sxx DIV n)·(Syy DIV n))
+
+    Signs are split from magnitudes before the division so Spark's
+    truncating ``DIV`` and DuckDB's flooring ``//`` agree (the
+    modularity rule). All products run in DECIMAL(38,0): Sxy/Sxx/Syy
+    are exact while n·σ² < 10³⁸ (10¹²-row groups of 10⁵-unit values);
+    the r² term divides each moment by n FIRST so its cross products
+    stay inside DECIMAL(38) while n·σx·σy < 10¹⁹ — beyond that bound
+    ANSI mode fails loudly (never a silent int64 wrap — the
+    sigma_outliers ADVICE discipline). One partial-aggregated stats
+    pass; output is |groups| rows. Degenerate groups (Sxx or Syy = 0,
+    constant x or y) emit slope/intercept/r² of 0 rather than
+    dividing by zero."""
+    gc = list(group_cols)
+    x, y = F.col(x_c_col), F.col(y_c_col)
+    d38 = "decimal(38,0)"
+    stats = df.groupBy(*gc).agg(
+        F.count(F.lit(1)).cast(d38).alias("_n"),
+        F.sum(x.cast(d38)).alias("_s"),
+        F.sum(y.cast(d38)).alias("_t"),
+        F.sum((x * y).cast(d38)).alias("_sxy"),
+        F.sum((x * x).cast(d38)).alias("_sxx"),
+        F.sum((y * y).cast(d38)).alias("_syy"),
+    )
+    m = stats.select(
+        *gc,
+        F.col("_n").cast("bigint").alias("n_rows"),
+        F.expr("_n * _sxy - _s * _t").alias("_cxy"),
+        F.expr("_n * _sxx - _s * _s").alias("_cxx"),
+        F.expr("_n * _syy - _t * _t").alias("_cyy"),
+        F.col("_n").alias("_nd"),
+        F.col("_s").alias("_sd"),
+        F.col("_t").alias("_td"),
+    )
+    slope = (
+        "CASE WHEN _cxx = 0 THEN 0 ELSE "
+        "CASE WHEN _cxy < 0 THEN -1 ELSE 1 END * "
+        "((CAST(1000000 AS DECIMAL(38,0)) * abs(_cxy)) DIV _cxx) END"
+    )
+    icept_num = "(_td * _cxx - _sd * _cxy)"
+    icept = (
+        "CASE WHEN _cxx = 0 THEN 0 ELSE "
+        f"CASE WHEN {icept_num} < 0 THEN -1 ELSE 1 END * "
+        f"(abs({icept_num}) DIV (_nd * _cxx)) END"
+    )
+    # abs() BEFORE the DIV n reduction: the square kills the sign
+    # anyway, and truncating (Spark) vs flooring (DuckDB) division
+    # only agree on nonnegative operands (the CLAUDE.md sign rule).
+    # Spark DIV yields BIGINT — re-cast each reduced moment to
+    # DECIMAL(38,0) before the cross product or the multiply overflows
+    # long (the reduced moments are ~n·σ², far past 2⁶³ at scale)
+    red = "CAST(abs(_cxy) DIV _nd AS DECIMAL(38,0))"
+    rxx = "CAST(_cxx DIV _nd AS DECIMAL(38,0))"
+    ryy = "CAST(_cyy DIV _nd AS DECIMAL(38,0))"
+    r2 = (
+        f"CASE WHEN {rxx} = 0 OR {ryy} = 0 THEN 0 ELSE "
+        f"(CAST(1000000 AS DECIMAL(38,0)) * {red} * {red})"
+        f" DIV ({rxx} * {ryy}) END"
+    )
+    return m.select(
+        *gc,
+        "n_rows",
+        F.expr(slope).cast("bigint").alias("slope_ppm"),
+        F.expr(icept).cast("bigint").alias("intercept_c"),
+        F.expr(r2).cast("bigint").alias("r2_ppm"),
+    )

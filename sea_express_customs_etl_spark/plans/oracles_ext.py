@@ -3324,3 +3324,159 @@ FROM (
   FROM q, cent2 c)
 WHERE rn = 1
 """
+
+# first-order Markov transition matrix (operators/markov.py:
+# transition_matrix): per-user (ts, event_id)-ordered adjacent pairs,
+# p_ppm = (10^6·n) // row total — nonnegative operands so truncating
+# and flooring integer division agree.
+EVENT_MARKOV_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+  FROM events),
+p AS (SELECT from_type, to_type, count(*)::BIGINT AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, sum(n) AS tot FROM p GROUP BY 1)
+SELECT from_type, to_type, n,
+       CAST((1000000 * n) // tot AS BIGINT) AS p_ppm
+FROM p JOIN t USING (from_type)
+"""
+
+# per-group closed-form OLS (operators/profiling.py:ols_by_group):
+# centered second moments in HUGEINT, sign split from magnitude before
+# every division (Spark DIV truncates, DuckDB // floors), r² moments
+# reduced by n before the cross product so they stay in 128 bits.
+PRICE_QTY_OLS_SQL = """
+WITH q AS (
+  SELECT l_returnflag,
+         CAST(floor(l_quantity * 100) AS BIGINT) AS x,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+s AS (
+  SELECT l_returnflag,
+         count(*)::HUGEINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         sum(y::HUGEINT * y::HUGEINT) AS syy
+  FROM q GROUP BY 1),
+m AS (
+  SELECT l_returnflag, n,
+         n * sxy - sx * sy AS cxy,
+         n * sxx - sx * sx AS cxx,
+         n * syy - sy * sy AS cyy,
+         sx, sy
+  FROM s)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_rows,
+       CAST(CASE WHEN cxx = 0 THEN 0 ELSE
+            (CASE WHEN cxy < 0 THEN -1 ELSE 1 END)
+            * ((1000000::HUGEINT * abs(cxy)) // cxx) END AS BIGINT)
+           AS slope_ppm,
+       CAST(CASE WHEN cxx = 0 THEN 0 ELSE
+            (CASE WHEN sy * cxx - sx * cxy < 0 THEN -1 ELSE 1 END)
+            * (abs(sy * cxx - sx * cxy) // (n * cxx)) END AS BIGINT)
+           AS intercept_c,
+       CAST(CASE WHEN cxx // n = 0 OR cyy // n = 0 THEN 0 ELSE
+            (1000000::HUGEINT * (abs(cxy) // n) * (abs(cxy) // n))
+            // ((cxx // n) * (cyy // n)) END AS BIGINT) AS r2_ppm
+FROM m
+"""
+
+# 2-D Pareto skyline (operators/skyline.py:skyline_2d): grain max per
+# price, strict-prior running max over ascending price, members join
+# back on (price, y = grain max). ROWS ≡ RANGE here — the grain frame
+# has one row per distinct price.
+PART_PRICE_SIZE_SKYLINE_SQL = """
+WITH q AS (
+  SELECT p_partkey,
+         CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c,
+         CAST(p_size AS BIGINT) AS size_v
+  FROM part),
+g AS (SELECT price_c, max(size_v) AS ymax FROM q GROUP BY 1),
+r AS (
+  SELECT price_c, ymax,
+         max(ymax) OVER (ORDER BY price_c
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+  FROM g),
+k AS (SELECT price_c, ymax FROM r WHERE ymax > coalesce(prior, -1))
+SELECT q.p_partkey, q.price_c, q.size_v
+FROM q JOIN k ON q.price_c = k.price_c AND q.size_v = k.ymax
+"""
+
+
+def bm25_sql(
+    queries: tuple[tuple[str, tuple[str, ...]], ...], k: int = 10
+) -> str:
+    """BM25 oracle (operators/bm25.py:bm25_topk) built from the SAME
+    pinned query-set literal as the Spark plan (the bpe FIXED_MERGES
+    rule): integer-rational IDF (N·1000)//df, the k1=6/5, b=3/4
+    saturation rationalized to (22000·idf_k·avgdl·tf) //
+    (10·avgdl·tf + 3·avgdl + 9·dl) — all operands nonnegative."""
+    vals = ", ".join(
+        f"('{qid}', '{t}')" for qid, ts in queries for t in ts
+    )
+    return f"""
+WITH qt(query_id, term) AS (SELECT * FROM (VALUES {vals})),
+toks AS (
+  SELECT doc_id, tok AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+scal AS (
+  SELECT (SELECT count(*) FROM documents)::HUGEINT AS n_docs,
+         (SELECT count(*) FROM toks)::HUGEINT AS tot),
+tf AS (
+  SELECT doc_id, term, count(*)::HUGEINT AS tf
+  FROM toks JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+  GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::HUGEINT AS dl FROM toks GROUP BY 1),
+dfq AS (SELECT term, count(*)::HUGEINT AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT qt.query_id, tf.doc_id,
+         CAST(sum(
+           (22000::HUGEINT * ((s.n_docs * 1000) // dfq.df)
+            * (s.tot // s.n_docs) * tf.tf)
+           // (10 * (s.tot // s.n_docs) * tf.tf
+               + 3 * (s.tot // s.n_docs) + 9 * dl.dl)
+         ) AS BIGINT) AS score_u6
+  FROM tf
+  JOIN dl USING (doc_id)
+  JOIN dfq USING (term)
+  JOIN qt USING (term)
+  CROSS JOIN scal s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, score_u6
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score_u6 DESC, doc_id) AS rn FROM sc)
+WHERE rn <= {k}
+"""
+
+
+# HITS authorities (operators/graph.py:hits_bipartite): 2 exact
+# integer iterations over the customer→part purchase bipartite, L∞
+# normalization (max element is exactly 10⁶ each half-step), fully
+# unrolled — the pagerank fixed-trajectory discipline.
+PURCHASE_HITS_SQL = """
+WITH e AS (
+  SELECT DISTINCT o_custkey AS hub, l_partkey AS auth
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+a1r AS (SELECT auth, sum(1000000::HUGEINT) AS s FROM e GROUP BY auth),
+a1 AS (SELECT auth,
+              (1000000::HUGEINT * s) // (SELECT max(s) FROM a1r) AS v
+       FROM a1r),
+h1r AS (SELECT hub, sum(a1.v) AS s FROM e JOIN a1 USING (auth)
+        GROUP BY hub),
+h1 AS (SELECT hub,
+              (1000000::HUGEINT * s) // (SELECT max(s) FROM h1r) AS v
+       FROM h1r),
+a2r AS (SELECT auth, sum(h1.v) AS s FROM e JOIN h1 USING (hub)
+        GROUP BY auth),
+a2 AS (SELECT auth,
+              (1000000::HUGEINT * s) // (SELECT max(s) FROM a2r) AS v
+       FROM a2r)
+SELECT auth AS part_id, CAST(v AS BIGINT) AS auth_u6
+FROM a2 ORDER BY v DESC, auth LIMIT 20
+"""

@@ -1,0 +1,135 @@
+"""Property/golden tests for the round-6 analytics operators:
+Markov transition matrix, closed-form integer OLS, 2-D skyline —
+each pinned against a pure-Python reference on hand fixtures."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+import pyspark.sql.functions as F
+
+from sea_express_customs_etl_spark.operators.markov import transition_matrix
+from sea_express_customs_etl_spark.operators.profiling import ols_by_group
+from sea_express_customs_etl_spark.operators.skyline import skyline_2d
+
+
+def _ts(i: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i)
+
+
+def test_markov_transitions_golden(spark):
+    # user 1: a->b->a->a   user 2: b->b
+    rows = [
+        (1, _ts(0), 1, "a"),
+        (2, _ts(1), 1, "b"),
+        (3, _ts(2), 1, "a"),
+        (4, _ts(3), 1, "a"),
+        (5, _ts(0), 2, "b"),
+        (6, _ts(5), 2, "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    got = {
+        (r.from_type, r.to_type): (r.n, r.p_ppm)
+        for r in transition_matrix(df).collect()
+    }
+    # from a: a->b (1), a->a (1)  => 500000 each; from b: b->a (1), b->b (1)
+    assert got == {
+        ("a", "b"): (1, 500000),
+        ("a", "a"): (1, 500000),
+        ("b", "a"): (1, 500000),
+        ("b", "b"): (1, 500000),
+    }
+
+
+def test_markov_row_ppm_bounded_and_layout_invariant(spark):
+    rows = [
+        (i, _ts(i), i % 7, ["a", "b", "c"][(i * i) % 3]) for i in range(200)
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type"]
+    )
+    base = sorted(map(tuple, transition_matrix(df).collect()))
+    reparted = sorted(
+        map(tuple, transition_matrix(df.repartition(7, "event_id")).collect())
+    )
+    assert base == reparted
+    # row-normalized: each from_type's ppm sums to <= 1e6 (floor loss)
+    sums: dict[str, int] = {}
+    for f, _t, _n, p in base:
+        sums[f] = sums.get(f, 0) + p
+    assert all(1_000_000 - 10 <= s <= 1_000_000 for s in sums.values())
+
+
+def test_ols_exact_line_and_negative_slope(spark):
+    # y = 2x + 300 exactly -> slope_ppm = 2_000_000, intercept_c = 300
+    pos = [("g1", x, 2 * x + 300) for x in range(1, 50)]
+    # y = -3x + 5000 exactly -> slope_ppm = -3_000_000
+    neg = [("g2", x, -3 * x + 5000) for x in range(1, 50)]
+    df = spark.createDataFrame(pos + neg, ["g", "x", "y"])
+    got = {r.g: r for r in ols_by_group(df, "x", "y", ["g"]).collect()}
+    assert got["g1"].slope_ppm == 2_000_000
+    assert got["g1"].intercept_c == 300
+    assert got["g1"].r2_ppm >= 999_000
+    assert got["g2"].slope_ppm == -3_000_000
+    assert got["g2"].intercept_c == 5_000
+    assert got["g2"].r2_ppm >= 999_000
+
+
+def test_ols_constant_x_degenerate(spark):
+    df = spark.createDataFrame(
+        [("g", 5, y) for y in range(10)], ["g", "x", "y"]
+    )
+    row = ols_by_group(df, "x", "y", ["g"]).collect()[0]
+    assert (row.slope_ppm, row.intercept_c, row.r2_ppm) == (0, 0, 0)
+
+
+def _brute_skyline(pts):
+    """Non-dominated under (min x, max y), duplicates all kept."""
+
+    def dominates(a, b):
+        return (
+            a[0] <= b[0]
+            and a[1] >= b[1]
+            and (a[0] < b[0] or a[1] > b[1])
+        )
+
+    return sorted(
+        p for p in pts if not any(dominates(q, p) for q in pts if q != p)
+    )
+
+
+def test_skyline_matches_brute_force(spark):
+    # includes equal-x ties, equal-y ties, and an exact duplicate pair
+    pts = [
+        (10, (3 * i * i + 7 * i) % 40, (5 * i * i + i) % 30) for i in range(60)
+    ]
+    pts += [(100, 0, 29), (101, 0, 29)]  # duplicate skyline point
+    df = spark.createDataFrame(pts, ["pid", "x", "y"])
+    got = sorted(
+        (r.x, r.y) for r in skyline_2d(df, "x", "y", ["pid"]).collect()
+    )
+    coords = [(x, y) for _, x, y in pts]
+    want = _brute_skyline(coords)
+    assert got == want
+    # every skyline member is pairwise non-dominated
+    for a, b in itertools.combinations(set(got), 2):
+        assert not (a[0] <= b[0] and a[1] >= b[1])
+        assert not (b[0] <= a[0] and b[1] >= a[1])
+
+
+def test_skyline_layout_invariance(spark):
+    pts = [(i, (i * 13) % 50, (i * 29) % 50) for i in range(300)]
+    df = spark.createDataFrame(pts, ["pid", "x", "y"])
+    a = sorted(map(tuple, skyline_2d(df, "x", "y", ["pid"]).collect()))
+    b = sorted(
+        map(
+            tuple,
+            skyline_2d(
+                df.repartition(11, "pid"), "x", "y", ["pid"], num_partitions=3
+            ).collect(),
+        )
+    )
+    assert a == b

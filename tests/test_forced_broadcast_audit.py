@@ -105,6 +105,12 @@ FORCED_BROADCAST_ALLOWED = {
     #                        rows — same license as knowledge_ivm_stream)
     "snm_part_pairs",      # |partitions|-row rank-offset broadcast
     #                        (the global_rank license, as order_value_gini)
+    "part_price_size_skyline",  # |partitions|-row prior-max offsets
+    #                             (the global_rank license)
+    "bm25_doc_topk",       # pinned query-term table (human-query-sized)
+    #                        + 1-row (N, avgdl) corpus scalars
+    "purchase_hits_authorities",  # 1-row L∞ normalization scalar per
+    #                               half-step (the modularity license)
 }
 
 

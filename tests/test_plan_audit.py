@@ -64,6 +64,8 @@ BNLJ_ALLOWED = {
     "ann_store_topk",      # same frozen-model broadcasts over the store
     "event_winsorized_sums",  # 2-literal-row quantile-spec broadcast
     #                           (the event_value_qsketch class)
+    "bm25_doc_topk",       # 1-row (N, avgdl) corpus scalars cross-joined
+    "purchase_hits_authorities",  # 1-row L∞ norm scalar per half-step
 }
 
 
