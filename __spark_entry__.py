@@ -2666,6 +2666,102 @@ def _q_purchase_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori level-3 frequent itemsets over order baskets: every
+    part triple co-occurring in ≥2 orders, frequent-item pruned before
+    the basket-bounded double self-join."""
+    from sea_express_customs_etl_spark.operators.cf import frequent_triples
+
+    return frequent_triples(
+        load_table(spark, sf_dir, "lineitem"), min_support=2
+    )
+
+
+def _q_event_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick rollup per (event_type, hour): order-dependent
+    open/close via associative struct min/max (no window sort — ONE
+    partial-aggregated shuffle), centi-unit integer values."""
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        ohlc_by_bucket,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", F.floor(F.col("value") * 100).cast("bigint")
+    )
+    return ohlc_by_bucket(ev)
+
+
+def _q_event_user_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): LOCF holding-time
+    weights in exact integer micros, Σ v·Δt DIV ΣΔt accumulated in
+    DECIMAL(38,0) — the hypertable time_weight shape."""
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", F.floor(F.col("value") * 100).cast("bigint")
+    )
+    return time_weighted_avg(ev)
+
+
+def _q_event_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier gate: |x − median| > 3·MAD in integer
+    cross-multiplied form — discrete medians from the unit-bin
+    histogram sketch (breakdown point ½, unlike the σ gate)."""
+    from sea_express_customs_etl_spark.operators.quantiles import (
+        mad_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", F.floor(F.col("value") * 100).cast("bigint")
+    )
+    return mad_outliers(ev, "value_c", ("event_type",), ("event_id",), 30)
+
+
+def _q_order_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals: per-digit
+    observed vs log10(1+1/d) expected ppm (fixed integer literals) —
+    the forensic data-quality test; deviation localizes synthetic or
+    fabricated value distributions."""
+    from sea_express_customs_etl_spark.operators.profiling import (
+        benford_first_digit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "price_c", F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    )
+    return benford_first_digit(orders, "price_c")
+
+
+def _q_audio_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VAD-shaped audio segmentation hash-checked from raw bytes:
+    WAV-PCM clips with per-id planted silence geometry are decoded for
+    real (RIFF walk + numpy), per-window exact |sample| sums mark
+    silent windows, gaps-and-islands merges them into spans; corrupt
+    payloads contained per row. The oracle recomputes the silent set
+    from the fixture's closed form — decode → energy → segmentation
+    all inside the hash."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        silence_spans,
+        synth_wav_silence,
+        wav_window_energy,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 96)
+        .select(F.col("p_partkey").alias("media_id"))
+    )
+    wav = synth_wav_silence(ids).withColumn(
+        "payload",
+        F.when(F.col("media_id") % 17 == 5, F.lit(b"JUNK")).otherwise(
+            F.col("payload")
+        ),
+    )
+    return silence_spans(wav_window_energy(wav), threshold=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -2954,6 +3050,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_doc_topk": _q_bm25_doc_topk,
         # HITS authorities over the customer→part purchase bipartite
         "purchase_hits_authorities": _q_purchase_hits_authorities,
+        # Apriori level-3: frequent part triples over order baskets
+        "frequent_part_triples": _q_frequent_part_triples,
+        # OHLC candlestick rollup — order-dependent open/close with
+        # no window sort (associative struct min/max)
+        "event_ohlc_hourly": _q_event_ohlc_hourly,
+        # per-user time-weighted average (LOCF holding-time weights)
+        "event_user_twap": _q_event_user_twap,
+        # robust median/MAD outlier gate (discrete sketch medians)
+        "event_mad_outliers": _q_event_mad_outliers,
+        # Benford first-digit forensic screen, fixed ppm expectations
+        "order_benford_digits": _q_order_benford_digits,
+        # VAD-shaped silence segmentation over real decoded PCM
+        "audio_silence_spans": _q_audio_silence_spans,
     }
 
 
@@ -2969,6 +3078,15 @@ def _bm25_doc_topk_sql() -> str:
     from sea_express_customs_etl_spark.plans.oracles_ext import bm25_sql
 
     return bm25_sql(FIXED_QUERIES, k=10)
+
+
+def _benford_sql() -> str:
+    from sea_express_customs_etl_spark.operators.profiling import BENFORD_PPM
+    from sea_express_customs_etl_spark.plans.oracles_ext import benford_sql
+
+    return benford_sql(
+        BENFORD_PPM, "orders", "CAST(floor(o_totalprice * 100) AS BIGINT)"
+    )
 
 
 def _pretrain_prep_sql() -> str:
@@ -3174,4 +3292,10 @@ def oracle_sql() -> dict[str, str]:
         "part_price_size_skyline": ext.PART_PRICE_SIZE_SKYLINE_SQL,
         "bm25_doc_topk": _bm25_doc_topk_sql(),
         "purchase_hits_authorities": ext.PURCHASE_HITS_SQL,
+        "frequent_part_triples": ext.FREQUENT_PART_TRIPLES_SQL,
+        "event_ohlc_hourly": ext.EVENT_OHLC_HOURLY_SQL,
+        "event_user_twap": ext.EVENT_USER_TWAP_SQL,
+        "event_mad_outliers": ext.EVENT_MAD_OUTLIERS_SQL,
+        "order_benford_digits": _benford_sql(),
+        "audio_silence_spans": ext.AUDIO_SILENCE_SPANS_SQL,
     }

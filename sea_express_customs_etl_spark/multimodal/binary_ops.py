@@ -936,3 +936,154 @@ def video_scene_sads(
     return df.select(id_col, binary_col).mapInPandas(
         kernel, f"{id_col} long, frame_idx int, sad long, n_px int"
     )
+
+
+# --------------------------------------------------------------------------
+# audio segmentation: silence-span detection over REAL decoded PCM —
+# the VAD-shaped preprocessing a speech-data pipeline runs before
+# transcription (split on silence, drop dead air). Window energies are
+# exact integer |sample| sums, so decode → energy → span merge is
+# hash-checkable end-to-end against an analytic closed form.
+# --------------------------------------------------------------------------
+
+
+def synth_wav_silence(
+    ids: DataFrame,
+    n_samples: int = 400,
+    window_samples: int = 50,
+    sample_rate: int = 8000,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Deterministic PCM WAV per id with PLANTED per-id silence
+    layout (the FIXTURES.md vary-structure rule — every id gets its
+    own span geometry, nothing degenerate): with W = n/window windows,
+    window ``w`` is silent iff
+
+        (id·7 + w) mod W  <  2 + (id mod 3)
+
+    — a contiguous run of 2-4 silent windows in circular window space,
+    so some ids wrap around the clip edge and exercise the
+    NOT-merged-across-the-gap case. Silent windows are all-zero
+    samples; loud windows carry the sawtooth
+    ``((id·13 + k·7) mod 65536) − 32768`` (never 50 consecutive
+    zeros — adjacent samples differ by 7). The SQL oracle recomputes
+    the silent set from the same closed form."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        n_windows = n_samples // window_samples
+        for pdf in batches:
+            payloads = []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                k = np.arange(n_samples, dtype=np.int64)
+                samples = ((mid * 13 + k * 7) % 65536 - 32768).astype(
+                    np.int64
+                )
+                w = k // window_samples
+                run = 2 + mid % 3
+                silent = (mid * 7 + w) % n_windows < run
+                samples[silent] = 0
+                data = samples.astype("<i2").tobytes()
+                byte_rate = sample_rate * 2
+                hdr = (
+                    b"RIFF"
+                    + struct.pack("<I", 36 + len(data))
+                    + b"WAVEfmt "
+                    + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                  byte_rate, 2, 16)
+                    + b"data"
+                    + struct.pack("<I", len(data))
+                )
+                payloads.append(hdr + data)
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(
+        kernel, f"{id_col} long, payload binary"
+    )
+
+
+def wav_window_energy(
+    df: DataFrame,
+    window_samples: int = 50,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-window exact integer energy (Σ|sample|) over REAL decoded
+    PCM — one stream-local Arrow pass, no shuffle (the video_scene_sads
+    shape). Only FULL windows are emitted (the winnowing full-window
+    discipline). Corrupt payloads surface as one (win NULL,
+    decode_error) row — contained per row, never failing the stage."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids_out: list[int] = []
+            wins: list[int | None] = []
+            energies: list[int | None] = []
+            errs: list[str | None] = []
+            for mid, buf in zip(pdf[id_col], pdf[binary_col]):
+                try:
+                    _rate, n_ch, _bits, samples = _parse_wav(bytes(buf))
+                    if n_ch != 1:
+                        raise ValueError("multichannel")
+                    n_full = len(samples) // window_samples
+                    a = (
+                        np.abs(samples[: n_full * window_samples]
+                               .astype(np.int64))
+                        .reshape(n_full, window_samples)
+                        .sum(axis=1)
+                    )
+                    for w in range(n_full):
+                        ids_out.append(int(mid))
+                        wins.append(w)
+                        energies.append(int(a[w]))
+                        errs.append(None)
+                except Exception as e:  # noqa: BLE001 — per-row containment
+                    ids_out.append(int(mid))
+                    wins.append(None)
+                    energies.append(None)
+                    errs.append(str(e)[:200])
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids_out, dtype="Int64"),
+                    "win": pd.array(wins, dtype="Int32"),
+                    "energy": pd.array(energies, dtype="Int64"),
+                    "decode_error": errs,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel, f"{id_col} long, win int, energy bigint, decode_error string"
+    )
+
+
+def silence_spans(
+    energy: DataFrame,
+    threshold: int = 0,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Merge consecutive silent windows (energy ≤ threshold) into
+    spans — the gaps-and-islands grouping (win − row_number is
+    constant within a run), per media id. The window partitions BY
+    MEDIA — clip-bounded state, distributed across clips. Output:
+    id, start_win, end_win, n_windows."""
+    from pyspark.sql import Window as W
+
+    silent = energy.filter(
+        F.col("decode_error").isNull() & (F.col("energy") <= threshold)
+    )
+    grp = (
+        F.col("win")
+        - F.row_number().over(W.partitionBy(id_col).orderBy("win"))
+    ).alias("_g")
+    return (
+        silent.select(id_col, "win", grp)
+        .groupBy(id_col, "_g")
+        .agg(
+            F.min("win").alias("start_win"),
+            F.max("win").alias("end_win"),
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        )
+        .select(id_col, "start_win", "end_win", "n_windows")
+    )

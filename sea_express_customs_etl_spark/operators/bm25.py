@@ -86,7 +86,10 @@ def bm25_topk(
     ).select(
         "_n_docs", F.expr("_tot DIV _n_docs").cast("bigint").alias("_avgdl")
     )
-    tf = (
+    # persisted: tf feeds BOTH the df count and the scoring join (the
+    # ≥2-consumers rule) — it is query-term-bounded, tiny relative to
+    # the corpus, but rebuilding it re-runs the corpus explode
+    tf = tracked_persist(
         staged.select(id_col, F.explode("_toks").alias("term"))
         .join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy(id_col, "term")

@@ -75,3 +75,47 @@ def item_item_jaccard(
         .filter(F.col("_rn") <= k)
         .select("item_id", "rec_id", "sim_ppm")
     )
+
+
+def frequent_triples(
+    lineitem: DataFrame,
+    min_support: int = 2,
+) -> DataFrame:
+    """Frequent 3-itemsets over order baskets — Apriori level 3
+    (Agrawal & Srikant, VLDB 1994): every unordered part triple
+    co-occurring in at least ``min_support`` orders. The level the
+    pairwise CF family (:func:`item_item_jaccard`) stops short of —
+    bundle detection ("these THREE ship together") needs the triple.
+
+    Apriori pruning before any pair fan-out: items below
+    ``min_support`` cannot appear in any frequent triple (support is
+    anti-monotone), so baskets are first restricted to frequent items
+    — one |items|-grain aggregate + a semi join, shrinking the
+    self-join input the way every production frequent-itemset run
+    does. Candidate enumeration is the ordered double self-join
+    (p1 < p2 < p3 — each triple generated exactly once); fan-out is
+    Σ C(basket,3), bounded by the max basket size (TPC-H caps at 7 →
+    ≤35 per order; real carts cap similarly). Output:
+    ``p1, p2, p3, support`` (bigint), all nonnegative integers."""
+    items = tracked_persist(
+        lineitem.select("l_orderkey", "l_partkey").distinct()
+    )  # scans: frequent-item count + three self-join branches
+    freq = (
+        items.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_support)
+        .select("l_partkey")
+    )
+    f = items.join(freq, "l_partkey", "left_semi")
+    a = f.select("l_orderkey", F.col("l_partkey").alias("p1"))
+    b = f.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    c = f.select("l_orderkey", F.col("l_partkey").alias("p3"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(c, "l_orderkey")
+        .filter(F.col("p2") < F.col("p3"))
+        .groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

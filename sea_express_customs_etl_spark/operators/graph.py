@@ -698,31 +698,42 @@ def hits_bipartite(
         "CAST(_s AS DECIMAL(38,0)) DIV CAST(_mx AS DECIMAL(38,0)) "
         "AS BIGINT)"
     )
-    h = ed.select("_hub").distinct().select(
-        F.col("_hub").alias("node"), F.lit(MICRO).cast("bigint").alias("v")
-    )
-    a = None
-    for _ in range(iters):
-        a_raw = (
-            ed.join(h.withColumnRenamed("node", "_hub"), "_hub")
-            .groupBy("_auth")
-            .agg(F.sum("v").alias("_s"))
-        )
-        a = (
-            a_raw.crossJoin(F.broadcast(a_raw.agg(F.max("_s").alias("_mx"))))
-            .select(F.col("_auth").alias("node"), F.expr(norm).alias("v"))
+    def _normalize(raw: DataFrame, key: str) -> DataFrame:
+        # raw feeds BOTH the max scalar and the normalized projection
+        # (the ≥2-consumers rule) — without the pin each half-step's
+        # join+aggregate executes twice (measured 6.0 → 3.4 s at sf0.1)
+        pinned = tracked_persist(raw)
+        return (
+            pinned.crossJoin(
+                F.broadcast(pinned.agg(F.max("_s").alias("_mx")))
+            )
+            .select(F.col(key).alias("node"), F.expr(norm).alias("v"))
             .localCheckpoint(eager=False)
         )
+
+    h = None
+    a = None
+    for it in range(iters):
+        if it == 0:
+            # h⁰ ≡ 10⁶ for every hub, so the first raw authority sum
+            # collapses algebraically to 10⁶·indegree — one aggregate,
+            # no join
+            a_raw = ed.groupBy("_auth").agg(
+                (F.count(F.lit(1)) * MICRO).cast("bigint").alias("_s")
+            )
+        else:
+            a_raw = (
+                ed.join(h.withColumnRenamed("node", "_hub"), "_hub")
+                .groupBy("_auth")
+                .agg(F.sum("v").alias("_s"))
+            )
+        a = _normalize(a_raw, "_auth")
         h_raw = (
             ed.join(a.withColumnRenamed("node", "_auth"), "_auth")
             .groupBy("_hub")
             .agg(F.sum("v").alias("_s"))
         )
-        h = (
-            h_raw.crossJoin(F.broadcast(h_raw.agg(F.max("_s").alias("_mx"))))
-            .select(F.col("_hub").alias("node"), F.expr(norm).alias("v"))
-            .localCheckpoint(eager=False)
-        )
+        h = _normalize(h_raw, "_hub")
     return (
         h.select("node", F.col("v").alias("hub_u6")),
         a.select("node", F.col("v").alias("auth_u6")),

@@ -371,3 +371,64 @@ def ols_by_group(
         F.expr(icept).cast("bigint").alias("intercept_c"),
         F.expr(r2).cast("bigint").alias("r2_ppm"),
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d) as FIXED ppm
+# literals (they sum to exactly 10⁶) — the transcendental log is
+# precomputed once here, so both the Spark plan and the DuckDB oracle
+# consume identical integer constants (the bm25 FIXED_QUERIES rule).
+BENFORD_PPM: tuple[int, ...] = (
+    301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757
+)
+
+
+def benford_first_digit(
+    df: DataFrame,
+    value_c_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit screen — the forensic-accounting /
+    fraud-detection data-quality test (Nigrini): naturally-grown
+    multiplicative quantities follow P(d) = log10(1 + 1/d); fabricated
+    or mechanically-generated ones don't, and the per-digit deviation
+    localizes WHERE. (TPC-H-style uniform synthetic prices deviate
+    hugely — itself the finding: this screen detects synthetic data.)
+
+    First digit extracted from the INTEGER value's decimal string
+    (``substring(cast(x AS string), 1, 1)``) — integer→string is
+    engine-portable, unlike double→string (the profile_table rule),
+    and avoids the transcendental floor(log10) path entirely. Rows
+    with value < 1 have no first significant digit and are excluded.
+
+    Output per digit 1-9: n, obs_ppm = (10⁶·n) DIV N, exp_ppm (the
+    fixed literal), dev_ppm = |obs − exp|. One partial-aggregated
+    digit count (≤9 groups) + a pinned 1-row total cross join (the
+    allowed scalar class) + the 9-row literal expectation table."""
+    spark = df.sparkSession
+    exp = spark.createDataFrame(
+        [(d + 1, ppm) for d, ppm in enumerate(BENFORD_PPM)],
+        ["digit", "exp_ppm"],
+    )
+    digits = (
+        df.filter(F.col(value_c_col) >= 1)
+        .select(
+            F.substring(F.col(value_c_col).cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    total = digits.agg(F.sum("n").alias("_N"))
+    return (
+        digits.crossJoin(F.broadcast(total))
+        .join(F.broadcast(exp), "digit")
+        .select(
+            "digit",
+            "n",
+            F.expr("(1000000 * n) DIV _N").cast("bigint").alias("obs_ppm"),
+            F.col("exp_ppm").cast("bigint").alias("exp_ppm"),
+            F.expr("abs((1000000 * n) DIV _N - exp_ppm)")
+            .cast("bigint")
+            .alias("dev_ppm"),
+        )
+    )

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
+from ..plans.cache import tracked_persist
+
 CENTI = 100  # bin width = 0.01 value units
 
 
@@ -150,4 +152,71 @@ def winsorize_by_group(
             ),
         )
         .drop("_lo", "_hi")
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_c_col: str,
+    group_cols: tuple[str, ...] = ("event_type",),
+    keep_cols: tuple[str, ...] = ("event_id",),
+    k_tenths: int = 30,
+) -> DataFrame:
+    """Robust per-group outlier gate: flag rows with
+
+        |x − median| > (k/10) · MAD
+
+    tested in the integer cross-multiplied form ``10·|x − med| >
+    k_tenths·mad`` — the median/MAD sibling of
+    ``profiling.sigma_outliers``. Mean/σ gates move with the outliers
+    they hunt (one 10⁶× spike inflates σ enough to hide nine 10³×
+    spikes); the median and the median-absolute-deviation have
+    breakdown point ½, the standard robust screen (Hampel).
+
+    Both medians are DISCRETE (lower edge of the first unit bin whose
+    cumulative count reaches ceil(N/2) — :func:`histogram_quantiles`
+    at scale=1 over pre-quantized integers, so the answer is exact and
+    hash-portable, never an interpolated float). Plan: two bounded
+    (group, bin) count shuffles (values, then absolute deviations),
+    |groups|-row med/mad tables joined back hint-free, map-only
+    filter. Groups with MAD = 0 (a majority at one value) flag every
+    deviating row — the correct degenerate-robust behavior. Output:
+    keep_cols + group_cols + value_c + med_c + mad_c, outliers only."""
+    gc = list(group_cols)
+    med = (
+        histogram_quantiles(
+            value_histogram(df, value_c_col, tuple(gc), scale=1),
+            (("med", 1, 2),),
+            tuple(gc),
+        )
+        .select(*gc, F.col("bin").alias("med_c"))
+    )
+    # persisted: feeds BOTH the deviation histogram and the final
+    # outlier filter (the CLAUDE.md ≥2-consumers rule)
+    with_med = tracked_persist(
+        df.join(med, gc).withColumn(
+            "_absdev", F.abs(F.col(value_c_col) - F.col("med_c"))
+        )
+    )
+    mad = (
+        histogram_quantiles(
+            value_histogram(with_med, "_absdev", tuple(gc), scale=1),
+            (("mad", 1, 2),),
+            tuple(gc),
+        )
+        .select(*gc, F.col("bin").alias("mad_c"))
+    )
+    return (
+        with_med.join(mad, gc)
+        .filter(
+            10 * F.abs(F.col(value_c_col) - F.col("med_c"))
+            > k_tenths * F.col("mad_c")
+        )
+        .select(
+            *keep_cols,
+            *gc,
+            F.col(value_c_col).alias("value_c"),
+            "med_c",
+            "mad_c",
+        )
     )

@@ -87,3 +87,104 @@ def hourly_gapfill_locf(
             .alias("locf_value_u6"),
         )
     )
+
+
+def ohlc_by_bucket(
+    events: DataFrame,
+    value_c_col: str = "value_c",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket_us: int = 3_600_000_000,
+) -> DataFrame:
+    """OHLC (open / high / low / close) candlestick rollup per
+    (type, time bucket) — the financial-rollup shape every hypertable
+    engine ships (TimescaleDB ``candlestick_agg``, kdb bar queries),
+    over integer epoch-microsecond buckets and pre-quantized integer
+    values so the whole frame is hash-portable.
+
+    Open/close are ORDER-dependent (first/last value under the
+    (ts, id) total order — the id tie-break makes it total) but are
+    computed WITHOUT a window sort: min/max over a packed struct whose
+    comparison order is (ts, id, value) — the ``latest_by_key``
+    max-struct CDC trick — so the whole rollup is ONE partial-
+    aggregated shuffle; high/low/n/sum ride the same aggregate. The
+    struct min/max merges associatively, which is exactly why this
+    stays a map-side combine at 100 TB while ``first_value`` windows
+    would sort every bucket. Output: type, bucket (epoch-bucket
+    ordinal), open_c, high_c, low_c, close_c, n_events."""
+    ts_u = F.expr(f"unix_micros({ts_col})")
+    q = events.select(
+        F.col(type_col).alias("type"),
+        (ts_u - (ts_u % bucket_us)).cast("bigint").alias("bucket_us"),
+        ts_u.alias("_tu"),
+        F.col(id_col).alias("_id"),
+        F.col(value_c_col).alias("_v"),
+    )
+    packed = F.struct(F.col("_tu"), F.col("_id"), F.col("_v"))
+    return q.groupBy("type", "bucket_us").agg(
+        F.min(packed)["_v"].alias("open_c"),
+        F.max("_v").alias("high_c"),
+        F.min("_v").alias("low_c"),
+        F.max(packed)["_v"].alias("close_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_c_col: str = "value_c",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key time-weighted average (TWAP): each event's value holds
+    until the key's next event, so the average weights every value by
+    its holding duration —
+
+        twap_c = Σ value_c · Δt_us  DIV  Σ Δt_us
+
+    (last-observation-carried-forward weighting; the final event has
+    no successor and contributes no segment — keys with a single
+    event are dropped). The per-row product value·Δt reaches
+    ~10⁴ · 3·10¹³ µs ≈ 3·10¹⁷ — near the int64 edge, so the sum
+    accumulates in DECIMAL(38,0) (the sigma_outliers ADVICE rule:
+    overflow must be impossible or loud, never a silent wrap). All
+    quantities nonnegative (caller guarantees value_c ≥ 0) → Spark
+    DIV ≡ DuckDB //. The lag window partitions BY KEY — bounded
+    per-key state, distributed across keys. Output: key, n_segments,
+    held_us, twap_c."""
+    seg = (
+        events.select(
+            key_col,
+            F.col(value_c_col).alias("_v"),
+            F.expr(f"unix_micros({ts_col})").alias("_tu"),
+            F.col(id_col).alias("_id"),
+        )
+        .withColumn("_nxt", F.lead("_tu").over(
+            Window.partitionBy(key_col).orderBy("_tu", "_id")
+        ))
+        .filter(F.col("_nxt").isNotNull())
+        .select(
+            key_col,
+            F.col("_v"),
+            (F.col("_nxt") - F.col("_tu")).alias("_dt"),
+        )
+    )
+    return (
+        seg.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("_dt").cast("bigint").alias("held_us"),
+            # CASE guards the ANSI divide: a key whose timestamps all
+            # tie (Σdt = 0) must not evaluate the DIV; such keys are
+            # dropped by the filter below (no holding time → no TWAP)
+            F.expr(
+                "CASE WHEN sum(CAST(_dt AS DECIMAL(38,0))) = 0 THEN NULL "
+                "ELSE CAST(sum(CAST(_v AS DECIMAL(38,0)) "
+                "* CAST(_dt AS DECIMAL(38,0)))"
+                " DIV sum(CAST(_dt AS DECIMAL(38,0))) AS BIGINT) END"
+            ).alias("twap_c"),
+        )
+        .filter(F.col("held_us") > 0)
+    )

@@ -3480,3 +3480,156 @@ a2 AS (SELECT auth,
 SELECT auth AS part_id, CAST(v AS BIGINT) AS auth_u6
 FROM a2 ORDER BY v DESC, auth LIMIT 20
 """
+
+
+# Apriori level-3 frequent itemsets (operators/cf.py:frequent_triples):
+# frequent-item prune (anti-monotone support), ordered double
+# self-join p1 < p2 < p3 — each triple counted once per order.
+FREQUENT_PART_TRIPLES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+freq AS (SELECT l_partkey FROM items GROUP BY 1 HAVING count(*) >= 2),
+f AS (SELECT i.l_orderkey, i.l_partkey
+      FROM items i JOIN freq USING (l_partkey))
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, c.l_partkey AS p3,
+       count(*)::BIGINT AS support
+FROM f a
+JOIN f b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+JOIN f c ON b.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+GROUP BY 1, 2, 3 HAVING count(*) >= 2
+"""
+
+# OHLC rollup (operators/timeseries.py:ohlc_by_bucket): open/close =
+# first/last centi-unit value under the (epoch_us, event_id) total
+# order per (type, hour bucket); the oracle states the order with
+# row_number windows — the Spark side gets the identical rows from
+# associative struct min/max (no sort).
+EVENT_OHLC_HOURLY_SQL = """
+WITH q AS (
+  SELECT event_type AS type,
+         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+         epoch_us(ts) AS tu, event_id AS id,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events),
+r AS (
+  SELECT type, bucket_us, v,
+         row_number() OVER (PARTITION BY type, bucket_us
+             ORDER BY tu, id) AS rn_a,
+         row_number() OVER (PARTITION BY type, bucket_us
+             ORDER BY tu DESC, id DESC) AS rn_d
+  FROM q),
+agg AS (
+  SELECT type, bucket_us, max(v) AS high_c, min(v) AS low_c,
+         count(*)::BIGINT AS n_events
+  FROM q GROUP BY 1, 2)
+SELECT agg.type, CAST(agg.bucket_us AS BIGINT) AS bucket_us,
+       o.v AS open_c, agg.high_c, agg.low_c, c.v AS close_c,
+       agg.n_events
+FROM agg
+JOIN (SELECT type, bucket_us, v FROM r WHERE rn_a = 1) o
+  USING (type, bucket_us)
+JOIN (SELECT type, bucket_us, v FROM r WHERE rn_d = 1) c
+  USING (type, bucket_us)
+"""
+
+# per-user TWAP (operators/timeseries.py:time_weighted_avg): LOCF
+# holding-time weights, Σ v·Δt // ΣΔt in HUGEINT; zero-duration keys
+# dropped (held_us > 0), nonnegative operands throughout.
+EVENT_USER_TWAP_SQL = """
+WITH q AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id AS id,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events),
+s AS (
+  SELECT user_id, v,
+         lead(tu) OVER (PARTITION BY user_id ORDER BY tu, id) - tu AS dt
+  FROM q),
+g AS (
+  SELECT user_id, count(*)::BIGINT AS n_segments,
+         sum(dt)::BIGINT AS held_us,
+         CASE WHEN sum(dt) = 0 THEN NULL
+              ELSE CAST(sum(v::HUGEINT * dt::HUGEINT)
+                        // sum(dt::HUGEINT) AS BIGINT) END AS twap_c
+  FROM s WHERE dt IS NOT NULL GROUP BY 1)
+SELECT user_id, n_segments, held_us, twap_c FROM g WHERE held_us > 0
+"""
+
+
+# robust MAD outlier gate (operators/quantiles.py:mad_outliers):
+# discrete medians — lower edge of the first unit bin reaching
+# ceil(N/2) = (N+1)//2 — over values, then over absolute deviations;
+# flag 10·|x−med| > 30·mad. All integers, nonnegative divisions.
+EVENT_MAD_OUTLIERS_SQL = """
+WITH q AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS v
+  FROM events),
+h AS (SELECT event_type, v AS bin, count(*) AS n FROM q GROUP BY 1, 2),
+c AS (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM h),
+med AS (SELECT event_type, min(bin) AS med_c
+        FROM c WHERE cum >= (tot + 1) // 2 GROUP BY 1),
+d AS (
+  SELECT q.event_id, q.event_type, q.v, med.med_c,
+         abs(q.v - med.med_c) AS dev
+  FROM q JOIN med USING (event_type)),
+h2 AS (SELECT event_type, dev AS bin, count(*) AS n FROM d GROUP BY 1, 2),
+c2 AS (
+  SELECT event_type, bin,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY event_type) AS tot
+  FROM h2),
+mad AS (SELECT event_type, min(bin) AS mad_c
+        FROM c2 WHERE cum >= (tot + 1) // 2 GROUP BY 1)
+SELECT d.event_id, d.event_type, d.v AS value_c, d.med_c, mad.mad_c
+FROM d JOIN mad USING (event_type)
+WHERE 10 * abs(d.v - d.med_c) > 30 * mad.mad_c
+"""
+
+
+def benford_sql(ppm: tuple[int, ...], table: str, value_expr: str) -> str:
+    """Benford screen oracle built from the SAME fixed ppm literals as
+    the Spark plan (operators/profiling.py:BENFORD_PPM)."""
+    vals = ", ".join(f"({d + 1}, {p})" for d, p in enumerate(ppm))
+    return f"""
+WITH q AS (SELECT {value_expr} AS v FROM {table}),
+d AS (
+  SELECT CAST(substring(CAST(v AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         count(*)::BIGINT AS n
+  FROM q WHERE v >= 1 GROUP BY 1),
+t AS (SELECT sum(n) AS tot FROM d),
+e(digit, exp_ppm) AS (SELECT * FROM (VALUES {vals}))
+SELECT d.digit, d.n,
+       CAST((1000000 * d.n) // t.tot AS BIGINT) AS obs_ppm,
+       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+       CAST(abs((1000000 * d.n) // t.tot - e.exp_ppm) AS BIGINT) AS dev_ppm
+FROM d CROSS JOIN t JOIN e USING (digit)
+"""
+
+
+# audio silence spans (multimodal/binary_ops.py: synth_wav_silence →
+# wav_window_energy → silence_spans): the oracle re-derives the silent
+# window set from the fixture's closed form — window w of clip id is
+# silent iff (id·7 + w) mod 8 < 2 + (id mod 3) — and merges runs with
+# the identical gaps-and-islands grouping. Corrupt ids (% 17 = 5) are
+# excluded exactly as the per-row containment drops them.
+AUDIO_SILENCE_SPANS_SQL = """
+WITH ids AS (
+  SELECT p_partkey AS media_id FROM part
+  WHERE p_partkey <= 96 AND (p_partkey % 17) <> 5),
+w AS (SELECT media_id, g.w
+      FROM ids CROSS JOIN generate_series(0, 7) g(w)),
+s AS (SELECT media_id, w FROM w
+      WHERE (media_id * 7 + w) % 8 < 2 + (media_id % 3)),
+sp AS (
+  SELECT media_id, w,
+         w - row_number() OVER (PARTITION BY media_id ORDER BY w) AS g
+  FROM s)
+SELECT media_id,
+       CAST(min(w) AS INTEGER) AS start_win,
+       CAST(max(w) AS INTEGER) AS end_win,
+       count(*)::BIGINT AS n_windows
+FROM sp GROUP BY media_id, g
+"""

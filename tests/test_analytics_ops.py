@@ -133,3 +133,60 @@ def test_skyline_layout_invariance(spark):
         )
     )
     assert a == b
+
+
+def test_mad_outliers_golden(spark):
+    from sea_express_customs_etl_spark.operators.quantiles import (
+        mad_outliers,
+    )
+
+    # group g: values 10..19 plus one spike; median=15 (lower of 14/15
+    # -> ceil(11/2)=6th of sorted [10..19,1000] = 15), MAD from devs
+    rows = [(i, "g", 10 + i) for i in range(10)] + [(99, "g", 1000)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value_c"])
+    got = mad_outliers(
+        df, "value_c", ("event_type",), ("event_id",), k_tenths=30
+    ).collect()
+    assert [(r.event_id, r.value_c) for r in got] == [(99, 1000)]
+    r = got[0]
+    # devs from med=15: [5,4,3,2,1,0,1,2,3,4,985] sorted -> 6th = 3
+    assert (r.med_c, r.mad_c) == (15, 3)
+
+
+def test_mad_outliers_robust_to_spike_mass(spark):
+    from sea_express_customs_etl_spark.operators.quantiles import (
+        mad_outliers,
+    )
+
+    # 3 huge spikes out of 20: a sigma gate's sigma balloons; MAD holds
+    rows = [(i, "g", 100) for i in range(17)] + [
+        (90, "g", 10_000),
+        (91, "g", 10_000),
+        (92, "g", 10_000),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value_c"])
+    got = sorted(
+        r.event_id
+        for r in mad_outliers(
+            df, "value_c", ("event_type",), ("event_id",), 30
+        ).collect()
+    )
+    assert got == [90, 91, 92]  # MAD=0 degenerate: every deviator flags
+
+
+def test_benford_digits_golden(spark):
+    from sea_express_customs_etl_spark.operators.profiling import (
+        BENFORD_PPM,
+        benford_first_digit,
+    )
+
+    # 2^k is a classic Benford-conformant sequence
+    rows = [(2**k,) for k in range(40)] + [(0,)]  # 0 excluded (< 1)
+    df = spark.createDataFrame(rows, ["v"])
+    got = {r.digit: r for r in benford_first_digit(df, "v").collect()}
+    assert sum(r.n for r in got.values()) == 40
+    assert got[1].exp_ppm == BENFORD_PPM[0] == 301030
+    # first digits of 2^k: digit 1 appears 12/40 times -> 300000 ppm
+    assert got[1].n == 12 and got[1].obs_ppm == 300000
+    assert got[1].dev_ppm == abs(300000 - 301030)
+    assert all(r.dev_ppm == abs(r.obs_ppm - r.exp_ppm) for r in got.values())

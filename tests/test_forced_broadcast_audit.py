@@ -111,6 +111,10 @@ FORCED_BROADCAST_ALLOWED = {
     #                        + 1-row (N, avgdl) corpus scalars
     "purchase_hits_authorities",  # 1-row L∞ normalization scalar per
     #                               half-step (the modularity license)
+    "order_benford_digits",  # 1-row total + 9-literal-row expectation
+    #                          table (the 1-row/literal license)
+    "event_mad_outliers",  # 1-literal-row quantile-spec broadcast per
+    #                        median pass (the event_value_qsketch class)
 }
 
 

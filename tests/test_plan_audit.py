@@ -66,6 +66,9 @@ BNLJ_ALLOWED = {
     #                           (the event_value_qsketch class)
     "bm25_doc_topk",       # 1-row (N, avgdl) corpus scalars cross-joined
     "purchase_hits_authorities",  # 1-row L∞ norm scalar per half-step
+    "order_benford_digits",  # 1-row digit-total scalar cross-joined
+    "event_mad_outliers",  # 1-literal-row quantile-spec broadcast ×2
+    #                        (the event_value_qsketch class)
 }
 
 

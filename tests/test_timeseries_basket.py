@@ -1,0 +1,121 @@
+"""Tests for the round-6 wave-C operators: Apriori frequent triples,
+OHLC candlestick rollup, per-key time-weighted average."""
+
+from __future__ import annotations
+
+import datetime as dt
+import itertools
+
+from sea_express_customs_etl_spark.operators.cf import frequent_triples
+from sea_express_customs_etl_spark.operators.timeseries import (
+    ohlc_by_bucket,
+    time_weighted_avg,
+)
+
+
+def _py_triples(baskets, min_support):
+    counts: dict[tuple, int] = {}
+    for items in baskets.values():
+        for t in itertools.combinations(sorted(set(items)), 3):
+            counts[t] = counts.get(t, 0) + 1
+    return sorted(
+        (p1, p2, p3, n)
+        for (p1, p2, p3), n in counts.items()
+        if n >= min_support
+    )
+
+
+def test_frequent_triples_matches_python(spark):
+    baskets = {
+        1: [10, 20, 30, 40],
+        2: [10, 20, 30],
+        3: [10, 20, 40],
+        4: [20, 30, 40],
+        5: [10, 20, 30, 40],
+        6: [50, 60, 70],  # unique triple — below support
+        7: [10, 50],
+    }
+    rows = [(o, p) for o, ps in baskets.items() for p in ps]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = sorted(
+        (r.p1, r.p2, r.p3, r.support)
+        for r in frequent_triples(df, min_support=2).collect()
+    )
+    assert got == _py_triples(baskets, 2)
+    assert got  # non-degenerate fixture
+
+
+def test_frequent_triples_duplicate_lineitems_collapse(spark):
+    # the same part twice in one order is ONE basket membership
+    rows = [(1, 10), (1, 10), (1, 20), (1, 30), (2, 10), (2, 20), (2, 30)]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = [tuple(r) for r in frequent_triples(df, min_support=2).collect()]
+    assert got == [(10, 20, 30, 2)]
+
+
+def _t(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def test_ohlc_golden_and_order_dependence(spark):
+    rows = [
+        # one hour bucket, deliberately out of insertion order
+        (3, _t(30), "m", 500),
+        (1, _t(5), "m", 700),   # open (earliest ts)
+        (2, _t(59), "m", 100),  # close (latest ts)
+        (4, _t(10), "m", 900),  # high
+        # ts tie: event_id breaks it — id 5 before id 6
+        (5, _t(20), "n", 10),
+        (6, _t(20), "n", 30),
+        (7, _t(40), "n", 20),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value_c"]
+    )
+    got = {
+        r.type: (r.open_c, r.high_c, r.low_c, r.close_c, r.n_events)
+        for r in ohlc_by_bucket(df).collect()
+    }
+    assert got["m"] == (700, 900, 100, 100, 4)
+    assert got["n"] == (10, 30, 10, 20, 3)
+
+
+def test_ohlc_bucket_boundaries(spark):
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 59, 59), "m", 1),
+        (2, dt.datetime(2024, 1, 1, 1, 0, 0), "m", 2),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "event_type", "value_c"]
+    )
+    assert ohlc_by_bucket(df).count() == 2  # adjacent hours, 2 buckets
+
+
+def test_twap_golden(spark):
+    # value 100 held 10 s, then 300 held 30 s -> twap = (100*10+300*30)/40
+    rows = [
+        (1, _t(0, 0), 7, 100),
+        (2, _t(0, 10), 7, 300),
+        (3, _t(0, 40), 7, 999),  # terminal event: no segment
+        (4, _t(0, 0), 8, 50),    # single event: dropped
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value_c"])
+    got = {r.user_id: r for r in time_weighted_avg(df).collect()}
+    assert set(got) == {7}
+    r = got[7]
+    assert r.n_segments == 2
+    assert r.held_us == 40_000_000
+    assert r.twap_c == (100 * 10 + 300 * 30) // 40
+
+
+def test_twap_layout_invariance(spark):
+    rows = [
+        (i, _t(i % 60, (i * 7) % 60), i % 5, (i * i) % 400)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "value_c"])
+    a = sorted(map(tuple, time_weighted_avg(df).collect()))
+    b = sorted(
+        map(tuple, time_weighted_avg(df.repartition(13, "event_id")).collect())
+    )
+    assert a == b

@@ -142,7 +142,16 @@ def cases() -> dict:
         "pps_length_sample": lambda docs, emb: _pps(docs),
         "image_ahash": lambda docs, emb: _ahash(docs),
         "cms_heavy_hitters": lambda docs, emb: _hh(docs),
+        # r6: BM25 — the corpus is cut to |query-term matches| by the
+        # pinned broadcast right after the explode; dl/tf partial-agg
+        "bm25_topk": lambda docs, emb: _bm25(docs),
     }
+
+
+def _bm25(docs):
+    from sea_express_customs_etl_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(docs, k=10)
 
 
 def _pps(docs):
@@ -275,10 +284,66 @@ def cases_ev() -> dict:
             .agg(F.count(F.lit(1)).alias("n_users"))
         )
 
+    def _markov(ev):
+        from sea_express_customs_etl_spark.operators.markov import (
+            transition_matrix,
+        )
+
+        return transition_matrix(ev)
+
+    def _ohlc(ev):
+        from sea_express_customs_etl_spark.operators.timeseries import (
+            ohlc_by_bucket,
+        )
+
+        return ohlc_by_bucket(
+            ev.withColumn(
+                "value_c", F.floor(F.col("value") * 100).cast("bigint")
+            )
+        )
+
+    def _twap(ev):
+        from sea_express_customs_etl_spark.operators.timeseries import (
+            time_weighted_avg,
+        )
+
+        return time_weighted_avg(
+            ev.withColumn(
+                "value_c", F.floor(F.col("value") * 100).cast("bigint")
+            )
+        )
+
+    def _mad(ev):
+        from sea_express_customs_etl_spark.operators.quantiles import (
+            mad_outliers,
+        )
+
+        return mad_outliers(
+            ev.withColumn(
+                "value_c", F.floor(F.col("value") * 100).cast("bigint")
+            ),
+            "value_c",
+            ("event_type",),
+            ("event_id",),
+            30,
+        )
+
     return {
         "funnel_conversion": _funnel,
         "clicks_in_error_window": _ivjoin,
         "cohort_retention": _cohort,
+        # per-user lead window (bounded state) + one pair-count
+        # partial agg: user count grows 8×, per-user history constant
+        "markov_transitions": _markov,
+        # ONE partial-aggregated shuffle (struct min/max) — bucket
+        # count constant, rows per bucket grow 8×: map-side combine
+        # should absorb nearly all of it
+        "ohlc_hourly": _ohlc,
+        # per-user lag window + one partial-agg sum, the markov shape
+        "user_twap": _twap,
+        # two bounded (group, unit-bin) count shuffles + map-only
+        # filter — bin count is value-range-bounded, constant at 8×
+        "mad_outliers": _mad,
     }
 
 
@@ -424,7 +489,57 @@ def cases_li() -> dict:
         # map-side slot explode + one rank equi-join + one anti-join:
         # edges x8, catalog x8, everything linear
         "copurchase_negatives": _negs,
+        # frequent-item prune then basket-bounded double self-join:
+        # Σ C(basket,3) with baskets ≤7, linear in orders
+        "frequent_triples": _triples,
+        # 4 half-steps, each one edge join + one partial-agg sum +
+        # a 1-row max broadcast: linear in edges per half-step
+        "hits_bipartite": _hits,
+        # grain reduction first: distinct-(price,qty) values are
+        # CONSTANT under replication, so only the grain agg + the
+        # member join-back scale — the skyline window itself is flat
+        "skyline_price_qty": _skyline,
+        # one partial-aggregated six-sum stats pass, |groups| rows out
+        "ols_by_flag": _ols,
     }
+
+
+def _triples(li):
+    from sea_express_customs_etl_spark.operators.cf import frequent_triples
+
+    return frequent_triples(li, min_support=2)
+
+
+def _hits(li):
+    from sea_express_customs_etl_spark.operators.graph import hits_bipartite
+
+    edges = li.select(
+        F.col("l_orderkey").alias("hub"), F.col("l_partkey").alias("auth")
+    )
+    _h, a = hits_bipartite(edges, iters=2)
+    return a
+
+
+def _skyline(li):
+    from sea_express_customs_etl_spark.operators.skyline import skyline_2d
+
+    q = li.select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("x"),
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("y"),
+    )
+    return skyline_2d(q, "x", "y", ["l_orderkey"])
+
+
+def _ols(li):
+    from sea_express_customs_etl_spark.operators.profiling import ols_by_group
+
+    q = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    )
+    return ols_by_group(q, "qty_c", "price_c", ["l_returnflag"])
 
 
 def _negs(li):
