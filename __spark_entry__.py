@@ -2762,6 +2762,83 @@ def _q_audio_silence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return silence_spans(wav_window_energy(wav), threshold=0)
 
 
+def _q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-grade join-cardinality estimation from Count-Min
+    sketches: |orders ⋈ lineitem| estimated by the CMS inner product
+    (min over rows of Σ cell products — one-sided overestimate),
+    reported next to the true count — EVEN the estimate's collision
+    overshoot is exact integer arithmetic and hash-checked."""
+    from sea_express_customs_etl_spark.operators.sketches import (
+        cms_join_size,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    est = cms_join_size(orders, li, "o_orderkey", "l_orderkey")
+    true = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_pairs"))
+    )
+    return est.crossJoin(F.broadcast(true)).select(
+        "est_pairs",
+        "true_pairs",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) "
+            "* CAST(est_pairs AS DECIMAL(38,0)))"
+            " DIV CAST(true_pairs AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("over_ppm"),
+    )
+
+
+def _q_classifier_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval harness for the in-engine trained classifier: confusion
+    matrix + exact ppm precision/recall/accuracy of the 3-epoch
+    perceptron's keep decision against the lang='en' truth — the
+    ann_recall_matrix discipline applied to the classifier family
+    (quality drift now breaks a gate hash, not just a property test)."""
+    from sea_express_customs_etl_spark.operators.dsir import token_buckets
+    from sea_express_customs_etl_spark.operators.perceptron import (
+        confusion_stats,
+        train_perceptron_q,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = train_perceptron_q(docs, F.col("lang") == "en", buckets=64, epochs=3)
+    cnt = (
+        token_buckets(docs, buckets=64)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    score = (
+        cnt.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("_c")).alias("_score"))
+    )
+    pt = docs.select("doc_id", "lang").join(score, "doc_id", "left").select(
+        (F.coalesce(F.col("_score"), F.lit(0)) > 0).cast("int").alias("pred"),
+        (F.col("lang") == "en").cast("int").alias("truth"),
+    )
+    return confusion_stats(pt, "pred", "truth")
+
+
+def _q_brand_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from Brand#11's parts to
+    every co-purchase-reachable part within 3 hops — the recall-radius
+    query; frontier-only edge joins, set semantics (no arithmetic, no
+    tie-break needed), unrolled-level oracle."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        bfs_hops,
+        copurchase_edges,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    seeds = part.filter(F.col("p_brand") == "Brand#11").select(
+        F.col("p_partkey").alias("node")
+    )
+    return bfs_hops(copurchase_edges(li), seeds, max_hops=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3063,6 +3140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_benford_digits": _q_order_benford_digits,
         # VAD-shaped silence segmentation over real decoded PCM
         "audio_silence_spans": _q_audio_silence_spans,
+        # CMS inner-product join-cardinality estimate vs true count
+        "join_size_estimate": _q_join_size_estimate,
+        # classifier eval: confusion matrix + ppm precision/recall
+        "classifier_confusion": _q_classifier_confusion,
+        # multi-source BFS hop distance from a brand's seed parts
+        "brand_bfs_hops": _q_brand_bfs_hops,
     }
 
 
@@ -3298,4 +3381,7 @@ def oracle_sql() -> dict[str, str]:
         "event_mad_outliers": ext.EVENT_MAD_OUTLIERS_SQL,
         "order_benford_digits": _benford_sql(),
         "audio_silence_spans": ext.AUDIO_SILENCE_SPANS_SQL,
+        "join_size_estimate": ext.JOIN_SIZE_ESTIMATE_SQL,
+        "classifier_confusion": ext.CLASSIFIER_CONFUSION_SQL,
+        "brand_bfs_hops": ext.BRAND_BFS_HOPS_SQL,
     }

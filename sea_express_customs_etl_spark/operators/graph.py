@@ -700,8 +700,11 @@ def hits_bipartite(
     )
     def _normalize(raw: DataFrame, key: str) -> DataFrame:
         # raw feeds BOTH the max scalar and the normalized projection
-        # (the ≥2-consumers rule) — without the pin each half-step's
-        # join+aggregate executes twice (measured 6.0 → 3.4 s at sf0.1)
+        # (the ≥2-consumers rule): the pin guarantees each half-step's
+        # join+aggregate is computed once. At sf0.1 the wall is
+        # checkpoint/job-overhead-dominated (~5.8 s, flat 1.5× at the
+        # 8× probe) — the pin is for the ×N-executor case where a
+        # recomputed half-step join is real shuffle work
         pinned = tracked_persist(raw)
         return (
             pinned.crossJoin(
@@ -738,3 +741,46 @@ def hits_bipartite(
         h.select("node", F.col("v").alias("hub_u6")),
         a.select("node", F.col("v").alias("auth_u6")),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+) -> DataFrame:
+    """Multi-source BFS distance: the minimum hop count from the seed
+    set to every node within ``max_hops`` — the graph family's
+    DISTANCE primitive (components answer "connected to?", PageRank
+    "how important?", PPR "how close in random-walk mass?"; this
+    answers "how many hops?" — the recall/impact radius query:
+    "everything within 2 hops of the recalled parts").
+
+    Frontier-expansion form, the textbook distributed BFS: per round
+    one edge join keyed on the CURRENT FRONTIER only (never the full
+    visited set), one distinct, one anti-join against visited. Hop
+    counts are minimal by construction (a node enters exactly when
+    first reached), so the result is deterministic with no tie-break
+    needed — set semantics, no arithmetic at all. Each frontier ends
+    in a lazy localCheckpoint (the pagerank lineage rule). Seeds are
+    restricted to graph nodes (the personalized_pagerank convention).
+    Output: node, hop (int, 0 = seed)."""
+    nodes = edges.select("src").distinct()
+    dist = tracked_persist(
+        seeds.select("node")
+        .distinct()
+        .join(nodes.withColumnRenamed("src", "node"), "node", "left_semi")
+        .withColumn("hop", F.lit(0).cast("int"))
+    )
+    frontier = dist.select("node")
+    for r in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(r).cast("int"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist

@@ -106,3 +106,40 @@ def train_perceptron_q(
     return occupied.join(wdf, "bucket", "left").select(
         "bucket", F.coalesce(F.col("w"), F.lit(0)).cast("bigint").alias("w")
     )
+
+
+def confusion_stats(
+    df: DataFrame, pred_col: str, truth_col: str
+) -> DataFrame:
+    """Binary-classifier evaluation in one conditional-sum scan: the
+    confusion matrix (tp/fp/fn/tn) plus exact integer ppm
+    precision / recall / accuracy — the eval harness the ANN family
+    has (``ann_recall_matrix``) applied to the classifier family.
+    ``pred_col``/``truth_col`` are 0/1 ints. ZERO-denominator guards
+    return 0 (no positive predictions → precision 0, the conservative
+    reading). One map-side aggregate, a single output row —
+    trivially mergeable across shards (all four cells are sums)."""
+    p, t = F.col(pred_col), F.col(truth_col)
+    m = df.agg(
+        F.sum(p * t).cast("bigint").alias("tp"),
+        F.sum(p * (1 - t)).cast("bigint").alias("fp"),
+        F.sum((1 - p) * t).cast("bigint").alias("fn"),
+        F.sum((1 - p) * (1 - t)).cast("bigint").alias("tn"),
+    )
+    return m.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CAST(CASE WHEN tp + fp = 0 THEN 0 "
+            "ELSE (1000000 * tp) DIV (tp + fp) END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN tp + fn = 0 THEN 0 "
+            "ELSE (1000000 * tp) DIV (tp + fn) END AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST((1000000 * (tp + tn)) DIV (tp + fp + fn + tn) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )

@@ -348,3 +348,48 @@ def hll_registers_by(
         .groupBy(group_col, "bucket")
         .agg(F.max("_rank").alias("max_rank"))
     )
+
+
+def cms_join_size(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    salt: str = "",
+) -> DataFrame:
+    """Equi-join cardinality estimate from two Count-Min sketches —
+    the Cormode/Muthukrishnan inner-product estimator (J. Algorithms
+    2005, §4.2): |A ⋈ B| = Σ_k cntA(k)·cntB(k) is estimated by
+
+        est = min over sketch rows r of  Σ_col A[r][col]·B[r][col]
+
+    (each row OVERestimates by collision mass — the min is the least
+    biased; one-sided error, like the point-query form). This is what
+    a cost-based planner consults before choosing join strategy/skew
+    handling WITHOUT scanning either side: both inputs reduce to d·w
+    cell tables (model-sized, mergeable across shards/batches — the
+    sketch family's distributability), the estimate is one cell-table
+    join + a d-row min. All integer arithmetic: per-cell products run
+    in DECIMAL(38,0) (two 10¹²-row sides put ~(n/w)² ≈ 10¹⁹ in a cell
+    product — past int64, the sigma_outliers rule). Output: one row,
+    ``est_pairs`` (bigint)."""
+    a = cms_cells(left, left_col, d=d, w=w, salt=salt).withColumnRenamed(
+        "cnt", "_ca"
+    )
+    b = cms_cells(right, right_col, d=d, w=w, salt=salt).withColumnRenamed(
+        "cnt", "_cb"
+    )
+    per_row = (
+        a.join(b, ["sketch_row", "col"])
+        .groupBy("sketch_row")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(_ca AS DECIMAL(38,0)) * CAST(_cb AS DECIMAL(38,0))"
+                )
+            ).alias("_ip")
+        )
+    )
+    return per_row.agg(F.min("_ip").cast("bigint").alias("est_pairs"))

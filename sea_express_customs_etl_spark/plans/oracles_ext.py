@@ -3633,3 +3633,100 @@ SELECT media_id,
        count(*)::BIGINT AS n_windows
 FROM sp GROUP BY media_id, g
 """
+
+
+# CMS join-size estimate (operators/sketches.py:cms_join_size): the
+# Cormode/Muthukrishnan inner-product estimator replayed cell-exactly
+# — same 48-bit md5 buckets, min over sketch rows of Σ cell products
+# in HUGEINT — next to the true join count.
+JOIN_SIZE_ESTIMATE_SQL = f"""
+WITH ca AS (
+  SELECT g.i AS sketch_row,
+         ({_H48.format(v="CAST(g.i AS VARCHAR) || '|' || CAST(o_orderkey AS VARCHAR)")}
+          % 256)::INTEGER AS col,
+         count(*)::BIGINT AS cnt
+  FROM orders, generate_series(0, 3) g(i) GROUP BY 1, 2),
+cb AS (
+  SELECT g.i AS sketch_row,
+         ({_H48.format(v="CAST(g.i AS VARCHAR) || '|' || CAST(l_orderkey AS VARCHAR)")}
+          % 256)::INTEGER AS col,
+         count(*)::BIGINT AS cnt
+  FROM lineitem, generate_series(0, 3) g(i) GROUP BY 1, 2),
+ip AS (
+  SELECT ca.sketch_row, sum(ca.cnt::HUGEINT * cb.cnt::HUGEINT) AS ip
+  FROM ca JOIN cb USING (sketch_row, col) GROUP BY 1),
+t AS (SELECT count(*)::BIGINT AS true_pairs
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+SELECT CAST((SELECT min(ip) FROM ip) AS BIGINT) AS est_pairs,
+       t.true_pairs,
+       CAST((1000000::HUGEINT * (SELECT min(ip) FROM ip)) // t.true_pairs
+            AS BIGINT) AS over_ppm
+FROM t
+"""
+
+
+# classifier eval (operators/perceptron.py:confusion_stats): confusion
+# matrix of the trained epoch-3 perceptron's keep decision vs the
+# lang='en' truth, with exact ppm precision/recall/accuracy — built on
+# the SAME training prelude as the filter oracle.
+CLASSIFIER_CONFUSION_SQL = (
+    "WITH "
+    + _PERC_PRELUDE
+    + """,
+sc AS (SELECT c.doc_id, sum(w3.w * c.c) AS score
+       FROM cnt c JOIN w3 USING (bucket) GROUP BY 1),
+p AS (
+  SELECT CASE WHEN coalesce(sc.score, 0) > 0 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS truth
+  FROM documents d LEFT JOIN sc USING (doc_id)),
+m AS (
+  SELECT sum(pred * truth)::BIGINT AS tp,
+         sum(pred * (1 - truth))::BIGINT AS fp,
+         sum((1 - pred) * truth)::BIGINT AS fn,
+         sum((1 - pred) * (1 - truth))::BIGINT AS tn
+  FROM p)
+SELECT tp, fp, fn, tn,
+       CAST(CASE WHEN tp + fp = 0 THEN 0
+            ELSE (1000000 * tp) // (tp + fp) END AS BIGINT)
+           AS precision_ppm,
+       CAST(CASE WHEN tp + fn = 0 THEN 0
+            ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_ppm,
+       CAST((1000000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT)
+           AS accuracy_ppm
+FROM m
+"""
+)
+
+
+# multi-source BFS (operators/graph.py:bfs_hops): fully unrolled
+# frontier expansion — level k = distinct neighbors of level k−1 not
+# seen at any earlier level; seeds restricted to graph nodes (the
+# personalized_pagerank convention). Pure set semantics.
+BRAND_BFS_HOPS_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey),
+s0 AS (
+  SELECT DISTINCT p.p_partkey AS node
+  FROM part p
+  WHERE p.p_brand = 'Brand#11'
+    AND p.p_partkey IN (SELECT src FROM e)),
+l1 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN s0 ON e.src = s0.node
+  WHERE e.dst NOT IN (SELECT node FROM s0)),
+l2 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN l1 ON e.src = l1.node
+  WHERE e.dst NOT IN (SELECT node FROM s0)
+    AND e.dst NOT IN (SELECT node FROM l1)),
+l3 AS (
+  SELECT DISTINCT e.dst AS node FROM e JOIN l2 ON e.src = l2.node
+  WHERE e.dst NOT IN (SELECT node FROM s0)
+    AND e.dst NOT IN (SELECT node FROM l1)
+    AND e.dst NOT IN (SELECT node FROM l2))
+SELECT node, CAST(0 AS INTEGER) AS hop FROM s0
+UNION ALL SELECT node, CAST(1 AS INTEGER) FROM l1
+UNION ALL SELECT node, CAST(2 AS INTEGER) FROM l2
+UNION ALL SELECT node, CAST(3 AS INTEGER) FROM l3
+"""

@@ -1,0 +1,98 @@
+"""Wave-E operator tests: CMS join-size estimate, classifier
+confusion stats, multi-source BFS — pure-Python references."""
+
+from __future__ import annotations
+
+import hashlib
+
+from sea_express_customs_etl_spark.operators.graph import bfs_hops
+from sea_express_customs_etl_spark.operators.perceptron import confusion_stats
+from sea_express_customs_etl_spark.operators.sketches import cms_join_size
+
+
+def _py_cms(values, d=4, w=256):
+    cells: dict[tuple[int, int], int] = {}
+    for v in values:
+        for i in range(d):
+            h = int(
+                hashlib.md5(f"{i}|{v}".encode()).hexdigest()[:12], 16
+            )
+            cells[(i, h % w)] = cells.get((i, h % w), 0) + 1
+    return cells
+
+
+def test_cms_join_size_matches_python_and_dominates_truth(spark):
+    la = [(i % 40,) for i in range(200)]
+    lb = [((i * 3) % 55,) for i in range(300)]
+    a = spark.createDataFrame(la, ["k"])
+    b = spark.createDataFrame(lb, ["k"])
+    got = cms_join_size(a, b, "k", "k").collect()[0].est_pairs
+    ca, cb = _py_cms([v for v, in la]), _py_cms([v for v, in lb])
+    want = min(
+        sum(
+            ca[(i, c)] * cb.get((i, c), 0)
+            for (r, c) in ca
+            if r == i
+        )
+        for i in range(4)
+    )
+    assert got == want
+    # one-sided error: the estimate never undershoots the true size
+    from collections import Counter
+
+    na, nb = Counter(v for v, in la), Counter(v for v, in lb)
+    true = sum(na[k] * nb.get(k, 0) for k in na)
+    assert got >= true
+
+
+def test_confusion_stats_golden(spark):
+    rows = (
+        [(1, 1)] * 6   # tp
+        + [(1, 0)] * 2  # fp
+        + [(0, 1)] * 1  # fn
+        + [(0, 0)] * 11  # tn
+    )
+    df = spark.createDataFrame(rows, ["pred", "truth"])
+    r = confusion_stats(df, "pred", "truth").collect()[0]
+    assert (r.tp, r.fp, r.fn, r.tn) == (6, 2, 1, 11)
+    assert r.precision_ppm == (10**6 * 6) // 8
+    assert r.recall_ppm == (10**6 * 6) // 7
+    assert r.accuracy_ppm == (10**6 * 17) // 20
+
+
+def test_confusion_stats_no_positive_predictions(spark):
+    df = spark.createDataFrame([(0, 1), (0, 0)], ["pred", "truth"])
+    r = confusion_stats(df, "pred", "truth").collect()[0]
+    assert r.precision_ppm == 0 and r.recall_ppm == 0
+
+
+def _py_bfs(edges, seeds, max_hops):
+    adj: dict[int, set[int]] = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+    nodes = set(adj)
+    dist = {s: 0 for s in seeds if s in nodes}
+    frontier = set(dist)
+    for h in range(1, max_hops + 1):
+        nxt = set()
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    nxt.add(m)
+        for m in nxt:
+            dist[m] = h
+        frontier = nxt
+    return dist
+
+
+def test_bfs_hops_matches_python(spark):
+    # chain with a branch and a far tail beyond max_hops; symmetric
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (2, 7), (8, 9)]
+    edges = und + [(b, a) for a, b in und]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,), (99,)], ["node"])  # 99 not in graph
+    got = {r.node: r.hop for r in bfs_hops(e, seeds, max_hops=3).collect()}
+    want = _py_bfs(edges, [1, 99], 3)
+    assert got == want
+    assert got[1] == 0 and got[2] == 1 and got[7] == 2 and got[4] == 3
+    assert 5 not in got and 8 not in got and 99 not in got

@@ -69,6 +69,10 @@ BNLJ_ALLOWED = {
     "order_benford_digits",  # 1-row digit-total scalar cross-joined
     "event_mad_outliers",  # 1-literal-row quantile-spec broadcast ×2
     #                        (the event_value_qsketch class)
+    "join_size_estimate",  # 1-row true-count scalar cross-joined
+    "classifier_confusion",  # B=64-row trained model broadcast + the
+    #                          training prelude's 1-row argmax joins
+    #                          (the learned_quality_filter license)
 }
 
 
