@@ -2839,6 +2839,53 @@ def _q_brand_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bfs_hops(copurchase_edges(li), seeds, max_hops=3)
 
 
+def _q_doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf·idf
+    (integer-rational IDF) — the metadata-enrichment tag pass;
+    WindowGroupLimit top-k per doc."""
+    from sea_express_customs_etl_spark.operators.textstats import (
+        top_terms_per_doc,
+    )
+
+    return top_terms_per_doc(_docs(spark, sf_dir), k=3)
+
+
+def _q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec/SGNS positive-pair extraction: ordered (tᵢ, tᵢ₊ₒ)
+    pairs for offsets 1-2, map-only generation (staged array, guarded
+    sequence), one partial-agg count, min_count=5, global top-50."""
+    from sea_express_customs_etl_spark.operators.collocations import (
+        skipgram_pairs,
+    )
+
+    return skipgram_pairs(_docs(spark, sf_dir), window=2, min_count=5, k=50)
+
+
+def _q_event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-anomaly detection as a two-operator composition: hourly
+    event counts per type (epoch-hour grain) fed into the zero-float
+    3σ gate — the ops-monitoring 'this type is spiking' alarm; the
+    sigma test runs at BUCKET grain so its stats pass is bounded by
+    hours·types, not events."""
+    from sea_express_customs_etl_spark.operators.profiling import (
+        sigma_outliers,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    ts_u = F.expr("unix_micros(ts)")
+    counts = (
+        ev.select(
+            "event_type",
+            (ts_u - (ts_u % 3_600_000_000)).cast("bigint").alias("bucket_us"),
+        )
+        .groupBy("event_type", "bucket_us")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return sigma_outliers(
+        counts, "n", ("event_type",), ("bucket_us",), k_tenths=30
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3146,6 +3193,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_confusion": _q_classifier_confusion,
         # multi-source BFS hop distance from a brand's seed parts
         "brand_bfs_hops": _q_brand_bfs_hops,
+        # per-doc tf·idf keyword tags (WindowGroupLimit per doc)
+        "doc_top_terms": _q_doc_top_terms,
+        # word2vec positive-pair extraction, map-only generation
+        "skipgram_pairs": _q_skipgram_pairs,
+        # hourly rate-spike alarm: bucket counts → zero-float 3σ gate
+        "event_rate_spikes": _q_event_rate_spikes,
     }
 
 
@@ -3384,4 +3437,7 @@ def oracle_sql() -> dict[str, str]:
         "join_size_estimate": ext.JOIN_SIZE_ESTIMATE_SQL,
         "classifier_confusion": ext.CLASSIFIER_CONFUSION_SQL,
         "brand_bfs_hops": ext.BRAND_BFS_HOPS_SQL,
+        "doc_top_terms": ext.DOC_TOP_TERMS_SQL,
+        "skipgram_pairs": ext.SKIPGRAM_PAIRS_SQL,
+        "event_rate_spikes": ext.EVENT_RATE_SPIKES_SQL,
     }

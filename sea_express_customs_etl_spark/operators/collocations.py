@@ -143,3 +143,58 @@ def domain_divergence(
             F.sum("_term").alias("kl_u9"),
         )
     )
+
+
+def skipgram_pairs(
+    df: DataFrame,
+    window: int = 2,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Skip-gram training-pair extraction — the word2vec/SGNS loader's
+    positive-pair generator (Mikolov et al. 2013): every ordered token
+    pair (t_i, t_{i+off}) with 1 ≤ off ≤ ``window``, counted
+    corpus-wide, floored at ``min_count`` (the standard sparsifier),
+    global top-``k`` via TakeOrderedAndProject. The distance-1 slice
+    of this is exactly :func:`pmi_collocations`' input; the window
+    generalization is what embedding training actually consumes.
+
+    MAP-ONLY pair generation: the token array is staged as a named
+    column once (the CLAUDE.md O(len²) inline-split trap), each offset
+    contributes a transform over an index sequence (guarded for short
+    docs — ``sequence(1, n)`` DESCENDS when n < 1, so the branch must
+    never build it), offsets concat into one array, ONE explode. The
+    only shuffle is the partial-aggregated pair count. Output:
+    a, b, n."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    staged = df.select(id_col, toks.alias("_toks"))
+    sz = F.size("_toks")
+
+    def _pairs_at(off: int):
+        return F.when(
+            sz > off,
+            F.transform(
+                F.sequence(F.lit(1), sz - off),
+                lambda i: F.struct(
+                    F.element_at("_toks", i).alias("a"),
+                    F.element_at("_toks", i + off).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+
+    pairs = staged.select(
+        F.explode(
+            F.concat(*[_pairs_at(off) for off in range(1, window + 1)])
+        ).alias("_p")
+    ).select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+    counted = (
+        pairs.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    return counted.orderBy(F.col("n").desc(), "a", "b").limit(k)

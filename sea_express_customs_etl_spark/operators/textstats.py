@@ -660,3 +660,63 @@ def tfidf_cosine_pairs(
         .filter(lhs >= rhs)
         .select("id_a", "id_b", "n_shared")
     )
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by
+    tf·idf — the metadata-enrichment pass that tags every document
+    with its most distinctive vocabulary (faceting, routing, weak
+    topic labels). The corpus-level ``tfidf_top_terms`` asks "what
+    characterizes the corpus"; this asks it per document.
+
+    Integer-rational IDF ``idf_k = (N·1000) DIV df`` (the
+    tfidf_cosine/bm25 substitution — monotone-equivalent to log-idf,
+    exact for hashing), score = tf·idf_k in bigint. One token explode
+    → one (doc, term) partial-agg count (persisted: it feeds the df
+    aggregate AND the scoring join); df table joined back hint-free;
+    N rides a pinned 1-row broadcast (the allowed scalar class);
+    per-doc top-k keeps the row_number-then-filter shape Spark
+    rewrites to WindowGroupLimit. Output: id, term, score, ties by
+    term."""
+    from pyspark.sql import Window
+
+    from ..plans.cache import tracked_persist
+
+    staged = df.select(
+        id_col,
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_toks"),
+    )
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("_N"))
+    tf = tracked_persist(
+        staged.select(id_col, F.explode("_toks").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            "term",
+            F.expr("_tf * ((_N * 1000) DIV _df)")
+            .cast("bigint")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(id_col, "term", "score")
+    )

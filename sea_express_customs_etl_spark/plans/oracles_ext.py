@@ -3730,3 +3730,70 @@ UNION ALL SELECT node, CAST(1 AS INTEGER) FROM l1
 UNION ALL SELECT node, CAST(2 AS INTEGER) FROM l2
 UNION ALL SELECT node, CAST(3 AS INTEGER) FROM l3
 """
+
+
+# per-doc tf·idf keywords (operators/textstats.py:top_terms_per_doc):
+# integer-rational IDF (N·1000)//df, score = tf·idf_k, top-3 per doc
+# by (score DESC, term).
+DOC_TOP_TERMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, tok AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+       FROM toks GROUP BY 1, 2),
+dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(tf.tf * ((n.n_docs * 1000) // dfq.df) AS BIGINT) AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN n)
+SELECT doc_id, term, score
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term) AS rn FROM sc)
+WHERE rn <= 3
+"""
+
+# skip-gram pairs (operators/collocations.py:skipgram_pairs): ordered
+# (t_i, t_{i+off}) for off in 1..2 over the empty-filtered token
+# array, corpus count, min_count=5, top-50 by (n DESC, a, b).
+SKIPGRAM_PAIRS_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                     t -> t <> '') AS arr
+  FROM documents),
+p AS (
+  -- this DuckDB build's generate_series rejects lateral column
+  -- bounds: use a constant series (fixture docs are << 1024 tokens)
+  -- and filter to the per-row length
+  SELECT arr[g.i] AS a, arr[g.i + o.off] AS b
+  FROM d
+  CROSS JOIN (VALUES (1), (2)) o(off)
+  CROSS JOIN generate_series(1, 1024) g(i)
+  WHERE g.i <= len(arr) - o.off),
+c AS (SELECT a, b, count(*)::BIGINT AS n FROM p
+      GROUP BY 1, 2 HAVING count(*) >= 5)
+SELECT a, b, n FROM c ORDER BY n DESC, a, b LIMIT 50
+"""
+
+# hourly rate spikes (composition: epoch-hour counts per type →
+# profiling.sigma_outliers at bucket grain, k = 3.0 → k_tenths² = 900).
+EVENT_RATE_SPIKES_SQL = """
+WITH c AS (
+  SELECT event_type,
+         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+         count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2),
+s AS (SELECT event_type, count(*) AS cnt, sum(n) AS s, sum(n*n) AS q
+      FROM c GROUP BY 1)
+SELECT c.bucket_us, c.event_type, c.n AS value_c,
+       CAST(s.cnt AS BIGINT) AS n_group
+FROM c JOIN s USING (event_type)
+WHERE 100 * CAST(s.cnt * c.n - s.s AS HUGEINT)
+          * CAST(s.cnt * c.n - s.s AS HUGEINT)
+      > 900 * (CAST(s.cnt AS HUGEINT) * CAST(s.q AS HUGEINT)
+               - CAST(s.s AS HUGEINT) * CAST(s.s AS HUGEINT))
+"""

@@ -96,3 +96,55 @@ def test_bfs_hops_matches_python(spark):
     assert got == want
     assert got[1] == 0 and got[2] == 1 and got[7] == 2 and got[4] == 3
     assert 5 not in got and 8 not in got and 99 not in got
+
+
+def _py_skipgrams(texts, window, min_count):
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in texts:
+        toks = t.lower().split()
+        for i, a in enumerate(toks):
+            for off in range(1, window + 1):
+                if i + off < len(toks):
+                    c[(a, toks[i + off])] += 1
+    return {k: v for k, v in c.items() if v >= min_count}
+
+
+def test_skipgram_pairs_match_python(spark):
+    from sea_express_customs_etl_spark.operators.collocations import (
+        skipgram_pairs,
+    )
+
+    texts = [
+        "a b c a b c",
+        "a b a b a b a",
+        "c c c",
+        "x",          # single token: no pairs, guarded sequence branch
+        "",           # empty: filtered array, no pairs
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r.a, r.b): r.n
+        for r in skipgram_pairs(df, window=2, min_count=3, k=100).collect()
+    }
+    assert got == _py_skipgrams(texts, 2, 3)
+
+
+def test_top_terms_per_doc_rare_term_wins(spark):
+    from sea_express_customs_etl_spark.operators.textstats import (
+        top_terms_per_doc,
+    )
+
+    # "rare" appears once in doc 1 only; "common" is everywhere —
+    # idf must rank rare above common despite equal tf
+    docs = [(1, "common rare"), (2, "common x"), (3, "common y")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.term): r.score
+        for r in top_terms_per_doc(df, k=1).collect()
+    }
+    assert set(got) == {(1, "rare"), (2, "x"), (3, "y")}
+    assert got[(1, "rare")] == 1 * ((3 * 1000) // 1)

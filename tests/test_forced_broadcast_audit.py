@@ -116,6 +116,7 @@ FORCED_BROADCAST_ALLOWED = {
     "event_mad_outliers",  # 1-literal-row quantile-spec broadcast per
     #                        median pass (the event_value_qsketch class)
     "join_size_estimate",  # 1-row true-count scalar (the 1-row license)
+    "doc_top_terms",       # 1-row corpus-size N (the tfidf license)
     "classifier_confusion",  # trained B=64-row model broadcast (the
     #                          learned_quality_filter license)
 }

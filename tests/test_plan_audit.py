@@ -70,6 +70,8 @@ BNLJ_ALLOWED = {
     "event_mad_outliers",  # 1-literal-row quantile-spec broadcast ×2
     #                        (the event_value_qsketch class)
     "join_size_estimate",  # 1-row true-count scalar cross-joined
+    "doc_top_terms",       # 1-row corpus-size N broadcast (the
+    #                        tfidf_top_terms license)
     "classifier_confusion",  # B=64-row trained model broadcast + the
     #                          training prelude's 1-row argmax joins
     #                          (the learned_quality_filter license)
