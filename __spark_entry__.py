@@ -2886,6 +2886,92 @@ def _q_event_rate_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules A→B with exact integer ppm confidence and
+    lift over order baskets — the rule layer above pair co-occurrence;
+    top-50 by (lift, conf) via TakeOrderedAndProject."""
+    from sea_express_customs_etl_spark.operators.cf import basket_rules
+
+    return basket_rules(
+        load_table(spark, sf_dir, "lineitem"), min_support=2, k=50
+    )
+
+
+def _q_customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency/frequency/monetary quartiles
+    (quartile 1 = best) via the two-phase global rank + exact ANSI
+    NTILE arithmetic — three metrics, one |customers|-sized frame,
+    rfm_code = 100r + 10f + m."""
+    from sea_express_customs_etl_spark.operators.ranking import (
+        global_rank,
+        ntile_by_rank,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    # o_orderdate arrives TIMESTAMP_NTZ from parquet (only events.ts
+    # gets the standins re-cast); session tz is pinned UTC so the
+    # cast is the identity wall-clock — matches DuckDB's epoch_us
+    pc = orders.groupBy("o_custkey").agg(
+        F.max(F.expr("unix_micros(cast(o_orderdate as timestamp))"))
+        .cast("bigint")
+        .alias("_rec"),
+        F.count(F.lit(1)).cast("bigint").alias("_freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("_mon"),
+    )
+    cur = pc
+    for col, name in (("_rec", "r_q"), ("_freq", "f_q"), ("_mon", "m_q")):
+        ranked = global_rank(
+            cur, [F.col(col).desc(), F.col("o_custkey")], "_gr"
+        )
+        cur = (
+            ntile_by_rank(ranked, 4, "_gr")
+            .withColumnRenamed("bucket", name)
+            .drop("_gr")
+        )
+    return cur.select(
+        "o_custkey",
+        "r_q",
+        "f_q",
+        "m_q",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("int")
+        .alias("rfm_code"),
+    )
+
+
+def _q_event_forecast_mae(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline eval: per-type integer MAE of persistence
+    (lag-1h) and seasonal-naive (lag-24h) forecasters over the hourly
+    rollup — the M-competition floor a model must beat."""
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        naive_forecast_mae,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_c", F.floor(F.col("value") * 100).cast("bigint")
+    )
+    return naive_forecast_mae(ev)
+
+
+def _q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-search fusion: BM25 and term-coverage rankings (top-20
+    each) merged by integer reciprocal-rank fusion
+    (Σ 10⁶ DIV (60 + rank)) — the score-calibration-free combiner
+    production retrieval stacks run; fused top-10 per query."""
+    from sea_express_customs_etl_spark.operators.bm25 import (
+        bm25_topk,
+        term_coverage_ranked,
+    )
+    from sea_express_customs_etl_spark.operators.fusion import rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    r1 = bm25_topk(docs, k=20, include_rank=True)
+    r2 = term_coverage_ranked(docs, k=20)
+    return rrf_fuse([r1, r2], k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3199,6 +3285,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": _q_skipgram_pairs,
         # hourly rate-spike alarm: bucket counts → zero-float 3σ gate
         "event_rate_spikes": _q_event_rate_spikes,
+        # association rules: ppm confidence/lift over order baskets
+        "basket_rules": _q_basket_rules,
+        # RFM quartile segmentation via two-phase rank + exact NTILE
+        "customer_rfm": _q_customer_rfm,
+        # forecast-baseline eval: naive-1h / seasonal-24h integer MAE
+        "event_forecast_mae": _q_event_forecast_mae,
+        # hybrid retrieval: BM25 ⊕ coverage via reciprocal-rank fusion
+        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
     }
 
 
@@ -3214,6 +3308,13 @@ def _bm25_doc_topk_sql() -> str:
     from sea_express_customs_etl_spark.plans.oracles_ext import bm25_sql
 
     return bm25_sql(FIXED_QUERIES, k=10)
+
+
+def _hybrid_rrf_sql() -> str:
+    from sea_express_customs_etl_spark.operators.bm25 import FIXED_QUERIES
+    from sea_express_customs_etl_spark.plans.oracles_ext import rrf_sql
+
+    return rrf_sql(FIXED_QUERIES, per_ranker_k=20, k=10, c=60)
 
 
 def _benford_sql() -> str:
@@ -3440,4 +3541,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_top_terms": ext.DOC_TOP_TERMS_SQL,
         "skipgram_pairs": ext.SKIPGRAM_PAIRS_SQL,
         "event_rate_spikes": ext.EVENT_RATE_SPIKES_SQL,
+        "basket_rules": ext.BASKET_RULES_SQL,
+        "customer_rfm": ext.CUSTOMER_RFM_SQL,
+        "event_forecast_mae": ext.EVENT_FORECAST_MAE_SQL,
+        "hybrid_rrf_topk": _hybrid_rrf_sql(),
     }

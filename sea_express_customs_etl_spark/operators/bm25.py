@@ -56,10 +56,12 @@ def bm25_topk(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    include_rank: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query by integer BM25. Output:
     ``query_id, doc_id, score_u6`` (score in micro-units of
-    idf·saturation), ties broken by doc_id."""
+    idf·saturation), ties broken by doc_id — or ``query_id, doc_id,
+    rank`` with ``include_rank=True`` (the fusion-input form)."""
     spark = docs.sparkSession
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in queries for t in ts],
@@ -114,8 +116,51 @@ def bm25_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_u6").desc(), F.col(id_col)
     )
+    ranked = scored.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    if include_rank:
+        return ranked.select(
+            "query_id", id_col, F.col("_rn").cast("int").alias("rank")
+        )
+    return ranked.select("query_id", id_col, "score_u6")
+
+
+def term_coverage_ranked(
+    docs: DataFrame,
+    queries: tuple[tuple[str, tuple[str, ...]], ...] = FIXED_QUERIES,
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Second lexical ranker for hybrid fusion: documents ranked by
+    how many DISTINCT query terms they contain (coverage — the
+    boolean-AND-ish signal BM25's tf-weighting can under-rank), ties
+    by doc id. Same broadcast-filtered explode shape as
+    :func:`bm25_topk`. Output: query_id, id, rank (1-based)."""
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts],
+        ["query_id", "term"],
+    )
+    staged = docs.select(
+        id_col,
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_toks"),
+    )
+    cov = (
+        staged.select(id_col, F.explode("_toks").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col)
+        .agg(F.countDistinct("term").cast("bigint").alias("_nq"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_nq").desc(), F.col(id_col)
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
+        cov.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
-        .select("query_id", id_col, "score_u6")
+        .select("query_id", id_col, F.col("_rn").cast("int").alias("rank"))
     )

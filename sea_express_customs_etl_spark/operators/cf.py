@@ -119,3 +119,71 @@ def frequent_triples(
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
         .filter(F.col("support") >= min_support)
     )
+
+
+def basket_rules(
+    lineitem: DataFrame,
+    min_support: int = 2,
+    k: int = 50,
+) -> DataFrame:
+    """Association rules A → B over order baskets — the
+    confidence/lift layer (Agrawal/Imieliński/Swami SIGMOD 1993) on
+    top of the pair co-occurrence the CF family already mines:
+
+        confidence(A→B) = sup(AB) / sup(A)
+        lift(A→B)       = sup(AB)·N / (sup(A)·sup(B))
+
+    both emitted as exact integer ppm (`(10⁶·x) DIV y`; the lift
+    cross-product runs in DECIMAL(38,0) — sup·sup·10⁶ passes int64 on
+    a 10¹²-order corpus). Rules are ORDERED pairs (A→B and B→A have
+    different confidence). Top-``k`` by (lift DESC, conf DESC, a, b)
+    via TakeOrderedAndProject — never a global sort.
+
+    Plan: the same distinct (order, item) projection feeds item
+    supports and the basket-bounded pair self-join; the 1-row order
+    count rides a pinned broadcast (the allowed scalar class)."""
+    items = tracked_persist(
+        lineitem.select("l_orderkey", "l_partkey").distinct()
+    )
+    n_orders = items.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("_n")
+    )
+    sup = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_s")
+    )
+    a, b = items.alias("a"), items.alias("b")
+    cooc = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("ante"),
+            F.col("b.l_partkey").alias("cons"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    scored = (
+        cooc.join(sup.withColumnRenamed("l_partkey", "ante"), "ante")
+        .withColumnRenamed("_s", "_sa")
+        .join(sup.withColumnRenamed("l_partkey", "cons"), "cons")
+        .withColumnRenamed("_s", "_sb")
+        .join(F.broadcast(n_orders))
+        .select(
+            "ante",
+            "cons",
+            "support",
+            F.expr("(1000000 * support) DIV _sa")
+            .cast("bigint")
+            .alias("conf_ppm"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) "
+                "* CAST(support AS DECIMAL(38,0)) "
+                "* CAST(_n AS DECIMAL(38,0)))"
+                " DIV (CAST(_sa AS DECIMAL(38,0)) "
+                "* CAST(_sb AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )
+    return scored.orderBy(
+        F.col("lift_ppm").desc(), F.col("conf_ppm").desc(), "ante", "cons"
+    ).limit(k)

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
 
+from ..plans.cache import tracked_persist
+
 MICRO = 1_000_000
 
 
@@ -188,3 +190,58 @@ def time_weighted_avg(
         )
         .filter(F.col("held_us") > 0)
     )
+
+
+def naive_forecast_mae(
+    events: DataFrame,
+    value_c_col: str = "value_c",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_us: int = 3_600_000_000,
+    season: int = 24,
+) -> DataFrame:
+    """Forecast-baseline evaluation: per-type MAE of the two standard
+    naive forecasters over the hourly rollup — persistence
+    (``naive_1``: ŷ(t) = y(t−1)) and seasonal-naive (``seasonal_24``:
+    ŷ(t) = y(t−24 h)), the baselines every forecasting deployment must
+    beat before a model earns its keep (the M-competition floor).
+
+    MAE in exact integers: ``mae_c = Σ|y − ŷ| DIV n`` with the sum
+    accumulated in DECIMAL(38,0) (the sigma_outliers ADVICE rule);
+    buckets with no forecast source (the first hour / first day) are
+    excluded by the inner join — n_eval reports the evaluated count.
+    Plan: ONE partial-aggregated hourly rollup (persisted — it is
+    both the actual and, shifted, the forecast for two methods), two
+    bucket-grain equi self-joins (bounded by hours·types, never
+    events), one |types|·2-row output."""
+    ts_u = F.expr(f"unix_micros({ts_col})")
+    hourly = tracked_persist(
+        events.select(
+            F.col(type_col).alias("type"),
+            (ts_u - (ts_u % bucket_us)).cast("bigint").alias("bucket_us"),
+            F.col(value_c_col).alias("_v"),
+        )
+        .groupBy("type", "bucket_us")
+        .agg(F.sum("_v").cast("bigint").alias("_y"))
+    )
+    out = None
+    for method, lag in (("naive_1", 1), (f"seasonal_{season}", season)):
+        fc = hourly.select(
+            "type",
+            (F.col("bucket_us") + lag * bucket_us).alias("bucket_us"),
+            F.col("_y").alias("_yhat"),
+        )
+        m = (
+            hourly.join(fc, ["type", "bucket_us"])
+            .groupBy("type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+                F.expr(
+                    "CAST(sum(CAST(abs(_y - _yhat) AS DECIMAL(38,0)))"
+                    " DIV CAST(count(1) AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias("mae_c"),
+            )
+            .select("type", F.lit(method).alias("method"), "n_eval", "mae_c")
+        )
+        out = m if out is None else out.unionByName(m)
+    return out

@@ -3406,19 +3406,15 @@ FROM q JOIN k ON q.price_c = k.price_c AND q.size_v = k.ymax
 """
 
 
-def bm25_sql(
-    queries: tuple[tuple[str, tuple[str, ...]], ...], k: int = 10
-) -> str:
-    """BM25 oracle (operators/bm25.py:bm25_topk) built from the SAME
-    pinned query-set literal as the Spark plan (the bpe FIXED_MERGES
-    rule): integer-rational IDF (N·1000)//df, the k1=6/5, b=3/4
-    saturation rationalized to (22000·idf_k·avgdl·tf) //
-    (10·avgdl·tf + 3·avgdl + 9·dl) — all operands nonnegative."""
+def _bm25_cte_body(queries: tuple[tuple[str, tuple[str, ...]], ...]) -> str:
+    """Shared CTE chain (query terms → tokens → scalars → tf/dl/df →
+    per-(query, doc) BM25 scores `sc`) used by both the bm25_topk and
+    the RRF-fusion oracles — built from the SAME pinned query-set
+    literal as the Spark plans (the bpe FIXED_MERGES rule)."""
     vals = ", ".join(
         f"('{qid}', '{t}')" for qid, ts in queries for t in ts
     )
-    return f"""
-WITH qt(query_id, term) AS (SELECT * FROM (VALUES {vals})),
+    return f"""qt(query_id, term) AS (SELECT * FROM (VALUES {vals})),
 toks AS (
   SELECT doc_id, tok AS term
   FROM (SELECT doc_id,
@@ -3447,7 +3443,18 @@ sc AS (
   JOIN dfq USING (term)
   JOIN qt USING (term)
   CROSS JOIN scal s
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+
+def bm25_sql(
+    queries: tuple[tuple[str, tuple[str, ...]], ...], k: int = 10
+) -> str:
+    """BM25 oracle (operators/bm25.py:bm25_topk): integer-rational IDF
+    (N·1000)//df, the k1=6/5, b=3/4 saturation rationalized to
+    (22000·idf_k·avgdl·tf) // (10·avgdl·tf + 3·avgdl + 9·dl) — all
+    operands nonnegative."""
+    return f"""
+WITH {_bm25_cte_body(queries)}
 SELECT query_id, doc_id, score_u6
 FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY score_u6 DESC, doc_id) AS rn FROM sc)
@@ -3796,4 +3803,117 @@ WHERE 100 * CAST(s.cnt * c.n - s.s AS HUGEINT)
           * CAST(s.cnt * c.n - s.s AS HUGEINT)
       > 900 * (CAST(s.cnt AS HUGEINT) * CAST(s.q AS HUGEINT)
                - CAST(s.s AS HUGEINT) * CAST(s.s AS HUGEINT))
+"""
+
+
+# association rules (operators/cf.py:basket_rules): ordered A→B pairs
+# with support ≥ 2, conf_ppm = (10⁶·sup(AB)) // sup(A), lift_ppm =
+# (10⁶·sup(AB)·N) // (sup(A)·sup(B)) in HUGEINT, top-50 by
+# (lift DESC, conf DESC, a, b).
+BASKET_RULES_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey)::BIGINT AS n_orders FROM items),
+sup AS (SELECT l_partkey, count(*)::BIGINT AS s FROM items GROUP BY 1),
+cooc AS (
+  SELECT a.l_partkey AS ante, b.l_partkey AS cons,
+         count(*)::BIGINT AS support
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sc AS (
+  SELECT ante, cons, support,
+         CAST((1000000 * support) // sa.s AS BIGINT) AS conf_ppm,
+         CAST((1000000::HUGEINT * support * n.n_orders)
+              // (sa.s::HUGEINT * sb.s::HUGEINT) AS BIGINT) AS lift_ppm
+  FROM cooc
+  JOIN sup sa ON sa.l_partkey = cooc.ante
+  JOIN sup sb ON sb.l_partkey = cooc.cons
+  CROSS JOIN n)
+SELECT ante, cons, support, conf_ppm, lift_ppm
+FROM sc ORDER BY lift_ppm DESC, conf_ppm DESC, ante, cons LIMIT 50
+"""
+
+# RFM segmentation (query composition over ranking.global_rank +
+# ntile_by_rank — exact ANSI NTILE): quartile 1 = best under each
+# metric's (value DESC, custkey) total order.
+CUSTOMER_RFM_SQL = """
+WITH pc AS (
+  SELECT o_custkey,
+         max(epoch_us(o_orderdate))::BIGINT AS rec,
+         count(*)::BIGINT AS freq,
+         sum(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT AS mon
+  FROM orders GROUP BY 1),
+q AS (
+  SELECT o_custkey,
+         ntile(4) OVER (ORDER BY rec DESC, o_custkey) AS r_q,
+         ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+         ntile(4) OVER (ORDER BY mon DESC, o_custkey) AS m_q
+  FROM pc)
+SELECT o_custkey, CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+       CAST(m_q AS INTEGER) AS m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS rfm_code
+FROM q
+"""
+
+# forecast baselines (operators/timeseries.py:naive_forecast_mae):
+# hourly sums, persistence (lag 1) and seasonal-naive (lag 24)
+# self-joins at bucket grain, MAE = Σ|err| // n in HUGEINT.
+EVENT_FORECAST_MAE_SQL = """
+WITH h AS (
+  SELECT event_type AS type,
+         epoch_us(ts) - (epoch_us(ts) % 3600000000) AS bucket_us,
+         sum(CAST(floor(value * 100) AS BIGINT))::BIGINT AS y
+  FROM events GROUP BY 1, 2),
+m AS (
+  SELECT a.type, 'naive_1' AS method,
+         count(*)::BIGINT AS n_eval,
+         CAST(sum(abs(a.y - f.y)::HUGEINT) // count(*) AS BIGINT) AS mae_c
+  FROM h a JOIN h f
+    ON a.type = f.type AND a.bucket_us = f.bucket_us + 3600000000
+  GROUP BY 1
+  UNION ALL
+  SELECT a.type, 'seasonal_24' AS method,
+         count(*)::BIGINT AS n_eval,
+         CAST(sum(abs(a.y - f.y)::HUGEINT) // count(*) AS BIGINT) AS mae_c
+  FROM h a JOIN h f
+    ON a.type = f.type AND a.bucket_us = f.bucket_us + 24 * 3600000000
+  GROUP BY 1)
+SELECT type, method, n_eval, mae_c FROM m
+"""
+
+
+def rrf_sql(
+    queries: tuple[tuple[str, tuple[str, ...]], ...],
+    per_ranker_k: int = 20,
+    k: int = 10,
+    c: int = 60,
+) -> str:
+    """Reciprocal-rank fusion oracle (operators/fusion.py:rrf_fuse
+    over bm25_topk + term_coverage_ranked): both rankers restated from
+    the shared BM25 CTE body, rrf_u6 = Σ 10⁶ // (60 + rank) over the
+    two top-20 rankings, fused top-10 by (rrf DESC, doc)."""
+    return f"""
+WITH {_bm25_cte_body(queries)},
+r1 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY score_u6 DESC, doc_id) AS rank
+  FROM sc QUALIFY rank <= {per_ranker_k}),
+cov AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT tf.term)::BIGINT AS nq
+  FROM tf JOIN qt USING (term) GROUP BY 1, 2),
+r2 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY nq DESC, doc_id) AS rank
+  FROM cov QUALIFY rank <= {per_ranker_k}),
+u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2),
+f AS (
+  SELECT query_id, doc_id,
+         sum(1000000 // ({c} + rank))::BIGINT AS rrf_u6
+  FROM u GROUP BY 1, 2)
+SELECT query_id, doc_id, rrf_u6
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY rrf_u6 DESC, doc_id) AS rn FROM f)
+WHERE rn <= {k}
 """

@@ -112,3 +112,49 @@ def test_hits_layout_invariance(spark):
     assert sorted(map(tuple, a1.collect())) == sorted(
         map(tuple, a2.collect())
     )
+
+
+def test_rrf_fuse_golden(spark):
+    from sea_express_customs_etl_spark.operators.fusion import rrf_fuse
+
+    r1 = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    r2 = spark.createDataFrame(
+        [("q", 3, 1), ("q", 1, 2), ("q", 4, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    got = {
+        r.doc_id: r.rrf_u6
+        for r in rrf_fuse([r1, r2], k=10, c=60).collect()
+    }
+    u = 1_000_000
+    assert got[1] == u // 61 + u // 62   # in both rankings
+    assert got[3] == u // 63 + u // 61
+    assert got[2] == u // 62             # missing from r2: no penalty
+    assert got[4] == u // 63
+    # consensus doc beats single-ranker docs
+    assert got[1] > got[2] and got[3] > got[4]
+
+
+def test_term_coverage_ranker_prefers_more_terms(spark):
+    from sea_express_customs_etl_spark.operators.bm25 import (
+        term_coverage_ranked,
+    )
+
+    docs = [
+        (1, "hash hash hash hash"),        # 1 distinct query term
+        (2, "hash join"),                  # both terms
+        (3, "nothing relevant here"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.query_id, r.doc_id): r.rank
+        for r in term_coverage_ranked(
+            df, queries=(("q", ("hash", "join")),), k=5
+        ).collect()
+    }
+    assert got[("q", 2)] == 1  # coverage 2 beats tf 4
+    assert got[("q", 1)] == 2
+    assert ("q", 3) not in got

@@ -109,6 +109,8 @@ FORCED_BROADCAST_ALLOWED = {
     #                             (the global_rank license)
     "bm25_doc_topk",       # pinned query-term table (human-query-sized)
     #                        + 1-row (N, avgdl) corpus scalars
+    "hybrid_rrf_topk",     # composes bm25 + coverage — same query-term
+    #                        and 1-row scalar pins
     "purchase_hits_authorities",  # 1-row L∞ normalization scalar per
     #                               half-step (the modularity license)
     "order_benford_digits",  # 1-row total + 9-literal-row expectation
@@ -117,6 +119,9 @@ FORCED_BROADCAST_ALLOWED = {
     #                        median pass (the event_value_qsketch class)
     "join_size_estimate",  # 1-row true-count scalar (the 1-row license)
     "doc_top_terms",       # 1-row corpus-size N (the tfidf license)
+    "basket_rules",        # 1-row order-count scalar (the 1-row license)
+    "customer_rfm",        # |partitions|-row rank offsets ×3 + 1-row N
+    #                        (the global_rank/lm_terciles license)
     "classifier_confusion",  # trained B=64-row model broadcast (the
     #                          learned_quality_filter license)
 }

@@ -65,6 +65,7 @@ BNLJ_ALLOWED = {
     "event_winsorized_sums",  # 2-literal-row quantile-spec broadcast
     #                           (the event_value_qsketch class)
     "bm25_doc_topk",       # 1-row (N, avgdl) corpus scalars cross-joined
+    "hybrid_rrf_topk",     # composes bm25 — same 1-row scalar license
     "purchase_hits_authorities",  # 1-row L∞ norm scalar per half-step
     "order_benford_digits",  # 1-row digit-total scalar cross-joined
     "event_mad_outliers",  # 1-literal-row quantile-spec broadcast ×2
@@ -72,6 +73,9 @@ BNLJ_ALLOWED = {
     "join_size_estimate",  # 1-row true-count scalar cross-joined
     "doc_top_terms",       # 1-row corpus-size N broadcast (the
     #                        tfidf_top_terms license)
+    "basket_rules",        # 1-row order-count scalar cross-joined
+    "customer_rfm",        # 1-row total-N scalar per NTILE pass
+    #                        (the lm_terciles license)
     "classifier_confusion",  # B=64-row trained model broadcast + the
     #                          training prelude's 1-row argmax joins
     #                          (the learned_quality_filter license)

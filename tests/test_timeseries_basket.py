@@ -119,3 +119,49 @@ def test_twap_layout_invariance(spark):
         map(tuple, time_weighted_avg(df.repartition(13, "event_id")).collect())
     )
     assert a == b
+
+
+def test_basket_rules_confidence_and_lift(spark):
+    from sea_express_customs_etl_spark.operators.cf import basket_rules
+
+    # 4 orders: {1,2} x3, {1,3} x1 -> sup(1)=4, sup(2)=3, sup(3)=1, N=4
+    rows = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 2),
+        (12, 1), (12, 2),
+        (13, 1), (13, 3),
+    ]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    got = {
+        (r.ante, r.cons): (r.support, r.conf_ppm, r.lift_ppm)
+        for r in basket_rules(df, min_support=2, k=10).collect()
+    }
+    # 1->2: sup=3, conf = 3/4, lift = 3*4/(4*3) = 1.0
+    assert got[(1, 2)] == (3, 750_000, 1_000_000)
+    # 2->1: conf = 3/3 = 1.0, same lift
+    assert got[(2, 1)] == (3, 1_000_000, 1_000_000)
+    # pairs below min_support (1-3) are pruned
+    assert (1, 3) not in got
+
+
+def test_forecast_mae_golden(spark):
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        naive_forecast_mae,
+    )
+
+    # hourly sums for one type: 100, 130, 90, 100 (4 consecutive hours)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h, v in enumerate([100, 130, 90, 100]):
+        rows.append((eid, base + dt.timedelta(hours=h), "m", v))
+        eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value_c"])
+    got = {
+        (r.type, r.method): (r.n_eval, r.mae_c)
+        for r in naive_forecast_mae(df, season=2).collect()
+    }
+    # naive_1: errors |130-100|,|90-130|,|100-90| = 30,40,10 -> 80//3=26
+    assert got[("m", "naive_1")] == (3, 26)
+    # seasonal_2: errors |90-100|,|100-130| = 10,30 -> 40//2=20
+    assert got[("m", "seasonal_2")] == (2, 20)

@@ -145,7 +145,57 @@ def cases() -> dict:
         # r6: BM25 — the corpus is cut to |query-term matches| by the
         # pinned broadcast right after the explode; dl/tf partial-agg
         "bm25_topk": lambda docs, emb: _bm25(docs),
+        # per-doc keywords: one explode + (doc, term) partial agg +
+        # WindowGroupLimit per doc — replication repeats texts so the
+        # term dictionary stays constant while (doc, term) rows ×8
+        "doc_top_terms": lambda docs, emb: _doc_terms(docs),
+        # skip-grams: map-only pair build + ONE partial-agg count;
+        # replicated texts → same pair dictionary, counts ×8
+        "skipgram_pairs": lambda docs, emb: _skipgrams(docs),
+        # classifier eval: training prelude + one conditional-sum scan
+        "classifier_confusion": lambda docs, emb: _confusion(docs),
     }
+
+
+def _doc_terms(docs):
+    from sea_express_customs_etl_spark.operators.textstats import (
+        top_terms_per_doc,
+    )
+
+    return top_terms_per_doc(docs, k=3)
+
+
+def _skipgrams(docs):
+    from sea_express_customs_etl_spark.operators.collocations import (
+        skipgram_pairs,
+    )
+
+    return skipgram_pairs(docs, window=2, min_count=5, k=50)
+
+
+def _confusion(docs):
+    from sea_express_customs_etl_spark.operators.dsir import token_buckets
+    from sea_express_customs_etl_spark.operators.perceptron import (
+        confusion_stats,
+        train_perceptron_q,
+    )
+
+    w = train_perceptron_q(docs, F.col("lang") == "en", buckets=64, epochs=3)
+    cnt = (
+        token_buckets(docs, buckets=64)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    score = (
+        cnt.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("_c")).alias("_score"))
+    )
+    pt = docs.select("doc_id", "lang").join(score, "doc_id", "left").select(
+        (F.coalesce(F.col("_score"), F.lit(0)) > 0).cast("int").alias("pred"),
+        (F.col("lang") == "en").cast("int").alias("truth"),
+    )
+    return confusion_stats(pt, "pred", "truth")
 
 
 def _bm25(docs):
@@ -344,7 +394,22 @@ def cases_ev() -> dict:
         # two bounded (group, unit-bin) count shuffles + map-only
         # filter — bin count is value-range-bounded, constant at 8×
         "mad_outliers": _mad,
+        # one persisted hourly rollup + two bucket-grain self-joins
+        # (hours·types, event-count-independent)
+        "forecast_mae": _fmae,
     }
+
+
+def _fmae(ev):
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        naive_forecast_mae,
+    )
+
+    return naive_forecast_mae(
+        ev.withColumn(
+            "value_c", F.floor(F.col("value") * 100).cast("bigint")
+        )
+    )
 
 
 def _simhash_hist(docs):
@@ -501,7 +566,50 @@ def cases_li() -> dict:
         "skyline_price_qty": _skyline,
         # one partial-aggregated six-sum stats pass, |groups| rows out
         "ols_by_flag": _ols,
+        # frontier-only joins: 8× disjoint graph copies → every level
+        # frontier ×8, per-level work linear in frontier edges
+        "bfs_hops": _bfs,
+        # two d·w cell tables + one cell join + a d-row min — the
+        # mergeable-state property: corpus ×8, sketch size constant
+        "join_size_est": _jse,
+        # basket-bounded pair self-join + support joins + TakeOrdered:
+        # the item_item_jaccard shape with one extra 1-row scalar
+        "basket_rules": _rules,
     }
+
+
+def _rules(li):
+    from sea_express_customs_etl_spark.operators.cf import basket_rules
+
+    return basket_rules(li, min_support=2, k=50)
+
+
+def _bfs(li):
+    from sea_express_customs_etl_spark.operators.graph import (
+        bfs_hops,
+        copurchase_edges,
+    )
+
+    edges = copurchase_edges(li)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .filter(F.col("node") % 25 == 11)
+        .distinct()
+    )
+    return bfs_hops(edges, seeds, max_hops=3)
+
+
+def _jse(li):
+    from sea_express_customs_etl_spark.operators.sketches import (
+        cms_join_size,
+    )
+
+    return cms_join_size(
+        li.select("l_orderkey"),
+        li.select("l_partkey"),
+        "l_orderkey",
+        "l_partkey",
+    )
 
 
 def _triples(li):
