@@ -2972,6 +2972,38 @@ def _q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([r1, r2], k=10)
 
 
+def _q_event_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 3-step event journeys — the path-analysis query behind
+    funnel design (second-order sibling of the transition matrix);
+    two leads per user, one partial-agg triple count."""
+    from sea_express_customs_etl_spark.operators.markov import path_counts
+
+    return path_counts(load_table(spark, sf_dir, "events"), k=20)
+
+
+def _q_orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract drift report: pre-1999 vs 1999+ order snapshots
+    profiled (one scan each) and diffed per column — null ppm both
+    sides, NDV delta, min/max envelope movement (null-safe)."""
+    from sea_express_customs_etl_spark.operators.profiling import (
+        profile_drift,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_u2"),
+    )
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority", "price_u2"]
+    return profile_drift(
+        o.filter(F.year("o_orderdate") < 1999),
+        o.filter(F.year("o_orderdate") >= 1999),
+        cols,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3293,6 +3325,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_forecast_mae": _q_event_forecast_mae,
         # hybrid retrieval: BM25 ⊕ coverage via reciprocal-rank fusion
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
+        # path mining: top 3-step event journeys (funnel design input)
+        "event_trigram_paths": _q_event_trigram_paths,
+        # data-contract drift: two profiles diffed per column
+        "orders_profile_drift": _q_orders_profile_drift,
     }
 
 
@@ -3545,4 +3581,6 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm": ext.CUSTOMER_RFM_SQL,
         "event_forecast_mae": ext.EVENT_FORECAST_MAE_SQL,
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
+        "event_trigram_paths": rel.EVENT_TRIGRAM_PATHS_SQL,
+        "orders_profile_drift": rel.ORDERS_PROFILE_DRIFT_SQL,
     }

@@ -62,3 +62,35 @@ def transition_matrix(
         "n",
         F.expr("(1000000 * n) DIV _tot").cast("bigint").alias("p_ppm"),
     )
+
+
+def path_counts(
+    events: DataFrame,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Top-``k`` 3-step event paths (s1 → s2 → s3) across all user
+    sequences — the second-order extension of
+    :func:`transition_matrix`, the "what journeys actually happen"
+    path-analysis query behind funnel DESIGN (the funnel operators
+    check a path you already chose; this surfaces the paths to
+    choose). Two lead() windows over the same per-user bounded
+    partition, one partial-aggregated triple count,
+    TakeOrderedAndProject top-k (n DESC, then lexicographic — total
+    order, deterministic). Output: s1, s2, s3, n."""
+    w = Window.partitionBy(user_col).orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    paths = (
+        events.select(
+            F.col(type_col).alias("s1"),
+            F.lead(type_col, 1).over(w).alias("s2"),
+            F.lead(type_col, 2).over(w).alias("s3"),
+        )
+        .filter(F.col("s3").isNotNull())
+        .groupBy("s1", "s2", "s3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return paths.orderBy(F.col("n").desc(), "s1", "s2", "s3").limit(k)

@@ -432,3 +432,48 @@ def benford_first_digit(
             .alias("dev_ppm"),
         )
     )
+
+
+def profile_drift(
+    old: DataFrame, new: DataFrame, cols: Sequence[str]
+) -> DataFrame:
+    """Schema/data-contract drift report between two snapshots of the
+    same table — the monitoring query a nightly load runs against
+    yesterday's profile before promoting a partition: per column, row
+    counts, exact null ppm on both sides, NDV delta, and whether the
+    min/max envelope moved. Composed from two :func:`profile_table`
+    passes (one scan each) joined on the column name — |cols|-row
+    frames, so the drift join is model-sized. null_ppm divisions are
+    guarded (an empty side reports 0) and use nonnegative operands
+    (Spark DIV ≡ DuckDB //); envelope changes use null-safe equality
+    (``<=>``), so NULL→value transitions register as drift."""
+    po = profile_table(old, cols).select(
+        "column",
+        F.col("n_rows").alias("n_rows_old"),
+        F.col("n_nulls").alias("_nn_o"),
+        F.col("n_distinct").alias("_nd_o"),
+        F.col("lo").alias("_lo_o"),
+        F.col("hi").alias("_hi_o"),
+    )
+    pn = profile_table(new, cols).select(
+        "column",
+        F.col("n_rows").alias("n_rows_new"),
+        F.col("n_nulls").alias("_nn_n"),
+        F.col("n_distinct").alias("_nd_n"),
+        F.col("lo").alias("_lo_n"),
+        F.col("hi").alias("_hi_n"),
+    )
+    ppm = (
+        "CAST(CASE WHEN {n} = 0 THEN 0 "
+        "ELSE (1000000 * {c}) DIV {n} END AS BIGINT)"
+    )
+    return po.join(pn, "column").select(
+        "column",
+        F.col("n_rows_old").cast("bigint").alias("n_rows_old"),
+        F.col("n_rows_new").cast("bigint").alias("n_rows_new"),
+        F.expr(ppm.format(c="_nn_o", n="n_rows_old")).alias("null_ppm_old"),
+        F.expr(ppm.format(c="_nn_n", n="n_rows_new")).alias("null_ppm_new"),
+        (F.col("_nd_n") - F.col("_nd_o")).cast("bigint").alias("ndv_delta"),
+        (~F.expr("_lo_o <=> _lo_n")).alias("lo_changed"),
+        (~F.expr("_hi_o <=> _hi_n")).alias("hi_changed"),
+    )

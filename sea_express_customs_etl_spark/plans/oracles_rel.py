@@ -500,3 +500,67 @@ SELECT o_orderstatus, o_orderpriority,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
 """
+
+
+def _profile_col_from(col: str, src: str) -> str:
+    return f"""
+SELECT '{col}' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       count(DISTINCT {col}) AS n_distinct,
+       CAST(min({col}) AS VARCHAR) AS lo,
+       CAST(max({col}) AS VARCHAR) AS hi
+FROM {src}
+"""
+
+
+_DRIFT_COLS = ("o_custkey", "o_orderstatus", "o_orderpriority", "price_u2")
+
+# profile drift (operators/profiling.py:profile_drift over
+# profile_table ×2): pre-1999 vs 1999+ order snapshots — per column,
+# exact null ppm both sides (guarded //), NDV delta, min/max envelope
+# movement via IS DISTINCT FROM (Spark's <=> negated).
+ORDERS_PROFILE_DRIFT_SQL = (
+    """
+WITH o_all AS (
+  SELECT o_custkey, o_orderstatus, o_orderpriority, o_orderdate,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_u2
+  FROM orders),
+o_old AS (SELECT * FROM o_all WHERE year(o_orderdate) < 1999),
+o_new AS (SELECT * FROM o_all WHERE year(o_orderdate) >= 1999),
+po AS ("""
+    + " UNION ALL ".join(_profile_col_from(c, "o_old") for c in _DRIFT_COLS)
+    + """),
+pn AS ("""
+    + " UNION ALL ".join(_profile_col_from(c, "o_new") for c in _DRIFT_COLS)
+    + """)
+SELECT po."column",
+       CAST(po.n_rows AS BIGINT) AS n_rows_old,
+       CAST(pn.n_rows AS BIGINT) AS n_rows_new,
+       CAST(CASE WHEN po.n_rows = 0 THEN 0
+            ELSE (1000000 * po.n_nulls) // po.n_rows END AS BIGINT)
+           AS null_ppm_old,
+       CAST(CASE WHEN pn.n_rows = 0 THEN 0
+            ELSE (1000000 * pn.n_nulls) // pn.n_rows END AS BIGINT)
+           AS null_ppm_new,
+       CAST(pn.n_distinct - po.n_distinct AS BIGINT) AS ndv_delta,
+       (po.lo IS DISTINCT FROM pn.lo) AS lo_changed,
+       (po.hi IS DISTINCT FROM pn.hi) AS hi_changed
+FROM po JOIN pn ON po."column" = pn."column"
+"""
+)
+
+# 3-step path mining (operators/markov.py:path_counts): two leads over
+# the per-user (ts, event_id) order, triple counts, top-20 by
+# (n DESC, s1, s2, s3).
+EVENT_TRIGRAM_PATHS_SQL = """
+WITH s AS (
+  SELECT event_type AS s1,
+         lead(event_type, 1) OVER w AS s2,
+         lead(event_type, 2) OVER w AS s3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+c AS (SELECT s1, s2, s3, count(*)::BIGINT AS n
+      FROM s WHERE s3 IS NOT NULL GROUP BY 1, 2, 3)
+SELECT s1, s2, s3, n FROM c ORDER BY n DESC, s1, s2, s3 LIMIT 20
+"""

@@ -190,3 +190,41 @@ def test_benford_digits_golden(spark):
     assert got[1].n == 12 and got[1].obs_ppm == 300000
     assert got[1].dev_ppm == abs(300000 - 301030)
     assert all(r.dev_ppm == abs(r.obs_ppm - r.exp_ppm) for r in got.values())
+
+
+def test_path_counts_golden(spark):
+    from sea_express_customs_etl_spark.operators.markov import path_counts
+
+    rows = [
+        (1, _ts(0), 1, "a"), (2, _ts(1), 1, "b"), (3, _ts(2), 1, "c"),
+        (4, _ts(3), 1, "a"), (5, _ts(0), 2, "a"), (6, _ts(1), 2, "b"),
+        (7, _ts(2), 2, "c"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    got = {(r.s1, r.s2, r.s3): r.n for r in path_counts(df, k=10).collect()}
+    # user 1: abc, bca; user 2: abc -> abc appears twice
+    assert got == {("a", "b", "c"): 2, ("b", "c", "a"): 1}
+
+
+def test_profile_drift_detects_changes(spark):
+    from sea_express_customs_etl_spark.operators.profiling import (
+        profile_drift,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], ["k", "s"]
+    )
+    new = spark.createDataFrame(
+        [(1, "x"), (9, "y"), (9, "y"), (9, "z")], ["k", "s"]
+    )
+    got = {r.column: r for r in profile_drift(old, new, ["k", "s"]).collect()}
+    k = got["k"]
+    assert (k.n_rows_old, k.n_rows_new) == (3, 4)
+    # distinct old {1,2,3} = 3, new {1,9} = 2 -> delta -1
+    assert k.ndv_delta == -1
+    assert k.hi_changed  # max 3 -> 9
+    assert not k.lo_changed  # min 1 both sides
+    s = got["s"]
+    assert s.null_ppm_old == (1_000_000 * 1) // 3
+    assert s.null_ppm_new == 0
+    assert s.hi_changed  # 'y' -> 'z'
