@@ -3004,6 +3004,29 @@ def _q_orders_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_copurchase_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal graph diff: the ≥2-co-occurrence co-purchase graph
+    built from pre-1999 orders vs 1999+ orders — kept/new/lost edge
+    counts and the edge-set Jaccard in exact ppm (the model-freshness
+    question for graph-derived recommenders)."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        cooccur_edges,
+        edge_churn,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("_y")
+    )
+    dated = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_partkey", "_y"
+    )
+    return edge_churn(
+        cooccur_edges(dated.filter(F.col("_y") < 1999), min_weight=2),
+        cooccur_edges(dated.filter(F.col("_y") >= 1999), min_weight=2),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3329,6 +3352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_trigram_paths": _q_event_trigram_paths,
         # data-contract drift: two profiles diffed per column
         "orders_profile_drift": _q_orders_profile_drift,
+        # temporal graph diff: kept/new/lost edges + edge-set Jaccard
+        "copurchase_edge_churn": _q_copurchase_edge_churn,
     }
 
 
@@ -3583,4 +3608,5 @@ def oracle_sql() -> dict[str, str]:
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "event_trigram_paths": rel.EVENT_TRIGRAM_PATHS_SQL,
         "orders_profile_drift": rel.ORDERS_PROFILE_DRIFT_SQL,
+        "copurchase_edge_churn": ext.COPURCHASE_EDGE_CHURN_SQL,
     }

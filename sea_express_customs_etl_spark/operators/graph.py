@@ -784,3 +784,51 @@ def bfs_hops(
         dist = dist.unionByName(nxt)
         frontier = nxt.select("node")
     return dist
+
+
+def edge_churn(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
+    """Temporal graph diff: how much of the co-occurrence structure
+    survived between two snapshots — the freshness question a
+    recommender asks before trusting last quarter's related-items
+    model ("did the graph move under us?"). Both inputs are (src, dst)
+    edge lists; edges are canonicalized to undirected
+    (least, greatest) pairs and deduplicated, then ONE full-outer
+    join + one conditional-sum aggregate yields
+
+        n_kept, n_new, n_lost,
+        jaccard_ppm = (10⁶ · kept) DIV (kept + new + lost)
+
+    — the edge-set Jaccard similarity in exact ppm (nonnegative
+    operands). Scale shape: both sides reduce to graph-sized distinct
+    pair frames; the diff is one equi-keyed shuffle join, no
+    per-node fan-out anywhere."""
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    ca = canon(edges_a).withColumn("_ia", F.lit(1))
+    cb = canon(edges_b).withColumn("_ib", F.lit(1))
+    flags = ca.join(cb, ["a", "b"], "full_outer").select(
+        F.coalesce("_ia", F.lit(0)).alias("_ia"),
+        F.coalesce("_ib", F.lit(0)).alias("_ib"),
+    )
+    return flags.agg(
+        F.sum(F.expr("_ia * _ib")).cast("bigint").alias("n_kept"),
+        F.sum(F.expr("(1 - _ia) * _ib")).cast("bigint").alias("n_new"),
+        F.sum(F.expr("_ia * (1 - _ib)")).cast("bigint").alias("n_lost"),
+    ).select(
+        "n_kept",
+        "n_new",
+        "n_lost",
+        F.expr(
+            "CAST(CASE WHEN n_kept + n_new + n_lost = 0 THEN 0 "
+            "ELSE (1000000 * n_kept) DIV (n_kept + n_new + n_lost) END "
+            "AS BIGINT)"
+        ).alias("jaccard_ppm"),
+    )

@@ -3917,3 +3917,45 @@ FROM (SELECT *, row_number() OVER (PARTITION BY query_id
           ORDER BY rrf_u6 DESC, doc_id) AS rn FROM f)
 WHERE rn <= {k}
 """
+
+
+# temporal graph diff (operators/graph.py:edge_churn): canonical
+# undirected ≥2-co-occurrence edge sets per period, kept/new/lost via
+# a full-outer flag join, edge-set Jaccard in exact ppm.
+COPURCHASE_EDGE_CHURN_SQL = """
+WITH dated AS (
+  SELECT l.l_orderkey, l.l_partkey, year(o.o_orderdate) AS y
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+ea AS (
+  SELECT least(a.l_partkey, b.l_partkey) AS a,
+         greatest(a.l_partkey, b.l_partkey) AS b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM dated WHERE y < 1999) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM dated WHERE y < 1999) b
+    USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2),
+eb AS (
+  SELECT least(a.l_partkey, b.l_partkey) AS a,
+         greatest(a.l_partkey, b.l_partkey) AS b
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM dated WHERE y >= 1999) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM dated WHERE y >= 1999) b
+    USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey HAVING count(*) >= 2),
+ca AS (SELECT DISTINCT a, b FROM ea),
+cb AS (SELECT DISTINCT a, b FROM eb),
+f AS (
+  SELECT coalesce(ca.ok, 0) AS ia, coalesce(cb.ok, 0) AS ib
+  FROM (SELECT a, b, 1 AS ok FROM ca) ca
+  FULL OUTER JOIN (SELECT a, b, 1 AS ok FROM cb) cb USING (a, b)),
+m AS (
+  SELECT sum(ia * ib)::BIGINT AS n_kept,
+         sum((1 - ia) * ib)::BIGINT AS n_new,
+         sum(ia * (1 - ib))::BIGINT AS n_lost
+  FROM f)
+SELECT n_kept, n_new, n_lost,
+       CAST(CASE WHEN n_kept + n_new + n_lost = 0 THEN 0
+            ELSE (1000000 * n_kept) // (n_kept + n_new + n_lost) END
+            AS BIGINT) AS jaccard_ppm
+FROM m
+"""

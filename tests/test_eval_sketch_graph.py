@@ -148,3 +148,18 @@ def test_top_terms_per_doc_rare_term_wins(spark):
     }
     assert set(got) == {(1, "rare"), (2, "x"), (3, "y")}
     assert got[(1, "rare")] == 1 * ((3 * 1000) // 1)
+
+
+def test_edge_churn_golden(spark):
+    from sea_express_customs_etl_spark.operators.graph import edge_churn
+
+    # A: {1-2, 2-3, 3-4}   B: {2-3, 3-4, 4-5, 5-6} -> kept 2, new 2, lost 1
+    ea = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (3, 4)], ["src", "dst"]
+    )
+    eb = spark.createDataFrame(
+        [(3, 2), (4, 3), (4, 5), (6, 5), (5, 6)], ["src", "dst"]
+    )
+    r = edge_churn(ea, eb).collect()[0]
+    assert (r.n_kept, r.n_new, r.n_lost) == (2, 2, 1)
+    assert r.jaccard_ppm == (1_000_000 * 2) // 5
