@@ -3027,6 +3027,25 @@ def _q_copurchase_edge_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_segment_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical affinity surface: market segment × order priority
+    lift matrix in exact ppm (10⁶ = independent) — which customer
+    segments over-index on which priorities; one pair count + two
+    marginal join-backs."""
+    from sea_express_customs_etl_spark.operators.featsel import (
+        categorical_lift,
+    )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    joined = o.join(c, o.o_custkey == c.c_custkey)
+    return categorical_lift(joined, "c_mktsegment", "o_orderpriority")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3354,6 +3373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_profile_drift": _q_orders_profile_drift,
         # temporal graph diff: kept/new/lost edges + edge-set Jaccard
         "copurchase_edge_churn": _q_copurchase_edge_churn,
+        # categorical affinity: segment × priority lift matrix (ppm)
+        "segment_priority_lift": _q_segment_priority_lift,
     }
 
 
@@ -3609,4 +3630,5 @@ def oracle_sql() -> dict[str, str]:
         "event_trigram_paths": rel.EVENT_TRIGRAM_PATHS_SQL,
         "orders_profile_drift": rel.ORDERS_PROFILE_DRIFT_SQL,
         "copurchase_edge_churn": ext.COPURCHASE_EDGE_CHURN_SQL,
+        "segment_priority_lift": ext.SEGMENT_PRIORITY_LIFT_SQL,
     }

@@ -79,3 +79,48 @@ def chi2_feature_scores(
         .otherwise(F.expr("CAST(_num DIV _den AS BIGINT)"))
         .alias("chi2_micro"),
     )
+
+
+def categorical_lift(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+) -> DataFrame:
+    """Categorical affinity (lift) matrix between two dimensions —
+    "which market segments over-index on which order priorities":
+
+        lift_ppm(a, b) = (10⁶ · n(a,b) · N) DIV (n(a)·n(b))
+
+    — observed over expected-under-independence, in exact integer ppm
+    (the cross product runs in DECIMAL(38,0): n(a)·n(b) reaches 10²⁴
+    on a 10¹²-row table). 10⁶ = independent; above = affinity; below
+    = avoidance. The categorical sibling of :func:`chi2_feature_scores`
+    (which tests ONE binary label; this maps the full A×B surface) and
+    of basket_rules' item-grain lift.
+
+    Plan: one (a, b) partial-agg count; the two marginal frames are
+    |A|- and |B|-sized, joined back hint-free; the 1-row total rides a
+    pinned broadcast (the allowed scalar class). Output:
+    a, b, n, lift_ppm."""
+    pairs = df.groupBy(
+        F.col(a_col).alias("a"), F.col(b_col).alias("b")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ma = pairs.groupBy("a").agg(F.sum("n").alias("_na"))
+    mb = pairs.groupBy("b").agg(F.sum("n").alias("_nb"))
+    tot = pairs.agg(F.sum("n").alias("_nn"))
+    return (
+        pairs.join(ma, "a")
+        .join(mb, "b")
+        .join(F.broadcast(tot))
+        .select(
+            "a",
+            "b",
+            "n",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) "
+                "* CAST(n AS DECIMAL(38,0)) * CAST(_nn AS DECIMAL(38,0)))"
+                " DIV (CAST(_na AS DECIMAL(38,0)) "
+                "* CAST(_nb AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+    )

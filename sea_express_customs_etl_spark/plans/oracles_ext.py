@@ -3959,3 +3959,21 @@ SELECT n_kept, n_new, n_lost,
             AS BIGINT) AS jaccard_ppm
 FROM m
 """
+
+
+# categorical lift matrix (operators/featsel.py:categorical_lift):
+# observed over expected-under-independence in exact ppm, HUGEINT
+# cross products.
+SEGMENT_PRIORITY_LIFT_SQL = """
+WITH j AS (
+  SELECT c.c_mktsegment AS a, o.o_orderpriority AS b
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+p AS (SELECT a, b, count(*)::BIGINT AS n FROM j GROUP BY 1, 2),
+ma AS (SELECT a, sum(n) AS na FROM p GROUP BY 1),
+mb AS (SELECT b, sum(n) AS nb FROM p GROUP BY 1),
+t AS (SELECT sum(n) AS nn FROM p)
+SELECT p.a, p.b, p.n,
+       CAST((1000000::HUGEINT * p.n * t.nn)
+            // (ma.na::HUGEINT * mb.nb::HUGEINT) AS BIGINT) AS lift_ppm
+FROM p JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
+"""

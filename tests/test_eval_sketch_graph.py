@@ -163,3 +163,27 @@ def test_edge_churn_golden(spark):
     r = edge_churn(ea, eb).collect()[0]
     assert (r.n_kept, r.n_new, r.n_lost) == (2, 2, 1)
     assert r.jaccard_ppm == (1_000_000 * 2) // 5
+
+
+def test_categorical_lift_golden(spark):
+    from sea_express_customs_etl_spark.operators.featsel import (
+        categorical_lift,
+    )
+
+    # perfect affinity: x only with p, y only with q -> lift 2.0; off-
+    # diagonal pairs absent (no row emitted, not lift 0)
+    rows = [("x", "p")] * 5 + [("y", "q")] * 5
+    df = spark.createDataFrame(rows, ["seg", "prio"])
+    got = {
+        (r.a, r.b): r.lift_ppm
+        for r in categorical_lift(df, "seg", "prio").collect()
+    }
+    assert got == {("x", "p"): 2_000_000, ("y", "q"): 2_000_000}
+    # independence: uniform cross -> every cell exactly 1e6
+    rows2 = [(s, p) for s in "xy" for p in "pq" for _ in range(3)]
+    df2 = spark.createDataFrame(rows2, ["seg", "prio"])
+    got2 = {
+        (r.a, r.b): r.lift_ppm
+        for r in categorical_lift(df2, "seg", "prio").collect()
+    }
+    assert set(got2.values()) == {1_000_000}

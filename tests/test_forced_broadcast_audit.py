@@ -115,6 +115,7 @@ FORCED_BROADCAST_ALLOWED = {
     #                               half-step (the modularity license)
     "order_benford_digits",  # 1-row total + 9-literal-row expectation
     #                          table (the 1-row/literal license)
+    "segment_priority_lift",  # 1-row grand total (the 1-row license)
     "event_mad_outliers",  # 1-literal-row quantile-spec broadcast per
     #                        median pass (the event_value_qsketch class)
     "join_size_estimate",  # 1-row true-count scalar (the 1-row license)

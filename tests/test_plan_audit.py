@@ -68,6 +68,7 @@ BNLJ_ALLOWED = {
     "hybrid_rrf_topk",     # composes bm25 — same 1-row scalar license
     "purchase_hits_authorities",  # 1-row L∞ norm scalar per half-step
     "order_benford_digits",  # 1-row digit-total scalar cross-joined
+    "segment_priority_lift",  # 1-row grand-total scalar cross-joined
     "event_mad_outliers",  # 1-literal-row quantile-spec broadcast ×2
     #                        (the event_value_qsketch class)
     "join_size_estimate",  # 1-row true-count scalar cross-joined
