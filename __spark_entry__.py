@@ -3046,6 +3046,40 @@ def _q_segment_priority_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return categorical_lift(joined, "c_mktsegment", "o_orderpriority")
 
 
+def _q_copurchase_pagerank_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted PageRank over the co-purchase graph: rank mass flows
+    in proportion to co-occurrence COUNT (a 40×-bought-together pair
+    pulls 40× a one-off) — top-50 by the 3-sweep exact integer
+    trajectory, fully unrolled oracle."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        pagerank_weighted,
+    )
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    ew = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    pr = pagerank_weighted(ew, iters=3)
+    return (
+        pr.orderBy(F.col("rank_u6").desc(), F.col("node"))
+        .limit(50)
+        .select(F.col("node").alias("part"), "rank_u6")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3375,6 +3409,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "copurchase_edge_churn": _q_copurchase_edge_churn,
         # categorical affinity: segment × priority lift matrix (ppm)
         "segment_priority_lift": _q_segment_priority_lift,
+        # weighted PageRank: mass ∝ co-occurrence count per edge
+        "copurchase_pagerank_weighted": _q_copurchase_pagerank_weighted,
     }
 
 
@@ -3631,4 +3667,5 @@ def oracle_sql() -> dict[str, str]:
         "orders_profile_drift": rel.ORDERS_PROFILE_DRIFT_SQL,
         "copurchase_edge_churn": ext.COPURCHASE_EDGE_CHURN_SQL,
         "segment_priority_lift": ext.SEGMENT_PRIORITY_LIFT_SQL,
+        "copurchase_pagerank_weighted": ext.COPURCHASE_PAGERANK_WEIGHTED_SQL,
     }

@@ -832,3 +832,49 @@ def edge_churn(edges_a: DataFrame, edges_b: DataFrame) -> DataFrame:
             "AS BIGINT)"
         ).alias("jaccard_ppm"),
     )
+
+
+def pagerank_weighted(
+    edges_w: DataFrame,
+    iters: int = 3,
+    damping_u6: int = 850_000,
+) -> DataFrame:
+    """Weighted PageRank: mass flows in proportion to EDGE STRENGTH
+    (``w``) instead of splitting evenly — the variant a co-occurrence
+    graph actually wants (a pair bought together 40 times should pull
+    40× the rank of a one-off), and the standard production form
+    wherever edges carry counts/affinities:
+
+        contrib(e) = (r(src) · w(e)) DIV W(src),   W = Σ out-weights
+
+    Same exact-integer micro-unit trajectory as :func:`pagerank`
+    (DECIMAL(38,0) for r·w — rank times a large count passes int64 —
+    and for the damping product; all quantities nonnegative), same
+    per-sweep lazy checkpoints and single persisted (edges ⋈ W)
+    frame. Input: (src, dst, w) with bigint w ≥ 1. Output: node,
+    rank_u6."""
+    base_u6 = MICRO - damping_u6
+    wsum = edges_w.groupBy("src").agg(F.sum("w").alias("_W"))
+    ed = tracked_persist(edges_w.join(wsum, "src"))
+    ranks = wsum.select(
+        F.col("src").alias("node"), F.lit(MICRO).cast("bigint").alias("r")
+    )
+    contrib = (
+        "CAST(CAST(r AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0)) "
+        "DIV CAST(_W AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    step = (
+        f"CAST({base_u6} AS BIGINT) + "
+        f"CAST(CAST({damping_u6} AS DECIMAL(38,0)) * "
+        f"CAST(_s AS DECIMAL(38,0)) DIV 1000000 AS BIGINT)"
+    )
+    for _ in range(iters):
+        ranks = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr(contrib).alias("_c"))
+            .groupBy("dst")
+            .agg(F.sum("_c").alias("_s"))
+            .select(F.col("dst").alias("node"), F.expr(step).alias("r"))
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.col("r").alias("rank_u6"))

@@ -3977,3 +3977,47 @@ SELECT p.a, p.b, p.n,
             // (ma.na::HUGEINT * mb.nb::HUGEINT) AS BIGINT) AS lift_ppm
 FROM p JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN t
 """
+
+
+# weighted PageRank (operators/graph.py:pagerank_weighted): mass flows
+# proportional to co-occurrence COUNT — contrib = (r·w) // W, W = Σ
+# out-weights; 3 sweeps unrolled, HUGEINT products, the pagerank
+# fixed-trajectory discipline.
+_PRW_STEP = """
+  SELECT e.dst AS node,
+         CAST(150000 + (850000::HUGEINT
+              * sum((r.r::HUGEINT * e.w) // e.wtot)) // 1000000
+              AS BIGINT) AS r
+  FROM ed e JOIN {prev} r ON e.src = r.node
+  GROUP BY e.dst
+"""
+
+COPURCHASE_PAGERANK_WEIGHTED_SQL = (
+    """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ew AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst, count(*)::BIGINT AS w
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2),
+-- DuckDB identifiers are case-insensitive: an alias W would
+-- collide with the edge-weight column w (gate-caught: contribs
+-- divided by w instead of the out-weight sum)
+ws AS (SELECT src, sum(w) AS wtot FROM ew GROUP BY 1),
+ed AS (SELECT e.src, e.dst, e.w, ws.wtot FROM ew e JOIN ws USING (src)),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM ws),
+it1 AS ("""
+    + _PRW_STEP.format(prev="r0")
+    + """),
+it2 AS ("""
+    + _PRW_STEP.format(prev="it1")
+    + """),
+it3 AS ("""
+    + _PRW_STEP.format(prev="it2")
+    + """)
+SELECT node AS part, r AS rank_u6
+FROM it3
+ORDER BY rank_u6 DESC, node
+LIMIT 50
+"""
+)

@@ -246,3 +246,35 @@ def test_walk_covisit_pairs_semantics(spark):
     assert (
         walk_covisit_pairs(df, 4, 2, visit_cap=0, min_shared=1).count() == 0
     )
+
+
+def test_pagerank_weighted_follows_strength(spark):
+    """A node receiving one heavy edge must outrank one receiving an
+    equal-count set of light edges from the same source mass."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        pagerank_weighted,
+    )
+
+    # hub 0 sends weight 9 to node 1 and weight 1 to node 2; back-edges
+    # keep the graph sink-free
+    edges = [
+        (0, 1, 9), (0, 2, 1), (1, 0, 1), (2, 0, 1),
+    ]
+    df = spark.createDataFrame(edges, ["src", "dst", "w"])
+    got = {r.node: r.rank_u6 for r in pagerank_weighted(df, iters=3).collect()}
+    assert got[1] > got[2]
+    # python reference of the exact integer trajectory
+    ranks = {0: 10**6, 1: 10**6, 2: 10**6}
+    out_w = {0: 10, 1: 1, 2: 1}
+    adj = {(s, d): w for s, d, w in edges}
+    for _ in range(3):
+        nxt = {}
+        for n in ranks:
+            s = sum(
+                (ranks[src] * w) // out_w[src]
+                for (src, dst), w in adj.items()
+                if dst == n
+            )
+            nxt[n] = 150000 + (850000 * s) // 10**6
+        ranks = nxt
+    assert got == ranks

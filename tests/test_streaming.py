@@ -351,3 +351,35 @@ def test_latest_by_key_streaming_matches_batch(spark, tmp_path):
         for r in compact(_events(spark)).collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_ohlc_streaming_matches_batch(spark, tmp_path):
+    """Candlestick parity: the struct-min/max OHLC rollup is a pure
+    associative aggregate, so it runs unchanged as a complete-mode
+    streaming aggregation and lands on the batch answer once the
+    source drains — the property that makes open/close maintainable
+    incrementally where a first_value window would not be."""
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        ohlc_by_bucket,
+    )
+
+    src = str(tmp_path / "ohlc_events_pq")
+    ev = _events(spark).withColumn(
+        "value_c", F.floor(F.col("value") * 100).cast("bigint")
+    )
+    ev.write.parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        ohlc_by_bucket(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        map(tuple, spark.sql("select * from ohlc_test").collect())
+    )
+    batch = sorted(map(tuple, ohlc_by_bucket(ev).collect()))
+    assert got == batch and got

@@ -575,7 +575,34 @@ def cases_li() -> dict:
         # basket-bounded pair self-join + support joins + TakeOrdered:
         # the item_item_jaccard shape with one extra 1-row scalar
         "basket_rules": _rules,
+        # two period-sliced graph builds + ONE edge-grain full-outer
+        # flag join: 8× disjoint copies → edge sets ×8, diff linear
+        "edge_churn": _churn,
+        # one (a, b) pair count + marginal join-backs + 1-row total —
+        # the chi2 mergeable-state class
+        "categorical_lift": _lift,
     }
+
+
+def _churn(li):
+    from sea_express_customs_etl_spark.operators.graph import (
+        cooccur_edges,
+        edge_churn,
+    )
+
+    # period split by orderkey parity — same graph-shape both sides
+    return edge_churn(
+        cooccur_edges(li.filter(F.col("l_orderkey") % 2 == 0), min_weight=2),
+        cooccur_edges(li.filter(F.col("l_orderkey") % 2 == 1), min_weight=2),
+    )
+
+
+def _lift(li):
+    from sea_express_customs_etl_spark.operators.featsel import (
+        categorical_lift,
+    )
+
+    return categorical_lift(li, "l_returnflag", "l_linestatus")
 
 
 def _rules(li):
