@@ -3080,6 +3080,17 @@ def _q_copurchase_pagerank_weighted(
     )
 
 
+def _q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-design diagnostic: pairwise vocabulary Jaccard between
+    corpus sources — set-level slice similarity complementing the
+    distributional domain_kl_divergence; dictionary-grain self-join."""
+    from sea_express_customs_etl_spark.operators.collocations import (
+        source_vocab_overlap,
+    )
+
+    return source_vocab_overlap(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3411,6 +3422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_priority_lift": _q_segment_priority_lift,
         # weighted PageRank: mass ∝ co-occurrence count per edge
         "copurchase_pagerank_weighted": _q_copurchase_pagerank_weighted,
+        # slice similarity: pairwise vocabulary Jaccard per source
+        "source_vocab_overlap": _q_source_vocab_overlap,
     }
 
 
@@ -3668,4 +3681,5 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_edge_churn": ext.COPURCHASE_EDGE_CHURN_SQL,
         "segment_priority_lift": ext.SEGMENT_PRIORITY_LIFT_SQL,
         "copurchase_pagerank_weighted": ext.COPURCHASE_PAGERANK_WEIGHTED_SQL,
+        "source_vocab_overlap": ext.SOURCE_VOCAB_OVERLAP_SQL,
     }

@@ -198,3 +198,68 @@ def skipgram_pairs(
         .filter(F.col("n") >= min_count)
     )
     return counted.orderBy(F.col("n").desc(), "a", "b").limit(k)
+
+
+def source_vocab_overlap(
+    df: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between corpus slices — the
+    mixture-design diagnostic ("how lexically distinct are my
+    sources?") that complements domain_kl_divergence (distributional
+    drift) with SET overlap: two slices can share every token yet
+    differ in frequency, or share few tokens at all — this measures
+    the latter,
+
+        jac_ppm(a, b) = (10⁶·|Va ∩ Vb|) DIV (|Va| + |Vb| − |Va ∩ Vb|)
+
+    in exact integer ppm. Grain reduction first (the dictionary-grain
+    rule): the corpus collapses to DISTINCT (slice, token) — Heaps-law
+    bounded — so the pair self-join runs at vocabulary grain keyed on
+    token, never on documents; slice vocab sizes join back hint-free
+    (|slices| rows). Output: src_a < src_b, n_common, n_union,
+    jac_ppm."""
+    from ..plans.cache import tracked_persist
+
+    # persisted: the distinct (slice, token) frame feeds the size
+    # aggregate AND both self-join branches (the ≥2-consumers rule)
+    toks = tracked_persist(
+        df.select(
+            F.col(slice_col).alias("_s"),
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    sizes = toks.groupBy("_s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_v")
+    )
+    a = toks.select(F.col("_s").alias("src_a"), "tok")
+    b = toks.select(F.col("_s").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("_s", "src_a"), "src_a")
+        .withColumnRenamed("_v", "_va")
+        .join(sizes.withColumnRenamed("_s", "src_b"), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (F.col("_va") + F.col("_v") - F.col("n_common"))
+            .cast("bigint")
+            .alias("n_union"),
+            F.expr("(1000000 * n_common) DIV (_va + _v - n_common)")
+            .cast("bigint")
+            .alias("jac_ppm"),
+        )
+    )

@@ -4021,3 +4021,29 @@ ORDER BY rank_u6 DESC, node
 LIMIT 50
 """
 )
+
+
+# slice vocabulary overlap (operators/collocations.py:
+# source_vocab_overlap): distinct (source, token) grain, pairwise
+# token-set Jaccard in exact ppm, src_a < src_b.
+SOURCE_VOCAB_OVERLAP_SQL = """
+WITH toks AS (
+  SELECT DISTINCT source AS s, tok
+  FROM (SELECT source,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+        FROM documents)
+  WHERE tok <> ''),
+sizes AS (SELECT s, count(*)::BIGINT AS v FROM toks GROUP BY 1),
+inter AS (
+  SELECT a.s AS src_a, b.s AS src_b, count(*)::BIGINT AS n_common
+  FROM toks a JOIN toks b USING (tok)
+  WHERE a.s < b.s
+  GROUP BY 1, 2)
+SELECT i.src_a, i.src_b, i.n_common,
+       CAST(sa.v + sb.v - i.n_common AS BIGINT) AS n_union,
+       CAST((1000000 * i.n_common) // (sa.v + sb.v - i.n_common)
+            AS BIGINT) AS jac_ppm
+FROM inter i
+JOIN sizes sa ON sa.s = i.src_a
+JOIN sizes sb ON sb.s = i.src_b
+"""

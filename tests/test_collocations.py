@@ -81,3 +81,23 @@ def test_kl_layout_invariance(spark):
     a = sorted(map(tuple, domain_divergence(df).collect()))
     b = sorted(map(tuple, domain_divergence(df.repartition(9)).collect()))
     assert a == b
+
+
+def test_source_vocab_overlap_golden(spark):
+    from sea_express_customs_etl_spark.operators.collocations import (
+        source_vocab_overlap,
+    )
+
+    docs = [
+        (1, "a b c", "s1"),
+        (2, "b c d", "s2"),      # s1 ∩ s2 = {b, c}, union = {a,b,c,d}
+        (3, "x y", "s3"),        # disjoint from s1
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    got = {
+        (r.src_a, r.src_b): (r.n_common, r.n_union, r.jac_ppm)
+        for r in source_vocab_overlap(df).collect()
+    }
+    assert got[("s1", "s2")] == (2, 4, 500_000)
+    # zero-intersection pairs produce no row (inner join on tokens)
+    assert ("s1", "s3") not in got and ("s2", "s3") not in got
