@@ -4047,3 +4047,181 @@ FROM inter i
 JOIN sizes sa ON sa.s = i.src_a
 JOIN sizes sb ON sb.s = i.src_b
 """
+
+
+# shared CTE body for the two-sample rank tests
+# (operators/stats_tests.py:_pair_rank_table): per-(type, value)
+# counts, model-sized pair spine, merged value set, per-side
+# cumulative counts under the (g_a, g_b) window ordered by value.
+_TWO_SAMPLE_CTES = """
+WITH vals AS (
+  SELECT event_type AS g, CAST(round(value * 1e6) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL),
+cnt AS (SELECT g, v, count(*)::BIGINT AS c FROM vals GROUP BY 1, 2),
+tot AS (SELECT g, sum(c)::BIGINT AS n FROM cnt GROUP BY 1),
+pairs AS (
+  SELECT a.g AS g_a, a.n AS n_a, b.g AS g_b, b.n AS n_b
+  FROM tot a JOIN tot b ON a.g < b.g),
+mv AS (
+  SELECT DISTINCT p.g_a, p.g_b, c.v
+  FROM pairs p JOIN cnt c ON c.g = p.g_a OR c.g = p.g_b),
+m AS (
+  SELECT mv.g_a, mv.g_b, mv.v,
+         coalesce(ca.c, 0) AS c_a, coalesce(cb.c, 0) AS c_b
+  FROM mv
+  LEFT JOIN cnt ca ON ca.g = mv.g_a AND ca.v = mv.v
+  LEFT JOIN cnt cb ON cb.g = mv.g_b AND cb.v = mv.v),
+cum AS (
+  SELECT g_a, g_b, v, c_a, c_b,
+         sum(c_a) OVER w AS cum_a, sum(c_b) OVER w AS cum_b
+  FROM m WINDOW w AS (PARTITION BY g_a, g_b ORDER BY v))
+"""
+
+# exact two-sample KS in ppm (operators/stats_tests.py:ks_two_sample):
+# cross-multiplied integer CDF supremum, DIV on nonnegative operands.
+EVENT_VALUE_KS_PAIRS_SQL = (
+    _TWO_SAMPLE_CTES
+    + """
+, d AS (
+  SELECT c.g_a, c.g_b, p.n_a, p.n_b,
+         CAST(max(abs(c.cum_a * p.n_b - c.cum_b * p.n_a)) AS BIGINT)
+             AS d_num
+  FROM cum c JOIN pairs p USING (g_a, g_b)
+  GROUP BY 1, 2, 3, 4)
+SELECT g_a, g_b, n_a, n_b, d_num,
+       CAST((1000000 * d_num) // (n_a * n_b) AS BIGINT) AS ks_ppm
+FROM d
+"""
+)
+
+# exact Mann-Whitney U, 2x-scaled average ranks
+# (operators/stats_tests.py:mann_whitney_u): r_a_x2 folded per tie
+# group, U identity closes the pair.
+EVENT_VALUE_MWU_PAIRS_SQL = (
+    _TWO_SAMPLE_CTES
+    + """
+, mw AS (
+  SELECT g_a, g_b, v, c_a, c_b,
+         sum(c_a + c_b) OVER w2 - (c_a + c_b) AS cb0
+  FROM cum
+  WINDOW w2 AS (PARTITION BY g_a, g_b ORDER BY v)),
+r AS (
+  SELECT g_a, g_b,
+         sum(c_a * (2 * cb0 + c_a + c_b + 1)) AS r_a_x2
+  FROM mw GROUP BY 1, 2)
+SELECT r.g_a, r.g_b, p.n_a, p.n_b,
+       CAST(r.r_a_x2 - p.n_a * (p.n_a + 1) AS BIGINT) AS u_a_x2,
+       CAST(2 * p.n_a * p.n_b - (r.r_a_x2 - p.n_a * (p.n_a + 1))
+            AS BIGINT) AS u_b_x2
+FROM r JOIN pairs p USING (g_a, g_b)
+"""
+)
+
+# Spearman rho per return flag (operators/stats_tests.py:
+# spearman_by_group): 2x-scaled average ranks at distinct-value grain,
+# exact integer component sums, ONE double expression rounded 6dp.
+QTY_PRICE_SPEARMAN_SQL = """
+WITH base AS (
+  SELECT l_returnflag AS g,
+         CAST(round(l_quantity) AS BIGINT) AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+cx AS (SELECT g, x, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+rx AS (
+  SELECT g, x,
+         2 * (sum(c) OVER (PARTITION BY g ORDER BY x) - c) + c + 1
+             AS r2x
+  FROM cx),
+cy AS (SELECT g, y, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+ry AS (
+  SELECT g, y,
+         2 * (sum(c) OVER (PARTITION BY g ORDER BY y) - c) + c + 1
+             AS r2y
+  FROM cy),
+ranked AS (
+  SELECT b.g, rx.r2x, ry.r2y
+  FROM base b
+  JOIN rx ON rx.g = b.g AND rx.x = b.x
+  JOIN ry ON ry.g = b.g AND ry.y = b.y),
+comp AS (
+  SELECT g, count(*) AS n_items,
+         sum(r2x) AS sx, sum(r2y) AS sy, sum(r2x * r2y) AS sxy,
+         sum(r2x * r2x) AS sx2, sum(r2y * r2y) AS sy2
+  FROM ranked GROUP BY 1)
+SELECT g AS l_returnflag, n_items,
+       round((CAST(n_items AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n_items AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_items AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS rho_spearman
+FROM comp
+"""
+
+# pooled lag-1 autocorrelation (operators/stats_tests.py:
+# lag1_autocorr): per-(user, type) series lag under the
+# (epoch_us, event_id) total order, milli-unit values.
+EVENT_LAG1_AUTOCORR_SQL = """
+WITH s AS (
+  SELECT event_type,
+         CAST(round(value * 1000) AS BIGINT) AS y,
+         lag(CAST(round(value * 1000) AS BIGINT)) OVER
+           (PARTITION BY user_id, event_type
+            ORDER BY epoch_us(ts), event_id) AS x
+  FROM events),
+p AS (SELECT event_type, x, y FROM s WHERE x IS NOT NULL),
+comp AS (
+  SELECT event_type, count(*) AS n_pairs,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sx2, sum(y * y) AS sy2
+  FROM p GROUP BY 1)
+SELECT event_type, n_pairs,
+       round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n_pairs AS DOUBLE) * CAST(sy2 AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS lag1_corr
+FROM comp
+"""
+
+# CUSUM changepoint at hour-bucket grain (operators/stats_tests.py:
+# cusum_level_shift): T_k = n·cum_k − k·S clears the rational mean;
+# earliest-hour tie-break.
+EVENT_CUSUM_SHIFT_SQL = """
+WITH b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS epoch_hour,
+         CAST(round(value * 1000) AS BIGINT) AS v3
+  FROM events),
+hb AS (
+  SELECT event_type, epoch_hour, sum(v3)::BIGINT AS s3
+  FROM b GROUP BY 1, 2),
+cur AS (
+  SELECT event_type, epoch_hour,
+         row_number() OVER wo AS k,
+         sum(s3) OVER wo AS cum,
+         count(*) OVER wall AS n_buckets,
+         sum(s3) OVER wall AS tot
+  FROM hb
+  WINDOW wo AS (PARTITION BY event_type ORDER BY epoch_hour),
+         wall AS (PARTITION BY event_type)),
+t AS (
+  SELECT event_type, epoch_hour, n_buckets,
+         abs(n_buckets * cum - k * tot) AS t_abs_h,
+         CASE WHEN n_buckets * cum - k * tot > 0 THEN 1
+              WHEN n_buckets * cum - k * tot < 0 THEN -1
+              ELSE 0 END AS shift_sign
+  FROM cur),
+r AS (
+  SELECT t.*, row_number() OVER
+           (PARTITION BY event_type
+            ORDER BY t_abs_h DESC, epoch_hour ASC) AS rn
+  FROM t)
+SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
+       epoch_hour AS peak_hour, CAST(t_abs_h AS BIGINT) AS t_abs,
+       CAST(shift_sign AS INT) AS shift_sign
+FROM r WHERE rn = 1
+"""

@@ -80,6 +80,10 @@ BNLJ_ALLOWED = {
     "classifier_confusion",  # B=64-row trained model broadcast + the
     #                          training prelude's 1-row argmax joins
     #                          (the learned_quality_filter license)
+    "event_value_ks_pairs",  # |types|²-row pair spine: non-equi
+    #                          self-join of the per-type totals frame
+    #                          (model-sized — the 1-row scalar license)
+    "event_value_mwu_pairs",  # same pair spine (shared cumulant frame)
 }
 
 
