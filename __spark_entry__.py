@@ -3170,6 +3170,71 @@ def _q_event_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_level_shift(load_table(spark, sf_dir, "events"))
 
 
+def _q_copurchase_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss building block: per-edge triangle support over the
+    co-purchase graph — degree-oriented enumeration, each triple
+    unpivoted to its three canonical edges."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        copurchase_edges,
+        edge_support,
+    )
+
+    return edge_support(copurchase_edges(load_table(spark, sf_dir, "lineitem")))
+
+
+def _q_hll_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-space slice overlap: pairwise HLL inclusion-exclusion
+    sufficient statistics (register-wise max = union merge) over
+    per-source token sketches — the mergeability property as a query."""
+    from sea_express_customs_etl_spark.operators.sketches import (
+        hll_pair_overlap,
+    )
+
+    toks = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    )
+    return hll_pair_overlap(toks, "tok", "source")
+
+
+def _q_temperature_mix_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture design: α=1/2 temperature weights (exact integer isqrt)
+    + largest-remainder apportionment of a 10,000-doc budget across
+    sources — Σ alloc = budget exactly."""
+    from sea_express_customs_etl_spark.operators.sampling import (
+        temperature_allocation,
+    )
+
+    return temperature_allocation(_docs(spark, sf_dir), "source", 10_000)
+
+
+def _q_price_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join: per-brand-pair count of part pairs within ±25 cents
+    of retail price — bucket+neighbor equi-join with residual filter,
+    at distinct (brand, price) cell grain."""
+    from sea_express_customs_etl_spark.operators.bandjoin import (
+        band_pair_counts,
+    )
+
+    parts = load_table(spark, sf_dir, "part").select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.col("p_retailprice") * 100).cast("bigint").alias("price_c"),
+    )
+    return band_pair_counts(parts, "brand", "price_c", eps=25)
+
+
+def _q_segment_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation readout: two-proportion z per market segment vs
+    rest — integer counts, one double expression, 6dp."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        segment_conversion_ztest,
+    )
+
+    return segment_conversion_ztest(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3512,6 +3577,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_lag1_autocorr": _q_event_lag1_autocorr,
         # changepoint: CUSUM peak over the hourly bucket series
         "event_cusum_shift": _q_event_cusum_shift,
+        # k-truss support: triangles per co-purchase edge
+        "copurchase_edge_support": _q_copurchase_edge_support,
+        # sketch-space slice overlap: HLL inclusion-exclusion stats
+        "hll_source_overlap": _q_hll_source_overlap,
+        # temperature mixing: isqrt weights + largest remainder
+        "temperature_mix_alloc": _q_temperature_mix_alloc,
+        # band join: bucket+neighbor blocking, residual band filter
+        "price_band_pairs": _q_price_band_pairs,
+        # two-proportion z-test per segment vs rest
+        "segment_conversion_ztest": _q_segment_conversion_ztest,
     }
 
 
@@ -3775,4 +3850,9 @@ def oracle_sql() -> dict[str, str]:
         "qty_price_spearman": ext.QTY_PRICE_SPEARMAN_SQL,
         "event_lag1_autocorr": ext.EVENT_LAG1_AUTOCORR_SQL,
         "event_cusum_shift": ext.EVENT_CUSUM_SHIFT_SQL,
+        "copurchase_edge_support": ext.COPURCHASE_EDGE_SUPPORT_SQL,
+        "hll_source_overlap": ext.HLL_SOURCE_OVERLAP_SQL,
+        "temperature_mix_alloc": ext.TEMPERATURE_MIX_ALLOC_SQL,
+        "price_band_pairs": ext.PRICE_BAND_PAIRS_SQL,
+        "segment_conversion_ztest": ext.SEGMENT_CONVERSION_ZTEST_SQL,
     }

@@ -276,6 +276,21 @@ def triangle_counts(edges: DataFrame, orient: str = "degree") -> DataFrame:
       degree join; safe when degrees are bounded (TPC-H co-purchase
       baskets cap at 7), quadratic on hubs otherwise.
     """
+    tris = _triangle_triples(edges, orient)
+    return (
+        tris.select(
+            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+
+
+def _triangle_triples(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """Enumerate each triangle exactly once as an (x, y, z) triple
+    under the chosen edge orientation (see :func:`triangle_counts` for
+    the degree-vs-canonical trade). Shared by the per-node counts and
+    the per-edge support (k-truss) operator."""
     e = tracked_persist(
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
@@ -327,12 +342,36 @@ def triangle_counts(edges: DataFrame, orient: str = "degree") -> DataFrame:
         )
     else:
         raise ValueError(f"orient must be 'degree' or 'canonical', got {orient!r}")
+    return tris
+
+
+def edge_support(edges: DataFrame, orient: str = "degree") -> DataFrame:
+    """Per-EDGE triangle support — the k-truss building block: an edge
+    with support s participates in s triangles, and the k-truss is the
+    maximal subgraph where every edge has support ≥ k−2. One support
+    pass is the standard community-backbone filter (support 0 edges are
+    bridges/noise; high-support edges sit inside dense cohesive
+    groups) and the unit of work a truss-decomposition peel repeats.
+
+    Same triangle enumeration as :func:`triangle_counts` (degree
+    orientation by default — the power-law dial), then each triple
+    unpivots to its THREE canonical (min, max) edges and one
+    partial-aggregated groupBy counts per edge. Edges in no triangle
+    are absent (support 0 — join back against the edge list when the
+    peel needs them). Output: a, b, support.
+    """
+    tris = _triangle_triples(edges, orient)
+    tedges = (
+        tris.select(F.col("x").alias("u1"), F.col("y").alias("u2"))
+        .unionByName(tris.select(F.col("x").alias("u1"), F.col("z").alias("u2")))
+        .unionByName(tris.select(F.col("y").alias("u1"), F.col("z").alias("u2")))
+    )
     return (
-        tris.select(
-            F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
+        tedges.select(
+            F.least("u1", "u2").alias("a"), F.greatest("u1", "u2").alias("b")
         )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
 
 

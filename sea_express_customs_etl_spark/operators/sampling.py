@@ -333,3 +333,74 @@ def edge_negative_samples(
     return probe.join(adj, ["_pa", "_pb"], "left_anti").select(
         "src", "dst", "slot", "neg_id"
     )
+
+
+def temperature_allocation(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    num_denom: tuple[int, int] = (1, 2),
+) -> DataFrame:
+    """Temperature-based mixture allocation — the multilingual/
+    multi-source rebalancing rule (XLM-R / mT5 style): sampling weight
+    ∝ count^α flattens the head so low-resource slices are not drowned,
+    then a fixed sample budget is apportioned by LARGEST REMAINDER
+    (Hamilton's method) so the integer allocations sum EXACTLY to the
+    budget.
+
+    α = num/denom is rational and the weight is computed in exact
+    integer arithmetic: w = floor(count^(num/denom)) via an integer
+    Newton-corrected root — for the default α = 1/2, isqrt(count):
+    one float sqrt seed plus a ±1 correction CASE, exact for counts
+    < 2^52 (the double-sqrt error is < 1 there, so one step lands).
+    Allocation: base = (budget·w) DIV W, then the slices with the
+    largest scaled remainders (budget·w − base·W) each get +1 —
+    remainder ties break by group name, so the whole table is
+    reproducible. Output: group_col, n_rows, weight, alloc
+    (Σ alloc = budget whenever budget ≥ 0 and W > 0).
+
+    Scale: one partial-agg count shuffle; everything after runs on the
+    |groups|-row frame (model-sized — the 1-row-scalar license for the
+    totals cross-join).
+    """
+    if num_denom != (1, 2):
+        raise NotImplementedError(
+            "only α = 1/2 (isqrt) has the exact integer root path"
+        )
+    cnt = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    s0 = F.floor(F.sqrt(F.col("n_rows").cast("double"))).cast("bigint")
+    w = (
+        F.when((s0 + 1) * (s0 + 1) <= F.col("n_rows"), s0 + 1)
+        .when(s0 * s0 > F.col("n_rows"), s0 - 1)
+        .otherwise(s0)
+    )
+    weighted = cnt.select(group_col, "n_rows", w.alias("weight"))
+    tot = weighted.agg(F.sum("weight").cast("bigint").alias("_w_total"))
+    base = weighted.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        "n_rows",
+        "weight",
+        "_w_total",
+        F.expr(f"({budget} * weight) DIV _w_total").alias("_base"),
+        (
+            F.lit(budget) * F.col("weight")
+            - F.expr(f"({budget} * weight) DIV _w_total")
+            * F.col("_w_total")
+        ).alias("_rem"),
+    )
+    wrank = Window.orderBy(F.col("_rem").desc(), F.col(group_col).asc())
+    leftover = F.lit(budget) - F.sum("_base").over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        base.withColumn("_rk", F.row_number().over(wrank))
+        .withColumn("_extra", (F.col("_rk") <= leftover).cast("int"))
+        .select(
+            group_col,
+            "n_rows",
+            "weight",
+            (F.col("_base") + F.col("_extra")).cast("bigint").alias("alloc"),
+        )
+    )

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
+from ..plans.cache import tracked_persist
+
 # --------------------------------------------------------------------------
 # HyperLogLog (p=8 → m=256 registers)
 # --------------------------------------------------------------------------
@@ -347,6 +349,123 @@ def hll_registers_by(
         )
         .groupBy(group_col, "bucket")
         .agg(F.max("_rank").alias("max_rank"))
+    )
+
+
+def hll_pair_overlap(
+    df: DataFrame, value_col: str, group_col: str, salt: str = ""
+) -> DataFrame:
+    """Pairwise distinct-overlap SUFFICIENT STATISTICS via HLL
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the
+    union sketch is the register-wise MAX of the two register tables —
+    the mergeability property that makes HLL distributable, exercised
+    here as a cross-slice operator (the sketch-space sibling of the
+    exact ``collocations.source_vocab_overlap``).
+
+    Everything emitted is an exact integer: per ordered slice pair,
+    each side's and the union's (n_zero, s_scaled) in the
+    :func:`hll_stats` encoding. The float estimator stays OUT of the
+    hash-checked surface (same license as :func:`hll_estimate` —
+    finishing the harmonic mean + small-range correction is driver
+    arithmetic over these one-row stats, property-tested for accuracy).
+
+    Scale: one (group, bucket) partial-max shuffle over the corpus;
+    every frame after it is |groups|·256 rows — the pair spine
+    (|groups|² nested loop), the per-pair register merge (full outer
+    on bucket), and the final aggregate are all model-sized.
+    """
+    regs = tracked_persist(hll_registers_by(df, value_col, group_col, salt))
+    slices = regs.select(F.col(group_col).alias("_g")).distinct()
+    pairs = slices.select(F.col("_g").alias("g_a")).join(
+        slices.select(F.col("_g").alias("g_b")),
+        F.col("g_a") < F.col("g_b"),
+    )
+    ra = regs.select(
+        F.col(group_col).alias("g_a"),
+        "bucket",
+        F.col("max_rank").alias("_ra"),
+    )
+    rb = regs.select(
+        F.col(group_col).alias("g_b"),
+        "bucket",
+        F.col("max_rank").alias("_rb"),
+    )
+    # union-of-attachments rather than a per-pair full outer join: a
+    # bucket present on only one side still contributes its rank, and
+    # the max over the two attachments IS the merged register
+    u = (
+        pairs.join(ra, "g_a")
+        .select("g_a", "g_b", "bucket", F.col("_ra").alias("_r"))
+        .unionByName(
+            pairs.join(rb, "g_b")
+            .select("g_a", "g_b", "bucket", F.col("_rb").alias("_r"))
+        )
+        .groupBy("g_a", "g_b", "bucket")
+        .agg(F.max("_r").alias("_ru"))
+    )
+    pow_u = F.pow(F.lit(2.0), F.lit(_HLL_WBITS + 1) - F.col("_ru")).cast(
+        "bigint"
+    )
+    agg_u = u.groupBy("g_a", "g_b").agg(
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("int").alias("n_zero_u"),
+        F.sum(pow_u).alias("s_scaled_u"),
+    )
+    pow_s = F.pow(F.lit(2.0), F.lit(_HLL_WBITS + 1) - F.col("max_rank")).cast(
+        "bigint"
+    )
+    sides = regs.groupBy(group_col).agg(
+        (F.lit(HLL_M) - F.count(F.lit(1))).cast("int").alias("_nz"),
+        F.sum(pow_s).alias("_ss"),
+    )
+    return (
+        agg_u.join(
+            sides.select(
+                F.col(group_col).alias("g_a"),
+                F.col("_nz").alias("n_zero_a"),
+                F.col("_ss").alias("s_scaled_a"),
+            ),
+            "g_a",
+        )
+        .join(
+            sides.select(
+                F.col(group_col).alias("g_b"),
+                F.col("_nz").alias("n_zero_b"),
+                F.col("_ss").alias("s_scaled_b"),
+            ),
+            "g_b",
+        )
+        .select(
+            "g_a",
+            "g_b",
+            "n_zero_a",
+            "s_scaled_a",
+            "n_zero_b",
+            "s_scaled_b",
+            "n_zero_u",
+            "s_scaled_u",
+        )
+    )
+
+
+def hll_overlap_estimate(stats_row) -> float:
+    """Driver-side inclusion-exclusion finish over one
+    :func:`hll_pair_overlap` row — NOT oracle-checked (float), accuracy
+    property-tested like :func:`hll_estimate`."""
+    import math
+
+    def _est(n_zero: int, s_scaled: int) -> float:
+        m = HLL_M
+        z = s_scaled / float(1 << (_HLL_WBITS + 1)) + n_zero
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / z
+        if est <= 2.5 * m and n_zero > 0:
+            est = m * math.log(m / n_zero)
+        return est
+
+    return (
+        _est(stats_row["n_zero_a"], stats_row["s_scaled_a"])
+        + _est(stats_row["n_zero_b"], stats_row["s_scaled_b"])
+        - _est(stats_row["n_zero_u"], stats_row["s_scaled_u"])
     )
 
 

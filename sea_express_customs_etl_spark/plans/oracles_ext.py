@@ -4225,3 +4225,156 @@ SELECT event_type, CAST(n_buckets AS BIGINT) AS n_buckets,
        CAST(shift_sign AS INT) AS shift_sign
 FROM r WHERE rn = 1
 """
+
+
+# per-edge triangle support (operators/graph.py:edge_support): same
+# canonical triangle enumeration as COPURCHASE_TRIANGLES_SQL, each
+# triple unpivoted to its three canonical edges.
+COPURCHASE_EDGE_SUPPORT_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM edges),
+tris AS (
+  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+  FROM e ab
+  JOIN e bc ON bc.a = ab.b
+  JOIN e ac ON ac.a = ab.a AND ac.b = bc.b),
+tedges AS (
+  SELECT x AS a, y AS b FROM tris
+  UNION ALL SELECT x, z FROM tris
+  UNION ALL SELECT y, z FROM tris)
+SELECT a, b, CAST(count(*) AS BIGINT) AS support
+FROM tedges GROUP BY 1, 2
+"""
+
+# pairwise HLL overlap stats (operators/sketches.py:hll_pair_overlap):
+# union sketch = register-wise max via union-of-attachments; integer
+# (n_zero, s_scaled) per side and for the union.
+HLL_SOURCE_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+h AS (SELECT source, {_H48.format(v='tok')} AS h48 FROM toks),
+r AS (SELECT source, (h48 % 256)::INTEGER AS bucket, h48 // 256 AS w
+      FROM h),
+regs AS (
+  SELECT source, bucket,
+         max(CASE WHEN w = 0 THEN 41
+                  ELSE 41 - length(ltrim(bin(w), '0')) END) AS max_rank
+  FROM r GROUP BY 1, 2),
+slices AS (SELECT DISTINCT source AS g FROM regs),
+pairs AS (SELECT a.g AS g_a, b.g AS g_b
+          FROM slices a JOIN slices b ON a.g < b.g),
+u AS (
+  SELECT g_a, g_b, bucket, max(mr) AS ru FROM (
+    SELECT p.g_a, p.g_b, rg.bucket, rg.max_rank AS mr
+    FROM pairs p JOIN regs rg ON rg.source = p.g_a
+    UNION ALL
+    SELECT p.g_a, p.g_b, rg.bucket, rg.max_rank
+    FROM pairs p JOIN regs rg ON rg.source = p.g_b)
+  GROUP BY 1, 2, 3),
+agg_u AS (
+  SELECT g_a, g_b, (256 - count(*))::INTEGER AS n_zero_u,
+         CAST(sum(CAST(2 ** (41 - ru) AS BIGINT)) AS BIGINT)
+             AS s_scaled_u
+  FROM u GROUP BY 1, 2),
+sides AS (
+  SELECT source, (256 - count(*))::INTEGER AS nz,
+         CAST(sum(CAST(2 ** (41 - max_rank) AS BIGINT)) AS BIGINT) AS ss
+  FROM regs GROUP BY 1)
+SELECT a.g_a, a.g_b,
+       sa.nz AS n_zero_a, sa.ss AS s_scaled_a,
+       sb.nz AS n_zero_b, sb.ss AS s_scaled_b,
+       a.n_zero_u, a.s_scaled_u
+FROM agg_u a
+JOIN sides sa ON sa.source = a.g_a
+JOIN sides sb ON sb.source = a.g_b
+"""
+
+# temperature mixture allocation (operators/sampling.py:
+# temperature_allocation): exact isqrt weights (Newton-corrected
+# double seed), largest-remainder apportionment, budget = 10000.
+TEMPERATURE_MIX_ALLOC_SQL = """
+WITH cnt AS (
+  SELECT source, count(*)::BIGINT AS n_rows FROM documents GROUP BY 1),
+w0 AS (
+  SELECT source, n_rows,
+         CAST(floor(sqrt(CAST(n_rows AS DOUBLE))) AS BIGINT) AS s0
+  FROM cnt),
+wt AS (
+  SELECT source, n_rows,
+         CASE WHEN (s0 + 1) * (s0 + 1) <= n_rows THEN s0 + 1
+              WHEN s0 * s0 > n_rows THEN s0 - 1
+              ELSE s0 END AS weight
+  FROM w0),
+tot AS (SELECT sum(weight)::BIGINT AS w_total FROM wt),
+base AS (
+  SELECT source, n_rows, weight,
+         (10000 * weight) // w_total AS base_alloc,
+         10000 * weight - ((10000 * weight) // w_total) * w_total
+             AS rem
+  FROM wt, tot),
+fin AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk,
+         sum(base_alloc) OVER () AS base_sum
+  FROM base)
+SELECT source, n_rows, CAST(weight AS BIGINT) AS weight,
+       CAST(base_alloc +
+            CASE WHEN rk <= 10000 - base_sum THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM fin
+"""
+
+# band join at distinct-cell grain (operators/bandjoin.py:
+# band_pair_counts): naive cell-pair band predicate on the oracle
+# side (cells are few at sf0.01), bucket+neighbor blocked in Spark.
+PRICE_BAND_PAIRS_SQL = """
+WITH cells AS (
+  SELECT p_brand AS k, CAST(round(p_retailprice * 100) AS BIGINT) AS v,
+         count(*)::BIGINT AS c
+  FROM part GROUP BY 1, 2),
+cross_pairs AS (
+  SELECT least(a.k, b.k) AS key_a, greatest(a.k, b.k) AS key_b,
+         a.c * b.c AS n
+  FROM cells a JOIN cells b
+    ON abs(a.v - b.v) <= 25
+   AND (a.v < b.v OR (a.v = b.v AND a.k < b.k))),
+same AS (
+  SELECT k AS key_a, k AS key_b, c * (c - 1) // 2 AS n
+  FROM cells WHERE c > 1)
+SELECT key_a, key_b, CAST(sum(n) AS BIGINT) AS n_pairs
+FROM (SELECT * FROM cross_pairs UNION ALL SELECT * FROM same)
+GROUP BY 1, 2
+"""
+
+# two-proportion z-test per segment (plans/relational.py:
+# segment_conversion_ztest): integer counts, one double expression
+# with the same operation grouping as the Spark side, 6dp.
+SEGMENT_CONVERSION_ZTEST_SQL = """
+WITH conv AS (
+  SELECT c_mktsegment,
+         CASE WHEN c_custkey IN (SELECT o_custkey FROM orders)
+              THEN 1 ELSE 0 END AS is_conv
+  FROM customer),
+seg AS (
+  SELECT c_mktsegment, count(*)::BIGINT AS n_cust,
+         sum(is_conv)::BIGINT AS n_conv
+  FROM conv GROUP BY 1),
+tot AS (SELECT sum(n_cust)::BIGINT AS nn, sum(n_conv)::BIGINT AS kk
+        FROM seg)
+SELECT c_mktsegment, n_cust, n_conv,
+       round((CAST(n_conv AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                 - CAST(kk - n_conv AS DOUBLE)
+                   / CAST(nn - n_cust AS DOUBLE))
+             / sqrt((CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (1 - CAST(kk AS DOUBLE) / CAST(nn AS DOUBLE))
+                    * (1 / CAST(n_cust AS DOUBLE)
+                       + 1 / CAST(nn - n_cust AS DOUBLE))),
+             6) AS z_score
+FROM seg, tot
+"""

@@ -641,3 +641,62 @@ def grouping_sets_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         """
     )
+
+
+def segment_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test per market segment: is this segment's
+    conversion rate (customers with ≥1 order) different from the REST
+    of the population? The A/B-readout query an experimentation
+    pipeline runs per cohort.
+
+    All inputs to the statistic are exact integers (per-segment
+    customer count n₁ and converter count k₁ via one broadcast-semi
+    flag join + partial-agg; grand totals N, K as a 1-row cross-joined
+    scalar — the 1-row license), and the z-score is ONE deterministic
+    double expression over them, rounded 6dp (the
+    ``returnflag_qty_price_corr`` recipe):
+
+        z = (p₁ − p₂) / sqrt(p̂(1 − p̂)(1/n₁ + 1/n₂)),
+        p₁ = k₁/n₁, p₂ = (K−k₁)/(N−n₁), p̂ = K/N.
+
+    One lineitem-free plan: customer ⋈ orders (left_semi on custkey,
+    orders side aggregated to distinct custkeys by the semi itself),
+    |segments| output rows."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    buyers = load_table(spark, sf_dir, "orders").select("o_custkey")
+    flagged = cust.join(
+        buyers, cust.c_custkey == buyers.o_custkey, "left_semi"
+    ).select("c_mktsegment")
+    seg = (
+        cust.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cust"))
+        .join(
+            flagged.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_conv")
+            ),
+            "c_mktsegment",
+            "left",
+        )
+        .fillna(0, ["n_conv"])
+    )
+    tot = seg.agg(
+        F.sum("n_cust").cast("bigint").alias("_nn"),
+        F.sum("n_conv").cast("bigint").alias("_kk"),
+    )
+    j = seg.crossJoin(F.broadcast(tot))
+    n1 = F.col("n_cust").cast("double")
+    k1 = F.col("n_conv").cast("double")
+    n2 = (F.col("_nn") - F.col("n_cust")).cast("double")
+    k2 = (F.col("_kk") - F.col("n_conv")).cast("double")
+    p1 = k1 / n1
+    p2 = k2 / n2
+    pp = (k1 + k2) / (n1 + n2)
+    den = F.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n2))
+    return j.select(
+        "c_mktsegment",
+        "n_cust",
+        "n_conv",
+        F.round(F.when(den > 0, (p1 - p2) / den), 6).alias("z_score"),
+    )

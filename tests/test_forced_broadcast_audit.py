@@ -125,6 +125,10 @@ FORCED_BROADCAST_ALLOWED = {
     #                        (the global_rank/lm_terciles license)
     "classifier_confusion",  # trained B=64-row model broadcast (the
     #                          learned_quality_filter license)
+    "temperature_mix_alloc",  # pinned 1-row Σweight scalar (the 1-row
+    #                           license)
+    "segment_conversion_ztest",  # pinned 1-row (N, K) totals (the
+    #                              1-row license)
 }
 
 

@@ -84,6 +84,10 @@ BNLJ_ALLOWED = {
     #                          self-join of the per-type totals frame
     #                          (model-sized — the 1-row scalar license)
     "event_value_mwu_pairs",  # same pair spine (shared cumulant frame)
+    "hll_source_overlap",  # |sources|²-row pair spine over the
+    #                        256-register sketch tables (model-sized)
+    "temperature_mix_alloc",  # 1-row Σweight scalar cross-joined
+    "segment_conversion_ztest",  # 1-row (N, K) totals cross-joined
 }
 
 
