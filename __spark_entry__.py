@@ -3235,6 +3235,137 @@ def _q_segment_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_conversion_ztest(spark, sf_dir)
 
 
+def _q_copurchase_cheapest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-hop weighted shortest paths: 4 min-plus relaxation
+    sweeps from Brand#11 seed parts over cost = 10⁶ DIV co-occurrence
+    count — min is idempotent, so no tie-break machinery."""
+    from sea_express_customs_etl_spark.operators.graph import min_plus_paths
+
+    items = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = items.alias("a"), items.alias("b")
+    ew = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
+        .filter(F.col("_w") >= 2)
+        .select("src", "dst", F.expr("1000000 DIV _w").alias("w_cost"))
+    )
+    ew = _tracked_persist(ew)  # one scan per sweep (4 sweeps)
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#11")
+        .select(F.col("p_partkey").alias("node"))
+        .join(
+            ew.select(F.col("src").alias("node")), "node", "left_semi"
+        )
+    )
+    return min_plus_paths(ew, seeds, rounds=4)
+
+
+def _q_cf_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recommender eval loop as one plan: hash holdout split →
+    user-grain item-item Jaccard on train → top-10 per user →
+    hit-rate vs the held-out interactions."""
+    from sea_express_customs_etl_spark.operators.cf import cf_holdout_eval
+
+    inter = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .join(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+    )
+    return cf_holdout_eval(inter, test_fraction=0.25, min_cooc=2, k=10)
+
+
+def _q_phrase_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval: docs where 'hash join' occurs as
+    adjacent tokens, by positional-posting intersection; global top-20
+    via TakeOrderedAndProject."""
+    from sea_express_customs_etl_spark.operators.textstats import (
+        phrase_match_topk,
+    )
+
+    return phrase_match_topk(_docs(spark, sf_dir), ["hash", "join"], k=20)
+
+
+def _q_event_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality per event type: cell mean vs type mean
+    as exact cross-multiplied integer ppm — the baseline a seasonal
+    anomaly monitor divides out."""
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        seasonal_hour_profile,
+    )
+
+    return seasonal_hour_profile(load_table(spark, sf_dir, "events"))
+
+
+def _q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue in below-20%-of-part-average lineitems
+    per brand — correlated aggregate decorrelated, threshold cleared
+    by integer cross-multiplication."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        small_qty_revenue,
+    )
+
+    return small_qty_revenue(spark, sf_dir)
+
+
+def _q_cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV: cumulative revenue per first-order-month cohort
+    across month offsets — bucket-grain cumulative window."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        cohort_ltv_curve,
+    )
+
+    return cohort_ltv_curve(spark, sf_dir)
+
+
+def _q_nation_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MoM KPI trend: monthly revenue per nation with signed delta and
+    ppm ratio vs prior observed month."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        nation_revenue_mom,
+    )
+
+    return nation_revenue_mom(spark, sf_dir)
+
+
+def _q_priority_return_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shape EXISTS decorrelation: orders with ≥1 returned lineitem
+    per priority, share in exact ppm."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        priority_return_exists_counts,
+    )
+
+    return priority_return_exists_counts(spark, sf_dir)
+
+
+def _q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context concordance for 'vector': ±2-token snippets
+    from a staged array, first 50 in (doc, pos) order."""
+    from sea_express_customs_etl_spark.operators.textstats import (
+        kwic_snippets,
+    )
+
+    return kwic_snippets(_docs(spark, sf_dir), "vector", context=2, k=50)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3587,6 +3718,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "price_band_pairs": _q_price_band_pairs,
         # two-proportion z-test per segment vs rest
         "segment_conversion_ztest": _q_segment_conversion_ztest,
+        # weighted shortest paths: bounded min-plus relaxation
+        "copurchase_cheapest_path": _q_copurchase_cheapest_path,
+        # recommender eval: holdout split -> CF -> hit-rate@10
+        "cf_holdout_hitrate": _q_cf_holdout_hitrate,
+        # exact-phrase retrieval over positional postings
+        "phrase_search_topk": _q_phrase_search_topk,
+        # hour-of-day seasonal index per event type
+        "event_seasonal_profile": _q_event_seasonal_profile,
+        # Q17 shape: correlated aggregate decorrelated, integer threshold
+        "small_qty_revenue": _q_small_qty_revenue,
+        # cohort LTV curves: cumulative revenue per cohort offset
+        "cohort_ltv_curve": _q_cohort_ltv_curve,
+        # MoM revenue trend per nation: lag + signed delta + ppm ratio
+        "nation_revenue_mom": _q_nation_revenue_mom,
+        # Q4 shape: EXISTS as left-semi, share in ppm
+        "priority_return_exists": _q_priority_return_exists,
+        # keyword-in-context concordance over positional postings
+        "kwic_snippets": _q_kwic_snippets,
     }
 
 
@@ -3855,4 +4004,15 @@ def oracle_sql() -> dict[str, str]:
         "temperature_mix_alloc": ext.TEMPERATURE_MIX_ALLOC_SQL,
         "price_band_pairs": ext.PRICE_BAND_PAIRS_SQL,
         "segment_conversion_ztest": ext.SEGMENT_CONVERSION_ZTEST_SQL,
+        "copurchase_cheapest_path": ext.COPURCHASE_CHEAPEST_PATH_SQL,
+        "cf_holdout_hitrate": ext.CF_HOLDOUT_HITRATE_SQL.format(
+            thr=_hex_threshold(0.25)
+        ),
+        "phrase_search_topk": ext.PHRASE_SEARCH_TOPK_SQL,
+        "event_seasonal_profile": ext.EVENT_SEASONAL_PROFILE_SQL,
+        "small_qty_revenue": rel.SMALL_QTY_REVENUE_SQL,
+        "cohort_ltv_curve": rel.COHORT_LTV_CURVE_SQL,
+        "nation_revenue_mom": rel.NATION_REVENUE_MOM_SQL,
+        "priority_return_exists": rel.PRIORITY_RETURN_EXISTS_SQL,
+        "kwic_snippets": ext.KWIC_SNIPPETS_SQL,
     }

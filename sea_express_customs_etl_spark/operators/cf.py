@@ -187,3 +187,129 @@ def basket_rules(
     return scored.orderBy(
         F.col("lift_ppm").desc(), F.col("conf_ppm").desc(), "ante", "cons"
     ).limit(k)
+
+
+def cf_holdout_eval(
+    interactions: DataFrame,
+    test_fraction: float = 0.25,
+    min_cooc: int = 2,
+    k: int = 10,
+    salt: str = "cf-holdout",
+) -> DataFrame:
+    """End-to-end recommender EVALUATION harness: deterministic
+    holdout split → item-item similarity on train → top-k
+    recommendations per user → hit-rate against the held-out
+    interactions. The offline-eval loop every recommender ships with,
+    run as ONE deterministic plan (split, model, ranking and metric
+    all hash-portable).
+
+    ``interactions``: (user_id, item_id) rows (deduplicated
+    internally). Split: md5(salt|user|item) hex-threshold (the
+    ``sampling.hash_sample`` rule — replayable, engine-portable, no
+    rand()). Model: user-grain co-occurrence Jaccard in integer ppm
+    (the :func:`item_item_jaccard` arithmetic at user instead of order
+    grain). Scoring: for each user, candidate items accumulate
+    Σ sim_ppm over the user's TRAIN items; train items are excluded
+    (left_anti); top-``k`` by (score desc, item asc) —
+    WindowGroupLimit shape. Metric: one row — n_users (users holding
+    both a recommendation and ≥1 test item), n_recs, n_hits,
+    hit_ppm = (10⁶·n_hits) DIV n_recs.
+
+    Scale: co-occurrence fan-out is bounded by per-user basket size
+    (the item_item_jaccard argument); scoring joins train×sims at
+    (user, item) grain — k-bounded per item; the metric aggregate is
+    one partial-agg reduce. The holdout split costs nothing (a
+    map-side hash predicate).
+    """
+    from .sampling import hex_threshold
+
+    inter = tracked_persist(
+        interactions.select("user_id", "item_id").distinct()
+    )
+    thr = hex_threshold(test_fraction)
+    is_test = (
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.lit(salt),
+                    F.col("user_id").cast("string"),
+                    F.col("item_id").cast("string"),
+                )
+            ),
+            1,
+            8,
+        )
+        < thr
+    )
+    train = tracked_persist(inter.filter(~is_test))
+    test = inter.filter(is_test)
+    deg = train.groupBy("item_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_d")
+    )
+    a = train.select("user_id", F.col("item_id").alias("item_a"))
+    b = train.select("user_id", F.col("item_id").alias("item_b"))
+    cooc = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") != F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+        .filter(F.col("_c") >= min_cooc)
+    )
+    sims = (
+        cooc.join(deg.withColumnRenamed("item_id", "item_a"), "item_a")
+        .withColumnRenamed("_d", "_da")
+        .join(deg.withColumnRenamed("item_id", "item_b"), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            F.expr("(1000000 * _c) DIV (_da + _d - _c)").alias("sim_ppm"),
+        )
+    )
+    scored = (
+        train.join(sims, train.item_id == sims.item_a)
+        .groupBy("user_id", F.col("item_b").alias("rec_id"))
+        .agg(F.sum("sim_ppm").cast("bigint").alias("score"))
+        .join(
+            train.select(
+                "user_id", F.col("item_id").alias("rec_id")
+            ),
+            ["user_id", "rec_id"],
+            "left_anti",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("score").desc(), F.col("rec_id").asc()
+    )
+    recs = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("user_id", "rec_id")
+    )
+    hits = recs.join(
+        test.select("user_id", F.col("item_id").alias("rec_id")),
+        ["user_id", "rec_id"],
+        "left_semi",
+    )
+    test_users = test.select("user_id").distinct()
+    eval_recs = tracked_persist(
+        recs.join(test_users, "user_id", "left_semi")
+    )
+    eval_hits = hits.join(test_users, "user_id", "left_semi")
+    m_r = eval_recs.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_recs"),
+    )
+    m_h = eval_hits.agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    return (
+        m_r.crossJoin(F.broadcast(m_h))
+        .select(
+            "n_users",
+            "n_recs",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_recs > 0 THEN (1000000 * n_hits) DIV n_recs "
+                "END"
+            ).alias("hit_ppm"),
+        )
+    )

@@ -361,14 +361,19 @@ def edge_support(edges: DataFrame, orient: str = "degree") -> DataFrame:
     peel needs them). Output: a, b, support.
     """
     tris = _triangle_triples(edges, orient)
-    tedges = (
-        tris.select(F.col("x").alias("u1"), F.col("y").alias("u2"))
-        .unionByName(tris.select(F.col("x").alias("u1"), F.col("z").alias("u2")))
-        .unionByName(tris.select(F.col("y").alias("u1"), F.col("z").alias("u2")))
+    # ONE pass over the triples: a 3-struct explode (a union of three
+    # selects would re-execute the wedge joins per branch — measured
+    # 15.4 s → ~6 s at sf0.1)
+    e3 = F.array(
+        F.struct(F.col("x").alias("u1"), F.col("y").alias("u2")),
+        F.struct(F.col("x").alias("u1"), F.col("z").alias("u2")),
+        F.struct(F.col("y").alias("u1"), F.col("z").alias("u2")),
     )
     return (
-        tedges.select(
-            F.least("u1", "u2").alias("a"), F.greatest("u1", "u2").alias("b")
+        tris.select(F.explode(e3).alias("_e"))
+        .select(
+            F.least("_e.u1", "_e.u2").alias("a"),
+            F.greatest("_e.u1", "_e.u2").alias("b"),
         )
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
@@ -917,3 +922,51 @@ def pagerank_weighted(
             .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("rank_u6"))
+
+
+def min_plus_paths(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """Bounded-hop WEIGHTED shortest paths — ``rounds`` sweeps of
+    min-plus (tropical) relaxation, the Bellman-Ford step every
+    distributed SSSP implements: from integer seed distances, each
+    sweep relaxes every edge once,
+
+        dist_{r+1}(v) = min(dist_r(v), min_{(u,v,w)} dist_r(u) + w)
+
+    ``min`` is associative/commutative/idempotent, so the result is
+    partition-order-exact with NO tie-break machinery (unlike argmax
+    folds) — the reason weighted BFS stays hash-portable. ``edges``
+    needs (src, dst, w_cost) with nonnegative integer costs (directed;
+    feed both directions for undirected graphs); ``seeds`` needs
+    (node) — distance 0. Nodes unreached within ``rounds`` hops are
+    absent. Output: node, cost.
+
+    Scale: each sweep is one join keyed on src + one min-groupBy on
+    node — the PageRank sweep shape (``pagerank``'s lazy-checkpoint
+    note applies if ``rounds`` grows past ~6; at the default 4 the
+    plan stays shallow). The frontier frame is persisted per sweep
+    (consumed by both the relax join and the carry-union).
+    """
+    dist = seeds.select(
+        F.col("node"), F.lit(0).cast("bigint").alias("cost")
+    ).distinct()
+    pinned: list[DataFrame] = []
+    for _ in range(rounds):
+        dist = tracked_persist(dist)
+        pinned.append(dist)
+        relaxed = (
+            dist.join(edges, dist["node"] == edges["src"])
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("cost") + F.col("w_cost")).alias("cost"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").cast("bigint").alias("cost"))
+        )
+    return dist

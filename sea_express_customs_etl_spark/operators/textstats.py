@@ -720,3 +720,91 @@ def top_terms_per_doc(
         .filter(F.col("_rn") <= k)
         .select(id_col, "term", "score")
     )
+
+
+def phrase_match_topk(
+    df: DataFrame,
+    terms: list[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Positional phrase query — the exact-phrase operator an inverted
+    index alone cannot answer (:func:`inverted_index` stores per-doc
+    presence; phrases need POSITIONS): docs containing the terms as
+    ADJACENT tokens, ranked by occurrence count.
+
+    Postings are built at (doc, position, term) grain over the RAW
+    whitespace split (1-based; empties are NOT filtered — dropping
+    them would renumber positions and break adjacency vs any other
+    consumer of the same tokenization). The phrase is then |terms|−1
+    equi-joins on (doc, pos + offset) — the classic positional-
+    intersection plan; each join is keyed on (doc_id, pos), so
+    candidate lists co-locate and shrink monotonically with each
+    term added. Global top-k is ``orderBy().limit()`` —
+    TakeOrderedAndProject, the distributed map-side-partial top-k
+    (never a single-partition global window). Output: doc_id, n_hits.
+    """
+    if len(terms) < 2:
+        raise ValueError("phrase needs at least two terms")
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("_p0", "term"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "term")
+    cur = toks.filter(F.col("term") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = toks.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        cur = cur.join(nxt, [id_col, "pos"], "left_semi")
+    hits = cur.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return hits.orderBy(F.col("n_hits").desc(), F.col(id_col).asc()).limit(k)
+
+
+def kwic_snippets(
+    df: DataFrame,
+    term: str,
+    context: int = 2,
+    k: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of ``term``
+    with ±``context`` surrounding tokens as a snippet string — the
+    inspection surface reviewers use on retrieval/dedup hits (and the
+    other consumer of positional postings besides
+    :func:`phrase_match_topk`).
+
+    The token array is STAGED as a named column before the positional
+    explode (the CLAUDE.md inline-split rule: an expression referenced
+    per element re-evaluates per element); the snippet is a map-side
+    ``slice`` over that array — 1-based, boundary-clamped — so no
+    second pass over the text. First ``k`` occurrences in (doc, pos)
+    order via TakeOrderedAndProject. Output: doc_id, pos, snippet.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("_arr"),
+    )
+    hits = toks.select(
+        id_col,
+        "_arr",
+        F.posexplode("_arr").alias("_p0", "_tok"),
+    ).filter(F.col("_tok") == term)
+    start = F.greatest(F.lit(1), F.col("_p0") + 1 - context)
+    stop = F.least(F.size("_arr"), F.col("_p0") + 1 + context)
+    return (
+        hits.select(
+            id_col,
+            (F.col("_p0") + 1).alias("pos"),
+            F.concat_ws(
+                " ", F.slice("_arr", start, stop - start + 1)
+            ).alias("snippet"),
+        )
+        .orderBy(F.col(id_col).asc(), F.col("pos").asc())
+        .limit(k)
+    )

@@ -245,3 +245,56 @@ def naive_forecast_mae(
         )
         out = m if out is None else out.unionByName(m)
     return out
+
+
+def seasonal_hour_profile(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: for each
+    (type, hour-of-day) cell, the event count, micro-unit value sum,
+    and the SEASONAL INDEX — the cell's mean value relative to the
+    type's overall mean, in exact integer ppm by cross-multiplication
+    (no float mean ever exists):
+
+        seasonal_ppm = (10⁶ · sum_hod · n_tot) DIV (n_hod · sum_tot)
+
+    1,000,000 = "this hour behaves like the average hour"; the
+    baseline a rate/anomaly monitor divides out before thresholding
+    (the seasonal-adjustment prelude to ``event_rate_spikes``).
+    Products run in DECIMAL(38,0) (10⁶·sum·n overflows int64 at
+    ~10⁹ events/type); all quantities nonnegative, so Spark DIV ≡
+    DuckDB ``//``. Output: event_type, hour_of_day, n_events,
+    sum_value_u6, seasonal_ppm — |types|·24 rows from ONE
+    partial-aggregated shuffle (the totals reaggregate the 24-row
+    frame, not the corpus).
+    """
+    b = events.select(
+        F.col(type_col).alias("event_type"),
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / 3600) % 24)
+        .cast("int")
+        .alias("hour_of_day"),
+        F.round(F.col(value_col) * MICRO).cast("bigint").alias("_v6"),
+    )
+    g = b.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("_v6").alias("sum_value_u6"),
+    )
+    t = g.groupBy("event_type").agg(
+        F.sum("n_events").alias("_n_tot"),
+        F.sum("sum_value_u6").alias("_s_tot"),
+    )
+    seasonal = (
+        "(CAST(1000000 AS DECIMAL(38,0)) * CAST(sum_value_u6 AS DECIMAL(38,0))"
+        " * CAST(_n_tot AS DECIMAL(38,0)))"
+        " DIV (CAST(n_events AS DECIMAL(38,0)) * CAST(_s_tot AS DECIMAL(38,0)))"
+    )
+    return g.join(t, "event_type").select(
+        "event_type",
+        "hour_of_day",
+        "n_events",
+        "sum_value_u6",
+        F.expr(seasonal).cast("bigint").alias("seasonal_ppm"),
+    )

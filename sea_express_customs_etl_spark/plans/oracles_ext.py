@@ -4378,3 +4378,178 @@ SELECT c_mktsegment, n_cust, n_conv,
              6) AS z_score
 FROM seg, tot
 """
+
+
+# bounded min-plus shortest paths (operators/graph.py:min_plus_paths):
+# 4 unrolled relaxation sweeps over cost = 1e6 // cooccurrence count,
+# Brand#11 seeds restricted to graph sources.
+COPURCHASE_CHEAPEST_PATH_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ew AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+         1000000 // count(*) AS w_cost
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= 2),
+s0 AS (
+  SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS cost
+  FROM part
+  WHERE p_brand = 'Brand#11'
+    AND p_partkey IN (SELECT src FROM ew)),
+r1 AS (
+  SELECT node, min(cost)::BIGINT AS cost FROM (
+    SELECT node, cost FROM s0
+    UNION ALL
+    SELECT e.dst, d.cost + e.w_cost FROM ew e JOIN s0 d ON e.src = d.node)
+  GROUP BY 1),
+r2 AS (
+  SELECT node, min(cost)::BIGINT AS cost FROM (
+    SELECT node, cost FROM r1
+    UNION ALL
+    SELECT e.dst, d.cost + e.w_cost FROM ew e JOIN r1 d ON e.src = d.node)
+  GROUP BY 1),
+r3 AS (
+  SELECT node, min(cost)::BIGINT AS cost FROM (
+    SELECT node, cost FROM r2
+    UNION ALL
+    SELECT e.dst, d.cost + e.w_cost FROM ew e JOIN r2 d ON e.src = d.node)
+  GROUP BY 1),
+r4 AS (
+  SELECT node, min(cost)::BIGINT AS cost FROM (
+    SELECT node, cost FROM r3
+    UNION ALL
+    SELECT e.dst, d.cost + e.w_cost FROM ew e JOIN r3 d ON e.src = d.node)
+  GROUP BY 1)
+SELECT node, cost FROM r4
+"""
+
+# CF holdout evaluation (operators/cf.py:cf_holdout_eval): hash
+# split at {thr}, user-grain Jaccard sims (min_cooc=2), top-10 per
+# user, hit-rate over test users. Threshold formatted at lookup.
+CF_HOLDOUT_HITRATE_SQL = """
+WITH inter AS (
+  SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS item_id
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+split AS (
+  SELECT user_id, item_id,
+         substring(md5('cf-holdout' || '|' ||
+                       CAST(user_id AS VARCHAR) || '|' ||
+                       CAST(item_id AS VARCHAR)), 1, 8) < '{thr}'
+             AS is_test
+  FROM inter),
+train AS (SELECT user_id, item_id FROM split WHERE NOT is_test),
+test AS (SELECT user_id, item_id FROM split WHERE is_test),
+deg AS (SELECT item_id, count(*)::BIGINT AS d FROM train GROUP BY 1),
+cooc AS (
+  SELECT a.item_id AS item_a, b.item_id AS item_b,
+         count(*)::BIGINT AS c
+  FROM train a JOIN train b USING (user_id)
+  WHERE a.item_id <> b.item_id
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sims AS (
+  SELECT c.item_a, c.item_b,
+         (1000000 * c.c) // (da.d + db.d - c.c) AS sim_ppm
+  FROM cooc c
+  JOIN deg da ON da.item_id = c.item_a
+  JOIN deg db ON db.item_id = c.item_b),
+scored AS (
+  SELECT t.user_id, s.item_b AS rec_id, sum(s.sim_ppm)::BIGINT AS score
+  FROM train t JOIN sims s ON s.item_a = t.item_id
+  GROUP BY 1, 2),
+cand AS (
+  SELECT sc.* FROM scored sc
+  WHERE NOT EXISTS (SELECT 1 FROM train t
+                    WHERE t.user_id = sc.user_id
+                      AND t.item_id = sc.rec_id)),
+recs AS (
+  SELECT user_id, rec_id FROM (
+    SELECT user_id, rec_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY score DESC, rec_id ASC) AS rn
+    FROM cand) WHERE rn <= 10),
+tu AS (SELECT DISTINCT user_id FROM test),
+er AS (SELECT r.* FROM recs r JOIN tu USING (user_id)),
+eh AS (
+  SELECT r.* FROM er r
+  WHERE EXISTS (SELECT 1 FROM test t
+                WHERE t.user_id = r.user_id AND t.item_id = r.rec_id)),
+m AS (
+  SELECT (SELECT count(DISTINCT user_id) FROM er)::BIGINT AS n_users,
+         (SELECT count(*) FROM er)::BIGINT AS n_recs,
+         (SELECT count(*) FROM eh)::BIGINT AS n_hits)
+SELECT n_users, n_recs, n_hits,
+       CASE WHEN n_recs > 0
+            THEN CAST((1000000 * n_hits) // n_recs AS BIGINT)
+       END AS hit_ppm
+FROM m
+"""
+
+# positional phrase query (operators/textstats.py:phrase_match_topk):
+# 1-based raw-split positions, adjacency semi-joins, global top-20.
+PHRASE_SEARCH_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term,
+         unnest(range(1, len(regexp_split_to_array(trim(lower(text)),
+                                                   '\\s+')) + 1)) AS pos
+  FROM documents),
+p1 AS (SELECT doc_id, pos FROM toks WHERE term = 'hash'),
+p2 AS (SELECT doc_id, pos FROM toks WHERE term = 'join'),
+hits AS (
+  SELECT p1.doc_id, count(*)::BIGINT AS n_hits
+  FROM p1
+  WHERE EXISTS (SELECT 1 FROM p2
+                WHERE p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1)
+  GROUP BY 1)
+SELECT doc_id, n_hits FROM hits
+ORDER BY n_hits DESC, doc_id ASC
+LIMIT 20
+"""
+
+# hour-of-day seasonal index (operators/timeseries.py:
+# seasonal_hour_profile): cell mean vs type mean by integer
+# cross-multiplication, HUGEINT products, floor division both sides.
+EVENT_SEASONAL_PROFILE_SQL = """
+WITH b AS (
+  SELECT event_type,
+         ((CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24)::INTEGER
+             AS hour_of_day,
+         CAST(round(value * 1e6) AS BIGINT) AS v6
+  FROM events),
+g AS (
+  SELECT event_type, hour_of_day, count(*)::BIGINT AS n_events,
+         sum(v6)::BIGINT AS sum_value_u6
+  FROM b GROUP BY 1, 2),
+t AS (
+  SELECT event_type, sum(n_events)::BIGINT AS n_tot,
+         sum(sum_value_u6)::BIGINT AS s_tot
+  FROM g GROUP BY 1)
+SELECT g.event_type, g.hour_of_day, g.n_events, g.sum_value_u6,
+       CAST((1000000::HUGEINT * g.sum_value_u6::HUGEINT * t.n_tot::HUGEINT)
+            // (g.n_events::HUGEINT * t.s_tot::HUGEINT)
+            AS BIGINT) AS seasonal_ppm
+FROM g JOIN t USING (event_type)
+"""
+
+
+# keyword-in-context concordance (operators/textstats.py:
+# kwic_snippets): staged token array, clamped 1-based list slice.
+KWIC_SNIPPETS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+  FROM documents),
+hits AS (
+  SELECT doc_id, arr,
+         unnest(range(1, len(arr) + 1)) AS pos,
+         unnest(arr) AS tok
+  FROM toks)
+SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+       array_to_string(
+         arr[greatest(1, pos - 2):least(len(arr), pos + 2)], ' ')
+           AS snippet
+FROM hits WHERE tok = 'vector'
+ORDER BY doc_id ASC, pos ASC
+LIMIT 50
+"""

@@ -564,3 +564,93 @@ c AS (SELECT s1, s2, s3, count(*)::BIGINT AS n
       FROM s WHERE s3 IS NOT NULL GROUP BY 1, 2, 3)
 SELECT s1, s2, s3, n FROM c ORDER BY n DESC, s1, s2, s3 LIMIT 20
 """
+
+
+# Q17 shape decorrelated (plans/relational.py:small_qty_revenue):
+# threshold cleared by cross-multiplication, no float average.
+SMALL_QTY_REVENUE_SQL = """
+WITH li AS (
+  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS qty,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c
+  FROM lineitem),
+stats AS (
+  SELECT l_partkey, count(*)::BIGINT AS n, sum(qty)::BIGINT AS sq
+  FROM li GROUP BY 1)
+SELECT p.p_brand, count(*)::BIGINT AS n_small_lines,
+       sum(l.price_c)::BIGINT AS revenue_cents
+FROM li l
+JOIN stats s USING (l_partkey)
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * l.qty * s.n < s.sq
+GROUP BY 1
+"""
+
+# cohort LTV (plans/relational.py:cohort_ltv_curve): integer month
+# indexes, exact cents, per-cohort cumulative window at bucket grain.
+COHORT_LTV_CURVE_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rev
+  FROM orders),
+fst AS (SELECT o_custkey, min(mi) AS m0 FROM o GROUP BY 1),
+cells AS (
+  SELECT f.m0 AS cm, o.mi - f.m0 AS offset_months,
+         count(*)::BIGINT AS n_orders, sum(o.rev)::BIGINT AS rev_cents
+  FROM o JOIN fst f USING (o_custkey)
+  GROUP BY 1, 2)
+SELECT CAST((cm // 12) * 100 + (cm % 12 + 1) AS INTEGER) AS cohort_month,
+       CAST(offset_months AS INTEGER) AS offset_months,
+       n_orders, rev_cents,
+       CAST(sum(rev_cents) OVER (PARTITION BY cm ORDER BY offset_months
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_rev_cents
+FROM cells
+"""
+
+# month-over-month revenue per nation (plans/relational.py:
+# nation_revenue_mom): bucket-grain lag, signed delta, ppm ratio.
+NATION_REVENUE_MOM_SQL = """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 100 + month(o_orderdate) AS om,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS rev
+  FROM orders),
+monthly AS (
+  SELECT n.n_name, o.om, sum(o.rev)::BIGINT AS rev_cents
+  FROM o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2),
+lagged AS (
+  SELECT n_name, om, rev_cents,
+         lag(rev_cents) OVER (PARTITION BY n_name ORDER BY om)
+             AS prev_cents
+  FROM monthly)
+SELECT n_name, CAST(om AS INTEGER) AS order_month, rev_cents, prev_cents,
+       rev_cents - prev_cents AS delta_cents,
+       CASE WHEN prev_cents > 0
+            THEN CAST((1000000 * rev_cents) // prev_cents AS BIGINT)
+       END AS ratio_ppm
+FROM lagged
+"""
+
+# EXISTS decorrelation (plans/relational.py:
+# priority_return_exists_counts): Q4 shape on available columns.
+PRIORITY_RETURN_EXISTS_SQL = """
+WITH tot AS (
+  SELECT o_orderpriority, count(*)::BIGINT AS n_orders
+  FROM orders GROUP BY 1),
+ret AS (
+  SELECT o_orderpriority, count(*)::BIGINT AS n_with_return
+  FROM orders o
+  WHERE EXISTS (SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_returnflag = 'R')
+  GROUP BY 1)
+SELECT t.o_orderpriority, t.n_orders,
+       coalesce(r.n_with_return, 0)::BIGINT AS n_with_return,
+       CAST((1000000 * coalesce(r.n_with_return, 0)) // t.n_orders
+            AS BIGINT) AS share_ppm
+FROM tot t LEFT JOIN ret r USING (o_orderpriority)
+"""

@@ -700,3 +700,171 @@ def segment_conversion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_conv",
         F.round(F.when(den > 0, (p1 - p2) / den), 6).alias("z_score"),
     )
+
+
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): revenue locked
+    in lineitems whose quantity is below 20% of the part's average,
+    grouped by brand — the correlated-aggregate-subquery pattern
+    DECORRELATED into one partial-agg + one equi-join (what Catalyst
+    does to Q17, written explicitly so the plan is oracle-stable).
+
+    The 0.2·avg threshold is cleared to exact integers by
+    cross-multiplication: qty < sum_qty/(5·n) ⇔ 5·qty·n < sum_qty
+    (quantities integral after round, all nonnegative) — no float
+    average exists. Output: p_brand, n_small_lines, revenue_cents."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("qty").alias("_sq"),
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(stats, "l_partkey")
+        .filter(F.lit(5) * F.col("qty") * F.col("_n") < F.col("_sq"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+            F.sum("price_c").cast("bigint").alias("revenue_cents"),
+        )
+    )
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: customers cohorted by FIRST order
+    month, then cumulative revenue per cohort across month offsets —
+    the LTV table every subscription/commerce dashboard draws
+    (``cohort_retention``'s revenue sibling).
+
+    Months are integer indexes (year·12 + month − 1), revenue is exact
+    cents; the cumulative window is per cohort over ≤ |months| offset
+    rows (bucket grain — the ``timeseries`` argument), never over
+    orders. Output: cohort_month (int yyyymm), offset_months,
+    n_orders, rev_cents, cum_rev_cents."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "_mi"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_rev"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("_mi").alias("_m0"))
+    cells = (
+        o.join(first, "o_custkey")
+        .groupBy(
+            F.col("_m0").alias("_cm"),
+            (F.col("_mi") - F.col("_m0")).alias("offset_months"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("_rev").alias("rev_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("_cm")
+        .orderBy("offset_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        F.expr("(_cm DIV 12) * 100 + (_cm % 12 + 1)")
+        .cast("int")
+        .alias("cohort_month"),
+        F.col("offset_months").cast("int").alias("offset_months"),
+        "n_orders",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("bigint").alias("cum_rev_cents"),
+    )
+
+
+def nation_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue per nation: monthly order revenue with
+    the prior month's value, absolute delta (signed exact cents) and
+    the current/prior ratio in integer ppm — the KPI-trend query
+    behind every "↑12% vs last month" tile.
+
+    The lag window runs at (nation, month) BUCKET grain (≤ nations ×
+    months rows, one partial-agg shuffle of orders gets there); prior
+    month means prior OBSERVED month for that nation (gap semantics
+    documented — compose with ``events_gapfill_locf``'s spine for
+    calendar-strict gaps). ratio_ppm uses DIV on nonnegative revenue
+    (NULL for the first month); delta is signed plain subtraction —
+    both engines agree without floor/truncate games."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias(
+            "order_month"
+        ),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("_rev"),
+    )
+    monthly = (
+        o.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "order_month")
+        .agg(F.sum("_rev").alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy("order_month")
+    return monthly.select(
+        "n_name",
+        "order_month",
+        "rev_cents",
+        F.lag("rev_cents").over(w).alias("prev_cents"),
+    ).select(
+        "n_name",
+        "order_month",
+        "rev_cents",
+        "prev_cents",
+        (F.col("rev_cents") - F.col("prev_cents")).alias("delta_cents"),
+        F.expr(
+            "CASE WHEN prev_cents > 0 THEN (1000000 * rev_cents) DIV prev_cents END"
+        ).alias("ratio_ppm"),
+    )
+
+
+def priority_return_exists_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXISTS-decorrelation pattern (the TPC-H Q4 shape on available
+    columns): per order priority, how many orders have at least one
+    RETURNED lineitem — the correlated EXISTS rewritten as a left-semi
+    join (Catalyst's own decorrelation, stated explicitly). Share in
+    exact integer ppm. Output: o_orderpriority, n_orders,
+    n_with_return, share_ppm."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    tot = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    ret = (
+        o.join(returned, o.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_with_return"))
+    )
+    return (
+        tot.join(ret, "o_orderpriority", "left")
+        .fillna(0, ["n_with_return"])
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_with_return",
+            F.expr("(1000000 * n_with_return) DIV n_orders").alias(
+                "share_ppm"
+            ),
+        )
+    )

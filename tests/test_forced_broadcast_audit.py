@@ -129,6 +129,10 @@ FORCED_BROADCAST_ALLOWED = {
     #                           license)
     "segment_conversion_ztest",  # pinned 1-row (N, K) totals (the
     #                              1-row license)
+    "nation_revenue_mom",  # pinned nation dim (25 rows — the
+    #                        revenue_by_nation license)
+    "cf_holdout_hitrate",  # pinned 1-row hit-count scalar (the 1-row
+    #                        license)
 }
 
 

@@ -88,6 +88,8 @@ BNLJ_ALLOWED = {
     #                        256-register sketch tables (model-sized)
     "temperature_mix_alloc",  # 1-row Σweight scalar cross-joined
     "segment_conversion_ztest",  # 1-row (N, K) totals cross-joined
+    "cf_holdout_hitrate",  # 1-row hit-count scalar cross-joined into
+    #                        the 1-row metric frame (the 1-row license)
 }
 
 
