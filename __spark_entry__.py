@@ -3366,6 +3366,52 @@ def _q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kwic_snippets(_docs(spark, sf_dir), "vector", context=2, k=50)
 
 
+def _q_stump_split_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine tree training unit: the exact best Gini split of
+    doc length predicting lang=en — integer impurity numerators at
+    distinct-value grain, hash-checked trained artifact."""
+    from sea_express_customs_etl_spark.operators.stump import (
+        best_stump_split,
+    )
+
+    return best_stump_split(
+        _docs(spark, sf_dir),
+        F.length(F.col("text")).cast("bigint"),
+        (F.col("lang") == "en").cast("int"),
+    )
+
+
+def _q_token_vote_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NB-shaped token-vote classifier: cross-multiplied rate votes,
+    majority prediction, resubstitution confusion matrix — trained and
+    applied in one deterministic plan."""
+    from sea_express_customs_etl_spark.operators.nb import (
+        token_vote_confusion,
+    )
+
+    return token_vote_confusion(_docs(spark, sf_dir), F.col("lang") == "en")
+
+
+def _q_daily_active_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: DAU, new users, cumulative distinct via
+    Σ n_new at day-bucket grain (no distinct-over-window state)."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        daily_active_growth,
+    )
+
+    return daily_active_growth(spark, sf_dir)
+
+
+def _q_click_next_purchase_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each click's NEXT purchase via asof_join on
+    negated sort keys — the struct-carry machinery reused verbatim."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        click_next_purchase_fwd_asof,
+    )
+
+    return click_next_purchase_fwd_asof(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3736,6 +3782,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_return_exists": _q_priority_return_exists,
         # keyword-in-context concordance over positional postings
         "kwic_snippets": _q_kwic_snippets,
+        # exact Gini decision stump: trained artifact hash-checked
+        "stump_split_length": _q_stump_split_length,
+        # token-vote classifier: cross-multiplied NB votes + confusion
+        "token_vote_confusion": _q_token_vote_confusion,
+        # growth accounting: DAU / new / cumulative distinct
+        "daily_active_growth": _q_daily_active_growth,
+        # forward as-of: next purchase per click via negated keys
+        "click_next_purchase_fwd": _q_click_next_purchase_fwd,
     }
 
 
@@ -4015,4 +4069,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue_mom": rel.NATION_REVENUE_MOM_SQL,
         "priority_return_exists": rel.PRIORITY_RETURN_EXISTS_SQL,
         "kwic_snippets": ext.KWIC_SNIPPETS_SQL,
+        "stump_split_length": ext.STUMP_SPLIT_LENGTH_SQL,
+        "token_vote_confusion": ext.TOKEN_VOTE_CONFUSION_SQL,
+        "daily_active_growth": ext.DAILY_ACTIVE_GROWTH_SQL,
+        "click_next_purchase_fwd": ext.CLICK_NEXT_PURCHASE_FWD_SQL,
     }

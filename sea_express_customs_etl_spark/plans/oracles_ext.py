@@ -4553,3 +4553,121 @@ FROM hits WHERE tok = 'vector'
 ORDER BY doc_id ASC, pos ASC
 LIMIT 50
 """
+
+
+# exact Gini decision stump (operators/stump.py:best_stump_split):
+# distinct-value cumulants, integer impurity numerators, HUGEINT
+# products, earliest-threshold tie-break.
+STUMP_SPLIT_LENGTH_SQL = """
+WITH base AS (
+  SELECT length(text)::BIGINT AS x,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+cnt AS (SELECT x, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+        FROM base GROUP BY 1),
+cum AS (
+  SELECT x, sum(c) OVER wo AS n_l, sum(p) OVER wo AS p_l,
+         sum(c) OVER () AS nn, sum(p) OVER () AS pp
+  FROM cnt
+  WINDOW wo AS (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+sc AS (
+  SELECT x AS split_value, n_l, nn - n_l AS n_r,
+         (1000000::HUGEINT *
+            ((n_l::HUGEINT * n_l::HUGEINT - p_l::HUGEINT * p_l::HUGEINT
+              - (n_l - p_l)::HUGEINT * (n_l - p_l)::HUGEINT)
+               * (nn - n_l)::HUGEINT
+             + ((nn - n_l)::HUGEINT * (nn - n_l)::HUGEINT
+                - (pp - p_l)::HUGEINT * (pp - p_l)::HUGEINT
+                - ((nn - n_l) - (pp - p_l))::HUGEINT
+                  * ((nn - n_l) - (pp - p_l))::HUGEINT)
+               * n_l::HUGEINT))
+         // (n_l::HUGEINT * (nn - n_l)::HUGEINT * nn::HUGEINT) AS s
+  FROM cum WHERE nn - n_l > 0)
+SELECT split_value, CAST(n_l AS BIGINT) AS n_left,
+       CAST(n_r AS BIGINT) AS n_right, CAST(s AS BIGINT) AS score_u6
+FROM sc ORDER BY s ASC, split_value ASC LIMIT 1
+"""
+
+# token-vote classifier confusion (operators/nb.py:
+# token_vote_confusion): cross-multiplied rate votes, majority
+# prediction, tie -> negative.
+TOKEN_VOTE_CONFUSION_SQL = """
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+t2 AS (SELECT * FROM toks WHERE tok <> ''),
+cnt AS (SELECT tok, sum(y)::BIGINT AS ca, sum(1 - y)::BIGINT AS cb
+        FROM t2 GROUP BY 1),
+tot AS (SELECT sum(ca)::BIGINT AS ta, sum(cb)::BIGINT AS tb FROM cnt),
+votes AS (
+  SELECT tok,
+         CASE WHEN ca::HUGEINT * tb::HUGEINT > cb::HUGEINT * ta::HUGEINT
+              THEN 1
+              WHEN ca::HUGEINT * tb::HUGEINT < cb::HUGEINT * ta::HUGEINT
+              THEN -1
+              ELSE 0 END AS v
+  FROM cnt, tot),
+scored AS (
+  SELECT t.doc_id, t.y,
+         sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS va,
+         sum(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS vb
+  FROM t2 t JOIN votes USING (tok) GROUP BY 1, 2)
+SELECT CAST(CASE WHEN va > vb THEN 1 ELSE 0 END AS INTEGER) AS pred_pos,
+       CAST(y AS INTEGER) AS actual_pos,
+       count(*)::BIGINT AS n_docs
+FROM scored GROUP BY 1, 2
+"""
+
+# growth accounting (plans/relational.py:daily_active_growth):
+# DAU / new / cumulative-distinct via Σ n_new at day-bucket grain.
+DAILY_ACTIVE_GROWTH_SQL = """
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS epoch_day
+  FROM events),
+per_day AS (
+  SELECT epoch_day, count(*)::BIGINT AS n_events FROM ev GROUP BY 1),
+act AS (
+  SELECT epoch_day, count(*)::BIGINT AS n_active
+  FROM (SELECT DISTINCT epoch_day, user_id FROM ev) GROUP BY 1),
+nw AS (
+  SELECT epoch_day, count(*)::BIGINT AS n_new
+  FROM (SELECT user_id, min(epoch_day) AS epoch_day FROM ev GROUP BY 1)
+  GROUP BY 1)
+SELECT p.epoch_day, p.n_events, a.n_active,
+       coalesce(n.n_new, 0)::BIGINT AS n_new,
+       CAST(sum(coalesce(n.n_new, 0))
+              OVER (ORDER BY p.epoch_day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cum_users
+FROM per_day p
+JOIN act a USING (epoch_day)
+LEFT JOIN nw n USING (epoch_day)
+"""
+
+# forward as-of (plans/relational.py:click_next_purchase_fwd_asof):
+# the PURCHASE_LAST_CLICK_ASOF window reversed — descending time,
+# purchases sort before the click at equal ts, earliest id on ties.
+CLICK_NEXT_PURCHASE_FWD_SQL = """
+WITH tagged AS (
+  SELECT user_id, epoch_us(ts) AS tu, event_id, 1 AS side
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, epoch_us(ts), event_id, 0
+  FROM events WHERE event_type = 'purchase'),
+carried AS (
+  SELECT *,
+    last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+        OVER w AS np_id,
+    last_value(CASE WHEN side = 0 THEN tu END IGNORE NULLS)
+        OVER w AS np_tu
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id
+               ORDER BY tu DESC, side ASC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, event_id, tu AS ts_us,
+       np_id AS next_purchase_id, np_tu AS next_purchase_ts_us,
+       np_tu - tu AS lag_us
+FROM carried WHERE side = 1
+"""

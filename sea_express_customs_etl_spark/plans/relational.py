@@ -868,3 +868,104 @@ def priority_return_exists_counts(
             ),
         )
     )
+
+
+def daily_active_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting at day-bucket grain: per day, total events,
+    distinct active users, NEW users (first-ever-seen that day) and
+    the cumulative distinct-user count — the DAU/new-vs-returning
+    panel every product dashboard opens with.
+
+    Cumulative distinct is NOT a distinct-over-window (unbounded state
+    at 100 TB): it's Σ n_new over the day spine — exact because "new"
+    is derived from each user's min(day) (one user-grain partial agg).
+    The cumulative window runs over ≤ |days| bucket rows (the
+    dictionary-grain window license). Output: epoch_day, n_events,
+    n_active, n_new, cum_users."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp(F.col("ts")) / 86400)
+        .cast("bigint")
+        .alias("epoch_day"),
+    )
+    per_day = ev.groupBy("epoch_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+    active = (
+        ev.distinct()
+        .groupBy("epoch_day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    new = (
+        ev.groupBy("user_id")
+        .agg(F.min("epoch_day").alias("epoch_day"))
+        .groupBy("epoch_day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    wall = Window.orderBy("epoch_day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_day.join(active, "epoch_day")
+        .join(new, "epoch_day", "left")
+        .fillna(0, ["n_new"])
+        .select(
+            "epoch_day",
+            "n_events",
+            "n_active",
+            "n_new",
+            F.sum("n_new").over(wall).cast("bigint").alias("cum_users"),
+        )
+    )
+
+
+def click_next_purchase_fwd_asof(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORWARD as-of join: every click attached to the user's NEXT
+    purchase (ts ≥ click ts; ties → earliest purchase id) — the
+    time-to-conversion feature, and the mirror of
+    ``purchase_last_click_asof``. Implemented by feeding
+    ``asof.asof_join`` NEGATED sort keys (backward-asof on −ts ≡
+    forward-asof on ts), so the struct-carry machinery — including
+    the same-row payload guarantee — is reused verbatim. Output:
+    user_id, event_id, ts_us, next_purchase_id, next_purchase_ts_us,
+    lag_us (NULLs when no later purchase)."""
+    from sea_express_customs_etl_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        (-F.col("ts_us")).alias("_nt"),
+        (-F.col("event_id")).alias("_nid"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        (-F.col("ts_us")).alias("_nt"),
+        (-F.col("event_id")).alias("_nid"),
+        F.col("event_id").alias("np_id"),
+        F.col("ts_us").alias("np_ts"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        ["user_id"],
+        "_nt",
+        ["np_id", "np_ts"],
+        tiebreak_col="_nid",
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        F.col("asof_np_id").alias("next_purchase_id"),
+        F.col("asof_np_ts").alias("next_purchase_ts_us"),
+        (F.col("asof_np_ts") - F.col("ts_us")).alias("lag_us"),
+    )

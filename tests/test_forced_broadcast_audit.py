@@ -133,6 +133,7 @@ FORCED_BROADCAST_ALLOWED = {
     #                        revenue_by_nation license)
     "cf_holdout_hitrate",  # pinned 1-row hit-count scalar (the 1-row
     #                        license)
+    "token_vote_confusion",  # pinned 1-row totals (the chi2 license)
 }
 
 

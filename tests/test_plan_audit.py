@@ -90,6 +90,8 @@ BNLJ_ALLOWED = {
     "segment_conversion_ztest",  # 1-row (N, K) totals cross-joined
     "cf_holdout_hitrate",  # 1-row hit-count scalar cross-joined into
     #                        the 1-row metric frame (the 1-row license)
+    "token_vote_confusion",  # 1-row (T_A, T_B) totals cross-joined
+    #                          (the chi2_features license)
 }
 
 

@@ -154,6 +154,10 @@ def cases() -> dict:
         "skipgram_pairs": lambda docs, emb: _skipgrams(docs),
         # classifier eval: training prelude + one conditional-sum scan
         "classifier_confusion": lambda docs, emb: _confusion(docs),
+        # register tables stay |sources|·256 while the token scan x8
+        "hll_pair_overlap": lambda docs, emb: _hllpair(docs),
+        # positional postings x8, candidate lists shrink per join
+        "phrase_search": lambda docs, emb: _phrase(docs),
     }
 
 
@@ -397,7 +401,62 @@ def cases_ev() -> dict:
         # one persisted hourly rollup + two bucket-grain self-joins
         # (hours·types, event-count-independent)
         "forecast_mae": _fmae,
+        "ks_pairs": _ks,
+        "cusum_shift": _cusum,
+        "seasonal_profile": _seasonal,
+        "lag1_autocorr": _autocorr,
     }
+
+
+def _ks(ev):
+    from sea_express_customs_etl_spark.operators.stats_tests import (
+        ks_two_sample,
+    )
+
+    # replication repeats VALUES verbatim -> the distinct (type, value)
+    # dictionary stays 1x while counts grow 8x: probes the
+    # dictionary-grain claim (pair window flat, corpus scan x8)
+    return ks_two_sample(
+        ev, "event_type", F.round(F.col("value") * 1e6).cast("bigint")
+    )
+
+
+def _cusum(ev):
+    from sea_express_customs_etl_spark.operators.stats_tests import (
+        cusum_level_shift,
+    )
+
+    # same hour spine per replica -> bucket frame 1x, scan x8
+    return cusum_level_shift(ev)
+
+
+def _seasonal(ev):
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        seasonal_hour_profile,
+    )
+
+    return seasonal_hour_profile(ev)
+
+
+def _autocorr(ev):
+    from sea_express_customs_etl_spark.operators.stats_tests import (
+        lag1_autocorr,
+    )
+
+    # user ids shift per replica -> 8x independent bounded series
+    return lag1_autocorr(
+        ev.select(
+            "user_id",
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            "event_id",
+            F.round(F.col("value") * 1000).alias("v3"),
+        ),
+        ["user_id", "event_type"],
+        ["ts_us", "event_id"],
+        F.col("v3"),
+        "event_type",
+    )
 
 
 def _fmae(ev):
@@ -531,6 +590,73 @@ def cases_li() -> dict:
 
         return item_item_jaccard(li, min_cooc=2, k=5)
 
+    def _esupport(li):
+        from sea_express_customs_etl_spark.operators.graph import edge_support
+
+        return edge_support(copurchase_edges(li))
+
+    def _cheapest(li):
+        from sea_express_customs_etl_spark.operators.graph import (
+            min_plus_paths,
+        )
+
+        items = li.select("l_orderkey", "l_partkey").distinct()
+        a, b = items.alias("a"), items.alias("b")
+        ew = (
+            a.join(b, "l_orderkey")
+            .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+            .groupBy(
+                F.col("a.l_partkey").alias("src"),
+                F.col("b.l_partkey").alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("_w"))
+            .filter(F.col("_w") >= 2)
+            .select("src", "dst", F.expr("1000000 DIV _w").alias("w_cost"))
+        )
+        seeds = ew.select(F.col("src").alias("node")).filter(
+            F.col("node") % 25 == 11
+        ).distinct()
+        return min_plus_paths(ew, seeds, rounds=4)
+
+    def _cfeval(li):
+        from sea_express_customs_etl_spark.operators.cf import (
+            cf_holdout_eval,
+        )
+
+        # orderkey as the pseudo-user: same (user, item) shape/grain
+        inter = li.select(
+            F.col("l_orderkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        return cf_holdout_eval(inter, test_fraction=0.25, min_cooc=2, k=10)
+
+    def _spearman(li):
+        from sea_express_customs_etl_spark.operators.stats_tests import (
+            spearman_by_group,
+        )
+
+        q = li.select(
+            "l_returnflag",
+            F.round(F.col("l_quantity")).cast("bigint").alias("qty"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        return spearman_by_group(q, "l_returnflag", "qty", "price_c")
+
+    def _band(li):
+        from sea_express_customs_etl_spark.operators.bandjoin import (
+            band_pair_counts,
+        )
+
+        q = li.select(
+            F.col("l_returnflag").alias("k"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("v"),
+        )
+        return band_pair_counts(q, "k", "v", eps=25)
+
     def _lpa(li):
         from sea_express_customs_etl_spark.operators.graph import (
             label_propagation,
@@ -578,6 +704,11 @@ def cases_li() -> dict:
         # two period-sliced graph builds + ONE edge-grain full-outer
         # flag join: 8× disjoint copies → edge sets ×8, diff linear
         "edge_churn": _churn,
+        "edge_support_degree": _esupport,
+        "cheapest_path": _cheapest,
+        "cf_holdout_eval": _cfeval,
+        "spearman_qty_price": _spearman,
+        "band_pairs_prices": _band,
         # one (a, b) pair count + marginal join-backs + 1-row total —
         # the chi2 mergeable-state class
         "categorical_lift": _lift,
@@ -739,6 +870,28 @@ def cases_tfidf() -> dict:
         # model state stays k·dim
         "hashed_doc_clusters": lambda docs, emb: _hclust(docs),
     }
+
+
+def _hllpair(docs):
+    from sea_express_customs_etl_spark.operators.sketches import (
+        hll_pair_overlap,
+    )
+
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias(
+            "tok"
+        ),
+    )
+    return hll_pair_overlap(toks, "tok", "source")
+
+
+def _phrase(docs):
+    from sea_express_customs_etl_spark.operators.textstats import (
+        phrase_match_topk,
+    )
+
+    return phrase_match_topk(docs, ["hash", "join"], k=20)
 
 
 def _hclust(docs):
