@@ -970,3 +970,124 @@ def min_plus_paths(
             .agg(F.min("cost").cast("bigint").alias("cost"))
         )
     return dist
+
+
+def truss_peel(
+    edges: DataFrame, k: int = 3, rounds: int = 2
+) -> DataFrame:
+    """Bounded k-truss peel: each round recounts per-edge triangle
+    support (:func:`edge_support`) over the SURVIVING subgraph and
+    drops edges with support < k−2 — the truss decomposition's inner
+    loop, run a fixed number of rounds (the ``kcore`` sieve license:
+    production adds the convergence probe; the fixed-round form is the
+    oracle-checked trajectory).
+
+    Each round's support must be recomputed — dropping an edge can
+    break OTHER edges' triangles, which is the whole point of the
+    peel (a one-shot support filter over-keeps). Output: the edges
+    surviving ``rounds`` rounds, annotated with the LAST round's
+    support (computed before that round's drop). Cost per round is one
+    triangle enumeration over a shrinking graph.
+    """
+    e = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).filter(F.col("a") != F.col("b")).distinct()
+    sup = None
+    for _ in range(rounds):
+        sup = edge_support(
+            e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        ).filter(F.col("support") >= k - 2)
+        sup = tracked_persist(sup)
+        e = sup.select("a", "b")
+    return sup
+
+
+def centroid_affinity(
+    emb: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairwise cosine affinity between GROUP CENTROIDS — "how close
+    are my sources/classes in embedding space?", the
+    mixture/contamination diagnostic at the embedding level (the
+    vector-space sibling of ``source_vocab_overlap``).
+
+    Centroids are FLOOR-MEAN integer vectors in milli-units (the
+    ``kmeans_fit_q`` discipline: component = Σv₃ DIV n with the
+    shift-to-nonnegative floor so Spark's truncating DIV matches
+    DuckDB's floor //) — bounded by ±1000 BY CONSTRUCTION, so every
+    downstream product (dot, squared norms, the cos² ppm
+    cross-multiplication) is int64-safe at ANY corpus size: the
+    capacity bound lives on the model, not the data. Affinity is
+    emitted exactly as sign(dot) + cos²·10⁶ DIV (|a|²·|b|²) — the
+    sign-split r² trick (``ols_by_group``), no sqrt.
+
+    Scale: one (group, idx) partial-agg shuffle over the exploded
+    vectors; everything after — centroid table (|groups|·dim), the
+    idx-keyed pair join, the per-pair fold — is model-sized.
+    Output: g_a, g_b, dot_sign, cos2_ppm.
+    """
+    off = 2000  # shift makes the DIV numerator nonneg: truncate ≡ floor
+    comp = (
+        emb.select(
+            F.col(group_col).alias("_g"),
+            F.posexplode(F.col(vec_col)).alias("idx", "_v"),
+        )
+        .select(
+            "_g",
+            "idx",
+            # double-side multiply before round — the quantize_u6 idiom
+            # (float32*int would round differently than DuckDB's
+            # x * 1000.0 double promotion)
+            F.round(F.col("_v").cast("double") * 1000.0)
+            .cast("bigint")
+            .alias("_v3"),
+        )
+        .groupBy("_g", "idx")
+        .agg(
+            F.sum("_v3").alias("_s"),
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+        )
+        .select(
+            "_g",
+            "idx",
+            (
+                F.expr(f"(_s + {off} * _n) DIV _n") - F.lit(off)
+            ).alias("m"),
+        )
+    )
+    a = comp.select(
+        F.col("_g").alias("g_a"), "idx", F.col("m").alias("_ma")
+    )
+    b = comp.select(
+        F.col("_g").alias("g_b"), "idx", F.col("m").alias("_mb")
+    )
+    pair = (
+        a.join(b, "idx")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.sum(F.col("_ma") * F.col("_mb")).alias("_dot"))
+    )
+    norms = comp.groupBy("_g").agg(
+        F.sum(F.col("m") * F.col("m")).alias("_n2")
+    )
+    return (
+        pair.join(norms.withColumnRenamed("_g", "g_a"), "g_a")
+        .withColumnRenamed("_n2", "_na2")
+        .join(norms.withColumnRenamed("_g", "g_b"), "g_b")
+        .select(
+            "g_a",
+            "g_b",
+            F.signum(F.col("_dot")).cast("int").alias("dot_sign"),
+            F.expr(
+                "CASE WHEN _na2 > 0 AND _n2 > 0 THEN "
+                "(CAST(1000000 AS DECIMAL(38,0))"
+                " * CAST(_dot AS DECIMAL(38,0))"
+                " * CAST(_dot AS DECIMAL(38,0)))"
+                " DIV (CAST(_na2 AS DECIMAL(38,0))"
+                " * CAST(_n2 AS DECIMAL(38,0))) END"
+            )
+            .cast("bigint")
+            .alias("cos2_ppm"),
+        )
+    )

@@ -298,3 +298,64 @@ def seasonal_hour_profile(
         "sum_value_u6",
         F.expr(seasonal).cast("bigint").alias("seasonal_ppm"),
     )
+
+
+def floored_running_balance(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    delta_col: Column,
+) -> DataFrame:
+    """Running balance FLOORED AT ZERO — the Lindley recursion
+    (``b_k = max(0, b_{k-1} + x_k)``: queue depth, inventory on hand,
+    prepaid credit), which looks un-distributable because each step
+    depends on the clamped previous one, made window-parallel by the
+    closed form of the recursion:
+
+        b_k = S_k − min(0, min_{j≤k} S_j)
+
+    (S = plain prefix sum; subtracting the most negative prefix is
+    exactly the reflection at the zero boundary). Two standard
+    cumulative windows per series — no recursion, no UDF, exact
+    integers. Per-series window state is bounded by the series, the
+    same license as every per-user window in the events family.
+
+    Output: the input's partition/order columns plus ``delta``,
+    ``balance`` (the clamped running value) and ``high_water`` (the
+    running max of the clamped balance — max_k b_k is itself
+    ``max(0, max_j (S_j − min(0, min_{i≤j} S_i)))``, computed as a
+    third window over the derived column).
+    """
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    staged = df.select(
+        *part_cols,
+        *order_cols,
+        delta_col.alias("delta"),
+    ).select(
+        *part_cols,
+        *order_cols,
+        "delta",
+        F.sum("delta").over(w).alias("_s"),
+    )
+    s = staged.select(
+        *part_cols,
+        *order_cols,
+        "delta",
+        "_s",
+        F.min(F.least(F.col("_s"), F.lit(0))).over(w).alias("_floor"),
+    )
+    b = s.select(
+        *part_cols,
+        *order_cols,
+        "delta",
+        (F.col("_s") - F.col("_floor")).cast("bigint").alias("balance"),
+    )
+    return b.select(
+        *part_cols,
+        *order_cols,
+        "delta",
+        "balance",
+        F.max("balance").over(w).cast("bigint").alias("high_water"),
+    )

@@ -4671,3 +4671,97 @@ SELECT user_id, event_id, tu AS ts_us,
        np_tu - tu AS lag_us
 FROM carried WHERE side = 1
 """
+
+
+# bounded truss peel (operators/graph.py:truss_peel): two unrolled
+# support-recount rounds, k-2 = 1, over the min_weight=2 graph.
+COPURCHASE_TRUSS_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ew AS (
+  SELECT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+e0 AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+       FROM ew),
+t1 AS (
+  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+  FROM e0 ab
+  JOIN e0 bc ON bc.a = ab.b
+  JOIN e0 ac ON ac.a = ab.a AND ac.b = bc.b),
+s1 AS (
+  SELECT a, b, count(*)::BIGINT AS support FROM (
+    SELECT x AS a, y AS b FROM t1
+    UNION ALL SELECT x, z FROM t1
+    UNION ALL SELECT y, z FROM t1)
+  GROUP BY 1, 2 HAVING count(*) >= 1),
+e1 AS (SELECT a, b FROM s1),
+t2 AS (
+  SELECT ab.a AS x, ab.b AS y, bc.b AS z
+  FROM e1 ab
+  JOIN e1 bc ON bc.a = ab.b
+  JOIN e1 ac ON ac.a = ab.a AND ac.b = bc.b),
+s2 AS (
+  SELECT a, b, count(*)::BIGINT AS support FROM (
+    SELECT x AS a, y AS b FROM t2
+    UNION ALL SELECT x, z FROM t2
+    UNION ALL SELECT y, z FROM t2)
+  GROUP BY 1, 2 HAVING count(*) >= 1)
+SELECT a, b, support FROM s2
+"""
+
+# Lindley balance (operators/timeseries.py:floored_running_balance):
+# reflection closed form b_k = S_k - min(0, min prefix S).
+USER_CREDIT_BALANCE_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         CASE WHEN event_type = 'purchase'
+              THEN -CAST(round(value * 1000) AS BIGINT)
+              ELSE CAST(round(value * 1000) AS BIGINT) END AS delta
+  FROM events),
+s AS (
+  SELECT *, sum(delta) OVER w AS s1 FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+b AS (
+  SELECT user_id, ts_us, event_id, delta,
+         CAST(s1 - min(least(s1, 0)) OVER w AS BIGINT) AS balance
+  FROM s
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT user_id, ts_us, event_id, delta, balance,
+       CAST(max(balance) OVER w AS BIGINT) AS high_water
+FROM b
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+# centroid affinity (operators/graph.py:centroid_affinity): floor-mean
+# milli-unit centroids (shifted DIV == floor //), sign-split cos² ppm.
+LABEL_CENTROID_AFFINITY_SQL = """
+WITH c0 AS (
+  SELECT label AS g,
+         unnest(range(1, len(embedding) + 1)) AS idx,
+         unnest(embedding) AS v
+  FROM embeddings),
+q AS (SELECT g, idx, CAST(round(v * 1000.0) AS BIGINT) AS v3 FROM c0),
+comp AS (
+  SELECT g, idx, sum(v3)::BIGINT AS s, count(*)::BIGINT AS n
+  FROM q GROUP BY 1, 2),
+cent AS (SELECT g, idx, (s + 2000 * n) // n - 2000 AS m FROM comp),
+pair AS (
+  SELECT a.g AS g_a, b.g AS g_b, sum(a.m * b.m)::BIGINT AS dot
+  FROM cent a JOIN cent b USING (idx)
+  WHERE a.g < b.g GROUP BY 1, 2),
+norms AS (SELECT g, sum(m * m)::BIGINT AS n2 FROM cent GROUP BY 1)
+SELECT p.g_a, p.g_b,
+       CAST(CASE WHEN dot > 0 THEN 1 WHEN dot < 0 THEN -1
+                 ELSE 0 END AS INTEGER) AS dot_sign,
+       CASE WHEN na.n2 > 0 AND nb.n2 > 0 THEN
+         CAST((1000000::HUGEINT * dot::HUGEINT * dot::HUGEINT)
+              // (na.n2::HUGEINT * nb.n2::HUGEINT) AS BIGINT)
+       END AS cos2_ppm
+FROM pair p
+JOIN norms na ON na.g = p.g_a
+JOIN norms nb ON nb.g = p.g_b
+"""
