@@ -3463,6 +3463,76 @@ def _q_label_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return centroid_affinity(_emb(spark, sf_dir))
 
 
+def _q_order_basket_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact small-set similarity join: order pairs whose item sets
+    differ by ≤ 2 elements, via deletion-neighborhood blocking
+    (SSJoin/FastSS) — linear key volume, residual verify."""
+    from sea_express_customs_etl_spark.operators.setjoin import (
+        deletion_neighbor_pairs,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return deletion_neighbor_pairs(li, "l_orderkey", "l_partkey")
+
+
+def _q_event_run_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly persistence: gaps-and-islands run lengths of
+    above-type-mean values within per-user series — rn-difference
+    islands, cross-multiplied mean threshold."""
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        above_mean_run_stats,
+    )
+
+    return above_mean_run_stats(load_table(spark, sf_dir, "events"))
+
+
+def _q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: customers needed to reach 80% of revenue
+    — two-phase global cumsum (never a single-partition window over
+    customers), cross-multiplied 80% threshold."""
+    from sea_express_customs_etl_spark.operators.ranking import (
+        global_cumsum,
+    )
+
+    cr = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    cs = global_cumsum(
+        cr,
+        [F.col("rev_c").desc(), F.col("o_custkey").asc()],
+        "rev_c",
+        "cum_c",
+    )
+    tot = cr.agg(
+        F.sum("rev_c").cast("bigint").alias("_t"),
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+    )
+    d38 = "decimal(38,0)"
+    j = cs.crossJoin(F.broadcast(tot)).select(
+        F.col("_n"),
+        (
+            F.lit(5).cast(d38) * F.col("cum_c").cast(d38)
+            < F.lit(4).cast(d38) * F.col("_t").cast(d38)
+        ).cast("int").alias("_before"),
+    )
+    agg = j.groupBy("_n").agg(
+        (F.sum("_before") + 1).cast("bigint").alias("n_to_80pct")
+    )
+    return agg.select(
+        F.col("_n").alias("n_customers"),
+        "n_to_80pct",
+        F.expr("(1000000 * n_to_80pct) DIV _n")
+        .cast("bigint")
+        .alias("pareto_ppm"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3847,6 +3917,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_credit_balance": _q_user_credit_balance,
         # embedding-space slice similarity: centroid cos2 ppm
         "label_centroid_affinity": _q_label_centroid_affinity,
+        # deletion-neighborhood exact set-similarity join
+        "order_basket_near_dups": _q_order_basket_near_dups,
+        # gaps-and-islands: above-mean run persistence per type
+        "event_run_stats": _q_event_run_stats,
+        # Pareto concentration: customers to 80% of revenue
+        "revenue_pareto": _q_revenue_pareto,
     }
 
 
@@ -4133,4 +4209,7 @@ def oracle_sql() -> dict[str, str]:
         "copurchase_truss": ext.COPURCHASE_TRUSS_SQL,
         "user_credit_balance": ext.USER_CREDIT_BALANCE_SQL,
         "label_centroid_affinity": ext.LABEL_CENTROID_AFFINITY_SQL,
+        "order_basket_near_dups": ext.ORDER_BASKET_NEAR_DUPS_SQL,
+        "event_run_stats": ext.EVENT_RUN_STATS_SQL,
+        "revenue_pareto": ext.REVENUE_PARETO_SQL,
     }

@@ -281,7 +281,10 @@ def cf_holdout_eval(
     w = Window.partitionBy("user_id").orderBy(
         F.col("score").desc(), F.col("rec_id").asc()
     )
-    recs = (
+    # persisted: the ranked recommendation frame feeds BOTH the hit
+    # join and the metric counts (the >=2-consumers rule — without the
+    # pin the scoring joins + window re-execute per consumer)
+    recs = tracked_persist(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select("user_id", "rec_id")
@@ -292,9 +295,7 @@ def cf_holdout_eval(
         "left_semi",
     )
     test_users = test.select("user_id").distinct()
-    eval_recs = tracked_persist(
-        recs.join(test_users, "user_id", "left_semi")
-    )
+    eval_recs = recs.join(test_users, "user_id", "left_semi")
     eval_hits = hits.join(test_users, "user_id", "left_semi")
     m_r = eval_recs.agg(
         F.count_distinct("user_id").cast("bigint").alias("n_users"),

@@ -359,3 +359,75 @@ def floored_running_balance(
         "balance",
         F.max("balance").over(w).cast("bigint").alias("high_water"),
     )
+
+
+def above_mean_run_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Gaps-and-islands over value series: per event type, statistics
+    of CONSECUTIVE RUNS of above-type-mean values within each user's
+    series — anomaly PERSISTENCE (one hot reading is noise; five in a
+    row is an incident), the run-length complement of the pointwise
+    outlier screens (sigma/MAD).
+
+    The above-mean predicate is cleared by cross-multiplication
+    (value·n_type > Σ_type, micro-units — no float mean); islands use
+    the classic row_number difference: rn(series) − rn(series ∩ above)
+    is constant exactly within a maximal above-run. Both windows are
+    per-(user, type) — bounded series state; the type totals join is a
+    |types|-row equi-join. Output per type: n_runs, max_run_len,
+    n_runs_ge3, longest-run tie broken by earliest (user, start id)
+    implicitly via max aggregation (length only — positions stay
+    distributed).
+    """
+    ev = events.select(
+        F.col(type_col).alias("event_type"),
+        F.col(user_col).alias("_u"),
+        F.unix_micros(F.col(ts_col)).alias("_tu"),
+        F.col(id_col).alias("_id"),
+        F.round(F.col(value_col) * 1_000_000).cast("bigint").alias("_v6"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n"),
+        F.sum("_v6").alias("_s"),
+    )
+    d38 = "decimal(38,0)"
+    flagged = ev.join(tot, "event_type").select(
+        "event_type",
+        "_u",
+        "_tu",
+        "_id",
+        (
+            F.col("_v6").cast(d38) * F.col("_n").cast(d38)
+            > F.col("_s").cast(d38)
+        ).alias("_above"),
+    )
+    w_all = Window.partitionBy("event_type", "_u").orderBy("_tu", "_id")
+    w_above = Window.partitionBy("event_type", "_u", "_above").orderBy(
+        "_tu", "_id"
+    )
+    runs = (
+        flagged.select(
+            "event_type",
+            "_u",
+            "_above",
+            (F.row_number().over(w_all) - F.row_number().over(w_above)).alias(
+                "_island"
+            ),
+        )
+        .filter(F.col("_above"))
+        .groupBy("event_type", "_u", "_island")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_len"))
+    )
+    return runs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("_len").alias("max_run_len"),
+        F.sum(F.when(F.col("_len") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_runs_ge3"),
+    )

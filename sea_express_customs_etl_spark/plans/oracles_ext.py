@@ -4765,3 +4765,79 @@ FROM pair p
 JOIN norms na ON na.g = p.g_a
 JOIN norms nb ON nb.g = p.g_b
 """
+
+
+# deletion-neighborhood set join (operators/setjoin.py): the oracle
+# verifies the RESULT the direct way — pairs sharing >= 1 item within
+# one deletion per side (blocking is a plan property).
+ORDER_BASKET_NEAR_DUPS_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS id, l_partkey AS it FROM lineitem),
+sz AS (SELECT id, count(*)::BIGINT AS n FROM items GROUP BY 1),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_common
+  FROM items a JOIN items b ON a.it = b.it AND a.id < b.id
+  GROUP BY 1, 2)
+SELECT c.id_a, c.id_b,
+       CAST(sa.n AS INTEGER) AS size_a, CAST(sb.n AS INTEGER) AS size_b,
+       CAST(c.n_common AS INTEGER) AS n_common,
+       CAST(sa.n + sb.n - 2 * c.n_common AS INTEGER) AS sym_diff
+FROM common c
+JOIN sz sa ON sa.id = c.id_a
+JOIN sz sb ON sb.id = c.id_b
+WHERE sa.n - c.n_common <= 1 AND sb.n - c.n_common <= 1
+"""
+
+# gaps-and-islands run stats (operators/timeseries.py:
+# above_mean_run_stats): rn-difference islands per (type, user),
+# cross-multiplied above-mean predicate.
+EVENT_RUN_STATS_SQL = """
+WITH ev AS (
+  SELECT event_type, user_id, epoch_us(ts) AS tu, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS v6
+  FROM events),
+tot AS (
+  SELECT event_type, count(*)::BIGINT AS n, sum(v6)::BIGINT AS s
+  FROM ev GROUP BY 1),
+flagged AS (
+  SELECT e.event_type, e.user_id, e.tu, e.event_id,
+         e.v6::HUGEINT * t.n::HUGEINT > t.s::HUGEINT AS above
+  FROM ev e JOIN tot t USING (event_type)),
+isl AS (
+  SELECT event_type, user_id, above,
+         row_number() OVER (PARTITION BY event_type, user_id
+                            ORDER BY tu, event_id)
+         - row_number() OVER (PARTITION BY event_type, user_id, above
+                              ORDER BY tu, event_id) AS island
+  FROM flagged),
+runs AS (
+  SELECT event_type, user_id, island, count(*)::BIGINT AS len
+  FROM isl WHERE above GROUP BY 1, 2, 3)
+SELECT event_type, count(*)::BIGINT AS n_runs,
+       max(len)::BIGINT AS max_run_len,
+       sum(CASE WHEN len >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_runs_ge3
+FROM runs GROUP BY 1
+"""
+
+# Pareto concentration (revenue_pareto in __spark_entry__.py):
+# customers to 80% of revenue, cross-multiplied threshold.
+REVENUE_PARETO_SQL = """
+WITH cr AS (
+  SELECT o_custkey,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT AS rev_c
+  FROM orders GROUP BY 1),
+cs AS (
+  SELECT *, sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c
+  FROM cr),
+tot AS (SELECT sum(rev_c)::BIGINT AS t, count(*)::BIGINT AS n FROM cr),
+agg AS (
+  SELECT n,
+         CAST(sum(CASE WHEN 5::HUGEINT * cum_c::HUGEINT
+                            < 4::HUGEINT * t::HUGEINT
+                       THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_to_80pct
+  FROM cs, tot GROUP BY n)
+SELECT n AS n_customers, n_to_80pct,
+       CAST((1000000 * n_to_80pct) // n AS BIGINT) AS pareto_ppm
+FROM agg
+"""

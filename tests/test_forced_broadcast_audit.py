@@ -134,6 +134,8 @@ FORCED_BROADCAST_ALLOWED = {
     "cf_holdout_hitrate",  # pinned 1-row hit-count scalar (the 1-row
     #                        license)
     "token_vote_confusion",  # pinned 1-row totals (the chi2 license)
+    "revenue_pareto",  # pinned 1-row totals + |partitions|-row cumsum
+    #                    offsets (the global_rank/pps license)
 }
 
 

@@ -92,6 +92,9 @@ BNLJ_ALLOWED = {
     #                        the 1-row metric frame (the 1-row license)
     "token_vote_confusion",  # 1-row (T_A, T_B) totals cross-joined
     #                          (the chi2_features license)
+    "revenue_pareto",  # 1-row (total, n) scalar cross-joined +
+    #                    |partitions|-row cumsum offsets (the
+    #                    global_rank/pps license)
 }
 
 

@@ -613,6 +613,11 @@ def cases_li() -> dict:
             .filter(F.col("_w") >= 2)
             .select("src", "dst", F.expr("1000000 DIV _w").alias("w_cost"))
         )
+        from sea_express_customs_etl_spark.plans.cache import (
+            tracked_persist as _tp,
+        )
+
+        ew = _tp(ew)  # one scan per sweep — matches the production query
         seeds = ew.select(F.col("src").alias("node")).filter(
             F.col("node") % 25 == 11
         ).distinct()
