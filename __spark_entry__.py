@@ -3533,6 +3533,71 @@ def _q_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line peak sessions: max concurrent 5-minute event windows
+    per type via the two-phase global cumsum over +1/−1 boundaries —
+    ends before starts at equal instants."""
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        peak_concurrency,
+    )
+
+    return peak_concurrency(
+        load_table(spark, sf_dir, "events"), duration_us=300_000_000
+    )
+
+
+def _q_user_behavior_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Gini-Simpson diversity of event types in exact ppm —
+    1e6·(n² − Σc²) DIV n², the log-free diversity index."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_c")
+    )
+    return (
+        c.groupBy("user_id")
+        .agg(
+            F.sum("_c").cast("bigint").alias("n_events"),
+            F.sum(F.col("_c") * F.col("_c")).cast("bigint").alias("_sq"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.expr(
+                "(1000000 * (n_events * n_events - _sq))"
+                " DIV (n_events * n_events)"
+            )
+            .cast("bigint")
+            .alias("diversity_ppm"),
+        )
+    )
+
+
+def _q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors: item pairs in EACH OTHER'S CF top-5 —
+    the reciprocal-match primitive (SemDeDup cluster merging, mutual-NN
+    matching) composed from item_item_jaccard's ranked lists."""
+    from sea_express_customs_etl_spark.operators.cf import item_item_jaccard
+
+    sims = _tracked_persist(
+        item_item_jaccard(
+            load_table(spark, sf_dir, "lineitem"), min_cooc=2, k=5
+        )
+    )  # both sides of the reciprocal join
+    rev = sims.select(
+        F.col("rec_id").alias("item_id"),
+        F.col("item_id").alias("rec_id"),
+    )
+    return (
+        sims.join(rev, ["item_id", "rec_id"], "left_semi")
+        .filter(F.col("item_id") < F.col("rec_id"))
+        .select(
+            F.col("item_id").alias("item_a"),
+            F.col("rec_id").alias("item_b"),
+            "sim_ppm",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3923,6 +3988,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_run_stats": _q_event_run_stats,
         # Pareto concentration: customers to 80% of revenue
         "revenue_pareto": _q_revenue_pareto,
+        # sweep-line peak concurrency via two-phase grouped cumsum
+        "peak_concurrency": _q_peak_concurrency,
+        # Gini-Simpson behavioral diversity per user, exact ppm
+        "user_behavior_diversity": _q_user_behavior_diversity,
+        # reciprocal best matches: pairs in each other's CF top-5
+        "mutual_knn_pairs": _q_mutual_knn_pairs,
     }
 
 
@@ -4212,4 +4283,7 @@ def oracle_sql() -> dict[str, str]:
         "order_basket_near_dups": ext.ORDER_BASKET_NEAR_DUPS_SQL,
         "event_run_stats": ext.EVENT_RUN_STATS_SQL,
         "revenue_pareto": ext.REVENUE_PARETO_SQL,
+        "peak_concurrency": ext.PEAK_CONCURRENCY_SQL,
+        "user_behavior_diversity": ext.USER_BEHAVIOR_DIVERSITY_SQL,
+        "mutual_knn_pairs": ext.MUTUAL_KNN_PAIRS_SQL,
     }

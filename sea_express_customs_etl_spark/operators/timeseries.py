@@ -431,3 +431,71 @@ def above_mean_run_stats(
         .cast("bigint")
         .alias("n_runs_ge3"),
     )
+
+
+def peak_concurrency(
+    events: DataFrame,
+    duration_us: int,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Maximum concurrent intervals per type — the classic sweep-line
+    ("meeting rooms" / peak sessions) query: each event occupies
+    [ts, ts + duration), and the peak of the +1/−1 boundary prefix sum
+    is both the max concurrency and the minimum resource count that
+    admits the schedule.
+
+    The sweep's prefix sum is GLOBAL per type over 2·|events|
+    boundaries — corpus-sized, so it runs through the two-phase
+    ``ranking.global_cumsum`` (range shuffle + bounded windows +
+    model-sized offsets), never a per-type single-partition window.
+    Because every interval contributes a balanced (+1, −1) pair, each
+    type's total delta is ZERO, so the cumsum under the composite
+    (type, t, delta, id) total order needs no per-group offset
+    correction — the group boundary always crosses at zero (asserted
+    by the balanced-pair construction, not at runtime). Boundary
+    ordering: ends sort before starts at the same instant (−1 < +1),
+    so back-to-back intervals do not double-count; id breaks remaining
+    ties. Output: event_type, peak_concurrency, peak_t_us (earliest
+    instant attaining the peak).
+    """
+    from .ranking import global_cumsum
+
+    ev = events.select(
+        F.col(type_col).alias("event_type"),
+        F.expr(f"unix_micros({ts_col})").alias("_t"),
+        F.col(id_col).alias("_id"),
+    )
+    bnd = ev.select(
+        "event_type", "_t", F.lit(1).alias("_delta"), "_id"
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("_t") + F.lit(duration_us)).alias("_t"),
+            F.lit(-1).alias("_delta"),
+            "_id",
+        )
+    )
+    cum = tracked_persist(
+        global_cumsum(
+            bnd,
+            [
+                F.col("event_type"),
+                F.col("_t"),
+                F.col("_delta"),
+                F.col("_id"),
+            ],
+            "_delta",
+            "cum",
+        )
+    )  # two consumers: the peak aggregate and the argmin filter join
+    peak = cum.groupBy("event_type").agg(
+        F.max("cum").cast("bigint").alias("peak_concurrency")
+    )
+    return (
+        cum.join(peak, "event_type")
+        .filter(F.col("cum") == F.col("peak_concurrency"))
+        .groupBy("event_type", "peak_concurrency")
+        .agg(F.min("_t").cast("bigint").alias("peak_t_us"))
+    )

@@ -4841,3 +4841,75 @@ SELECT n AS n_customers, n_to_80pct,
        CAST((1000000 * n_to_80pct) // n AS BIGINT) AS pareto_ppm
 FROM agg
 """
+
+
+# sweep-line peak concurrency (operators/timeseries.py:
+# peak_concurrency): +1/-1 boundaries, ends before starts at equal
+# instants, earliest peak instant.
+PEAK_CONCURRENCY_SQL = """
+WITH bnd AS (
+  SELECT event_type, epoch_us(ts) AS t, 1 AS delta, event_id AS id
+  FROM events
+  UNION ALL
+  SELECT event_type, epoch_us(ts) + 300000000, -1, event_id
+  FROM events),
+c AS (
+  SELECT event_type, t, delta,
+         sum(delta) OVER (PARTITION BY event_type
+                          ORDER BY t, delta, id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+  FROM bnd),
+p AS (SELECT event_type, max(cum)::BIGINT AS peak_concurrency
+      FROM c GROUP BY 1)
+SELECT c.event_type, p.peak_concurrency,
+       CAST(min(c.t) AS BIGINT) AS peak_t_us
+FROM c JOIN p ON p.event_type = c.event_type
+             AND c.cum = p.peak_concurrency
+GROUP BY 1, 2
+"""
+
+# Gini-Simpson behavioral diversity (user_behavior_diversity in
+# __spark_entry__.py): 1e6*(n^2 - sum c^2) // n^2, log-free.
+USER_BEHAVIOR_DIVERSITY_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS c
+  FROM events GROUP BY 1, 2),
+a AS (
+  SELECT user_id, sum(c)::BIGINT AS n_events,
+         sum(c * c)::BIGINT AS sq
+  FROM c GROUP BY 1)
+SELECT user_id, n_events,
+       CAST((1000000 * (n_events * n_events - sq))
+            // (n_events * n_events) AS BIGINT) AS diversity_ppm
+FROM a
+"""
+
+
+# mutual k-NN pairs (the SemDeDup/cluster-merge primitive composed
+# from item_item_jaccard's top-5 lists): pairs in EACH OTHER'S top-k.
+MUTUAL_KNN_PAIRS_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+deg AS (SELECT l_partkey, count(*)::BIGINT AS d FROM items GROUP BY 1),
+cooc AS (
+  SELECT a.l_partkey AS item_id, b.l_partkey AS rec_id,
+         count(*)::BIGINT AS c
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2),
+sc AS (
+  SELECT item_id, rec_id,
+         (1000000 * c) // (da.d + db.d - c) AS sim_ppm
+  FROM cooc
+  JOIN deg da ON da.l_partkey = cooc.item_id
+  JOIN deg db ON db.l_partkey = cooc.rec_id),
+topk AS (
+  SELECT item_id, rec_id, CAST(sim_ppm AS BIGINT) AS sim_ppm
+  FROM (SELECT *, row_number() OVER (PARTITION BY item_id
+            ORDER BY sim_ppm DESC, rec_id) AS rn FROM sc)
+  WHERE rn <= 5)
+SELECT a.item_id AS item_a, a.rec_id AS item_b, a.sim_ppm
+FROM topk a
+JOIN topk b ON b.item_id = a.rec_id AND b.rec_id = a.item_id
+WHERE a.item_id < a.rec_id
+"""

@@ -136,6 +136,8 @@ FORCED_BROADCAST_ALLOWED = {
     "token_vote_confusion",  # pinned 1-row totals (the chi2 license)
     "revenue_pareto",  # pinned 1-row totals + |partitions|-row cumsum
     #                    offsets (the global_rank/pps license)
+    "peak_concurrency",  # |partitions|-row cumsum offsets (the
+    #                      global_rank/pps license)
 }
 
 

@@ -95,6 +95,8 @@ BNLJ_ALLOWED = {
     "revenue_pareto",  # 1-row (total, n) scalar cross-joined +
     #                    |partitions|-row cumsum offsets (the
     #                    global_rank/pps license)
+    "peak_concurrency",  # |partitions|-row cumsum offsets (the
+    #                      global_rank/pps license)
 }
 
 
