@@ -3598,6 +3598,53 @@ def _q_mutual_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_discount_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6 shape: the pure pushdown/pruning query — promo revenue in
+    exact cents-permille integer units."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        discount_revenue_q6,
+    )
+
+    return discount_revenue_q6(spark, sf_dir)
+
+
+def _q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 shape: cross-border revenue per (supplier nation, customer
+    nation, ship year) — the canonical snowflake multi-way join."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        nation_trade_flows,
+    )
+
+    return nation_trade_flows(spark, sf_dir)
+
+
+def _q_customer_order_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: customers-by-order-count histogram incl. zero bucket."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        customer_order_custdist,
+    )
+
+    return customer_order_custdist(spark, sf_dir)
+
+
+def _q_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: HAVING-filtered aggregate first, then join back."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        large_order_customers,
+    )
+
+    return large_order_customers(spark, sf_dir)
+
+
+def _q_brand_size_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: disjunctive predicate with per-side envelope pushdown."""
+    from sea_express_customs_etl_spark.plans.relational import (
+        brand_size_qty_revenue,
+    )
+
+    return brand_size_qty_revenue(spark, sf_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Ordered by correctness-signal priority: the driver's per-round
     oracle gate checks a bounded prefix of this dict (observed cap: the
@@ -3994,6 +4041,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_behavior_diversity": _q_user_behavior_diversity,
         # reciprocal best matches: pairs in each other's CF top-5
         "mutual_knn_pairs": _q_mutual_knn_pairs,
+        # Q6 shape: pushdown-only promo revenue scan
+        "discount_revenue_q6": _q_discount_revenue_q6,
+        # Q7 shape: snowflake multi-way cross-border trade flows
+        "nation_trade_flows": _q_nation_trade_flows,
+        # Q13 shape: custdist double aggregation incl. zero bucket
+        "customer_order_custdist": _q_customer_order_custdist,
+        # Q18 shape: large-volume orders, aggregate-then-join
+        "large_order_customers": _q_large_order_customers,
+        # Q19 shape: disjunctive predicate envelope pushdown
+        "brand_size_qty_revenue": _q_brand_size_qty_revenue,
     }
 
 
@@ -4286,4 +4343,9 @@ def oracle_sql() -> dict[str, str]:
         "peak_concurrency": ext.PEAK_CONCURRENCY_SQL,
         "user_behavior_diversity": ext.USER_BEHAVIOR_DIVERSITY_SQL,
         "mutual_knn_pairs": ext.MUTUAL_KNN_PAIRS_SQL,
+        "discount_revenue_q6": rel.DISCOUNT_REVENUE_Q6_SQL,
+        "nation_trade_flows": rel.NATION_TRADE_FLOWS_SQL,
+        "customer_order_custdist": rel.CUSTOMER_ORDER_CUSTDIST_SQL,
+        "large_order_customers": rel.LARGE_ORDER_CUSTOMERS_SQL,
+        "brand_size_qty_revenue": rel.BRAND_SIZE_QTY_REVENUE_SQL,
     }

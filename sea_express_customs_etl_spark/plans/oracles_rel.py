@@ -654,3 +654,81 @@ SELECT t.o_orderpriority, t.n_orders,
             AS BIGINT) AS share_ppm
 FROM tot t LEFT JOIN ret r USING (o_orderpriority)
 """
+
+
+# Q6 shape (plans/relational.py:discount_revenue_q6): integer
+# cents x permille promo revenue, one filtered scan.
+DISCOUNT_REVENUE_Q6_SQL = """
+SELECT count(*)::BIGINT AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 1000) AS BIGINT))
+            AS BIGINT) AS promo_revenue_u5
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 1000) AS BIGINT) BETWEEN 50 AND 70
+  AND l_quantity < 24
+"""
+
+# Q7 shape (plans/relational.py:nation_trade_flows): snowflake
+# multi-way join, cross-border flows, exact cents.
+NATION_TRADE_FLOWS_SQL = """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))::BIGINT
+           AS revenue_cents,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_name <> nc.n_name
+GROUP BY 1, 2, 3
+"""
+
+
+# Q13 shape (plans/relational.py:customer_order_custdist): left-join
+# double aggregation including the zero bucket.
+CUSTOMER_ORDER_CUSTDIST_SQL = """
+SELECT c_count, count(*)::BIGINT AS custdist
+FROM (
+  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+# Q18 shape (plans/relational.py:large_order_customers): HAVING-
+# filtered aggregate then join back.
+LARGE_ORDER_CUSTOMERS_SQL = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS BIGINT)) > 200
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_price_cents,
+       b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+# Q19 shape (plans/relational.py:brand_size_qty_revenue): disjunctive
+# predicate over the part x lineitem join, integer units.
+BRAND_SIZE_QTY_REVENUE_SQL = """
+SELECT count(*)::BIGINT AS n_lines,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (1000 - CAST(round(l.l_discount * 1000) AS BIGINT)))
+            AS BIGINT) AS disc_revenue_u5
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 15)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+       AND l.l_quantity BETWEEN 10 AND 25)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+       AND l.l_quantity BETWEEN 20 AND 35)
+"""

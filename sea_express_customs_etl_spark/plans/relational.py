@@ -969,3 +969,183 @@ def click_next_purchase_fwd_asof(
         F.col("asof_np_ts").alias("next_purchase_ts_us"),
         (F.col("asof_np_ts") - F.col("ts_us")).alias("lag_us"),
     )
+
+
+def discount_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): one filtered
+    map-side-only scan — the query whose entire cost is predicate
+    pushdown + column pruning (ship-year, discount band, quantity cap
+    all reach the parquet reader). Revenue = Σ extendedprice·discount
+    in exact micro-cents: price-cents × discount-permille stay
+    integers end-to-end, no float sum ever merges. Output: one row
+    (n_lines, promo_revenue_u5 — cents·permille units)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.round(F.col("l_discount") * 1000).cast("bigint").between(50, 70))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * F.round(F.col("l_discount") * 1000).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("promo_revenue_u5"),
+    )
+
+
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): revenue flows between
+    SUPPLIER nation and CUSTOMER nation per ship year — the canonical
+    snowflake multi-way join (lineitem ⋈ orders ⋈ customer ⋈ nation ⊗
+    supplier ⋈ nation), with both 25-row nation dims broadcast (the
+    fixed-dimension license) and the two fact joins shuffling on their
+    keys. Cross-border flows only (supp ≠ cust nation — Q7's
+    condition). Exact cents. Output: supp_nation, cust_nation,
+    ship_year, revenue_cents, n_lines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("_p"),
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    su = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    flows = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(su, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nat.select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("supp_nation"),
+            )),
+            F.col("s_nationkey") == F.col("_snk"),
+        )
+        .join(
+            F.broadcast(nat.select(
+                F.col("n_nationkey").alias("_cnk"),
+                F.col("n_name").alias("cust_nation"),
+            )),
+            F.col("c_nationkey") == F.col("_cnk"),
+        )
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return flows.groupBy("supp_nation", "cust_nation", "ship_year").agg(
+        F.sum("_p").cast("bigint").alias("revenue_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+def customer_order_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer distribution): histogram of customers
+    by how many orders they placed, INCLUDING the zero bucket — the
+    left-outer count-then-recount double aggregation. First groupBy
+    shuffles on o_custkey (fact-sized); the second collapses onto the
+    tiny order-count domain (≤ a few hundred distinct values at any
+    scale — order counts per customer are bounded by activity, not
+    corpus size), so the second exchange is model-sized. Output:
+    c_count, custdist."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): orders whose total
+    quantity exceeds a threshold, joined back to the customer. The
+    HAVING-filtered aggregate runs FIRST (fact-grain groupBy with
+    map-side partial sums), so the orders/customer joins see only the
+    surviving ~1% of orderkeys — the aggregate-then-join ordering that
+    matters at 100 TB (joining first would shuffle the whole fact
+    twice). Quantities are integral in this dataset; sum as bigint.
+    Output: c_name, c_custkey, o_orderkey, o_orderdate,
+    total_price_cents, sum_qty."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("_q")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("_q").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 200)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("total_price_cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "total_price_cents",
+            "sum_qty",
+        )
+    )
+
+
+def brand_size_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    three (brand, size-band, quantity-band) OR-arms across the
+    part ⋈ lineitem join. The scale property: Catalyst extracts the
+    single-side envelopes of the disjunction (p_brand IN (...) to the
+    part scan, the l_quantity range to the lineitem scan) so both
+    scans prune BEFORE the join — pinned by
+    tests/test_plan_audit.py::test_q19_disjunct_partial_pushdown.
+    Part grows with the corpus at 100 TB, so the join is hint-free
+    (AQE broadcasts at bench scale). Revenue = Σ price·(1−discount)
+    in exact cents·permille integer units. Output: one row
+    (n_lines, disc_revenue_u5)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        # compare on the RAW double (values are integral): a bigint
+        # cast would block the extracted quantity envelope from
+        # reaching the parquet reader as a PushedFilter
+        F.col("l_quantity").alias("_q"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("_p"),
+        F.round(F.col("l_discount") * 1000).cast("bigint").alias("_d"),
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("_q").between(q_lo, q_hi)
+    )
+    j = li.join(p, li.l_partkey == p.p_partkey).filter(
+        arm("Brand#1", 1, 10, 1, 15)
+        | arm("Brand#2", 1, 20, 10, 25)
+        | arm("Brand#3", 1, 30, 20, 35)
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("_p") * (F.lit(1000) - F.col("_d")))
+        .cast("bigint")
+        .alias("disc_revenue_u5"),
+    )

@@ -138,6 +138,8 @@ FORCED_BROADCAST_ALLOWED = {
     #                    offsets (the global_rank/pps license)
     "peak_concurrency",  # |partitions|-row cumsum offsets (the
     #                      global_rank/pps license)
+    "nation_trade_flows",  # pinned nation dim x2 (25 rows — the
+    #                        revenue_by_nation license)
 }
 
 

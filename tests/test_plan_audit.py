@@ -172,6 +172,32 @@ def test_filter_pushdown_reaches_parquet(spark):
     assert "LessThanOrEqual(l_shipdate" in pf
 
 
+def test_q19_disjunct_partial_pushdown(spark):
+    # Catalyst must extract the single-side envelopes of the 3-arm
+    # disjunction: the quantity range reaches the lineitem parquet
+    # reader as a PushedFilter (raw double column — a bigint cast
+    # would block it), and the brand/size envelope reaches the part
+    # scan; both scans prune before the join
+    df = entry.queries()["brand_size_qty_revenue"](spark, SF_DIR)
+    pf = _pushed_filters(df)
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in pf
+    assert "LessThanOrEqual(l_quantity,35.0)" in pf
+    assert "EqualTo(p_brand,Brand#1)" in pf
+    assert "GreaterThanOrEqual(p_size,1)" in pf
+
+
+def test_q6_is_pushdown_only(spark):
+    # the Q6 shape's entire cost is the scan: date range + quantity cap
+    # must reach the parquet reader, and only 4 columns may be read
+    df = entry.queries()["discount_revenue_q6"](spark, SF_DIR)
+    pf = _pushed_filters(df)
+    assert "GreaterThanOrEqual(l_shipdate" in pf
+    assert "LessThan(l_quantity" in pf
+    assert _scan_schemas(df) == [
+        {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+    ]
+
+
 def _plan_text(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

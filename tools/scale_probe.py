@@ -158,6 +158,11 @@ def cases() -> dict:
         "hll_pair_overlap": lambda docs, emb: _hllpair(docs),
         # positional postings x8, candidate lists shrink per join
         "phrase_search": lambda docs, emb: _phrase(docs),
+        # distinct lengths stay 1x under replication -> stump's window
+        # frame is constant while the count scan grows
+        "stump_split": lambda docs, emb: _stump(docs),
+        # vote dictionary constant; the (doc, token) scoring scan x8
+        "token_vote": lambda docs, emb: _tokenvote(docs),
     }
 
 
@@ -405,6 +410,9 @@ def cases_ev() -> dict:
         "cusum_shift": _cusum,
         "seasonal_profile": _seasonal,
         "lag1_autocorr": _autocorr,
+        "balance_floor": _balance,
+        "peak_concurrency": _peakconc,
+        "run_stats": _runs,
     }
 
 
@@ -457,6 +465,46 @@ def _autocorr(ev):
         F.col("v3"),
         "event_type",
     )
+
+
+def _balance(ev):
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        floored_running_balance,
+    )
+
+    q = ev.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase",
+            -F.round(F.col("value") * 1000).cast("bigint"),
+        )
+        .otherwise(F.round(F.col("value") * 1000).cast("bigint"))
+        .alias("d3"),
+    )
+    return floored_running_balance(
+        q, ["user_id"], ["ts_us", "event_id"], F.col("d3")
+    )
+
+
+def _peakconc(ev):
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        peak_concurrency,
+    )
+
+    # replication shifts user/event ids but not timestamps: boundary
+    # volume x8 through the SAME two-phase sweep — the global_cumsum
+    # scaling claim measured at the sweep's own grain
+    return peak_concurrency(ev, duration_us=300_000_000)
+
+
+def _runs(ev):
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        above_mean_run_stats,
+    )
+
+    return above_mean_run_stats(ev)
 
 
 def _fmae(ev):
@@ -649,6 +697,18 @@ def cases_li() -> dict:
         )
         return spearman_by_group(q, "l_returnflag", "qty", "price_c")
 
+    def _truss(li):
+        from sea_express_customs_etl_spark.operators.graph import truss_peel
+
+        return truss_peel(cooccur_edges(li, min_weight=2), k=3, rounds=2)
+
+    def _delnbr(li):
+        from sea_express_customs_etl_spark.operators.setjoin import (
+            deletion_neighbor_pairs,
+        )
+
+        return deletion_neighbor_pairs(li, "l_orderkey", "l_partkey")
+
     def _band(li):
         from sea_express_customs_etl_spark.operators.bandjoin import (
             band_pair_counts,
@@ -714,6 +774,8 @@ def cases_li() -> dict:
         "cf_holdout_eval": _cfeval,
         "spearman_qty_price": _spearman,
         "band_pairs_prices": _band,
+        "truss_peel": _truss,
+        "basket_deletion_join": _delnbr,
         # one (a, b) pair count + marginal join-backs + 1-row total —
         # the chi2 mergeable-state class
         "categorical_lift": _lift,
@@ -875,6 +937,26 @@ def cases_tfidf() -> dict:
         # model state stays k·dim
         "hashed_doc_clusters": lambda docs, emb: _hclust(docs),
     }
+
+
+def _stump(docs):
+    from sea_express_customs_etl_spark.operators.stump import (
+        best_stump_split,
+    )
+
+    return best_stump_split(
+        docs,
+        F.length(F.col("text")).cast("bigint"),
+        (F.col("lang") == "en").cast("int"),
+    )
+
+
+def _tokenvote(docs):
+    from sea_express_customs_etl_spark.operators.nb import (
+        token_vote_confusion,
+    )
+
+    return token_vote_confusion(docs, F.col("lang") == "en")
 
 
 def _hllpair(docs):
