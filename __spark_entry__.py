@@ -3618,6 +3618,98 @@ def _q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nation_trade_flows(spark, sf_dir)
 
 
+def _q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape: exists + not-exists double correlation as semi/anti."""
+    from sea_express_customs_etl_spark.plans.relational_ext import (
+        late_supplier_blame,
+    )
+
+    return late_supplier_blame(spark, sf_dir)
+
+
+def _q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: scalar-avg cross-multiply + anti join."""
+    from sea_express_customs_etl_spark.plans.relational_ext import (
+        idle_rich_customers,
+    )
+
+    return idle_rich_customers(spark, sf_dir)
+
+
+def _q_part_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape: groupwise-min argmin with WindowGroupLimit top-1."""
+    from sea_express_customs_etl_spark.plans.relational_ext import (
+        part_min_cost_supplier,
+    )
+
+    return part_min_cost_supplier(spark, sf_dir)
+
+
+def _q_cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B lift, exact rational integers."""
+    from sea_express_customs_etl_spark.operators.abtest import (
+        cuped_adjusted_lift,
+    )
+
+    return cuped_adjusted_lift(
+        load_table(spark, sf_dir, "events"), split_ts="2024-01-16"
+    )
+
+
+def _q_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan FK keys/rows per relation."""
+    from sea_express_customs_etl_spark.operators.integrity import (
+        fk_orphan_audit,
+    )
+
+    return fk_orphan_audit(spark, sf_dir)
+
+
+def _q_km_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier life table over user lifetimes, integral hazard."""
+    from sea_express_customs_etl_spark.operators.survival import (
+        km_life_table,
+    )
+
+    return km_life_table(load_table(spark, sf_dir, "events"))
+
+
+def _q_important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 shape: parts above a fraction of the global value total."""
+    from sea_express_customs_etl_spark.plans.relational_ext import (
+        important_parts_value,
+    )
+
+    return important_parts_value(spark, sf_dir)
+
+
+def _q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15 shape: suppliers at the global max windowed revenue."""
+    from sea_express_customs_etl_spark.plans.relational_ext import (
+        top_supplier_revenue,
+    )
+
+    return top_supplier_revenue(spark, sf_dir)
+
+
+def _q_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape: suppliers shipping >30% of a part's yearly total."""
+    from sea_express_customs_etl_spark.plans.relational_ext import (
+        excess_share_suppliers,
+    )
+
+    return excess_share_suppliers(spark, sf_dir)
+
+
+def _q_rake_top_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keywords: stopword-cut phrases, deg/freq word scores."""
+    from sea_express_customs_etl_spark.operators.rake import (
+        rake_top_phrases,
+    )
+
+    return rake_top_phrases(load_table(spark, sf_dir, "documents"))
+
+
 def _q_customer_order_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 shape: customers-by-order-count histogram incl. zero bucket."""
     from sea_express_customs_etl_spark.plans.relational import (
@@ -4051,6 +4143,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_order_customers": _q_large_order_customers,
         # Q19 shape: disjunctive predicate envelope pushdown
         "brand_size_qty_revenue": _q_brand_size_qty_revenue,
+        # Q21 shape: blamed-supplier semi/anti double correlation
+        "late_supplier_blame": _q_late_supplier_blame,
+        # Q22 shape: above-scalar-avg balance + no-orders anti join
+        "idle_rich_customers": _q_idle_rich_customers,
+        # Q2 shape: per-part min-cost supplier argmin
+        "part_min_cost_supplier": _q_part_min_cost_supplier,
+        # CUPED variance-reduced experiment lift (exact rationals)
+        "cuped_adjusted_lift": _q_cuped_adjusted_lift,
+        # star-schema FK orphan audit, one row per relation
+        "fk_orphan_audit": _q_fk_orphan_audit,
+        # Kaplan-Meier life table with integral hazard
+        "km_life_table": _q_km_life_table,
+        # Q11 shape: groupwise HAVING vs global scalar total
+        "important_parts_value": _q_important_parts_value,
+        # Q15 shape: scalar-max view join, ties kept
+        "top_supplier_revenue": _q_top_supplier_revenue,
+        # Q20 shape: share-above-groupwise-threshold semi chain
+        "excess_share_suppliers": _q_excess_share_suppliers,
+        # RAKE keyword extraction, distinct-phrase grain
+        "rake_top_phrases": _q_rake_top_phrases,
     }
 
 
@@ -4094,6 +4206,7 @@ def _pretrain_prep_sql() -> str:
 def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_ext as ext
     from sea_express_customs_etl_spark.plans import oracles_rel as rel
+    from sea_express_customs_etl_spark.plans import oracles_rel_ext as rex
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
     )
@@ -4348,4 +4461,14 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_custdist": rel.CUSTOMER_ORDER_CUSTDIST_SQL,
         "large_order_customers": rel.LARGE_ORDER_CUSTOMERS_SQL,
         "brand_size_qty_revenue": rel.BRAND_SIZE_QTY_REVENUE_SQL,
+        "late_supplier_blame": rex.LATE_SUPPLIER_BLAME_SQL,
+        "idle_rich_customers": rex.IDLE_RICH_CUSTOMERS_SQL,
+        "part_min_cost_supplier": rex.PART_MIN_COST_SUPPLIER_SQL,
+        "cuped_adjusted_lift": rex.CUPED_ADJUSTED_LIFT_SQL,
+        "fk_orphan_audit": rex.FK_ORPHAN_AUDIT_SQL,
+        "km_life_table": rex.KM_LIFE_TABLE_SQL,
+        "important_parts_value": rex.IMPORTANT_PARTS_VALUE_SQL,
+        "top_supplier_revenue": rex.TOP_SUPPLIER_REVENUE_SQL,
+        "excess_share_suppliers": rex.EXCESS_SHARE_SUPPLIERS_SQL,
+        "rake_top_phrases": rex.RAKE_TOP_PHRASES_SQL,
     }

@@ -1,0 +1,107 @@
+"""A/B experiment analysis: CUPED variance-reduced lift.
+
+CUPED (Deng et al., WSDM 2013, "Improving the Sensitivity of Online
+Controlled Experiments by Utilizing Pre-Experiment Data") adjusts each
+user's experiment-period metric y by their pre-period covariate x:
+``y_adj = y − θ·(x − x̄)`` with ``θ = cov(x, y) / var(x)``, removing
+the between-user variance that x explains.
+
+Exactness discipline (the repo's float-free convention): θ and x̄ are
+RATIONALS whose numerators/denominators are integer sums — so instead
+of ever dividing, the per-variant adjusted total is carried multiplied
+out by the common denominator ``n·den``:
+
+    adj_num_v = n·den·Σy_v − num·(n·Σx_v − n_v·Σx)
+    scale     = n·den            (adjusted mean = adj_num_v / (n_v·scale))
+
+where ``num = n·Σxy − Σx·Σy`` and ``den = n·Σx² − (Σx)²``. Every term
+is an integer in DECIMAL(38,0) (the oracle mirrors in HUGEINT):
+per-user cent sums are ≤ ~1e6, so adj_num peaks ~1e29 at sf0.1 and
+~1e33-1e35 at sf1-sf10 — inside both engines' 38-digit range; the
+bound, not floats, is the scaling limit and is documented here.
+
+Reference parity: the reference engine has no experiment surface; this
+extends the engine's analytics layer the way `operators/stats_tests.py`
+does (z-test for the same variants, `segment_conversion_ztest`).
+
+Scale shape: one user-grain partial-agg shuffle, then TWO model-sized
+aggregates (a 1-row global frame broadcast-joined onto a |variants|-row
+frame). No corpus-sized window, no driver collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from sea_express_customs_etl_spark.operators.sampling import hash_split
+
+
+def cuped_adjusted_lift(
+    events: DataFrame,
+    split_ts: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    salt: str = "cuped",
+) -> DataFrame:
+    """Per-variant CUPED-adjusted outcome totals, exact integers.
+
+    ``x`` = user's pre-period cent total (ts < split_ts), ``y`` = the
+    experiment-period total (ts ≥ split_ts); variants are the md5
+    hash-split halves of the key space (engine-portable, no rand()).
+    Output: variant, n_users, sum_x_cents, sum_y_cents, adj_num, scale.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    per_user = events.groupBy(key_col).agg(
+        F.coalesce(
+            F.sum(F.when(F.col(ts_col) < split_ts, cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("_x"),
+        F.coalesce(
+            F.sum(F.when(F.col(ts_col) >= split_ts, cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("_y"),
+    )
+    per_user = hash_split(
+        per_user,
+        {"control": 0.5, "treatment": 0.5},
+        key_col=key_col,
+        salt=salt,
+        split_col="variant",
+    )
+
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    g = per_user.agg(
+        dec(F.count(F.lit(1))).alias("_n"),
+        dec(F.sum("_x")).alias("_sx"),
+        dec(F.sum("_y")).alias("_sy"),
+        F.sum(dec(F.col("_x") * F.col("_y"))).alias("_sxy"),
+        F.sum(dec(F.col("_x") * F.col("_x"))).alias("_sxx"),
+    )
+    v = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("_x").cast("bigint").alias("sum_x_cents"),
+        F.sum("_y").cast("bigint").alias("sum_y_cents"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    return v.join(F.broadcast(g)).select(
+        "variant",
+        "n_users",
+        "sum_x_cents",
+        "sum_y_cents",
+        (
+            F.col("_n") * den * dec(F.col("sum_y_cents"))
+            - num
+            * (
+                F.col("_n") * dec(F.col("sum_x_cents"))
+                - dec(F.col("n_users")) * F.col("_sx")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("adj_num"),
+        (F.col("_n") * den).cast("decimal(38,0)").alias("scale"),
+    )

@@ -1,0 +1,247 @@
+"""DuckDB oracle SQL for plans/relational_ext.py (Q2/Q21/Q22 shapes).
+
+Written as the textbook correlated forms (EXISTS / NOT EXISTS / scalar
+subquery) so the decorrelated Spark plans are checked against an
+INDEPENDENT formulation, not a transliteration.
+"""
+
+# Q21 shape (relational_ext.py:late_supplier_blame): exists +
+# not-exists double correlation at distinct (order, supplier) grain.
+LATE_SUPPLIER_BLAME_SQL = """
+WITH pairs AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                 CAST(l_shipdate AS DATE)) > 60
+                  THEN 1 ELSE 0 END) = 1 AS late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY 1, 2
+)
+SELECT s.s_name, count(*)::BIGINT AS numwait
+FROM pairs p1 JOIN supplier s ON s.s_suppkey = p1.l_suppkey
+WHERE p1.late
+  AND EXISTS (SELECT 1 FROM pairs p2
+              WHERE p2.l_orderkey = p1.l_orderkey
+                AND p2.l_suppkey <> p1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM pairs p3
+                  WHERE p3.l_orderkey = p1.l_orderkey
+                    AND p3.l_suppkey <> p1.l_suppkey AND p3.late)
+GROUP BY 1
+"""
+
+# Q22 shape (relational_ext.py:idle_rich_customers): scalar avg via
+# integer cross-multiply, anti join as NOT EXISTS.
+IDLE_RICH_CUSTOMERS_SQL = """
+WITH c AS (
+  SELECT c_custkey, c_mktsegment AS segment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+  FROM customer
+  WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'FURNITURE')
+), a AS (
+  SELECT sum(bal_c)::HUGEINT AS sum_c, count(*)::HUGEINT AS n
+  FROM c WHERE bal_c > 0
+)
+SELECT segment, count(*)::BIGINT AS numcust,
+       sum(bal_c)::BIGINT AS totacctbal_cents
+FROM c, a
+WHERE bal_c::HUGEINT * n > sum_c
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY 1
+"""
+
+# Q2 shape (relational_ext.py:part_min_cost_supplier): correlated
+# groupwise min decorrelated to a ranked window; integral // unit cost.
+PART_MIN_COST_SUPPLIER_SQL = """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey,
+         min((CAST(round(l_extendedprice * 100) AS BIGINT) * 1000)
+             // CAST(l_quantity AS BIGINT)) AS unit_u3
+  FROM lineitem GROUP BY 1, 2
+), eu AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+), ranked AS (
+  SELECT p.p_partkey, p.p_name, eu.s_name, eu.n_name, c.unit_u3,
+         row_number() OVER (PARTITION BY c.l_partkey
+                            ORDER BY c.unit_u3, c.l_suppkey) AS rn
+  FROM cost c
+  JOIN eu ON eu.s_suppkey = c.l_suppkey
+  JOIN part p ON p.p_partkey = c.l_partkey
+  WHERE p.p_size <= 15 AND p.p_type = 'ECONOMY'
+)
+SELECT p_partkey, p_name, s_name, n_name, unit_u3 AS min_unit_u3
+FROM ranked WHERE rn = 1
+"""
+
+
+# CUPED (operators/abtest.py:cuped_adjusted_lift): split 2024-01-16,
+# md5 'cuped' salt, threshold hex_threshold(0.5) = '80000000'.
+CUPED_ADJUSTED_LIFT_SQL = """
+WITH pu AS (
+  SELECT user_id,
+         coalesce(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT) END),
+                  0) AS x,
+         coalesce(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                           THEN CAST(round(value * 100) AS BIGINT) END),
+                  0) AS y
+  FROM events GROUP BY user_id
+), pv AS (
+  SELECT *,
+         CASE WHEN substring(md5('cuped' || CAST(user_id AS VARCHAR)), 1, 8)
+                   < '80000000'
+              THEN 'control' ELSE 'treatment' END AS variant
+  FROM pu
+), g AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy,
+         sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         sum(x::HUGEINT * x::HUGEINT) AS sxx
+  FROM pv
+), v AS (
+  SELECT variant, count(*)::BIGINT AS n_users,
+         sum(x)::BIGINT AS sum_x_cents, sum(y)::BIGINT AS sum_y_cents
+  FROM pv GROUP BY variant
+)
+SELECT v.variant, v.n_users, v.sum_x_cents, v.sum_y_cents,
+       g.n * (g.n * g.sxx - g.sx * g.sx) * v.sum_y_cents::HUGEINT
+         - (g.n * g.sxy - g.sx * g.sy)
+           * (g.n * v.sum_x_cents::HUGEINT - v.n_users::HUGEINT * g.sx)
+         AS adj_num,
+       g.n * (g.n * g.sxx - g.sx * g.sx) AS scale
+FROM v, g
+"""
+
+# K-M life table (operators/survival.py:km_life_table).
+KM_LIFE_TABLE_SQL = """
+WITH lives AS (
+  SELECT user_id,
+         (max(epoch_us(ts)) - min(epoch_us(ts))) // 3600000000
+             AS t_hours
+  FROM events GROUP BY user_id
+), deaths AS (
+  SELECT t_hours, count(*)::BIGINT AS n_events FROM lives GROUP BY t_hours
+), risk AS (
+  SELECT t_hours, n_events,
+         CAST(sum(n_events) OVER (ORDER BY t_hours DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_risk
+  FROM deaths
+)
+SELECT t_hours, n_events, n_risk,
+       ((n_events * 1000000) // n_risk)::BIGINT AS hazard_ppm
+FROM risk
+"""
+
+# FK orphan audit (operators/integrity.py:fk_orphan_audit).
+_FK_BRANCH = """
+SELECT '{name}' AS relation, count(*)::BIGINT AS n_orphan_keys,
+       coalesce(sum(n), 0)::BIGINT AS n_orphan_rows
+FROM (SELECT {fk} AS k, count(*) AS n FROM {fact} GROUP BY 1) f
+WHERE NOT EXISTS (SELECT 1 FROM {dim} d WHERE d.{dk} = f.k)
+"""
+
+FK_ORPHAN_AUDIT_SQL = "\nUNION ALL\n".join(
+    _FK_BRANCH.format(name=name, fact=fact, fk=fk, dim=dim, dk=dk)
+    for name, fact, fk, dim, dk in [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ]
+)
+
+
+# Q11 shape (relational_ext.py:important_parts_value): groupwise HAVING
+# vs global scalar, integer cross-multiply (share > 1/1500).
+IMPORTANT_PARTS_VALUE_SQL = """
+WITH pr AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+             AS part_value_cents
+  FROM lineitem GROUP BY 1
+), t AS (SELECT sum(part_value_cents)::HUGEINT AS tot FROM pr)
+SELECT l_partkey, part_value_cents FROM pr, t
+WHERE part_value_cents::HUGEINT * 1500 > tot
+"""
+
+# Q15 shape (relational_ext.py:top_supplier_revenue): scalar-max view
+# join, ties kept.
+TOP_SUPPLIER_REVENUE_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT))::BIGINT
+             AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-07-01'
+  GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+"""
+
+# Q20 shape (relational_ext.py:excess_share_suppliers): share above
+# groupwise threshold via window sum + cross-multiply.
+EXCESS_SHARE_SUPPLIERS_SQL = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty_ps
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2
+), wp AS (
+  SELECT *, sum(qty_ps) OVER (PARTITION BY l_partkey) AS qty_p FROM ps
+), ex AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n_parts_excess
+  FROM wp WHERE qty_ps * 10 > qty_p * 3 GROUP BY 1
+)
+SELECT s.s_name, n.n_name, e.n_parts_excess
+FROM ex e
+JOIN supplier s ON s.s_suppkey = e.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+"""
+
+# RAKE (operators/rake.py:rake_top_phrases): stopword-sentinel split,
+# floor-before-sum word scores, distinct-phrase-grain scoring.
+RAKE_TOP_PHRASES_SQL = r"""
+WITH phr0 AS (
+  SELECT unnest(string_split(
+           regexp_replace(lower(text),
+             '\b(?:a|the|and|of|to|in|is|on|for)\b', '|', 'g'),
+           '|')) AS raw
+  FROM documents
+), phr AS (
+  SELECT trim(regexp_replace(raw, '\s+', ' ', 'g')) AS phrase FROM phr0
+  WHERE trim(regexp_replace(raw, '\s+', ' ', 'g')) <> ''
+), words AS (
+  SELECT phrase, len(string_split(phrase, ' ')) AS plen,
+         unnest(string_split(phrase, ' ')) AS word
+  FROM phr
+), ws AS (
+  SELECT word, count(*)::BIGINT AS freq, sum(plen)::BIGINT AS deg
+  FROM words GROUP BY 1
+), wsc AS (
+  SELECT word, (deg * 1000000) // freq AS wscore FROM ws
+), dictw AS (
+  SELECT phrase, unnest(string_split(phrase, ' ')) AS word
+  FROM (SELECT DISTINCT phrase FROM phr)
+), scored AS (
+  SELECT d.phrase, sum(w.wscore)::BIGINT AS score_u6
+  FROM dictw d JOIN wsc w USING (word) GROUP BY 1
+), cnt AS (
+  SELECT phrase, count(*)::BIGINT AS n_occurrences FROM phr GROUP BY 1
+)
+SELECT s.phrase, s.score_u6, c.n_occurrences
+FROM scored s JOIN cnt c USING (phrase)
+ORDER BY s.score_u6 DESC, s.phrase ASC
+LIMIT 20
+"""

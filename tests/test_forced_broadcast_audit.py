@@ -140,6 +140,13 @@ FORCED_BROADCAST_ALLOWED = {
     #                      global_rank/pps license)
     "nation_trade_flows",  # pinned nation dim x2 (25 rows — the
     #                        revenue_by_nation license)
+    "idle_rich_customers",  # pinned 1-row scalar-avg frame
+    "part_min_cost_supplier",  # pinned nation x region dim chain
+    #                            (the revenue_by_nation license)
+    "cuped_adjusted_lift",  # pinned 1-row global-moments frame
+    "important_parts_value",  # pinned 1-row global-total scalar
+    "top_supplier_revenue",  # pinned 1-row scalar-max frame
+    "excess_share_suppliers",  # pinned nation dim (25 rows)
 }
 
 

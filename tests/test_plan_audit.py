@@ -23,6 +23,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # BNLJ-by-design: the broadcast side is small by construction.
 BNLJ_ALLOWED = {
+    "idle_rich_customers",  # 1-row (sum, n) scalar-avg cross-joined
+    #                         (the chi2_features license)
+    "cuped_adjusted_lift",  # 1-row global-moments frame cross-joined
+    #                         (the chi2_features license)
+    "important_parts_value",  # 1-row global-total scalar cross-joined
+    "top_supplier_revenue",  # 1-row scalar-max frame cross-joined
     "hashed_doc_clusters",  # trained k=4 centroid table broadcast
     #                         (the kmeans_ivf_topk license)
     "copurchase_negatives",  # 1-row |catalog| scalar cross-joined

@@ -413,6 +413,12 @@ def cases_ev() -> dict:
         "balance_floor": _balance,
         "peak_concurrency": _peakconc,
         "run_stats": _runs,
+        # user-grain covariate agg ×8; the moments/variant frames stay
+        # 1-row/2-row — CUPED's only corpus shuffle is the first groupBy
+        "cuped_lift": _cuped,
+        # lifetime domain (hours in window) constant under replication;
+        # only the user-grain first/last agg grows
+        "km_table": _km,
     }
 
 
@@ -505,6 +511,22 @@ def _runs(ev):
     )
 
     return above_mean_run_stats(ev)
+
+
+def _cuped(ev):
+    from sea_express_customs_etl_spark.operators.abtest import (
+        cuped_adjusted_lift,
+    )
+
+    return cuped_adjusted_lift(ev, split_ts="2024-01-16")
+
+
+def _km(ev):
+    from sea_express_customs_etl_spark.operators.survival import (
+        km_life_table,
+    )
+
+    return km_life_table(ev)
 
 
 def _fmae(ev):
