@@ -1616,6 +1616,37 @@ def _q_purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) attribution over the same 24 h pair
+    table as the linear model: 40/20/40 first/middles/last in exact
+    integer shares that sum to the conversion value (n=1 and n=2
+    degenerate cases documented in the operator)."""
+    from sea_express_customs_etl_spark.operators.attribution import (
+        u_shaped_attribution,
+    )
+    from sea_express_customs_etl_spark.operators.jsonops import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    pairs = interval_join(
+        purchases, clicks, ["user_id"], "ts", "ts", 24 * 3600, ["event_id"]
+    )
+    return u_shaped_attribution(
+        pairs, "event_id", "value_u6", ["prior_ts", "prior_event_id"]
+    ).select(
+        "user_id", "event_id", "prior_event_id", "value_u6",
+        "n_touches", "share_u",
+    )
+
+
 def _q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style corpus bigram-LM quality scoring: every document's
     summed log-probability under a model counted from the corpus
@@ -3710,6 +3741,33 @@ def _q_rake_top_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rake_top_phrases(load_table(spark, sf_dir, "documents"))
 
 
+def _q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8 shape: nation's share of a regional market, integral ppm."""
+    from sea_express_customs_etl_spark.plans.relational_ext import (
+        nation_market_share,
+    )
+
+    return nation_market_share(spark, sf_dir)
+
+
+def _q_nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape: snowflake profit by supplier nation and ship year."""
+    from sea_express_customs_etl_spark.plans.relational_ext import (
+        nation_year_profit,
+    )
+
+    return nation_year_profit(spark, sf_dir)
+
+
+def _q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: PROMO parts' monthly revenue share, integral ppm."""
+    from sea_express_customs_etl_spark.plans.relational_ext import (
+        promo_revenue_share,
+    )
+
+    return promo_revenue_share(spark, sf_dir)
+
+
 def _q_customer_order_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q13 shape: customers-by-order-count histogram incl. zero bucket."""
     from sea_express_customs_etl_spark.plans.relational import (
@@ -4163,6 +4221,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "excess_share_suppliers": _q_excess_share_suppliers,
         # RAKE keyword extraction, distinct-phrase grain
         "rake_top_phrases": _q_rake_top_phrases,
+        # Q8 shape: national market share per year, integral ppm
+        "nation_market_share": _q_nation_market_share,
+        # Q9 shape: snowflake profit by nation and year
+        "nation_year_profit": _q_nation_year_profit,
+        # Q14 shape: monthly promo revenue share, integral ppm
+        "promo_revenue_share": _q_promo_revenue_share,
+        # U-shaped 40/20/40 position-based attribution
+        "multitouch_attribution": _q_multitouch_attribution,
     }
 
 
@@ -4471,4 +4537,8 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier_revenue": rex.TOP_SUPPLIER_REVENUE_SQL,
         "excess_share_suppliers": rex.EXCESS_SHARE_SUPPLIERS_SQL,
         "rake_top_phrases": rex.RAKE_TOP_PHRASES_SQL,
+        "nation_market_share": rex.NATION_MARKET_SHARE_SQL,
+        "nation_year_profit": rex.NATION_YEAR_PROFIT_SQL,
+        "promo_revenue_share": rex.PROMO_REVENUE_SHARE_SQL,
+        "multitouch_attribution": rex.MULTITOUCH_ATTRIBUTION_SQL,
     }

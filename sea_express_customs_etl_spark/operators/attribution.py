@@ -45,3 +45,57 @@ def linear_attribution(
         )
         .drop("_rn")
     )
+
+
+def u_shaped_attribution(
+    pairs: DataFrame,
+    conversion_id: str,
+    value_u_col: str,
+    touch_order_cols: list[str],
+) -> DataFrame:
+    """Position-based ("U-shaped") attribution: the FIRST and LAST
+    touch each take 40% of the conversion value and the middles split
+    the remaining 20% — the standard position-based model next to
+    :func:`linear_attribution`'s equal split.
+
+    Exact-integer policy (all DIV on nonnegative operands, every
+    conversion's shares sum EXACTLY to its value):
+
+    - n = 1: the sole touch takes everything.
+    - n = 2: ``base = value DIV 2``; first takes base + remainder,
+      last takes base.
+    - n ≥ 3: ``w_end = (value · 2) DIV 5`` to first AND last;
+      ``mid_total = value − 2·w_end``; each middle takes
+      ``mid_total DIV (n−2)`` with the remainder on the EARLIEST
+      middle (the linear_attribution remainder convention).
+
+    Same scale shape as linear: one window per conversion id, state
+    bounded by the lookback."""
+    w = Window.partitionBy(conversion_id)
+    wo = w.orderBy(*[F.col(c).asc() for c in touch_order_cols])
+    val = F.col(value_u_col)
+    out = (
+        pairs.withColumn("n_touches", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(wo))
+    )
+    n = F.col("n_touches")
+    rn = F.col("_rn")
+    w_end = F.expr(f"({value_u_col} * 2) DIV 5")
+    half = F.expr(f"{value_u_col} DIV 2")
+    mid_total = val - F.lit(2) * w_end
+    n_mid = n - F.lit(2)
+    mid_base = F.expr(
+        f"({value_u_col} - 2 * (({value_u_col} * 2) DIV 5))"
+        " DIV (n_touches - 2)"
+    )
+    mid_rem = mid_total - mid_base * n_mid
+    share = (
+        F.when(n == 1, val)
+        .when((n == 2) & (rn == 1), half + (val - F.lit(2) * half))
+        .when((n == 2) & (rn == 2), half)
+        .when(rn == 1, w_end)
+        .when(rn == n, w_end)
+        .when(rn == 2, mid_base + mid_rem)  # earliest middle
+        .otherwise(mid_base)
+    )
+    return out.withColumn("share_u", share.cast("bigint")).drop("_rn")

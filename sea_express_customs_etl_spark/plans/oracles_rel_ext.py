@@ -245,3 +245,102 @@ FROM scored s JOIN cnt c USING (phrase)
 ORDER BY s.score_u6 DESC, s.phrase ASC
 LIMIT 20
 """
+
+
+# Q8 shape (relational_ext.py:nation_market_share): conditional
+# numerator over total, integral ppm.
+NATION_MARKET_SHARE_SQL = """
+WITH eu AS (
+  SELECT n_nationkey FROM nation JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+), j AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS c,
+         CASE WHEN s.s_nationkey =
+                   (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+              THEN CAST(round(l.l_extendedprice * 100) AS BIGINT)
+              ELSE 0 END AS nc
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  WHERE EXISTS (SELECT 1 FROM customer c2 JOIN eu
+                  ON c2.c_nationkey = eu.n_nationkey
+                WHERE c2.c_custkey = o.o_custkey)
+)
+SELECT o_year, sum(c)::BIGINT AS total_cents,
+       sum(nc)::BIGINT AS nation_cents,
+       ((sum(nc) * 1000000) // sum(c))::BIGINT AS share_ppm
+FROM j GROUP BY o_year
+"""
+
+# Q9 shape (relational_ext.py:nation_year_profit): snowflake profit,
+# signed exact units.
+NATION_YEAR_PROFIT_SQL = """
+SELECT n.n_name, CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (1000 - CAST(round(l.l_discount * 1000) AS BIGINT))
+           - CAST(round(p.p_retailprice * 100) AS BIGINT)
+             * CAST(l.l_quantity AS BIGINT) * 1000)::BIGINT AS profit_u5,
+       count(*)::BIGINT AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY 1, 2
+"""
+
+# Q14 shape (relational_ext.py:promo_revenue_share): conditional share
+# per month bucket, integral ppm.
+PROMO_REVENUE_SHARE_SQL = """
+WITH j AS (
+  SELECT CAST(date_trunc('month', l.l_shipdate) AS DATE) AS ship_month,
+         CAST(round(l.l_extendedprice * 100) AS BIGINT)
+           * (1000 - CAST(round(l.l_discount * 1000) AS BIGINT)) AS u5,
+         p.p_type = 'PROMO' AS is_promo
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT ship_month, sum(CASE WHEN is_promo THEN u5 ELSE 0 END)::BIGINT
+           AS promo_u5,
+       sum(u5)::BIGINT AS total_u5,
+       ((sum(CASE WHEN is_promo THEN u5 ELSE 0 END) * 1000000)
+           // sum(u5))::BIGINT AS promo_ppm
+FROM j GROUP BY ship_month
+"""
+
+
+# U-shaped attribution (operators/attribution.py:u_shaped_attribution):
+# 40/20/40 with exact-integer degenerate policies, same pair table as
+# the linear model.
+MULTITOUCH_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST(round(value * 1000000) AS BIGINT) AS value_u6
+  FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+pairs AS (
+  SELECT p.user_id, p.event_id, p.value_u6,
+         c.ts AS prior_ts, c.event_id AS prior_event_id
+  FROM p JOIN c ON c.user_id = p.user_id
+               AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 24 HOUR),
+att AS (
+  SELECT *, count(*) OVER (PARTITION BY event_id) AS n,
+         row_number() OVER (PARTITION BY event_id
+             ORDER BY prior_ts, prior_event_id) AS rn
+  FROM pairs)
+SELECT user_id, event_id, prior_event_id, value_u6,
+       CAST(n AS BIGINT) AS n_touches,
+       CAST(CASE
+         WHEN n = 1 THEN value_u6
+         WHEN n = 2 AND rn = 1
+           THEN value_u6 // 2 + (value_u6 - 2 * (value_u6 // 2))
+         WHEN n = 2 THEN value_u6 // 2
+         WHEN rn = 1 OR rn = n THEN (value_u6 * 2) // 5
+         WHEN rn = 2 THEN
+           (value_u6 - 2 * ((value_u6 * 2) // 5)) // (n - 2)
+           + (value_u6 - 2 * ((value_u6 * 2) // 5))
+           - ((value_u6 - 2 * ((value_u6 * 2) // 5)) // (n - 2)) * (n - 2)
+         ELSE (value_u6 - 2 * ((value_u6 * 2) // 5)) // (n - 2)
+       END AS BIGINT) AS share_u
+FROM att
+"""

@@ -297,3 +297,161 @@ def excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, s.s_nationkey == F.col("n_nationkey"))
         .select("s_name", "n_name", "n_parts_excess")
     )
+
+
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): one supplier nation's
+    share of a region's market for a part type, per order year — the
+    conditional-numerator-over-total ratio aggregation. Both legs come
+    from ONE joined frame: numerator = sum(revenue WHERE supp nation =
+    target) — never a second scan — and the share is the integral
+    ``(num · 1e6) DIV total`` on nonnegative cents (no float division).
+    Market = EUROPE-region customers buying ECONOMY parts; target
+    supplier nation = NATION_3. Dims (nation, region, and the filtered
+    part slice at 100 TB only if it stays model-sized — part is
+    hint-free, AQE decides) follow the standard pin rules. Output:
+    o_year, total_cents, nation_cents, share_ppm."""
+    r = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    n = load_table(spark, sf_dir, "nation")
+    nr = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            F.col("n_nationkey").alias("_eu_nk")
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    c_eu = c.join(nr, c.c_nationkey == F.col("_eu_nk")).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")
+    )
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    tgt = F.broadcast(
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select(F.col("n_nationkey").alias("_tgt_nk"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("_c"),
+    )
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c_eu, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(tgt, s.s_nationkey == F.col("_tgt_nk"), "left")
+        .select(
+            "o_year",
+            "_c",
+            F.when(F.col("_tgt_nk").isNotNull(), F.col("_c"))
+            .otherwise(F.lit(0))
+            .alias("_nc"),
+        )
+    )
+    return j.groupBy("o_year").agg(
+        F.sum("_c").cast("bigint").alias("total_cents"),
+        F.sum("_nc").cast("bigint").alias("nation_cents"),
+        F.expr("(sum(_nc) * 1000000) DIV sum(_c)")
+        .cast("bigint")
+        .alias("share_ppm"),
+    )
+
+
+def nation_year_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per (supplier nation,
+    ship year) profit over a part-name slice — the widest snowflake
+    join in the suite (lineitem ⋈ part ⋈ supplier ⋈ nation). Profit =
+    price·(1−discount) − retail·qty in exact cents·permille units
+    (testdata has no partsupp.ps_supplycost; p_retailprice is the cost
+    stand-in — may go NEGATIVE, which is why the output is a signed
+    sum, never DIV'd). The p_name LIKE filter pushes to the part scan.
+    Output: n_name, ship_year, profit_u5, n_lines."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100)
+            .cast("bigint")
+            .alias("_rp_c"),
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("ship_year"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("_p"),
+        F.round(F.col("l_discount") * 1000).cast("bigint").alias("_d"),
+        F.col("l_quantity").cast("bigint").alias("_q"),
+    )
+    j = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "ship_year",
+            (
+                F.col("_p") * (F.lit(1000) - F.col("_d"))
+                - F.col("_rp_c") * F.col("_q") * F.lit(1000)
+            ).alias("_profit_u5"),
+        )
+    )
+    return j.groupBy("n_name", "ship_year").agg(
+        F.sum("_profit_u5").cast("bigint").alias("profit_u5"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion effect): PROMO-type parts' share of
+    monthly revenue — the conditional-share-per-bucket ratio, exact:
+    revenue in cents·permille integers, share as
+    ``(promo · 1e6) DIV total`` (nonnegative DIV). One fact⋈part join,
+    month buckets from the ship date. Output: ship_month (first-of-
+    month date), promo_u5, total_u5, promo_ppm."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("_is_promo")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.trunc(F.col("l_shipdate"), "month").alias("ship_month"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("bigint")
+            * (F.lit(1000) - F.round(F.col("l_discount") * 1000).cast("bigint"))
+        ).alias("_u5"),
+    )
+    j = li.join(p, li.l_partkey == p.p_partkey).select(
+        "ship_month",
+        "_u5",
+        F.when(F.col("_is_promo"), F.col("_u5")).otherwise(F.lit(0)).alias(
+            "_promo_u5"
+        ),
+    )
+    return j.groupBy("ship_month").agg(
+        F.sum("_promo_u5").cast("bigint").alias("promo_u5"),
+        F.sum("_u5").cast("bigint").alias("total_u5"),
+        F.expr("(sum(_promo_u5) * 1000000) DIV sum(_u5)")
+        .cast("bigint")
+        .alias("promo_ppm"),
+    )

@@ -1,0 +1,148 @@
+"""Golden tests for the round-6 late-wave analytics operators:
+RAKE (stopword-leak regression), CUPED (hand-computed rationals),
+K-M life table (hand counts), FK orphan audit (injected orphans)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from sea_express_customs_etl_spark.operators.abtest import (
+    cuped_adjusted_lift,
+)
+from sea_express_customs_etl_spark.operators.integrity import orphan_counts
+from sea_express_customs_etl_spark.operators.rake import rake_top_phrases
+from sea_express_customs_etl_spark.operators.survival import km_life_table
+
+
+def test_rake_consecutive_stopwords_do_not_leak(spark):
+    # "a the" back-to-back: an alternation-split would leak the inner
+    # stopword as a phrase; the sentinel replace-then-split must not
+    docs = spark.createDataFrame(
+        [(1, "key scan a the fast merge"), (2, "the a key scan")],
+        ["doc_id", "text"],
+    )
+    out = rake_top_phrases(docs, top_n=10)
+    phrases = {r.phrase for r in out.collect()}
+    assert phrases == {"key scan", "fast merge"}
+
+
+def test_rake_golden_scores(spark):
+    # one doc: "key scan the key" -> phrases "key scan", "key"
+    # occurrences: "key scan"(len2), "key"(len1)
+    # freq(key)=2 deg(key)=2+1=3 -> wscore=1500000
+    # freq(scan)=1 deg(scan)=2 -> wscore=2000000
+    # score("key scan")=3500000, score("key")=1500000
+    docs = spark.createDataFrame([(1, "key scan the key")], ["doc_id", "text"])
+    rows = {r.phrase: r for r in rake_top_phrases(docs, top_n=10).collect()}
+    assert rows["key scan"].score_u6 == 3_500_000
+    assert rows["key"].score_u6 == 1_500_000
+    assert rows["key"].n_occurrences == 1
+
+
+def test_cuped_golden_rationals(spark):
+    # 4 users, x pre / y post; verify against numpy-free hand algebra
+    ts_pre = dt.datetime(2024, 1, 10)
+    ts_post = dt.datetime(2024, 1, 20)
+    rows = []
+    data = {1: (100, 200), 2: (300, 100), 3: (0, 400), 4: (200, 300)}
+    for uid, (x, y) in data.items():
+        if x:
+            rows.append((uid, ts_pre, x / 100.0))
+        rows.append((uid, ts_post, y / 100.0))
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r.variant: r for r in
+           cuped_adjusted_lift(ev, split_ts="2024-01-16").collect()}
+    n = 4
+    sx = sum(x for x, _ in data.values())
+    sy = sum(y for _, y in data.values())
+    sxy = sum(x * y for x, y in data.values())
+    sxx = sum(x * x for x, _ in data.values())
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    # recompute each variant's expectation from the operator's split
+    from sea_express_customs_etl_spark.operators.sampling import (
+        hex_threshold,
+    )
+    import hashlib
+
+    def variant(uid):
+        h = hashlib.md5(f"cuped{uid}".encode()).hexdigest()[:8]
+        return "control" if h < hex_threshold(0.5) else "treatment"
+
+    for v, r in out.items():
+        uids = [u for u in data if variant(u) == v]
+        n_v = len(uids)
+        sx_v = sum(data[u][0] for u in uids)
+        sy_v = sum(data[u][1] for u in uids)
+        assert r.n_users == n_v
+        assert r.sum_x_cents == sx_v
+        assert r.sum_y_cents == sy_v
+        assert int(r.adj_num) == n * den * sy_v - num * (n * sx_v - n_v * sx)
+        assert int(r.scale) == n * den
+    assert set(out) == {"control", "treatment"}
+
+
+def test_km_life_table_golden(spark):
+    # lifetimes in hours: u1=0h, u2=2h, u3=2h  ->
+    # t=0: d=1, risk=3, hazard=333333; t=2: d=2, risk=2, hazard=1e6
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base), (2, base), (2, base + dt.timedelta(hours=2)),
+        (3, base), (3, base + dt.timedelta(hours=2, minutes=30)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.t_hours: r for r in km_life_table(ev).collect()}
+    assert out[0].n_events == 1 and out[0].n_risk == 3
+    assert out[0].hazard_ppm == 333_333
+    assert out[2].n_events == 2 and out[2].n_risk == 2
+    assert out[2].hazard_ppm == 1_000_000
+
+
+def test_orphan_counts_injected(spark):
+    fact = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "z"), (9, "w"), (9, "v"), (8, "u")],
+        ["k", "payload"],
+    )
+    dim = spark.createDataFrame([(1,), (2,)], ["dk"])
+    row = orphan_counts(fact, "k", dim, "dk", "fact.k->dim").collect()[0]
+    assert row.relation == "fact.k->dim"
+    assert row.n_orphan_keys == 2  # keys 9, 8
+    assert row.n_orphan_rows == 3  # rows w, v, u
+
+
+def test_orphan_counts_clean_is_zero_row(spark):
+    fact = spark.createDataFrame([(1, "x")], ["k", "payload"])
+    dim = spark.createDataFrame([(1,)], ["dk"])
+    row = orphan_counts(fact, "k", dim, "dk", "ok").collect()[0]
+    assert (row.n_orphan_keys, row.n_orphan_rows) == (0, 0)
+
+
+def test_u_shaped_attribution_golden(spark):
+    from sea_express_customs_etl_spark.operators.attribution import (
+        u_shaped_attribution,
+    )
+
+    # conversions: c1 has 4 touches (value 1003), c2 has 1 (value 7),
+    # c3 has 2 (value 9)
+    rows = (
+        [(1, 1003, i, f"t{i}") for i in range(4)]
+        + [(2, 7, 0, "t0")]
+        + [(3, 9, 0, "t0"), (3, 9, 1, "t1")]
+    )
+    pairs = spark.createDataFrame(
+        rows, ["conv_id", "value_u", "prior_ts", "prior_event_id"]
+    )
+    out = u_shaped_attribution(
+        pairs, "conv_id", "value_u", ["prior_ts", "prior_event_id"]
+    )
+    by_conv = {}
+    for r in out.collect():
+        by_conv.setdefault(r.conv_id, {})[r.prior_ts] = r.share_u
+    # c1: w_end = 2006 DIV 5 = 401 each end; mid_total = 201;
+    # mid_base = 100, remainder 1 to the earliest middle
+    assert by_conv[1] == {0: 401, 1: 101, 2: 100, 3: 401}
+    assert sum(by_conv[1].values()) == 1003
+    # c2: sole touch takes everything
+    assert by_conv[2] == {0: 7}
+    # c3: first 4+1, last 4
+    assert by_conv[3] == {0: 5, 1: 4}

@@ -147,6 +147,9 @@ FORCED_BROADCAST_ALLOWED = {
     "important_parts_value",  # pinned 1-row global-total scalar
     "top_supplier_revenue",  # pinned 1-row scalar-max frame
     "excess_share_suppliers",  # pinned nation dim (25 rows)
+    "nation_market_share",  # pinned nation x region chain + 1-row
+    #                         target-nation key
+    "nation_year_profit",  # pinned nation dim (25 rows)
 }
 
 
