@@ -4229,7 +4229,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": _q_promo_revenue_share,
         # U-shaped 40/20/40 position-based attribution
         "multitouch_attribution": _q_multitouch_attribution,
+        # per-user union-of-intervals activity coverage (merge-overlaps)
+        "user_active_coverage": _q_user_active_coverage,
+        # local clustering coefficient, exact ppm
+        "node_clustering_coeff": _q_node_clustering_coeff,
+        # DLT-style CDC APPLY CHANGES: snapshot-then-merge vs full replay
+        "cdc_apply_changes": _q_cdc_apply_changes,
+        # Flesch reading ease in integer milli-units
+        "doc_readability": _q_doc_readability,
+        # deterministic md5-positional bootstrap CI per event type
+        "bootstrap_value_ci": _q_bootstrap_value_ci,
     }
+
+
+def _q_user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-of-intervals activity coverage per user: each event opens
+    a 300 s interval; overlaps count once (merge-overlaps sweep as one
+    per-user running-max window)."""
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        interval_union_coverage,
+    )
+
+    return interval_union_coverage(
+        load_table(spark, sf_dir, "events"), 300 * 1_000_000
+    )
+
+
+def _q_node_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient over the co-purchase graph in
+    exact ppm — triangles(v) / C(deg(v), 2) via the degree-oriented
+    triangle plan plus a distinct-degree join."""
+    from sea_express_customs_etl_spark.operators.graph import (
+        clustering_coefficient,
+        copurchase_edges,
+    )
+
+    return clustering_coefficient(
+        copurchase_edges(load_table(spark, sf_dir, "lineitem"))
+    )
+
+
+def _q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES, checked as snapshot-then-merge ≡ full
+    replay: events are an op-coded change stream on user_id ('error'
+    = delete, anything else = upsert, sequenced by (ts, event_id));
+    the Spark side applies the pre-2024-01-16 prefix into a state
+    snapshot and merges the remainder as a batch, while the oracle
+    replays the whole stream — the hash match proves the merge
+    algebra."""
+    from sea_express_customs_etl_spark.operators.scd import cdc_apply
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "event_type",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
+    )
+    split = F.lit("2024-01-16").cast("timestamp")
+    state = cdc_apply(
+        ev.filter(F.col("ts") < split),
+        ["user_id"],
+        ["ts", "event_id"],
+        "op",
+        ["event_type", "value_u6"],
+    )
+    return cdc_apply(
+        ev.filter(F.col("ts") >= split),
+        ["user_id"],
+        ["ts", "event_id"],
+        "op",
+        ["event_type", "value_u6"],
+        state=state,
+    )
+
+
+def _q_doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease per document, integer milli-units (vowel-
+    group syllable proxy) — map-side only, no shuffle."""
+    from sea_express_customs_etl_spark.operators.textstats import (
+        readability_scores,
+    )
+
+    return readability_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20-replicate bootstrap CI of per-type value
+    totals — positional-md5 resampling, order-statistic bounds as
+    exact micro-unit integers."""
+    from sea_express_customs_etl_spark.operators.stats_tests import (
+        bootstrap_sum_ci,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
+    )
+    return bootstrap_sum_ci(ev, "event_type", "value_u6", "event_id")
 
 
 def _bpe_encode_fixed_sql() -> str:
@@ -4273,6 +4374,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_ext as ext
     from sea_express_customs_etl_spark.plans import oracles_rel as rel
     from sea_express_customs_etl_spark.plans import oracles_rel_ext as rex
+    from sea_express_customs_etl_spark.plans import oracles_wx as wx
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
     )
@@ -4541,4 +4643,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_year_profit": rex.NATION_YEAR_PROFIT_SQL,
         "promo_revenue_share": rex.PROMO_REVENUE_SHARE_SQL,
         "multitouch_attribution": rex.MULTITOUCH_ATTRIBUTION_SQL,
+        "user_active_coverage": wx.USER_ACTIVE_COVERAGE_SQL,
+        "node_clustering_coeff": wx.NODE_CLUSTERING_COEFF_SQL,
+        "cdc_apply_changes": wx.CDC_APPLY_CHANGES_SQL,
+        "doc_readability": wx.DOC_READABILITY_SQL,
+        "bootstrap_value_ci": wx.BOOTSTRAP_VALUE_CI_SQL,
     }

@@ -1091,3 +1091,57 @@ def centroid_affinity(
             .alias("cos2_ppm"),
         )
     )
+
+
+def clustering_coefficient(edges: DataFrame, ppm: int = 1_000_000) -> DataFrame:
+    """Local clustering coefficient per node in exact ppm —
+    triangles(v) / C(deg(v), 2), the standard "how clique-like is this
+    node's neighborhood" score (Watts-Strogatz 1998). Reuses the
+    degree-oriented triangle enumeration (:func:`triangle_counts` —
+    the O(√m)-fan-out form) and joins per-node distinct degrees back;
+    the ratio is ``(2 · tri · ppm) DIV (deg · (deg - 1))`` — integral,
+    aggregation-order-exact, oracle-portable. Nodes with deg < 2 are
+    excluded (coefficient undefined); triangle-free nodes appear with
+    coeff_ppm = 0 via the left join.
+
+    Output: node, degree, n_triangles, coeff_ppm.
+
+    Scale shape: the triangle side is the audited compact-forward
+    plan; the degree side is one distinct + partial-aggregated
+    groupBy; the final join is node-grained (dictionary-sized
+    relative to edges). Nothing here is pair-quadratic beyond the
+    oriented wedge join itself.
+
+    Beyond reference parity: the reference has no graph layer; this
+    extends the co-purchase structure family (triangles/k-core/truss)
+    with the per-node density normalization.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .filter(F.col("degree") >= 2)
+    )
+    tri = triangle_counts(e.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.expr(
+                f"(2 * coalesce(n_triangles, 0) * {int(ppm)}) "
+                "DIV (degree * (degree - 1))"
+            )
+            .cast("bigint")
+            .alias("coeff_ppm"),
+        )
+    )

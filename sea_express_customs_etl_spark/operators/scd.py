@@ -152,3 +152,62 @@ def pit_join(
         .withColumnRenamed(f"pit_{fact_ts_col}", "pit_valid_from")
         .drop("pit_valid_to")
     )
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_cols: Sequence[str],
+    seq_cols: Sequence[str],
+    op_col: str,
+    payload_cols: Sequence[str],
+    state: DataFrame | None = None,
+) -> DataFrame:
+    """Apply an op-coded CDC change stream (the Delta Live Tables
+    ``APPLY CHANGES`` / Debezium-sink primitive): rows carry a key, a
+    total-order sequence, an op ('U' upsert / 'D' delete) and a
+    payload; the result is the final table — for each key, the
+    highest-sequence row's payload, ABSENT if that row is a delete.
+
+    Latest-wins is ONE max-struct aggregate (partial-merge map-side,
+    no per-key window sort): ``max(struct(seq..., op, payload...))``
+    picks the terminal row per key in a single shuffle. Deletes are
+    dropped AFTER the argmax, so an earlier delete never shadows a
+    later upsert and a terminal delete tombstones the key.
+
+    ``state`` (optional) is a previously-applied snapshot with the
+    same key/seq/payload columns: it is folded in as synthetic 'U'
+    changes at its stored sequence, so
+    ``cdc_apply(batch, state=cdc_apply(prefix))`` ≡
+    ``cdc_apply(prefix ∪ batch)`` whenever every batch row sequences
+    after the snapshot (the incremental-load invariant; the gate
+    hash-checks the equivalence against a full-replay oracle).
+    Tombstone note: a snapshot stores no tombstones — sound under the
+    same invariant, because a key deleted in the prefix either stays
+    absent (no batch row) or is resurrected by a strictly-later batch
+    upsert, exactly as full replay would.
+
+    Scale shape: one hash shuffle on the key (the aggregate), state
+    unioned in scan-side. At 100 TB the state side is the compacted
+    table and the batch is the nightly delta — the shuffle is keyed,
+    partial-aggregated, and skew-safe (one row per key survives the
+    map-side combine).
+
+    Re-expresses the reference's replace-the-table nightly load
+    (/root/reference/src/database.py:17-38 swap) as a keyed merge —
+    what that pipeline would need the moment loads become deltas
+    rather than full snapshots.
+    """
+    keys = list(key_cols)
+    seqs = list(seq_cols)
+    pay = list(payload_cols)
+    ch = changes.select(*keys, *seqs, F.col(op_col).alias("_op"), *pay)
+    if state is not None:
+        ch = ch.unionByName(
+            state.select(*keys, *seqs, F.lit("U").alias("_op"), *pay)
+        )
+    top = ch.groupBy(*keys).agg(
+        F.max(F.struct(*seqs, "_op", *pay)).alias("_t")
+    )
+    return top.select(
+        *keys, *[F.col(f"_t.{c}").alias(c) for c in seqs + ["_op"] + pay]
+    ).filter(F.col("_op") == F.lit("U")).drop("_op")

@@ -420,3 +420,105 @@ def cusum_level_shift(
             "shift_sign",
         )
     )
+
+
+def bootstrap_sum_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    n_reps: int = 20,
+    lo_idx: int = 1,
+    hi_idx: int = 18,
+) -> DataFrame:
+    """Deterministic bootstrap confidence bounds per group — the
+    resampling answer to "how stable is this group's total/mean":
+    ``n_reps`` with-replacement resamples of each group's rows, the
+    per-replicate totals sorted, and the ``lo_idx``/``hi_idx`` order
+    statistics reported as the CI bounds (defaults ≈ the 5th/95th
+    percentile of 20 replicates). Because every replicate of a group
+    draws exactly n rows, comparing replicate SUMS is equivalent to
+    comparing replicate means — so the bounds stay exact micro-unit
+    integers and the whole artifact is hash-portable.
+
+    Randomness is positional md5 (the engine-portable corpus RNG used
+    across the sampling family, ``operators/sampling.py:8-27``): draw
+    i of replicate b in group g picks source row
+    ``conv(md5(g|b|i)[:15], 16, 10) % n`` — replayable bit-for-bit on
+    any engine, no RNG state.
+
+    Output: group, n_rows, n_reps, lo_sum_u6, hi_sum_u6 (order stats
+    of the replicate totals; ties broken by replicate id).
+
+    Scale shape: the draw table is ``n_reps ×`` the base (generated by
+    a per-row explode of a bounded replicate array — never a
+    single-row mega-sequence), resolved by ONE keyed join back to the
+    base on (group, row_index) and ONE partial-aggregated (group, rep)
+    groupBy; the order-statistic window runs on the n_reps-per-group
+    replicate frame — model-sized. The base is persisted once for its
+    three scans (count, draw fan-out, lookup).
+
+    Beyond reference parity: the reference reports point aggregates
+    only (src/batch_train.py vote counts); this attaches the standard
+    uncertainty quantification a data pipeline needs before acting on
+    a group difference.
+    """
+    w = Window.partitionBy("_g").orderBy("_id")
+    base = tracked_persist(
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(id_col).alias("_id"),
+            F.col(value_col).alias("_v"),
+        ).withColumn("_rn", F.row_number().over(w) - F.lit(1))
+    )  # three scans: group sizes, draw fan-out, drawn-row lookup
+    cnt = base.groupBy("_g").agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    draws = (
+        base.join(F.broadcast(cnt), "_g")
+        .select(
+            "_g",
+            "_n",
+            "_rn",
+            F.explode(F.expr(f"sequence(0, {int(n_reps) - 1})")).alias("_b"),
+        )
+        .select(
+            "_g",
+            "_b",
+            F.expr(
+                "conv(substring(md5(concat(_g, '|', cast(_b as string), "
+                "'|', cast(_rn as string))), 1, 15), 16, 10)"
+            )
+            .cast("bigint")
+            .__mod__(F.col("_n"))
+            .alias("_j"),
+        )
+    )
+    resampled = draws.join(
+        base.select("_g", F.col("_rn").alias("_j"), "_v"), ["_g", "_j"]
+    )
+    reps = resampled.groupBy("_g", "_b").agg(
+        F.sum("_v").cast("bigint").alias("_s")
+    )
+    rw = Window.partitionBy("_g").orderBy("_s", "_b")
+    ranked = reps.withColumn("_r", F.row_number().over(rw) - F.lit(1))
+    out = (
+        ranked.filter(F.col("_r").isin(int(lo_idx), int(hi_idx)))
+        .groupBy("_g")
+        .agg(
+            F.max(F.when(F.col("_r") == int(lo_idx), F.col("_s")))
+            .cast("bigint")
+            .alias("lo_sum_u6"),
+            F.max(F.when(F.col("_r") == int(hi_idx), F.col("_s")))
+            .cast("bigint")
+            .alias("hi_sum_u6"),
+        )
+    )
+    return (
+        out.join(F.broadcast(cnt), "_g")
+        .select(
+            F.col("_g").alias(group_col),
+            F.col("_n").alias("n_rows"),
+            F.lit(int(n_reps)).cast("bigint").alias("n_reps"),
+            "lo_sum_u6",
+            "hi_sum_u6",
+        )
+    )

@@ -808,3 +808,57 @@ def kwic_snippets(
         .orderBy(F.col(id_col).asc(), F.col("pos").asc())
         .limit(k)
     )
+
+
+def readability_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Flesch reading-ease per document in exact integer milli-units —
+    the standard corpus-quality readability signal (Flesch 1948;
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/word)).
+    Syllables use the vowel-group proxy (maximal ``[aeiouyAEIOUY]+``
+    runs — the classic heuristic, off by silent-e but consistent and
+    engine-portable); sentences are ``[.!?]+`` runs, floored at 1 so
+    fragment-only docs stay defined. Both ratio terms are positive, so
+    each is floored independently via integral DIV — the score is
+    ``206835 − (1015·W) DIV S − (84600·Syl) DIV W`` in milli-units,
+    aggregation-free and bit-identical across engines.
+
+    Output: doc_id, n_words, n_sents, n_syllables, flesch_milli.
+
+    Scale shape: three ``regexp_extract_all`` counts per row, fully
+    map-side (no shuffle at all) — the cheapest possible quality
+    column to attach to a 100 TB corpus scan. Regexes stay in the
+    Java∩RE2 common dialect (explicit classes, no lookaround).
+
+    Beyond reference parity: extends the quality_gate family
+    (``quality_gate``/``lm_score``) with the classical readability
+    axis the CCNet-style pipelines bucket on.
+    """
+    words = F.size(F.expr(f"regexp_extract_all({text_col}, '[A-Za-z0-9]+', 0)"))
+    sents = F.greatest(
+        F.lit(1),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")),
+    )
+    syll = F.size(
+        F.expr(f"regexp_extract_all({text_col}, '[aeiouyAEIOUY]+', 0)")
+    )
+    out = df.select(
+        F.col(id_col),
+        words.cast("bigint").alias("n_words"),
+        sents.cast("bigint").alias("n_sents"),
+        syll.cast("bigint").alias("n_syllables"),
+    ).filter(F.col("n_words") >= 1)
+    return out.select(
+        id_col,
+        "n_words",
+        "n_sents",
+        "n_syllables",
+        (
+            F.lit(206835)
+            - F.expr("(1015 * n_words) DIV n_sents")
+            - F.expr("(84600 * n_syllables) DIV n_words")
+        )
+        .cast("bigint")
+        .alias("flesch_milli"),
+    )

@@ -499,3 +499,70 @@ def peak_concurrency(
         .groupBy("event_type", "peak_concurrency")
         .agg(F.min("_t").cast("bigint").alias("peak_t_us"))
     )
+
+
+def interval_union_coverage(
+    events: DataFrame,
+    duration_us: int,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-key union-of-intervals coverage — "how much wall-clock was
+    this user actually active": each event occupies [ts, ts + duration)
+    and overlapping intervals must count ONCE (the naïve
+    n_events × duration overstates whenever activity clusters). The
+    classic merge-overlaps sweep, expressed as one window: order a
+    key's intervals by start, carry the running max of interval ENDS
+    over all PRECEDING rows, and each row contributes only the part of
+    its interval past that high-water mark —
+    ``greatest(0, end - greatest(start, prev_max_end))``. Summing the
+    contributions gives the exact union length without materializing
+    merged spans; rows whose start clears the high-water mark open a
+    new span, so the same flag counts the merged-span total.
+
+    All arithmetic is epoch-micros BIGINT (exact, oracle-portable).
+    Output: one row per key — key, n_events, n_spans, covered_us.
+
+    Scale shape: one hash shuffle on the key, one per-key window
+    (running max — O(1) state per row), one partial-aggregated
+    groupBy reusing the window's partitioning. Per-key window
+    partitions are user-grained (bounded fan-in), never global.
+
+    Beyond reference parity: the reference has no time-dimension ops;
+    this completes the interval family (``peak_concurrency`` is the
+    cross-key instantaneous view, this is the per-key integral view).
+    """
+    iv = events.select(
+        F.col(key_col).alias("key"),
+        F.expr(f"unix_micros({ts_col})").alias("_s"),
+        (F.expr(f"unix_micros({ts_col})") + F.lit(duration_us)).alias("_e"),
+        F.col(id_col).alias("_id"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("_s", "_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    contrib = iv.select(
+        "key",
+        "_s",
+        "_e",
+        F.max("_e").over(w).alias("_pm"),
+    ).select(
+        "key",
+        F.when(
+            F.col("_pm").isNull() | (F.col("_s") >= F.col("_pm")), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("_new_span"),
+        F.greatest(
+            F.lit(0),
+            F.col("_e") - F.greatest(F.col("_s"), F.coalesce("_pm", "_s")),
+        ).alias("_c"),
+    )
+    return contrib.groupBy(F.col("key").alias(key_col)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("_new_span").cast("bigint").alias("n_spans"),
+        F.sum("_c").cast("bigint").alias("covered_us"),
+    )

@@ -150,6 +150,9 @@ FORCED_BROADCAST_ALLOWED = {
     "nation_market_share",  # pinned nation x region chain + 1-row
     #                         target-nation key
     "nation_year_profit",  # pinned nation dim (25 rows)
+    "bootstrap_value_ci",  # pinned |event_type|-row group-size frame
+    #                        (bounded type dictionary — the 1-row
+    #                        license at dictionary grain)
 }
 
 
