@@ -4239,6 +4239,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_readability": _q_doc_readability,
         # deterministic md5-positional bootstrap CI per event type
         "bootstrap_value_ci": _q_bootstrap_value_ci,
+        # TextRank keywords: weighted PageRank over word co-occurrence
+        "textrank_keywords": _q_textrank_keywords,
+        # bucketed-table co-located join (zero-exchange join plan)
+        "bucketed_join_segments": _q_bucketed_join_segments,
+        # partitionBy sink + partition-pruned read-back lineage
+        "partitioned_prune_hourly": _q_partitioned_prune_hourly,
+        # real resize kernel hash-checked via analytic index-map oracle
+        "image_resize_stats": _q_image_resize_stats,
     }
 
 
@@ -4331,6 +4339,111 @@ def _q_bootstrap_value_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
     )
     return bootstrap_sum_ci(ev, "event_type", "value_u6", "event_id")
+
+
+def _q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank corpus keywords: weighted PageRank over the adjacent-
+    token co-occurrence graph, exact integer trajectory, top-20."""
+    from sea_express_customs_etl_spark.operators.textrank import (
+        textrank_keywords,
+    )
+
+    return textrank_keywords(load_table(spark, sf_dir, "documents"))
+
+
+def _q_bucketed_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: orders and customer are written
+    bucketed+sorted by custkey (8 buckets, app-scoped table names) and
+    joined bucket-to-bucket — the repeated-nightly-join layout where
+    the join itself plans with ZERO exchanges (pinned by
+    tests/test_analytics_wave_y.py); the only shuffle left is the
+    final segment aggregate. Eager catalog writes at plan-build time —
+    the orc/jdbc roundtrip license."""
+    from sea_express_customs_etl_spark.sinks.bucketed import write_bucketed
+
+    app = re.sub(r"\W", "_", spark.sparkContext.applicationId)
+    to, tc = f"bkt_orders_{app}", f"bkt_customer_{app}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    write_bucketed(orders, to, ("o_custkey",), num_buckets=8,
+                   sort_cols=("o_custkey",))
+    write_bucketed(cust, tc, ("c_custkey",), num_buckets=8,
+                   sort_cols=("c_custkey",))
+    j = spark.table(to).join(
+        spark.table(tc), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price_c").cast("bigint").alias("revenue_c"),
+    )
+
+
+def _q_partitioned_prune_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned-sink lineage: events written ``partitionBy(
+    event_type)`` to parquet and read back with a one-type filter —
+    the scan must prune to the single partition directory (pinned by
+    tests/test_analytics_wave_y.py: PartitionFilters carries the
+    predicate, not PushedFilters) — then rolled up hourly. The write
+    AND the pruned read both sit inside the checked lineage."""
+    d = _session_scratch(spark, "part_ev")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(f"{d}/ev")
+    back = spark.read.parquet(f"{d}/ev").filter(
+        F.col("event_type") == "purchase"
+    )
+    return back.groupBy(
+        F.expr("unix_micros(ts) DIV 3600000000").alias("hour_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("value_u6").cast("bigint").alias("sum_value_u6"),
+    )
+
+
+def _q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize oracle-checked FROM RAW BYTES: synthetic PGM
+    payloads run through the REAL nearest-neighbor resize kernel
+    (numpy index sampling, re-encoded PPM) and the real decode; DuckDB
+    recomputes the resized pixel sum analytically from the same index
+    map (yi = (i·h0) DIV out_h), so the resample arithmetic itself is
+    hash-checked. Corrupt payloads surface as resize_failed rows."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        decode_images,
+        resize_images,
+        synth_pgm_payloads,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 60)
+        .select(F.col("p_partkey").alias("media_id"))
+    )
+    res = resize_images(synth_pgm_payloads(ids), width=6, height=5)
+    ok = decode_images(res.filter(F.col("payload").isNotNull())).select(
+        "media_id",
+        "width",
+        "height",
+        F.round(F.col("mean_luma") * F.col("width") * F.col("height"))
+        .cast("bigint")
+        .alias("luma_sum"),
+        F.lit(False).alias("resize_failed"),
+    )
+    bad = res.filter(F.col("payload").isNull()).select(
+        "media_id",
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("bigint").alias("luma_sum"),
+        F.lit(True).alias("resize_failed"),
+    )
+    return ok.unionByName(bad)
 
 
 def _bpe_encode_fixed_sql() -> str:
@@ -4648,4 +4761,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_apply_changes": wx.CDC_APPLY_CHANGES_SQL,
         "doc_readability": wx.DOC_READABILITY_SQL,
         "bootstrap_value_ci": wx.BOOTSTRAP_VALUE_CI_SQL,
+        "textrank_keywords": wx.TEXTRANK_KEYWORDS_SQL,
+        "bucketed_join_segments": wx.BUCKETED_JOIN_SEGMENTS_SQL,
+        "partitioned_prune_hourly": wx.PARTITIONED_PRUNE_HOURLY_SQL,
+        "image_resize_stats": wx.IMAGE_RESIZE_STATS_SQL,
     }

@@ -135,3 +135,97 @@ SELECT c.g AS event_type, c.n AS n_rows,
 FROM ranked r JOIN cnt c USING (g)
 GROUP BY 1, 2, 3
 """
+
+# textrank_keywords (operators/textrank.py): same unrolled weighted-
+# PageRank trajectory as COPURCHASE_PAGERANK_WEIGHTED_SQL, over the
+# adjacent-token co-occurrence graph.
+from sea_express_customs_etl_spark.plans.oracles_ext import _PRW_STEP
+
+TEXTRANK_KEYWORDS_SQL = (
+    r"""
+WITH toks AS (
+  SELECT doc_id, tok, i FROM (
+    SELECT doc_id, unnest(arr) AS tok,
+           unnest(range(1, len(arr) + 1)) AS i
+    FROM (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS arr
+          FROM documents))
+  WHERE tok <> ''),
+pairs AS (
+  SELECT a.tok AS wa, b.tok AS wb
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+  WHERE a.tok <> b.tok),
+ew AS (
+  SELECT src, dst, count(*)::BIGINT AS w
+  FROM (SELECT wa AS src, wb AS dst FROM pairs
+        UNION ALL SELECT wb, wa FROM pairs) u
+  GROUP BY 1, 2),
+ws AS (SELECT src, sum(w) AS wtot FROM ew GROUP BY 1),
+ed AS (SELECT e.src, e.dst, e.w, ws.wtot FROM ew e JOIN ws USING (src)),
+r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM ws),
+it1 AS ("""
+    + _PRW_STEP.format(prev="r0")
+    + """),
+it2 AS ("""
+    + _PRW_STEP.format(prev="it1")
+    + """),
+it3 AS ("""
+    + _PRW_STEP.format(prev="it2")
+    + """)
+SELECT node AS word, r AS rank_u6
+FROM it3
+ORDER BY rank_u6 DESC, word
+LIMIT 20
+"""
+)
+
+# bucketed_join_segments: the oracle is the PLAIN join — the Spark
+# side's bucketed write/read lineage must not change a single value.
+BUCKETED_JOIN_SEGMENTS_SQL = """
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       sum(CAST(round(o.o_totalprice * 100) AS BIGINT))::BIGINT
+           AS revenue_c
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+# partitioned_prune_hourly: direct filtered rollup — the Spark side's
+# partitionBy write + pruned read must be value-transparent.
+PARTITIONED_PRUNE_HOURLY_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS hour_id,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+           AS sum_value_u6
+FROM events
+WHERE event_type = 'purchase'
+GROUP BY 1
+"""
+
+# image_resize_stats (multimodal/binary_ops.py:resize_images):
+# nearest-neighbor index map yi = (i·h0) DIV out_h, xi = (j·w0) DIV
+# out_w over the synth_pgm closed form pixel = (3·id + 5·yi + 7·xi)
+# mod 251; resized to 6×5. Corrupt ids (every 29th) fail the resize.
+IMAGE_RESIZE_STATS_SQL = """
+WITH ids AS (SELECT p_partkey AS media_id FROM part WHERE p_partkey <= 60),
+dims AS (SELECT media_id, 4 + media_id % 13 AS w0, 4 + media_id % 11 AS h0
+         FROM ids),
+px AS (
+  SELECT d.media_id,
+         sum((3 * d.media_id + 5 * ((gi.i * d.h0) // 5)
+              + 7 * ((gj.j * d.w0) // 6)) % 251) AS s
+  FROM dims d
+  CROSS JOIN generate_series(0, 4) gi(i)
+  CROSS JOIN generate_series(0, 5) gj(j)
+  GROUP BY 1)
+SELECT media_id,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(6 AS INTEGER) END AS width,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(5 AS INTEGER) END AS height,
+       CASE WHEN media_id % 29 = 0 THEN NULL
+            ELSE CAST(s AS BIGINT) END AS luma_sum,
+       media_id % 29 = 0 AS resize_failed
+FROM px
+"""
