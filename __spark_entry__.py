@@ -4247,6 +4247,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_prune_hourly": _q_partitioned_prune_hourly,
         # real resize kernel hash-checked via analytic index-map oracle
         "image_resize_stats": _q_image_resize_stats,
+        # KMV cardinality sketch: digest + estimate both hash-checked
+        "kmv_distinct_users": _q_kmv_distinct_users,
+        # spend-decile transition matrix, global_rank bucket arithmetic
+        "customer_decile_migration": _q_customer_decile_migration,
+        # difference-in-differences, exact rational over the CUPED split
+        "did_lift": _q_did_lift,
     }
 
 
@@ -4446,6 +4452,42 @@ def _q_image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ok.unionByName(bad)
 
 
+def _q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per event type: the k=16 smallest
+    60-bit md5 values — digest AND estimate hash-checked (exactly
+    reproducible sketch state, unlike HLL registers)."""
+    from sea_express_customs_etl_spark.operators.kmv import kmv_distinct
+
+    return kmv_distinct(
+        load_table(spark, sf_dir, "events"), "event_type", "user_id"
+    )
+
+
+def _q_customer_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-decile transition matrix 1995 → 1996: deciles
+    over each year's full population via global_rank (range shuffle —
+    never a single-partition corpus window), bucket arithmetic
+    ((rank-1)·10) DIV n on both engines."""
+    from sea_express_customs_etl_spark.operators.deciles import (
+        decile_migration,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").alias("o_year"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+    )
+    return decile_migration(o, "o_custkey", "o_year", "price_c", 1995, 1996)
+
+
+def _q_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on the CUPED split (md5 variants,
+    2024-01-16 pre/post), exact rational numerator/denominator."""
+    from sea_express_customs_etl_spark.operators.abtest import did_lift
+
+    return did_lift(load_table(spark, sf_dir, "events"), "2024-01-16")
+
+
 def _bpe_encode_fixed_sql() -> str:
     from sea_express_customs_etl_spark.operators.bpe import FIXED_MERGES
     from sea_express_customs_etl_spark.plans.oracles_ext import bpe_encode_sql
@@ -4488,6 +4530,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_rel as rel
     from sea_express_customs_etl_spark.plans import oracles_rel_ext as rex
     from sea_express_customs_etl_spark.plans import oracles_wx as wx
+    from sea_express_customs_etl_spark.plans import oracles_wz as wz
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
     )
@@ -4765,4 +4808,7 @@ def oracle_sql() -> dict[str, str]:
         "bucketed_join_segments": wx.BUCKETED_JOIN_SEGMENTS_SQL,
         "partitioned_prune_hourly": wx.PARTITIONED_PRUNE_HOURLY_SQL,
         "image_resize_stats": wx.IMAGE_RESIZE_STATS_SQL,
+        "kmv_distinct_users": wz.KMV_DISTINCT_USERS_SQL,
+        "customer_decile_migration": wz.CUSTOMER_DECILE_MIGRATION_SQL,
+        "did_lift": wz.DID_LIFT_SQL,
     }

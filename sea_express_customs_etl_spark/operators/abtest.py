@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from sea_express_customs_etl_spark.operators.sampling import hash_split
+from sea_express_customs_etl_spark.plans.cache import tracked_persist
 
 
 def cuped_adjusted_lift(
@@ -104,4 +105,86 @@ def cuped_adjusted_lift(
         .cast("decimal(38,0)")
         .alias("adj_num"),
         (F.col("_n") * den).cast("decimal(38,0)").alias("scale"),
+    )
+
+
+def did_lift(
+    events: DataFrame,
+    split_ts: str,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    salt: str = "did",
+) -> DataFrame:
+    """Difference-in-differences at user grain, exact integers — the
+    pre-trend-robust sibling of :func:`cuped_adjusted_lift`: variants
+    are the md5 hash-split halves, x/y the per-user pre/post cent
+    totals, and because each variant's pre and post denominators are
+    the SAME user count,
+
+        did = (Σy_T − Σx_T)/n_T − (Σy_C − Σx_C)/n_C
+
+    carries as one exact rational: ``did_num = (Σy_T − Σx_T)·n_C −
+    (Σy_C − Σx_C)·n_T`` over ``did_den = n_T·n_C`` (DECIMAL(38,0);
+    at sf1 |num| ≲ 1e12·1e7 = 1e19 — 19 digits, 19 to spare).
+    Output: one row — n_treat, n_ctrl, the four cell sums, did_num,
+    did_den.
+
+    Scale shape: one per-user aggregate shuffle (partial map-side),
+    one 2-row variant aggregate, a 1-row×1-row join — nothing after
+    the first shuffle touches corpus grain.
+    """
+    cents = F.round(F.col(value_col) * 100).cast("bigint")
+    per_user = events.groupBy(key_col).agg(
+        F.coalesce(
+            F.sum(F.when(F.col(ts_col) < split_ts, cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("_x"),
+        F.coalesce(
+            F.sum(F.when(F.col(ts_col) >= split_ts, cents)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("_y"),
+    )
+    per_user = hash_split(
+        per_user,
+        {"control": 0.5, "treatment": 0.5},
+        key_col=key_col,
+        salt=salt,
+        split_col="variant",
+    )
+    v = tracked_persist(
+        per_user.groupBy("variant").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum("_x").cast("bigint").alias("_sx"),
+            F.sum("_y").cast("bigint").alias("_sy"),
+        )
+    )  # two consumers: the treatment/control branch filters
+    t = v.filter(F.col("variant") == "treatment").select(
+        F.col("_n").alias("n_treat"),
+        F.col("_sx").alias("sum_pre_treat_c"),
+        F.col("_sy").alias("sum_post_treat_c"),
+    )
+    c = v.filter(F.col("variant") == "control").select(
+        F.col("_n").alias("n_ctrl"),
+        F.col("_sx").alias("sum_pre_ctrl_c"),
+        F.col("_sy").alias("sum_post_ctrl_c"),
+    )
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    return t.join(F.broadcast(c)).select(
+        "n_treat",
+        "n_ctrl",
+        "sum_pre_treat_c",
+        "sum_post_treat_c",
+        "sum_pre_ctrl_c",
+        "sum_post_ctrl_c",
+        (
+            (dec("sum_post_treat_c") - dec("sum_pre_treat_c")) * dec("n_ctrl")
+            - (dec("sum_post_ctrl_c") - dec("sum_pre_ctrl_c"))
+            * dec("n_treat")
+        )
+        .cast("decimal(38,0)")
+        .alias("did_num"),
+        (dec("n_treat") * dec("n_ctrl")).cast("decimal(38,0)").alias("did_den"),
     )

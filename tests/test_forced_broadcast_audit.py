@@ -153,6 +153,10 @@ FORCED_BROADCAST_ALLOWED = {
     "bootstrap_value_ci",  # pinned |event_type|-row group-size frame
     #                        (bounded type dictionary — the 1-row
     #                        license at dictionary grain)
+    "customer_decile_migration",  # 1-row population counts + the
+    #                               |partitions|-row global_rank
+    #                               offsets (the global_rank license)
+    "did_lift",  # pinned 1-row control-cell frame (the cuped license)
 }
 
 

@@ -103,6 +103,11 @@ BNLJ_ALLOWED = {
     #                    global_rank/pps license)
     "peak_concurrency",  # |partitions|-row cumsum offsets (the
     #                      global_rank/pps license)
+    "customer_decile_migration",  # 1-row population-count scalar
+    #                               cross-joined per period + the
+    #                               global_rank offset broadcasts
+    "did_lift",  # 1-row control-cell frame cross-joined into the
+    #              1-row treatment frame (the cuped license)
 }
 
 
