@@ -4253,6 +4253,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_decile_migration": _q_customer_decile_migration,
         # difference-in-differences, exact rational over the CUPED split
         "did_lift": _q_did_lift,
+        # depth-2 CART: root + per-child exact Gini splits
+        "tree_depth2_length": _q_tree_depth2_length,
     }
 
 
@@ -4486,6 +4488,19 @@ def _q_did_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.abtest import did_lift
 
     return did_lift(load_table(spark, sf_dir, "events"), "2024-01-16")
+
+
+def _q_tree_depth2_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 CART on doc length predicting lang=en: exact integer
+    Gini at root + both children, root winner threaded through the
+    oracle's CTEs — the level-synchronous histogram-tree schedule."""
+    from sea_express_customs_etl_spark.operators.stump import tree_depth2
+
+    return tree_depth2(
+        _docs(spark, sf_dir),
+        F.length(F.col("text")).cast("bigint"),
+        (F.col("lang") == "en").cast("int"),
+    )
 
 
 def _bpe_encode_fixed_sql() -> str:
@@ -4811,4 +4826,5 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct_users": wz.KMV_DISTINCT_USERS_SQL,
         "customer_decile_migration": wz.CUSTOMER_DECILE_MIGRATION_SQL,
         "did_lift": wz.DID_LIFT_SQL,
+        "tree_depth2_length": wz.TREE_DEPTH2_LENGTH_SQL,
     }

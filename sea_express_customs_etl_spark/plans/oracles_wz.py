@@ -89,3 +89,69 @@ SELECT t.n_users AS n_treat, c.n_users AS n_ctrl,
        t.n_users::HUGEINT * c.n_users::HUGEINT AS did_den
 FROM t, c
 """
+
+# tree_depth2 (operators/stump.py): the stump's integer Gini score,
+# reused at root and per-child grain; the ROOT WINNER is threaded
+# through CTEs (trajectory discipline — never pasted literals).
+_GINI_S = """
+         (1000000::HUGEINT *
+            ((n_l::HUGEINT * n_l::HUGEINT - p_l::HUGEINT * p_l::HUGEINT
+              - (n_l - p_l)::HUGEINT * (n_l - p_l)::HUGEINT)
+               * (nn - n_l)::HUGEINT
+             + ((nn - n_l)::HUGEINT * (nn - n_l)::HUGEINT
+                - (pp - p_l)::HUGEINT * (pp - p_l)::HUGEINT
+                - ((nn - n_l) - (pp - p_l))::HUGEINT
+                  * ((nn - n_l) - (pp - p_l))::HUGEINT)
+               * n_l::HUGEINT))
+         // (n_l::HUGEINT * (nn - n_l)::HUGEINT * nn::HUGEINT)
+"""
+
+TREE_DEPTH2_LENGTH_SQL = f"""
+WITH base AS (
+  SELECT length(text)::BIGINT AS x,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents),
+cnt AS (SELECT x, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+        FROM base GROUP BY 1),
+cum AS (
+  SELECT x, sum(c) OVER wo AS n_l, sum(p) OVER wo AS p_l,
+         sum(c) OVER () AS nn, sum(p) OVER () AS pp
+  FROM cnt
+  WINDOW wo AS (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+sc AS (
+  SELECT x AS split_value, n_l, nn - n_l AS n_r,
+{_GINI_S} AS s
+  FROM cum WHERE nn - n_l > 0),
+r0 AS (SELECT * FROM sc ORDER BY s ASC, split_value ASC LIMIT 1),
+sides AS (
+  SELECT CASE WHEN b.x <= r0.split_value THEN 'left' ELSE 'right' END
+             AS node,
+         b.x, b.y
+  FROM base b CROSS JOIN r0),
+cnt2 AS (SELECT node, x, count(*)::BIGINT AS c, sum(y)::BIGINT AS p
+         FROM sides GROUP BY 1, 2),
+cum2 AS (
+  SELECT node, x, sum(c) OVER wo AS n_l, sum(p) OVER wo AS p_l,
+         sum(c) OVER wn AS nn, sum(p) OVER wn AS pp
+  FROM cnt2
+  WINDOW wo AS (PARTITION BY node ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wn AS (PARTITION BY node)),
+sc2 AS (
+  SELECT node, x AS split_value, n_l, nn - n_l AS n_r,
+{_GINI_S} AS s
+  FROM cum2 WHERE nn - n_l > 0),
+pick2 AS (
+  SELECT *, row_number() OVER (PARTITION BY node
+            ORDER BY s ASC, split_value ASC) AS rk
+  FROM sc2)
+SELECT 'root' AS node, split_value,
+       CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+       CAST(s AS BIGINT) AS score_u6
+FROM r0
+UNION ALL
+SELECT node, split_value, CAST(n_l AS BIGINT), CAST(n_r AS BIGINT),
+       CAST(s AS BIGINT)
+FROM pick2 WHERE rk = 1
+"""

@@ -80,3 +80,49 @@ def test_did_lift_rational_identity(spark):
     )
     assert int(r.did_den) == r.n_treat * r.n_ctrl
     assert r.n_treat + r.n_ctrl == 29
+
+
+def _gini_score_u6(pairs):
+    # brute-force mirror of the integer split score
+    import itertools
+
+    xs = sorted({x for x, _ in pairs})
+    nn = len(pairs)
+    pp = sum(y for _, y in pairs)
+    best = None
+    for t in xs:
+        left = [(x, y) for x, y in pairs if x <= t]
+        n_l, p_l = len(left), sum(y for _, y in left)
+        n_r, p_r = nn - n_l, pp - p_l
+        if n_r == 0:
+            continue
+        g_l = n_l * n_l - p_l * p_l - (n_l - p_l) ** 2
+        g_r = n_r * n_r - p_r * p_r - (n_r - p_r) ** 2
+        s = (1_000_000 * (g_l * n_r + g_r * n_l)) // (n_l * n_r * nn)
+        if best is None or (s, t) < best:
+            best = (s, t)
+    return best
+
+
+def test_tree_depth2_matches_bruteforce(spark):
+    from sea_express_customs_etl_spark.operators.stump import tree_depth2
+
+    pairs = [(x, 1 if x in (1, 2, 7, 8, 9) else 0) for x in range(1, 13)
+             for _ in range(x % 3 + 1)]
+    df = spark.createDataFrame(pairs, ["x", "y"])
+    rows = {r.node: r for r in
+            tree_depth2(df, F.col("x"), F.col("y")).collect()}
+    s_root, t_root = _gini_score_u6(pairs)
+    assert rows["root"].split_value == t_root
+    assert rows["root"].score_u6 == s_root
+    left = [(x, y) for x, y in pairs if x <= t_root]
+    right = [(x, y) for x, y in pairs if x > t_root]
+    for node, sub in (("left", left), ("right", right)):
+        exp = _gini_score_u6(sub)
+        if exp is None:
+            assert node not in rows
+        else:
+            assert rows[node].split_value == exp[1]
+            assert rows[node].score_u6 == exp[0]
+    assert rows["root"].n_left == len(left)
+    assert rows["root"].n_right == len(right)

@@ -157,6 +157,7 @@ FORCED_BROADCAST_ALLOWED = {
     #                               |partitions|-row global_rank
     #                               offsets (the global_rank license)
     "did_lift",  # pinned 1-row control-cell frame (the cuped license)
+    "tree_depth2_length",  # pinned 1-row root-winner threshold
 }
 
 

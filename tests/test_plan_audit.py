@@ -108,6 +108,8 @@ BNLJ_ALLOWED = {
     #                               global_rank offset broadcasts
     "did_lift",  # 1-row control-cell frame cross-joined into the
     #              1-row treatment frame (the cuped license)
+    "tree_depth2_length",  # 1-row root-winner threshold cross-joined
+    #                        into the child pass (the 1-row license)
 }
 
 

@@ -100,8 +100,27 @@ def cases() -> dict:
             nprobe=nprobe,
         )
 
+    def _textrank(docs):
+        from sea_express_customs_etl_spark.operators.textrank import (
+            textrank_keywords,
+        )
+
+        return textrank_keywords(docs)
+
+    def _readability(docs):
+        from sea_express_customs_etl_spark.operators.textstats import (
+            readability_scores,
+        )
+
+        return readability_scores(docs)
+
     return {
         "lm_score": lambda docs, emb: lm_score(docs),
+        # replicated docs repeat TEXT → the word graph (and every
+        # PageRank sweep) stays 1×; only the edge-count scan grows 8×
+        "textrank_keywords": lambda docs, emb: _textrank(docs),
+        # three regexp counts per row, zero shuffles — pure scan scaling
+        "doc_readability": lambda docs, emb: _readability(docs),
         "bpe_encode_fixed": lambda docs, emb: bpe_encode(
             docs, list(FIXED_MERGES)
         ).select("doc_id", "n_tokens"),
@@ -387,8 +406,64 @@ def cases_ev() -> dict:
             30,
         )
 
+    def _ivunion(ev):
+        from sea_express_customs_etl_spark.operators.timeseries import (
+            interval_union_coverage,
+        )
+
+        return interval_union_coverage(ev, 300 * 1_000_000)
+
+    def _bootstrap(ev):
+        from sea_express_customs_etl_spark.operators.stats_tests import (
+            bootstrap_sum_ci,
+        )
+
+        return bootstrap_sum_ci(
+            ev.select(
+                "event_type",
+                "event_id",
+                F.round(F.col("value") * 1e6).cast("bigint").alias("v"),
+            ),
+            "event_type",
+            "v",
+            "event_id",
+        )
+
+    def _cdc(ev):
+        from sea_express_customs_etl_spark.operators.scd import cdc_apply
+
+        ch = ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(F.col("event_type") == "error", F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            "event_type",
+            F.round(F.col("value") * 1e6).cast("bigint").alias("v"),
+        )
+        return cdc_apply(
+            ch, ["user_id"], ["ts", "event_id"], "op", ["event_type", "v"]
+        )
+
+    def _kmv(ev):
+        from sea_express_customs_etl_spark.operators.kmv import kmv_distinct
+
+        return kmv_distinct(ev, "event_type", "user_id")
+
     return {
         "funnel_conversion": _funnel,
+        # per-user running-max window + one partial agg: user count
+        # grows 8×, per-user history constant — the sessionize shape
+        "interval_union": _ivunion,
+        # draw fan-out is 20× the corpus but ONE keyed join + partial
+        # aggs; replicate/window frames stay |types|·20 rows
+        "bootstrap_ci": _bootstrap,
+        # one max-struct shuffle on the key — the latest_by_key shape
+        "cdc_apply": _cdc,
+        # distinct agg + WindowGroupLimit top-k: per-partition state
+        # is k rows/group regardless of corpus size
+        "kmv_sketch": _kmv,
         "clicks_in_error_window": _ivjoin,
         "cohort_retention": _cohort,
         # per-user lead window (bounded state) + one pair-count
@@ -751,9 +826,37 @@ def cases_li() -> dict:
 
         return label_propagation(cooccur_edges(li, min_weight=2), rounds=4)
 
+    def _ccoef(li):
+        from sea_express_customs_etl_spark.operators.graph import (
+            clustering_coefficient,
+        )
+
+        return clustering_coefficient(copurchase_edges(li))
+
+    def _decmig(li):
+        from sea_express_customs_etl_spark.operators.deciles import (
+            decile_migration,
+        )
+
+        facts = li.select(
+            F.col("l_suppkey").alias("k"),
+            F.year("l_shipdate").alias("y"),
+            F.round(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("v"),
+        )
+        return decile_migration(facts, "k", "y", "v", 1995, 1996)
+
     return {
         "kcore_sieve": _kcore,
         "seeded_ppr": _ppr,
+        # degree-oriented wedge join + node-grain degree join: both
+        # linear in the 8× disjoint copies
+        "clustering_coeff": _ccoef,
+        # two global_rank range shuffles at supplier grain + one
+        # customer-grain migration join — rank offsets stay
+        # |partitions|-row
+        "decile_migration": _decmig,
         "hash_walks": _walks,
         # 8× disjoint graph copies: wedge volume grows linearly (per-
         # node degree held constant), global top-50 is map-side partial
