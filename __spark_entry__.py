@@ -4255,6 +4255,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "did_lift": _q_did_lift,
         # depth-2 CART: root + per-child exact Gini splits
         "tree_depth2_length": _q_tree_depth2_length,
+        # closed-form business-day SLA by priority
+        "priority_ship_bizdays": _q_priority_ship_bizdays,
+        # train-split shingle leakage scoring per eval doc
+        "memorization_scores": _q_memorization_scores,
+        # float-free EWMA over the hourly series
+        "event_ewma_hourly": _q_event_ewma_hourly,
     }
 
 
@@ -4503,6 +4509,39 @@ def _q_tree_depth2_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_priority_ship_bizdays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship SLA in BUSINESS days by priority: the closed-form
+    weekday prefix count (no calendar dim, no per-row loop)."""
+    from sea_express_customs_etl_spark.operators.calendar import (
+        ship_bizdays_by_priority,
+    )
+
+    return ship_bizdays_by_priority(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def _q_memorization_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-eval-doc novelty vs the train split's shingle dictionary —
+    the measurement form of decontaminate (leakage quantification)."""
+    from sea_express_customs_etl_spark.operators.memorization import (
+        memorization_scores,
+    )
+
+    return memorization_scores(load_table(spark, sf_dir, "documents"))
+
+
+def _q_event_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Float-free EWMA (α=1/2, 16 lags) of the hourly value series —
+    power-of-two weights make the smoothed artifact hash-checkable."""
+    from sea_express_customs_etl_spark.operators.timeseries import (
+        ewma_hourly,
+    )
+
+    return ewma_hourly(load_table(spark, sf_dir, "events"))
+
+
 def _bpe_encode_fixed_sql() -> str:
     from sea_express_customs_etl_spark.operators.bpe import FIXED_MERGES
     from sea_express_customs_etl_spark.plans.oracles_ext import bpe_encode_sql
@@ -4545,6 +4584,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_rel as rel
     from sea_express_customs_etl_spark.plans import oracles_rel_ext as rex
     from sea_express_customs_etl_spark.plans import oracles_wx as wx
+    from sea_express_customs_etl_spark.plans import oracles_wab as wab
     from sea_express_customs_etl_spark.plans import oracles_wz as wz
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
@@ -4827,4 +4867,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_decile_migration": wz.CUSTOMER_DECILE_MIGRATION_SQL,
         "did_lift": wz.DID_LIFT_SQL,
         "tree_depth2_length": wz.TREE_DEPTH2_LENGTH_SQL,
+        "priority_ship_bizdays": wab.PRIORITY_SHIP_BIZDAYS_SQL,
+        "memorization_scores": wab.MEMORIZATION_SCORES_SQL,
+        "event_ewma_hourly": wab.EVENT_EWMA_HOURLY_SQL,
     }

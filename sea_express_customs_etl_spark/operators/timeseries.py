@@ -566,3 +566,69 @@ def interval_union_coverage(
         F.sum("_new_span").cast("bigint").alias("n_spans"),
         F.sum("_c").cast("bigint").alias("covered_us"),
     )
+
+
+def ewma_hourly(
+    events: DataFrame,
+    lags: int = 16,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """EWMA (α = 1/2) smoothing of the hourly value series, exact
+    integers: the smoothed value at bucket t over the ROW series of
+    nonempty hours is
+
+        ewma = (Σ_{k<lags} v_{t-k} · 2^(lags-1-k)) DIV (Σ 2^(lags-1-k))
+
+    — the geometric-decay average truncated at ``lags`` terms (the
+    tail beyond 16 halvings contributes < 2⁻¹⁶ of the head: below the
+    u6 quantum for any bounded series), with the denominator summed
+    over the lags that EXIST so the series head is an unbiased partial
+    average rather than zero-padded. Truncation is what makes the
+    float-free form possible: weights are integer powers of two, the
+    numerator is one linear combination of ``lag()`` columns, and the
+    whole artifact hash-checks (a recursive float EWMA never would).
+
+    Gaps: the decay steps per OBSERVED bucket, not per wall-clock hour
+    (documented; compose with ``hourly_gapfill_locf`` upstream for
+    wall-clock decay). Bounds: num ≤ Σv·2^15 ≪ 2^63 for u6 hourly
+    sums. Output: event_type, hour_id, sum_value_u6, ewma_u6.
+
+    Scale shape: one partial-aggregated (type, hour) rollup of the raw
+    events, then the lag window runs at BUCKET grain — hours·types,
+    independent of event volume (the hourly_gapfill_locf license).
+    """
+    hourly = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.expr(f"unix_micros({ts_col}) DIV 3600000000").alias("hour_id"),
+    ).agg(
+        F.sum(F.round(F.col(value_col) * 1_000_000).cast("bigint")).alias(
+            "v"
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_id")
+    num = None
+    den = None
+    for k in range(lags):
+        wt = 1 << (lags - 1 - k)
+        term = F.coalesce(F.lag("v", k).over(w), F.lit(0)) * F.lit(wt)
+        dterm = (
+            F.when(F.lag("v", k).over(w).isNull(), F.lit(0))
+            .otherwise(F.lit(wt))
+        )
+        num = term if num is None else num + term
+        den = dterm if den is None else den + dterm
+    sm = hourly.select(
+        "event_type",
+        "hour_id",
+        F.col("v").cast("bigint").alias("sum_value_u6"),
+        num.alias("_num"),
+        den.alias("_den"),
+    )
+    return sm.select(
+        "event_type",
+        "hour_id",
+        "sum_value_u6",
+        F.expr("_num DIV _den").cast("bigint").alias("ewma_u6"),
+    )
