@@ -4261,6 +4261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "memorization_scores": _q_memorization_scores,
         # float-free EWMA over the hourly series
         "event_ewma_hourly": _q_event_ewma_hourly,
+        # fixed-count uniform per-group reservoir (min-k md5)
+        "group_reservoir_sample": _q_group_reservoir_sample,
+        # exact distributed per-group median (global_rank two-phase)
+        "event_type_median": _q_event_type_median,
     }
 
 
@@ -4540,6 +4544,33 @@ def _q_event_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ewma_hourly(load_table(spark, sf_dir, "events"))
+
+
+def _q_group_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k=7 reservoir per event type: min-k md5 order —
+    fixed-count uniform sampling with nested-sample property."""
+    from sea_express_customs_etl_spark.operators.sampling import (
+        group_reservoir_sample,
+    )
+
+    return group_reservoir_sample(
+        load_table(spark, sf_dir, "events"), "event_type", "event_id", k=7
+    )
+
+
+def _q_event_type_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type lower median of value_u6 via one global range
+    rank — the sketch-free audit-grade quantile."""
+    from sea_express_customs_etl_spark.operators.quantiles import (
+        exact_group_median,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
+    )
+    return exact_group_median(ev, "event_type", "value_u6", "event_id")
 
 
 def _bpe_encode_fixed_sql() -> str:
@@ -4870,4 +4901,6 @@ def oracle_sql() -> dict[str, str]:
         "priority_ship_bizdays": wab.PRIORITY_SHIP_BIZDAYS_SQL,
         "memorization_scores": wab.MEMORIZATION_SCORES_SQL,
         "event_ewma_hourly": wab.EVENT_EWMA_HOURLY_SQL,
+        "group_reservoir_sample": wab.GROUP_RESERVOIR_SAMPLE_SQL,
+        "event_type_median": wab.EXACT_GROUP_MEDIAN_SQL,
     }

@@ -220,3 +220,51 @@ def mad_outliers(
             "mad_c",
         )
     )
+
+
+def exact_group_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """EXACT per-group lower median, distributed — the sketch-free
+    member of the quantile family (``event_value_qsketch`` is the
+    mergeable approximation; this is the audit-grade number a billing
+    or compliance report wants). The corpus is ranked ONCE under the
+    composite total order (group, value, id) via ``ranking.
+    global_rank`` (range shuffle + bounded per-partition windows —
+    never a per-group corpus window), each group's median position is
+    ``min_rank + (n-1) DIV 2`` computed on the |groups|-row rollup,
+    and one dictionary-grain broadcast join picks the row at that
+    global rank. Output: group, n_rows, median_value.
+
+    Scale shape: one range shuffle of (group, value, id), one
+    partial-aggregated group rollup, one model-sized broadcast join —
+    the two-phase discipline of lm_terciles/customer_rfm; ties need no
+    break beyond the id column already in the order.
+    """
+    from .ranking import global_rank
+
+    ranked = global_rank(
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).alias("_v"),
+            F.col(id_col).alias("_id"),
+        ),
+        [F.asc("_g"), F.asc("_v"), F.asc("_id")],
+        rank_col="_r",
+    )
+    pos = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("min(_r) + (count(1) - 1) DIV 2").cast("bigint").alias("_t"),
+    )
+    return (
+        ranked.join(F.broadcast(pos), "_g")
+        .filter(F.col("_r") == F.col("_t"))
+        .select(
+            F.col("_g").alias(group_col),
+            "n_rows",
+            F.col("_v").alias("median_value"),
+        )
+    )

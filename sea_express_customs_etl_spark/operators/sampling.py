@@ -404,3 +404,38 @@ def temperature_allocation(
             (F.col("_base") + F.col("_extra")).cast("bigint").alias("alloc"),
         )
     )
+
+
+def group_reservoir_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    k: int = 10,
+    salt: str = "res|",
+) -> DataFrame:
+    """Uniform deterministic k-sample per group — the distributed
+    reservoir: rank each group's keys by ``md5(salt || key)`` and keep
+    the k smallest. Min-hash order IS a uniform random permutation of
+    the keys (md5 is the family RNG — replayable, engine-portable),
+    so this is reservoir sampling without reservoir STATE: the
+    row_number-then-filter shape rides WindowGroupLimit, each map task
+    forwards at most k rows per group, and two samples of the same
+    group at different k are NESTED (k=5 ⊂ k=10 — the property
+    streaming reservoirs lose). Output: group, key, sample_rank.
+
+    Distinct from ``hash_sample`` (fixed RATE, unbounded count) and
+    ``pps_systematic_sample`` (size-weighted): this is fixed COUNT,
+    equal weight — the per-segment eyeball sample a data card embeds.
+    """
+    h = _hash_prefix(F.col(key_col), salt)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.select(group_col, key_col)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= int(k))
+        .select(
+            group_col,
+            key_col,
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        )
+    )

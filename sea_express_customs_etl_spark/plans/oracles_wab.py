@@ -101,3 +101,36 @@ SELECT event_type, hour_id, CAST(v AS BIGINT) AS sum_value_u6,
        CAST(num // den AS BIGINT) AS ewma_u6
 FROM sm
 """
+
+# group_reservoir_sample (operators/sampling.py): min-k md5 order per
+# group, k = 7 — the same _hash_prefix recipe as hash_sample.
+GROUP_RESERVOIR_SAMPLE_SQL = """
+WITH h AS (
+  SELECT event_type, event_id,
+         substring(md5('res|' || CAST(event_id AS VARCHAR)), 1, 8) AS hx
+  FROM events),
+r AS (
+  SELECT event_type, event_id,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY hx, event_id) AS sample_rank
+  FROM h)
+SELECT event_type, event_id, sample_rank::BIGINT AS sample_rank
+FROM r WHERE sample_rank <= 7
+"""
+
+# exact_group_median (operators/quantiles.py): lower median picked at
+# rank (n-1)//2 within the (value, id) total order per group.
+EXACT_GROUP_MEDIAN_SQL = """
+WITH vals AS (
+  SELECT event_type AS g,
+         CAST(round(value * 1000000) AS BIGINT) AS v,
+         event_id AS id
+  FROM events),
+r AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY v, id) AS rn,
+         count(*) OVER (PARTITION BY g) AS n
+  FROM vals)
+SELECT g AS event_type, n::BIGINT AS n_rows, v AS median_value
+FROM r WHERE rn = 1 + (n - 1) // 2
+"""

@@ -113,3 +113,35 @@ def test_ewma_hourly_golden(spark):
     assert got[hours[2]] == (
         v[2] * (1 << 15) + v[1] * (1 << 14) + v[0] * (1 << 13)
     ) // ((1 << 15) + (1 << 14) + (1 << 13))
+
+
+def test_reservoir_nested_and_uniform_shape(spark):
+    from sea_express_customs_etl_spark.operators.sampling import (
+        group_reservoir_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("g", i) for i in range(100)] + [("h", i) for i in range(3)],
+        ["grp", "k"],
+    )
+    s5 = {(r.grp, r.k) for r in
+          group_reservoir_sample(df, "grp", "k", k=5).collect()}
+    s10 = {(r.grp, r.k) for r in
+           group_reservoir_sample(df, "grp", "k", k=10).collect()}
+    assert s5 <= s10  # nested-sample property
+    assert len([1 for g, _ in s10 if g == "g"]) == 10
+    assert len([1 for g, _ in s10 if g == "h"]) == 3  # small group whole
+
+
+def test_exact_group_median_golden(spark):
+    from sea_express_customs_etl_spark.operators.quantiles import (
+        exact_group_median,
+    )
+
+    rows = [("a", i, v) for i, v in enumerate([5, 1, 9, 3, 7])] + [
+        ("b", i + 10, v) for i, v in enumerate([4, 2, 8, 6])
+    ]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    got = {r.g: (r.n_rows, r.median_value)
+           for r in exact_group_median(df, "g", "v", "id").collect()}
+    assert got == {"a": (5, 5), "b": (4, 4)}  # lower median for even n

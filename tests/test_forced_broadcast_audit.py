@@ -158,6 +158,8 @@ FORCED_BROADCAST_ALLOWED = {
     #                               offsets (the global_rank license)
     "did_lift",  # pinned 1-row control-cell frame (the cuped license)
     "tree_depth2_length",  # pinned 1-row root-winner threshold
+    "event_type_median",  # |groups|-row median-position frame + the
+    #                       global_rank offsets (the global_rank license)
 }
 
 

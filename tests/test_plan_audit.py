@@ -110,6 +110,8 @@ BNLJ_ALLOWED = {
     #              1-row treatment frame (the cuped license)
     "tree_depth2_length",  # 1-row root-winner threshold cross-joined
     #                        into the child pass (the 1-row license)
+    "event_type_median",  # |partitions|-row global_rank offsets
+    #                       (the global_rank/pps license)
 }
 
 
