@@ -4265,6 +4265,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_reservoir_sample": _q_group_reservoir_sample,
         # exact distributed per-group median (global_rank two-phase)
         "event_type_median": _q_event_type_median,
+        # exact-threshold set-similarity join (prefix filter, lossless)
+        "prefix_jaccard_pairs": _q_prefix_jaccard_pairs,
+        # friend-of-friend radius: exact 2-hop distinct reach
+        "two_hop_reach": _q_two_hop_reach,
     }
 
 
@@ -4573,6 +4577,43 @@ def _q_event_type_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_group_median(ev, "event_type", "value_u6", "event_id")
 
 
+def _q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (PPJoin prefix filter): all
+    distinct-text pairs with token Jaccard >= 3/5 — the oracle is the
+    BRUTE-FORCE all-pairs join, so the hash match proves the filter
+    lossless."""
+    from sea_express_customs_etl_spark.operators.ppjoin import (
+        prefix_jaccard_join,
+    )
+
+    # one source slice: the synthetic corpus is ONE dense near-dup
+    # family (J >= 0.6 holds for ~57% of ALL distinct-text pairs), so
+    # the full-corpus exact join's OUTPUT is quadratic by construction
+    # — at scale you run this after dedup_clusters collapses families,
+    # or per slice; the slice is the representative workload
+    return prefix_jaccard_join(
+        load_table(spark, sf_dir, "documents").filter(
+            F.col("source") == "src0"
+        )
+    )
+
+
+def _q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node 2-hop reach over the THRESHOLDED co-purchase graph
+    (weight >= 2 — the kcore/walks sparsifier): exact distinct
+    friend-of-friend counts, set semantics. On the unthresholded
+    graph the 2-hop pair set is ~Σdeg² — quadratic by definition —
+    so reach, like every density-sensitive graph op here, runs on
+    the sparsified graph (measured: unthresholded OOMs at sf0.1,
+    weight>=2 runs in 4.3 s)."""
+    from sea_express_customs_etl_spark.operators.graph import cooccur_edges
+    from sea_express_customs_etl_spark.operators.reach import two_hop_reach
+
+    return two_hop_reach(
+        cooccur_edges(load_table(spark, sf_dir, "lineitem"), min_weight=2)
+    )
+
+
 def _bpe_encode_fixed_sql() -> str:
     from sea_express_customs_etl_spark.operators.bpe import FIXED_MERGES
     from sea_express_customs_etl_spark.plans.oracles_ext import bpe_encode_sql
@@ -4616,6 +4657,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_rel_ext as rex
     from sea_express_customs_etl_spark.plans import oracles_wx as wx
     from sea_express_customs_etl_spark.plans import oracles_wab as wab
+    from sea_express_customs_etl_spark.plans import oracles_wad as wad
     from sea_express_customs_etl_spark.plans import oracles_wz as wz
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
@@ -4903,4 +4945,6 @@ def oracle_sql() -> dict[str, str]:
         "event_ewma_hourly": wab.EVENT_EWMA_HOURLY_SQL,
         "group_reservoir_sample": wab.GROUP_RESERVOIR_SAMPLE_SQL,
         "event_type_median": wab.EXACT_GROUP_MEDIAN_SQL,
+        "prefix_jaccard_pairs": wad.PREFIX_JACCARD_PAIRS_SQL,
+        "two_hop_reach": wad.TWO_HOP_REACH_SQL,
     }

@@ -1,0 +1,69 @@
+"""2-hop neighborhood size — the friend-of-friend reach query ("how
+many parts sit within two co-purchase hops"), the local-influence
+metric next to degree (1 hop) and PageRank (∞ hops). Exact distinct
+counts: reach₂(v) = |{w ≠ v : d(v,w) ≤ 2}| via one wedge join
+unioned with the direct edges and de-duplicated — set semantics, no
+arithmetic, no tie-breaks.
+
+Scale shape: the wedge join fans out Σ deg(m)² over middle nodes —
+the triangle-family dial; ``mid_deg_max`` drops hub middles before
+the join (the resource_alloc_links stop-key prune) when the graph is
+power-law. The final distinct + count is one partial-aggregated
+shuffle at pair grain, bounded by actual reach, never |V|².
+
+Beyond reference parity: the reference has no graph layer; this
+completes the co-purchase family's radius axis (bfs_hops answers a
+seed set's reach; this is per-node).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from ..plans.cache import tracked_persist
+
+
+def two_hop_reach(
+    edges: DataFrame, mid_deg_max: int | None = None
+) -> DataFrame:
+    """Output: node, n_1hop (degree over distinct neighbors), n_2hop
+    (distinct nodes within ≤2 hops, self excluded)."""
+    e = tracked_persist(
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )  # scans: both neighbor halves (wedge sides + direct union)
+    nbr = e.select(F.col("a").alias("node"), F.col("b").alias("nb")).unionByName(
+        e.select(F.col("b").alias("node"), F.col("a").alias("nb"))
+    )
+    mid = nbr
+    if mid_deg_max is not None:
+        deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("_d"))
+        mid = nbr.join(
+            deg.filter(F.col("_d") <= mid_deg_max).select("node"), "node"
+        )
+    two = (
+        mid.select(F.col("node").alias("_m"), F.col("nb").alias("v"))
+        .join(
+            mid.select(F.col("node").alias("_m"), F.col("nb").alias("w")),
+            "_m",
+        )
+        .select("v", "w")
+        .filter(F.col("v") != F.col("w"))
+    )
+    reach = two.unionByName(
+        nbr.select(F.col("node").alias("v"), F.col("nb").alias("w"))
+    ).distinct()
+    deg1 = nbr.groupBy(F.col("node").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_1hop")
+    )
+    cnt2 = reach.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_2hop")
+    )
+    return (
+        deg1.join(cnt2, "v")
+        .select(F.col("v").alias("node"), "n_1hop", "n_2hop")
+    )

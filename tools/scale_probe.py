@@ -114,11 +114,26 @@ def cases() -> dict:
 
         return readability_scores(docs)
 
+    def _ppjoin(docs):
+        from sea_express_customs_etl_spark.operators.ppjoin import (
+            prefix_jaccard_join,
+        )
+
+        # src0 slice, like the checked query: the full synthetic corpus
+        # is one dense near-dup family (result set quadratic BY
+        # CONSTRUCTION — 142 s at 1×, measured); the slice probes the
+        # algorithm, not the corpus's clique
+        return prefix_jaccard_join(docs.filter(F.col("source") == "src0"))
+
     return {
         "lm_score": lambda docs, emb: lm_score(docs),
         # replicated docs repeat TEXT → the word graph (and every
         # PageRank sweep) stays 1×; only the edge-count scan grows 8×
         "textrank_keywords": lambda docs, emb: _textrank(docs),
+        # replicas are EXACT dups → the distinct-text rep grain
+        # collapses them: pair set stays 1× while the corpus grows 8×
+        # (the repeated-value rule, measured)
+        "prefix_jaccard": lambda docs, emb: _ppjoin(docs),
         # three regexp counts per row, zero shuffles — pure scan scaling
         "doc_readability": lambda docs, emb: _readability(docs),
         "bpe_encode_fixed": lambda docs, emb: bpe_encode(
@@ -853,6 +868,12 @@ def cases_li() -> dict:
         # degree-oriented wedge join + node-grain degree join: both
         # linear in the 8× disjoint copies
         "clustering_coeff": _ccoef,
+        # 2-hop distinct reach on the thresholded graph: disjoint
+        # copies → reach sets 1× per node, node count 8×
+        "two_hop_reach": (lambda li: __import__(
+            "sea_express_customs_etl_spark.operators.reach",
+            fromlist=["two_hop_reach"],
+        ).two_hop_reach(cooccur_edges(li, min_weight=2))),
         # two global_rank range shuffles at supplier grain + one
         # customer-grain migration join — rank offsets stay
         # |partitions|-row
