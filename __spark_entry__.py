@@ -4269,6 +4269,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_jaccard_pairs": _q_prefix_jaccard_pairs,
         # friend-of-friend radius: exact 2-hop distinct reach
         "two_hop_reach": _q_two_hop_reach,
+        # half-life-bucketed time-decay attribution, exact shares
+        "time_decay_attribution": _q_time_decay_attribution,
+        # exact 10%-trimmed robust sums (rank-exact tails)
+        "event_trimmed_sums": _q_event_trimmed_sums,
     }
 
 
@@ -4614,6 +4618,49 @@ def _q_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_time_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay attribution over the same 24 h pair table as the
+    linear/U-shaped models: half-life-bucket powers of two {8,4,2,1},
+    remainder to the most recent touch — exact, value-preserving."""
+    from sea_express_customs_etl_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+    from sea_express_customs_etl_spark.operators.jsonops import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    pairs = interval_join(
+        purchases, clicks, ["user_id"], "ts", "ts", 24 * 3600, ["event_id"]
+    )
+    return time_decay_attribution(pairs, "event_id", "value_u6").select(
+        "user_id", "event_id", "prior_event_id",
+        "decay_bucket", "n_touches", "share_u6",
+    )
+
+
+def _q_event_trimmed_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 10%-trimmed per-type sums (rank-exact tail removal) —
+    the robust-mean sibling of the winsorized sums."""
+    from sea_express_customs_etl_spark.operators.quantiles import (
+        trimmed_sums,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
+    )
+    return trimmed_sums(ev, "event_type", "value_u6", "event_id")
+
+
 def _bpe_encode_fixed_sql() -> str:
     from sea_express_customs_etl_spark.operators.bpe import FIXED_MERGES
     from sea_express_customs_etl_spark.plans.oracles_ext import bpe_encode_sql
@@ -4658,6 +4705,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_wx as wx
     from sea_express_customs_etl_spark.plans import oracles_wab as wab
     from sea_express_customs_etl_spark.plans import oracles_wad as wad
+    from sea_express_customs_etl_spark.plans import oracles_wae as wae
     from sea_express_customs_etl_spark.plans import oracles_wz as wz
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
@@ -4947,4 +4995,6 @@ def oracle_sql() -> dict[str, str]:
         "event_type_median": wab.EXACT_GROUP_MEDIAN_SQL,
         "prefix_jaccard_pairs": wad.PREFIX_JACCARD_PAIRS_SQL,
         "two_hop_reach": wad.TWO_HOP_REACH_SQL,
+        "time_decay_attribution": wae.TIME_DECAY_ATTRIBUTION_SQL,
+        "event_trimmed_sums": wae.EVENT_TRIMMED_SUMS_SQL,
     }

@@ -99,3 +99,79 @@ def u_shaped_attribution(
         .otherwise(mid_base)
     )
     return out.withColumn("share_u", share.cast("bigint")).drop("_rn")
+
+
+def time_decay_attribution(
+    pairs: DataFrame,
+    conversion_id: str,
+    value_u_col: str,
+    conv_ts_col: str = "ts",
+    touch_ts_col: str = "prior_ts",
+    touch_id_col: str = "prior_event_id",
+    half_life_us: int = 6 * 3600 * 1_000_000,
+    max_buckets: int = 4,
+) -> DataFrame:
+    """Time-decay attribution, exact integers: a touch Δ before the
+    conversion carries weight ``2^(max_buckets-1-b)`` where
+    ``b = Δ DIV half_life`` — the exponential-decay model quantized to
+    half-life buckets so the weights are INTEGER powers of two (the
+    float ``exp(-Δ/τ)`` would neither sum exactly nor hash-match; the
+    ewma_hourly discipline). With the 24 h lookback and 6 h half-life,
+    b ∈ {0..3} and weights are {8,4,2,1}. Base share is
+    ``(value·w) DIV Σw``; the floor remainder credits the MOST RECENT
+    touch (the model's own bias direction — recency), making the
+    split deterministic and exactly value-preserving.
+
+    Output: input pair rows + decay_bucket, n_touches, share_u6.
+    Scale shape: three windows over the pair table, all partitioned by
+    the conversion id (per-conversion state = its bounded touch list).
+    """
+    nb = int(max_buckets)
+    b = F.expr(
+        f"(unix_micros({conv_ts_col}) - unix_micros({touch_ts_col})) "
+        f"DIV {int(half_life_us)}"
+    )
+    w = None  # when-chain: shiftleft() needs a literal bit count
+    for k in range(nb - 1):
+        cond = b == k
+        w = (
+            F.when(cond, F.lit(1 << (nb - 1 - k)))
+            if w is None
+            else w.when(cond, F.lit(1 << (nb - 1 - k)))
+        )
+    w = (w.otherwise(F.lit(1)) if w is not None else F.lit(1)).cast("bigint")
+    wconv = Window.partitionBy(conversion_id)
+    wrecent = Window.partitionBy(conversion_id).orderBy(
+        F.desc(touch_ts_col), F.desc(touch_id_col)
+    )
+    staged = pairs.select(
+        "*",
+        b.cast("bigint").alias("decay_bucket"),
+        w.alias("_w"),
+    )
+    staged = staged.select(
+        "*",
+        F.sum("_w").over(wconv).alias("_wtot"),
+        F.count(F.lit(1)).over(wconv).cast("bigint").alias("n_touches"),
+        F.row_number().over(wrecent).alias("_rnr"),
+    )
+    staged = staged.select(
+        "*",
+        F.expr(f"({value_u_col} * _w) DIV _wtot").alias("_share0"),
+    ).select(
+        "*",
+        F.sum("_share0").over(wconv).alias("_ft"),
+    )
+    return staged.select(
+        *[c for c in pairs.columns],
+        "decay_bucket",
+        "n_touches",
+        (
+            F.col("_share0")
+            + F.when(
+                F.col("_rnr") == 1, F.col(value_u_col) - F.col("_ft")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("share_u6"),
+    )

@@ -268,3 +268,55 @@ def exact_group_median(
             F.col("_v").alias("median_value"),
         )
     )
+
+
+def trimmed_sums(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    trim_den: int = 10,
+) -> DataFrame:
+    """Exact two-sided trimmed aggregate per group: drop the bottom
+    and top ``n DIV trim_den`` ranks under the (value, id) total order
+    and report the surviving count and sum — the robust-mean sibling
+    of winsorize (winsorize CLAMPS the tails to the cut values; trim
+    REMOVES them; both defeat heavy tails, trim is what "10% trimmed
+    mean" means in a stats report). Rank boundaries are exact integer
+    positions (never a quantile estimate), so the artifact
+    hash-checks. Output: group, n_rows, n_kept, sum_kept (micro-unit
+    exact; the mean stays a caller-side rational).
+
+    Scale shape: same two-phase global_rank discipline as
+    :func:`exact_group_median` — one range shuffle, per-group bounds
+    from the |groups|-row rollup, one dictionary-grain broadcast join,
+    one partial-aggregated final sum.
+    """
+    from .ranking import global_rank
+
+    ranked = global_rank(
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).alias("_v"),
+            F.col(id_col).alias("_id"),
+        ),
+        [F.asc("_g"), F.asc("_v"), F.asc("_id")],
+        rank_col="_r",
+    )
+    bounds = ranked.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr(f"min(_r) + count(1) DIV {int(trim_den)} - 1").alias("_lo"),
+        F.expr(
+            f"min(_r) + count(1) - count(1) DIV {int(trim_den)} - 1"
+        ).alias("_hi"),
+    )
+    return (
+        ranked.join(F.broadcast(bounds), "_g")
+        .filter((F.col("_r") > F.col("_lo")) & (F.col("_r") <= F.col("_hi")))
+        .groupBy(F.col("_g").alias(group_col))
+        .agg(
+            F.max("n_rows").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("_v").cast("bigint").alias("sum_kept_u6"),
+        )
+    )

@@ -48,3 +48,48 @@ def test_two_hop_reach_golden(spark):
     assert rows[2].n_1hop == 3 and rows[2].n_2hop == 4  # {1,3,5,4}
     assert rows[3].n_1hop == 2 and rows[3].n_2hop == 4  # {2,4,1,5}
     assert rows[5].n_1hop == 1 and rows[5].n_2hop == 3  # {2,1,3}
+
+
+def test_time_decay_shares_sum_and_weights(spark):
+    import datetime as dt
+
+    from sea_express_customs_etl_spark.operators.attribution import (
+        time_decay_attribution,
+    )
+
+    conv_ts = dt.datetime(2024, 1, 2, 12, 0, 0)
+    # touches at 1h, 7h, 23h before -> buckets 0, 1, 3 -> weights 8,4,1
+    rows = [
+        (1, conv_ts, 100, 1_000_003, conv_ts - dt.timedelta(hours=1), 11),
+        (1, conv_ts, 100, 1_000_003, conv_ts - dt.timedelta(hours=7), 12),
+        (1, conv_ts, 100, 1_000_003, conv_ts - dt.timedelta(hours=23), 13),
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        ["user_id", "ts", "event_id", "value_u6", "prior_ts",
+         "prior_event_id"],
+    )
+    out = {r.prior_event_id: r for r in
+           time_decay_attribution(pairs, "event_id", "value_u6").collect()}
+    assert [out[i].decay_bucket for i in (11, 12, 13)] == [0, 1, 3]
+    total = 1_000_003
+    w = {11: 8, 12: 4, 13: 1}
+    base = {i: (total * wi) // 13 for i, wi in w.items()}
+    rem = total - sum(base.values())
+    base[11] += rem  # most recent touch gets the remainder
+    assert {i: out[i].share_u6 for i in w} == base
+    assert sum(r.share_u6 for r in out.values()) == total
+
+
+def test_trimmed_sums_golden(spark):
+    from sea_express_customs_etl_spark.operators.quantiles import (
+        trimmed_sums,
+    )
+
+    vals = list(range(1, 21))  # n=20, trim 2 each side -> keep 3..18
+    df = spark.createDataFrame(
+        [("a", i, v) for i, v in enumerate(vals)], ["g", "id", "v"]
+    )
+    row = trimmed_sums(df, "g", "v", "id").collect()[0]
+    assert row.n_rows == 20 and row.n_kept == 16
+    assert row.sum_kept_u6 == sum(range(3, 19))

@@ -160,6 +160,8 @@ FORCED_BROADCAST_ALLOWED = {
     "tree_depth2_length",  # pinned 1-row root-winner threshold
     "event_type_median",  # |groups|-row median-position frame + the
     #                       global_rank offsets (the global_rank license)
+    "event_trimmed_sums",  # |groups|-row trim-bounds frame + the
+    #                        global_rank offsets (same license)
 }
 
 

@@ -112,6 +112,7 @@ BNLJ_ALLOWED = {
     #                        into the child pass (the 1-row license)
     "event_type_median",  # |partitions|-row global_rank offsets
     #                       (the global_rank/pps license)
+    "event_trimmed_sums",  # same global_rank offsets license
 }
 
 
