@@ -4273,6 +4273,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_decay_attribution": _q_time_decay_attribution,
         # exact 10%-trimmed robust sums (rank-exact tails)
         "event_trimmed_sums": _q_event_trimmed_sums,
+        # consistent-hash growth plan: movement matrix, minimal-move proof
+        "consistent_hash_rebalance": _q_consistent_hash_rebalance,
+        # journey regex counts over ordered history strings
+        "sequence_pattern_counts": _q_sequence_pattern_counts,
     }
 
 
@@ -4661,6 +4665,31 @@ def _q_event_trimmed_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trimmed_sums(ev, "event_type", "value_u6", "event_id")
 
 
+def _q_consistent_hash_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash shard growth plan 8 -> 9: the movement matrix
+    whose off-diagonal provably lands only on the NEW shard."""
+    from sea_express_customs_etl_spark.operators.sharding import (
+        consistent_hash_rebalance,
+    )
+
+    return consistent_hash_rebalance(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
+
+
+def _q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: users whose ordered event-history string
+    matches each journey regex."""
+    from sea_express_customs_etl_spark.operators.seqmatch import (
+        sequence_pattern_counts,
+    )
+
+    return sequence_pattern_counts(
+        load_table(spark, sf_dir, "events"),
+        ["v.*c.*p", "e.*p.*e", "s.*v.*c.*p"],
+    )
+
+
 def _bpe_encode_fixed_sql() -> str:
     from sea_express_customs_etl_spark.operators.bpe import FIXED_MERGES
     from sea_express_customs_etl_spark.plans.oracles_ext import bpe_encode_sql
@@ -4706,6 +4735,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_wab as wab
     from sea_express_customs_etl_spark.plans import oracles_wad as wad
     from sea_express_customs_etl_spark.plans import oracles_wae as wae
+    from sea_express_customs_etl_spark.plans import oracles_waf as waf
     from sea_express_customs_etl_spark.plans import oracles_wz as wz
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
@@ -4997,4 +5027,6 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_reach": wad.TWO_HOP_REACH_SQL,
         "time_decay_attribution": wae.TIME_DECAY_ATTRIBUTION_SQL,
         "event_trimmed_sums": wae.EVENT_TRIMMED_SUMS_SQL,
+        "consistent_hash_rebalance": waf.CONSISTENT_HASH_REBALANCE_SQL,
+        "sequence_pattern_counts": waf.SEQUENCE_PATTERN_COUNTS_SQL,
     }

@@ -1,0 +1,61 @@
+"""Wave-AF goldens: consistent-hash minimal movement (every moved key
+goes TO the new shard), sequence-pattern golden counts."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from sea_express_customs_etl_spark.operators.seqmatch import (
+    sequence_pattern_counts,
+    user_event_strings,
+)
+from sea_express_customs_etl_spark.operators.sharding import (
+    consistent_hash_rebalance,
+)
+
+
+def test_consistent_hash_moves_only_to_new_shard(spark):
+    keys = spark.range(1, 400).select(F.col("id").alias("k"))
+    out = consistent_hash_rebalance(keys, "k", n_before=8, n_after=9).collect()
+    total = sum(r.n_keys for r in out)
+    assert total == 399
+    moved = [r for r in out if r.shard_before != r.shard_after]
+    assert moved, "ring growth should steal some keys"
+    # the consistent-hash guarantee: growth only reassigns keys to the
+    # NEW shard — nothing shuffles between surviving shards
+    assert all(r.shard_after == 8 for r in moved)
+    n_moved = sum(r.n_keys for r in moved)
+    assert n_moved < total // 3  # ≈ 1/9 expected, far below mod-hash's 8/9
+
+
+def test_user_event_strings_ordered(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(seconds=2), 20, "click"),
+            (1, t0, 10, "view"),
+            (1, t0 + dt.timedelta(seconds=5), 30, "purchase"),
+            (2, t0, 11, "error"),
+        ],
+        ["user_id", "ts", "event_id", "event_type"],
+    )
+    got = {r.key: r.seq_str for r in user_event_strings(ev).collect()}
+    assert got == {1: "vcp", 2: "e"}
+
+
+def test_sequence_pattern_counts_golden(spark):
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: v c p ; user 2: v p ; user 3: c v p
+    seqs = {1: ["view", "click", "purchase"],
+            2: ["view", "purchase"],
+            3: ["click", "view", "purchase"]}
+    eid = 0
+    for u, names in seqs.items():
+        for i, n in enumerate(names):
+            eid += 1
+            rows.append((u, t0 + dt.timedelta(seconds=i), eid, n))
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {r.pattern: r.n_users for r in
+           sequence_pattern_counts(ev, ["v.*c.*p", "v.*p", "c.*v"]).collect()}
+    assert got == {"v.*c.*p": 1, "v.*p": 3, "c.*v": 1}

@@ -162,6 +162,8 @@ FORCED_BROADCAST_ALLOWED = {
     #                       global_rank offsets (the global_rank license)
     "event_trimmed_sums",  # |groups|-row trim-bounds frame + the
     #                        global_rank offsets (same license)
+    "consistent_hash_rebalance",  # pinned 144-row vnode ring (fixed
+    #                               shards·vnodes — model-sized)
 }
 
 

@@ -113,6 +113,8 @@ BNLJ_ALLOWED = {
     "event_type_median",  # |partitions|-row global_rank offsets
     #                       (the global_rank/pps license)
     "event_trimmed_sums",  # same global_rank offsets license
+    "consistent_hash_rebalance",  # 144-row vnode ring broadcast
+    #                               cross-joined (model-sized ring)
 }
 
 
