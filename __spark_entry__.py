@@ -4277,6 +4277,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "consistent_hash_rebalance": _q_consistent_hash_rebalance,
         # journey regex counts over ordered history strings
         "sequence_pattern_counts": _q_sequence_pattern_counts,
+        # add-a-column migration: mergeSchema read inside the lineage
+        "schema_evolution_scan": _q_schema_evolution_scan,
+        # related terms: top-3 adjacency neighbors per token
+        "token_neighbors_topk": _q_token_neighbors_topk,
     }
 
 
@@ -4690,6 +4694,46 @@ def _q_sequence_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_schema_evolution_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution lineage: a v1 batch (no priority column) and a
+    v2 batch (priority added) written to one dataset; the mergeSchema
+    read must surface v1 rows as NULL priority with every value intact
+    — the add-a-column migration every long-lived table survives."""
+    d = _session_scratch(spark, "schema_evo")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+        "o_orderpriority",
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "price_c"
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1)
+    v1.write.mode("overwrite").parquet(f"{d}/t/batch=1")
+    v2.write.mode("overwrite").parquet(f"{d}/t/batch=2")
+    back = spark.read.option("mergeSchema", "true").parquet(f"{d}/t")
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price_c").cast("bigint").alias("sum_price_c"),
+    )
+
+
+def _q_token_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-terms lookup: top-3 adjacency neighbors per token over
+    the TextRank edge list — WindowGroupLimit per source."""
+    from sea_express_customs_etl_spark.operators.textrank import (
+        word_cooccurrence_edges,
+    )
+
+    ew = word_cooccurrence_edges(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    return (
+        ew.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("src", "dst", "w", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
 def _bpe_encode_fixed_sql() -> str:
     from sea_express_customs_etl_spark.operators.bpe import FIXED_MERGES
     from sea_express_customs_etl_spark.plans.oracles_ext import bpe_encode_sql
@@ -4736,6 +4780,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_wad as wad
     from sea_express_customs_etl_spark.plans import oracles_wae as wae
     from sea_express_customs_etl_spark.plans import oracles_waf as waf
+    from sea_express_customs_etl_spark.plans import oracles_wag as wag
     from sea_express_customs_etl_spark.plans import oracles_wz as wz
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
@@ -5029,4 +5074,6 @@ def oracle_sql() -> dict[str, str]:
         "event_trimmed_sums": wae.EVENT_TRIMMED_SUMS_SQL,
         "consistent_hash_rebalance": waf.CONSISTENT_HASH_REBALANCE_SQL,
         "sequence_pattern_counts": waf.SEQUENCE_PATTERN_COUNTS_SQL,
+        "schema_evolution_scan": wag.SCHEMA_EVOLUTION_SCAN_SQL,
+        "token_neighbors_topk": wag.TOKEN_NEIGHBORS_TOPK_SQL,
     }
