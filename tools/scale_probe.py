@@ -125,6 +125,13 @@ def cases() -> dict:
         # algorithm, not the corpus's clique
         return prefix_jaccard_join(docs.filter(F.col("source") == "src0"))
 
+    def _chash(docs):
+        from sea_express_customs_etl_spark.operators.sharding import (
+            consistent_hash_rebalance,
+        )
+
+        return consistent_hash_rebalance(docs.select("doc_id"), "doc_id")
+
     return {
         "lm_score": lambda docs, emb: lm_score(docs),
         # replicated docs repeat TEXT → the word graph (and every
@@ -134,6 +141,8 @@ def cases() -> dict:
         # collapses them: pair set stays 1× while the corpus grows 8×
         # (the repeated-value rule, measured)
         "prefix_jaccard": lambda docs, emb: _ppjoin(docs),
+        # 144-row ring broadcast fan-out + one min-struct partial agg
+        "consistent_hash": lambda docs, emb: _chash(docs),
         # three regexp counts per row, zero shuffles — pure scan scaling
         "doc_readability": lambda docs, emb: _readability(docs),
         "bpe_encode_fixed": lambda docs, emb: bpe_encode(
@@ -466,6 +475,56 @@ def cases_ev() -> dict:
 
         return kmv_distinct(ev, "event_type", "user_id")
 
+    def _tdecay(ev):
+        from sea_express_customs_etl_spark.operators.attribution import (
+            time_decay_attribution,
+        )
+        from sea_express_customs_etl_spark.operators.jsonops import (
+            interval_join,
+        )
+
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id",
+            F.round(F.col("value") * 1e6).cast("bigint").alias("value_u6"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "user_id", "ts", "event_id"
+        )
+        pairs = interval_join(
+            purchases, clicks, ["user_id"], "ts", "ts", 24 * 3600,
+            ["event_id"],
+        )
+        return time_decay_attribution(pairs, "event_id", "value_u6")
+
+    def _trim(ev):
+        from sea_express_customs_etl_spark.operators.quantiles import (
+            trimmed_sums,
+        )
+
+        return trimmed_sums(
+            ev.select(
+                "event_type", "event_id",
+                F.round(F.col("value") * 1e6).cast("bigint").alias("v"),
+            ),
+            "event_type", "v", "event_id",
+        )
+
+    def _seqpat(ev):
+        from sea_express_customs_etl_spark.operators.seqmatch import (
+            sequence_pattern_counts,
+        )
+
+        return sequence_pattern_counts(
+            ev, ["v.*c.*p", "e.*p.*e", "s.*v.*c.*p"]
+        )
+
+    def _ewma(ev):
+        from sea_express_customs_etl_spark.operators.timeseries import (
+            ewma_hourly,
+        )
+
+        return ewma_hourly(ev)
+
     return {
         "funnel_conversion": _funnel,
         # per-user running-max window + one partial agg: user count
@@ -479,6 +538,14 @@ def cases_ev() -> dict:
         # distinct agg + WindowGroupLimit top-k: per-partition state
         # is k rows/group regardless of corpus size
         "kmv_sketch": _kmv,
+        # one bounded per-conversion window family over the pair table
+        "time_decay_attr": _tdecay,
+        # global_rank two-phase + dictionary-grain bounds join
+        "trimmed_sums": _trim,
+        # one bounded-state groupBy (history string) + map-side rlike
+        "seq_pattern": _seqpat,
+        # bucket-grain lag window after ONE partial-agg rollup
+        "ewma_hourly": _ewma,
         "clicks_in_error_window": _ivjoin,
         "cohort_retention": _cohort,
         # per-user lead window (bounded state) + one pair-count
