@@ -4281,6 +4281,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_scan": _q_schema_evolution_scan,
         # related terms: top-3 adjacency neighbors per token
         "token_neighbors_topk": _q_token_neighbors_topk,
+        # (dow, hour) seasonality heatmap, epoch-day weekday arithmetic
+        "events_dow_hour_heatmap": _q_events_dow_hour_heatmap,
+        # order-of-magnitude histogram via decimal digit count
+        "event_value_digit_hist": _q_event_value_digit_hist,
     }
 
 
@@ -4734,6 +4738,37 @@ def _q_token_neighbors_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap: counts and value sums by (day-of-week,
+    hour-of-day), weekday arithmetic from epoch days (the calendar.py
+    Monday anchor — no engine dow() function trusted)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("((unix_micros(ts) DIV 86400000000) + 3) % 7").alias("dow"),
+        F.expr("(unix_micros(ts) DIV 3600000000) % 24").alias("hour"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
+    )
+    return ev.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("value_u6").cast("bigint").alias("sum_value_u6"),
+    )
+
+
+def _q_event_value_digit_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail diagnostic: per-type histogram over the DECIMAL
+    DIGIT COUNT of the micro-unit value — the float-free order-of-
+    magnitude bucket (log10 floor + 1), identical text rendering of a
+    nonnegative BIGINT on both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.length(
+            F.round(F.col("value") * 1_000_000).cast("bigint").cast("string")
+        ).cast("bigint").alias("n_digits"),
+    )
+    return ev.groupBy("event_type", "n_digits").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
+
+
 def _bpe_encode_fixed_sql() -> str:
     from sea_express_customs_etl_spark.operators.bpe import FIXED_MERGES
     from sea_express_customs_etl_spark.plans.oracles_ext import bpe_encode_sql
@@ -5076,4 +5111,6 @@ def oracle_sql() -> dict[str, str]:
         "sequence_pattern_counts": waf.SEQUENCE_PATTERN_COUNTS_SQL,
         "schema_evolution_scan": wag.SCHEMA_EVOLUTION_SCAN_SQL,
         "token_neighbors_topk": wag.TOKEN_NEIGHBORS_TOPK_SQL,
+        "events_dow_hour_heatmap": wag.EVENTS_DOW_HOUR_HEATMAP_SQL,
+        "event_value_digit_hist": wag.EVENT_VALUE_DIGIT_HIST_SQL,
     }

@@ -45,3 +45,24 @@ r AS (
 SELECT src, dst, w, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= 3
 """
+
+# events_dow_hour_heatmap: weekday from epoch days + Monday anchor —
+# the calendar.py arithmetic, no engine dow() trusted.
+EVENTS_DOW_HOUR_HEATMAP_SQL = """
+SELECT ((epoch_us(ts) // 86400000000) + 3) % 7 AS dow,
+       (epoch_us(ts) // 3600000000) % 24 AS hour,
+       count(*)::BIGINT AS n_events,
+       sum(CAST(round(value * 1000000) AS BIGINT))::BIGINT
+           AS sum_value_u6
+FROM events GROUP BY 1, 2
+"""
+
+# event_value_digit_hist: decimal digit count of the nonnegative
+# micro-unit BIGINT — identical text rendering on both engines.
+EVENT_VALUE_DIGIT_HIST_SQL = """
+SELECT event_type,
+       length(CAST(CAST(round(value * 1000000) AS BIGINT) AS VARCHAR))
+           ::BIGINT AS n_digits,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2
+"""
