@@ -33,26 +33,19 @@ from ..plans.cache import tracked_persist
 from .dsir import token_buckets
 
 
-def train_perceptron_q(
+def _train_weight_dicts(
     df: DataFrame,
     label_expr,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 64,
     epochs: int = 3,
-) -> DataFrame:
-    """Train integer perceptron weights. ``label_expr`` is a Column
-    evaluating to the 0/1 label per row. Output: (bucket int, w
-    bigint) — one row per bucket OCCUPIED by the corpus (buckets no
-    token hashes into can never receive an update and are omitted,
-    matching the oracle).
-
-    Epoch semantics (all integer, ties predict 0 — ``score > 0`` is
-    strict on both engines): epoch 1 starts from w = 0, so every
-    prediction is 0 and the first update is +Σ over positive docs —
-    the class-conditional count vector; later epochs correct against
-    the running sign.
-    """
+) -> tuple[DataFrame, dict[int, int], dict[int, int]]:
+    """Shared epoch loop: returns (persisted per-doc bucket counts,
+    final weights, sum of per-epoch weight SNAPSHOTS). The snapshot
+    sum is the averaged-perceptron accumulator — Σ_e w_e stays
+    integer-exact, and since every epoch contributes exactly once the
+    unnormalized sum ranks identically to the mean."""
     spark = df.sparkSession
     cnt = tracked_persist(
         token_buckets(df, text_col, id_col, buckets)
@@ -69,6 +62,7 @@ def train_perceptron_q(
         )
     )
     w: dict[int, int] = {}
+    wsum: dict[int, int] = {}
     for _ in range(epochs):
         if w:
             wdf = spark.createDataFrame(
@@ -99,13 +93,72 @@ def train_perceptron_q(
         )
         for r in delta:
             w[r.bucket] = w.get(r.bucket, 0) + r._dw
+        for b, v in w.items():
+            wsum[b] = wsum.get(b, 0) + v
+    return cnt, w, wsum
+
+
+def _weights_frame(
+    cnt: DataFrame, w: dict[int, int], out_col: str
+) -> DataFrame:
+    """(bucket, weight) over every bucket OCCUPIED by the corpus —
+    buckets no token hashes into can never receive an update and are
+    omitted, matching the oracle."""
+    spark = cnt.sparkSession
     occupied = cnt.select("bucket").distinct()
     wdf = spark.createDataFrame(
-        [(b, v) for b, v in sorted(w.items())], "bucket int, w long"
+        [(b, v) for b, v in sorted(w.items())], "bucket int, _wv long"
     )
     return occupied.join(wdf, "bucket", "left").select(
-        "bucket", F.coalesce(F.col("w"), F.lit(0)).cast("bigint").alias("w")
+        "bucket",
+        F.coalesce(F.col("_wv"), F.lit(0)).cast("bigint").alias(out_col),
     )
+
+
+def train_perceptron_q(
+    df: DataFrame,
+    label_expr,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+    epochs: int = 3,
+) -> DataFrame:
+    """Train integer perceptron weights. ``label_expr`` is a Column
+    evaluating to the 0/1 label per row. Output: (bucket int, w
+    bigint).
+
+    Epoch semantics (all integer, ties predict 0 — ``score > 0`` is
+    strict on both engines): epoch 1 starts from w = 0, so every
+    prediction is 0 and the first update is +Σ over positive docs —
+    the class-conditional count vector; later epochs correct against
+    the running sign.
+    """
+    cnt, w, _ = _train_weight_dicts(
+        df, label_expr, text_col, id_col, buckets, epochs
+    )
+    return _weights_frame(cnt, w, "w")
+
+
+def train_averaged_perceptron_q(
+    df: DataFrame,
+    label_expr,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+    epochs: int = 3,
+) -> DataFrame:
+    """Averaged perceptron (Freund & Schapire 1999's standard variance
+    fix): the returned weight per bucket is Σ over epochs of that
+    epoch's POST-UPDATE weight — the unnormalized epoch average, kept
+    as an exact integer (dividing by the epoch count would leave the
+    integers and changes no comparison). Output: (bucket int, w_avg
+    bigint). Same trajectory discipline as ``train_perceptron_q``:
+    full-batch epochs, partitioning-independent, hash-checkable
+    against an unrolled SQL oracle."""
+    cnt, _, wsum = _train_weight_dicts(
+        df, label_expr, text_col, id_col, buckets, epochs
+    )
+    return _weights_frame(cnt, wsum, "w_avg")
 
 
 def confusion_stats(

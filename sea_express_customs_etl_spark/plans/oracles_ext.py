@@ -1427,6 +1427,21 @@ SELECT bucket, CAST(w AS BIGINT) AS w FROM w3
 """
 )
 
+# Averaged perceptron: per bucket, the integer SUM of the post-epoch
+# snapshots w1+w2+w3 (the unnormalized epoch average — dividing by the
+# fixed epoch count changes no comparison and would leave the
+# integers). w1's key set is every occupied bucket and each later
+# epoch's delta aggregates over the same cnt table, so the three CTEs
+# join on identical key sets.
+AVERAGED_PERCEPTRON_SQL = (
+    "WITH "
+    + _PERC_PRELUDE
+    + """
+SELECT w1.bucket, CAST(w1.w + w2.w + w3.w AS BIGINT) AS w_avg
+FROM w1 JOIN w2 USING (bucket) JOIN w3 USING (bucket)
+"""
+)
+
 # train -> apply composed in one statement: the trained epoch-3 weights
 # score EVERY document and the gate keeps score > 0 (strict, ties drop
 # -- same tie rule the training trajectory uses).
@@ -2295,6 +2310,31 @@ WHERE rn <= __TOPK__
 """
 
 IVFPQ_TRAINED_TOPK_SQL = _IVFPQ_TRAINED_TMPL.replace("__TOPK__", "5", 1)
+
+# Incremental store with tombstoned deletes (streaming/ann_store.py):
+# the one-shot search restricted on the STORE side to the survivors of
+# the delete batch (vec_id % 7 <> 3) — queries and the frozen model are
+# untouched, so only the enc join's store side changes.
+ANN_STORE_DELETE_TOPK_SQL = IVFPQ_TRAINED_TOPK_SQL.replace(
+    "WHERE e.vec_id <> l.query_id",
+    "WHERE e.vec_id <> l.query_id AND e.vec_id % 7 <> 3",
+    1,
+)
+
+# --------------------------------------------------------------------------
+# Quarantine reconciliation (sources/xml_source.py quarantined reader):
+# the fixture plants one truncated member per nation with key ≡ 3
+# (mod 5), one garbage zip, one non-XML file; healthy member k carries
+# k % 3 + 1 records. DuckDB recomputes the whole plan from `nation`.
+# --------------------------------------------------------------------------
+XML_QUARANTINE_COUNTS_SQL = """
+WITH n AS (SELECT n_nationkey AS k FROM nation)
+SELECT 'bad_member' AS reason, count(*)::BIGINT AS n FROM n WHERE k % 5 = 3
+UNION ALL SELECT 'bad_zip', CAST(1 AS BIGINT)
+UNION ALL SELECT 'bad_xml', CAST(1 AS BIGINT)
+UNION ALL SELECT 'ok_records',
+  CAST(sum(CASE WHEN k % 5 <> 3 THEN k % 3 + 1 ELSE 0 END) AS BIGINT) FROM n
+"""
 
 # ANN refine stage (operators/similarity.py:refine_exact_topk over the
 # trained index, VERDICT r5 #2): the trained ADC's top-200 candidates
@@ -3682,6 +3722,38 @@ CLASSIFIER_CONFUSION_SQL = (
     + """,
 sc AS (SELECT c.doc_id, sum(w3.w * c.c) AS score
        FROM cnt c JOIN w3 USING (bucket) GROUP BY 1),
+p AS (
+  SELECT CASE WHEN coalesce(sc.score, 0) > 0 THEN 1 ELSE 0 END AS pred,
+         CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS truth
+  FROM documents d LEFT JOIN sc USING (doc_id)),
+m AS (
+  SELECT sum(pred * truth)::BIGINT AS tp,
+         sum(pred * (1 - truth))::BIGINT AS fp,
+         sum((1 - pred) * truth)::BIGINT AS fn,
+         sum((1 - pred) * (1 - truth))::BIGINT AS tn
+  FROM p)
+SELECT tp, fp, fn, tn,
+       CAST(CASE WHEN tp + fp = 0 THEN 0
+            ELSE (1000000 * tp) // (tp + fp) END AS BIGINT)
+           AS precision_ppm,
+       CAST(CASE WHEN tp + fn = 0 THEN 0
+            ELSE (1000000 * tp) // (tp + fn) END AS BIGINT) AS recall_ppm,
+       CAST((1000000 * (tp + tn)) // (tp + fp + fn + tn) AS BIGINT)
+           AS accuracy_ppm
+FROM m
+"""
+)
+
+# The same confusion harness over the AVERAGED weights (w1+w2+w3):
+# the averaged-vs-plain comparison is two gate hashes, not a claim.
+AVERAGED_CONFUSION_SQL = (
+    "WITH "
+    + _PERC_PRELUDE
+    + """,
+wavg AS (SELECT w1.bucket, w1.w + w2.w + w3.w AS w
+         FROM w1 JOIN w2 USING (bucket) JOIN w3 USING (bucket)),
+sc AS (SELECT c.doc_id, sum(wavg.w * c.c) AS score
+       FROM cnt c JOIN wavg USING (bucket) GROUP BY 1),
 p AS (
   SELECT CASE WHEN coalesce(sc.score, 0) > 0 THEN 1 ELSE 0 END AS pred,
          CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS truth

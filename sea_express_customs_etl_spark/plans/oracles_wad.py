@@ -53,3 +53,36 @@ cnt2 AS (SELECT v, count(*)::BIGINT AS n_2hop FROM reach GROUP BY 1)
 SELECT d.v AS node, d.n_1hop, c.n_2hop
 FROM deg1 d JOIN cnt2 c USING (v)
 """
+
+# Hub-capped variant on the UNTHRESHOLDED (min_weight=1) graph over
+# the l_orderkey % 4 order slice: middles with degree > 40 are dropped
+# before the wedge join (the mid_deg_max dial); direct edges still
+# count. Set semantics throughout — the cap changes RESULTS, so the
+# oracle applies the identical cap.
+TWO_HOP_REACH_CAPPED_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+               WHERE l_orderkey % 4 = 0),
+e0 AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM items a JOIN items b USING (l_orderkey)
+  WHERE a.l_partkey <> b.l_partkey),
+e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM e0),
+nbr AS (SELECT a AS node, b AS nb FROM e
+        UNION ALL SELECT b, a FROM e),
+deg AS (SELECT node, count(*) AS d FROM nbr GROUP BY 1),
+mid AS (SELECT n.node, n.nb FROM nbr n JOIN deg USING (node)
+        WHERE d <= 40),
+two AS (
+  SELECT x.nb AS v, y.nb AS w
+  FROM mid x JOIN mid y ON y.node = x.node
+  WHERE x.nb <> y.nb),
+reach AS (
+  SELECT DISTINCT v, w FROM (
+    SELECT v, w FROM two
+    UNION ALL SELECT node AS v, nb AS w FROM nbr)),
+deg1 AS (SELECT node AS v, count(*)::BIGINT AS n_1hop FROM nbr GROUP BY 1),
+cnt2 AS (SELECT v, count(*)::BIGINT AS n_2hop FROM reach GROUP BY 1)
+SELECT d.v AS node, d.n_1hop, c.n_2hop
+FROM deg1 d JOIN cnt2 c USING (v)
+"""

@@ -190,39 +190,98 @@ def _records_from_xml_bytes(
         yield row
 
 
+def _parse_files(pdf: pd.DataFrame) -> tuple[list[dict], list[dict]]:
+    """One binaryFile batch → (records, quarantine rows).
+
+    The containment policy is the reference's (member-level try/except,
+    ``src/import_xml_history.py:157-158``) — but instead of ONLY
+    logging, every dropped unit is also captured as a quarantine row
+    (source_file, member, reason, error, raw_bytes) so bad data is
+    auditable and replayable, not a log line (r6 VERDICT #4). Reasons:
+    ``bad_zip`` (container unreadable), ``bad_member`` (zip member
+    failed to read/parse), ``bad_xml`` (standalone file failed to
+    parse)."""
+    out: list[dict] = []
+    bad: list[dict] = []
+
+    def _q(fname, member, reason, err, raw):
+        bad.append(
+            {
+                "source_file": fname,
+                "member": member,
+                "reason": reason,
+                "error": str(err)[:500],
+                "raw_bytes": bytes(raw) if raw is not None else None,
+            }
+        )
+
+    for path, content in zip(pdf["path"], pdf["content"]):
+        fname = path.rsplit("/", 1)[-1]
+        if fname.lower().endswith(".zip"):
+            try:
+                zf = zipfile.ZipFile(io.BytesIO(content))
+            except zipfile.BadZipFile as e:
+                log.error("not a valid zip: %s", fname)
+                _q(fname, None, "bad_zip", e, content)
+                continue
+            members = [
+                m
+                for m in zf.namelist()
+                if m.lower().endswith(".xml") and not m.startswith("__")
+            ]
+            for member in members:
+                data = None
+                try:
+                    with zf.open(member) as fh:
+                        data = fh.read()
+                    out.extend(
+                        _records_from_xml_bytes(data, f"{fname}::{member}")
+                    )
+                except Exception as e:  # member-level containment
+                    log.warning("failed zip member %s: %s", member, e)
+                    _q(fname, member, "bad_member", e, data)
+        else:
+            try:
+                out.extend(_records_from_xml_bytes(content, fname))
+            except ET.ParseError as e:
+                log.error("XML parse failure %s: %s", fname, e)
+                _q(fname, None, "bad_xml", e, content)
+    return out, bad
+
+
+_RAW_COLS = ["source_file", "_row_idx", "item_sequence", *BID_HEAD_FIELDS]
+_QUAR_COLS = ["member", "reason", "error", "raw_bytes"]
+
+#: RAW_SCHEMA plus the quarantine columns — one UDTF pass emits both
+#: row kinds; a record row has ``reason`` NULL, a quarantine row has
+#: every record column NULL. Split with :func:`split_quarantine`.
+QUARANTINED_SCHEMA = (
+    RAW_SCHEMA + ", member string, reason string, error string, "
+    "raw_bytes binary"
+)
+
+
 def _parse_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out: list[dict] = []
-        for path, content in zip(pdf["path"], pdf["content"]):
-            fname = path.rsplit("/", 1)[-1]
-            if fname.lower().endswith(".zip"):
-                try:
-                    zf = zipfile.ZipFile(io.BytesIO(content))
-                except zipfile.BadZipFile:
-                    log.error("not a valid zip: %s", fname)
-                    continue
-                members = [
-                    m
-                    for m in zf.namelist()
-                    if m.lower().endswith(".xml") and not m.startswith("__")
-                ]
-                for member in members:
-                    try:
-                        with zf.open(member) as fh:
-                            out.extend(
-                                _records_from_xml_bytes(
-                                    fh.read(), f"{fname}::{member}"
-                                )
-                            )
-                    except Exception as e:  # member-level containment
-                        log.warning("failed zip member %s: %s", member, e)
-            else:
-                try:
-                    out.extend(_records_from_xml_bytes(content, fname))
-                except ET.ParseError as e:
-                    log.error("XML parse failure %s: %s", fname, e)
-        cols = ["source_file", "_row_idx", "item_sequence", *BID_HEAD_FIELDS]
-        yield pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+        out, _ = _parse_files(pdf)
+        yield pd.DataFrame(out, columns=_RAW_COLS) if out else pd.DataFrame(
+            {c: pd.Series(dtype=object) for c in _RAW_COLS}
+        )
+
+
+def _parse_partition_quarantined(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    cols = _RAW_COLS + _QUAR_COLS
+    for pdf in batches:
+        out, bad = _parse_files(pdf)
+        rows = [
+            {**r, "member": None, "reason": None, "error": None,
+             "raw_bytes": None}
+            for r in out
+        ]
+        rows += [{**{c: None for c in _RAW_COLS}, **b} for b in bad]
+        yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(
             {c: pd.Series(dtype=object) for c in cols}
         )
 
@@ -243,6 +302,37 @@ def read_bid_heads_raw(
         .select("path", "content")
         .mapInPandas(_parse_partition, RAW_SCHEMA)
     )
+
+
+def read_bid_heads_quarantined(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Like :func:`read_bid_heads_raw` but ONE scan emits records AND
+    quarantine rows (``QUARANTINED_SCHEMA``); split downstream with
+    :func:`split_quarantine`. At 100 TB this is the right shape: the
+    quarantine stream costs zero extra file reads, and bad units ride
+    the same partitioning as the good rows until the split."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return (
+        reader.load(path)
+        .select("path", "content")
+        .mapInPandas(_parse_partition_quarantined, QUARANTINED_SCHEMA)
+    )
+
+
+def split_quarantine(both: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(records, quarantine) from the combined quarantined frame.
+    Records carry the RAW_SCHEMA columns; quarantine rows carry
+    (source_file, member, reason, error, raw_bytes). Each side is a
+    filter over the same scan — persist the combined frame first if
+    both sides are consumed in one job."""
+    records = both.filter(F.col("reason").isNull()).select(*_RAW_COLS)
+    quarantine = both.filter(F.col("reason").isNotNull()).select(
+        "source_file", *_QUAR_COLS
+    )
+    return records, quarantine
 
 
 def official_history(raw: DataFrame) -> DataFrame:

@@ -130,21 +130,128 @@ def ann_store_batch_writer(
     return write
 
 
+def ann_store_delete_writer(
+    table_prefix: str, id_col: str = "vec_id"
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` callable appending TOMBSTONES — the FAISS
+    ``remove_ids`` analog (takedowns, dedup-after-index): each delete
+    batch's ids land in ``<prefix>_tombstones`` under the same
+    commit-marker fence as the code writer (``<prefix>_del_batches``
+    markers, replay skipped, crash-window duplicates deterministic).
+
+    Versioned semantics: a tombstone at batch ``d`` kills every code
+    row ADDED at batch ``<= d``; a later re-add (add batch ``> d``)
+    resurrects the vector. This requires add and delete batch ids to
+    come from ONE monotonically increasing sequence — which a single
+    maintenance stream's ``foreachBatch`` batch ids are. Deletion is
+    logical until :func:`compact_ann_store` folds the tombstones out."""
+    t_tab = f"{table_prefix}_tombstones"
+    dm_tab = f"{table_prefix}_del_batches"
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark: SparkSession = batch_df.sparkSession
+        if spark.catalog.tableExists(dm_tab) and (
+            spark.table(dm_tab)
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return
+        batch_df.select(
+            F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+            F.col(id_col),
+        ).write.mode("append").format("parquet").saveAsTable(t_tab)
+        spark.createDataFrame(
+            [(int(batch_id),)], "batch_id bigint"
+        ).write.mode("append").format("parquet").saveAsTable(dm_tab)
+
+    return write
+
+
 def committed_codes(
     spark: SparkSession, table_prefix: str, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Exactly-once code-store view (marker semi-join + duplicate
-    collapse): id, cluster, subspace, code."""
-    return (
-        spark.table(f"{table_prefix}_codes")
-        .join(
-            F.broadcast(spark.table(f"{table_prefix}_batches")),
-            "batch_id",
-            "left_semi",
-        )
-        .select(id_col, "cluster", "subspace", "code")
-        .distinct()
+    """Exactly-once SEARCHABLE code-store view (marker semi-join +
+    duplicate collapse, minus committed tombstones): id, cluster,
+    subspace, code. A code row survives if no committed tombstone for
+    its id has delete-batch >= its add-batch (see
+    :func:`ann_store_delete_writer`). The tombstone side is id-grained
+    and grows with the corpus — joined WITHOUT a pinned broadcast (AQE
+    picks the strategy; at 100 TB it becomes a shuffled anti-join)."""
+    codes = spark.table(f"{table_prefix}_codes").join(
+        F.broadcast(spark.table(f"{table_prefix}_batches")),
+        "batch_id",
+        "left_semi",
     )
+    t_tab = f"{table_prefix}_tombstones"
+    if spark.catalog.tableExists(t_tab):
+        last_del = (
+            spark.table(t_tab)
+            .join(
+                F.broadcast(spark.table(f"{table_prefix}_del_batches")),
+                "batch_id",
+                "left_semi",
+            )
+            .groupBy(id_col)
+            .agg(F.max("batch_id").alias("_del_bid"))
+        )
+        codes = (
+            codes.join(last_del, id_col, "left")
+            .filter(
+                F.col("_del_bid").isNull()
+                | (F.col("batch_id") > F.col("_del_bid"))
+            )
+            .drop("_del_bid")
+        )
+    return codes.select(id_col, "cluster", "subspace", "code").distinct()
+
+
+def compact_ann_store(
+    spark: SparkSession,
+    table_prefix: str,
+    num_buckets: int = 8,
+    id_col: str = "vec_id",
+) -> None:
+    """Fold the logical deletes out: rewrite the code store to the
+    SURVIVORS of :func:`committed_codes` as one generation (batch_id =
+    max committed add batch, bucket spec preserved), collapse the
+    marker table, and drop the tombstone tables — the FAISS
+    rebuild-on-compaction step with the crash-safe
+    ``table_swap.backup_swap`` sequencing the sibling stores use.
+    Quiesced-stream contract: no concurrent writer; idempotent (a
+    rerun re-derives the same survivors). Post-compaction delete
+    batches must keep using ids ABOVE the fold generation — true for
+    one monotonically numbered maintenance stream."""
+    from sea_express_customs_etl_spark.streaming.table_swap import backup_swap
+
+    m_tab = f"{table_prefix}_batches"
+    gen = spark.table(m_tab).agg(F.max("batch_id")).first()[0]
+    if gen is None:
+        return
+    survivors = committed_codes(spark, table_prefix, id_col).select(
+        F.lit(int(gen)).cast("bigint").alias("batch_id"),
+        id_col,
+        "cluster",
+        "subspace",
+        "code",
+    )
+
+    def write_codes(staging: str) -> None:
+        survivors.write.mode("overwrite").format("parquet").bucketBy(
+            num_buckets, "cluster"
+        ).saveAsTable(staging)
+
+    backup_swap(spark, f"{table_prefix}_codes", write_codes)
+
+    def write_marker(staging: str) -> None:
+        spark.createDataFrame(
+            [(int(gen),)], "batch_id bigint"
+        ).write.mode("overwrite").format("parquet").saveAsTable(staging)
+
+    backup_swap(spark, m_tab, write_marker)
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_tombstones")
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_del_batches")
 
 
 def store_adc_topk(

@@ -80,3 +80,61 @@ def test_store_search_matches_one_shot_trained_index(spark, sf_dir):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_deletes_equal_fresh_build_on_survivors(spark, sf_dir):
+    """Tombstoned store ≡ a store freshly built from the survivors
+    only (the r6-VERDICT parity contract), for both the committed view
+    and the search; a later re-add RESURRECTS the vector (versioned
+    tombstones); compaction folds deletes out physically and is
+    idempotent."""
+    from sea_express_customs_etl_spark.streaming.ann_store import (
+        ann_store_delete_writer,
+        compact_ann_store,
+    )
+
+    emb, cen, codebook = _setup(spark, sf_dir)
+    surv_pred = F.col("vec_id") % 5 != 2
+    prefix = f"ann_{uuid.uuid4().hex[:8]}"
+    writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
+    writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    deleter = ann_store_delete_writer(prefix)
+    deleter(emb.filter(~surv_pred).select("vec_id"), 2)
+
+    fresh = f"ann_{uuid.uuid4().hex[:8]}"
+    fresh_writer = ann_store_batch_writer(fresh, cen, codebook, num_buckets=4)
+    fresh_writer(emb.filter(surv_pred), 0)
+
+    got = sorted(map(tuple, committed_codes(spark, prefix).collect()))
+    want = sorted(map(tuple, committed_codes(spark, fresh).collect()))
+    assert got == want and len(got) > 0
+
+    q = emb.filter(F.col("vec_id") < 10)
+    got_s = sorted(map(tuple, store_adc_topk(
+        spark, prefix, cen, codebook, q, k=5, nprobe=2).collect()))
+    want_s = sorted(map(tuple, store_adc_topk(
+        spark, fresh, cen, codebook, q, k=5, nprobe=2).collect()))
+    assert got_s == want_s and len(got_s) > 0
+
+    # delete replay is fenced (no-op)
+    n_tomb = spark.table(f"{prefix}_tombstones").count()
+    deleter(emb.filter(~surv_pred).select("vec_id"), 2)
+    assert spark.table(f"{prefix}_tombstones").count() == n_tomb
+
+    # re-add at a batch ABOVE the tombstone resurrects those vectors
+    writer(emb.filter(~surv_pred), 3)
+    full = sorted(map(tuple, committed_codes(spark, prefix).collect()))
+    want_full = sorted(map(tuple, encode_with_frozen_model(
+        emb, cen, codebook).collect()))
+    assert full == want_full
+
+    # fold-out compaction: tombstone tables gone, view unchanged, rerun
+    # idempotent, and post-compaction appends still land
+    deleter(emb.filter(F.col("vec_id") % 11 == 0).select("vec_id"), 4)
+    before = sorted(map(tuple, committed_codes(spark, prefix).collect()))
+    compact_ann_store(spark, prefix, num_buckets=4)
+    assert not spark.catalog.tableExists(f"{prefix}_tombstones")
+    assert sorted(map(tuple, committed_codes(spark, prefix).collect())) == before
+    compact_ann_store(spark, prefix, num_buckets=4)
+    assert sorted(map(tuple, committed_codes(spark, prefix).collect())) == before

@@ -88,6 +88,8 @@ FORCED_BROADCAST_ALLOWED = {
     #                         coarse centroids
     "cms_heavy_hitters",   # d·w cell table + 1-row total (model-sized)
     "ann_store_topk",      # frozen centroids + codebook + LUT + marker
+    "ann_store_delete_topk",  # same pins + the del-batch marker
+    #                            table (|batches| rows)
     #                        table (all model-sized)
     "event_winsorized_sums",  # 2-literal-row quantile-spec table
     "order_value_gini",    # |partitions|-row rank-offset broadcast
@@ -125,6 +127,8 @@ FORCED_BROADCAST_ALLOWED = {
     #                        (the global_rank/lm_terciles license)
     "classifier_confusion",  # trained B=64-row model broadcast (the
     #                          learned_quality_filter license)
+    "averaged_classifier_confusion",  # same trained B=64-row model
+    #                                   broadcast (averaged weights)
     "temperature_mix_alloc",  # pinned 1-row Σweight scalar (the 1-row
     #                           license)
     "segment_conversion_ztest",  # pinned 1-row (N, K) totals (the

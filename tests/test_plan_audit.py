@@ -68,6 +68,7 @@ BNLJ_ALLOWED = {
     #                        + query vectors broadcast into the refine
     "pq_trained_codebook",  # centroid broadcast in the residual build
     "ann_store_topk",      # same frozen-model broadcasts over the store
+    "ann_store_delete_topk",  # same pins + the del-marker semi-join
     "event_winsorized_sums",  # 2-literal-row quantile-spec broadcast
     #                           (the event_value_qsketch class)
     "bm25_doc_topk",       # 1-row (N, avgdl) corpus scalars cross-joined
@@ -86,6 +87,8 @@ BNLJ_ALLOWED = {
     "classifier_confusion",  # B=64-row trained model broadcast + the
     #                          training prelude's 1-row argmax joins
     #                          (the learned_quality_filter license)
+    "averaged_classifier_confusion",  # same B=64-row trained model
+    #                                   broadcast (averaged weights)
     "event_value_ks_pairs",  # |types|²-row pair spine: non-equi
     #                          self-join of the per-type totals frame
     #                          (model-sized — the 1-row scalar license)

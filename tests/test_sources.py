@@ -405,3 +405,67 @@ def test_manifest_end_to_end(spark, excel_dir):
     assert new[0].qty == 3.0 and new[0].unit_price == 25.0 and new[0].total_amount == 75.0
     # new format has no consignee columns
     assert new[0].consignee_name is None and new[0].net_weight is None
+
+
+def test_quarantine_reconciles_batch_and_streaming(spark, xml_dir, tmp_path):
+    """Quarantine table e2e (r6 VERDICT #4): every dropped unit lands
+    as an auditable row with its raw bytes, ingested + quarantined
+    reconcile with the planted corruption, the records side is
+    byte-identical to the plain reader, and the streaming path
+    (single foreachBatch commit for both tables) matches batch and is
+    replay-idempotent."""
+    import os
+
+    from sea_express_customs_etl_spark.sources.xml_source import (
+        read_bid_heads_quarantined,
+        split_quarantine,
+    )
+    from sea_express_customs_etl_spark.streaming.file_ingest import (
+        quarantine_batch_writer,
+        run_availablenow,
+        stream_xml_history_quarantined,
+    )
+
+    with open(os.path.join(xml_dir, "junk.zip"), "wb") as f:
+        f.write(b"PK\x03\x04 not really a zip")
+    with open(os.path.join(xml_dir, "bad.xml"), "wb") as f:
+        f.write(b"<<< not xml")
+
+    records, quarantine = split_quarantine(
+        read_bid_heads_quarantined(spark, xml_dir)
+    )
+    got_q = {(r.source_file, r.member, r.reason) for r in quarantine.collect()}
+    assert got_q == {
+        ("batch.zip", "corrupt.xml", "bad_member"),
+        ("junk.zip", None, "bad_zip"),
+        ("bad.xml", None, "bad_xml"),
+    }
+    # raw bytes captured verbatim -> replayable after a parser fix
+    raw = {r.member or r.source_file: bytes(r.raw_bytes)
+           for r in quarantine.collect()}
+    assert raw["corrupt.xml"] == b"<GicDataSet><BID_HEAD>"
+    assert raw["junk.zip"].startswith(b"PK\x03\x04")
+    # records side identical to the plain (non-quarantined) reader
+    want_rec = sorted(map(tuple, read_bid_heads_raw(spark, xml_dir).collect()))
+    assert sorted(map(tuple, records.collect())) == want_rec
+
+    # streaming parity + replay idempotence
+    rec_sink = str(tmp_path / "rec")
+    q_sink = str(tmp_path / "quar")
+    ckpt = str(tmp_path / "ck")
+    stream = stream_xml_history_quarantined(spark, xml_dir)
+    writer = quarantine_batch_writer(rec_sink, q_sink)
+    run_availablenow(stream, rec_sink, ckpt, batch_writer=writer)
+    got_stream_q = {
+        (r.source_file, r.member, r.reason)
+        for r in spark.read.parquet(q_sink).collect()
+    }
+    assert got_stream_q == got_q
+    n_rec = spark.read.parquet(rec_sink).count()
+    assert n_rec == len(want_rec)
+    run_availablenow(
+        stream_xml_history_quarantined(spark, xml_dir), rec_sink, ckpt,
+        batch_writer=quarantine_batch_writer(rec_sink, q_sink),
+    )
+    assert spark.read.parquet(rec_sink).count() == n_rec  # no-op replay
+    assert spark.read.parquet(q_sink).count() == len(got_q)

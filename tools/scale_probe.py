@@ -576,7 +576,36 @@ def cases_ev() -> dict:
         # lifetime domain (hours in window) constant under replication;
         # only the user-grain first/last agg grows
         "km_table": _km,
+        # wave-AI shapes (r6 VERDICT #7): map-only bucket derivation +
+        # ONE partial-aggregated groupBy on a fixed key domain (7·24
+        # cells / types·digits) — map-side combine absorbs the growth
+        "dow_hour_heatmap": _dowhour,
+        "value_digit_hist": _digithist,
     }
+
+
+def _dowhour(ev):
+    g = ev.select(
+        F.expr("((unix_micros(ts) DIV 86400000000) + 3) % 7").alias("dow"),
+        F.expr("(unix_micros(ts) DIV 3600000000) % 24").alias("hour"),
+        F.round(F.col("value") * 1_000_000).cast("bigint").alias("value_u6"),
+    )
+    return g.groupBy("dow", "hour").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("value_u6").cast("bigint").alias("sum_value_u6"),
+    )
+
+
+def _digithist(ev):
+    g = ev.select(
+        "event_type",
+        F.length(
+            F.round(F.col("value") * 1_000_000).cast("bigint").cast("string")
+        ).cast("bigint").alias("n_digits"),
+    )
+    return g.groupBy("event_type", "n_digits").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events")
+    )
 
 
 def _ks(ev):
@@ -768,10 +797,17 @@ def _skewed_edges(spark, scale: int) -> DataFrame:
 
 def cases_graph() -> dict:
     from sea_express_customs_etl_spark.operators.graph import triangle_counts
+    from sea_express_customs_etl_spark.operators.reach import two_hop_reach
 
     return {
         "triangles_canonical": lambda g: triangle_counts(g, orient="canonical"),
         "triangles_degree": lambda g: triangle_counts(g, orient="degree"),
+        # the mid_deg_max dial on the hub graph: the hub middle (degree
+        # 2000·scale) fans out deg² wedge pairs — uncapped grows
+        # quadratically with scale, capped drops the hub before the
+        # join and stays linear (ring middles have degree <= 4)
+        "two_hop_uncapped": lambda g: two_hop_reach(g),
+        "two_hop_capped": lambda g: two_hop_reach(g, mid_deg_max=40),
     }
 
 
