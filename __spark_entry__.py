@@ -1192,6 +1192,23 @@ def _q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) vocabulary TRAINING in-engine,
+    trajectory-hash-checked (the bpe_learned_merges discipline, r6
+    VERDICT stretch #8): substring seed counts → 2 × (dictionary-grain
+    Viterbi re-segmentation under the integer surrogate objective →
+    usage re-score → prune unused multi-char pieces, characters always
+    kept). The oracle unrolls the ENTIRE trajectory — per-position DP
+    CTEs chained per round — so a drift anywhere in seed counts,
+    tie-breaks, or pruning breaks the hash. No driver collect: the
+    vocabulary stays a distributed model-sized frame."""
+    from sea_express_customs_etl_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    return unigram_train(_docs(spark, sf_dir), rounds=2)
+
+
 def _q_word_dropout_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic T5-style word dropout (15%): positional md5
     replaces randomness so the corruption replays bit-for-bit across
@@ -4211,6 +4228,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_dropout_aug": _q_word_dropout_aug,
         # tokenizer training: the learned merge trajectory itself
         "bpe_learned_merges": _q_bpe_learned_merges,
+        # unigram-LM vocab trainer (SentencePiece loop, BPE's sibling)
+        "unigram_lm_vocab": _q_unigram_lm_vocab,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
@@ -5015,6 +5034,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_wae as wae
     from sea_express_customs_etl_spark.plans import oracles_waf as waf
     from sea_express_customs_etl_spark.plans import oracles_wag as wag
+    from sea_express_customs_etl_spark.plans import oracles_unigram as uni
     from sea_express_customs_etl_spark.plans import oracles_wz as wz
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
@@ -5170,6 +5190,7 @@ def oracle_sql() -> dict[str, str]:
             t=_hex_threshold(0.15)
         ),
         "bpe_learned_merges": ext.bpe_train_sql(10),
+        "unigram_lm_vocab": uni.UNIGRAM_LM_VOCAB_SQL,
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(

@@ -206,7 +206,19 @@ def cases() -> dict:
         "stump_split": lambda docs, emb: _stump(docs),
         # vote dictionary constant; the (doc, token) scoring scan x8
         "token_vote": lambda docs, emb: _tokenvote(docs),
+        # r7: unigram-LM trainer — replicated texts repeat WORDS, so
+        # the dictionary (and every DP/seed/usage stage) stays 1x;
+        # only the word_dict corpus pass grows
+        "unigram_vocab": lambda docs, emb: _unigram(docs),
     }
+
+
+def _unigram(docs):
+    from sea_express_customs_etl_spark.operators.unigram import (
+        unigram_train,
+    )
+
+    return unigram_train(docs, rounds=2)
 
 
 def _doc_terms(docs):
