@@ -1209,6 +1209,22 @@ def _q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_train(_docs(spark, sf_dir), rounds=2)
 
 
+def _q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → apply composed: per-document token counts under the
+    trained unigram vocabulary (the bpe_encode_fixed pairing for the
+    unigram family, except the model is LEARNED inside the checked
+    plan, not pinned). Viterbi runs once per distinct word; the oracle
+    re-derives the trained vocab AND the apply-pass segmentation, so
+    both stages stay hash-pinned end to end."""
+    from sea_express_customs_etl_spark.operators.unigram import (
+        unigram_token_counts,
+        unigram_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    return unigram_token_counts(docs, unigram_train(docs, rounds=2))
+
+
 def _q_word_dropout_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic T5-style word dropout (15%): positional md5
     replaces randomness so the corruption replays bit-for-bit across
@@ -4230,6 +4246,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learned_merges": _q_bpe_learned_merges,
         # unigram-LM vocab trainer (SentencePiece loop, BPE's sibling)
         "unigram_lm_vocab": _q_unigram_lm_vocab,
+        # trained-tokenizer apply: per-doc token counts
+        "unigram_token_counts": _q_unigram_token_counts,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
@@ -5191,6 +5209,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bpe_learned_merges": ext.bpe_train_sql(10),
         "unigram_lm_vocab": uni.UNIGRAM_LM_VOCAB_SQL,
+        "unigram_token_counts": uni.UNIGRAM_TOKEN_COUNTS_SQL,
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(

@@ -45,23 +45,30 @@ def two_hop_reach(
         mid = nbr.join(
             deg.filter(F.col("_d") <= mid_deg_max).select("node"), "node"
         )
+    # reach is a SYMMETRIC relation, so dedup at CANONICAL (v < w)
+    # pair grain and fan back out with one explode at the (small)
+    # deduped grain — halves the distinct's shuffle volume vs keeping
+    # both orientations (16.5 → 10.9 s best-of-2 at sf0.1, identical
+    # results)
     two = (
         mid.select(F.col("node").alias("_m"), F.col("nb").alias("v"))
         .join(
             mid.select(F.col("node").alias("_m"), F.col("nb").alias("w")),
             "_m",
         )
+        .filter(F.col("v") < F.col("w"))
         .select("v", "w")
-        .filter(F.col("v") != F.col("w"))
     )
     reach = two.unionByName(
-        nbr.select(F.col("node").alias("v"), F.col("nb").alias("w"))
+        e.select(F.col("a").alias("v"), F.col("b").alias("w"))
     ).distinct()
     deg1 = nbr.groupBy(F.col("node").alias("v")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_1hop")
     )
-    cnt2 = reach.groupBy("v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_2hop")
+    cnt2 = (
+        reach.select(F.explode(F.array("v", "w")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_2hop"))
     )
     return (
         deg1.join(cnt2, "v")

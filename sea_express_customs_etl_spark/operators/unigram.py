@@ -216,6 +216,47 @@ def segment_words(
     )
 
 
+def unigram_token_counts(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = MAX_PIECE_LEN,
+    max_word_len: int = MAX_WORD_LEN,
+) -> DataFrame:
+    """The APPLY side of the trained tokenizer (bpe_encode's shape):
+    per-document token counts under the unigram vocabulary. Viterbi
+    runs once per DISTINCT word (dictionary-encode); the per-word
+    piece count joins back onto (doc, word) occurrence counts and one
+    partial-aggregated sum produces (id, n_words, n_tokens). Words
+    longer than ``max_word_len`` are out of the tokenizer's domain and
+    excluded on both engines (the trainer's documented dial)."""
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("word"),
+    ).filter((F.col("word") != "") & (F.length("word") <= max_word_len))
+    occ = words.groupBy(id_col, "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wf = occ.groupBy("word").agg(F.sum("n").alias("freq"))
+    per_word = segment_words(wf, vocab, max_piece_len).select(
+        "word",
+        F.size(
+            F.filter(F.split("seg", " "), lambda x: x != "")
+        ).cast("bigint").alias("np"),
+    )
+    return (
+        occ.join(per_word, "word")  # dictionary-sized; AQE broadcasts
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("bigint").alias("n_words"),
+            F.sum(F.col("n") * F.col("np")).cast("bigint").alias("n_tokens"),
+        )
+    )
+
+
 def unigram_train(
     df: DataFrame,
     rounds: int = 2,

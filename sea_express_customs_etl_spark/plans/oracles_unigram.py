@@ -113,3 +113,36 @@ def unigram_vocab_sql(rounds: int = 2) -> str:
 
 
 UNIGRAM_LM_VOCAB_SQL = unigram_vocab_sql(2)
+
+
+def unigram_token_counts_sql(rounds: int = 2) -> str:
+    """Apply side: one more unrolled segmentation pass (round
+    ``rounds+1``) against the trained v{rounds}, whose cost string's
+    leading 2 digits ARE the per-word piece count; document token
+    counts are occurrence-weighted sums of that."""
+    r = rounds + 1
+    body = ",".join(_round(x) for x in range(1, r + 1))
+    return (
+        "WITH "
+        + _WF
+        + ","
+        + body
+        + rf""",
+occ AS (
+  SELECT doc_id, w AS word, count(*)::BIGINT AS n FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+    FROM documents)
+  WHERE w <> '' AND length(w) <= {MAX_WORD_LEN} GROUP BY 1, 2),
+np AS (
+  SELECT word,
+         CAST(CAST(substring(c, 1, 2) AS INTEGER) AS BIGINT) AS np
+  FROM fin{r})
+SELECT o.doc_id, CAST(sum(o.n) AS BIGINT) AS n_words,
+       CAST(sum(o.n * np.np) AS BIGINT) AS n_tokens
+FROM occ o JOIN np USING (word) GROUP BY 1
+"""
+    )
+
+
+UNIGRAM_TOKEN_COUNTS_SQL = unigram_token_counts_sql(2)

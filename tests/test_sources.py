@@ -469,3 +469,29 @@ def test_quarantine_reconciles_batch_and_streaming(spark, xml_dir, tmp_path):
     )
     assert spark.read.parquet(rec_sink).count() == n_rec  # no-op replay
     assert spark.read.parquet(q_sink).count() == len(got_q)
+
+
+def test_replay_quarantined_recovers_fixable_units(spark, tmp_path):
+    """The replay half of audit-and-replay: quarantine rows whose
+    bytes parse under the (fixed) parser yield their records with the
+    original provenance; still-bad bytes stay failed, silently."""
+    from sea_express_customs_etl_spark.sources.xml_source import (
+        replay_quarantined,
+    )
+
+    good = _xml_doc(_bid_head(hawb="R1"), _bid_head(hawb="R1"))
+    rows = [
+        ("late.zip", "fine.xml", "bad_member", "transient", bytearray(
+            good.encode("utf-8"))),
+        ("late.zip", "broken.xml", "bad_member", "parse", bytearray(
+            b"<GicDataSet><BID_HEAD>")),
+        ("junk.zip", None, "bad_zip", "not a zip", None),
+    ]
+    q = spark.createDataFrame(
+        rows,
+        "source_file string, member string, reason string, "
+        "error string, raw_bytes binary",
+    )
+    got = replay_quarantined(q).collect()
+    assert {r.source_file for r in got} == {"late.zip::fine.xml"}
+    assert sorted(r.item_sequence for r in got) == [1, 2]

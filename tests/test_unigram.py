@@ -13,6 +13,7 @@ from sea_express_customs_etl_spark.operators.unigram import (
     MAX_PIECE_LEN,
     seed_pieces,
     segment_words,
+    unigram_token_counts,
     unigram_train,
     word_dict,
 )
@@ -92,3 +93,22 @@ def test_train_is_layout_invariant_and_prunes(spark):
     # scores are the frequency-weighted usage: banana appears 30x and
     # its pieces must dominate single-use junk
     assert any(len(p) > 1 and vocab[p] >= 30 for p in vocab)
+
+
+def test_token_counts_match_per_word_segmentation(spark):
+    texts = ["banana nab anna", "banana banana", "nab"]
+    df = _df(spark, texts)
+    vocab = unigram_train(df, rounds=2)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in unigram_token_counts(df, vocab).collect()
+    }
+    seg_np = {
+        r.word: len([p for p in r.seg.split(" ") if p])
+        for r in segment_words(word_dict(df), vocab).collect()
+    }
+    for i, t in enumerate(texts):
+        ws = t.split()
+        assert got[i] == (len(ws), sum(seg_np[w] for w in ws))
+        # every word tokenizes to >= 1 and <= len(word) pieces
+        assert len(ws) <= got[i][1] <= sum(len(w) for w in ws)
