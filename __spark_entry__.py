@@ -1209,6 +1209,22 @@ def _q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_train(_docs(spark, sf_dir), rounds=2)
 
 
+def _q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (Carbonell-Goldstein λ=1/2) over
+    each query's exact top-10 cosine candidates: the greedy
+    SELECTION TRAJECTORY — every step's integer score, argmax, and
+    tie-break — hash-matches an oracle that unrolls the five picks
+    into chained CTEs. The retrieval-diversity stage between ANN
+    recall and a RAG context window; especially pointed on this
+    corpus, whose embedding space is one near-dup family."""
+    from sea_express_customs_etl_spark.operators.mmr import mmr_rerank
+
+    emb = _emb(spark, sf_dir)
+    return mmr_rerank(
+        emb, emb.filter(F.col("vec_id") < 10), k_cand=10, k_out=5
+    )
+
+
 def _q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train → apply composed: per-document token counts under the
     trained unigram vocabulary (the bpe_encode_fixed pairing for the
@@ -4248,6 +4264,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_vocab": _q_unigram_lm_vocab,
         # trained-tokenizer apply: per-doc token counts
         "unigram_token_counts": _q_unigram_token_counts,
+        # MMR diversified rerank: greedy trajectory hash-checked
+        "mmr_rerank_topk": _q_mmr_rerank_topk,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
@@ -5052,6 +5070,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_wae as wae
     from sea_express_customs_etl_spark.plans import oracles_waf as waf
     from sea_express_customs_etl_spark.plans import oracles_wag as wag
+    from sea_express_customs_etl_spark.plans import oracles_mmr as omr
     from sea_express_customs_etl_spark.plans import oracles_unigram as uni
     from sea_express_customs_etl_spark.plans import oracles_wz as wz
     from sea_express_customs_etl_spark.operators.sampling import (
@@ -5210,6 +5229,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learned_merges": ext.bpe_train_sql(10),
         "unigram_lm_vocab": uni.UNIGRAM_LM_VOCAB_SQL,
         "unigram_token_counts": uni.UNIGRAM_TOKEN_COUNTS_SQL,
+        "mmr_rerank_topk": omr.MMR_RERANK_SQL,
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(

@@ -37,6 +37,8 @@ BNLJ_ALLOWED = {
     #                       (the global_rank/lm license, as lm_terciles)
     "lpa_modularity",     # three 1-row scalars (m, e_in) cross-joined
     "cosine_topk",        # query set (10 vectors) broadcast vs corpus
+    "mmr_rerank_topk",    # same query-set broadcast feeding candidate
+    #                       generation (steps run at |q|·k² grain)
     "ann_ivf_nprobe2",    # centroid table broadcast (|centroids| = 16)
     "kmeans_ivf_topk",    # trained centroid table broadcast (k = 8)
     "ivf_near_dups",      # cluster-blocked verify: centroids broadcast

@@ -210,7 +210,16 @@ def cases() -> dict:
         # the dictionary (and every DP/seed/usage stage) stays 1x;
         # only the word_dict corpus pass grows
         "unigram_vocab": lambda docs, emb: _unigram(docs),
+        # r7: MMR — candidate generation scans the corpus 8x; every
+        # selection step runs at the fixed |q|·k² grain
+        "mmr_rerank": lambda docs, emb: _mmr(emb),
     }
+
+
+def _mmr(emb):
+    from sea_express_customs_etl_spark.operators.mmr import mmr_rerank
+
+    return mmr_rerank(emb, emb.filter(F.col("vec_id") < 10))
 
 
 def _unigram(docs):
