@@ -1225,6 +1225,24 @@ def _q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_facility_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facility-location greedy coreset selection: 4 exemplars from a
+    fixed 32-vector pool maximizing total corpus coverage — the
+    submodular data-subset-selection op (instruction-data picking,
+    exemplar selection), MMR's corpus-side sibling. Nonnegative
+    micro-unit integer similarities make every marginal-gain sum and
+    argmax exact; the greedy trajectory (winner + gain per step)
+    hash-matches the unrolled cover/gain CTE oracle."""
+    from sea_express_customs_etl_spark.operators.coreset import (
+        facility_location_select,
+    )
+
+    emb = _emb(spark, sf_dir)
+    return facility_location_select(
+        emb, emb.filter(F.col("vec_id") < 32), k=4
+    )
+
+
 def _q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train → apply composed: per-document token counts under the
     trained unigram vocabulary (the bpe_encode_fixed pairing for the
@@ -4266,6 +4284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_token_counts": _q_unigram_token_counts,
         # MMR diversified rerank: greedy trajectory hash-checked
         "mmr_rerank_topk": _q_mmr_rerank_topk,
+        # submodular coreset selection: greedy coverage trajectory
+        "facility_coreset_select": _q_facility_coreset_select,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
@@ -5070,6 +5090,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_wae as wae
     from sea_express_customs_etl_spark.plans import oracles_waf as waf
     from sea_express_customs_etl_spark.plans import oracles_wag as wag
+    from sea_express_customs_etl_spark.plans import oracles_coreset as ocs
     from sea_express_customs_etl_spark.plans import oracles_mmr as omr
     from sea_express_customs_etl_spark.plans import oracles_unigram as uni
     from sea_express_customs_etl_spark.plans import oracles_wz as wz
@@ -5230,6 +5251,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_lm_vocab": uni.UNIGRAM_LM_VOCAB_SQL,
         "unigram_token_counts": uni.UNIGRAM_TOKEN_COUNTS_SQL,
         "mmr_rerank_topk": omr.MMR_RERANK_SQL,
+        "facility_coreset_select": ocs.FACILITY_CORESET_SQL,
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(

@@ -1,0 +1,111 @@
+"""Facility-location greedy coreset selection — submodular
+data-subset selection for training-data curation: pick k exemplars
+from a bounded candidate pool maximizing total corpus COVERAGE
+(Σ_points max_{s ∈ S} sim(point, s)), the classic (1 − 1/e)-greedy
+over a monotone submodular objective (Nemhauser et al. 1978; the
+coreset/exemplar-selection shape used for instruction-data picking
+and deduplicated sampling). MMR (``operators/mmr.py``) diversifies a
+QUERY's result list; this selects a CORPUS-covering subset — the two
+ends of the same relevance/coverage spectrum.
+
+Exactness: similarities are micro-unit integers clamped at ≥ 0
+(``greatest(0, round(1e6·cos))`` — facility location needs
+nonnegative utilities), so each step's marginal gain
+Σ_p max(0, sim(p, c) − cover(p)) is an exact integer sum and the
+greedy SELECTION TRAJECTORY (winner + gain per step, ties gain DESC
+then id ASC) hash-checks against an oracle that unrolls the k steps
+into chained cover/gain CTEs.
+
+Scale shape: the sim table is |corpus|·|pool| rows — ONE pinned
+broadcast of the FIXED candidate pool (model-sized at any corpus
+scale, the centroid license) against the corpus scan, computed once
+and persisted. Each step is one join + one partial-aggregated sum at
+pool grain plus a corpus-grain cover update via a 1-row winner join —
+never a collect, never a corpus×corpus product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+import pyspark.sql.functions as F
+
+from ..plans.cache import tracked_persist
+from .similarity import _dot, with_norm
+
+
+def facility_location_select(
+    df: DataFrame,
+    candidates: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy facility-location selection of ``k`` exemplars from
+    ``candidates`` covering ``df``. Output: (sel_rank int, {id_col},
+    gain_u6 bigint) — the selection trajectory."""
+    pts = with_norm(df, vec_col, id_col).select(
+        F.col(id_col).alias("_p"),
+        F.col("_v").alias("_pv"),
+        F.col("_n").alias("_pn"),
+    )
+    cands = with_norm(candidates, vec_col, id_col).select(
+        F.col(id_col).alias("_c"),
+        F.col("_v").alias("_cv"),
+        F.col("_n").alias("_cn"),
+    )
+    sim = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.round(
+            F.lit(1_000_000)
+            * _dot(F.col("_pv"), F.col("_cv"))
+            / (F.col("_pn") * F.col("_cn"))
+        ).cast("bigint"),
+    )
+    sims = tracked_persist(
+        pts.join(F.broadcast(cands))  # pool is FIXED — model-sized
+        .select("_p", "_c", sim.alias("_s"))
+    )
+    cover = tracked_persist(
+        pts.select("_p", F.lit(0).cast("bigint").alias("_cov"))
+    )
+    pick_w = Window.orderBy(F.col("gain_u6").desc(), F.col("_c").asc())
+    out = None
+    for i in range(1, k + 1):
+        pool = sims if out is None else sims.join(
+            out.select("_c"), "_c", "left_anti"
+        )
+        gains = (
+            pool.join(cover, "_p")
+            .groupBy("_c")
+            .agg(
+                F.sum(
+                    F.greatest(
+                        F.lit(0).cast("bigint"),
+                        F.col("_s") - F.col("_cov"),
+                    )
+                ).alias("gain_u6")
+            )
+        )
+        winner = tracked_persist(
+            gains.withColumn("_rn", F.row_number().over(pick_w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.lit(i).alias("sel_rank"), "_c", "gain_u6"
+            )
+        )
+        w_sim = sims.join(winner.select("_c"), "_c").select(
+            "_p", F.col("_s").alias("_ws")
+        )
+        cover = tracked_persist(
+            cover.join(w_sim, "_p", "left")
+            .select(
+                "_p",
+                F.greatest(
+                    F.col("_cov"), F.coalesce(F.col("_ws"), F.lit(0))
+                ).alias("_cov"),
+            )
+        )
+        out = winner if out is None else out.unionByName(winner)
+    return out.select(
+        "sel_rank", F.col("_c").alias(id_col), "gain_u6"
+    )

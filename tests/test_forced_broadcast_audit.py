@@ -90,6 +90,8 @@ FORCED_BROADCAST_ALLOWED = {
     "ann_store_topk",      # frozen centroids + codebook + LUT + marker
     "ann_store_delete_topk",  # same pins + the del-batch marker
     #                            table (|batches| rows)
+    "facility_coreset_select",  # pinned fixed 32-vector pool
+    #                               broadcast (model-sized at any scale)
     #                        table (all model-sized)
     "event_winsorized_sums",  # 2-literal-row quantile-spec table
     "order_value_gini",    # |partitions|-row rank-offset broadcast

@@ -39,6 +39,8 @@ BNLJ_ALLOWED = {
     "cosine_topk",        # query set (10 vectors) broadcast vs corpus
     "mmr_rerank_topk",    # same query-set broadcast feeding candidate
     #                       generation (steps run at |q|·k² grain)
+    "facility_coreset_select",  # fixed 32-vector pool broadcast vs
+    #                               the corpus scan (the centroid license)
     "ann_ivf_nprobe2",    # centroid table broadcast (|centroids| = 16)
     "kmeans_ivf_topk",    # trained centroid table broadcast (k = 8)
     "ivf_near_dups",      # cluster-blocked verify: centroids broadcast

@@ -213,6 +213,9 @@ def cases() -> dict:
         # r7: MMR — candidate generation scans the corpus 8x; every
         # selection step runs at the fixed |q|·k² grain
         "mmr_rerank": lambda docs, emb: _mmr(emb),
+        # r7: facility-location coreset — the |corpus|·|pool| sim table
+        # and per-step cover updates grow 8x, pool/argmax stay fixed
+        "facility_coreset": lambda docs, emb: _coreset(emb),
     }
 
 
@@ -220,6 +223,16 @@ def _mmr(emb):
     from sea_express_customs_etl_spark.operators.mmr import mmr_rerank
 
     return mmr_rerank(emb, emb.filter(F.col("vec_id") < 10))
+
+
+def _coreset(emb):
+    from sea_express_customs_etl_spark.operators.coreset import (
+        facility_location_select,
+    )
+
+    return facility_location_select(
+        emb, emb.filter(F.col("vec_id") < 32), k=4
+    )
 
 
 def _unigram(docs):
