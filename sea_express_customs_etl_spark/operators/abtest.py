@@ -12,13 +12,26 @@ of ever dividing, the per-variant adjusted total is carried multiplied
 out by the common denominator ``n·den``:
 
     adj_num_v = n·den·Σy_v − num·(n·Σx_v − n_v·Σx)
-    scale     = n·den            (adjusted mean = adj_num_v / (n_v·scale))
+    denom_v   = n_v·n·den        (adjusted mean = adj_num_v / denom_v)
 
-where ``num = n·Σxy − Σx·Σy`` and ``den = n·Σx² − (Σx)²``. Every term
-is an integer in DECIMAL(38,0) (the oracle mirrors in HUGEINT):
-per-user cent sums are ≤ ~1e6, so adj_num peaks ~1e29 at sf0.1 and
-~1e33-1e35 at sf1-sf10 — inside both engines' 38-digit range; the
-bound, not floats, is the scaling limit and is documented here.
+where ``num = n·Σxy − Σx·Σy`` and ``den = n·Σx² − (Σx)²``. Every
+intermediate is an integer in DECIMAL(38,0) (the oracle mirrors in
+HUGEINT): per-user cent sums are ≤ ~1e6, so adj_num peaks ~1e29 at
+sf0.1 and ~1e33-1e35 at sf1-sf10 — inside both engines' 38-digit
+range; the bound, not floats, is the scaling limit.
+
+OUTPUT envelope (round-8 fix): the raw numerator exceeds int64
+(≈7.9e22 at sf0.01) and wider-than-int64 finals are not portable
+through every consumer's hashing envelope, so the query emits the
+adjusted per-variant MEAN in micro-cents instead:
+
+    adj_mean_u6 = (10⁶·adj_num_v) DIV denom_v     (≈1e11 — int64-safe)
+
+computed as the exact quotient/remainder split ``q·10⁶ +
+(r·10⁶) DIV denom`` (q = adj_num DIV denom, r = adj_num − q·denom) so
+the widest intermediate stays under 38 digits even at sf10, where
+``10⁶·adj_num`` alone would overflow. Both engines' integer division
+truncates toward zero, so the split is engine-exact.
 
 Reference parity: the reference engine has no experiment surface; this
 extends the engine's analytics layer the way `operators/stats_tests.py`
@@ -51,7 +64,8 @@ def cuped_adjusted_lift(
     ``x`` = user's pre-period cent total (ts < split_ts), ``y`` = the
     experiment-period total (ts ≥ split_ts); variants are the md5
     hash-split halves of the key space (engine-portable, no rand()).
-    Output: variant, n_users, sum_x_cents, sum_y_cents, adj_num, scale.
+    Output: variant, n_users, sum_x_cents, sum_y_cents, adj_mean_u6
+    (all int64-safe — see module docstring for the envelope rationale).
     """
     cents = F.round(F.col(value_col) * 100).cast("bigint")
     per_user = events.groupBy(key_col).agg(
@@ -89,7 +103,7 @@ def cuped_adjusted_lift(
     )
     num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
     den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
-    return v.join(F.broadcast(g)).select(
+    base = v.join(F.broadcast(g)).select(
         "variant",
         "n_users",
         "sum_x_cents",
@@ -103,8 +117,36 @@ def cuped_adjusted_lift(
             )
         )
         .cast("decimal(38,0)")
-        .alias("adj_num"),
-        (F.col("_n") * den).cast("decimal(38,0)").alias("scale"),
+        .alias("_adj_num"),
+        (dec(F.col("n_users")) * F.col("_n") * den)
+        .cast("decimal(38,0)")
+        .alias("_denom"),
+    )
+    # q/r split (module docstring): DIV returns BIGINT on decimals, so
+    # q re-casts to DECIMAL(38,0) before the r = adj − q·denom multiply
+    # (the CLAUDE.md DIV-overflow rule).
+    split = base.withColumn(
+        "_q", F.expr("_adj_num div _denom")
+    ).withColumn(
+        "_r",
+        (
+            F.col("_adj_num")
+            - F.col("_q").cast("decimal(38,0)") * F.col("_denom")
+        ).cast("decimal(38,0)"),
+    )
+    return split.select(
+        "variant",
+        "n_users",
+        "sum_x_cents",
+        "sum_y_cents",
+        (
+            F.col("_q") * F.lit(1_000_000).cast("bigint")
+            + F.expr(
+                "(_r * CAST(1000000 AS DECIMAL(38,0))) div _denom"
+            )
+        )
+        .cast("bigint")
+        .alias("adj_mean_u6"),
     )
 
 

@@ -193,6 +193,25 @@ def segment_words(
             F.expr("substring(word, p.i, p.k)").alias("piece"),
         )
         .join(vocab, "piece")  # vocab is model-sized; AQE broadcasts
+        # CAP guard (ADVICE r7): past Σscore ≥ CAP the lpad(CAP−score)
+        # encoding would go negative and silently corrupt the
+        # lexicographic Viterbi order — fail LOUDLY instead. The dial
+        # for >1e11-token corpora is widening CAP + the pad width
+        # together (module docstring).
+        .withColumn(
+            "score",
+            F.when(F.col("score") < F.lit(CAP), F.col("score")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "unigram cost-string overflow: piece score "
+                            ">= CAP(1e11) for piece "
+                        ),
+                        F.col("piece"),
+                    )
+                ).cast("bigint")
+            ),
+        )
     )
     maps = cand.groupBy("word").agg(
         F.map_from_entries(

@@ -108,13 +108,23 @@ WITH pu AS (
          sum(x)::BIGINT AS sum_x_cents, sum(y)::BIGINT AS sum_y_cents
   FROM pv GROUP BY variant
 )
-SELECT v.variant, v.n_users, v.sum_x_cents, v.sum_y_cents,
-       g.n * (g.n * g.sxx - g.sx * g.sx) * v.sum_y_cents::HUGEINT
-         - (g.n * g.sxy - g.sx * g.sy)
-           * (g.n * v.sum_x_cents::HUGEINT - v.n_users::HUGEINT * g.sx)
-         AS adj_num,
-       g.n * (g.n * g.sxx - g.sx * g.sx) AS scale
-FROM v, g
+, f AS (
+  SELECT v.variant, v.n_users, v.sum_x_cents, v.sum_y_cents,
+         g.n * (g.n * g.sxx - g.sx * g.sx) * v.sum_y_cents::HUGEINT
+           - (g.n * g.sxy - g.sx * g.sy)
+             * (g.n * v.sum_x_cents::HUGEINT - v.n_users::HUGEINT * g.sx)
+           AS adj_num,
+         v.n_users::HUGEINT * g.n * (g.n * g.sxx - g.sx * g.sx) AS denom
+  FROM v, g
+)
+-- int64-safe output envelope (round 8): adj_mean_u6 =
+-- (1e6*adj_num) // denom via the exact q/r split (mirrors Spark's
+-- quotient/remainder form; both engines' // / div truncate to zero)
+SELECT variant, n_users, sum_x_cents, sum_y_cents,
+       ((adj_num // denom) * 1000000
+        + ((adj_num - (adj_num // denom) * denom) * 1000000) // denom
+       )::BIGINT AS adj_mean_u6
+FROM f
 """
 
 # K-M life table (operators/survival.py:km_life_table).

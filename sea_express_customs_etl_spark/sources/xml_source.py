@@ -241,9 +241,13 @@ def _parse_files(pdf: pd.DataFrame) -> tuple[list[dict], list[dict]]:
                     log.warning("failed zip member %s: %s", member, e)
                     _q(fname, member, "bad_member", e, data)
         else:
+            # Catch Exception, not just ET.ParseError: encoding/IO
+            # failures on a loose file must hit the same quarantine
+            # containment as zip members, never fail the Spark task
+            # (ADVICE r7).
             try:
                 out.extend(_records_from_xml_bytes(content, fname))
-            except ET.ParseError as e:
+            except Exception as e:
                 log.error("XML parse failure %s: %s", fname, e)
                 _q(fname, None, "bad_xml", e, content)
     return out, bad

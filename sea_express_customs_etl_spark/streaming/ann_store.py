@@ -185,11 +185,15 @@ def committed_codes(
         "left_semi",
     )
     t_tab = f"{table_prefix}_tombstones"
-    if spark.catalog.tableExists(t_tab):
+    dm_tab = f"{table_prefix}_del_batches"
+    # Both tables must exist: a crash between the first tombstone
+    # append and the marker-table creation leaves t_tab without dm_tab;
+    # the committed (delete-free) view must still serve (ADVICE r7).
+    if spark.catalog.tableExists(t_tab) and spark.catalog.tableExists(dm_tab):
         last_del = (
             spark.table(t_tab)
             .join(
-                F.broadcast(spark.table(f"{table_prefix}_del_batches")),
+                F.broadcast(spark.table(dm_tab)),
                 "batch_id",
                 "left_semi",
             )

@@ -69,6 +69,10 @@ def test_cuped_golden_rationals(spark):
         h = hashlib.md5(f"cuped{uid}".encode()).hexdigest()[:8]
         return "control" if h < hex_threshold(0.5) else "treatment"
 
+    def tdiv(a, b):  # truncate-toward-zero, mirrors Spark div / DuckDB //
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
     for v, r in out.items():
         uids = [u for u in data if variant(u) == v]
         n_v = len(uids)
@@ -77,8 +81,10 @@ def test_cuped_golden_rationals(spark):
         assert r.n_users == n_v
         assert r.sum_x_cents == sx_v
         assert r.sum_y_cents == sy_v
-        assert int(r.adj_num) == n * den * sy_v - num * (n * sx_v - n_v * sx)
-        assert int(r.scale) == n * den
+        adj_num = n * den * sy_v - num * (n * sx_v - n_v * sx)
+        denom = n_v * n * den
+        q, rem = tdiv(adj_num, denom), adj_num - tdiv(adj_num, denom) * denom
+        assert r.adj_mean_u6 == q * 10**6 + tdiv(rem * 10**6, denom)
     assert set(out) == {"control", "treatment"}
 
 

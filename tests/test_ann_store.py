@@ -138,3 +138,25 @@ def test_deletes_equal_fresh_build_on_survivors(spark, sf_dir):
     assert sorted(map(tuple, committed_codes(spark, prefix).collect())) == before
     compact_ann_store(spark, prefix, num_buckets=4)
     assert sorted(map(tuple, committed_codes(spark, prefix).collect())) == before
+
+
+def test_crash_window_tombstones_without_marker_table(spark, sf_dir):
+    """ADVICE r7: a crash between the FIRST tombstone append and the
+    del-marker table creation leaves <prefix>_tombstones on disk with
+    no <prefix>_del_batches. The committed view must serve the
+    delete-free state (uncommitted tombstones are invisible), not raise
+    AnalysisException."""
+    emb, cen, codebook = _setup(spark, sf_dir)
+    prefix = f"ann_{uuid.uuid4().hex[:8]}"
+    writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
+    writer(emb, 0)
+    before = sorted(map(tuple, committed_codes(spark, prefix).collect()))
+    # simulate the crash window: tombstone rows exist, marker table not
+    emb.limit(3).select(
+        F.lit(1).cast("bigint").alias("batch_id"), "vec_id"
+    ).write.mode("append").format("parquet").saveAsTable(
+        f"{prefix}_tombstones"
+    )
+    assert not spark.catalog.tableExists(f"{prefix}_del_batches")
+    got = sorted(map(tuple, committed_codes(spark, prefix).collect()))
+    assert got == before and len(got) > 0

@@ -495,3 +495,31 @@ def test_replay_quarantined_recovers_fixable_units(spark, tmp_path):
     got = replay_quarantined(q).collect()
     assert {r.source_file for r in got} == {"late.zip::fine.xml"}
     assert sorted(r.item_sequence for r in got) == [1, 2]
+
+
+def test_loose_xml_non_parse_error_is_quarantined():
+    """ADVICE r7: the standalone-.xml branch must contain ANY failure
+    (not just ET.ParseError) as a bad_xml quarantine row, mirroring the
+    zip-member containment — a TypeError/encoding error on a loose file
+    must never escape and fail the whole Spark task."""
+    import pandas as pd
+
+    from sea_express_customs_etl_spark.sources.xml_source import (
+        _parse_files,
+    )
+
+    good = (
+        b"<ROOT><BID_HEAD><HAWB_NO>H1</HAWB_NO></BID_HEAD></ROOT>"
+    )
+    pdf = pd.DataFrame(
+        {
+            "path": ["/in/a.xml", "/in/b.xml"],
+            # None → ET.fromstring raises TypeError, not ParseError
+            "content": [good, None],
+        }
+    )
+    out, bad = _parse_files(pdf)
+    assert [r["source_file"] for r in out] == ["a.xml"]
+    assert len(bad) == 1
+    assert bad[0]["source_file"] == "b.xml"
+    assert bad[0]["reason"] == "bad_xml"

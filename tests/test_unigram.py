@@ -112,3 +112,25 @@ def test_token_counts_match_per_word_segmentation(spark):
         assert got[i] == (len(ws), sum(seg_np[w] for w in ws))
         # every word tokenizes to >= 1 and <= len(word) pieces
         assert len(ws) <= got[i][1] <= sum(len(w) for w in ws)
+
+
+def test_cap_overflow_fails_loudly(spark):
+    """ADVICE r7: a piece score >= CAP (1e11) would make the
+    lpad(CAP - score) cost encoding emit a '-'-prefixed string and
+    silently corrupt the lexicographic Viterbi ordering — the guard in
+    segment_words must raise instead."""
+    import pytest
+
+    from sea_express_customs_etl_spark.operators.unigram import CAP
+
+    wf = spark.createDataFrame([("ab", 1)], ["word", "freq"])
+    vocab = spark.createDataFrame(
+        [("a", CAP), ("b", 1)], ["piece", "score"]
+    ).select("piece", F.col("score").cast("bigint"))
+    with pytest.raises(Exception, match="cost-string overflow"):
+        segment_words(wf, vocab).collect()
+    # one below the cap still segments fine
+    ok_vocab = spark.createDataFrame(
+        [("a", CAP - 1), ("b", 1)], ["piece", "score"]
+    ).select("piece", F.col("score").cast("bigint"))
+    assert segment_words(wf, ok_vocab).collect()[0].seg == " a b"

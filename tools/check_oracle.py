@@ -38,6 +38,26 @@ def _canon_cell(v) -> str:
     return str(v)
 
 
+INT64_MAX = 2**63 - 1
+
+
+def envelope_violations(cols: list[str], rows: list[tuple]) -> list[str]:
+    """Columns whose integer/Decimal values exceed int64 (round-8 guard:
+    the driver's hash envelope canonicalizes int64 exactly but mangles
+    wider decimals — a >int64 FINAL column is a latent driver FAIL even
+    when the local gate is green; see cuped_adjusted_lift, VERDICT r7)."""
+    import decimal
+
+    bad = set()
+    for r in rows:
+        for i, v in enumerate(r):
+            if isinstance(v, bool):
+                continue
+            if isinstance(v, (int, decimal.Decimal)) and abs(v) > INT64_MAX:
+                bad.add(cols[i])
+    return sorted(bad)
+
+
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted("\x1f".join(_canon_cell(r[i]) for i in order) for r in rows)
@@ -87,7 +107,12 @@ def main() -> int:
         ok_count = len(srows) == len(orows)
         ok_schema = sorted(scols) == sorted(ocols)
         ok_hash = value_hash(scols, srows) == value_hash(ocols, orows)
-        status = "OK" if (ok_count and ok_schema and ok_hash) else "FAIL"
+        over64 = envelope_violations(scols, srows)
+        if over64:
+            print(f"{name:24s} ENVELOPE >int64 in columns: {over64}")
+        status = (
+            "OK" if (ok_count and ok_schema and ok_hash and not over64) else "FAIL"
+        )
         if status == "FAIL":
             failures += 1
         print(
