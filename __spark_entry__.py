@@ -941,6 +941,98 @@ def _q_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(docs, text_pairs.unionByName(sem_pairs))
 
 
+def _q_multisignal_dedup_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-signal dedup v2 (r7 VERDICT #7): ALL FOUR signal
+    families — text shingle-LSH, embedding cosine, perceptual image
+    aHash, perceptual audio fingerprint — over one mixed-modal corpus
+    (every doc carries text + embedding + a deterministic image and
+    audio track; the planted media copies arrive as EXTRA entities
+    under id+100000, media-only — the photo re-uploaded under a new
+    content id), resolved in ONE component pass. Output is per
+    cluster: member count + per-signal edge contributions, so the
+    result shows WHICH signal family earned each merge — the full
+    production curation composition, end-to-end hash-checked (the
+    image/audio edges via their analytic closed forms)."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        ivf_near_dups,
+        jaccard_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        ahash_hamming_pairs,
+        audio_fingerprint,
+        audio_fp_hamming_pairs,
+        image_ahash,
+        synth_pgm_near_dups,
+        synth_wav_near_dups,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prof = _tracked_persist(shingle_profiles(docs))
+    text = (
+        jaccard_verify_profiles(lsh_candidate_pairs(lsh_bands(prof)), prof)
+        .select("id_a", "id_b")
+        .withColumn("signal", F.lit("text"))
+    )
+    emb = _emb(spark, sf_dir)
+    sem = (
+        ivf_near_dups(emb, emb.filter(F.col("vec_id") < 16), threshold=0.4)
+        .select("id_a", "id_b")
+        .withColumn("signal", F.lit("embedding"))
+    )
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    img = (
+        ahash_hamming_pairs(image_ahash(synth_pgm_near_dups(ids)))
+        .select("id_a", "id_b")
+        .withColumn("signal", F.lit("image"))
+    )
+    aud = (
+        audio_fp_hamming_pairs(audio_fingerprint(synth_wav_near_dups(ids)))
+        .select("id_a", "id_b")
+        .withColumn("signal", F.lit("audio"))
+    )
+    # pinned: feeds the component resolution AND the per-signal counts
+    edges = _tracked_persist(
+        text.unionByName(sem).unionByName(img).unionByName(aud)
+    )
+    entities = docs.select("doc_id").unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 100_000).alias("doc_id")
+        )
+    )
+    comp = _tracked_persist(
+        dedup_clusters(entities, edges.select("id_a", "id_b")).select(
+            "doc_id", "cluster_id"
+        )
+    )
+    members = comp.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members")
+    )
+    sig = (
+        edges.join(comp.withColumnRenamed("doc_id", "id_a"), "id_a")
+        .groupBy("cluster_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("signal") == s, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{s}")
+                for s in ("text", "embedding", "image", "audio")
+            ]
+        )
+    )
+    return members.join(sig, "cluster_id", "left").select(
+        "cluster_id",
+        "n_members",
+        *[
+            F.coalesce(F.col(f"n_{s}"), F.lit(0)).cast("bigint").alias(f"n_{s}")
+            for s in ("text", "embedding", "image", "audio")
+        ],
+    )
+
+
 def _q_jdbc_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The JDBC connector as a gate-checked lineage query (the
     manifest_xlsx_ingest pattern applied to OP-SRC-JDBC): nation rows
@@ -1225,6 +1317,63 @@ def _q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mmr_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR riding the trained ANN store (r7 VERDICT #5) — the 100 TB
+    diversity path with NO brute-force corpus scan: the incremental
+    code store's multi-probe ADC proposes top-200 candidates per
+    query, ``refine_exact_topk`` re-ranks them by exact cosine to
+    top-10, and the greedy λ=1/2 selection runs at |q|·k² model grain
+    over those. All three stages hash-pinned in ONE statement: the
+    store ≡ one-shot encode (per-row determinism), the refine ordering
+    is the checked rounded cosine, and the selection trajectory
+    matches the unrolled per-pick CTEs."""
+    from sea_express_customs_etl_spark.operators.mmr import (
+        mmr_rerank_from_candidates,
+    )
+    from sea_express_customs_etl_spark.operators.similarity import (
+        refine_exact_topk,
+    )
+    from sea_express_customs_etl_spark.streaming.ann_store import (
+        ann_store_batch_writer,
+        store_adc_topk,
+        train_frozen_model,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cen = emb.filter(F.col("vec_id") < 16)
+    sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
+    codebook = _tracked_persist(train_frozen_model(sample, cen))
+    prefix = "annmmr_" + re.sub(
+        r"\W", "_", spark.sparkContext.applicationId
+    )
+    writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
+    writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    # pinned: consumed twice inside the refine (ids + join)
+    cand = _tracked_persist(
+        store_adc_topk(
+            spark,
+            prefix,
+            cen,
+            codebook,
+            emb.filter(F.col("vec_id") < 10),
+            k=200,
+            nprobe=2,
+        ).select("query_id", "neighbor_id")
+    )
+    # localCheckpoint (not persist): the |q|·10-row refined candidate
+    # set is model-sized, and TRUNCATING its lineage here keeps the
+    # greedy loop's plan at brute-force-MMR size — without it the
+    # store→refine→selection logical plan nests multiplicatively and
+    # the plan STRING alone OOMs the driver at 8× (probe-caught)
+    rel = refine_exact_topk(emb, cand, k=10).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine") * 1_000_000).cast("bigint").alias("rel_u6"),
+    ).localCheckpoint()
+    return mmr_rerank_from_candidates(emb, rel, k_out=5)
+
+
 def _q_facility_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Facility-location greedy coreset selection: 4 exemplars from a
     fixed 32-vector pool maximizing total corpus coverage — the
@@ -1465,6 +1614,37 @@ def _q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs_from_fingerprints(fps, min_shared=2, df_max=50)
 
 
+def _q_winnow_delete_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The winnowing store with DELETES (r7 VERDICT #6): the full
+    corpus folds in as two batches, a fenced tombstone batch retires
+    every doc_id ≡ 3 (mod 7), and the match query over the committed
+    survivors must hash-match the one-shot winnow_dups oracle
+    restricted to the same survivors — INCLUDING the corpus-global df
+    cap, which re-computes over the survivors at read time (a deleted
+    boilerplate doc stops suppressing its fingerprints). Idempotent
+    across invocations (add and delete markers both fence)."""
+    from sea_express_customs_etl_spark.operators.fingerprint import (
+        pairs_from_fingerprints,
+    )
+    from sea_express_customs_etl_spark.streaming.winnow_store import (
+        committed_fingerprints,
+        winnow_batch_writer,
+        winnow_delete_writer,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prefix = "windel_" + re.sub(
+        r"\W", "_", spark.sparkContext.applicationId
+    )
+    writer = winnow_batch_writer(prefix, k=3, w=4)
+    writer(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    writer(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    deleter = winnow_delete_writer(prefix)
+    deleter(docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"), 2)
+    fps = _tracked_persist(committed_fingerprints(spark, prefix))
+    return pairs_from_fingerprints(fps, min_shared=2, df_max=50)
+
+
 def _q_copurchase_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-sweep synchronous label-propagation communities over the
     ≥2-co-occurrence co-purchase graph — modal-neighbor-label updates
@@ -1524,6 +1704,77 @@ def _q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_dup_pairs(
         _docs(spark, sf_dir), k=3, w=4, min_shared=2, df_max=50
     )
+
+
+def _q_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (FastCDC-lite, r8): rolling-hash
+    boundaries (h·31+code mod 2²⁰, reset at boundary; cut at h%32=0
+    with 8 ≤ len ≤ 64) make chunk edges CONTENT-anchored, so an edit
+    shifts only its own chunk and downstream chunks re-synchronize
+    against the unedited copy — the storage-dedup primitive
+    (LBFS/rsync/FastCDC) a fixed-size chunker cannot provide (pinned
+    by test: one head edit, suffix chunks still dedup; fixed-size
+    shares zero). Output: cross-doc shared chunk digests with their
+    dedupable footprint. The boundary fold is map-only per document;
+    the reuse aggregation one digest-grain partial-agg shuffle."""
+    from sea_express_customs_etl_spark.operators.cdc_chunking import (
+        cdc_shared_chunks,
+    )
+
+    return cdc_shared_chunks(_docs(spark, sf_dir))
+
+
+def _q_mrl_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation recall curve (MRL, Kusupati et al.
+    NeurIPS'22 — public): recall@5 of TRUNCATED-dimension cosine
+    retrieval (dims 8/16/32/64, leading prefix of the embedding)
+    against the full-dimension truth — the memory/quality dial every
+    embedding pipeline turns before provisioning an index (half the
+    dimensions = half the ANN store). Integer hit counts per (dim,
+    query) make the whole curve one gate hash — a truncation-quality
+    regression shows up as a mismatch, the ann_recall_matrix
+    discipline applied to the dimension axis. Four brute-force passes
+    over ONE persisted sliced scan; at 100 TB each pass is the
+    broadcast-query linear scan of cosine_topk."""
+    from sea_express_customs_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _tracked_persist(_emb(spark, sf_dir))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+
+    def top5(d: int) -> DataFrame:
+        sliced = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        return (
+            brute_force_topk(
+                sliced, sliced.filter(F.col("vec_id") < 10), k=10
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = _tracked_persist(top5(64).withColumn("_t", F.lit(1)))
+    out = None
+    for d in (8, 16, 32, 64):
+        hits = (
+            top5(d)
+            .join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("_t").cast("bigint").alias("hits_at_5"))
+            .select(
+                F.lit(d).cast("int").alias("dim"),
+                "query_id",
+                "hits_at_5",
+                F.lit(5).cast("bigint").alias("k"),
+            )
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
 
 
 def _q_learned_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1693,6 +1944,33 @@ def _q_audio_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("media_id") <= 2000)
     )
     return audio_fp_hamming_pairs(audio_fingerprint(synth_wav_near_dups(ids)))
+
+
+def _q_video_fp_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual video dedup from raw bytes — completes the
+    image/audio/video perceptual trio: deterministic concatenated-PGM
+    frame streams (every 10th id also ships a brightness-perturbed
+    re-encode), REAL frame-walk decode → per-frame luminance sums →
+    32-bit temporal-ordinal fingerprint (S_{f+1} > S_f — invariant to
+    uniform brightness shift by construction) → 4×8-bit band LSH +
+    popcount verify. Fixture quality measured: 200/200 planted copies
+    caught at ≤2 hamming vs 24 accidental pairs over 2.4M candidates
+    (the double-modulus temporal driver — a single mod-251 polynomial
+    aliases ids ≡ (mod 251) into 6k false families). Oracle replays
+    the fingerprint analytically from the closed form."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        synth_video_near_dups,
+        video_fingerprint,
+        video_fp_hamming_pairs,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    ids = (
+        load_table(spark, sf_dir, "part")
+        .select(F.col("p_partkey").alias("media_id"))
+        .filter(F.col("media_id") <= 2000)
+    )
+    return video_fp_hamming_pairs(video_fingerprint(synth_video_near_dups(ids)))
 
 
 def _q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2684,6 +2962,44 @@ def _q_knowledge_ivm_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knowledge_store_kb(spark, prefix)
 
 
+def _q_knowledge_ivm_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vote-state RETRACTION (r7 VERDICT #6): the bad-ingest rollback
+    flow — load 0 and load 1 cover the corpus, load 2 re-processes
+    load 1's data by mistake (double-counting every one of its votes),
+    and a retraction batch subtracts load 2 back out as NEGATED vote
+    deltas. Because the state is algebraic (counts merge by addition)
+    and the align→count chain is deterministic, the subtraction is
+    exact: the read-back knowledge base must hash-match the
+    full-rebuild knowledge_extraction oracle VERBATIM — including
+    every frequency and every tie-break the double-count had
+    disturbed. Idempotent across invocations (all four batches are
+    marker-fenced)."""
+    from sea_express_customs_etl_spark.functions.strings import link_key
+    from sea_express_customs_etl_spark.streaming.knowledge_store import (
+        knowledge_batch_writer,
+        knowledge_retract_writer,
+        knowledge_store_kb,
+    )
+
+    a = declared_table(spark, sf_dir)
+    b = official_table(spark, sf_dir)
+
+    def half(df: DataFrame, i: int) -> DataFrame:
+        lk = link_key(F.col("mawb_no"), F.col("hawb_no"))
+        return df.filter(F.crc32(lk) % 2 == i)
+
+    prefix = "kbdel_" + re.sub(
+        r"\W", "_", spark.sparkContext.applicationId
+    )
+    writer = knowledge_batch_writer(prefix, use_nfkc=False)
+    writer(half(a, 0), half(b, 0), 0)
+    writer(half(a, 1), half(b, 1), 1)
+    writer(half(a, 1), half(b, 1), 2)  # the double-processed load
+    retract = knowledge_retract_writer(prefix, use_nfkc=False)
+    retract(half(a, 1), half(b, 1), 3)  # exact algebraic rollback
+    return knowledge_store_kb(spark, prefix)
+
+
 def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-batch incremental dedup (VERDICT r4 #1): the corpus
     arrives as two batches (doc_id parity); batch 1 dedups against
@@ -2706,6 +3022,36 @@ def _q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_increment(p2, store_profiles=p1)
     )
     return dedup_clusters(docs, edges)
+
+
+def _q_dedup_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental dedup STORE with takedowns (r7 VERDICT #6):
+    the corpus folds in as two marker-fenced batches through
+    ``incremental_dedup_batch_writer``, a fenced tombstone batch
+    retires every doc_id ≡ 3 (mod 7) (takedown-final: profile, bands,
+    and incident edges all die at read time), and component resolution
+    over the committed survivor edges must hash-match the one-shot
+    ``dedup_clusters`` oracle restricted to the same survivors — the
+    both-endpoints-live filter removes exactly the pairs a
+    survivor-only rebuild never forms. Idempotent across invocations."""
+    from sea_express_customs_etl_spark.operators.dedup import dedup_clusters
+    from sea_express_customs_etl_spark.streaming.incremental_dedup import (
+        committed_edges,
+        dedup_delete_writer,
+        incremental_dedup_batch_writer,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prefix = "deddel_" + re.sub(
+        r"\W", "_", spark.sparkContext.applicationId
+    )
+    writer = incremental_dedup_batch_writer(prefix)
+    writer(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    writer(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    deleter = dedup_delete_writer(prefix)
+    deleter(docs.filter(F.col("doc_id") % 7 == 3).select("doc_id"), 2)
+    survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    return dedup_clusters(survivors, committed_edges(spark, prefix))
 
 
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4046,8 +4392,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from sea_express_customs_etl_spark.plans import relational as rel
 
     return {
-        # link-and-vote family (reference parity, SURVEY §2.4-2.9, §3.3)
-        "knowledge_extraction": _q_knowledge_extraction,
+        # ---- driver-checked prefix (50 entries), rotation wave 2
+        # (r7 VERDICT #3): 4 kept rows (flagship family, connector
+        # lineage, the fixed cuped envelope) + 46 FIRST-TIME entries —
+        # the 9 r7 queries, the r5/6 flagships, all 8 r8 additions
+        # (store deletes, mmr_ann_rerank, multisignal v2, video_fp,
+        # cdc chunking, mrl curve), and never-witnessed
+        # representatives across every remaining family ----
+        "knowledge_extraction": _q_knowledge_extraction,  # flagship (reference parity)
+        "curation_pipeline": _q_curation_pipeline,  # composed curation flagship
+        "manifest_xlsx_ingest": _q_manifest_xlsx_ingest,  # connector lineage
+        "cuped_adjusted_lift": _q_cuped_adjusted_lift,  # r7's one red row, int64-safe since r8
+        "xml_quarantine_counts": _q_xml_quarantine_counts,
+        "unigram_lm_vocab": _q_unigram_lm_vocab,
+        "unigram_token_counts": _q_unigram_token_counts,
+        "mmr_rerank_topk": _q_mmr_rerank_topk,
+        "facility_coreset_select": _q_facility_coreset_select,
+        "ann_store_topk": _q_ann_store_topk,
+        "ann_store_delete_topk": _q_ann_store_delete_topk,
+        "quality_averaged_perceptron": _q_quality_averaged_perceptron,
+        "averaged_classifier_confusion": _q_averaged_classifier_confusion,
+        "two_hop_reach_capped": _q_two_hop_reach_capped,
+        "dedup_incremental": _q_dedup_incremental,
+        "winnow_incremental": _q_winnow_incremental,
+        "image_ahash_dups": _q_image_ahash_dups,
+        "audio_fp_dups": _q_audio_fp_dups,
+        "video_fp_dups": _q_video_fp_dups,
+        "lpa_modularity": _q_lpa_modularity,
+        "pps_length_sample": _q_pps_length_sample,
+        "event_value_qsketch": _q_event_value_qsketch,
+        "copurchase_pagerank_weighted": _q_copurchase_pagerank_weighted,
+        "mmr_ann_rerank": _q_mmr_ann_rerank,
+        "knowledge_ivm_delete": _q_knowledge_ivm_delete,
+        "winnow_delete_pairs": _q_winnow_delete_pairs,
+        "dedup_incremental_delete": _q_dedup_incremental_delete,
+        "multisignal_dedup_v2": _q_multisignal_dedup_v2,
+        "jdbc_roundtrip_nation": _q_jdbc_roundtrip_nation,
+        "orc_roundtrip_nation": _q_orc_roundtrip_nation,
+        "props_kv_udtf": _q_props_kv_udtf,
+        "bpe_learned_merges": _q_bpe_learned_merges,
+        "pq_trained_codebook": _q_pq_trained_codebook,
+        "ivfpq_trained_topk": _q_ivfpq_trained_topk,
+        "ann_recall_matrix": _q_ann_recall_matrix,
+        "lsh_recall_curve": _q_lsh_recall_curve,
+        "multisignal_dedup": _q_multisignal_dedup,
+        "winnow_dups": _q_winnow_dups,
+        "cdc_shared_chunks": _q_cdc_shared_chunks,
+        "mrl_recall_curve": _q_mrl_recall_curve,
+        "dedup_keep_longest": _q_dedup_keep_longest,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "sq8_topk": _q_sq8_topk,
+        "trigram_backoff": _q_trigram_backoff,
+        "bm25_doc_topk": _q_bm25_doc_topk,
+        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
+        "skipgram_pairs": _q_skipgram_pairs,
+        "cluster_safe_split": _q_cluster_safe_split,
+        "corpus_datacard": _q_corpus_datacard,
+        "word_dropout_aug": _q_word_dropout_aug,
+        # ---- end of driver-checked prefix (50 entries) ----
+        "image_decode_stats": _q_image_decode_stats,
+        "video_scene_cuts": _q_video_scene_cuts,
+        "scd2_history": _q_scd2_history,
+        # displaced by the r8 rotation (witnessed r1-r7; still
+        # hash-checked by the local gate + pre-commit hook)
         "knowledge_extraction_sql": _q_knowledge_extraction_sql,
         "link_key_derive": _q_link_key_derive,
         "count_match_keys": _q_count_match_keys,
@@ -4055,10 +4462,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vote_counts": _q_vote_counts,
         "normalize_text": _q_normalize_text,
         "key_intersection": _q_key_intersection,
-        # connector lineage: oracle-checked from .xlsx file bytes
-        "manifest_xlsx_ingest": _q_manifest_xlsx_ingest,
-        # dedup family + corpus hygiene + composed curation flagship
-        "curation_pipeline": _q_curation_pipeline,
         "dedup_exact": _q_dedup_exact,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "ngram_jaccard_dups": _q_ngram_jaccard_dups,
@@ -4069,23 +4472,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "decontaminate": _q_decontaminate,
         "redact_pii": _q_redact_pii,
-        # similarity search (exact, IVF, PQ representatives)
         "cosine_topk": _q_cosine_topk,
         "ann_ivf_nprobe2": _q_ann_ivf_nprobe2,
         "pq_topk": _q_pq_topk,
         "ivfpq_topk": _q_ivfpq_topk,
-        # text analysis representatives
         "text_stats": _q_text_stats,
         "token_counts": _q_token_counts,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_classifier": _q_quality_classifier,
         "lm_score": _q_lm_score,
         "hll_tokens": _q_hll_tokens,
-        # ---- round-5/6 representatives rotated into the checked
-        # prefix (r6 VERDICT #1): streaming IVM, trained-index ANN,
-        # graph, set-similarity joins, warehouse/CDC/sink lineage,
-        # TPC-H shape, experiment stats, sketches, attribution,
-        # trained quality filter, exact order statistics ----
         "knowledge_ivm_stream": _q_knowledge_ivm_stream,
         "ann_refined_topk": _q_ann_refined_topk,
         "kmeans_ivf_topk": _q_kmeans_ivf_topk,
@@ -4099,14 +4495,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partitioned_prune_hourly": _q_partitioned_prune_hourly,
         "schema_evolution_scan": _q_schema_evolution_scan,
         "part_min_cost_supplier": _q_part_min_cost_supplier,
-        "cuped_adjusted_lift": _q_cuped_adjusted_lift,
         "kmv_distinct_users": _q_kmv_distinct_users,
         "time_decay_attribution": _q_time_decay_attribution,
         "textrank_keywords": _q_textrank_keywords,
         "learned_quality_filter": _q_learned_quality_filter,
         "group_reservoir_sample": _q_group_reservoir_sample,
         "event_type_median": _q_event_type_median,
-        # ---- end of driver-checked prefix (50 entries) ----
         # round-1/2 variants displaced from the prefix by the rotation
         # (machinery still represented above; all locally gate-checked)
         "line_dedup": _q_line_dedup,
@@ -4191,29 +4585,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_terciles": _q_lm_terciles,
         # mergeable fixed-bin histogram quantiles — the single-pass
         # scale path next to the exact event_value_percentiles
-        "event_value_qsketch": _q_event_value_qsketch,
         # SQ8 scalar quantization — the 8-bit-per-dimension rung of the
         # compressed-index family (flat/IVF/PQ/IVFPQ/SQ8)
         "sq8_codes": _q_sq8_codes,
-        "sq8_topk": _q_sq8_topk,
         # asymmetric (containment) near-dup next to symmetric Jaccard
         "containment_dups": _q_containment_dups,
         # multimodal decode hash-checked from raw bytes: image (PGM),
         # audio (RIFF/WAVE PCM), video (concatenated-frame sampling)
-        "image_decode_stats": _q_image_decode_stats,
         "audio_decode_stats": _q_audio_decode_stats,
         "video_frame_stats": _q_video_frame_stats,
         # temporal multimodal: consecutive-frame SAD scene cuts
-        "video_scene_cuts": _q_video_scene_cuts,
         # z-order layout keys + SCD2 warehouse history + PIT consumer
         "zorder_locality": _q_zorder_locality,
-        "scd2_history": _q_scd2_history,
         "pit_order_version": _q_pit_order_version,
         # incremental state merge + skew diagnostics
         "incremental_agg_merge": _q_incremental_agg_merge,
         "key_skew_stats": _q_key_skew_stats,
         # held-out stupid-backoff trigram LM + posting-list build
-        "trigram_backoff": _q_trigram_backoff,
         "inverted_index": _q_inverted_index,
         # bucket-blocked point-in-interval (range) join
         "clicks_in_error_window": _q_clicks_in_error_window,
@@ -4223,11 +4611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_constraints": _q_lineitem_constraints,
         "latest_event_per_user": _q_latest_event_per_user,
         # registered Python UDTF via SQL LATERAL (§2.13 front door)
-        "props_kv_udtf": _q_props_kv_udtf,
         # salted-join parity, distribution windows, EXCEPT set-op
         "salted_join_revenue": _q_salted_join_revenue,
         # corrupt-unit quarantine table, reconciled from file bytes
-        "xml_quarantine_counts": _q_xml_quarantine_counts,
         "event_percent_rank": _q_event_percent_rank,
         "unmatched_declared_keys": _q_unmatched_declared_keys,
         # corpus statistics: PMI phrase mining + per-domain KL drift
@@ -4241,25 +4627,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_seeded_ppr": _q_brand_seeded_ppr,
         # ANN quality harness: integer recall@5 of every approximate
         # index vs brute-force truth (VERDICT r4 #7)
-        "ann_recall_matrix": _q_ann_recall_matrix,
         # bit-portable PQ TRAINING: the trained codebooks and the
         # trained-index search both hash-check (VERDICT r4 #3)
-        "pq_trained_codebook": _q_pq_trained_codebook,
-        "ivfpq_trained_topk": _q_ivfpq_trained_topk,
         # cross-batch incremental dedup: two-batch fold ≡ full-corpus
         # dedup_clusters, checked against the SAME oracle (r4 #1)
-        "dedup_incremental": _q_dedup_incremental,
         # keep-policy variant: longest member kept per cluster
-        "dedup_keep_longest": _q_dedup_keep_longest,
         # incremental KB maintenance: delta-only align + state merge +
         # touched-source re-rank ≡ full rebuild, same oracle (r4 #2)
         "knowledge_ivm": _q_knowledge_ivm,
         # approximate heavy hitters over the mergeable CMS state
-        "cms_heavy_hitters": _q_cms_heavy_hitters,
         # perceptual (aHash) image dedup from raw bytes
-        "image_ahash_dups": _q_image_ahash_dups,
         # perceptual audio dedup (energy-difference fingerprint)
-        "audio_fp_dups": _q_audio_fp_dups,
         # graph connectivity: components via the dedup label machinery
         "copurchase_components": _q_copurchase_components,
         # graph sampling: deterministic hash-seeded walks
@@ -4273,50 +4651,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus forensics: boilerplate surfacing via repeated 5-grams
         "top_duplicated_ngrams": _q_top_duplicated_ngrams,
         # datasheet-for-datasets: per-slice corpus statistics
-        "corpus_datacard": _q_corpus_datacard,
         # deterministic augmentation: replayable word dropout
-        "word_dropout_aug": _q_word_dropout_aug,
         # tokenizer training: the learned merge trajectory itself
-        "bpe_learned_merges": _q_bpe_learned_merges,
         # unigram-LM vocab trainer (SentencePiece loop, BPE's sibling)
-        "unigram_lm_vocab": _q_unigram_lm_vocab,
         # trained-tokenizer apply: per-doc token counts
-        "unigram_token_counts": _q_unigram_token_counts,
         # MMR diversified rerank: greedy trajectory hash-checked
-        "mmr_rerank_topk": _q_mmr_rerank_topk,
         # submodular coreset selection: greedy coverage trajectory
-        "facility_coreset_select": _q_facility_coreset_select,
         # weighted sparse similarity: TF-IDF cosine pairs
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # leakage-safe split: whole near-dup clusters per split
-        "cluster_safe_split": _q_cluster_safe_split,
         # exact-integer PPS systematic sampling by token mass
-        "pps_length_sample": _q_pps_length_sample,
         # zero-float k-sigma outlier gate (int128 cross-multiply)
         "event_sigma_outliers": _q_event_sigma_outliers,
         # per-group integer Gini via distributed grouped ranks
         "order_value_gini": _q_order_value_gini,
         # MinHash-LSH recall S-curve as hash-checked counts
-        "lsh_recall_curve": _q_lsh_recall_curve,
         # JDBC connector lineage: write -> embedded Derby ->
         # partitioned read back, hash-matched against the parquet
-        "jdbc_roundtrip_nation": _q_jdbc_roundtrip_nation,
         # text-LSH ∪ embedding-IVF edges -> one component resolution
-        "multisignal_dedup": _q_multisignal_dedup,
         # incremental (two-batch) ANN store search ≡ one-shot trained
         # index, checked against the SAME oracle
-        "ann_store_topk": _q_ann_store_topk,
         # the store with fenced tombstone deletes (FAISS remove_ids)
-        "ann_store_delete_topk": _q_ann_store_delete_topk,
         # sketch-based per-group winsorization, exact integer sums
         "event_winsorized_sums": _q_event_winsorized_sums,
         # ORC format encoder+decoder inside the checked lineage
-        "orc_roundtrip_nation": _q_orc_roundtrip_nation,
         # custom (non-prefix) grouping sets with grouping_id
         "order_grouping_sets": rel.grouping_sets_order_stats,
         # winnowing (MOSS) rolling-hash fingerprint near-dup pairs —
         # substring-level sibling of the MinHash family
-        "winnow_dups": _q_winnow_dups,
         # link prediction: Resource-Allocation index, integer ppm
         "resource_alloc_links": _q_resource_alloc_links,
         # hashing-trick vectorizer + float-free integer cosine top-k
@@ -4324,9 +4686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # community detection: 4-sweep synchronous label propagation
         "copurchase_lpa": _q_copurchase_lpa,
         # incremental MOSS index: fold two batches, match ≡ one-shot
-        "winnow_incremental": _q_winnow_incremental,
         # partition quality: Newman modularity of the LPA communities
-        "lpa_modularity": _q_lpa_modularity,
         # sort-based blocking: sorted-neighborhood candidate pairs
         "snm_part_pairs": _q_snm_part_pairs,
         # filter-method feature selection: exact-integer χ² per bucket
@@ -4347,7 +4707,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 2-D Pareto skyline via grain-reduced two-phase prior max
         "part_price_size_skyline": _q_part_price_size_skyline,
         # integer Okapi BM25 keyword retrieval, 3 pinned queries
-        "bm25_doc_topk": _q_bm25_doc_topk,
         # HITS authorities over the customer→part purchase bipartite
         "purchase_hits_authorities": _q_purchase_hits_authorities,
         # Apriori level-3: frequent part triples over order baskets
@@ -4369,12 +4728,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_confusion": _q_classifier_confusion,
         # averaged perceptron (Freund-Schapire): epoch-snapshot-summed
         # weights + its confusion harness, one shared training run
-        "quality_averaged_perceptron": _q_quality_averaged_perceptron,
-        "averaged_classifier_confusion": _q_averaged_classifier_confusion,
         # per-doc tf·idf keyword tags (WindowGroupLimit per doc)
         "doc_top_terms": _q_doc_top_terms,
         # word2vec positive-pair extraction, map-only generation
-        "skipgram_pairs": _q_skipgram_pairs,
         # hourly rate-spike alarm: bucket counts → zero-float 3σ gate
         "event_rate_spikes": _q_event_rate_spikes,
         # association rules: ppm confidence/lift over order baskets
@@ -4384,7 +4740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # forecast-baseline eval: naive-1h / seasonal-24h integer MAE
         "event_forecast_mae": _q_event_forecast_mae,
         # hybrid retrieval: BM25 ⊕ coverage via reciprocal-rank fusion
-        "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         # path mining: top 3-step event journeys (funnel design input)
         "event_trigram_paths": _q_event_trigram_paths,
         # data-contract drift: two profiles diffed per column
@@ -4394,7 +4749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # categorical affinity: segment × priority lift matrix (ppm)
         "segment_priority_lift": _q_segment_priority_lift,
         # weighted PageRank: mass ∝ co-occurrence count per edge
-        "copurchase_pagerank_weighted": _q_copurchase_pagerank_weighted,
         # slice similarity: pairwise vocabulary Jaccard per source
         "source_vocab_overlap": _q_source_vocab_overlap,
         # nonparametric two-sample tests: exact KS / Mann-Whitney
@@ -4517,7 +4871,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # friend-of-friend radius: exact 2-hop distinct reach
         "two_hop_reach": _q_two_hop_reach,
         # the mid_deg_max hub cap armed on an unthresholded graph
-        "two_hop_reach_capped": _q_two_hop_reach_capped,
         # exact 10%-trimmed robust sums (rank-exact tails)
         "event_trimmed_sums": _q_event_trimmed_sums,
         # consistent-hash growth plan: movement matrix, minimal-move proof
@@ -5231,9 +5584,11 @@ def oracle_sql() -> dict[str, str]:
         # flagship's own oracle, verbatim
         "knowledge_ivm": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "knowledge_ivm_stream": oracles.KNOWLEDGE_EXTRACTION_SQL,
+        "knowledge_ivm_delete": oracles.KNOWLEDGE_EXTRACTION_SQL,
         "cms_heavy_hitters": ext.CMS_HEAVY_HITTERS_SQL,
         "image_ahash_dups": ext.IMAGE_AHASH_DUPS_SQL,
         "audio_fp_dups": ext.AUDIO_FP_DUPS_SQL,
+        "video_fp_dups": ext.VIDEO_FP_DUPS_SQL,
         "copurchase_triangles": ext.COPURCHASE_TRIANGLES_SQL,
         "copurchase_kcore": ext.COPURCHASE_KCORE_SQL,
         "copurchase_components": ext.COPURCHASE_COMPONENTS_SQL,
@@ -5251,6 +5606,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_lm_vocab": uni.UNIGRAM_LM_VOCAB_SQL,
         "unigram_token_counts": uni.UNIGRAM_TOKEN_COUNTS_SQL,
         "mmr_rerank_topk": omr.MMR_RERANK_SQL,
+        "mmr_ann_rerank": omr.MMR_ANN_RERANK_SQL,
         "facility_coreset_select": ocs.FACILITY_CORESET_SQL,
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
@@ -5264,6 +5620,7 @@ def oracle_sql() -> dict[str, str]:
         "jdbc_roundtrip_nation":
             "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "multisignal_dedup": ext.MULTISIGNAL_DEDUP_SQL,
+        "multisignal_dedup_v2": ext.MULTISIGNAL_DEDUP_V2_SQL,
         # incremental store must equal the one-shot build — the
         # trained-IVFPQ oracle, verbatim
         "ann_store_topk": ext.IVFPQ_TRAINED_TOPK_SQL,
@@ -5275,12 +5632,16 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_longest": ext.DEDUP_KEEP_LONGEST_SQL,
         "order_value_gini": ext.ORDER_VALUE_GINI_SQL,
         "winnow_dups": ext.WINNOW_DUPS_SQL,
+        "cdc_shared_chunks": ext.CDC_SHARED_CHUNKS_SQL,
+        "mrl_recall_curve": ext.MRL_RECALL_CURVE_SQL,
         "resource_alloc_links": ext.RESOURCE_ALLOC_LINKS_SQL,
         "hashed_doc_topk": ext.HASHED_DOC_TOPK_SQL,
         "copurchase_lpa": ext.lpa_sql(rounds=4),
         # the incremental store must equal the one-shot match — the
         # winnowing oracle, verbatim
         "winnow_incremental": ext.WINNOW_DUPS_SQL,
+        "winnow_delete_pairs": ext.WINNOW_DELETE_PAIRS_SQL,
+        "dedup_incremental_delete": ext.DEDUP_INCR_DELETE_SQL,
         "lpa_modularity": ext.lpa_modularity_sql(rounds=4),
         "snm_part_pairs": ext.SNM_PART_PAIRS_SQL,
         "chi2_features": ext.CHI2_FEATURES_SQL,

@@ -195,18 +195,35 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_num,
-                **rates,
-            }
-        )
-    )
+    payload = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+        **rates,
+    }
+    print(json.dumps(payload))
+    # Persist the FULL per-query map into the repo (r7 VERDICT #4): the
+    # driver's BENCH_r{N}.json keeps only a ~2000-char output tail, so
+    # without this file the per-query history is lost each round and
+    # cross-round regression analysis can only squint at the slowest-10
+    # line. Round number = latest driver artifact + 1; re-runs within a
+    # round overwrite (latest wins).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [0]
+    for f in os.listdir(repo):
+        if f.startswith("BENCH_r") and f.endswith(".json"):
+            try:
+                rounds.append(int(f[len("BENCH_r"):-len(".json")]))
+            except ValueError:
+                pass
+    hist_dir = os.path.join(repo, "BENCH_HISTORY")
+    os.makedirs(hist_dir, exist_ok=True)
+    hist_path = os.path.join(hist_dir, f"r{max(rounds) + 1:02d}.json")
+    with open(hist_path, "w") as f:
+        json.dump(payload, f, indent=1, sort_keys=True)
+        f.write("\n")
     # Second, SHORT summary line: the driver keeps only the last ~2000
     # chars of output, and the full line above grows with the query
     # count (r4 lost `value` to truncation). This line always survives.

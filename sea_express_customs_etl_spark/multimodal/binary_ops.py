@@ -938,6 +938,157 @@ def video_scene_sads(
     )
 
 
+def synth_video_near_dups(
+    ids: DataFrame,
+    n_frames: int = 33,
+    id_col: str = "media_id",
+    every: int = 10,
+    offset: int = 100_000,
+) -> DataFrame:
+    """Near-dup video fixture (completes the image/audio/video
+    perceptual trio): per id a concatenated-PGM frame stream whose
+    TEMPORAL luminance trajectory is id-mixed through a double
+    modulus — ``pixel(f, i, j) = (((g+f)²·(g+2f+1)) mod 65536
+    + 5i + 7j) mod 251``, w = 4+g%7, h = 4+g%5. The inner mod-65536
+    breaks the mod-251 polynomial aliasing (a single-modulus driver
+    makes ids ≡ (mod 251) fingerprint-collide — measured 6k
+    accidental pairs vs 24 with the double mod; the FIXTURES.md
+    structure-not-offset rule applied to TIME). Every ``every``-th id
+    also emits a brightness-perturbed re-encode under ``id + offset``
+    (every pixel +1 mod 251): the same footage, byte-distinct —
+    what a content-digest dedup misses and the ordinal temporal
+    fingerprint catches."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def frames(g: int, dd: int) -> bytes:
+            h, w = 4 + g % 5, 4 + g % 7
+            f = np.arange(n_frames, dtype=np.int64)[:, None, None]
+            i = np.arange(h, dtype=np.int64)[None, :, None]
+            j = np.arange(w, dtype=np.int64)[None, None, :]
+            base = ((g + f) * (g + f) * (g + 2 * f + 1)) % 65536
+            px = ((base + 5 * i + 7 * j + dd) % 251).astype(np.uint8)
+            return b"".join(
+                encode_ppm(px[k][:, :, None]) for k in range(n_frames)
+            )
+
+        for pdf in batches:
+            out_ids, payloads = [], []
+            for mid in pdf[id_col]:
+                g = int(mid)
+                out_ids.append(g)
+                payloads.append(frames(g, 0))
+                if every and g % every == 0:
+                    out_ids.append(g + offset)
+                    payloads.append(frames(g, 1))
+            yield pd.DataFrame({id_col: out_ids, "payload": payloads})
+
+    return ids.select(id_col).mapInPandas(
+        kernel, f"{id_col} long, payload binary"
+    )
+
+
+def video_fingerprint(
+    df: DataFrame,
+    binary_col: str = "payload",
+    id_col: str = "media_id",
+    n_frames: int = 33,
+) -> DataFrame:
+    """(n_frames−1)-bit temporal-ordinal fingerprint from REAL frame
+    decode: per-frame luminance sum S_f, ``bit_f = 1 iff S_{f+1} >
+    S_f`` — the ordinal coding that is invariant to uniform brightness
+    shifts (both sides of every comparison move together; pixels that
+    wrap at the 251 modulus can flip a near-tie bit, which the banded
+    ≤3-hamming verify absorbs — the audio attenuation contract).
+    Short/malformed payloads surface ``fp_error`` per row. Map-only
+    Arrow ``mapInPandas``; downstream dedup touches (id, fp) rows
+    only."""
+
+    def one(buf: bytes) -> tuple:
+        try:
+            buf = bytes(buf)
+            pos, sums = 0, []
+            while pos < len(buf) and len(sums) < n_frames:
+                arr, consumed = decode_pnm(buf[pos:])
+                sums.append(int(arr.astype(np.int64).sum()))
+                pos += consumed
+            if len(sums) < n_frames:
+                return (None, f"need {n_frames} frames, got {len(sums)}")
+            e = np.asarray(sums, dtype=np.int64)
+            bits = (e[1:] > e[:-1]).astype(np.int64)
+            return (int((bits << np.arange(n_frames - 1)).sum()), None)
+        except Exception as exc:
+            return (None, str(exc)[:200])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [one(c) for c in pdf[binary_col]]
+            fp, err = (list(x) for x in zip(*out)) if out else ([], [])
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "fp": pd.array(fp, dtype="Int64"),
+                    "fp_error": err,
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(
+        kernel, f"{id_col} long, fp long, fp_error string"
+    )
+
+
+def video_fp_hamming_pairs(
+    fps: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup video pairs over the 32-bit temporal fingerprint:
+    4×8-bit band slices as LSH keys, ``bit_count(xor)`` verify — exact
+    for ``max_hamming < 4`` by pigeonhole, the aHash/audio-fp
+    contract. Output: id_a < id_b, hamming."""
+    if max_hamming >= 4:
+        raise ValueError("max_hamming must be < 4 bands for exactness")
+    import pyspark.sql.functions as F
+
+    slices = [
+        F.shiftright(F.col("fp"), 8 * b).bitwiseAND(F.lit(0xFF))
+        for b in range(4)
+    ]
+    banded = (
+        fps.filter(F.col("fp_error").isNull())
+        .select(
+            id_col,
+            "fp",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(b).alias("_band"), s.alias("_slice"))
+                        for b, s in enumerate(slices)
+                    ]
+                )
+            ).alias("_bk"),
+        )
+        .select(id_col, "fp", "_bk._band", "_bk._slice")
+    )
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("fp").alias("_fa"), "_band", "_slice"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("fp").alias("_fb"), "_band", "_slice"
+    )
+    return (
+        left.join(right, ["_band", "_slice"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_fa", "_fb")
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_fa").bitwiseXOR(F.col("_fb"))).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # --------------------------------------------------------------------------
 # audio segmentation: silence-span detection over REAL decoded PCM —
 # the VAD-shaped preprocessing a speech-data pipeline runs before

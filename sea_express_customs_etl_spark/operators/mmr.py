@@ -79,6 +79,47 @@ def mmr_rerank(
         .filter(F.col("_rn") <= k_cand)
         .drop("_rn")
     )
+    return _greedy_select(cand, k_out)
+
+
+def mmr_rerank_from_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    k_out: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Greedy MMR over a PRE-COMPUTED candidate set — the 100 TB
+    composition (r7 VERDICT #5): an ANN front end (incremental code
+    store's ADC top-R → exact refine) proposes each query's top-k
+    candidates, and only the greedy selection runs here, at
+    |queries|·k² model grain. ``candidates``: (query_id, neighbor_id,
+    rel_u6) with rel_u6 the integer micro-unit relevance (the refine
+    stage's rounded cosine ×1e6 — bit-identical to :func:`_cos_u6` on
+    the same pair). Candidate and query vectors are fetched from the
+    corpus via one broadcast-semi-join scan each; the corpus is never
+    scanned again after candidate generation upstream."""
+    base = with_norm(df, vec_col, id_col)
+    keys = candidates.select(
+        F.col("neighbor_id").alias(id_col)
+    ).distinct()
+    vecs = base.join(F.broadcast(keys), id_col, "left_semi").select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_v").alias("_cv"),
+        F.col("_n").alias("_cn"),
+    )
+    cand = tracked_persist(
+        candidates.select("query_id", "neighbor_id", "rel_u6").join(
+            F.broadcast(vecs), "neighbor_id"
+        )
+    )
+    return _greedy_select(cand, k_out)
+
+
+def _greedy_select(cand: DataFrame, k_out: int) -> DataFrame:
+    """The k_out greedy picks over a persisted candidate frame
+    (query_id, neighbor_id, rel_u6, _cv, _cn) — shared by the
+    brute-force and ANN-fed entry points; every step integer-exact."""
     a = cand.select(
         "query_id",
         F.col("neighbor_id").alias("_ca"),

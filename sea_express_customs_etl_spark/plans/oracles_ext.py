@@ -2397,6 +2397,83 @@ LEFT JOIN truth t
 GROUP BY 1, 2
 """
 
+# --------------------------------------------------------------------------
+# matryoshka truncation recall (MRL, Kusupati et al. NeurIPS'22):
+# recall@5 of leading-prefix truncated-dim cosine retrieval (8/16/32/
+# 64) vs the full-dim truth — integer hits per (dim, query), the
+# ann_recall_matrix discipline on the dimension axis.
+# --------------------------------------------------------------------------
+MRL_RECALL_CURVE_SQL = """
+WITH 
+e8 AS (
+  SELECT vec_id, CAST(embedding[1:8] AS DOUBLE[]) AS v,
+         sqrt(list_inner_product(CAST(embedding[1:8] AS DOUBLE[]),
+                                 CAST(embedding[1:8] AS DOUBLE[]))) AS n
+  FROM embeddings),
+t8 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_inner_product(q.v, c.v) / (q.n * c.n), 6)
+                        DESC, c.vec_id) AS rn
+    FROM e8 q JOIN e8 c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10)
+  WHERE rn <= 5),
+e16 AS (
+  SELECT vec_id, CAST(embedding[1:16] AS DOUBLE[]) AS v,
+         sqrt(list_inner_product(CAST(embedding[1:16] AS DOUBLE[]),
+                                 CAST(embedding[1:16] AS DOUBLE[]))) AS n
+  FROM embeddings),
+t16 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_inner_product(q.v, c.v) / (q.n * c.n), 6)
+                        DESC, c.vec_id) AS rn
+    FROM e16 q JOIN e16 c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10)
+  WHERE rn <= 5),
+e32 AS (
+  SELECT vec_id, CAST(embedding[1:32] AS DOUBLE[]) AS v,
+         sqrt(list_inner_product(CAST(embedding[1:32] AS DOUBLE[]),
+                                 CAST(embedding[1:32] AS DOUBLE[]))) AS n
+  FROM embeddings),
+t32 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_inner_product(q.v, c.v) / (q.n * c.n), 6)
+                        DESC, c.vec_id) AS rn
+    FROM e32 q JOIN e32 c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10)
+  WHERE rn <= 5),
+e64 AS (
+  SELECT vec_id, CAST(embedding[1:64] AS DOUBLE[]) AS v,
+         sqrt(list_inner_product(CAST(embedding[1:64] AS DOUBLE[]),
+                                 CAST(embedding[1:64] AS DOUBLE[]))) AS n
+  FROM embeddings),
+t64 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY round(list_inner_product(q.v, c.v) / (q.n * c.n), 6)
+                        DESC, c.vec_id) AS rn
+    FROM e64 q JOIN e64 c ON c.vec_id <> q.vec_id
+    WHERE q.vec_id < 10)
+  WHERE rn <= 5),
+retr AS (
+  SELECT 8 AS dim, query_id, neighbor_id FROM t8
+  UNION ALL SELECT 16 AS dim, query_id, neighbor_id FROM t16
+  UNION ALL SELECT 32 AS dim, query_id, neighbor_id FROM t32
+  UNION ALL SELECT 64 AS dim, query_id, neighbor_id FROM t64)
+SELECT CAST(r.dim AS INTEGER) AS dim, r.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT) AS hits_at_5,
+       CAST(5 AS BIGINT) AS k
+FROM retr r LEFT JOIN t64 t
+  ON t.query_id = r.query_id AND t.neighbor_id = r.neighbor_id
+GROUP BY 1, 2
+"""
+
 # CMS heavy hitters (operators/sketches.py:cms_heavy_hitters): distinct
 # vocabulary probed against the d=4×w=256 cell table; keep estimates
 # reaching 5000 ppm of total tokens, top-20 by (est DESC, tok).
@@ -2545,6 +2622,262 @@ pairs AS (
 SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
 FROM pairs
 WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+# --------------------------------------------------------------------------
+# content-defined chunking dedup (operators/cdc_chunking.py): the
+# FastCDC-lite SLIDING gear hash replayed as a recursive CTE advancing
+# one character per iteration across all documents — g = (unicode ·
+# 2654435761) mod 2^20 (the gear byte table as a Knuth multiplicative
+# hash), h ← (2·h + g) mod 2^20, never reset (the even multiplier
+# sheds a char after 20 shifts, so the boundary test is a function of
+# the last ≤20 chars — the self-synchronizing property); boundary iff
+# (h < 2^15 AND len>=8) OR len>=64 OR end-of-text; then the
+# digest-grain cross-doc reuse aggregation. ASCII corpus: DuckDB
+# unicode ≡ Spark ascii per character.
+# --------------------------------------------------------------------------
+CDC_SHARED_CHUNKS_SQL = """
+WITH RECURSIVE rec(doc_id, i, h, start, emit, clen) AS (
+  SELECT doc_id, 0, 0, 1, FALSE, 0 FROM documents
+  UNION ALL
+  SELECT r.doc_id, r.i + 1,
+         hn,
+         CASE WHEN bnd THEN r.i + 2 ELSE r.start END,
+         bnd,
+         CASE WHEN bnd THEN r.i + 1 - r.start + 1 ELSE 0 END
+  FROM (
+    SELECT r.*, d.text,
+           (r.h * 2 + (unicode(substring(d.text, r.i + 1, 1))
+                        * 2654435761) % 1048576) % 1048576 AS hn,
+           length(d.text) AS n
+    FROM rec r JOIN documents d USING (doc_id)
+    WHERE r.i < length(d.text)
+  ) r(doc_id, i, h, start, emit, clen, text, hn, n),
+  LATERAL (SELECT (hn < 32768 AND i + 1 - start + 1 >= 8)
+                  OR (i + 1 - start + 1) >= 64
+                  OR i + 1 = n AS bnd) b
+),
+chunks AS (
+  SELECT r.doc_id,
+         substring(d.text, r.start - r.clen, r.clen) AS chunk
+  FROM rec r JOIN documents d USING (doc_id)
+  WHERE r.emit)
+SELECT md5(chunk) AS chunk_hash,
+       CAST(max(length(chunk)) AS BIGINT) AS chunk_len,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ
+FROM chunks GROUP BY 1
+HAVING count(DISTINCT doc_id) >= 2
+"""
+
+# --------------------------------------------------------------------------
+# perceptual video dedup (multimodal/binary_ops.py:
+# synth_video_near_dups → video_fingerprint → video_fp_hamming_pairs):
+# analytic replay of the 32-bit temporal-ordinal fingerprint —
+# per-frame luminance sum over pixel(f,i,j) = (((g+f)²·(g+2f+1)) mod
+# 65536 + 5i + 7j + dd) mod 251 with w = 4+g%7, h = 4+g%5 (constant-
+# bound series + per-row dimension filters: this DuckDB rejects
+# LATERAL column bounds in generate_series), bit_f = S_{f+1} > S_f,
+# 4×8-bit band LSH + bit_count verify. The Spark side does the REAL
+# bytes → concatenated-PNM walk → numpy path.
+# --------------------------------------------------------------------------
+VIDEO_FP_DUPS_SQL = """
+WITH ids AS (SELECT p_partkey AS gid FROM part WHERE p_partkey <= 2000),
+vids AS (
+  SELECT gid, gid AS media_id, 0 AS dd FROM ids
+  UNION ALL
+  SELECT gid, gid + 100000 AS media_id, 1 AS dd FROM ids
+  WHERE gid % 10 = 0),
+fsum AS (
+  SELECT v.media_id, f.k AS f,
+         sum((((v.gid + f.k) * (v.gid + f.k) * (v.gid + 2*f.k + 1)) % 65536
+              + 5*i.ki + 7*j.kj + v.dd) % 251) AS s
+  FROM vids v,
+       generate_series(0, 32) f(k),
+       generate_series(0, 7) i(ki),
+       generate_series(0, 9) j(kj)
+  WHERE i.ki < 4 + v.gid % 5 AND j.kj < 4 + v.gid % 7
+  GROUP BY 1, 2),
+vbits AS (
+  SELECT a.media_id, a.f - 1 AS bitpos,
+         CASE WHEN a.s > p.s THEN 1 ELSE 0 END AS bit
+  FROM fsum a JOIN fsum p ON p.media_id = a.media_id AND p.f = a.f - 1),
+vfps AS (
+  SELECT media_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << bitpos)) AS BIGINT) AS fp
+  FROM vbits GROUP BY 1),
+vbanded AS (
+  SELECT media_id, fp, b.band,
+         CASE b.band
+           WHEN 0 THEN fp % 256
+           WHEN 1 THEN (fp // 256) % 256
+           WHEN 2 THEN (fp // 65536) % 256
+           ELSE (fp // 16777216) % 256 END AS slice
+  FROM vfps, generate_series(0, 3) b(band)),
+vpairs AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.fp AS fa, b.fp AS fb
+  FROM vbanded a
+  JOIN vbanded b ON a.band = b.band AND a.slice = b.slice
+               AND a.media_id < b.media_id)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+FROM vpairs
+WHERE bit_count(xor(fa, fb)) <= 3
+"""
+
+# --------------------------------------------------------------------------
+# multi-signal dedup v2 (r7 VERDICT #7): text shingle-LSH ∪ embedding
+# cosine ∪ perceptual image aHash ∪ perceptual audio fingerprint over
+# one mixed-modal corpus (media synthesized per DOC id; planted media
+# copies arrive as extra entities under id+100000), one component
+# resolution, per-cluster per-signal edge contributions. The image and
+# audio edge families replay their analytic closed forms (the
+# IMAGE_AHASH/AUDIO_FP pipelines with gid = doc_id); the embedding
+# family is SEMANTIC_DEDUP's IVF-blocked pair CTE. CTEs are prefixed
+# (i*/a*/s*) to avoid collisions inside the one statement.
+# --------------------------------------------------------------------------
+MULTISIGNAL_DEDUP_V2_SQL = f"""
+WITH RECURSIVE {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS},
+{_NRM},
+scen AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn
+         FROM nrm WHERE vec_id < 16),
+sasg AS (
+  SELECT vec_id, v, n, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.v, e.n, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.v, c.cv) / (e.n * c.cn), 6)
+                        DESC, c.centroid_id) AS rn
+    FROM nrm e CROSS JOIN scen c)
+  WHERE rn = 1),
+spairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM sasg a JOIN sasg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4),
+mids AS (SELECT doc_id AS gid FROM documents),
+imgs AS (
+  SELECT gid, gid AS media_id, 0 AS dd FROM mids
+  UNION ALL
+  SELECT gid, gid + 100000 AS media_id, 1 AS dd FROM mids
+  WHERE gid % 10 = 0),
+idims AS (SELECT media_id, gid, dd, 16 + gid % 13 AS w, 16 + gid % 11 AS h
+          FROM imgs),
+ipx AS (
+  SELECT d.media_id, gi.k AS ki, gj.k AS kj,
+         (3*d.gid + (5 + d.gid % 7) * ((gi.k * d.h) // 8)
+                  + (7 + d.gid % 5) * ((gj.k * d.w) // 8)
+                  + (1 + d.gid % 11) * ((gi.k * d.h) // 8)
+                                    * ((gj.k * d.w) // 8)
+          + d.dd) % 251 AS p
+  FROM idims d, generate_series(0, 7) gi(k), generate_series(0, 7) gj(k)),
+itot AS (SELECT media_id, sum(p) AS s FROM ipx GROUP BY 1),
+ibits AS (
+  SELECT ipx.media_id, ipx.ki * 8 + ipx.kj AS k,
+         CASE WHEN ipx.p * 64 > t.s THEN 1 ELSE 0 END AS bit
+  FROM ipx JOIN itot t USING (media_id)),
+ihashes AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN k >= 32
+                       THEN bit * (CAST(1 AS BIGINT) << (k - 32))
+                       ELSE 0 END) AS BIGINT) AS ahash_hi,
+         CAST(sum(CASE WHEN k < 32
+                       THEN bit * (CAST(1 AS BIGINT) << k)
+                       ELSE 0 END) AS BIGINT) AS ahash_lo
+  FROM ibits GROUP BY 1),
+ibanded AS (
+  SELECT media_id, ahash_hi, ahash_lo, b.band,
+         CASE b.band
+           WHEN 0 THEN ahash_lo % 65536
+           WHEN 1 THEN (ahash_lo // 65536) % 65536
+           WHEN 2 THEN ahash_hi % 65536
+           ELSE (ahash_hi // 65536) % 65536 END AS slice
+  FROM ihashes, generate_series(0, 3) b(band)),
+ipairs0 AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.ahash_hi AS ha, a.ahash_lo AS la,
+         b.ahash_hi AS hb, b.ahash_lo AS lb
+  FROM ibanded a
+  JOIN ibanded b ON a.band = b.band AND a.slice = b.slice
+               AND a.media_id < b.media_id),
+ipairs AS (
+  SELECT id_a, id_b FROM ipairs0
+  WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 3),
+tracks AS (
+  SELECT gid, gid AS media_id, 0 AS att FROM mids
+  UNION ALL
+  SELECT gid, gid + 100000 AS media_id, 1 AS att FROM mids
+  WHERE gid % 10 = 0),
+amags AS (
+  SELECT t.media_id, g.k,
+         abs(((t.gid + g.k) * (t.gid + g.k) * (t.gid + 2*g.k + 1)) % 65536
+             - 32768) AS m0,
+         t.att
+  FROM tracks t, generate_series(0, 511) g(k)),
+am AS (SELECT media_id, k,
+              CASE WHEN att = 1 THEN m0 - m0 // 64 ELSE m0 END AS m
+       FROM amags),
+aener AS (
+  SELECT media_id, k // 16 AS w, sum(m) AS e
+  FROM am GROUP BY 1, 2),
+abits AS (
+  SELECT a.media_id, a.w - 1 AS bitpos,
+         CASE WHEN a.e > p.e THEN 1 ELSE 0 END AS bit
+  FROM aener a JOIN aener p ON p.media_id = a.media_id AND p.w = a.w - 1),
+afps AS (
+  SELECT media_id,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << bitpos)) AS BIGINT) AS fp
+  FROM abits GROUP BY 1),
+abanded AS (
+  SELECT media_id, fp, b.band,
+         CASE b.band
+           WHEN 0 THEN fp % 256
+           WHEN 1 THEN (fp // 256) % 256
+           WHEN 2 THEN (fp // 65536) % 256
+           ELSE (fp // 16777216) % 128 END AS slice
+  FROM afps, generate_series(0, 3) b(band)),
+apairs0 AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+         a.fp AS fa, b.fp AS fb
+  FROM abanded a
+  JOIN abanded b ON a.band = b.band AND a.slice = b.slice
+               AND a.media_id < b.media_id),
+apairs AS (
+  SELECT id_a, id_b FROM apairs0 WHERE bit_count(xor(fa, fb)) <= 3),
+alledges AS (
+  SELECT id_a, id_b, 'text' AS signal FROM vp
+  UNION ALL SELECT id_a, id_b, 'embedding' FROM spairs
+  UNION ALL SELECT id_a, id_b, 'image' FROM ipairs
+  UNION ALL SELECT id_a, id_b, 'audio' FROM apairs),
+redges AS (SELECT id_a AS src, id_b AS dst FROM alledges
+           UNION SELECT id_b, id_a FROM alledges),
+reach(src, dst) AS (
+  SELECT src, dst FROM redges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN redges e ON r.dst = e.src),
+comp AS (SELECT src AS id, least(src, min(dst)) AS cluster_id
+         FROM reach GROUP BY src),
+ents AS (SELECT doc_id AS id FROM documents
+         UNION ALL
+         SELECT doc_id + 100000 FROM documents WHERE doc_id % 10 = 0),
+lab AS (SELECT e.id, coalesce(c.cluster_id, e.id) AS cluster_id
+        FROM ents e LEFT JOIN comp c ON c.id = e.id),
+mcounts AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+            FROM lab GROUP BY 1),
+ecl AS (SELECT coalesce(c.cluster_id, a.id_a) AS cluster_id, a.signal
+        FROM alledges a LEFT JOIN comp c ON c.id = a.id_a),
+scounts AS (
+  SELECT cluster_id,
+         sum(CASE WHEN signal = 'text' THEN 1 ELSE 0 END) AS n_text,
+         sum(CASE WHEN signal = 'embedding' THEN 1 ELSE 0 END)
+             AS n_embedding,
+         sum(CASE WHEN signal = 'image' THEN 1 ELSE 0 END) AS n_image,
+         sum(CASE WHEN signal = 'audio' THEN 1 ELSE 0 END) AS n_audio
+  FROM ecl GROUP BY 1)
+SELECT m.cluster_id, m.n_members,
+       CAST(coalesce(s.n_text, 0) AS BIGINT) AS n_text,
+       CAST(coalesce(s.n_embedding, 0) AS BIGINT) AS n_embedding,
+       CAST(coalesce(s.n_image, 0) AS BIGINT) AS n_image,
+       CAST(coalesce(s.n_audio, 0) AS BIGINT) AS n_audio
+FROM mcounts m LEFT JOIN scounts s USING (cluster_id)
 """
 
 # per-node triangle counts over the co-purchase graph
@@ -3042,6 +3375,25 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM keep a JOIN keep b ON a.fp = b.fp AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
+
+# --------------------------------------------------------------------------
+# Store-delete gate queries (r7 VERDICT #6): the one-shot oracles
+# restricted to the SURVIVORS of the tombstone batch (doc_id % 7 = 3
+# retired) — a docs_live CTE replaces every corpus read by text
+# substitution, so the delete-path results must equal a fresh build
+# that never saw the removed documents. The winnow variant also
+# re-derives the corpus-global df cap over the survivors (the read-time
+# cap recomputation the store contract promises).
+# --------------------------------------------------------------------------
+_LIVE_DOCS = "docs_live AS (SELECT * FROM documents WHERE doc_id % 7 <> 3)"
+# substitute the corpus reads FIRST, then prepend the CTE (the CTE's
+# own "FROM documents" must stay a real table read)
+WINNOW_DELETE_PAIRS_SQL = WINNOW_DUPS_SQL.replace(
+    "FROM documents", "FROM docs_live"
+).replace("WITH ", f"WITH {_LIVE_DOCS},\n", 1)
+DEDUP_INCR_DELETE_SQL = DEDUP_CLUSTERS_SQL.replace(
+    "FROM documents", "FROM docs_live"
+).replace("WITH RECURSIVE ", f"WITH RECURSIVE {_LIVE_DOCS},\n", 1)
 
 # Resource-Allocation link prediction (operators/graph.py:
 # resource_alloc_links — Zhou/Lü/Zhang 2009): non-adjacent pairs

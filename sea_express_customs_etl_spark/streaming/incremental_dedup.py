@@ -104,12 +104,81 @@ def incremental_dedup_batch_writer(
     return write
 
 
-def committed_edges(spark: SparkSession, table_prefix: str) -> DataFrame:
+def dedup_delete_writer(
+    table_prefix: str, id_col: str = "doc_id"
+) -> Callable[[DataFrame, int], None]:
+    """Fenced TOMBSTONES for the dedup signature store (r7 VERDICT
+    #6) — takedown / right-to-forget: delete-batch doc ids land in
+    ``<prefix>_tombstones`` under a ``<prefix>_del_batches`` commit
+    marker (the ann_store fence). Contract: TAKEDOWN-FINAL — a
+    committed tombstone retires the doc id permanently; re-adding a
+    retired id is a caller error. This is deliberately simpler than
+    the ann_store/winnow VERSIONED contract because profile and band
+    rows carry no add-batch version (they are per-doc idempotent
+    facts), and the right-to-forget flow this serves never re-admits
+    the removed identity. Deletion is logical until
+    :func:`compact_dedup_store` folds survivors."""
+    t_tab = f"{table_prefix}_tombstones"
+    dm_tab = f"{table_prefix}_del_batches"
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark: SparkSession = batch_df.sparkSession
+        if spark.catalog.tableExists(dm_tab) and (
+            spark.table(dm_tab)
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return
+        batch_df.select(
+            F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+            F.col(id_col),
+        ).write.mode("append").format("parquet").saveAsTable(t_tab)
+        spark.createDataFrame(
+            [(int(batch_id),)], "batch_id bigint"
+        ).write.mode("append").format("parquet").saveAsTable(dm_tab)
+
+    return write
+
+
+def _committed_tombstones(
+    spark: SparkSession, table_prefix: str, id_col: str
+) -> DataFrame | None:
+    """Committed tombstone ids, or None when no delete has ever been
+    committed. Tolerates the crash window between the first tombstone
+    append and the marker-table creation (serve the delete-free
+    view)."""
+    t_tab = f"{table_prefix}_tombstones"
+    dm_tab = f"{table_prefix}_del_batches"
+    if not (
+        spark.catalog.tableExists(t_tab)
+        and spark.catalog.tableExists(dm_tab)
+    ):
+        return None
+    return (
+        spark.table(t_tab)
+        .join(
+            F.broadcast(spark.table(dm_tab)),
+            "batch_id",
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+    )
+
+
+def committed_edges(spark: SparkSession, table_prefix: str, id_col: str = "doc_id") -> DataFrame:
     """The exactly-once view of the accumulated edge table: only rows
     of COMMITTED batches (marker semi-join), exact crash-window
     duplicates collapsed (deterministic recomputation ⇒ replay rows are
-    bit-identical ⇒ distinct restores exactly-once)."""
-    return (
+    bit-identical ⇒ distinct restores exactly-once), and — when deletes
+    exist — only edges whose BOTH endpoints are live. Why that equals a
+    fresh build on the survivors: any live pair has an edge row from
+    the later endpoint's arrival batch (the new×(new ∪ store) join saw
+    the earlier one in the store), so dropping dead-endpoint edges
+    removes exactly the pairs a survivor-only rebuild never forms."""
+    edges = (
         spark.table(f"{table_prefix}_edges")
         .join(
             F.broadcast(spark.table(f"{table_prefix}_batches")),
@@ -119,12 +188,22 @@ def committed_edges(spark: SparkSession, table_prefix: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+    dead = _committed_tombstones(spark, table_prefix, id_col)
+    if dead is not None:
+        edges = edges.join(
+            dead.withColumnRenamed(id_col, "id_a"), "id_a", "left_anti"
+        ).join(dead.withColumnRenamed(id_col, "id_b"), "id_b", "left_anti")
+    return edges.select("id_a", "id_b")
 
 
 def committed_profiles(spark: SparkSession, table_prefix: str, id_col: str = "doc_id") -> DataFrame:
     """Exactly-once signature store view (see :func:`committed_edges`):
-    one profile row per document."""
-    return spark.table(f"{table_prefix}_profiles").dropDuplicates([id_col])
+    one profile row per LIVE document (tombstoned docs filtered)."""
+    prof = spark.table(f"{table_prefix}_profiles").dropDuplicates([id_col])
+    dead = _committed_tombstones(spark, table_prefix, id_col)
+    if dead is not None:
+        prof = prof.join(dead, id_col, "left_anti")
+    return prof
 
 
 def compact_dedup_store(
@@ -159,10 +238,11 @@ def compact_dedup_store(
     edges = committed_edges(spark, table_prefix).select(
         "id_a", "id_b", F.lit(int(gen)).cast("bigint").alias("batch_id")
     )
-    profiles = spark.table(f"{table_prefix}_profiles").dropDuplicates(
-        ["doc_id"]
-    )
+    profiles = committed_profiles(spark, table_prefix)
     bands = spark.table(f"{table_prefix}_bands").distinct()
+    dead = _committed_tombstones(spark, table_prefix, "doc_id")
+    if dead is not None:
+        bands = bands.join(dead, "doc_id", "left_anti")
     swap(f"{table_prefix}_edges", edges, None)
     swap(f"{table_prefix}_profiles", profiles, "doc_id")
     swap(f"{table_prefix}_bands", bands, "band")
@@ -171,3 +251,5 @@ def compact_dedup_store(
         spark.createDataFrame([(int(gen),)], "batch_id bigint"),
         None,
     )
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_tombstones")
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_del_batches")

@@ -54,22 +54,13 @@ from sea_express_customs_etl_spark.plans.knowledge import knowledge_aligned
 _KEYS = ("original_description", "official_description", "ccc_code")
 
 
-def knowledge_batch_writer(
+def _vote_writer(
     table_prefix: str,
     *,
-    use_nfkc: bool = False,
-    strategy: str = "array",
+    use_nfkc: bool,
+    strategy: str,
+    sign: int,
 ) -> Callable[[DataFrame, DataFrame, int], None]:
-    """Fold one waybill-complete load — paired declared (A) and
-    official (B) deltas — into the persisted vote-state store.
-    Callable directly on plain DataFrame batches (batch/stream parity:
-    one code path); for a single tagged stream use
-    :func:`tagged_knowledge_writer`.
-
-    The load must be WAYBILL-COMPLETE (each waybill's A and B rows in
-    the same batch) — the ``knowledge_base_ivm`` invariant: alignment
-    is per-waybill, so a complete waybill contributes exactly its
-    full-run votes."""
     v_tab = f"{table_prefix}_votes"
     m_tab = f"{table_prefix}_batches"
 
@@ -89,7 +80,7 @@ def knowledge_batch_writer(
             )
         ).select(
             *_KEYS,
-            "frequency",
+            (F.lit(sign) * F.col("frequency")).alias("frequency"),
             F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
         )
         votes.write.mode("append").format("parquet").saveAsTable(v_tab)
@@ -100,6 +91,56 @@ def knowledge_batch_writer(
         ).write.mode("append").format("parquet").saveAsTable(m_tab)
 
     return write
+
+
+def knowledge_batch_writer(
+    table_prefix: str,
+    *,
+    use_nfkc: bool = False,
+    strategy: str = "array",
+) -> Callable[[DataFrame, DataFrame, int], None]:
+    """Fold one waybill-complete load — paired declared (A) and
+    official (B) deltas — into the persisted vote-state store.
+    Callable directly on plain DataFrame batches (batch/stream parity:
+    one code path); for a single tagged stream use
+    :func:`tagged_knowledge_writer`.
+
+    The load must be WAYBILL-COMPLETE (each waybill's A and B rows in
+    the same batch) — the ``knowledge_base_ivm`` invariant: alignment
+    is per-waybill, so a complete waybill contributes exactly its
+    full-run votes."""
+    return _vote_writer(
+        table_prefix, use_nfkc=use_nfkc, strategy=strategy, sign=1
+    )
+
+
+def knowledge_retract_writer(
+    table_prefix: str,
+    *,
+    use_nfkc: bool = False,
+    strategy: str = "array",
+) -> Callable[[DataFrame, DataFrame, int], None]:
+    """RETRACTION load (r7 VERDICT #6) — takedown / right-to-forget /
+    bad-ingest rollback for the vote-state store: the same
+    waybill-complete paired delta that was previously folded in is
+    re-aligned and its vote counts appended NEGATED, under the same
+    commit-marker fence (its batch id comes from the one shared
+    sequence). Because the align→count chain is deterministic and the
+    state is algebraic (a Z-relation: counts merge by addition — the
+    DBSP/differential-dataflow delta shape), the subtraction is EXACT:
+    adds(L₁…Lₙ) + retract(Lᵢ) ≡ a fresh build on the surviving loads,
+    row for row (keys whose net count reaches zero drop entirely in
+    :func:`committed_vote_state`).
+
+    Contract: retract only loads (or waybill-complete sub-loads) that
+    were previously committed — a net-negative key is a caller error,
+    exactly as removing a non-member from a multiset would be.
+    Compaction needs no special delete path: :func:`compact_knowledge_store`
+    already folds through the net state, so fully-retracted keys
+    vanish physically at the next fold."""
+    return _vote_writer(
+        table_prefix, use_nfkc=use_nfkc, strategy=strategy, sign=-1
+    )
 
 
 def tagged_knowledge_writer(
@@ -149,7 +190,14 @@ def committed_vote_state(spark: SparkSession, table_prefix: str) -> DataFrame:
         )
         .distinct()  # (keys, frequency, batch_id) — same-batch replays only
     )
-    return raw.groupBy(*_KEYS).agg(F.sum("frequency").alias("frequency"))
+    # net count 0 = every add retracted: the key must VANISH (a fresh
+    # build on the surviving loads has no such row), not rank as a
+    # 0-frequency winner candidate
+    return (
+        raw.groupBy(*_KEYS)
+        .agg(F.sum("frequency").alias("frequency"))
+        .filter(F.col("frequency") != 0)
+    )
 
 
 def knowledge_store_kb(spark: SparkSession, table_prefix: str) -> DataFrame:

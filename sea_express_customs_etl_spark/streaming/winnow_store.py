@@ -81,18 +81,121 @@ def winnow_batch_writer(
     return write
 
 
+def winnow_delete_writer(
+    table_prefix: str, id_col: str = "doc_id"
+) -> Callable[[DataFrame, int], None]:
+    """Fenced TOMBSTONES for the fingerprint store (r7 VERDICT #6) —
+    takedown / right-to-forget: each delete batch's doc ids land in
+    ``<prefix>_tombstones`` under a ``<prefix>_del_batches`` commit
+    marker, exactly the ``ann_store.ann_store_delete_writer`` contract.
+    Versioned semantics: a tombstone at batch ``d`` kills fingerprint
+    rows ADDED at batch ``<= d``; a later re-add resurrects the
+    document (add and delete batch ids share one monotonic sequence).
+    Deletion is logical until :func:`compact_winnow_store`."""
+    t_tab = f"{table_prefix}_tombstones"
+    dm_tab = f"{table_prefix}_del_batches"
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        spark: SparkSession = batch_df.sparkSession
+        if spark.catalog.tableExists(dm_tab) and (
+            spark.table(dm_tab)
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return
+        batch_df.select(
+            F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+            F.col(id_col),
+        ).write.mode("append").format("parquet").saveAsTable(t_tab)
+        spark.createDataFrame(
+            [(int(batch_id),)], "batch_id bigint"
+        ).write.mode("append").format("parquet").saveAsTable(dm_tab)
+
+    return write
+
+
 def committed_fingerprints(
     spark: SparkSession, table_prefix: str, id_col: str = "doc_id"
 ) -> DataFrame:
     """Exactly-once view of the fingerprint store: committed batches
-    only (marker semi-join), crash-window duplicates collapsed."""
-    return (
-        spark.table(f"{table_prefix}_fps")
-        .join(
-            F.broadcast(spark.table(f"{table_prefix}_batches")),
-            "batch_id",
-            "left_semi",
-        )
-        .select(id_col, "fp")
-        .distinct()
+    only (marker semi-join), crash-window duplicates collapsed, minus
+    committed tombstones (a fingerprint row survives if no committed
+    tombstone for its doc has delete-batch >= its add-batch). Both
+    tombstone tables must exist before the anti-filter arms — a crash
+    between the first tombstone append and the marker-table creation
+    must still serve the committed delete-free view (the ann_store
+    ADVICE-r7 crash window). The corpus-global df cap downstream
+    (``pairs_from_fingerprints``) is applied at READ time, so it
+    re-computes correctly over the SURVIVORS — a deleted boilerplate
+    document stops counting toward any fingerprint's df."""
+    fps = spark.table(f"{table_prefix}_fps").join(
+        F.broadcast(spark.table(f"{table_prefix}_batches")),
+        "batch_id",
+        "left_semi",
     )
+    t_tab = f"{table_prefix}_tombstones"
+    dm_tab = f"{table_prefix}_del_batches"
+    if spark.catalog.tableExists(t_tab) and spark.catalog.tableExists(dm_tab):
+        last_del = (
+            spark.table(t_tab)
+            .join(
+                F.broadcast(spark.table(dm_tab)),
+                "batch_id",
+                "left_semi",
+            )
+            .groupBy(id_col)
+            .agg(F.max("batch_id").alias("_del_bid"))
+        )
+        fps = (
+            fps.join(last_del, id_col, "left")
+            .filter(
+                F.col("_del_bid").isNull()
+                | (F.col("batch_id") > F.col("_del_bid"))
+            )
+            .drop("_del_bid")
+        )
+    return fps.select(id_col, "fp").distinct()
+
+
+def compact_winnow_store(
+    spark: SparkSession,
+    table_prefix: str,
+    num_buckets: int = 8,
+    id_col: str = "doc_id",
+) -> None:
+    """Fold the logical deletes out: rewrite the fingerprint store to
+    the SURVIVORS of :func:`committed_fingerprints` as one generation
+    (batch_id = max committed add batch, ``fp`` bucketing preserved),
+    collapse the marker table, drop the tombstone tables — the
+    ``ann_store.compact_ann_store`` sequencing verbatim. Quiesced
+    stream, idempotent; post-compaction batch ids must stay above the
+    fold generation (true for one monotonic maintenance stream)."""
+    from sea_express_customs_etl_spark.streaming.table_swap import backup_swap
+
+    m_tab = f"{table_prefix}_batches"
+    gen = spark.table(m_tab).agg(F.max("batch_id")).first()[0]
+    if gen is None:
+        return
+    survivors = committed_fingerprints(spark, table_prefix, id_col).select(
+        id_col,
+        "fp",
+        F.lit(int(gen)).cast("bigint").alias("batch_id"),
+    )
+
+    def write_fps(staging: str) -> None:
+        survivors.write.mode("overwrite").format("parquet").bucketBy(
+            num_buckets, "fp"
+        ).saveAsTable(staging)
+
+    backup_swap(spark, f"{table_prefix}_fps", write_fps)
+
+    def write_marker(staging: str) -> None:
+        spark.createDataFrame(
+            [(int(gen),)], "batch_id bigint"
+        ).write.mode("overwrite").format("parquet").saveAsTable(staging)
+
+    backup_swap(spark, m_tab, write_marker)
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_tombstones")
+    spark.sql(f"DROP TABLE IF EXISTS {table_prefix}_del_batches")

@@ -78,6 +78,7 @@ FORCED_BROADCAST_ALLOWED = {
     "domain_kl_divergence",  # 1-row (T, V) + |domains|-row totals
     "sq8_codes",           # 1-row (lo_arr, span_arr) trained quantizer
     "sq8_topk",            # same 1-row stats + query set
+    "mrl_recall_curve",    # cosine_topk's query-set pin, 4 dims
     "trigram_backoff",     # 1-row total-N scalar (count tables NOT pinned)
     "key_skew_stats",      # 1-row total-rows scalar
     "pretrain_prep_pack",  # bpe distinct-word dictionary (same dial
@@ -89,6 +90,8 @@ FORCED_BROADCAST_ALLOWED = {
     "cms_heavy_hitters",   # d·w cell table + 1-row total (model-sized)
     "ann_store_topk",      # frozen centroids + codebook + LUT + marker
     "ann_store_delete_topk",  # same pins + the del-batch marker
+    "mmr_ann_rerank",      # composes the ann_store/refine pins +
+    #                        the model-sized candidate-vector broadcast
     #                            table (|batches| rows)
     "facility_coreset_select",  # pinned fixed 32-vector pool
     #                               broadcast (model-sized at any scale)
@@ -107,6 +110,12 @@ FORCED_BROADCAST_ALLOWED = {
     #                          (|batches| rows — the ann_store license)
     "winnow_incremental",  # commit-marker table broadcast (|batches|
     #                        rows — same license as knowledge_ivm_stream)
+    "knowledge_ivm_delete",  # same commit-marker license (add + retract)
+    "winnow_delete_pairs",   # add/del marker + tombstone-marker tables
+    "dedup_incremental_delete",  # same marker licenses over the
+    #                              signature store
+    "multisignal_dedup_v2",  # ivf_near_dups' 16-row centroid pin
+    #                          (model-sized at any scale)
     "snm_part_pairs",      # |partitions|-row rank-offset broadcast
     #                        (the global_rank license, as order_value_gini)
     "part_price_size_skyline",  # |partitions|-row prior-max offsets

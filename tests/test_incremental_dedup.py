@@ -158,3 +158,80 @@ def test_dedup_store_compaction_preserves_resolution(spark, sf_dir):
     assert _keep_map(
         dedup_clusters(docs, committed_edges(spark, prefix))
     ) == want
+
+
+def test_deletes_equal_fresh_build_on_survivors(spark, sf_dir):
+    """r7 VERDICT #6 parity (takedown-final contract): tombstoned
+    store ≡ a store freshly built from the survivors only — edges
+    (both-endpoints-live filter), profiles, and the downstream
+    component resolution; delete replay fenced; the crash window
+    (tombstones, no marker table) serves the delete-free view;
+    compaction folds tombstones out physically and is idempotent."""
+    from sea_express_customs_etl_spark.streaming.incremental_dedup import (
+        compact_dedup_store,
+        dedup_delete_writer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    surv_pred = F.col("doc_id") % 5 != 2
+    survivors = docs.filter(surv_pred)
+    prefix = "deddel_test_" + uuid.uuid4().hex[:8]
+    writer = incremental_dedup_batch_writer(prefix)
+    writer(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    writer(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    deleter = dedup_delete_writer(prefix)
+    deleter(docs.filter(~surv_pred).select("doc_id"), 2)
+
+    fresh = "deddel_test_" + uuid.uuid4().hex[:8]
+    fresh_writer = incremental_dedup_batch_writer(fresh)
+    fresh_writer(survivors.filter(F.col("doc_id") % 2 == 0), 0)
+    fresh_writer(survivors.filter(F.col("doc_id") % 2 == 1), 1)
+
+    got_e = {tuple(r) for r in committed_edges(spark, prefix).collect()}
+    want_e = {tuple(r) for r in committed_edges(spark, fresh).collect()}
+    assert got_e == want_e and len(got_e) > 0
+    got_ids = {
+        r.doc_id for r in committed_profiles(spark, prefix).collect()
+    }
+    want_ids = {r.doc_id for r in survivors.select("doc_id").collect()}
+    assert got_ids == want_ids
+    assert _keep_map(
+        dedup_clusters(survivors, committed_edges(spark, prefix))
+    ) == _keep_map(dedup_clusters(survivors, _full_edges(survivors)))
+
+    # delete replay fenced
+    n_tomb = spark.table(f"{prefix}_tombstones").count()
+    deleter(docs.filter(~surv_pred).select("doc_id"), 2)
+    assert spark.table(f"{prefix}_tombstones").count() == n_tomb
+
+    # compaction folds tombstones out; idempotent; view unchanged
+    before_e = {tuple(r) for r in committed_edges(spark, prefix).collect()}
+    compact_dedup_store(spark, prefix)
+    assert not spark.catalog.tableExists(f"{prefix}_tombstones")
+    assert {
+        tuple(r) for r in committed_edges(spark, prefix).collect()
+    } == before_e
+    assert {
+        r.doc_id for r in committed_profiles(spark, prefix).collect()
+    } == want_ids
+    compact_dedup_store(spark, prefix)
+    assert {
+        tuple(r) for r in committed_edges(spark, prefix).collect()
+    } == before_e
+
+
+def test_crash_window_tombstones_without_marker_table(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    prefix = "deddel_test_" + uuid.uuid4().hex[:8]
+    writer = incremental_dedup_batch_writer(prefix)
+    writer(docs, 0)
+    before = {tuple(r) for r in committed_edges(spark, prefix).collect()}
+    docs.limit(3).select(
+        F.lit(1).cast("bigint").alias("batch_id"), "doc_id"
+    ).write.mode("append").format("parquet").saveAsTable(
+        f"{prefix}_tombstones"
+    )
+    assert not spark.catalog.tableExists(f"{prefix}_del_batches")
+    assert {
+        tuple(r) for r in committed_edges(spark, prefix).collect()
+    } == before

@@ -366,3 +366,78 @@ def test_video_scene_sads_detects_planted_cut(spark):
     short = video_scene_sads(cut).collect()
     got = sorted((r.media_id, r.frame_idx) for r in short)
     assert got == [(3, 1), (3, 2), (4, 1)]
+
+
+def test_video_fp_brightness_invariance_and_containment(spark):
+    """The planted +1-brightness re-encode fingerprints (near-)equal
+    to its original; truncated frame streams surface fp_error per row
+    instead of failing the stage; fingerprints match the analytic
+    closed form (the oracle's recipe) bit for bit."""
+    import pyspark.sql.functions as F
+
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        synth_video_near_dups,
+        video_fingerprint,
+    )
+
+    ids = spark.range(10, 11).select(F.col("id").alias("media_id"))
+    fps = {
+        r.media_id: r
+        for r in video_fingerprint(synth_video_near_dups(ids)).collect()
+    }
+    assert fps[10].fp_error is None and fps[100010].fp_error is None
+    # closed-form mirror
+    def closed(g, dd):
+        h, w = 4 + g % 5, 4 + g % 7
+        f = np.arange(33, dtype=np.int64)[:, None, None]
+        i = np.arange(h, dtype=np.int64)[None, :, None]
+        j = np.arange(w, dtype=np.int64)[None, None, :]
+        base = ((g + f) * (g + f) * (g + 2 * f + 1)) % 65536
+        s = (((base + 5 * i + 7 * j + dd) % 251)
+             .reshape(33, -1).sum(axis=1))
+        bits = (s[1:] > s[:-1]).astype(np.int64)
+        return int((bits << np.arange(32)).sum())
+
+    assert fps[10].fp == closed(10, 0)
+    assert fps[100010].fp == closed(10, 1)
+    assert bin(fps[10].fp ^ fps[100010].fp).count("1") <= 3
+
+    # containment: a truncated payload errors per-row, others survive
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        video_fp_hamming_pairs,
+    )
+    full = synth_video_near_dups(ids, every=0)
+    bad = full.select(
+        (F.col("media_id") + 1).alias("media_id"),
+        F.expr("substring(payload, 1, 40)").alias("payload"),
+    )
+    got = {
+        r.media_id: r
+        for r in video_fingerprint(full.unionByName(bad)).collect()
+    }
+    assert got[10].fp_error is None
+    assert got[11].fp_error is not None and got[11].fp is None
+
+    # guard: >=4 hamming breaks the 4-band pigeonhole exactness
+    import pytest
+
+    with pytest.raises(ValueError):
+        video_fp_hamming_pairs(None, max_hamming=4)
+
+
+def test_video_fp_pairs_catch_planted_copies(spark):
+    import pyspark.sql.functions as F
+
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        synth_video_near_dups,
+        video_fingerprint,
+        video_fp_hamming_pairs,
+    )
+
+    ids = spark.range(1, 80).select(F.col("id").alias("media_id"))
+    pairs = video_fp_hamming_pairs(
+        video_fingerprint(synth_video_near_dups(ids))
+    ).collect()
+    planted = [r for r in pairs if r.id_b - r.id_a == 100_000]
+    assert len(planted) == 7  # ids 10, 20, ..., 70
+    assert all(r.hamming <= 3 for r in planted)

@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     #                       (the global_rank/lm license, as lm_terciles)
     "lpa_modularity",     # three 1-row scalars (m, e_in) cross-joined
     "cosine_topk",        # query set (10 vectors) broadcast vs corpus
+    "mrl_recall_curve",   # same query-set broadcast, 4 truncated dims
     "mmr_rerank_topk",    # same query-set broadcast feeding candidate
     #                       generation (steps run at |q|·k² grain)
     "facility_coreset_select",  # fixed 32-vector pool broadcast vs
@@ -47,6 +48,8 @@ BNLJ_ALLOWED = {
     "ivfpq_topk",         # coarse-quantizer centroid table broadcast
     "ivfpq_nprobe2",      # same + per-probed-cell LUT broadcast
     "semantic_dedup",     # same IVF blocking feeding cluster resolution
+    "multisignal_dedup_v2",  # composes ivf_near_dups — same 16-row
+    #                          centroid broadcast license
     "embedding_near_dups",  # block-id spine (|blocks| rows) broadcast
     "tfidf_top_terms",    # 1-row corpus-size N broadcast
     "events_gapfill_locf",  # 1-row (lo, hi) hour-bounds broadcast
@@ -73,6 +76,8 @@ BNLJ_ALLOWED = {
     "pq_trained_codebook",  # centroid broadcast in the residual build
     "ann_store_topk",      # same frozen-model broadcasts over the store
     "ann_store_delete_topk",  # same pins + the del-marker semi-join
+    "mmr_ann_rerank",      # composes ann_store_topk + ann_refined_topk
+    #                        + mmr_rerank_topk — all three licenses above
     "event_winsorized_sums",  # 2-literal-row quantile-spec broadcast
     #                           (the event_value_qsketch class)
     "bm25_doc_topk",       # 1-row (N, avgdl) corpus scalars cross-joined

@@ -213,6 +213,10 @@ def cases() -> dict:
         # r7: MMR — candidate generation scans the corpus 8x; every
         # selection step runs at the fixed |q|·k² grain
         "mmr_rerank": lambda docs, emb: _mmr(emb),
+        "mmr_ann_rerank": lambda docs, emb: _mmr_ann(emb),
+        "cdc_shared_chunks": lambda docs, emb: _cdc(docs),
+        "video_fp_dups": lambda docs, emb: _video_fp(docs),
+        "mrl_recall_curve": lambda docs, emb: _mrl(emb),
         # r7: facility-location coreset — the |corpus|·|pool| sim table
         # and per-step cover updates grow 8x, pool/argmax stay fixed
         "facility_coreset": lambda docs, emb: _coreset(emb),
@@ -223,6 +227,118 @@ def _mmr(emb):
     from sea_express_customs_etl_spark.operators.mmr import mmr_rerank
 
     return mmr_rerank(emb, emb.filter(F.col("vec_id") < 10))
+
+
+_MMR_ANN_SEQ = iter(range(10_000))
+
+
+def _mmr_ann(emb):
+    """ANN-store-fed MMR (r8): full path — frozen-model train, store
+    build (2 add batches), ADC top-200, exact refine to 10, greedy
+    selection. A FRESH table prefix per invocation so each timed rep
+    builds its own store (1× and 8× never share commit markers); the
+    ratio is the honest build+search scaling. Model side (centroids,
+    sample, queries) fixed; corpus side grows."""
+    import re as _re
+
+    from sea_express_customs_etl_spark.operators.mmr import (
+        mmr_rerank_from_candidates,
+    )
+    from sea_express_customs_etl_spark.operators.similarity import (
+        refine_exact_topk,
+    )
+    from sea_express_customs_etl_spark.plans.cache import tracked_persist
+    from sea_express_customs_etl_spark.streaming.ann_store import (
+        ann_store_batch_writer,
+        store_adc_topk,
+        train_frozen_model,
+    )
+
+    spark = emb.sparkSession
+    cen = emb.filter(F.col("vec_id") < 16)
+    sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
+    codebook = tracked_persist(train_frozen_model(sample, cen))
+    prefix = f"annmmrprobe{next(_MMR_ANN_SEQ)}_" + _re.sub(
+        r"\W", "_", spark.sparkContext.applicationId
+    )
+    writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
+    writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    cand = tracked_persist(
+        store_adc_topk(
+            spark, prefix, cen, codebook,
+            emb.filter(F.col("vec_id") < 10), k=200, nprobe=2,
+        ).select("query_id", "neighbor_id")
+    )
+    # localCheckpoint truncates the store→refine lineage so the greedy
+    # loop's plan stays brute-force-MMR-sized (plan-string OOM at 8×
+    # otherwise — see _q_mmr_ann_rerank)
+    rel = refine_exact_topk(emb, cand, k=10).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine") * 1_000_000).cast("bigint").alias("rel_u6"),
+    ).localCheckpoint()
+    return mmr_rerank_from_candidates(emb, rel, k_out=5)
+
+
+def _cdc(docs):
+    from sea_express_customs_etl_spark.operators.cdc_chunking import (
+        cdc_shared_chunks,
+    )
+
+    return cdc_shared_chunks(docs)
+
+
+def _video_fp(docs):
+    """Video ids from the replicated doc ids — media volume grows with
+    the corpus (the shifted-id replicas synth distinct footage)."""
+    from sea_express_customs_etl_spark.multimodal.binary_ops import (
+        synth_video_near_dups,
+        video_fingerprint,
+        video_fp_hamming_pairs,
+    )
+
+    ids = docs.select(F.col("doc_id").alias("media_id"))
+    return video_fp_hamming_pairs(video_fingerprint(synth_video_near_dups(ids)))
+
+
+def _mrl(emb):
+    """The checked mrl_recall_curve shape: 4 truncated-dim brute-force
+    passes over one persisted scan, fixed query set."""
+    from pyspark.sql import Window
+    from sea_express_customs_etl_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from sea_express_customs_etl_spark.plans.cache import tracked_persist
+
+    base = tracked_persist(emb)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+
+    def top5(d):
+        sliced = base.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        return (
+            brute_force_topk(sliced, sliced.filter(F.col("vec_id") < 10), k=10)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = tracked_persist(top5(64).withColumn("_t", F.lit(1)))
+    out = None
+    for d in (8, 16, 32, 64):
+        hits = (
+            top5(d)
+            .join(truth, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("_t").alias("hits_at_5"))
+            .select(F.lit(d).alias("dim"), "query_id", "hits_at_5")
+        )
+        out = hits if out is None else out.unionByName(hits)
+    return out
 
 
 def _coreset(emb):
