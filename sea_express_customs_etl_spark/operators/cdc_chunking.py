@@ -142,19 +142,115 @@ def _bound_step(acc, p, t, thresh, min_len, max_len):
     )
 
 
+def cdc_chunks_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    thresh: int = THRESH,
+    min_len: int = MIN_LEN,
+    max_len: int = MAX_LEN,
+) -> DataFrame:
+    """The Arrow fast path for :func:`cdc_chunks` — bit-identical
+    output (pinned by test_cdc_chunking parity), ~10× the throughput:
+    the gear recurrence has NO reset, so ``h_p`` is a pure sliding
+    function of the last 20 characters and the whole h-SERIES
+    vectorizes as 20 shifted adds over the g-mapped code array (numpy,
+    one pass); only the min/max-len boundary gating is a sequential
+    walk, and it visits CANDIDATE cut positions only (~n/32 of the
+    text). Chunk slicing and hashing stay in Catalyst (md5 on the
+    exploded chunk column), so the bytes cross Arrow once.
+
+    This is the production path for the 12 s interpreted-HOF fold the
+    bench flagged (SCALE.md round-8): same spec, same plan shape
+    downstream (map-only → posexplode → digest agg)."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, idxs, chs = [], [], []
+            for rid, txt in zip(pdf[id_col], pdf[text_col]):
+                if txt is None or len(txt) == 0:
+                    continue
+                codes = np.frombuffer(
+                    txt.encode("utf-8"), dtype=np.uint8
+                ).astype(np.int64)
+                # ASCII contract of the spec: multi-byte input would
+                # diverge from the Catalyst per-CHARACTER fold — keep
+                # the two paths honest by refusing, not drifting
+                if codes.max(initial=0) > 127:
+                    raise ValueError(
+                        "cdc_chunks_arrow requires ASCII text "
+                        f"(doc {rid})"
+                    )
+                g = (codes * GEAR) % MOD
+                h = np.zeros(len(g), dtype=np.int64)
+                acc = g.copy()
+                # h_p = sum_{k=0..19} 2^k * g[p-k] mod 2^20 — 20
+                # shifted adds, oldest contributions shed by the mod
+                h += acc
+                for _ in range(19):
+                    acc = (acc * 2) % MOD
+                    acc[1:] = acc[:-1]
+                    acc[0] = 0
+                    h += acc
+                h %= MOD
+                n = len(codes)
+                cand = (h < thresh).nonzero()[0]  # 0-based positions
+                start, ci, out = 1, 0, []
+                while start <= n:
+                    # next natural cut at 1-based p with p-start+1>=min
+                    lo = start + min_len - 2  # 0-based index of p
+                    while ci < len(cand) and cand[ci] < lo:
+                        ci += 1
+                    cap = start + max_len - 1
+                    if ci < len(cand) and cand[ci] + 1 <= min(cap, n):
+                        p = int(cand[ci]) + 1
+                    else:
+                        p = min(cap, n)
+                    out.append(txt[start - 1 : p])
+                    start = p + 1
+                for k, c in enumerate(out):
+                    ids.append(rid)
+                    idxs.append(k)
+                    chs.append(c)
+            yield pd.DataFrame(
+                {id_col: ids, "chunk_idx": idxs, "chunk": chs}
+            )
+
+    chunk = F.col("chunk")
+    return (
+        df.select(id_col, text_col)
+        .mapInPandas(kernel, f"{id_col} long, chunk_idx int, chunk string")
+        .select(
+            id_col,
+            "chunk_idx",
+            chunk,
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_hash"),
+        )
+    )
+
+
 def cdc_shared_chunks(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     min_docs: int = 2,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Cross-document chunk reuse — the dedup-store view: for every
     chunk digest stored by ≥ ``min_docs`` distinct documents, the
     dedupable footprint (chunk_hash, chunk_len, n_docs, n_occ). One
     digest-grain partial-aggregated shuffle; at 100 TB this IS the
-    question a chunked object store answers before admitting bytes."""
+    question a chunked object store answers before admitting bytes.
+
+    ``impl``: "arrow" (default — the vectorized fast path) or
+    "catalyst" (the spec-reference fold); bit-identical outputs,
+    parity-pinned by test."""
+    chunker = cdc_chunks_arrow if impl == "arrow" else cdc_chunks
     return (
-        cdc_chunks(df, text_col, id_col)
+        chunker(df, text_col, id_col)
         .groupBy("chunk_hash")
         .agg(
             F.max("chunk_len").alias("chunk_len"),

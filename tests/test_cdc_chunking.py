@@ -90,3 +90,25 @@ def test_empty_and_single_char_texts_contained(spark):
     got = cdc_chunks(df).collect()
     # empty/null texts emit no chunks; 1-char text emits its one chunk
     assert {(r.doc_id, r.chunk) for r in got} == {(2, "a")}
+
+
+def test_arrow_fast_path_bit_identical(spark, sf_dir):
+    """The vectorized Arrow path must equal the Catalyst spec fold
+    ROW FOR ROW over the real corpus — same boundaries, same chunks,
+    same indices (the 20-term shifted-add series is exactly the ×2
+    recurrence mod 2²⁰; the gating walk visits the same candidates)."""
+    from sea_express_customs_etl_spark.operators.cdc_chunking import (
+        cdc_chunks_arrow,
+    )
+    from sea_express_customs_etl_spark.plans.standins import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ref = {
+        (r.doc_id, r.chunk_idx, r.chunk, r.chunk_len, r.chunk_hash)
+        for r in cdc_chunks(docs).collect()
+    }
+    fast = {
+        (r.doc_id, r.chunk_idx, r.chunk, r.chunk_len, r.chunk_hash)
+        for r in cdc_chunks_arrow(docs).collect()
+    }
+    assert fast == ref and len(ref) > 1000
