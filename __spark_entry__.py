@@ -1229,6 +1229,144 @@ def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit (r8): every verified near-dup
+    pair tagged with its endpoints' split assignments under BOTH
+    policies — naive doc-id-keyed hashing vs the cluster-keyed
+    `cluster_safe_split` — aggregated to (policy, split_a, split_b,
+    n_pairs). The cluster policy's invariant (no pair straddles a
+    boundary: both endpoints share a cluster ⇒ share a split) and the
+    naive policy's measured leakage are both pinned by ONE gate hash;
+    the audit a pipeline runs before trusting its held-out numbers.
+    Same near-dup machinery as cluster_safe_split, one extra
+    broadcast-size join + a 2×|pairs| aggregation."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+    from sea_express_customs_etl_spark.operators.sampling import hash_split
+
+    docs = _docs(spark, sf_dir)
+    prof = _tracked_persist(shingle_profiles(docs))
+    pairs = _tracked_persist(
+        jaccard_verify_profiles(
+            lsh_candidate_pairs(lsh_bands(prof)), prof
+        ).select("id_a", "id_b")
+    )
+    labels = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    # pinned: joined twice (once per pair endpoint)
+    sp = _tracked_persist(
+        hash_split(
+            hash_split(labels, w, key_col="doc_id", salt="split")
+            .withColumnRenamed("split", "s_doc"),
+            w,
+            key_col="cluster_id",
+            salt="split",
+        )
+        .withColumnRenamed("split", "s_cluster")
+        .select("doc_id", "s_doc", "s_cluster")
+    )
+    a = sp.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("s_doc").alias("_da"),
+        F.col("s_cluster").alias("_ca"),
+    )
+    b = sp.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s_doc").alias("_db"),
+        F.col("s_cluster").alias("_cb"),
+    )
+    tagged = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("by_doc").alias("policy"),
+                        F.least("_da", "_db").alias("split_a"),
+                        F.greatest("_da", "_db").alias("split_b"),
+                    ),
+                    F.struct(
+                        F.lit("by_cluster").alias("policy"),
+                        F.least("_ca", "_cb").alias("split_a"),
+                        F.greatest("_ca", "_cb").alias("split_b"),
+                    ),
+                )
+            ).alias("_t")
+        )
+        .select("_t.policy", "_t.split_a", "_t.split_b")
+    )
+    return tagged.groupBy("policy", "split_a", "split_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+
+
+def _q_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/retrieval training (r8):
+    for each anchor, the top-5 most-similar vectors that are NOT in
+    its near-dup cluster — similar enough to be informative, verified
+    not to be the same content (a near-dup mislabeled as a negative
+    poisons the loss; the standard curation step before training
+    embedding models). Composes the checked semantic-dedup components
+    with the checked rounded-cosine ranking in one statement: cluster
+    labels exclude positives, then rank survivors. Candidate
+    generation here is the exact broadcast-anchor scan; at 100 TB it
+    rides the ANN store exactly like mmr_ann_rerank."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        ivf_near_dups,
+    )
+    from sea_express_customs_etl_spark.operators.similarity import (
+        cosine,
+        with_norm,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = ivf_near_dups(
+        emb, emb.filter(F.col("vec_id") < 16), threshold=0.4
+    ).select("id_a", "id_b")
+    # pinned: consumed per pair endpoint below
+    lab = _tracked_persist(
+        dedup_clusters(emb, pairs, id_col="vec_id").select(
+            "vec_id", "cluster_id"
+        )
+    )
+    base = with_norm(emb).join(lab, "vec_id")
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("_v").alias("_qv"),
+        F.col("_n").alias("_qn"),
+        F.col("cluster_id").alias("_qc"),
+    )
+    # pinned broadcast: the anchor set is query-budget-sized at any
+    # scale (the cosine_topk license) — unpinned, the non-equi join
+    # has no stats and plans as a CartesianProduct
+    sims = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .filter(F.col("cluster_id") != F.col("_qc"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine(
+                F.col("_qv"), F.col("_qn"), F.col("_v"), F.col("_n")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select("query_id", "neighbor_id", "neg_rank", "cosine")
+    )
+
+
 def _q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sparse similarity join: TF-IDF cosine >= 1/2 over word
     bigrams — rare-term-weighted near-dup detection, the IR-classic
@@ -4447,9 +4585,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "skipgram_pairs": _q_skipgram_pairs,
         "cluster_safe_split": _q_cluster_safe_split,
+        "split_leakage_audit": _q_split_leakage_audit,
+        "hard_negative_mine": _q_hard_negative_mine,
+        # ---- end of driver-checked prefix (50 entries) ----
         "corpus_datacard": _q_corpus_datacard,
         "word_dropout_aug": _q_word_dropout_aug,
-        # ---- end of driver-checked prefix (50 entries) ----
         "image_decode_stats": _q_image_decode_stats,
         "video_scene_cuts": _q_video_scene_cuts,
         "scd2_history": _q_scd2_history,
@@ -5614,6 +5754,11 @@ def oracle_sql() -> dict[str, str]:
             t_train=_hex_threshold(0.8),
             t_val=_hex_threshold(0.9),
         ),
+        "split_leakage_audit": ext.SPLIT_LEAKAGE_AUDIT_SQL.format(
+            t_train=_hex_threshold(0.8),
+            t_val=_hex_threshold(0.9),
+        ),
+        "hard_negative_mine": ext.HARD_NEGATIVE_MINE_SQL,
         "pps_length_sample": ext.PPS_SAMPLE_SQL,
         "event_sigma_outliers": ext.EVENT_SIGMA_OUTLIERS_SQL,
         "lsh_recall_curve": ext.LSH_RECALL_CURVE_SQL,

@@ -1152,6 +1152,80 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
+# hard-negative mining (r8): per anchor, top-5 most-similar vectors
+# OUTSIDE its semantic near-dup cluster — SEMANTIC_DEDUP's IVF-blocked
+# components exclude the positives, COSINE_TOPK's rounded ranking
+# orders the survivors.
+HARD_NEGATIVE_MINE_SQL = f"""
+WITH RECURSIVE {_NRM},
+cen AS (SELECT vec_id AS centroid_id, v AS cv, n AS cn
+        FROM nrm WHERE vec_id < 16),
+asg AS (
+  SELECT vec_id, v, n, centroid_id AS cluster FROM (
+    SELECT e.vec_id, e.v, e.n, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY round(list_inner_product(e.v, c.cv) / (e.n * c.cn), 6)
+                        DESC, c.centroid_id) AS rn
+    FROM nrm e CROSS JOIN cen c)
+  WHERE rn = 1),
+vp AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.v, b.v) / (a.n * b.n), 6) >= 0.4),
+{_CCOMP},
+lab AS (SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cl
+        FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id),
+sims AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         round(list_inner_product(q.v, n.v) / (q.n * n.n), 6) AS cosine
+  FROM nrm q JOIN nrm n ON n.vec_id <> q.vec_id
+  WHERE q.vec_id < 10),
+neg AS (
+  SELECT s.query_id, s.neighbor_id, s.cosine,
+         row_number() OVER (PARTITION BY s.query_id
+             ORDER BY s.cosine DESC, s.neighbor_id) AS rnk
+  FROM sims s
+  JOIN lab lq ON lq.vec_id = s.query_id
+  JOIN lab ln ON ln.vec_id = s.neighbor_id
+  WHERE lq.cl <> ln.cl)
+SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS neg_rank, cosine
+FROM neg WHERE rnk <= 5
+"""
+
+# split-leakage audit (r8): near-dup pairs tagged with endpoint split
+# assignments under naive doc-keyed vs cluster-keyed hashing — same
+# components and hash literals as CLUSTER_SAFE_SPLIT_SQL.
+SPLIT_LEAKAGE_AUDIT_SQL = f"""
+WITH RECURSIVE {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS}, {_CCOMP},
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '{{t_train}}' THEN 'train'
+              WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   < '{{t_val}}' THEN 'val'
+              ELSE 'test' END AS s_doc,
+         CASE WHEN substring(md5('split' ||
+                   CAST(cluster_id AS VARCHAR)), 1, 8)
+                   < '{{t_train}}' THEN 'train'
+              WHEN substring(md5('split' ||
+                   CAST(cluster_id AS VARCHAR)), 1, 8)
+                   < '{{t_val}}' THEN 'val'
+              ELSE 'test' END AS s_cluster
+  FROM lab),
+tagged AS (
+  SELECT 'by_doc' AS policy, a.s_doc AS sa, b.s_doc AS sb
+  FROM vp JOIN sp a ON a.doc_id = vp.id_a JOIN sp b ON b.doc_id = vp.id_b
+  UNION ALL
+  SELECT 'by_cluster', a.s_cluster, b.s_cluster
+  FROM vp JOIN sp a ON a.doc_id = vp.id_a JOIN sp b ON b.doc_id = vp.id_b)
+SELECT policy, least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM tagged GROUP BY 1, 2, 3
+"""
+
 # decontamination: benchmark = doc_id % 50 = 0, corpus = the rest, 5-gram
 # overlap. Calibration (sf0.01): trigrams flag 257/490 corpus docs (pure
 # chance collisions on a ~30-word vocabulary), 5-grams flag exactly the

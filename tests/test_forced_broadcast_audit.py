@@ -79,6 +79,8 @@ FORCED_BROADCAST_ALLOWED = {
     "sq8_codes",           # 1-row (lo_arr, span_arr) trained quantizer
     "sq8_topk",            # same 1-row stats + query set
     "mrl_recall_curve",    # cosine_topk's query-set pin, 4 dims
+    "hard_negative_mine",  # 10-anchor query-set pin + the
+    #                        ivf_near_dups centroid pin
     "trigram_backoff",     # 1-row total-N scalar (count tables NOT pinned)
     "key_skew_stats",      # 1-row total-rows scalar
     "pretrain_prep_pack",  # bpe distinct-word dictionary (same dial

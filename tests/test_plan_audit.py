@@ -50,6 +50,8 @@ BNLJ_ALLOWED = {
     "semantic_dedup",     # same IVF blocking feeding cluster resolution
     "multisignal_dedup_v2",  # composes ivf_near_dups — same 16-row
     #                          centroid broadcast license
+    "hard_negative_mine",  # same centroid license + the 10-anchor
+    #                        query-set broadcast (cosine_topk class)
     "embedding_near_dups",  # block-id spine (|blocks| rows) broadcast
     "tfidf_top_terms",    # 1-row corpus-size N broadcast
     "events_gapfill_locf",  # 1-row (lo, hi) hour-bounds broadcast
