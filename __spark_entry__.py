@@ -1556,6 +1556,20 @@ def _q_word_dropout_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_dropout(_docs(spark, sf_dir), drop_fraction=0.15)
 
 
+def _q_span_corruption_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption denoising objective as data prep (r8):
+    i.i.d.-by-hash masking merged into spans, one <extra_id_k>
+    sentinel per span in the input, sentinel+hidden-tokens in the
+    target — deterministic (positional md5), so corrupted INPUT and
+    TARGET strings both hash-check; changing the salt re-corrupts per
+    epoch for free. One explode + per-DOC window + regroup."""
+    from sea_express_customs_etl_spark.operators.augment import (
+        span_corruption,
+    )
+
+    return span_corruption(_docs(spark, sf_dir), corrupt_fraction=0.15)
+
+
 def _q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Datasheet-for-datasets snapshot: per (lang, source) slice —
     doc count, token mass, integer average length, corpus share in
@@ -4590,6 +4604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- end of driver-checked prefix (50 entries) ----
         "corpus_datacard": _q_corpus_datacard,
         "word_dropout_aug": _q_word_dropout_aug,
+        "span_corruption_aug": _q_span_corruption_aug,
         "image_decode_stats": _q_image_decode_stats,
         "video_scene_cuts": _q_video_scene_cuts,
         "scd2_history": _q_scd2_history,
@@ -5741,6 +5756,9 @@ def oracle_sql() -> dict[str, str]:
         "corpus_datacard": ext.CORPUS_DATACARD_SQL,
         "word_dropout_aug": ext.WORD_DROPOUT_SQL.format(
             t=_hex_threshold(0.15)
+        ),
+        "span_corruption_aug": ext.SPAN_CORRUPTION_SQL.format(
+            t=_hex_threshold(0.15),
         ),
         "bpe_learned_merges": ext.bpe_train_sql(10),
         "unigram_lm_vocab": uni.UNIGRAM_LM_VOCAB_SQL,

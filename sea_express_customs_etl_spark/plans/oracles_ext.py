@@ -3007,6 +3007,48 @@ agg AS (
 SELECT doc_id, n_tokens, n_kept, aug_text FROM agg
 """
 
+# T5 span corruption (operators/augment.py:span_corruption):
+# i.i.d.-by-hash token masking merged into spans via the lag/cumsum
+# window pair, per-doc sentinel numbering, string_agg skipping the
+# dropped pieces (matches Spark array_join's null-skip).
+SPAN_CORRUPTION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok, i,
+         substring(md5('span' || CAST(doc_id AS VARCHAR) || '_' ||
+                       CAST(i AS VARCHAR)), 1, 8) < '{{t}}' AS masked
+  FROM (SELECT doc_id, unnest({_TOKS}) AS tok,
+               unnest(range(1, len({_TOKS}) + 1)) AS i
+        FROM documents)),
+st AS (
+  SELECT *,
+         masked AND NOT coalesce(
+             lag(masked) OVER (PARTITION BY doc_id ORDER BY i), FALSE)
+             AS is_start
+  FROM toks),
+sp AS (
+  SELECT *, sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY i) AS span
+  FROM st),
+pieces AS (
+  SELECT doc_id, i, masked, is_start,
+         CASE WHEN NOT masked THEN tok
+              WHEN is_start THEN '<extra_id_' ||
+                   CAST(span - 1 AS VARCHAR) || '>'
+              ELSE NULL END AS inp,
+         CASE WHEN masked AND is_start
+              THEN '<extra_id_' || CAST(span - 1 AS VARCHAR) || '>' ||
+                   ' ' || tok
+              WHEN masked THEN tok ELSE NULL END AS tgt
+  FROM sp)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       CAST(sum(CASE WHEN is_start THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       coalesce(string_agg(inp, ' ' ORDER BY i), '') AS input_text,
+       coalesce(string_agg(tgt, ' ' ORDER BY i), '') AS target_text
+FROM pieces GROUP BY 1
+"""
+
 # corpus datacard (the "datasheet for datasets" snapshot): per
 # (lang, source) slice — doc count, token mass, integer average,
 # corpus share in ppm, exact-duplicate count. One partial-agg pass +
