@@ -1546,6 +1546,43 @@ def _q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_token_counts(docs, unigram_train(docs, rounds=2))
 
 
+def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by corpus slice (r8): pieces-per-word under
+    the LEARNED unigram vocabulary, aggregated per (lang, source) in
+    integer ppm — the compression-ratio table a tokenizer report leads
+    with (fertility >> 1 on a slice means the vocab underserves it:
+    the budget/vocab-allocation signal for multilingual training).
+    Composes the trained tokenizer end-to-end: the oracle re-derives
+    the vocabulary AND the apply segmentation, then the slice rollup —
+    train, apply, and report all under one hash."""
+    from sea_express_customs_etl_spark.operators.unigram import (
+        unigram_token_counts,
+        unigram_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    tc = unigram_token_counts(docs, unigram_train(docs, rounds=2))
+    return (
+        tc.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "n_words",
+            "n_tokens",
+            F.expr("1000000 * n_tokens DIV n_words")
+            .cast("bigint")
+            .alias("fertility_ppm"),
+        )
+    )
+
+
 def _q_word_dropout_aug(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic T5-style word dropout (15%): positional md5
     replaces randomness so the corruption replays bit-for-bit across
@@ -4605,6 +4642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": _q_corpus_datacard,
         "word_dropout_aug": _q_word_dropout_aug,
         "span_corruption_aug": _q_span_corruption_aug,
+        "tokenizer_fertility": _q_tokenizer_fertility,
         "image_decode_stats": _q_image_decode_stats,
         "video_scene_cuts": _q_video_scene_cuts,
         "scd2_history": _q_scd2_history,
@@ -5763,6 +5801,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_learned_merges": ext.bpe_train_sql(10),
         "unigram_lm_vocab": uni.UNIGRAM_LM_VOCAB_SQL,
         "unigram_token_counts": uni.UNIGRAM_TOKEN_COUNTS_SQL,
+        "tokenizer_fertility": uni.TOKENIZER_FERTILITY_SQL,
         "mmr_rerank_topk": omr.MMR_RERANK_SQL,
         "mmr_ann_rerank": omr.MMR_ANN_RERANK_SQL,
         "facility_coreset_select": ocs.FACILITY_CORESET_SQL,

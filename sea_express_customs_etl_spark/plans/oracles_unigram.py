@@ -146,3 +146,17 @@ FROM occ o JOIN np USING (word) GROUP BY 1
 
 
 UNIGRAM_TOKEN_COUNTS_SQL = unigram_token_counts_sql(2)
+
+# fertility by (lang, source) slice: the apply statement rolled up —
+# train, apply, and report in one hash (integer ppm DIV).
+TOKENIZER_FERTILITY_SQL = f"""
+SELECT d.lang, d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(t.n_words) AS BIGINT) AS n_words,
+       CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+       CAST((1000000 * sum(t.n_tokens)) // sum(t.n_words) AS BIGINT)
+           AS fertility_ppm
+FROM ({unigram_token_counts_sql(2)}) t
+JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
