@@ -1229,6 +1229,40 @@ def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-capped dedup (r8): keep at most K=2 members per near-dup
+    cluster, chosen by deterministic md5 order — the middle ground
+    between keep-one dedup and keep-all weighting (production corpora
+    often retain a bounded number of near-duplicates: some repetition
+    helps, unbounded repetition memorizes; cf. the dedup guidance in
+    Lee et al. 2022). Kept rows only, with their within-cluster rank;
+    row_number-then-filter keeps the WindowGroupLimit shape (map-side
+    partial top-K per cluster)."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prof = _tracked_persist(shingle_profiles(docs))
+    pairs = jaccard_verify_profiles(
+        lsh_candidate_pairs(lsh_bands(prof)), prof
+    ).select("id_a", "id_b")
+    labels = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.concat(F.lit("cap"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    return (
+        labels.withColumn("kept_rank", F.row_number().over(w))
+        .filter(F.col("kept_rank") <= 2)
+        .select("doc_id", "cluster_id", "kept_rank")
+    )
+
+
 def _q_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test contamination audit (r8): every verified near-dup
     pair tagged with its endpoints' split assignments under BOTH
@@ -4642,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_datacard": _q_corpus_datacard,
         "word_dropout_aug": _q_word_dropout_aug,
         "span_corruption_aug": _q_span_corruption_aug,
+        "cluster_cap_sample": _q_cluster_cap_sample,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "image_decode_stats": _q_image_decode_stats,
         "video_scene_cuts": _q_video_scene_cuts,
@@ -5816,6 +5851,7 @@ def oracle_sql() -> dict[str, str]:
             t_val=_hex_threshold(0.9),
         ),
         "hard_negative_mine": ext.HARD_NEGATIVE_MINE_SQL,
+        "cluster_cap_sample": ext.CLUSTER_CAP_SAMPLE_SQL,
         "pps_length_sample": ext.PPS_SAMPLE_SQL,
         "event_sigma_outliers": ext.EVENT_SIGMA_OUTLIERS_SQL,
         "lsh_recall_curve": ext.LSH_RECALL_CURVE_SQL,

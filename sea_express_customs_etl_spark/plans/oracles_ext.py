@@ -1192,6 +1192,20 @@ SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS neg_rank, cosine
 FROM neg WHERE rnk <= 5
 """
 
+# repeat-capped dedup (r8): keep at most K=2 per near-dup cluster by
+# deterministic md5 order — same components as DEDUP_CLUSTERS_SQL.
+CLUSTER_CAP_SAMPLE_SQL = f"""
+WITH RECURSIVE {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS}, {_CCOMP},
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+SELECT doc_id, cluster_id, CAST(rn AS INTEGER) AS kept_rank
+FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+          ORDER BY md5('cap' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM lab)
+WHERE rn <= 2
+"""
+
 # split-leakage audit (r8): near-dup pairs tagged with endpoint split
 # assignments under naive doc-keyed vs cluster-keyed hashing — same
 # components and hash literals as CLUSTER_SAFE_SPLIT_SQL.

@@ -150,27 +150,58 @@ def tagged_knowledge_writer(
     strategy: str = "array",
 ) -> Callable[[DataFrame, int], None]:
     """``foreachBatch``-shaped adapter: one stream of TAGGED rows
-    (``side = 'a' | 'b'`` over the union schema below) carries both
-    halves of each load — the natural shape when declared manifests
-    and official history land in one ingest stream. Splits per batch
-    and delegates to :func:`knowledge_batch_writer`.
+    carries both halves of each load AND retractions — the natural
+    shape when declared manifests, official history, and takedown
+    events land in one ingest stream. ``side = 'a' | 'b'`` rows fold
+    in; ``side = 'a_del' | 'b_del'`` rows are a waybill-complete
+    RETRACTION load whose votes append NEGATED (r8 — the streaming
+    face of :func:`knowledge_retract_writer`). Adds and retracts in
+    the SAME micro-batch commit atomically under one marker: the
+    combined delta is one blind append, so the exactly-once contract
+    is unchanged.
 
     Union schema: side, mawb_no, hawb_no, item_no,
     description_original (A side), item_sequence, description_official,
     ccc_code (B side) — unused side's columns null."""
-    inner = knowledge_batch_writer(
-        table_prefix, use_nfkc=use_nfkc, strategy=strategy
-    )
+    v_tab = f"{table_prefix}_votes"
+    m_tab = f"{table_prefix}_batches"
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
-        a = batch_df.filter(F.col("side") == "a").select(
-            "mawb_no", "hawb_no", "item_no", "description_original"
-        )
-        b = batch_df.filter(F.col("side") == "b").select(
-            "mawb_no", "hawb_no", "item_sequence",
-            "description_official", "ccc_code",
-        )
-        inner(a, b, batch_id)
+        spark: SparkSession = batch_df.sparkSession
+        if spark.catalog.tableExists(m_tab) and (
+            spark.table(m_tab)
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+            > 0
+        ):
+            return  # replayed batch — already committed, skip
+
+        def delta(side_a: str, side_b: str, sign: int) -> DataFrame:
+            a = batch_df.filter(F.col("side") == side_a).select(
+                "mawb_no", "hawb_no", "item_no", "description_original"
+            )
+            b = batch_df.filter(F.col("side") == side_b).select(
+                "mawb_no", "hawb_no", "item_sequence",
+                "description_official", "ccc_code",
+            )
+            return vote_counts(
+                knowledge_aligned(
+                    a, b, use_nfkc=use_nfkc, strategy=strategy
+                )
+            ).select(
+                *_KEYS,
+                (F.lit(sign) * F.col("frequency")).alias("frequency"),
+                F.lit(int(batch_id)).cast("bigint").alias("batch_id"),
+            )
+
+        # the retract side is usually empty — the union costs nothing
+        # and keeps the write single-append (atomic under one marker)
+        votes = delta("a", "b", 1).unionByName(delta("a_del", "b_del", -1))
+        votes.write.mode("append").format("parquet").saveAsTable(v_tab)
+        spark.createDataFrame(
+            [(int(batch_id),)], "batch_id bigint"
+        ).write.mode("append").format("parquet").saveAsTable(m_tab)
 
     return write
 

@@ -232,3 +232,79 @@ def test_retraction_equals_fresh_build_on_surviving_loads(spark, sf_dir):
     retract(_third(a, 2), _third(b, 2), 11)
     assert committed_vote_state(spark, prefix).count() == 0
     assert knowledge_store_kb(spark, prefix).count() == 0
+
+
+def test_tagged_stream_retraction_in_flight(spark, sf_dir, tmp_path):
+    """Streaming retraction (r8): one tagged stream carries adds AND
+    a_del/b_del retraction rows; a micro-batch that simultaneously
+    adds load 2 and retracts load 1 commits atomically under one
+    marker, and the final store equals a fresh build on the surviving
+    loads — the streaming face of knowledge_retract_writer."""
+    a = declared_table(spark, sf_dir)
+    b = official_table(spark, sf_dir)
+    a_t = dict(a.dtypes)
+    b_t = dict(b.dtypes)
+
+    def tagged(i: int, kind: str):
+        sa, sb = ("a_del", "b_del") if kind == "del" else ("a", "b")
+        ta = _third(a, i).select(
+            F.lit(sa).alias("side"),
+            "mawb_no",
+            "hawb_no",
+            "item_no",
+            "description_original",
+            F.lit(None).cast(b_t["item_sequence"]).alias("item_sequence"),
+            F.lit(None).cast("string").alias("description_official"),
+            F.lit(None).cast("string").alias("ccc_code"),
+        )
+        tb = _third(b, i).select(
+            F.lit(sb).alias("side"),
+            "mawb_no",
+            "hawb_no",
+            F.lit(None).cast(a_t["item_no"]).alias("item_no"),
+            F.lit(None).cast("string").alias("description_original"),
+            "item_sequence",
+            "description_official",
+            "ccc_code",
+        )
+        return ta.unionByName(tb)
+
+    src = str(tmp_path / "loads_in")
+    # batch 0: loads 0+1; batch 1: load 2 added AND load 1 retracted
+    tagged(0, "add").unionByName(tagged(1, "add")).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    tagged(2, "add").unionByName(tagged(1, "del")).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+
+    prefix = f"kbret_{uuid.uuid4().hex[:8]}"
+    schema = tagged(0, "add").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    writer = tagged_knowledge_writer(prefix, use_nfkc=False)
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    fresh = f"kbret_{uuid.uuid4().hex[:8]}"
+    fw = knowledge_batch_writer(fresh, use_nfkc=False)
+    fw(_third(a, 0), _third(b, 0), 0)
+    fw(_third(a, 2), _third(b, 2), 1)
+    assert _kb_map(knowledge_store_kb(spark, prefix)) == _kb_map(
+        knowledge_store_kb(spark, fresh)
+    )
+
+    # replayed mixed batch is fenced (single marker covers both sides)
+    n = spark.table(f"{prefix}_votes").count()
+    writer(
+        tagged(2, "add").unionByName(tagged(1, "del")), 1
+    )
+    assert spark.table(f"{prefix}_votes").count() == n
