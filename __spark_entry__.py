@@ -1229,6 +1229,44 @@ def _q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_weight_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-with-weight dedup (r8): one representative per
+    near-dup cluster (lowest id) carrying the cluster's multiplicity
+    and token mass — the distribution-preserving alternative to
+    dropping duplicates (train on the rep, weight the loss by how
+    often the content occurred; the UniMax/data-weighting input
+    table). One components pass + one cluster-grain rollup."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    prof = _tracked_persist(shingle_profiles(docs))
+    pairs = jaccard_verify_profiles(
+        lsh_candidate_pairs(lsh_bands(prof)), prof
+    ).select("id_a", "id_b")
+    labels = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    ntok = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+        .cast("bigint")
+        .alias("_nt"),
+    )
+    return (
+        labels.join(ntok, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("weight"),
+            F.sum("_nt").alias("token_mass"),
+        )
+    )
+
+
 def _q_cluster_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeat-capped dedup (r8): keep at most K=2 members per near-dup
     cluster, chosen by deterministic md5 order — the middle ground
@@ -4677,6 +4715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "word_dropout_aug": _q_word_dropout_aug,
         "span_corruption_aug": _q_span_corruption_aug,
         "cluster_cap_sample": _q_cluster_cap_sample,
+        "dedup_weight_keep": _q_dedup_weight_keep,
         "tokenizer_fertility": _q_tokenizer_fertility,
         "image_decode_stats": _q_image_decode_stats,
         "video_scene_cuts": _q_video_scene_cuts,
@@ -5852,6 +5891,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hard_negative_mine": ext.HARD_NEGATIVE_MINE_SQL,
         "cluster_cap_sample": ext.CLUSTER_CAP_SAMPLE_SQL,
+        "dedup_weight_keep": ext.DEDUP_WEIGHT_KEEP_SQL,
         "pps_length_sample": ext.PPS_SAMPLE_SQL,
         "event_sigma_outliers": ext.EVENT_SIGMA_OUTLIERS_SQL,
         "lsh_recall_curve": ext.LSH_RECALL_CURVE_SQL,

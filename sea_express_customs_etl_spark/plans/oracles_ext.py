@@ -1192,6 +1192,20 @@ SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS neg_rank, cosine
 FROM neg WHERE rnk <= 5
 """
 
+# keep-one-with-weight dedup (r8): cluster reps with multiplicity and
+# token mass — same components as DEDUP_CLUSTERS_SQL.
+DEDUP_WEIGHT_KEEP_SQL = f"""
+WITH RECURSIVE {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS}, {_CCOMP},
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         len({_TOKS}) AS nt
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+SELECT cluster_id, min(doc_id) AS rep_doc_id,
+       CAST(count(*) AS BIGINT) AS weight,
+       CAST(sum(nt) AS BIGINT) AS token_mass
+FROM lab GROUP BY 1
+"""
+
 # repeat-capped dedup (r8): keep at most K=2 per near-dup cluster by
 # deterministic md5 order — same components as DEDUP_CLUSTERS_SQL.
 CLUSTER_CAP_SAMPLE_SQL = f"""
