@@ -3692,6 +3692,128 @@ def _classifier_confusion_for(
     return confusion_stats(pt, "pred", "truth")
 
 
+def _en_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score, truth) for the trained plain perceptron — the
+    shared scoring prelude of the AUC / decile eval queries (same
+    bucket-count join as _classifier_confusion_for, weights from the
+    session's single training run)."""
+    from sea_express_customs_etl_spark.operators.dsir import token_buckets
+
+    docs = _docs(spark, sf_dir)
+    w = _trained_en_perceptron(spark, sf_dir)
+    cnt = (
+        token_buckets(docs, buckets=64)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    score = (
+        cnt.join(F.broadcast(w), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("_c")).alias("_score"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(score, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_score"), F.lit(0))
+            .cast("bigint")
+            .alias("score"),
+            (F.col("lang") == "en").cast("int").alias("truth"),
+        )
+    )
+
+
+def _q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the trained classifier's ranking (threshold-
+    free — the confusion queries grade the 0-threshold decision, this
+    grades the whole score ordering): Mann-Whitney pair counts at
+    distinct-score grain with a two-phase global cumsum, all bigint
+    (operators/evalstats.py:auc_exact)."""
+    from sea_express_customs_etl_spark.operators.evalstats import auc_exact
+
+    return auc_exact(_en_scored_docs(spark, sf_dir))
+
+
+def _q_classifier_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability/calibration table of the trained classifier: ANSI
+    score deciles (two-phase global_rank + ntile_by_rank) with exact
+    per-bucket positive rates — bucket 10 should concentrate the
+    'en' mass if the ranking is usable (operators/evalstats.py:
+    score_deciles)."""
+    from sea_express_customs_etl_spark.operators.evalstats import (
+        score_deciles,
+    )
+
+    return score_deciles(_en_scored_docs(spark, sf_dir))
+
+
+def _q_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (D=3/4, KenLM's
+    default smoothing family) for the corpus top-50 bigrams, exact
+    integer rationals over type/continuation counts — the
+    discount-based sibling of lm_score's add-one model
+    (operators/lm.py:kneser_ney_bigram_top)."""
+    from sea_express_customs_etl_spark.operators.lm import (
+        kneser_ney_bigram_top,
+    )
+
+    return kneser_ney_bigram_top(_docs(spark, sf_dir))
+
+
+def _q_unimax_mix_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (budget 700 rows, <=2 epochs per
+    source): epoch-capped waterfill with exact largest-remainder
+    apportionment of the uncapped tail — the tuning-free successor to
+    temperature_mix_alloc (operators/sampling.py:unimax_alloc)."""
+    from sea_express_customs_etl_spark.operators.sampling import unimax_alloc
+
+    return unimax_alloc(_docs(spark, sf_dir), "source", budget=700)
+
+
+def _lm_scored_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.lm import lm_score
+
+    docs = _docs(spark, sf_dir)
+    return (
+        lm_score(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "logprob_u6")
+    )
+
+
+def _q_source_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of the bigram-LM document
+    scores: rank-matched to the global distribution in exact integer
+    rank arithmetic, so per-source score scales become comparable
+    before mixing/filtering (operators/calibrate.py:
+    quantile_normalize). The scored frame is persisted — it feeds both
+    the per-source window pass and the global rank."""
+    scored = _tracked_persist(_lm_scored_by_source(spark, sf_dir))
+    from sea_express_customs_etl_spark.operators.calibrate import (
+        quantile_normalize,
+    )
+
+    return quantile_normalize(
+        scored, group_col="source", score_col="logprob_u6"
+    )
+
+
+def _q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source (chosen, rejected) preference pairs by bigram-LM
+    score — the DPO/reward-model data-prep extraction, argmax/argmin
+    per group in two WindowGroupLimit passes with exact margins
+    (operators/calibrate.py:preference_pairs)."""
+    scored = _tracked_persist(_lm_scored_by_source(spark, sf_dir))
+    from sea_express_customs_etl_spark.operators.calibrate import (
+        preference_pairs,
+    )
+
+    return preference_pairs(
+        scored, group_col="source", score_col="logprob_u6"
+    )
+
+
 def _q_brand_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source BFS: minimum hop distance from Brand#11's parts to
     every co-purchase-reachable part within 3 hops — the recall-radius
@@ -4717,6 +4839,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_cap_sample": _q_cluster_cap_sample,
         "dedup_weight_keep": _q_dedup_weight_keep,
         "tokenizer_fertility": _q_tokenizer_fertility,
+        # r8 wave 2: ranking-quality eval, calibration, KN smoothing
+        "classifier_auc": _q_classifier_auc,
+        "classifier_score_deciles": _q_classifier_score_deciles,
+        "kneser_ney_bigram": _q_kneser_ney_bigram,
+        "unimax_mix_alloc": _q_unimax_mix_alloc,
+        "source_quantile_norm": _q_source_quantile_norm,
+        "preference_pairs": _q_preference_pairs,
         "image_decode_stats": _q_image_decode_stats,
         "video_scene_cuts": _q_video_scene_cuts,
         "scd2_history": _q_scd2_history,
@@ -5892,6 +6021,12 @@ def oracle_sql() -> dict[str, str]:
         "hard_negative_mine": ext.HARD_NEGATIVE_MINE_SQL,
         "cluster_cap_sample": ext.CLUSTER_CAP_SAMPLE_SQL,
         "dedup_weight_keep": ext.DEDUP_WEIGHT_KEEP_SQL,
+        "classifier_auc": ext.CLASSIFIER_AUC_SQL,
+        "classifier_score_deciles": ext.CLASSIFIER_DECILES_SQL,
+        "kneser_ney_bigram": ext.KNESER_NEY_SQL,
+        "unimax_mix_alloc": ext.UNIMAX_SQL,
+        "source_quantile_norm": ext.QUANTILE_NORM_SQL,
+        "preference_pairs": ext.PREFERENCE_PAIRS_SQL,
         "pps_length_sample": ext.PPS_SAMPLE_SQL,
         "event_sigma_outliers": ext.EVENT_SIGMA_OUTLIERS_SQL,
         "lsh_recall_curve": ext.LSH_RECALL_CURVE_SQL,

@@ -247,3 +247,76 @@ def trigram_backoff_score(
             F.coalesce("score_u6", F.lit(0)).cast("bigint").alias("score_u6"),
         )
     )
+
+
+def kneser_ney_bigram_top(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 50,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities (Kneser & Ney
+    1995 / Chen & Goodman 1998 — the smoothing KenLM ships as its
+    default) for the corpus's ``top_n`` most frequent bigrams, held
+    EXACTLY as integer rationals. With absolute discount D = 3/4,
+
+        P_KN(b|a) = (c(ab) − D)/c(a) + D·N₁₊(a·)/c(a) · N₁₊(·b)/N₁₊(··)
+
+    where N₁₊(a·) = distinct continuations of a, N₁₊(·b) = distinct
+    contexts preceding b (the CONTINUATION count — KN's signature:
+    "Francisco" is frequent but only ever follows "San", so its
+    unigram backoff weight is tiny), N₁₊(··) = distinct bigram types.
+    Multiplying through by the common denominator 4·c(a)·N₁₊(··):
+
+        num = (4·c(ab) − 3)·N₁₊(··) + 3·N₁₊(a·)·N₁₊(·b)
+        pkn_ppm = (10⁶·num) DIV (4·c(a)·N₁₊(··))
+
+    — every term a bigint count, the product lifted to DECIMAL(38,0)
+    before the scale multiply (the micro-unit integer rule), one DIV
+    at the end. Restricted to observed bigrams (c(ab) ≥ 1 > D, so the
+    discounted term is always positive and the max(·,0) clamp never
+    binds).
+
+    Scale shape: three partial-agg shuffles over the bigram/unigram
+    type tables (language-bounded, the ``lm_score`` model-vs-data
+    separation), one 1-row type-count scalar pinned broadcast, and a
+    global top-n TakeOrderedAndProject under the total order
+    (c(ab) DESC, a ASC, b ASC). Nothing touches per-document rows
+    after the first count pass.
+    """
+    bg = _doc_bigrams(df, text_col, id_col)
+    c12 = bg.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cab")
+    )
+    c1 = c12.groupBy("a").agg(
+        F.sum("cab").cast("bigint").alias("ca"),
+        F.count(F.lit(1)).cast("bigint").alias("n_follow"),
+    )
+    cont = c12.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cont_b")
+    )
+    tot = c12.agg(F.count(F.lit(1)).cast("bigint").alias("_nbt"))
+    num = (
+        (4 * F.col("cab") - 3).cast("decimal(38,0)") * F.col("_nbt")
+        + F.lit(3).cast("decimal(38,0)") * F.col("n_follow") * F.col("cont_b")
+    )
+    den = (
+        F.lit(4).cast("decimal(38,0)") * F.col("ca") * F.col("_nbt")
+    )
+    return (
+        c12.join(c1, "a")
+        .join(cont, "b")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn(
+            "pkn_ppm",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * _num)"
+                " DIV _den AS BIGINT)"
+            ),
+        )
+        .orderBy(F.col("cab").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(top_n)
+        .select("a", "b", "cab", "ca", "n_follow", "cont_b", "pkn_ppm")
+    )

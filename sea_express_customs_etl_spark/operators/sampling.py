@@ -439,3 +439,107 @@ def group_reservoir_sample(
             F.col("sample_rank").cast("bigint").alias("sample_rank"),
         )
     )
+
+
+def unimax_alloc(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    max_epochs: int = 2,
+) -> DataFrame:
+    """UniMax mixture allocation (Chung et al., ICLR 2023): apportion a
+    token/row ``budget`` across domains as UNIFORMLY as possible,
+    subject to a per-domain repeat cap of ``max_epochs`` passes — the
+    principled successor to temperature sampling (``
+    temperature_allocation``): no tuned α, bounded duplication for
+    low-resource domains, everything-else-uniform.
+
+    Waterfill, smallest domain first (count ASC, name ASC): domain i
+    is CAPPED while the remaining budget could still hand every
+    not-yet-processed domain at least this domain's cap —
+
+        cap_i · (n − i + 1) ≤ B − Σ_{j<i} cap_j
+
+    (a prefix property: caps ascend, so the first failure ends the
+    capped region — computed as a running AND, no sequential state).
+    The uncapped suffix of m domains splits the remainder R exactly by
+    largest-remainder integer apportionment: R DIV m each, the first
+    R mod m (in sort order) get +1 — so Σ alloc = budget EXACTLY
+    whenever the budget fits under Σ caps, and alloc = cap for every
+    domain otherwise. Pure bigint arithmetic end to end; ties and
+    remainders are name-deterministic (the temperature_allocation
+    discipline).
+
+    Output: group_col, n_rows, cap, alloc, epochs_ppm
+    (= 10⁶·alloc DIV n_rows — the realized duplication factor,
+    ≤ 10⁶·max_epochs by construction).
+
+    Scale: one partial-agg count shuffle; every window after runs on
+    the |domains|-row frame (model-sized — the same global-window
+    license as temperature_allocation's remainder rank).
+    """
+    cnt = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    capped = cnt.select(
+        group_col,
+        "n_rows",
+        (F.lit(int(max_epochs)) * F.col("n_rows")).alias("cap"),
+    )
+    order = Window.orderBy(F.col("n_rows").asc(), F.col(group_col).asc())
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = F.lit(int(budget))
+    staged = (
+        capped.withColumn("_i", F.row_number().over(order))
+        .withColumn("_n", F.count(F.lit(1)).over(full))
+        .withColumn(
+            "_cum_prev",
+            F.coalesce(
+                F.sum("cap").over(
+                    order.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "_cond",
+            (
+                F.col("cap") * (F.col("_n") - F.col("_i") + 1)
+                <= b - F.col("_cum_prev")
+            ).cast("int"),
+        )
+        .withColumn(
+            "_capped",
+            F.min("_cond").over(
+                order.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    totals = (
+        staged.withColumn("_t", F.sum("_capped").over(full))
+        .withColumn(
+            "_cap_sum", F.sum(F.col("_capped") * F.col("cap")).over(full)
+        )
+        .withColumn("_m", F.col("_n") - F.col("_t"))
+        .withColumn("_r", b - F.col("_cap_sum"))
+    )
+    alloc = (
+        F.when(F.col("_capped") == 1, F.col("cap"))
+        .when(F.col("_m") <= 0, F.col("cap"))
+        .otherwise(
+            F.expr("_r DIV _m")
+            + (
+                (F.col("_i") - F.col("_t")) <= F.col("_r") % F.col("_m")
+            ).cast("bigint")
+        )
+    )
+    return totals.select(
+        group_col,
+        "n_rows",
+        "cap",
+        alloc.cast("bigint").alias("alloc"),
+    ).withColumn(
+        "epochs_ppm", F.expr("(1000000 * alloc) DIV n_rows")
+    )

@@ -5481,3 +5481,184 @@ FROM topk a
 JOIN topk b ON b.item_id = a.rec_id AND b.rec_id = a.item_id
 WHERE a.item_id < a.rec_id
 """
+
+
+# --------------------------------------------------------------------------
+# Round-8 wave 2: exact ranking-quality eval + calibration + KN smoothing
+# --------------------------------------------------------------------------
+
+# exact ROC-AUC of the trained perceptron's integer scores vs lang='en'
+# (operators/evalstats.py:auc_exact): Mann-Whitney identity evaluated at
+# distinct-score grain — pairs_gt counts (pos, neg) score pairs with
+# pos > neg via a cumulative negative count, pairs_eq the exact ties;
+# ppm doubles the numerator so the half-tie term stays integral.
+CLASSIFIER_AUC_SQL = (
+    "WITH "
+    + _PERC_PRELUDE
+    + """,
+auc_sc AS (SELECT c.doc_id, sum(w3.w * c.c) AS score
+           FROM cnt c JOIN w3 USING (bucket) GROUP BY 1),
+auc_p AS (SELECT coalesce(sc.score, 0) AS s,
+                 CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents d LEFT JOIN auc_sc sc USING (doc_id)),
+auc_g AS (SELECT s, sum(y)::BIGINT AS pos, sum(1 - y)::BIGINT AS neg
+          FROM auc_p GROUP BY s),
+auc_c AS (SELECT s, pos, neg,
+                 coalesce(sum(neg) OVER (ORDER BY s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS neg_below
+          FROM auc_g),
+auc_m AS (SELECT sum(pos)::BIGINT AS n_pos, sum(neg)::BIGINT AS n_neg,
+                 sum(pos * neg_below)::BIGINT AS pairs_gt,
+                 sum(pos * neg)::BIGINT AS pairs_eq
+          FROM auc_c)
+SELECT n_pos, n_neg, pairs_gt, pairs_eq,
+       CAST((1000000::HUGEINT * (2 * pairs_gt + pairs_eq))
+            // (2::HUGEINT * n_pos * n_neg) AS BIGINT) AS auc_ppm
+FROM auc_m
+"""
+)
+
+# reliability deciles of the same scores (operators/evalstats.py:
+# score_deciles): ANSI NTILE(10) under the total order (score, doc_id)
+# — per-bucket volume, positive count/rate, integer score span.
+CLASSIFIER_DECILES_SQL = (
+    "WITH "
+    + _PERC_PRELUDE
+    + """,
+dc_sc AS (SELECT c.doc_id, sum(w3.w * c.c) AS score
+          FROM cnt c JOIN w3 USING (bucket) GROUP BY 1),
+dc_p AS (SELECT d.doc_id, coalesce(sc.score, 0) AS s,
+                CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+         FROM documents d LEFT JOIN dc_sc sc USING (doc_id)),
+dc_b AS (SELECT s, y,
+                ntile(10) OVER (ORDER BY s, doc_id) AS bucket
+         FROM dc_p)
+SELECT CAST(bucket AS INTEGER) AS bucket,
+       count(*)::BIGINT AS n_rows,
+       sum(y)::BIGINT AS n_pos,
+       CAST((1000000 * sum(y)) // count(*) AS BIGINT) AS pos_ppm,
+       CAST(min(s) AS BIGINT) AS score_min,
+       CAST(max(s) AS BIGINT) AS score_max
+FROM dc_b GROUP BY bucket
+"""
+)
+
+# interpolated Kneser-Ney bigram probabilities, D = 3/4, observed
+# bigrams, corpus top-50 by count (operators/lm.py:
+# kneser_ney_bigram_top): integer rational lifted by the common
+# denominator 4*c(a)*N1p(..); continuation counts at bigram-TYPE grain.
+KNESER_NEY_SQL = """
+WITH kn_toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+kn_pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)),
+                i -> struct_pack(a := tk[i], b := tk[i+1]))) AS p
+  FROM kn_toked),
+kn_bg AS (SELECT p.a AS a, p.b AS b FROM kn_pairs),
+kn_c12 AS (SELECT a, b, count(*)::BIGINT AS cab FROM kn_bg GROUP BY a, b),
+kn_c1 AS (SELECT a, sum(cab)::BIGINT AS ca,
+                 count(*)::BIGINT AS n_follow
+          FROM kn_c12 GROUP BY a),
+kn_ct AS (SELECT b, count(*)::BIGINT AS cont_b FROM kn_c12 GROUP BY b),
+kn_tt AS (SELECT count(*)::HUGEINT AS nbt FROM kn_c12)
+SELECT a, b, cab, ca, n_follow, cont_b,
+       CAST((1000000::HUGEINT
+             * ((4 * cab - 3)::HUGEINT * nbt
+                + 3::HUGEINT * n_follow * cont_b))
+            // (4::HUGEINT * ca * nbt) AS BIGINT) AS pkn_ppm
+FROM kn_c12 JOIN kn_c1 USING (a) JOIN kn_ct USING (b) CROSS JOIN kn_tt
+ORDER BY cab DESC, a ASC, b ASC
+LIMIT 50
+"""
+
+# UniMax allocation over document sources (operators/sampling.py:
+# unimax_alloc, budget 700, max 2 epochs): capped prefix by running
+# AND of cap_i*(n-i+1) <= B - cum_prev under (count ASC, name ASC);
+# uncapped remainder split by largest-remainder integer apportionment.
+UNIMAX_SQL = """
+WITH um_cnt AS (
+  SELECT source, count(*)::BIGINT AS n_rows FROM documents GROUP BY source),
+um_s AS (
+  SELECT source, n_rows, 2 * n_rows AS cap,
+         row_number() OVER (ORDER BY n_rows, source) AS i,
+         count(*) OVER () AS n,
+         coalesce(sum(2 * n_rows) OVER (ORDER BY n_rows, source
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS cum_prev
+  FROM um_cnt),
+um_c AS (
+  SELECT *, CASE WHEN cap * (n - i + 1) <= 700 - cum_prev
+                 THEN 1 ELSE 0 END AS cond
+  FROM um_s),
+um_cc AS (
+  SELECT *, min(cond) OVER (ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS is_capped
+  FROM um_c),
+um_t AS (
+  SELECT *, sum(is_capped) OVER () AS t_capped,
+         sum(is_capped * cap) OVER () AS cap_sum
+  FROM um_cc),
+um_a AS (
+  SELECT source, n_rows, cap,
+         CASE WHEN is_capped = 1 THEN cap
+              WHEN n - t_capped <= 0 THEN cap
+              ELSE (700 - cap_sum) // (n - t_capped)
+                   + (CASE WHEN (i - t_capped)
+                               <= (700 - cap_sum) % (n - t_capped)
+                           THEN 1 ELSE 0 END)
+         END AS alloc
+  FROM um_t)
+SELECT source, n_rows, CAST(cap AS BIGINT) AS cap,
+       CAST(alloc AS BIGINT) AS alloc,
+       CAST((1000000 * alloc) // n_rows AS BIGINT) AS epochs_ppm
+FROM um_a
+"""
+
+# cross-source quantile normalization of the bigram-LM doc scores
+# (operators/calibrate.py:quantile_normalize over lm_score): each
+# row's score replaced by the GLOBAL score at its within-source
+# quantile — target global rank ceil(r*N/n_s) by integer arithmetic.
+QUANTILE_NORM_SQL = f"""
+WITH qn_s AS ({LM_SCORE_SQL}),
+qn_j AS (SELECT d.doc_id, d.source, s.logprob_u6
+         FROM qn_s s JOIN documents d USING (doc_id)),
+qn_l AS (SELECT doc_id, source, logprob_u6,
+                row_number() OVER (PARTITION BY source
+                    ORDER BY logprob_u6, doc_id)::BIGINT AS src_rank,
+                count(*) OVER (PARTITION BY source)::BIGINT AS n_s,
+                count(*) OVER ()::BIGINT AS n_tot,
+                row_number() OVER (ORDER BY logprob_u6, doc_id)::BIGINT
+                    AS g
+         FROM qn_j),
+qn_lk AS (SELECT g AS target, logprob_u6 AS norm_logprob_u6 FROM qn_l)
+SELECT l.doc_id, l.source, l.logprob_u6, l.src_rank, k.norm_logprob_u6
+FROM qn_l l JOIN qn_lk k
+  ON (l.src_rank * l.n_tot + l.n_s - 1) // l.n_s = k.target
+"""
+
+# per-source (chosen, rejected) preference pairs from the bigram-LM
+# scores (operators/calibrate.py:preference_pairs): argmax/argmin per
+# source under (score, doc_id ASC) with the exact integer margin.
+PREFERENCE_PAIRS_SQL = f"""
+WITH pp_s AS ({LM_SCORE_SQL}),
+pp_j AS (SELECT d.doc_id, d.source, s.logprob_u6
+         FROM pp_s s JOIN documents d USING (doc_id)),
+pp_b AS (SELECT source, doc_id, logprob_u6,
+                row_number() OVER (PARTITION BY source
+                    ORDER BY logprob_u6 DESC, doc_id) AS rb,
+                row_number() OVER (PARTITION BY source
+                    ORDER BY logprob_u6 ASC, doc_id) AS rw
+         FROM pp_j)
+SELECT b.source, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+       b.logprob_u6 AS chosen_logprob_u6,
+       w.logprob_u6 AS rejected_logprob_u6,
+       CAST(b.logprob_u6 - w.logprob_u6 AS BIGINT) AS margin
+FROM pp_b b JOIN pp_b w USING (source)
+WHERE b.rb = 1 AND w.rw = 1 AND b.doc_id <> w.doc_id
+"""

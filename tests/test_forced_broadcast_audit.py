@@ -181,6 +181,15 @@ FORCED_BROADCAST_ALLOWED = {
     #                        global_rank offsets (same license)
     "consistent_hash_rebalance",  # pinned 144-row vnode ring (fixed
     #                               shards·vnodes — model-sized)
+    "classifier_auc",  # trained B=64-row model broadcast + the
+    #                    global_cumsum |partitions|-row offsets
+    #                    (learned_quality_filter + global_rank licenses)
+    "classifier_score_deciles",  # same trained-model broadcast + the
+    #                              global_rank offsets + 1-row ntile N
+    "kneser_ney_bigram",  # pinned 1-row bigram-type-count scalar
+    "source_quantile_norm",  # 1-row total-N + global_rank offsets +
+    #                          lm_score's 1-row V (the lm license)
+    "preference_pairs",  # lm_score's 1-row V scalar (the lm license)
 }
 
 

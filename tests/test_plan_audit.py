@@ -129,6 +129,13 @@ BNLJ_ALLOWED = {
     "event_trimmed_sums",  # same global_rank offsets license
     "consistent_hash_rebalance",  # 144-row vnode ring broadcast
     #                               cross-joined (model-sized ring)
+    "classifier_score_deciles",  # 1-row total-N scalar broadcast
+    #                              (ntile_by_rank, the lm_terciles
+    #                              license) + trained model join
+    "kneser_ney_bigram",  # 1-row bigram-type-count scalar broadcast
+    "source_quantile_norm",  # 1-row total-N scalar + lm_score's 1-row
+    #                          V scalar (the lm_terciles license)
+    "preference_pairs",  # lm_score's 1-row V scalar (the lm license)
 }
 
 
