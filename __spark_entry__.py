@@ -1494,6 +1494,85 @@ def _q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge training in-engine (the BERT-tokenizer rule):
+    8 rounds maximizing the quantized likelihood-ratio score
+    (10¹²·n(l,r)) DIV (c(l)·c(r)) instead of BPE's raw count — the
+    corpus's collocation structure, not its letter frequencies, picks
+    the merges (first winner here is 'q'+'u'). The whole argmax
+    trajectory hash-matches the oracle's unrolled CTE chain
+    (operators/bpe.py:wordpiece_train; the bpe_learned_merges
+    discipline, third tokenizer family next to BPE and unigram-LM)."""
+    from sea_express_customs_etl_spark.operators.bpe import wordpiece_train
+
+    merges = wordpiece_train(_docs(spark, sf_dir), n_merges=8)
+    return spark.createDataFrame(
+        [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
+        "step int, left string, right string",
+    )
+
+
+def _q_doc_novelty_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-diversity scoring for data selection: per document,
+    the fraction of its distinct 3-gram shingles that are
+    corpus-UNIQUE (df = 1) — near-dup family members score near zero,
+    genuinely novel text near 10⁶ ppm; the rank signal for
+    diversity-greedy selection (the facility-coreset objective at
+    shingle grain). One shingle explode + one df aggregation + one
+    doc-grain rollup, all partial-agg shuffles."""
+    from sea_express_customs_etl_spark.operators.dedup import shingles
+
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs).distinct()
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_df")
+    )
+    per_doc = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum((F.col("_df") == 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0))
+            .cast("bigint")
+            .alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.expr(
+                "CAST(CASE WHEN coalesce(n_shingles, 0) = 0 THEN 0"
+                " ELSE (1000000 * n_unique) DIV n_shingles END AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )
+
+
+def _q_json_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines format lineage: nation rows written as JSONL and
+    read back under the explicit schema must hash-match DuckDB's
+    direct parquet read — completes the built-in format trio
+    (parquet native, ORC, JSON) on the connector-lineage pattern."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    d = _session_scratch(spark, "json_rt")
+    nation.write.mode("overwrite").json(f"{d}/nation_json")
+    return (
+        spark.read.schema(nation.schema)
+        .json(f"{d}/nation_json")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
 def _q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM (SentencePiece-style) vocabulary TRAINING in-engine,
     trajectory-hash-checked (the bpe_learned_merges discipline, r6
@@ -4846,6 +4925,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_mix_alloc": _q_unimax_mix_alloc,
         "source_quantile_norm": _q_source_quantile_norm,
         "preference_pairs": _q_preference_pairs,
+        "wordpiece_merges": _q_wordpiece_merges,
+        "doc_novelty_gain": _q_doc_novelty_gain,
+        "json_roundtrip_nation": _q_json_roundtrip_nation,
         "image_decode_stats": _q_image_decode_stats,
         "video_scene_cuts": _q_video_scene_cuts,
         "scd2_history": _q_scd2_history,
@@ -6027,6 +6109,10 @@ def oracle_sql() -> dict[str, str]:
         "unimax_mix_alloc": ext.UNIMAX_SQL,
         "source_quantile_norm": ext.QUANTILE_NORM_SQL,
         "preference_pairs": ext.PREFERENCE_PAIRS_SQL,
+        "wordpiece_merges": ext.wordpiece_train_sql(8),
+        "doc_novelty_gain": ext.DOC_NOVELTY_GAIN_SQL,
+        "json_roundtrip_nation":
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "pps_length_sample": ext.PPS_SAMPLE_SQL,
         "event_sigma_outliers": ext.EVENT_SIGMA_OUTLIERS_SQL,
         "lsh_recall_curve": ext.LSH_RECALL_CURVE_SQL,

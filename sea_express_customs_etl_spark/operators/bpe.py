@@ -186,3 +186,97 @@ def bpe_encode(
     return packed.select(
         F.col(id_col), "tokens", F.size("tokens").alias("n_tokens")
     )
+
+
+def wordpiece_train(
+    df: DataFrame,
+    n_merges: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[tuple[str, str]]:
+    """WordPiece merge training (Schuster & Nakajima 2012; the
+    BERT-tokenizer family): identical loop shape to :func:`bpe_train`
+    but the winner maximizes the LIKELIHOOD-RATIO score
+
+        score(l, r) = n(l, r) / (c(l) · c(r))
+
+    — merge the pair whose joint frequency most exceeds what its
+    parts' independent frequencies predict (BPE's raw-count rule
+    promotes frequent-but-uninformative pairs like ``e``+``r``;
+    WordPiece promotes collocated ones). The score is held as the
+    QUANTIZED integer ``(10¹² · n) DIV (c(l)·c(r))`` — numerator
+    lifted to DECIMAL(38,0) (HUGEINT on the oracle side) so the
+    product never overflows, quotient ≤ 10¹² (n ≤ min(c(l), c(r))),
+    ties break (score DESC, l ASC, r ASC) — so the whole argmax
+    TRAJECTORY is engine-portable and hash-checkable (the bpe_train
+    discipline with a rational scoring rule).
+
+    Per round: one vocab-sized pair aggregation, one vocab-sized
+    symbol-occurrence aggregation (both partial-agg shuffles over the
+    word-frequency table, never the corpus), two vocab-grain joins,
+    one 1-row argmax collect. Same 100 TB shape as BPE: the corpus is
+    touched exactly once, by :func:`word_freq`.
+    """
+    vocab = word_freq(df, text_col, id_col).select(
+        "freq", _chars(F.col("word")).alias("syms")
+    ).persist()
+    merges: list[tuple[str, str]] = []
+    current = vocab
+    for _ in range(n_merges):
+        adj = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("l"),
+                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        pairs = (
+            current.select("freq", F.explode(adj).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "n")
+        )
+        # per-position symbol occurrences weighted by word freq — the
+        # c(l)/c(r) marginals of the same event space the pairs count
+        occ = (
+            current.select("freq", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+        )
+        winner = (
+            pairs.join(
+                occ.select(F.col("s").alias("l"), F.col("c").alias("_cl")),
+                "l",
+            )
+            .join(
+                occ.select(F.col("s").alias("r"), F.col("c").alias("_cr")),
+                "r",
+            )
+            .withColumn(
+                "_q",
+                F.expr(
+                    "(CAST(1000000000000 AS DECIMAL(38,0)) * n)"
+                    " DIV (CAST(_cl AS DECIMAL(38,0)) * _cr)"
+                ),
+            )
+            .orderBy(
+                F.col("_q").desc(), F.col("l").asc(), F.col("r").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not winner:
+            break
+        left, right = winner[0]["l"], winner[0]["r"]
+        merges.append((left, right))
+        nxt = current.select(
+            "freq", apply_merge(F.col("syms"), left, right).alias("syms")
+        ).persist()
+        nxt.count()
+        current.unpersist()
+        current = nxt
+    current.unpersist()
+    return merges

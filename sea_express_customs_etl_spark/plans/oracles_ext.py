@@ -5662,3 +5662,88 @@ SELECT b.source, b.doc_id AS chosen_id, w.doc_id AS rejected_id,
 FROM pp_b b JOIN pp_b w USING (source)
 WHERE b.rb = 1 AND w.rw = 1 AND b.doc_id <> w.doc_id
 """
+
+
+def wordpiece_train_sql(n_merges: int = 8, src: str = "documents") -> str:
+    """DuckDB replica of ``operators/bpe.wordpiece_train``: the
+    bpe_train_sql trajectory with the likelihood-ratio argmax — per
+    round, adjacent-pair counts AND per-position symbol marginals over
+    the evolving dictionary, quantized integer score
+    (10¹²·n) // (c(l)·c(r)) in HUGEINT, winner threaded into the next
+    round's replace via CROSS JOIN. No data-dependent literals.
+    Every CTE is MATERIALIZED: sy{k} is referenced twice per round
+    (pair counts AND marginals), and inlining makes the v-chain
+    expansion 3^k — DuckDB ran out of file handles at k=8."""
+    s31 = chr(31)
+    stages = [
+        f"""v0 AS MATERIALIZED (
+  SELECT count(*)::BIGINT AS freq,
+         '{s31}' || array_to_string(
+             list_append(regexp_split_to_array(w, ''), '</w>'),
+             '{s31}{s31}') || '{s31}' AS enc
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+        FROM {src})
+  WHERE w <> '' GROUP BY w)"""
+    ]
+    for k in range(1, n_merges + 1):
+        stages.append(f"""sy{k} AS MATERIALIZED (
+  SELECT freq, string_split(trim(enc, '{s31}'), '{s31}{s31}') AS sy
+  FROM v{k - 1}),
+p{k} AS MATERIALIZED (
+  SELECT pr.l, pr.r, sum(freq)::BIGINT AS n FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(sy)),
+                  i -> struct_pack(l := sy[i], r := sy[i + 1]))) AS pr
+    FROM sy{k})
+  GROUP BY 1, 2),
+u{k} AS MATERIALIZED (
+  SELECT s, sum(freq)::BIGINT AS c FROM (
+    SELECT freq, unnest(sy) AS s FROM sy{k})
+  GROUP BY 1),
+m{k} AS MATERIALIZED (
+  SELECT p.l, p.r
+  FROM p{k} p
+  JOIN u{k} ul ON ul.s = p.l
+  JOIN u{k} ur ON ur.s = p.r
+  ORDER BY (1000000000000::HUGEINT * p.n)
+               // (ul.c::HUGEINT * ur.c) DESC,
+           p.l ASC, p.r ASC
+  LIMIT 1),
+v{k} AS MATERIALIZED (
+  SELECT freq,
+         replace(enc, '{s31}' || m.l || '{s31}{s31}' || m.r || '{s31}',
+                 '{s31}' || m.l || m.r || '{s31}') AS enc
+  FROM v{k - 1} CROSS JOIN m{k} m)""")
+    finals = " UNION ALL ".join(
+        f'SELECT {k} AS step, l AS "left", r AS "right" FROM m{k}'
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(stages)
+        + '\nSELECT CAST(step AS INTEGER) AS step, "left", "right"'
+        + f" FROM ({finals})"
+    )
+
+
+# per-document novelty gain (operators/textstats-adjacent, composed in
+# __spark_entry__): the fraction of a doc's distinct 3-gram shingles
+# that are corpus-UNIQUE (df = 1) — the marginal-diversity signal a
+# data-selection pass ranks on (a doc whose shingles all exist
+# elsewhere adds nothing a dedup pass wouldn't remove).
+DOC_NOVELTY_GAIN_SQL = f"""
+WITH {_sh_over("documents", 3, "ng_sh").strip().lstrip("WITH").strip()},
+ng_df AS (SELECT shingle, count(*)::BIGINT AS df
+          FROM ng_sh GROUP BY shingle),
+ng_doc AS (
+  SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+         sum(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+  FROM ng_sh s JOIN ng_df f USING (shingle) GROUP BY s.doc_id)
+SELECT d.doc_id,
+       coalesce(g.n_shingles, 0) AS n_shingles,
+       coalesce(g.n_unique, 0) AS n_unique,
+       CAST(CASE WHEN coalesce(g.n_shingles, 0) = 0 THEN 0
+            ELSE (1000000 * g.n_unique) // g.n_shingles END AS BIGINT)
+           AS novelty_ppm
+FROM documents d LEFT JOIN ng_doc g USING (doc_id)
+"""

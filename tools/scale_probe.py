@@ -1449,6 +1449,133 @@ def _hashed_topk(docs, fixed_panel: bool):
     return hashed_doc_topk(docs, query_mod=97, k=10, query_pred=pred)
 
 
+def cases_r8b() -> dict:
+    """Round-8 wave-2/3 probes (eval/calibration/smoothing family).
+    Replicated docs repeat TEXT, so the distinct-score and bigram-type
+    tables stay ~1× while per-doc rows grow 8× — the corpus-side
+    shuffles are what these isolate."""
+    from sea_express_customs_etl_spark.operators.calibrate import (
+        preference_pairs,
+        quantile_normalize,
+    )
+    from sea_express_customs_etl_spark.operators.dedup import shingles
+    from sea_express_customs_etl_spark.operators.evalstats import auc_exact
+    from sea_express_customs_etl_spark.operators.lm import (
+        kneser_ney_bigram_top,
+        lm_score,
+    )
+    from sea_express_customs_etl_spark.operators.sampling import unimax_alloc
+    from sea_express_customs_etl_spark.operators.textstats import (
+        hashed_logit_score,
+    )
+
+    def _scored(docs):
+        return (
+            hashed_logit_score(docs)
+            .join(docs.select("doc_id", "lang"), "doc_id")
+            .select(
+                "doc_id",
+                F.col("logit").alias("score"),
+                (F.col("lang") == "en").cast("int").alias("truth"),
+            )
+        )
+
+    def _lm_by_source(docs):
+        return (
+            lm_score(docs)
+            .join(docs.select("doc_id", "source"), "doc_id")
+            .select("doc_id", "source", "logprob_u6")
+        )
+
+    def _novelty(docs):
+        sh = shingles(docs).distinct()
+        dfreq = sh.groupBy("shingle").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_df")
+        )
+        return (
+            sh.join(dfreq, "shingle")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.sum((F.col("_df") == 1).cast("bigint")).alias("n_unique"),
+            )
+        )
+
+    def _wordpiece_round(docs):
+        # one wordpiece scoring round at dictionary grain (the
+        # per-round cost driver; the argmax collect is 1 row)
+        from sea_express_customs_etl_spark.operators.bpe import (
+            _chars,
+            word_freq,
+        )
+
+        vocab = word_freq(docs).select(
+            "freq", _chars(F.col("word")).alias("syms")
+        )
+        adj = F.when(
+            F.size("syms") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("l"),
+                    F.element_at(F.col("syms"), i + 1).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        pairs = (
+            vocab.select("freq", F.explode(adj).alias("p"))
+            .groupBy("p")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "n")
+        )
+        occ = (
+            vocab.select("freq", F.explode("syms").alias("s"))
+            .groupBy("s")
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+        )
+        return (
+            pairs.join(
+                occ.select(F.col("s").alias("l"), F.col("c").alias("_cl")),
+                "l",
+            )
+            .join(
+                occ.select(F.col("s").alias("r"), F.col("c").alias("_cr")),
+                "r",
+            )
+            .withColumn(
+                "q",
+                F.expr(
+                    "(CAST(1000000000000 AS DECIMAL(38,0)) * n)"
+                    " DIV (CAST(_cl AS DECIMAL(38,0)) * _cr)"
+                ),
+            )
+        )
+
+    return {
+        # distinct-score grain ~1x (same texts): the doc-grain score
+        # shuffle is the scaling term, the cumsum stays dictionary-sized
+        "classifier_auc": lambda docs, emb: auc_exact(_scored(docs)),
+        # bigram TYPE tables stay 1x; only the first count pass grows
+        "kneser_ney": lambda docs, emb: kneser_ney_bigram_top(docs),
+        # two-phase global rank: range shuffle + per-source windows,
+        # both linear; the rank-lookup equi-join is corpus-sized
+        "quantile_norm": lambda docs, emb: quantile_normalize(
+            _lm_by_source(docs), "source", "logprob_u6"
+        ),
+        "preference_pairs": lambda docs, emb: preference_pairs(
+            _lm_by_source(docs), "source", "logprob_u6"
+        ),
+        # one count shuffle; windows at |sources| grain (model-sized)
+        "unimax_alloc": lambda docs, emb: unimax_alloc(
+            docs, "source", budget=700
+        ),
+        # shingle explode + df agg + doc rollup, all partial-agg
+        "doc_novelty": lambda docs, emb: _novelty(docs),
+        # wordpiece per-round scoring at dictionary grain (~1x tables)
+        "wordpiece_round": lambda docs, emb: _wordpiece_round(docs),
+    }
+
+
 def main() -> None:
     from sea_express_customs_etl_spark.plans.standins import load_table
     from sea_express_customs_etl_spark.session import get_spark
@@ -1485,6 +1612,7 @@ def main() -> None:
     li_cases = cases_li()
     all_cases = dict(cases())
     all_cases.update(cases_tfidf())
+    all_cases.update(cases_r8b())
     for nm, fn_ev in ev_cases.items():
         # adapt to the (d, e) calling convention; e is unused
         all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_ev)
