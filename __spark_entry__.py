@@ -1556,6 +1556,99 @@ def _q_doc_novelty_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-budget sizing curve: corpus token coverage of the
+    top-k vocabulary at k ∈ {64, 256, 1024, 4096} — what fraction of
+    running tokens a k-type vocab explains (the Heaps/Zipf readout a
+    vocab-size decision reads). Token ranks come from the two-phase
+    ``global_rank`` under the total order (freq DESC, token ASC); the
+    cumulative mass runs on the ≤4096-row TOP slice only (model-sized
+    window license), so nothing corpus-sized funnels through one
+    partition."""
+    from sea_express_customs_etl_spark.operators.ranking import global_rank
+
+    freq = (
+        _docs(spark, sf_dir)
+        .select(
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    ranked = global_rank(
+        freq, [F.col("freq").desc(), F.col("tok").asc()], rank_col="_r"
+    )
+    top = ranked.filter(F.col("_r") <= 4096).withColumn(
+        "_cum",
+        F.sum("freq").over(
+            Window.orderBy("_r").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    tot = freq.agg(
+        F.sum("freq").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("_n_types"),
+    )
+    ks = spark.createDataFrame(
+        [(64,), (256,), (1024,), (4096,)], "vocab_k int"
+    )
+    return (
+        ks.crossJoin(F.broadcast(tot))
+        .withColumn("_target", F.least(F.col("vocab_k"), F.col("_n_types")))
+        .join(
+            top.select(F.col("_r").alias("_target"), "_cum"), "_target"
+        )
+        .select(
+            "vocab_k",
+            F.col("_target").cast("bigint").alias("n_types_used"),
+            F.col("_cum").cast("bigint").alias("covered"),
+            "total",
+            F.expr("CAST((1000000 * _cum) DIV total AS BIGINT)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
+
+
+def _q_lm_slice_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) corpus-quality report from the bigram-LM
+    scores: document count, bigram mass, and the mean per-bigram
+    negative log-likelihood in micro-units — which slices read as
+    fluent vs word salad, the mixing-table quality column. The mean is
+    computed as (−Σ logprob) DIV Σ bigrams on the POSITIVE numerator
+    so both engines' integer division agrees regardless of their
+    negative-operand rounding convention."""
+    from sea_express_customs_etl_spark.operators.lm import lm_score
+
+    docs = _docs(spark, sf_dir)
+    s = lm_score(docs).join(
+        docs.select("doc_id", "lang", "source"), "doc_id"
+    )
+    return (
+        s.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+            F.sum("logprob_u6").cast("bigint").alias("sum_logprob_u6"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_bigrams",
+            "sum_logprob_u6",
+            F.expr(
+                "CAST(CASE WHEN total_bigrams = 0 THEN 0"
+                " ELSE (-sum_logprob_u6) DIV total_bigrams END AS BIGINT)"
+            ).alias("mean_nll_u6"),
+        )
+    )
+
+
 def _q_json_roundtrip_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines format lineage: nation rows written as JSONL and
     read back under the explicit schema must hash-match DuckDB's
@@ -4928,6 +5021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_merges": _q_wordpiece_merges,
         "doc_novelty_gain": _q_doc_novelty_gain,
         "json_roundtrip_nation": _q_json_roundtrip_nation,
+        "vocab_coverage_curve": _q_vocab_coverage_curve,
+        "lm_slice_report": _q_lm_slice_report,
         "image_decode_stats": _q_image_decode_stats,
         "video_scene_cuts": _q_video_scene_cuts,
         "scd2_history": _q_scd2_history,
@@ -6111,6 +6206,8 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs": ext.PREFERENCE_PAIRS_SQL,
         "wordpiece_merges": ext.wordpiece_train_sql(8),
         "doc_novelty_gain": ext.DOC_NOVELTY_GAIN_SQL,
+        "vocab_coverage_curve": ext.VOCAB_COVERAGE_SQL,
+        "lm_slice_report": ext.LM_SLICE_REPORT_SQL,
         "json_roundtrip_nation":
             "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "pps_length_sample": ext.PPS_SAMPLE_SQL,

@@ -5747,3 +5747,49 @@ SELECT d.doc_id,
            AS novelty_ppm
 FROM documents d LEFT JOIN ng_doc g USING (doc_id)
 """
+
+
+# tokenizer-budget sizing curve (__spark_entry__._q_vocab_coverage_curve):
+# corpus token coverage of the top-k vocab under the total order
+# (freq DESC, token ASC) at four fixed budgets.
+VOCAB_COVERAGE_SQL = """
+WITH vc_t AS (
+  SELECT unnest(list_filter(
+             string_split_regex(trim(lower(text)), '\\s+'),
+             x -> x <> '')) AS tok
+  FROM documents),
+vc_f AS (SELECT tok, count(*)::BIGINT AS freq FROM vc_t GROUP BY tok),
+vc_r AS (
+  SELECT tok, freq,
+         row_number() OVER (ORDER BY freq DESC, tok ASC)::BIGINT AS r,
+         sum(freq) OVER (ORDER BY freq DESC, tok ASC
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum
+  FROM vc_f),
+vc_tot AS (SELECT sum(freq)::BIGINT AS total,
+                  count(*)::BIGINT AS n_types FROM vc_f),
+vc_k(vocab_k) AS (SELECT * FROM (VALUES (64), (256), (1024), (4096)))
+SELECT k.vocab_k,
+       CAST(least(k.vocab_k, t.n_types) AS BIGINT) AS n_types_used,
+       r.cum AS covered, t.total,
+       CAST((1000000 * r.cum) // t.total AS BIGINT) AS coverage_ppm
+FROM vc_k k CROSS JOIN vc_tot t
+JOIN vc_r r ON r.r = least(k.vocab_k, t.n_types)
+"""
+
+# per-(lang, source) LM quality report (__spark_entry__.
+# _q_lm_slice_report): bigram mass + mean per-bigram NLL in
+# micro-units, numerator negated BEFORE the integer division so both
+# engines divide positives.
+LM_SLICE_REPORT_SQL = f"""
+WITH sr_s AS ({LM_SCORE_SQL}),
+sr_j AS (SELECT d.lang, d.source, s.n_bigrams, s.logprob_u6
+         FROM sr_s s JOIN documents d USING (doc_id))
+SELECT lang, source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_bigrams)::BIGINT AS total_bigrams,
+       sum(logprob_u6)::BIGINT AS sum_logprob_u6,
+       CAST(CASE WHEN sum(n_bigrams) = 0 THEN 0
+            ELSE (-sum(logprob_u6)) // sum(n_bigrams) END AS BIGINT)
+           AS mean_nll_u6
+FROM sr_j GROUP BY lang, source
+"""

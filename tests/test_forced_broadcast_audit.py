@@ -190,6 +190,9 @@ FORCED_BROADCAST_ALLOWED = {
     "source_quantile_norm",  # 1-row total-N + global_rank offsets +
     #                          lm_score's 1-row V (the lm license)
     "preference_pairs",  # lm_score's 1-row V scalar (the lm license)
+    "vocab_coverage_curve",  # 1-row totals scalar + global_rank
+    #                          offsets (the global_rank license)
+    "lm_slice_report",  # lm_score's 1-row V scalar (the lm license)
 }
 
 

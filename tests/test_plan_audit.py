@@ -136,6 +136,9 @@ BNLJ_ALLOWED = {
     "source_quantile_norm",  # 1-row total-N scalar + lm_score's 1-row
     #                          V scalar (the lm_terciles license)
     "preference_pairs",  # lm_score's 1-row V scalar (the lm license)
+    "vocab_coverage_curve",  # 1-row (total, n_types) scalar broadcast
+    #                          (the tfidf_top_terms license)
+    "lm_slice_report",  # lm_score's 1-row V scalar (the lm license)
 }
 
 
