@@ -1556,6 +1556,56 @@ def _q_doc_novelty_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication scorecard: how much of each source is
+    exact-duplicated (md5 digest multiplicity > 1) and near-duplicated
+    (endpoint of any LSH-candidate pair verified at Jaccard ≥ 0.5) —
+    the column a mixing/acquisition decision reads ("source X is 40%
+    recycled"). Composes the checked exact-dedup digest grouping with
+    the checked LSH → verify pipeline; membership only, no cluster
+    closure needed (an endpoint test is exact for 'has a near-dup')."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        jaccard_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+
+    docs = _docs(spark, sf_dir)
+    dig = docs.select("doc_id", "source", F.md5("text").alias("_d"))
+    sizes = dig.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
+    prof = _tracked_persist(shingle_profiles(docs))
+    vp = jaccard_verify_profiles(lsh_candidate_pairs(lsh_bands(prof)), prof)
+    ends = (
+        vp.select(F.col("id_a").alias("doc_id"))
+        .unionByName(vp.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("_near", F.lit(1).cast("bigint"))
+    )
+    return (
+        dig.join(sizes, "_d")
+        .join(ends, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("_n") > 1).cast("bigint"))
+            .cast("bigint")
+            .alias("n_exact_dup"),
+            F.sum(F.coalesce(F.col("_near"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_near_dup"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dup",
+            "n_near_dup",
+            F.expr("(1000000 * n_exact_dup) DIV n_docs").alias("exact_ppm"),
+            F.expr("(1000000 * n_near_dup) DIV n_docs").alias("near_ppm"),
+        )
+    )
+
+
 def _q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-budget sizing curve: corpus token coverage of the
     top-k vocabulary at k ∈ {64, 256, 1024, 4096} — what fraction of
@@ -5023,6 +5073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_roundtrip_nation": _q_json_roundtrip_nation,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
         "lm_slice_report": _q_lm_slice_report,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
         "image_decode_stats": _q_image_decode_stats,
         "video_scene_cuts": _q_video_scene_cuts,
         "scd2_history": _q_scd2_history,
@@ -6208,6 +6259,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_novelty_gain": ext.DOC_NOVELTY_GAIN_SQL,
         "vocab_coverage_curve": ext.VOCAB_COVERAGE_SQL,
         "lm_slice_report": ext.LM_SLICE_REPORT_SQL,
+        "dedup_rate_by_source": ext.DEDUP_RATE_BY_SOURCE_SQL,
         "json_roundtrip_nation":
             "SELECT n_nationkey, n_name, n_regionkey FROM nation",
         "pps_length_sample": ext.PPS_SAMPLE_SQL,

@@ -5793,3 +5793,45 @@ SELECT lang, source,
            AS mean_nll_u6
 FROM sr_j GROUP BY lang, source
 """
+
+
+# per-source duplication scorecard (__spark_entry__.
+# _q_dedup_rate_by_source): exact-dup = digest multiplicity > 1;
+# near-dup = endpoint of any LSH-candidate pair verified at
+# Jaccard >= 0.5 (the ngram_jaccard_dups pipeline, membership only).
+DEDUP_RATE_BY_SOURCE_SQL = f"""
+WITH {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS},
+dr_sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+dr_inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+dr_vp AS (
+  SELECT i.id_a, i.id_b
+  FROM dr_inter i
+  JOIN dr_sizes za ON za.doc_id = i.id_a
+  JOIN dr_sizes zb ON zb.doc_id = i.id_b
+  WHERE round(i.n_inter / (za.n_sh + zb.n_sh - i.n_inter), 4) >= 0.5),
+dr_near AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT id_a AS doc_id FROM dr_vp
+    UNION ALL SELECT id_b AS doc_id FROM dr_vp)),
+dr_dig AS (SELECT doc_id, source, md5(text) AS d FROM documents),
+dr_sz AS (SELECT d, count(*) AS n FROM dr_dig GROUP BY d)
+SELECT g.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN z.n > 1 THEN 1 ELSE 0 END)::BIGINT AS n_exact_dup,
+       sum(CASE WHEN nr.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_near_dup,
+       CAST((1000000 * sum(CASE WHEN z.n > 1 THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS exact_ppm,
+       CAST((1000000 * sum(CASE WHEN nr.doc_id IS NOT NULL
+                                THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS near_ppm
+FROM dr_dig g
+JOIN dr_sz z USING (d)
+LEFT JOIN dr_near nr USING (doc_id)
+GROUP BY g.source
+"""
