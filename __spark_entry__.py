@@ -240,6 +240,63 @@ def _trained_en_perceptron(
     return spark.createDataFrame(sorted(m[col]), f"bucket int, {col} long")
 
 
+# Session-scoped frozen ANN store memo (VERDICT r8 #2): the store trio
+# — ann_store_topk / ann_store_delete_topk / mmr_ann_rerank — used to
+# re-train the frozen model and rebuild the two-batch code store per
+# query (~24.7 s of identical work at sf0.1, three copies). Now ONE
+# train_frozen_model run and ONE physical store per (session, sf_dir):
+# the codebook memoizes as COLLECTED rows (m·k = 128 — model-sized,
+# the perceptron-memo license), so a repeat build is a
+# createDataFrame; the delete variant reads the shared codes/batches
+# tables through VIEWS under its own prefix, so its tombstone tables
+# never contaminate the shared readers. Hashes are unchanged by
+# construction: same model rows, same committed code rows, per-row
+# encode determinism (the property the store queries exist to check).
+_ANN_STORE_MEMO: dict[tuple[str, str], dict] = {}
+
+
+def _ann_shared_store(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, str]:
+    from sea_express_customs_etl_spark.streaming.ann_store import (
+        ann_store_batch_writer,
+        train_frozen_model,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _ANN_STORE_MEMO if k[0] != app_id]:
+        del _ANN_STORE_MEMO[k]
+    key = (app_id, sf_dir)
+    emb = _emb(spark, sf_dir)
+    cen = emb.filter(F.col("vec_id") < 16)
+    m = _ANN_STORE_MEMO.get(key)
+    if m is None:
+        sample = emb.filter(
+            (F.col("vec_id") >= 16) & (F.col("vec_id") < 48)
+        )
+        rows = sorted(
+            (r["subspace"], r["code"], list(r["cw_u6"]))
+            for r in train_frozen_model(sample, cen).collect()
+        )
+        prefix = "annshared_" + re.sub(
+            r"\W", "_", f"{app_id}_{sf_dir}"
+        )
+        codebook = spark.createDataFrame(
+            rows, "subspace int, code int, cw_u6 array<bigint>"
+        )
+        writer = ann_store_batch_writer(
+            prefix, cen, codebook, num_buckets=4
+        )
+        writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
+        writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+        m = {"rows": rows, "prefix": prefix}
+        _ANN_STORE_MEMO[key] = m
+    codebook = spark.createDataFrame(
+        m["rows"], "subspace int, code int, cw_u6 array<bigint>"
+    )
+    return cen, codebook, m["prefix"]
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dedup import exact_duplicates
 
@@ -841,33 +898,22 @@ def _q_ann_store_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     store must hash-match the ONE-SHOT ivfpq_trained_topk oracle
     verbatim — per-row encode determinism makes the incremental index
     bit-identical to a full build. Idempotent across invocations (the
-    commit-marker fence skips committed batches)."""
+    commit-marker fence skips committed batches). Train + build run
+    ONCE per session via the shared-store memo (VERDICT r8 #2); the
+    store prefix stays session-unique (catalog state is per-session
+    but warehouse DIRECTORIES persist — a fixed name collides with a
+    previous session's leftover location)."""
     from sea_express_customs_etl_spark.streaming.ann_store import (
-        ann_store_batch_writer,
         store_adc_topk,
-        train_frozen_model,
     )
 
-    emb = _emb(spark, sf_dir)
-    cen = emb.filter(F.col("vec_id") < 16)
-    sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
-    codebook = _tracked_persist(train_frozen_model(sample, cen))
-    # session-unique prefix: catalog state is per-session but warehouse
-    # DIRECTORIES persist — a fixed name collides with a previous
-    # session's leftover location (caught by the gate). Within one
-    # session re-invocation stays idempotent via the commit markers.
-    prefix = "annstore_" + re.sub(
-        r"\W", "_", spark.sparkContext.applicationId
-    )
-    writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
-    writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
-    writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    cen, codebook, prefix = _ann_shared_store(spark, sf_dir)
     return store_adc_topk(
         spark,
         prefix,
         cen,
         codebook,
-        emb.filter(F.col("vec_id") < 10),
+        _emb(spark, sf_dir).filter(F.col("vec_id") < 10),
         k=5,
         nprobe=2,
     )
@@ -881,24 +927,24 @@ def _q_ann_store_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-probe ADC search must hash-match the one-shot oracle
     restricted to the SURVIVORS. Idempotent across invocations (add
     and delete markers both fence replays); physical removal is
-    compact_ann_store, parity-tested in test_ann_store."""
+    compact_ann_store, parity-tested in test_ann_store. The add-side
+    codes/batches arrive as VIEWS over the session's shared store
+    (VERDICT r8 #2: one train + one two-batch build per session);
+    tombstone tables live under this query's own prefix, so the
+    logical deletes never leak into the shared readers."""
     from sea_express_customs_etl_spark.streaming.ann_store import (
-        ann_store_batch_writer,
         ann_store_delete_writer,
         store_adc_topk,
-        train_frozen_model,
     )
 
     emb = _emb(spark, sf_dir)
-    cen = emb.filter(F.col("vec_id") < 16)
-    sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
-    codebook = _tracked_persist(train_frozen_model(sample, cen))
-    prefix = "annstoredel_" + re.sub(
-        r"\W", "_", spark.sparkContext.applicationId
-    )
-    writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
-    writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
-    writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    cen, codebook, base = _ann_shared_store(spark, sf_dir)
+    prefix = base + "_del"
+    for t in ("codes", "batches"):
+        spark.sql(
+            f"CREATE VIEW IF NOT EXISTS {prefix}_{t} "
+            f"AS SELECT * FROM {base}_{t}"
+        )
     deleter = ann_store_delete_writer(prefix)
     deleter(emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"), 2)
     return store_adc_topk(
@@ -1523,7 +1569,9 @@ def _q_doc_novelty_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.dedup import shingles
 
     docs = _docs(spark, sf_dir)
-    sh = shingles(docs).distinct()
+    # consumed by both the df aggregation and the per-doc join — pin
+    # it or the shingle explode + distinct shuffle runs twice
+    sh = _tracked_persist(shingles(docs).distinct())
     dfreq = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("_df")
     )
@@ -1575,7 +1623,11 @@ def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     dig = docs.select("doc_id", "source", F.md5("text").alias("_d"))
     sizes = dig.groupBy("_d").agg(F.count(F.lit(1)).alias("_n"))
     prof = _tracked_persist(shingle_profiles(docs))
-    vp = jaccard_verify_profiles(lsh_candidate_pairs(lsh_bands(prof)), prof)
+    # both endpoint unions read vp — pin it or the LSH candidate join
+    # + Jaccard verify (the expensive stage) executes twice
+    vp = _tracked_persist(
+        jaccard_verify_profiles(lsh_candidate_pairs(lsh_bands(prof)), prof)
+    )
     ends = (
         vp.select(F.col("id_a").alias("doc_id"))
         .unionByName(vp.select(F.col("id_b").alias("doc_id")))
@@ -1766,21 +1818,12 @@ def _q_mmr_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         refine_exact_topk,
     )
     from sea_express_customs_etl_spark.streaming.ann_store import (
-        ann_store_batch_writer,
         store_adc_topk,
-        train_frozen_model,
     )
 
     emb = _emb(spark, sf_dir)
-    cen = emb.filter(F.col("vec_id") < 16)
-    sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
-    codebook = _tracked_persist(train_frozen_model(sample, cen))
-    prefix = "annmmr_" + re.sub(
-        r"\W", "_", spark.sparkContext.applicationId
-    )
-    writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
-    writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
-    writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    # one train + one store build per session (VERDICT r8 #2)
+    cen, codebook, prefix = _ann_shared_store(spark, sf_dir)
     # pinned: consumed twice inside the refine (ids + join)
     cand = _tracked_persist(
         store_adc_topk(
@@ -2191,8 +2234,9 @@ def _q_winnow_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking dedup (FastCDC-lite, r8): rolling-hash
-    boundaries (h·31+code mod 2²⁰, reset at boundary; cut at h%32=0
-    with 8 ≤ len ≤ 64) make chunk edges CONTENT-anchored, so an edit
+    boundaries (gear recurrence h ← 2·h + g mod 2²⁰ with NO reset,
+    g = code·2654435761 mod 2²⁰; cut iff h < 2¹⁵ with 8 ≤ len ≤ 64)
+    make chunk edges CONTENT-anchored, so an edit
     shifts only its own chunk and downstream chunks re-synchronize
     against the unedited copy — the storage-dedup primitive
     (LBFS/rsync/FastCDC) a fixed-size chunker cannot provide (pinned
@@ -2741,6 +2785,54 @@ def _q_event_value_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.quantiles import sketch_quantiles
 
     return sketch_quantiles(load_table(spark, sf_dir, "events"))
+
+
+def _q_sketch_rebuild_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fourth incremental store's takedown under the gate's hash
+    discipline (VERDICT r8 #3): a two-batch sketch store (HLL user
+    registers + centi-unit value histogram) takes a GDPR-style
+    takedown of every user_id ≡ 5 (mod 13). HLL's max-merge is not
+    invertible — no tombstone can subtract a user from a register —
+    so the delete is ``rebuild_sketch_store``: recompute both states
+    from the surviving raw rows and swap them in (nothing of the
+    deleted users remains physically). The merged read-back must
+    hash-match a FRESH DuckDB build over the survivors — the same
+    adds+delete ≡ fresh-build discipline the tombstone stores meet,
+    realized by the only algebra a lossy max-merged state admits.
+    Output: one tall state frame (kind 'hll': 256 register rows; kind
+    'hist': per-(event_type, bin) counts)."""
+    from sea_express_customs_etl_spark.streaming.sketch_store import (
+        merged_histogram,
+        merged_hll,
+        rebuild_sketch_store,
+        sketch_batch_writer,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    prefix = "sketchreb_" + re.sub(
+        r"\W", "_", spark.sparkContext.applicationId
+    )
+    writer = sketch_batch_writer(prefix)
+    writer(ev.filter(F.col("user_id") % 2 == 0), 0)
+    writer(ev.filter(F.col("user_id") % 2 == 1), 1)
+    rebuild_sketch_store(
+        spark, prefix, ev.filter(F.col("user_id") % 13 != 5)
+    )
+    hll = merged_hll(spark, prefix).select(
+        F.lit("hll").alias("kind"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("bucket").cast("bigint").alias("reg_or_bin"),
+        F.col("max_rank").cast("bigint").alias("state_val"),
+    )
+    hist = merged_histogram(spark, prefix).select(
+        F.lit("hist").alias("kind"),
+        "event_type",
+        F.col("bin").cast("bigint").alias("reg_or_bin"),
+        F.col("n").cast("bigint").alias("state_val"),
+    )
+    return hll.unionByName(hist)
 
 
 def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5026,6 +5118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lpa_modularity": _q_lpa_modularity,
         "pps_length_sample": _q_pps_length_sample,
         "event_value_qsketch": _q_event_value_qsketch,
+        "sketch_rebuild_survivors": _q_sketch_rebuild_survivors,
         "copurchase_pagerank_weighted": _q_copurchase_pagerank_weighted,
         "mmr_ann_rerank": _q_mmr_ann_rerank,
         "knowledge_ivm_delete": _q_knowledge_ivm_delete,
@@ -6071,6 +6164,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_mmr as omr
     from sea_express_customs_etl_spark.plans import oracles_unigram as uni
     from sea_express_customs_etl_spark.plans import oracles_wz as wz
+    from sea_express_customs_etl_spark.plans import oracles_r9 as r9
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
     )
@@ -6122,6 +6216,7 @@ def oracle_sql() -> dict[str, str]:
         "dsir_scores": ext.DSIR_SCORES_SQL,
         "lm_terciles": ext.LM_TERCILES_SQL,
         "event_value_qsketch": ext.EVENT_VALUE_QSKETCH_SQL,
+        "sketch_rebuild_survivors": r9.SKETCH_REBUILD_SURVIVORS_SQL,
         "pmi_collocations": ext.PMI_COLLOCATIONS_SQL,
         "domain_kl_divergence": ext.DOMAIN_KL_SQL,
         "fuzzy_key_recovery": ext.FUZZY_KEY_RECOVERY_SQL,

@@ -208,19 +208,26 @@ def main() -> None:
     # driver's BENCH_r{N}.json keeps only a ~2000-char output tail, so
     # without this file the per-query history is lost each round and
     # cross-round regression analysis can only squint at the slowest-10
-    # line. Round number = latest driver artifact + 1; re-runs within a
-    # round overwrite (latest wins).
+    # line. Round number: SPARK_GRAFT_ROUND env var wins (inference
+    # writes the wrong file when bench runs before the driver drops the
+    # current round's artifact); fallback = latest driver artifact + 1.
+    # Re-runs within a round overwrite (latest wins).
     repo = os.path.dirname(os.path.abspath(__file__))
-    rounds = [0]
-    for f in os.listdir(repo):
-        if f.startswith("BENCH_r") and f.endswith(".json"):
-            try:
-                rounds.append(int(f[len("BENCH_r"):-len(".json")]))
-            except ValueError:
-                pass
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is not None:
+        rnd = int(rnd)
+    else:
+        rounds = [0]
+        for f in os.listdir(repo):
+            if f.startswith("BENCH_r") and f.endswith(".json"):
+                try:
+                    rounds.append(int(f[len("BENCH_r"):-len(".json")]))
+                except ValueError:
+                    pass
+        rnd = max(rounds) + 1
     hist_dir = os.path.join(repo, "BENCH_HISTORY")
     os.makedirs(hist_dir, exist_ok=True)
-    hist_path = os.path.join(hist_dir, f"r{max(rounds) + 1:02d}.json")
+    hist_path = os.path.join(hist_dir, f"r{rnd:02d}.json")
     with open(hist_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")

@@ -162,7 +162,15 @@ def cdc_chunks_arrow(
 
     This is the production path for the 12 s interpreted-HOF fold the
     bench flagged (SCALE.md round-8): same spec, same plan shape
-    downstream (map-only → posexplode → digest agg)."""
+    downstream (map-only → posexplode → digest agg).
+
+    The byte-vectorized kernel is exact only on ASCII text (UTF-8
+    multi-byte would diverge from the per-CHARACTER Catalyst fold), so
+    non-ASCII rows are ROUTED to the Catalyst path instead of poisoning
+    the job: one bad document at 100 TB must not abort the run, and
+    both branches implement the identical spec so the union stays
+    bit-identical to a pure-Catalyst run (parity test covers a mixed
+    ASCII/CJK frame)."""
     import numpy as np
     import pandas as pd
 
@@ -175,13 +183,11 @@ def cdc_chunks_arrow(
                 codes = np.frombuffer(
                     txt.encode("utf-8"), dtype=np.uint8
                 ).astype(np.int64)
-                # ASCII contract of the spec: multi-byte input would
-                # diverge from the Catalyst per-CHARACTER fold — keep
-                # the two paths honest by refusing, not drifting
+                # the router below guarantees ASCII; a multi-byte row
+                # reaching here is a routing bug, not bad data
                 if codes.max(initial=0) > 127:
-                    raise ValueError(
-                        "cdc_chunks_arrow requires ASCII text "
-                        f"(doc {rid})"
+                    raise AssertionError(
+                        f"non-ASCII doc {rid} leaked past the router"
                     )
                 g = (codes * GEAR) % MOD
                 h = np.zeros(len(g), dtype=np.int64)
@@ -219,8 +225,14 @@ def cdc_chunks_arrow(
             )
 
     chunk = F.col("chunk")
-    return (
-        df.select(id_col, text_col)
+    base = df.select(id_col, text_col)
+    # route non-ASCII rows to the per-character Catalyst fold (same
+    # spec, bit-identical) — quarantine-by-routing, never abort
+    is_ascii = F.coalesce(
+        ~F.col(text_col).rlike("[^\\x00-\\x7F]"), F.lit(True)
+    )
+    arrow_part = (
+        base.filter(is_ascii)
         .mapInPandas(kernel, f"{id_col} long, chunk_idx int, chunk string")
         .select(
             id_col,
@@ -228,6 +240,16 @@ def cdc_chunks_arrow(
             chunk,
             F.length(chunk).cast("bigint").alias("chunk_len"),
             F.md5(chunk).alias("chunk_hash"),
+        )
+    )
+    return arrow_part.unionByName(
+        cdc_chunks(
+            base.filter(~is_ascii),
+            text_col,
+            id_col,
+            thresh,
+            min_len,
+            max_len,
         )
     )
 

@@ -152,3 +152,65 @@ def compact_sketch_store(spark: SparkSession, table_prefix: str) -> None:
         ),
     )
     swap(m_tab, spark.createDataFrame([(int(gen),)], "batch_id bigint"))
+
+
+def rebuild_sketch_store(
+    spark: SparkSession,
+    table_prefix: str,
+    survivors: DataFrame,
+    hll_col: str = "user_id",
+    value_col: str = "value",
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> None:
+    """Takedown for max-merged state (VERDICT r8 #3): HLL registers
+    fold by ``max`` and ``max`` is NOT invertible — no tombstone
+    algebra can subtract one user's contribution from a register the
+    way the Z-relation/tombstone stores subtract rows (SCALE.md). The
+    only honest delete is REBUILD: recompute both sketch states from
+    the SURVIVING raw rows and swap them in as one generation. Cost ∝
+    one survivor scan, paid at takedown time — the price of deletion
+    from a lossy-compressed state; reads stay flat afterward.
+
+    Mechanics: the survivor registers/bins land under generation id =
+    max committed batch + 1 via ``table_swap.backup_swap`` (both state
+    tables REPLACED — nothing of the deleted ids remains physically,
+    the GDPR requirement logical tombstones cannot meet); the marker
+    table keeps the PRIOR batch ids (so a replayed writer batch stays
+    fenced and cannot re-introduce deleted contributions) plus the new
+    generation. Idempotent: a rerun recomputes the same survivor state
+    under the next generation id — merged reads are unchanged.
+    Quiesced-stream contract, same as :func:`compact_sketch_store`."""
+    from sea_express_customs_etl_spark.streaming.table_swap import backup_swap
+
+    m_tab = f"{table_prefix}_batches"
+    prior = sorted(
+        int(r.batch_id) for r in spark.table(m_tab).collect()
+    )
+    gen = (prior[-1] if prior else -1) + 1
+    bid = F.lit(int(gen)).cast("bigint").alias("batch_id")
+
+    def swap(table: str, df: DataFrame) -> None:
+        backup_swap(
+            spark,
+            table,
+            lambda staging: df.write.mode("overwrite")
+            .format("parquet")
+            .saveAsTable(staging),
+        )
+
+    swap(
+        f"{table_prefix}_hll",
+        hll_registers(survivors, hll_col).select(bid, "bucket", "max_rank"),
+    )
+    swap(
+        f"{table_prefix}_hist",
+        value_histogram(survivors, value_col, group_cols).select(
+            bid, *group_cols, "bin", "n"
+        ),
+    )
+    swap(
+        m_tab,
+        spark.createDataFrame(
+            [(b,) for b in prior + [gen]], "batch_id bigint"
+        ),
+    )

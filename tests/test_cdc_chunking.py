@@ -112,3 +112,28 @@ def test_arrow_fast_path_bit_identical(spark, sf_dir):
         for r in cdc_chunks_arrow(docs).collect()
     }
     assert fast == ref and len(ref) > 1000
+
+
+def test_arrow_path_routes_non_ascii_to_catalyst(spark):
+    """A non-ASCII document must not poison the Arrow job (one bad doc
+    at 100 TB must not abort the run): the router sends it to the
+    per-character Catalyst fold, and the mixed frame's output equals a
+    pure-Catalyst run row for row."""
+    from sea_express_customs_etl_spark.operators.cdc_chunking import (
+        cdc_chunks_arrow,
+    )
+
+    cjk = "數據管道的內容定義分塊測試 " * 12 + _BASE
+    rows = [(1, _BASE), (2, cjk), (3, _BASE[::-1]), (4, None), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = {
+        (r.doc_id, r.chunk_idx, r.chunk, r.chunk_len, r.chunk_hash)
+        for r in cdc_chunks(df).collect()
+    }
+    fast = {
+        (r.doc_id, r.chunk_idx, r.chunk, r.chunk_len, r.chunk_hash)
+        for r in cdc_chunks_arrow(df).collect()
+    }
+    assert fast == ref
+    # the CJK doc actually produced chunks through the fallback branch
+    assert any(d == 2 for d, *_ in ref)

@@ -135,3 +135,43 @@ def test_compaction_preserves_states_and_future_appends(spark, sf_dir):
     got = sorted(map(tuple, merged_hll(spark, prefix).collect()))
     want = sorted(map(tuple, hll_registers(ev, "user_id").collect()))
     assert got == want
+
+
+def test_rebuild_survivors_equals_fresh_build(spark, sf_dir):
+    """Takedown = rebuild (max-merge is not invertible): after
+    rebuild_sketch_store over the survivors, the merged states must be
+    row-identical to a FRESH build that never saw the deleted users —
+    and a replayed writer batch must stay fenced (cannot re-introduce
+    deleted contributions)."""
+    from sea_express_customs_etl_spark.streaming.sketch_store import (
+        rebuild_sketch_store,
+    )
+
+    ev = _events(spark, sf_dir)
+    prefix = f"skreb_{uuid.uuid4().hex[:8]}"
+    writer = sketch_batch_writer(prefix)
+    writer(ev.filter(F.col("user_id") % 2 == 0), 0)
+    writer(ev.filter(F.col("user_id") % 2 == 1), 1)
+    surv = ev.filter(F.col("user_id") % 13 != 5)
+    rebuild_sketch_store(spark, prefix, surv)
+
+    want_hll = sorted(map(tuple, hll_registers(surv, "user_id").collect()))
+    want_h = sorted(map(tuple, value_histogram(surv).collect()))
+    assert sorted(map(tuple, merged_hll(spark, prefix).collect())) == want_hll
+    assert (
+        sorted(map(tuple, merged_histogram(spark, prefix).collect()))
+        == want_h
+    )
+
+    # replayed add batch: fenced by the surviving markers — deleted
+    # users must NOT come back
+    writer(ev.filter(F.col("user_id") % 2 == 0), 0)
+    assert sorted(map(tuple, merged_hll(spark, prefix).collect())) == want_hll
+
+    # rerun of the rebuild itself is idempotent
+    rebuild_sketch_store(spark, prefix, surv)
+    assert sorted(map(tuple, merged_hll(spark, prefix).collect())) == want_hll
+    assert (
+        sorted(map(tuple, merged_histogram(spark, prefix).collect()))
+        == want_h
+    )

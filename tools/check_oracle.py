@@ -68,6 +68,40 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def witness_summary(qs: dict) -> None:
+    """One-line driver-witness coverage report (VERDICT r8 #7): which
+    queries have never appeared in any CORRECTNESS_r*.json driver
+    artifact, and whether the current 50-entry prefix is spent on
+    already-witnessed rows — rotation planning without a judge-side
+    diff."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    witnessed: set[str] = set()
+    arts = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    for path in arts:
+        try:
+            with open(path) as f:
+                witnessed |= set(json.load(f))
+        except (OSError, ValueError):
+            pass
+    if not arts:
+        return
+    names = list(qs)
+    unw = [n for n in names if n not in witnessed]
+    prefix_witnessed = [n for n in names[:50] if n in witnessed]
+    print(
+        f"[witness] {len(names) - len(unw)}/{len(names)} driver-witnessed "
+        f"across {len(arts)} rounds; {len(unw)} never witnessed; "
+        f"current 50-prefix re-checks {len(prefix_witnessed)} already-"
+        f"witnessed rows: {prefix_witnessed if len(prefix_witnessed) <= 8 else prefix_witnessed[:8] + ['...']}"
+    )
+    if unw:
+        print(f"[witness] never witnessed: {unw}")
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sys.path.insert(0, "/root/repo")
@@ -85,6 +119,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    witness_summary(qs)
     only = set(sys.argv[2:])
     failures = 0
     for name, fn in qs.items():
