@@ -1867,6 +1867,71 @@ def _q_facility_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_facility_coreset_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN-fed facility-location coreset (VERDICT r8 #6): the greedy
+    coverage selection WITHOUT the pool × full-corpus scoring scan —
+    the session's trained store proposes each pool member's ADC
+    top-200 corpus points, exact clamped micro-cosine refines the
+    TOUCHED pairs only, and the greedy loop runs over that sparse
+    table (untouched pairs contribute 0 coverage — the sparse-
+    candidate approximation, stated identically by the oracle). The
+    100 TB path: candidate generation is index work, the per-step
+    gain aggregation is |pool|·200 rows instead of |corpus|·|pool|.
+    Composition lineage-cut via localCheckpoint before the iterative
+    loop (the mmr_ann_rerank plan-string-OOM lesson)."""
+    from sea_express_customs_etl_spark.operators.coreset import (
+        facility_location_from_sims,
+    )
+    from sea_express_customs_etl_spark.operators.similarity import (
+        _dot,
+        with_norm,
+    )
+    from sea_express_customs_etl_spark.streaming.ann_store import (
+        store_adc_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cen, codebook, prefix = _ann_shared_store(spark, sf_dir)
+    cand = store_adc_topk(
+        spark,
+        prefix,
+        cen,
+        codebook,
+        emb.filter(F.col("vec_id") < 32),
+        k=200,
+        nprobe=2,
+    ).select("query_id", "neighbor_id")
+    pts = with_norm(emb, "embedding", "vec_id").select(
+        F.col("vec_id").alias("_p"),
+        F.col("_v").alias("_pv"),
+        F.col("_n").alias("_pn"),
+    )
+    pool = with_norm(
+        emb.filter(F.col("vec_id") < 32), "embedding", "vec_id"
+    ).select(
+        F.col("vec_id").alias("_c"),
+        F.col("_v").alias("_cv"),
+        F.col("_n").alias("_cn"),
+    )
+    sim = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.round(
+            F.lit(1_000_000)
+            * _dot(F.col("_pv"), F.col("_cv"))
+            / (F.col("_pn") * F.col("_cn"))
+        ).cast("bigint"),
+    )
+    # model-sized (≤ 32·200 rows); the lineage CUT keeps the greedy
+    # loop's plan at sparse-table size under the store composition
+    sims = (
+        cand.join(pts, cand.neighbor_id == pts._p)
+        .join(F.broadcast(pool), cand.query_id == pool._c)
+        .select("_p", "_c", sim.alias("_s"))
+        .localCheckpoint()
+    )
+    return facility_location_from_sims(sims, k=4)
+
+
 def _q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train → apply composed: per-document token counts under the
     trained unigram vocabulary (the bpe_encode_fixed pairing for the
@@ -3810,6 +3875,55 @@ def _q_bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), k=10)
 
 
+def _q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer nDCG@10 of BOTH checked retrieval systems (BM25,
+    hybrid RRF) against a deterministic graded-relevance truth
+    (gain = 2^g − 1, g = distinct query terms present — derived from
+    the same tokenization BM25 uses), completing the eval family
+    (VERDICT r8 #4: classification ✓, ANN recall ✓, ranking ✗→✓).
+    The 1/log2(rank+1) discount table is FIXED integer ppm literals
+    shared by plan and oracle (the order_benford_digits rule); both
+    system rankings, the ideal ranking, and the final
+    (10⁶·DCG) DIV IDCG are all bigint-exact. Output: one row per
+    (ranker, query)."""
+    from sea_express_customs_etl_spark.operators.bm25 import (
+        bm25_topk,
+        term_coverage_ranked,
+    )
+    from sea_express_customs_etl_spark.operators.fusion import rrf_fuse
+    from sea_express_customs_etl_spark.operators.retrieval_eval import (
+        dcg_ppm,
+        graded_truth,
+        ideal_dcg_ppm,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # truth feeds 2 DCG joins + the ideal ranking; r1 feeds the bm25
+    # system slice + the fusion union (the ≥2-consumers rule)
+    truth = _tracked_persist(graded_truth(docs))
+    r1 = _tracked_persist(bm25_topk(docs, k=20, include_rank=True))
+    sys_bm25 = r1.filter(F.col("rank") <= 10)
+    fused = rrf_fuse([r1, term_coverage_ranked(docs, k=20)], k=10)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u6").desc(), F.col("doc_id")
+    )
+    sys_rrf = fused.withColumn(
+        "rank", F.row_number().over(wr)
+    ).select("query_id", "doc_id", "rank")
+    dcg = dcg_ppm(sys_bm25, truth, "bm25").unionByName(
+        dcg_ppm(sys_rrf, truth, "rrf")
+    )
+    return dcg.join(ideal_dcg_ppm(truth, k=10), "query_id").select(
+        "ranker",
+        "query_id",
+        "dcg_ppm",
+        "idcg_ppm",
+        F.expr("(1000000 * dcg_ppm) DIV idcg_ppm")
+        .cast("bigint")
+        .alias("ndcg_u6"),
+    )
+
+
 def _q_purchase_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kleinberg HITS over the bipartite customer→part purchase graph
     (2 exact integer iterations, L∞ normalization): top-20 authority
@@ -5079,23 +5193,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     machinery sit at the tail (still verified locally by
     ``tools/check_oracle.py``, which runs everything).
 
-    Round 7 rotated ~20 representative round-5/6 queries (graph,
-    streaming IVM, trained-index ANN, CDC/bucketed/pruned sinks, TPC-H
-    shape, experiment stats, sketches, attribution, trained filter)
-    into the 50-entry prefix so the external CORRECTNESS artifact
-    witnesses the current surface, not just round-1/2 families; the
-    displaced round-1/2 variants moved to a tail block — every entry
-    stays hash-checked by the local gate either way."""
+    Rotation (r7 wave 2, r9 wave 3): each round the prefix swaps
+    already-witnessed rows for never-witnessed ones so the external
+    CORRECTNESS artifacts eventually cover the whole surface (the
+    cumulative witness set is tracked by
+    ``tools/check_oracle.py:witness_summary``). The full registry
+    below keeps its thematic grouping; ``_PREFIX_R9`` then reorders it
+    so the driver's 50-entry check lands on this round's wave — every
+    entry stays hash-checked by the local gate either way."""
     from sea_express_customs_etl_spark.plans import relational as rel
 
-    return {
-        # ---- driver-checked prefix (50 entries), rotation wave 2
-        # (r7 VERDICT #3): 4 kept rows (flagship family, connector
-        # lineage, the fixed cuped envelope) + 46 FIRST-TIME entries —
-        # the 9 r7 queries, the r5/6 flagships, all 8 r8 additions
-        # (store deletes, mmr_ann_rerank, multisignal v2, video_fp,
-        # cdc chunking, mrl curve), and never-witnessed
-        # representatives across every remaining family ----
+    full = {
+        # ---- NOTE: the driver-checked 50-entry prefix is governed by
+        # _PREFIX_R9 below (rotation wave 3); this dict keeps its
+        # thematic grouping as the full registry ----
         "knowledge_extraction": _q_knowledge_extraction,  # flagship (reference parity)
         "curation_pipeline": _q_curation_pipeline,  # composed curation flagship
         "manifest_xlsx_ingest": _q_manifest_xlsx_ingest,  # connector lineage
@@ -5105,6 +5216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_token_counts": _q_unigram_token_counts,
         "mmr_rerank_topk": _q_mmr_rerank_topk,
         "facility_coreset_select": _q_facility_coreset_select,
+        "facility_coreset_ann": _q_facility_coreset_ann,
         "ann_store_topk": _q_ann_store_topk,
         "ann_store_delete_topk": _q_ann_store_delete_topk,
         "quality_averaged_perceptron": _q_quality_averaged_perceptron,
@@ -5143,11 +5255,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trigram_backoff": _q_trigram_backoff,
         "bm25_doc_topk": _q_bm25_doc_topk,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
+        "retrieval_ndcg": _q_retrieval_ndcg,
         "skipgram_pairs": _q_skipgram_pairs,
         "cluster_safe_split": _q_cluster_safe_split,
         "split_leakage_audit": _q_split_leakage_audit,
         "hard_negative_mine": _q_hard_negative_mine,
-        # ---- end of driver-checked prefix (50 entries) ----
         "corpus_datacard": _q_corpus_datacard,
         "word_dropout_aug": _q_word_dropout_aug,
         "span_corruption_aug": _q_span_corruption_aug,
@@ -5601,6 +5713,77 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # order-of-magnitude histogram via decimal digit count
         "event_value_digit_hist": _q_event_value_digit_hist,
     }
+    missing = [n for n in _PREFIX_R9 if n not in full]
+    assert len(_PREFIX_R9) == 50 and not missing, (
+        f"prefix drifted: len={len(_PREFIX_R9)}, missing={missing}"
+    )
+    ordered = {n: full[n] for n in _PREFIX_R9}
+    ordered.update((n, f) for n, f in full.items() if n not in ordered)
+    return ordered
+
+
+# Driver-checked prefix, rotation wave 3 (r8 VERDICT #1): 3 kept rows
+# (the flagship family + connector lineage) + 47 FIRST-TIME entries —
+# the 3 new r9 queries, the full r8 wave-2/3 set, the named r5/6 tail,
+# and the TPC-H late wave. 163 queries had never been driver-witnessed
+# entering r9; this wave cuts that to ≤ 116.
+_PREFIX_R9: tuple[str, ...] = (
+    # kept: flagship family + connector lineage
+    "knowledge_extraction",
+    "curation_pipeline",
+    "manifest_xlsx_ingest",
+    # new in r9 (first-time by construction)
+    "sketch_rebuild_survivors",
+    "retrieval_ndcg",
+    "facility_coreset_ann",
+    # r8 wave-2/3 set (VERDICT r8 #1, named list)
+    "wordpiece_merges",
+    "classifier_auc",
+    "classifier_score_deciles",
+    "kneser_ney_bigram",
+    "unimax_mix_alloc",
+    "source_quantile_norm",
+    "preference_pairs",
+    "span_corruption_aug",
+    "tokenizer_fertility",
+    "doc_novelty_gain",
+    "json_roundtrip_nation",
+    "vocab_coverage_curve",
+    "lm_slice_report",
+    "dedup_rate_by_source",
+    "dedup_weight_keep",
+    "cluster_cap_sample",
+    "corpus_datacard",
+    "word_dropout_aug",
+    "image_decode_stats",
+    "video_scene_cuts",
+    "scd2_history",
+    # named r5/6 tail
+    "srp_near_dups",
+    "hll_source_overlap",
+    "minhash_estimate_vs_true",
+    "copurchase_cheapest_path",
+    "event_cusum_shift",
+    "sq8_codes",
+    "knowledge_ivm",
+    "tfidf_cosine_pairs",
+    # TPC-H late wave
+    "discount_revenue_q6",
+    "nation_trade_flows",
+    "customer_order_custdist",
+    "large_order_customers",
+    "brand_size_qty_revenue",
+    "late_supplier_blame",
+    "idle_rich_customers",
+    "important_parts_value",
+    "top_supplier_revenue",
+    "excess_share_suppliers",
+    "nation_market_share",
+    "nation_year_profit",
+    "promo_revenue_share",
+    "small_qty_revenue",
+    "priority_return_exists",
+)
 
 
 def _q_user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6134,6 +6317,20 @@ def _hybrid_rrf_sql() -> str:
     return rrf_sql(FIXED_QUERIES, per_ranker_k=20, k=10, c=60)
 
 
+def _retrieval_ndcg_sql() -> str:
+    from sea_express_customs_etl_spark.operators.bm25 import FIXED_QUERIES
+    from sea_express_customs_etl_spark.operators.retrieval_eval import (
+        NDCG_DISC_PPM,
+    )
+    from sea_express_customs_etl_spark.plans.oracles_r9 import (
+        retrieval_ndcg_sql,
+    )
+
+    return retrieval_ndcg_sql(
+        FIXED_QUERIES, NDCG_DISC_PPM, k=10, per_ranker_k=20, c=60
+    )
+
+
 def _benford_sql() -> str:
     from sea_express_customs_etl_spark.operators.profiling import BENFORD_PPM
     from sea_express_customs_etl_spark.plans.oracles_ext import benford_sql
@@ -6331,6 +6528,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_rerank_topk": omr.MMR_RERANK_SQL,
         "mmr_ann_rerank": omr.MMR_ANN_RERANK_SQL,
         "facility_coreset_select": ocs.FACILITY_CORESET_SQL,
+        "facility_coreset_ann": ocs.FACILITY_ANN_CORESET_SQL,
         "brand_seeded_ppr": ext.BRAND_SEEDED_PPR_SQL,
         "tfidf_cosine_pairs": ext.TFIDF_COSINE_PAIRS_SQL,
         "cluster_safe_split": ext.CLUSTER_SAFE_SPLIT_SQL.format(
@@ -6415,6 +6613,7 @@ def oracle_sql() -> dict[str, str]:
         "customer_rfm": ext.CUSTOMER_RFM_SQL,
         "event_forecast_mae": ext.EVENT_FORECAST_MAE_SQL,
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
+        "retrieval_ndcg": _retrieval_ndcg_sql(),
         "event_trigram_paths": rel.EVENT_TRIGRAM_PATHS_SQL,
         "orders_profile_drift": rel.ORDERS_PROFILE_DRIFT_SQL,
         "copurchase_edge_churn": ext.COPURCHASE_EDGE_CHURN_SQL,

@@ -61,12 +61,33 @@ def facility_location_select(
             / (F.col("_pn") * F.col("_cn"))
         ).cast("bigint"),
     )
-    sims = tracked_persist(
-        pts.join(F.broadcast(cands))  # pool is FIXED — model-sized
-        .select("_p", "_c", sim.alias("_s"))
+    sims = pts.join(F.broadcast(cands)).select(  # pool FIXED — model-sized
+        "_p", "_c", sim.alias("_s")
     )
+    return facility_location_from_sims(
+        sims, k=k, id_col=id_col, points=pts.select("_p")
+    )
+
+
+def facility_location_from_sims(
+    sims_in: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    points: DataFrame | None = None,
+) -> DataFrame:
+    """The greedy facility-location loop over a PREBUILT (point ``_p``,
+    candidate ``_c``, clamped sim ``_s``) table — shared by the exact
+    cross-product path (:func:`facility_location_select`) and the
+    ANN-fed sparse path (store ADC top-N per candidate + exact refine,
+    VERDICT r8 #6). A (point, candidate) pair absent from ``sims_in``
+    contributes 0 coverage, which is exactly the sparse-candidate
+    approximation. ``points`` overrides the cover-init frame (the
+    exact path passes the corpus projection so the sparse path's
+    distinct-_p shuffle never touches the cross product)."""
+    sims = tracked_persist(sims_in)
     cover = tracked_persist(
-        pts.select("_p", F.lit(0).cast("bigint").alias("_cov"))
+        (points if points is not None else sims.select("_p").distinct())
+        .select("_p", F.lit(0).cast("bigint").alias("_cov"))
     )
     pick_w = Window.orderBy(F.col("gain_u6").desc(), F.col("_c").asc())
     out = None

@@ -41,3 +41,80 @@ hist AS (
   FROM surv GROUP BY 1, 2, 3)
 SELECT * FROM hll UNION ALL SELECT * FROM hist
 """
+
+
+def retrieval_ndcg_sql(
+    queries: tuple[tuple[str, tuple[str, ...]], ...],
+    disc_ppm: tuple[int, ...],
+    k: int = 10,
+    per_ranker_k: int = 20,
+    c: int = 60,
+) -> str:
+    """nDCG@k oracle (operators/retrieval_eval.py): both system
+    rankings restated from the shared BM25 CTE body (bm25 top-k and
+    the RRF fusion exactly as bm25_sql/rrf_sql state them), graded
+    truth = 2^(distinct query terms) − 1, discount table = the SAME
+    fixed ppm literals the Spark plan embeds. All-new CTE names are
+    n-prefixed (the wordpiece shared-fragment collision rule)."""
+    from sea_express_customs_etl_spark.plans.oracles_ext import (
+        _bm25_cte_body,
+    )
+
+    disc_vals = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(disc_ppm)
+    )
+    return f"""
+WITH {_bm25_cte_body(queries)},
+ndisc(rank, ppm) AS (SELECT * FROM (VALUES {disc_vals})),
+ncov AS (
+  SELECT qt.query_id, tf.doc_id, count(DISTINCT tf.term)::BIGINT AS nq
+  FROM tf JOIN qt USING (term) GROUP BY 1, 2),
+ngr AS (
+  SELECT query_id, doc_id, ((1 << nq) - 1)::BIGINT AS gain FROM ncov),
+nsys1 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY score_u6 DESC, doc_id) AS rank
+  FROM sc QUALIFY rank <= {k}),
+nr1 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY score_u6 DESC, doc_id) AS rank
+  FROM sc QUALIFY rank <= {per_ranker_k}),
+nr2 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY nq DESC, doc_id) AS rank
+  FROM ncov QUALIFY rank <= {per_ranker_k}),
+nu AS (SELECT * FROM nr1 UNION ALL SELECT * FROM nr2),
+nf AS (
+  SELECT query_id, doc_id,
+         sum(1000000 // ({c} + rank))::BIGINT AS rrf_u6
+  FROM nu GROUP BY 1, 2),
+nsys2 AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY rrf_u6 DESC, doc_id) AS rank
+  FROM nf QUALIFY rank <= {k}),
+nsys AS (
+  SELECT 'bm25' AS ranker, * FROM nsys1
+  UNION ALL SELECT 'rrf' AS ranker, * FROM nsys2),
+ndcg_t AS (
+  SELECT ranker, s.query_id,
+         sum(coalesce(g.gain, 0) * d.ppm)::BIGINT AS dcg_ppm
+  FROM nsys s
+  JOIN ndisc d USING (rank)
+  LEFT JOIN ngr g ON s.query_id = g.query_id AND s.doc_id = g.doc_id
+  GROUP BY 1, 2),
+nideal AS (
+  SELECT query_id, sum(gain * d.ppm)::BIGINT AS idcg_ppm
+  FROM (SELECT query_id, gain,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY gain DESC, doc_id) AS rank
+        FROM ngr QUALIFY rank <= {k}) i
+  JOIN ndisc d USING (rank)
+  GROUP BY 1)
+SELECT ranker, query_id, dcg_ppm, idcg_ppm,
+       ((1000000 * dcg_ppm) // idcg_ppm)::BIGINT AS ndcg_u6
+FROM ndcg_t JOIN nideal USING (query_id)
+"""

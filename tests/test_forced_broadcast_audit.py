@@ -193,6 +193,14 @@ FORCED_BROADCAST_ALLOWED = {
     "vocab_coverage_curve",  # 1-row totals scalar + global_rank
     #                          offsets (the global_rank license)
     "lm_slice_report",  # lm_score's 1-row V scalar (the lm license)
+    "retrieval_ndcg",  # bm25's pinned query-term table + 1-row
+    #                    (N, avgdl) scalars (the bm25_doc_topk license)
+    "facility_coreset_ann",  # the ann_store frozen-model pins + the
+    #                          fixed 32-vector pool broadcast (the
+    #                          facility_coreset_select license)
+    "sketch_rebuild_survivors",  # commit-marker table broadcast
+    #                              (|batches| rows — the ann_store/
+    #                              knowledge_ivm_stream license)
 }
 
 

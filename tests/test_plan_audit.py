@@ -84,6 +84,8 @@ BNLJ_ALLOWED = {
     #                           (the event_value_qsketch class)
     "bm25_doc_topk",       # 1-row (N, avgdl) corpus scalars cross-joined
     "hybrid_rrf_topk",     # composes bm25 — same 1-row scalar license
+    "retrieval_ndcg",      # composes bm25 + the fusion — same 1-row
+    #                        corpus-scalar license
     "purchase_hits_authorities",  # 1-row L∞ norm scalar per half-step
     "order_benford_digits",  # 1-row digit-total scalar cross-joined
     "segment_priority_lift",  # 1-row grand-total scalar cross-joined
