@@ -958,6 +958,55 @@ def _q_ann_store_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COMPACT_STORE_MEMO: set[tuple[str, str]] = set()
+
+
+def _q_ann_store_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The store lifecycle's LAST op under the gate's hash discipline:
+    build (2 add batches, reusing the session's memoized frozen model)
+    → tombstone delete (vec_id ≡ 3 mod 7) → compact_ann_store
+    (PHYSICAL removal: survivors rewritten as one generation via
+    backup_swap, tombstone tables dropped — the FAISS
+    rebuild-on-compaction) → multi-probe ADC search, which must
+    hash-match the survivors-restricted one-shot oracle — i.e. the
+    SAME oracle the logical-delete view matches, proving compaction
+    changes nothing observable. Own physical store (compaction
+    rewrites _codes in place, so it cannot ride the shared store's
+    views); built ONCE per session — compaction collapses the batch
+    markers, so a naive re-run's writer replay would resurrect deleted
+    rows (the post-compaction ids-above-generation contract)."""
+    from sea_express_customs_etl_spark.streaming.ann_store import (
+        ann_store_batch_writer,
+        ann_store_delete_writer,
+        compact_ann_store,
+        store_adc_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cen, codebook, _base = _ann_shared_store(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    prefix = "anncompact_" + re.sub(r"\W", "_", f"{key[0]}_{key[1]}")
+    if key not in _COMPACT_STORE_MEMO:
+        writer = ann_store_batch_writer(
+            prefix, cen, codebook, num_buckets=4
+        )
+        writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
+        writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+        deleter = ann_store_delete_writer(prefix)
+        deleter(emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"), 2)
+        compact_ann_store(spark, prefix, num_buckets=4)
+        _COMPACT_STORE_MEMO.add(key)
+    return store_adc_topk(
+        spark,
+        prefix,
+        cen,
+        codebook,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=2,
+    )
+
+
 def _q_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-signal dedup: TEXT near-dup edges (shingle-LSH + exact
     Jaccard) unioned with SEMANTIC edges (IVF-blocked embedding
@@ -3875,6 +3924,80 @@ def _q_bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), k=10)
 
 
+def _retrieval_systems(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Both checked retrieval systems as (query_id, doc_id, rank)
+    top-10 frames: BM25 (the top-10 slice of its own top-20 — same
+    ordering) and the hybrid RRF fusion re-ranked. r1 feeds the bm25
+    slice AND the fusion union (the ≥2-consumers rule)."""
+    from sea_express_customs_etl_spark.operators.bm25 import (
+        bm25_topk,
+        term_coverage_ranked,
+    )
+    from sea_express_customs_etl_spark.operators.fusion import rrf_fuse
+
+    r1 = _tracked_persist(bm25_topk(docs, k=20, include_rank=True))
+    sys_bm25 = r1.filter(F.col("rank") <= 10)
+    fused = rrf_fuse([r1, term_coverage_ranked(docs, k=20)], k=10)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_u6").desc(), F.col("doc_id")
+    )
+    sys_rrf = fused.withColumn("rank", F.row_number().over(wr)).select(
+        "query_id", "doc_id", "rank"
+    )
+    return sys_bm25, sys_rrf
+
+
+def _q_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa) between two
+    deterministic quality annotators — the label-quality audit a
+    preference/classifier data pipeline runs before trusting its
+    annotations (substantial-but-imperfect agreement expected, not
+    ±1): annotator A = running-token budget (≥ 30 tokens), annotator
+    B = lexical-richness budget (≥ 18 distinct tokens), both over the
+    BM25 whitespace tokenization. One count shuffle to the 2×2 cells;
+    kappa as one exact integer rational with the negate-first signed
+    DIV (kappa can be negative). operators/evalstats.py:cohens_kappa."""
+    from sea_express_customs_etl_spark.operators.evalstats import (
+        cohens_kappa,
+    )
+
+    docs = _docs(spark, sf_dir)
+    staged = docs.select(
+        F.filter(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_toks")
+    )
+    labeled = staged.select(
+        (F.size("_toks") >= 30).cast("int").alias("a"),
+        (F.size(F.array_distinct("_toks")) >= 18).cast("int").alias("b"),
+    )
+    return cohens_kappa(labeled)
+
+
+def _q_retrieval_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP@10 + MRR of both checked retrieval systems — the binary-
+    relevance siblings of retrieval_ndcg, completing the TREC metric
+    trio (nDCG graded / AP position-weighted / RR first-hit). Binary
+    truth = doc carries EVERY query term with tf ≥ 4 (presence-only
+    saturates to AP = 1.0 on the bag-of-words corpus; the tf
+    threshold keeps R at 3-18 docs so positions discriminate). P@i
+    exact via the 2520 = lcm(1..10) rescale; AP and RR integer DIVs —
+    no float ever enters (operators/retrieval_eval.py)."""
+    from sea_express_customs_etl_spark.operators.retrieval_eval import (
+        binary_truth,
+        map_mrr,
+    )
+
+    docs = _docs(spark, sf_dir)
+    # the relevant set feeds both systems' AP joins + both R counts
+    rel = _tracked_persist(binary_truth(docs, min_tf=4))
+    sys_bm25, sys_rrf = _retrieval_systems(docs)
+    return map_mrr(sys_bm25, rel, "bm25").unionByName(
+        map_mrr(sys_rrf, rel, "rrf")
+    )
+
+
 def _q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact integer nDCG@10 of BOTH checked retrieval systems (BM25,
     hybrid RRF) against a deterministic graded-relevance truth
@@ -3886,11 +4009,6 @@ def _q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     system rankings, the ideal ranking, and the final
     (10⁶·DCG) DIV IDCG are all bigint-exact. Output: one row per
     (ranker, query)."""
-    from sea_express_customs_etl_spark.operators.bm25 import (
-        bm25_topk,
-        term_coverage_ranked,
-    )
-    from sea_express_customs_etl_spark.operators.fusion import rrf_fuse
     from sea_express_customs_etl_spark.operators.retrieval_eval import (
         dcg_ppm,
         graded_truth,
@@ -3898,18 +4016,9 @@ def _q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs(spark, sf_dir)
-    # truth feeds 2 DCG joins + the ideal ranking; r1 feeds the bm25
-    # system slice + the fusion union (the ≥2-consumers rule)
+    # truth feeds 2 DCG joins + the ideal ranking (≥2-consumers rule)
     truth = _tracked_persist(graded_truth(docs))
-    r1 = _tracked_persist(bm25_topk(docs, k=20, include_rank=True))
-    sys_bm25 = r1.filter(F.col("rank") <= 10)
-    fused = rrf_fuse([r1, term_coverage_ranked(docs, k=20)], k=10)
-    wr = Window.partitionBy("query_id").orderBy(
-        F.col("rrf_u6").desc(), F.col("doc_id")
-    )
-    sys_rrf = fused.withColumn(
-        "rank", F.row_number().over(wr)
-    ).select("query_id", "doc_id", "rank")
+    sys_bm25, sys_rrf = _retrieval_systems(docs)
     dcg = dcg_ppm(sys_bm25, truth, "bm25").unionByName(
         dcg_ppm(sys_rrf, truth, "rrf")
     )
@@ -5219,6 +5328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facility_coreset_ann": _q_facility_coreset_ann,
         "ann_store_topk": _q_ann_store_topk,
         "ann_store_delete_topk": _q_ann_store_delete_topk,
+        "ann_store_compact_topk": _q_ann_store_compact_topk,
         "quality_averaged_perceptron": _q_quality_averaged_perceptron,
         "averaged_classifier_confusion": _q_averaged_classifier_confusion,
         "two_hop_reach_capped": _q_two_hop_reach_capped,
@@ -5256,6 +5366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_doc_topk": _q_bm25_doc_topk,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "retrieval_ndcg": _q_retrieval_ndcg,
+        "retrieval_map_mrr": _q_retrieval_map_mrr,
+        "label_agreement_kappa": _q_label_agreement_kappa,
         "skipgram_pairs": _q_skipgram_pairs,
         "cluster_safe_split": _q_cluster_safe_split,
         "split_leakage_audit": _q_split_leakage_audit,
@@ -6317,6 +6429,17 @@ def _hybrid_rrf_sql() -> str:
     return rrf_sql(FIXED_QUERIES, per_ranker_k=20, k=10, c=60)
 
 
+def _retrieval_map_mrr_sql() -> str:
+    from sea_express_customs_etl_spark.operators.bm25 import FIXED_QUERIES
+    from sea_express_customs_etl_spark.plans.oracles_r9 import (
+        retrieval_map_mrr_sql,
+    )
+
+    return retrieval_map_mrr_sql(
+        FIXED_QUERIES, k=10, per_ranker_k=20, c=60, min_tf=4
+    )
+
+
 def _retrieval_ndcg_sql() -> str:
     from sea_express_customs_etl_spark.operators.bm25 import FIXED_QUERIES
     from sea_express_customs_etl_spark.operators.retrieval_eval import (
@@ -6566,6 +6689,10 @@ def oracle_sql() -> dict[str, str]:
         # trained-IVFPQ oracle, verbatim
         "ann_store_topk": ext.IVFPQ_TRAINED_TOPK_SQL,
         "ann_store_delete_topk": ext.ANN_STORE_DELETE_TOPK_SQL,
+        # compaction must be observationally invisible: the PHYSICAL
+        # removal matches the SAME survivors-restricted oracle as the
+        # logical-delete view
+        "ann_store_compact_topk": ext.ANN_STORE_DELETE_TOPK_SQL,
         "event_winsorized_sums": ext.EVENT_WINSORIZED_SUMS_SQL,
         "orc_roundtrip_nation":
             "SELECT n_nationkey, n_name, n_regionkey FROM nation",
@@ -6614,6 +6741,8 @@ def oracle_sql() -> dict[str, str]:
         "event_forecast_mae": ext.EVENT_FORECAST_MAE_SQL,
         "hybrid_rrf_topk": _hybrid_rrf_sql(),
         "retrieval_ndcg": _retrieval_ndcg_sql(),
+        "retrieval_map_mrr": _retrieval_map_mrr_sql(),
+        "label_agreement_kappa": r9.LABEL_AGREEMENT_KAPPA_SQL,
         "event_trigram_paths": rel.EVENT_TRIGRAM_PATHS_SQL,
         "orders_profile_drift": rel.ORDERS_PROFILE_DRIFT_SQL,
         "copurchase_edge_churn": ext.COPURCHASE_EDGE_CHURN_SQL,

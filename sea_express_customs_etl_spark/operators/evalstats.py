@@ -106,3 +106,51 @@ def score_deciles(
             "score_max",
         )
     )
+
+
+def cohens_kappa(
+    labeled: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Cohen's kappa between two binary annotators (Cohen 1960 —
+    public): chance-corrected agreement, the label-quality readout a
+    preference/classification data pipeline runs before trusting its
+    annotations. With po = (n11+n00)/N and pe = (a1·b1 + a0·b0)/N²,
+
+        kappa = (po − pe)/(1 − pe)
+              = (N·(n11+n00) − (a1·b1 + a0·b0)) / (N² − (a1·b1+a0·b0))
+
+    — one exact integer rational. Kappa can be NEGATIVE (worse than
+    chance), and integer division of a negative numerator is
+    convention-dependent across engines (CLAUDE.md), so the micro-unit
+    quotient divides |num| and re-applies the sign. One count shuffle
+    over the (a, b) cells; everything after is 4-row arithmetic.
+    Output: 1 row (n11, n10, n01, n00, kappa_u6)."""
+    cells = labeled.groupBy(a_col, b_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n")
+    )
+    g = cells.agg(
+        F.sum(F.when((F.col(a_col) == 1) & (F.col(b_col) == 1), F.col("_n")).otherwise(F.lit(0))).cast("bigint").alias("n11"),
+        F.sum(F.when((F.col(a_col) == 1) & (F.col(b_col) == 0), F.col("_n")).otherwise(F.lit(0))).cast("bigint").alias("n10"),
+        F.sum(F.when((F.col(a_col) == 0) & (F.col(b_col) == 1), F.col("_n")).otherwise(F.lit(0))).cast("bigint").alias("n01"),
+        F.sum(F.when((F.col(a_col) == 0) & (F.col(b_col) == 0), F.col("_n")).otherwise(F.lit(0))).cast("bigint").alias("n00"),
+    )
+    return g.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            "CAST(CASE WHEN"
+            " ((n11+n10+n01+n00) * (n11+n00)"
+            "  - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))) >= 0"
+            " THEN (1000000 * ((n11+n10+n01+n00) * (n11+n00)"
+            "       - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))))"
+            "      DIV ((n11+n10+n01+n00) * (n11+n10+n01+n00)"
+            "           - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))"
+            " ELSE -((1000000 * (((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))"
+            "        - (n11+n10+n01+n00) * (n11+n00)))"
+            "      DIV ((n11+n10+n01+n00) * (n11+n10+n01+n00)"
+            "           - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))))"
+            " END AS BIGINT)"
+        ).alias("kappa_u6"),
+    )

@@ -132,3 +132,111 @@ def ideal_dcg_ppm(
         .groupBy("query_id")
         .agg(F.sum("_d").cast("bigint").alias("idcg_ppm"))
     )
+
+
+def binary_truth(
+    docs: DataFrame,
+    queries: tuple[tuple[str, tuple[str, ...]], ...] = FIXED_QUERIES,
+    min_tf: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Binary relevance for MAP/MRR: (query_id, doc_id) pairs where
+    the doc contains EVERY query term with tf ≥ ``min_tf``. On the
+    bag-of-words corpus a presence-only criterion saturates (AP = 1.0
+    for every system); the tf threshold keeps the relevant set sparse
+    so hit positions discriminate. Same broadcast-filtered explode
+    shape as the graded truth."""
+    spark = docs.sparkSession
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in queries for t in ts],
+        ["query_id", "term"],
+    )
+    qn = spark.createDataFrame(
+        [(qid, len(ts)) for qid, ts in queries], ["query_id", "_qn"]
+    )
+    staged = docs.select(
+        id_col,
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_toks"),
+    )
+    tf = (
+        staged.select(id_col, F.explode("_toks").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("query_id", id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    return (
+        tf.filter(F.col("_tf") >= min_tf)
+        .groupBy("query_id", id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("_nterm"))
+        .join(F.broadcast(qn), "query_id")
+        .filter(F.col("_nterm") == F.col("_qn"))
+        .select("query_id", id_col)
+    )
+
+
+def map_mrr(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    label: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-query AP@k and RR of one system ranking against the binary
+    truth. P@i = hits_i/i scaled by 2520 = lcm(1..10) (exact
+    integers); ap_u6 = (10⁶·Σ) DIV (2520·min(R, k)); rr_u6 = 10⁶ DIV
+    first-relevant-rank; R = 0 guards to 0. All frames here are
+    model-sized (|queries|·k rows) — the windows are the 1-row-ish
+    license."""
+    rcnt = relevant.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rel")
+    )
+    j = ranked.join(
+        relevant.withColumn("_r", F.lit(1)), ["query_id", id_col], "left"
+    ).select(
+        "query_id",
+        "rank",
+        F.coalesce(F.col("_r"), F.lit(0)).cast("bigint").alias("_rel"),
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    h = j.withColumn("_h", F.sum("_rel").over(w))
+    agg = h.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("_rel") == 1,
+                F.expr("(2520 * _h) DIV rank"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("_num"),
+        F.min(F.when(F.col("_rel") == 1, F.col("rank"))).alias("_fr"),
+    )
+    return (
+        agg.join(rcnt, "query_id", "left")
+        .select(
+            F.lit(label).alias("ranker"),
+            "query_id",
+            F.coalesce("n_rel", F.lit(0)).cast("bigint").alias("n_rel"),
+            F.when(
+                F.coalesce(F.col("n_rel"), F.lit(0)) == 0, F.lit(0)
+            )
+            .otherwise(
+                F.expr(
+                    f"(1000000 * _num) DIV (2520 * least(n_rel, {k}))"
+                )
+            )
+            .cast("bigint")
+            .alias("ap_u6"),
+            F.when(F.col("_fr").isNull(), F.lit(0))
+            .otherwise(F.expr("1000000 DIV _fr"))
+            .cast("bigint")
+            .alias("rr_u6"),
+        )
+    )

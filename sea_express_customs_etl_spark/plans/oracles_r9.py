@@ -43,34 +43,26 @@ SELECT * FROM hll UNION ALL SELECT * FROM hist
 """
 
 
-def retrieval_ndcg_sql(
+def _systems_prefix(
     queries: tuple[tuple[str, tuple[str, ...]], ...],
-    disc_ppm: tuple[int, ...],
     k: int = 10,
     per_ranker_k: int = 20,
     c: int = 60,
 ) -> str:
-    """nDCG@k oracle (operators/retrieval_eval.py): both system
-    rankings restated from the shared BM25 CTE body (bm25 top-k and
-    the RRF fusion exactly as bm25_sql/rrf_sql state them), graded
-    truth = 2^(distinct query terms) − 1, discount table = the SAME
-    fixed ppm literals the Spark plan embeds. All-new CTE names are
-    n-prefixed (the wordpiece shared-fragment collision rule)."""
+    """Shared CTE prefix for the ranked-retrieval eval oracles: the
+    BM25 CTE body plus graded coverage (``ncov``) and BOTH system
+    rankings as ``nsys(ranker, query_id, doc_id, rank)`` — bm25 top-k
+    and the RRF fusion exactly as bm25_sql/rrf_sql state them. All new
+    CTE names are n-prefixed (the wordpiece shared-fragment collision
+    rule)."""
     from sea_express_customs_etl_spark.plans.oracles_ext import (
         _bm25_cte_body,
     )
 
-    disc_vals = ", ".join(
-        f"({i + 1}, {d})" for i, d in enumerate(disc_ppm)
-    )
-    return f"""
-WITH {_bm25_cte_body(queries)},
-ndisc(rank, ppm) AS (SELECT * FROM (VALUES {disc_vals})),
+    return f"""{_bm25_cte_body(queries)},
 ncov AS (
   SELECT qt.query_id, tf.doc_id, count(DISTINCT tf.term)::BIGINT AS nq
   FROM tf JOIN qt USING (term) GROUP BY 1, 2),
-ngr AS (
-  SELECT query_id, doc_id, ((1 << nq) - 1)::BIGINT AS gain FROM ncov),
 nsys1 AS (
   SELECT query_id, doc_id,
          row_number() OVER (PARTITION BY query_id
@@ -98,7 +90,27 @@ nsys2 AS (
   FROM nf QUALIFY rank <= {k}),
 nsys AS (
   SELECT 'bm25' AS ranker, * FROM nsys1
-  UNION ALL SELECT 'rrf' AS ranker, * FROM nsys2),
+  UNION ALL SELECT 'rrf' AS ranker, * FROM nsys2)"""
+
+
+def retrieval_ndcg_sql(
+    queries: tuple[tuple[str, tuple[str, ...]], ...],
+    disc_ppm: tuple[int, ...],
+    k: int = 10,
+    per_ranker_k: int = 20,
+    c: int = 60,
+) -> str:
+    """nDCG@k oracle (operators/retrieval_eval.py): graded truth =
+    2^(distinct query terms) - 1, discount table = the SAME fixed ppm
+    literals the Spark plan embeds."""
+    disc_vals = ", ".join(
+        f"({i + 1}, {d})" for i, d in enumerate(disc_ppm)
+    )
+    return f"""
+WITH {_systems_prefix(queries, k, per_ranker_k, c)},
+ndisc(rank, ppm) AS (SELECT * FROM (VALUES {disc_vals})),
+ngr AS (
+  SELECT query_id, doc_id, ((1 << nq) - 1)::BIGINT AS gain FROM ncov),
 ndcg_t AS (
   SELECT ranker, s.query_id,
          sum(coalesce(g.gain, 0) * d.ppm)::BIGINT AS dcg_ppm
@@ -117,4 +129,97 @@ nideal AS (
 SELECT ranker, query_id, dcg_ppm, idcg_ppm,
        ((1000000 * dcg_ppm) // idcg_ppm)::BIGINT AS ndcg_u6
 FROM ndcg_t JOIN nideal USING (query_id)
+"""
+
+
+def retrieval_map_mrr_sql(
+    queries: tuple[tuple[str, tuple[str, ...]], ...],
+    k: int = 10,
+    per_ranker_k: int = 20,
+    c: int = 60,
+    min_tf: int = 4,
+) -> str:
+    """MAP@k / MRR oracle: binary relevance = the doc contains EVERY
+    query term with tf >= ``min_tf`` ("strongly about all terms" — on
+    the bag-of-words corpus a presence-only criterion saturates to
+    AP = 1.0 for every system; the tf threshold keeps R sparse, 3-18
+    per query at sf0.01, so hit positions actually discriminate).
+    Exactness: P@i = hits_i/i scaled by 2520 = lcm(1..10) so every
+    per-hit precision term is an exact integer; AP = (10^6 * sum) //
+    (2520 * min(R, k)); RR = 10^6 // first_relevant_rank. All
+    bigint; R = 0 guards to 0."""
+    return f"""
+WITH {_systems_prefix(queries, k, per_ranker_k, c)},
+nqn AS (SELECT query_id, count(*)::BIGINT AS qn FROM qt GROUP BY 1),
+ncov_tf AS (
+  SELECT qt.query_id, tf.doc_id, count(*)::BIGINT AS nterm
+  FROM tf JOIN qt USING (term) WHERE tf.tf >= {min_tf}
+  GROUP BY 1, 2),
+nrel AS (SELECT c.query_id, c.doc_id
+         FROM ncov_tf c JOIN nqn USING (query_id)
+         WHERE c.nterm = nqn.qn),
+nrcnt AS (SELECT query_id, count(*)::BIGINT AS n_rel
+          FROM nrel GROUP BY 1),
+nj AS (
+  SELECT s.ranker, s.query_id, s.rank,
+         CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END AS relv
+  FROM nsys s
+  LEFT JOIN nrel r ON s.query_id = r.query_id AND s.doc_id = r.doc_id),
+nh AS (
+  SELECT ranker, query_id, rank, relv,
+         sum(relv) OVER (PARTITION BY ranker, query_id
+                         ORDER BY rank) AS h
+  FROM nj),
+nagg AS (
+  SELECT ranker, query_id,
+         sum(CASE WHEN relv = 1 THEN (2520 * h) // rank
+                  ELSE 0 END)::BIGINT AS num,
+         min(CASE WHEN relv = 1 THEN rank END) AS fr
+  FROM nh GROUP BY 1, 2)
+SELECT a.ranker, a.query_id,
+       CAST(coalesce(c.n_rel, 0) AS BIGINT) AS n_rel,
+       CAST(CASE WHEN coalesce(c.n_rel, 0) = 0 THEN 0
+                 ELSE (1000000 * a.num) // (2520 * least(c.n_rel, {k}))
+            END AS BIGINT) AS ap_u6,
+       CAST(CASE WHEN a.fr IS NULL THEN 0
+                 ELSE 1000000 // a.fr END AS BIGINT) AS rr_u6
+FROM nagg a LEFT JOIN nrcnt c ON a.query_id = c.query_id
+"""
+
+
+# Cohen's kappa between the two deterministic quality annotators
+# (operators/evalstats.py:cohens_kappa): token-budget (n >= 30) vs
+# lexical-richness (distinct >= 18) over the BM25 tokenization; kappa
+# as one integer rational, |numerator| divided first and the sign
+# re-applied (negative-numerator integer division is convention-
+# dependent across engines — CLAUDE.md).
+LABEL_AGREEMENT_KAPPA_SQL = r"""
+WITH ta AS (
+  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+t AS (
+  SELECT CASE WHEN len(tk) >= 30 THEN 1 ELSE 0 END AS a,
+         CASE WHEN len(list_distinct(tk)) >= 18 THEN 1 ELSE 0 END AS b
+  FROM ta),
+g AS (
+  SELECT sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n11,
+         sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)::BIGINT AS n10,
+         sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)::BIGINT AS n01,
+         sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)::BIGINT AS n00
+  FROM t)
+SELECT n11, n10, n01, n00,
+       CAST(CASE WHEN
+         ((n11+n10+n01+n00) * (n11+n00)
+          - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))) >= 0
+         THEN (1000000 * ((n11+n10+n01+n00) * (n11+n00)
+               - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))))
+              // ((n11+n10+n01+n00) * (n11+n10+n01+n00)
+                  - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00)))
+         ELSE -((1000000 * (((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))
+                - (n11+n10+n01+n00) * (n11+n00)))
+              // ((n11+n10+n01+n00) * (n11+n10+n01+n00)
+                  - ((n11+n10)*(n11+n01) + (n01+n00)*(n10+n00))))
+       END AS BIGINT) AS kappa_u6
+FROM g
 """

@@ -92,6 +92,8 @@ FORCED_BROADCAST_ALLOWED = {
     "cms_heavy_hitters",   # d·w cell table + 1-row total (model-sized)
     "ann_store_topk",      # frozen centroids + codebook + LUT + marker
     "ann_store_delete_topk",  # same pins + the del-batch marker
+    "ann_store_compact_topk",  # same pins over the compacted
+    #                            generation (one marker row)
     "mmr_ann_rerank",      # composes the ann_store/refine pins +
     #                        the model-sized candidate-vector broadcast
     #                            table (|batches| rows)
@@ -195,6 +197,8 @@ FORCED_BROADCAST_ALLOWED = {
     "lm_slice_report",  # lm_score's 1-row V scalar (the lm license)
     "retrieval_ndcg",  # bm25's pinned query-term table + 1-row
     #                    (N, avgdl) scalars (the bm25_doc_topk license)
+    "retrieval_map_mrr",  # same bm25 pins + the |queries|-row term-
+    #                       count table (model-sized by definition)
     "facility_coreset_ann",  # the ann_store frozen-model pins + the
     #                          fixed 32-vector pool broadcast (the
     #                          facility_coreset_select license)

@@ -78,6 +78,8 @@ BNLJ_ALLOWED = {
     "pq_trained_codebook",  # centroid broadcast in the residual build
     "ann_store_topk",      # same frozen-model broadcasts over the store
     "ann_store_delete_topk",  # same pins + the del-marker semi-join
+    "ann_store_compact_topk",  # same frozen-model pins over the
+    #                            compacted generation
     "mmr_ann_rerank",      # composes ann_store_topk + ann_refined_topk
     #                        + mmr_rerank_topk — all three licenses above
     "event_winsorized_sums",  # 2-literal-row quantile-spec broadcast
@@ -86,6 +88,7 @@ BNLJ_ALLOWED = {
     "hybrid_rrf_topk",     # composes bm25 — same 1-row scalar license
     "retrieval_ndcg",      # composes bm25 + the fusion — same 1-row
     #                        corpus-scalar license
+    "retrieval_map_mrr",   # same bm25/fusion composition license
     "purchase_hits_authorities",  # 1-row L∞ norm scalar per half-step
     "order_benford_digits",  # 1-row digit-total scalar cross-joined
     "segment_priority_lift",  # 1-row grand-total scalar cross-joined

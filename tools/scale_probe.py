@@ -1576,6 +1576,172 @@ def cases_r8b() -> dict:
     }
 
 
+def cases_r9():
+    """Round-9 wave: ANN-fed coreset, retrieval ranking eval, sketch
+    takedown rebuild."""
+
+    def _coreset_ann(emb):
+        """Full ANN-fed facility path — frozen train, 2-batch store
+        build, ADC top-200 per pool member (32 queries), exact refine
+        on touched pairs, 4-step greedy. Fresh prefix per invocation
+        (the _mmr_ann protocol); sims is |pool|*200 — FIXED as the
+        corpus grows, so the scaling term is the store build + ADC
+        search alone."""
+        import re as _re
+
+        from sea_express_customs_etl_spark.operators.coreset import (
+            facility_location_from_sims,
+        )
+        from sea_express_customs_etl_spark.operators.similarity import (
+            _dot,
+            with_norm,
+        )
+        from sea_express_customs_etl_spark.plans.cache import tracked_persist
+        from sea_express_customs_etl_spark.streaming.ann_store import (
+            ann_store_batch_writer,
+            store_adc_topk,
+            train_frozen_model,
+        )
+
+        spark = emb.sparkSession
+        cen = emb.filter(F.col("vec_id") < 16)
+        sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
+        codebook = tracked_persist(train_frozen_model(sample, cen))
+        prefix = f"anncorprobe{next(_MMR_ANN_SEQ)}_" + _re.sub(
+            r"\W", "_", spark.sparkContext.applicationId
+        )
+        writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
+        writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
+        writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+        cand = store_adc_topk(
+            spark, prefix, cen, codebook,
+            emb.filter(F.col("vec_id") < 32), k=200, nprobe=2,
+        ).select("query_id", "neighbor_id")
+        pts = with_norm(emb, "embedding", "vec_id").select(
+            F.col("vec_id").alias("_p"),
+            F.col("_v").alias("_pv"),
+            F.col("_n").alias("_pn"),
+        )
+        pool = with_norm(
+            emb.filter(F.col("vec_id") < 32), "embedding", "vec_id"
+        ).select(
+            F.col("vec_id").alias("_c"),
+            F.col("_v").alias("_cv"),
+            F.col("_n").alias("_cn"),
+        )
+        sim = F.greatest(
+            F.lit(0).cast("bigint"),
+            F.round(
+                F.lit(1_000_000)
+                * _dot(F.col("_pv"), F.col("_cv"))
+                / (F.col("_pn") * F.col("_cn"))
+            ).cast("bigint"),
+        )
+        sims = (
+            cand.join(pts, cand.neighbor_id == pts._p)
+            .join(F.broadcast(pool), cand.query_id == pool._c)
+            .select("_p", "_c", sim.alias("_s"))
+            .localCheckpoint()
+        )
+        return facility_location_from_sims(sims, k=4)
+
+    def _ndcg(docs):
+        from sea_express_customs_etl_spark.operators.bm25 import (
+            bm25_topk,
+            term_coverage_ranked,
+        )
+        from sea_express_customs_etl_spark.operators.fusion import rrf_fuse
+        from sea_express_customs_etl_spark.operators.retrieval_eval import (
+            dcg_ppm,
+            graded_truth,
+            ideal_dcg_ppm,
+        )
+        from sea_express_customs_etl_spark.plans.cache import tracked_persist
+        from pyspark.sql import Window
+
+        truth = tracked_persist(graded_truth(docs))
+        r1 = tracked_persist(bm25_topk(docs, k=20, include_rank=True))
+        sys_bm25 = r1.filter(F.col("rank") <= 10)
+        fused = rrf_fuse([r1, term_coverage_ranked(docs, k=20)], k=10)
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("rrf_u6").desc(), F.col("doc_id")
+        )
+        sys_rrf = fused.withColumn(
+            "rank", F.row_number().over(wr)
+        ).select("query_id", "doc_id", "rank")
+        dcg = dcg_ppm(sys_bm25, truth, "bm25").unionByName(
+            dcg_ppm(sys_rrf, truth, "rrf")
+        )
+        return dcg.join(ideal_dcg_ppm(truth, k=10), "query_id")
+
+    def _mapmrr(docs):
+        from sea_express_customs_etl_spark.operators.bm25 import (
+            bm25_topk,
+            term_coverage_ranked,
+        )
+        from sea_express_customs_etl_spark.operators.fusion import rrf_fuse
+        from sea_express_customs_etl_spark.operators.retrieval_eval import (
+            binary_truth,
+            map_mrr,
+        )
+        from sea_express_customs_etl_spark.plans.cache import tracked_persist
+        from pyspark.sql import Window
+
+        rel = tracked_persist(binary_truth(docs, min_tf=4))
+        r1 = tracked_persist(bm25_topk(docs, k=20, include_rank=True))
+        sys_bm25 = r1.filter(F.col("rank") <= 10)
+        fused = rrf_fuse([r1, term_coverage_ranked(docs, k=20)], k=10)
+        wr = Window.partitionBy("query_id").orderBy(
+            F.col("rrf_u6").desc(), F.col("doc_id")
+        )
+        sys_rrf = fused.withColumn(
+            "rank", F.row_number().over(wr)
+        ).select("query_id", "doc_id", "rank")
+        return map_mrr(sys_bm25, rel, "bm25").unionByName(
+            map_mrr(sys_rrf, rel, "rrf")
+        )
+
+    return {
+        # store build + 32-query ADC grow with the corpus; refine +
+        # greedy run at the FIXED |pool|*200 sparse grain
+        "coreset_ann": lambda docs, emb: _coreset_ann(emb),
+        # truth explode + bm25/coverage rankings corpus-linear; eval
+        # joins at |queries|*k grain
+        "retrieval_ndcg": lambda docs, emb: _ndcg(docs),
+        "retrieval_map_mrr": lambda docs, emb: _mapmrr(docs),
+    }
+
+
+def cases_r9_ev():
+    """Events-sided round-9 case: the sketch takedown's REBUILD states
+    (the scan-proportional piece; the store writes are fixed-size
+    saveAsTable swaps)."""
+    from sea_express_customs_etl_spark.operators.quantiles import (
+        value_histogram,
+    )
+    from sea_express_customs_etl_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    def _rebuild_states(ev):
+        surv = ev.filter(F.col("user_id") % 13 != 5)
+        hll = hll_registers(surv, "user_id").select(
+            F.lit("hll").alias("kind"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.col("bucket").cast("bigint").alias("reg_or_bin"),
+            F.col("max_rank").cast("bigint").alias("state_val"),
+        )
+        hist = value_histogram(surv).select(
+            F.lit("hist").alias("kind"),
+            "event_type",
+            F.col("bin").cast("bigint").alias("reg_or_bin"),
+            F.col("n").cast("bigint").alias("state_val"),
+        )
+        return hll.unionByName(hist)
+
+    return {"sketch_rebuild_states": _rebuild_states}
+
+
 def main() -> None:
     from sea_express_customs_etl_spark.plans.standins import load_table
     from sea_express_customs_etl_spark.session import get_spark
@@ -1608,11 +1774,13 @@ def main() -> None:
 
     wanted = sys.argv[1:] or None
     ev_cases = cases_ev()
+    ev_cases.update(cases_r9_ev())
     graph_cases = cases_graph()
     li_cases = cases_li()
     all_cases = dict(cases())
     all_cases.update(cases_tfidf())
     all_cases.update(cases_r8b())
+    all_cases.update(cases_r9())
     for nm, fn_ev in ev_cases.items():
         # adapt to the (d, e) calling convention; e is unused
         all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_ev)
