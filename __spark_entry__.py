@@ -958,7 +958,7 @@ def _q_ann_store_delete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPACT_STORE_MEMO: set[tuple[str, str]] = set()
+_COMPACT_STORE_MEMO: set[tuple] = set()
 
 
 def _q_ann_store_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2899,6 +2899,50 @@ def _q_event_value_qsketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.quantiles import sketch_quantiles
 
     return sketch_quantiles(load_table(spark, sf_dir, "events"))
+
+
+def _q_sketch_compact_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-store COMPACTION under the gate (the merge-fold sibling
+    of the rebuild takedown): two-batch build → ``compact_sketch_store``
+    folds the per-batch log into ONE generation (registers by max,
+    bins by +) → the merged read must hash-match a fresh single-pass
+    DuckDB build over ALL events — compaction proven observationally
+    invisible, the ann_store_compact_topk discipline applied to the
+    sketch store. Built once per session behind the memo: compaction
+    collapses the markers, so a naive writer replay would re-append a
+    batch whose mass the folded generation already contains (the
+    non-idempotent ``sum`` merge would double-count)."""
+    from sea_express_customs_etl_spark.streaming.sketch_store import (
+        compact_sketch_store,
+        merged_histogram,
+        merged_hll,
+        sketch_batch_writer,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value"
+    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    prefix = "sketchcomp_" + re.sub(r"\W", "_", f"{key[0]}_{key[1]}")
+    if ("sketchcomp",) + key not in _COMPACT_STORE_MEMO:
+        writer = sketch_batch_writer(prefix)
+        writer(ev.filter(F.col("user_id") % 2 == 0), 0)
+        writer(ev.filter(F.col("user_id") % 2 == 1), 1)
+        compact_sketch_store(spark, prefix)
+        _COMPACT_STORE_MEMO.add(("sketchcomp",) + key)
+    hll = merged_hll(spark, prefix).select(
+        F.lit("hll").alias("kind"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("bucket").cast("bigint").alias("reg_or_bin"),
+        F.col("max_rank").cast("bigint").alias("state_val"),
+    )
+    hist = merged_histogram(spark, prefix).select(
+        F.lit("hist").alias("kind"),
+        "event_type",
+        F.col("bin").cast("bigint").alias("reg_or_bin"),
+        F.col("n").cast("bigint").alias("state_val"),
+    )
+    return hll.unionByName(hist)
 
 
 def _q_sketch_rebuild_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5341,6 +5385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pps_length_sample": _q_pps_length_sample,
         "event_value_qsketch": _q_event_value_qsketch,
         "sketch_rebuild_survivors": _q_sketch_rebuild_survivors,
+        "sketch_compact_merged": _q_sketch_compact_merged,
         "copurchase_pagerank_weighted": _q_copurchase_pagerank_weighted,
         "mmr_ann_rerank": _q_mmr_ann_rerank,
         "knowledge_ivm_delete": _q_knowledge_ivm_delete,
@@ -6537,6 +6582,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_terciles": ext.LM_TERCILES_SQL,
         "event_value_qsketch": ext.EVENT_VALUE_QSKETCH_SQL,
         "sketch_rebuild_survivors": r9.SKETCH_REBUILD_SURVIVORS_SQL,
+        "sketch_compact_merged": r9.SKETCH_COMPACT_MERGED_SQL,
         "pmi_collocations": ext.PMI_COLLOCATIONS_SQL,
         "domain_kl_divergence": ext.DOMAIN_KL_SQL,
         "fuzzy_key_recovery": ext.FUZZY_KEY_RECOVERY_SQL,

@@ -19,10 +19,16 @@ _H48 = "('0x' || substring(md5({v}), 1, 12))::BIGINT"
 # users never present). HLL register derivation mirrors
 # operators/sketches.hll_registers; histogram bins mirror
 # operators/quantiles.value_histogram (centi-unit floor).
-SKETCH_REBUILD_SURVIVORS_SQL = f"""
+def sketch_states_sql(where: str = "") -> str:
+    """Fresh single-pass sketch-state build (HLL registers over
+    user_id + centi-unit value histogram per event_type) in the tall
+    (kind, event_type, reg_or_bin, state_val) shape — the oracle for
+    both store-lifecycle queries: rebuild-from-survivors (``where``
+    restricts to survivors) and compaction (no restriction)."""
+    return f"""
 WITH surv AS (
   SELECT user_id, event_type, value
-  FROM events WHERE user_id % 13 <> 5),
+  FROM events{where}),
 h AS (SELECT {_H48.format(v='CAST(user_id AS VARCHAR)')} AS h48
       FROM surv),
 r AS (SELECT (h48 % 256)::INTEGER AS bucket, h48 // 256 AS w FROM h),
@@ -41,6 +47,12 @@ hist AS (
   FROM surv GROUP BY 1, 2, 3)
 SELECT * FROM hll UNION ALL SELECT * FROM hist
 """
+
+
+SKETCH_REBUILD_SURVIVORS_SQL = sketch_states_sql(
+    " WHERE user_id % 13 <> 5"
+)
+SKETCH_COMPACT_MERGED_SQL = sketch_states_sql()
 
 
 def _systems_prefix(

@@ -205,6 +205,8 @@ FORCED_BROADCAST_ALLOWED = {
     "sketch_rebuild_survivors",  # commit-marker table broadcast
     #                              (|batches| rows — the ann_store/
     #                              knowledge_ivm_stream license)
+    "sketch_compact_merged",  # same commit-marker broadcast license
+    #                           (one folded-generation row)
 }
 
 
