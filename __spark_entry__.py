@@ -3968,20 +3968,29 @@ def _q_bm25_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_docs(spark, sf_dir), k=10)
 
 
-def _retrieval_systems(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _retrieval_systems(
+    docs: DataFrame, staged: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Both checked retrieval systems as (query_id, doc_id, rank)
     top-10 frames: BM25 (the top-10 slice of its own top-20 — same
     ordering) and the hybrid RRF fusion re-ranked. r1 feeds the bm25
-    slice AND the fusion union (the ≥2-consumers rule)."""
+    slice AND the fusion union (the ≥2-consumers rule); ``staged``
+    shares the composed query's ONE persisted tokenization across the
+    bm25 and coverage passes (the eval queries were re-splitting the
+    corpus 3-4×)."""
     from sea_express_customs_etl_spark.operators.bm25 import (
         bm25_topk,
         term_coverage_ranked,
     )
     from sea_express_customs_etl_spark.operators.fusion import rrf_fuse
 
-    r1 = _tracked_persist(bm25_topk(docs, k=20, include_rank=True))
+    r1 = _tracked_persist(
+        bm25_topk(docs, k=20, include_rank=True, staged=staged)
+    )
     sys_bm25 = r1.filter(F.col("rank") <= 10)
-    fused = rrf_fuse([r1, term_coverage_ranked(docs, k=20)], k=10)
+    fused = rrf_fuse(
+        [r1, term_coverage_ranked(docs, k=20, staged=staged)], k=10
+    )
     wr = Window.partitionBy("query_id").orderBy(
         F.col("rrf_u6").desc(), F.col("doc_id")
     )
@@ -3989,6 +3998,26 @@ def _retrieval_systems(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         "query_id", "doc_id", "rank"
     )
     return sys_bm25, sys_rrf
+
+
+def _q_ranking_rbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap @10 (p = 9/10) between the two checked
+    retrieval systems — TRUTH-FREE ranker agreement (how much did the
+    hybrid fusion actually change the BM25 prefix?), the third leg of
+    the ranking-eval family next to truth-based nDCG/MAP. Every term
+    exact over the 10¹⁰·2520 common denominator with FIXED suffix-
+    weight literals shared by plan and oracle; identical rankings
+    score 1 − 0.9¹⁰ = 651321 u6 (prefix form, no extrapolation)."""
+    from sea_express_customs_etl_spark.operators.retrieval_eval import (
+        rbo_overlap,
+    )
+
+    from sea_express_customs_etl_spark.operators.bm25 import tokenize_docs
+
+    docs = _docs(spark, sf_dir)
+    st = _tracked_persist(tokenize_docs(docs))
+    sys_bm25, sys_rrf = _retrieval_systems(docs, staged=st)
+    return rbo_overlap(sys_bm25, sys_rrf)
 
 
 def _q_label_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4033,10 +4062,13 @@ def _q_retrieval_map_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         map_mrr,
     )
 
+    from sea_express_customs_etl_spark.operators.bm25 import tokenize_docs
+
     docs = _docs(spark, sf_dir)
+    st = _tracked_persist(tokenize_docs(docs))
     # the relevant set feeds both systems' AP joins + both R counts
-    rel = _tracked_persist(binary_truth(docs, min_tf=4))
-    sys_bm25, sys_rrf = _retrieval_systems(docs)
+    rel = _tracked_persist(binary_truth(docs, min_tf=4, staged=st))
+    sys_bm25, sys_rrf = _retrieval_systems(docs, staged=st)
     return map_mrr(sys_bm25, rel, "bm25").unionByName(
         map_mrr(sys_rrf, rel, "rrf")
     )
@@ -4059,10 +4091,13 @@ def _q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ideal_dcg_ppm,
     )
 
+    from sea_express_customs_etl_spark.operators.bm25 import tokenize_docs
+
     docs = _docs(spark, sf_dir)
+    st = _tracked_persist(tokenize_docs(docs))
     # truth feeds 2 DCG joins + the ideal ranking (≥2-consumers rule)
-    truth = _tracked_persist(graded_truth(docs))
-    sys_bm25, sys_rrf = _retrieval_systems(docs)
+    truth = _tracked_persist(graded_truth(docs, staged=st))
+    sys_bm25, sys_rrf = _retrieval_systems(docs, staged=st)
     dcg = dcg_ppm(sys_bm25, truth, "bm25").unionByName(
         dcg_ppm(sys_rrf, truth, "rrf")
     )
@@ -5413,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_ndcg": _q_retrieval_ndcg,
         "retrieval_map_mrr": _q_retrieval_map_mrr,
         "label_agreement_kappa": _q_label_agreement_kappa,
+        "ranking_rbo": _q_ranking_rbo,
         "skipgram_pairs": _q_skipgram_pairs,
         "cluster_safe_split": _q_cluster_safe_split,
         "split_leakage_audit": _q_split_leakage_audit,
@@ -6474,6 +6510,21 @@ def _hybrid_rrf_sql() -> str:
     return rrf_sql(FIXED_QUERIES, per_ranker_k=20, k=10, c=60)
 
 
+def _ranking_rbo_sql() -> str:
+    from sea_express_customs_etl_spark.operators.bm25 import FIXED_QUERIES
+    from sea_express_customs_etl_spark.operators.retrieval_eval import (
+        RBO10_DENOM,
+        RBO10_SUFFIX_W,
+    )
+    from sea_express_customs_etl_spark.plans.oracles_r9 import (
+        ranking_rbo_sql,
+    )
+
+    return ranking_rbo_sql(
+        FIXED_QUERIES, RBO10_SUFFIX_W, RBO10_DENOM, k=10, per_ranker_k=20
+    )
+
+
 def _retrieval_map_mrr_sql() -> str:
     from sea_express_customs_etl_spark.operators.bm25 import FIXED_QUERIES
     from sea_express_customs_etl_spark.plans.oracles_r9 import (
@@ -6789,6 +6840,7 @@ def oracle_sql() -> dict[str, str]:
         "retrieval_ndcg": _retrieval_ndcg_sql(),
         "retrieval_map_mrr": _retrieval_map_mrr_sql(),
         "label_agreement_kappa": r9.LABEL_AGREEMENT_KAPPA_SQL,
+        "ranking_rbo": _ranking_rbo_sql(),
         "event_trigram_paths": rel.EVENT_TRIGRAM_PATHS_SQL,
         "orders_profile_drift": rel.ORDERS_PROFILE_DRIFT_SQL,
         "copurchase_edge_churn": ext.COPURCHASE_EDGE_CHURN_SQL,

@@ -50,6 +50,22 @@ FIXED_QUERIES: tuple[tuple[str, tuple[str, ...]], ...] = (
 )
 
 
+def tokenize_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The retrieval family's shared tokenization: (id, _toks array)
+    under trim/lower/whitespace-split/drop-empties. Staged as a named
+    column (an inline split() referenced twice re-evaluates — the
+    CLAUDE.md O(len²) trap)."""
+    return docs.select(
+        id_col,
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda t: t != F.lit(""),
+        ).alias("_toks"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: tuple[tuple[str, tuple[str, ...]], ...] = FIXED_QUERIES,
@@ -57,30 +73,25 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     include_rank: bool = False,
+    staged: DataFrame | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by integer BM25. Output:
     ``query_id, doc_id, score_u6`` (score in micro-units of
     idf·saturation), ties broken by doc_id — or ``query_id, doc_id,
-    rank`` with ``include_rank=True`` (the fusion-input form)."""
+    rank`` with ``include_rank=True`` (the fusion-input form).
+    ``staged`` lets a composed query (retrieval_ndcg and siblings)
+    pass ONE persisted tokenization shared across its truth/ranking
+    passes instead of re-splitting the corpus per stage."""
     spark = docs.sparkSession
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in queries for t in ts],
         ["query_id", "term"],
     )
-    # stage the token array ONCE (an inline split() referenced twice
-    # re-evaluates — the CLAUDE.md O(len²) trap)
     # persisted: the tokenized corpus feeds BOTH the dl branch and the
     # tf explode (the CLAUDE.md ≥2-consumers rule — without the pin
     # each branch re-splits every document)
-    staged = tracked_persist(
-        docs.select(
-            id_col,
-            F.filter(
-                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-                lambda t: t != F.lit(""),
-            ).alias("_toks"),
-        )
-    )
+    if staged is None:
+        staged = tracked_persist(tokenize_docs(docs, text_col, id_col))
     dl = staged.select(id_col, F.size("_toks").cast("bigint").alias("dl"))
     scalars = dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
@@ -132,6 +143,7 @@ def term_coverage_ranked(
     k: int = 10,
     text_col: str = "text",
     id_col: str = "doc_id",
+    staged: DataFrame | None = None,
 ) -> DataFrame:
     """Second lexical ranker for hybrid fusion: documents ranked by
     how many DISTINCT query terms they contain (coverage — the
@@ -143,13 +155,8 @@ def term_coverage_ranked(
         [(qid, t) for qid, ts in queries for t in ts],
         ["query_id", "term"],
     )
-    staged = docs.select(
-        id_col,
-        F.filter(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-            lambda t: t != F.lit(""),
-        ).alias("_toks"),
-    )
+    if staged is None:
+        staged = tokenize_docs(docs, text_col, id_col)
     cov = (
         staged.select(id_col, F.explode("_toks").alias("term"))
         .join(F.broadcast(qterms), "term")

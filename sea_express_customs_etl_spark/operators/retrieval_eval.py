@@ -54,23 +54,22 @@ def graded_truth(
     queries: tuple[tuple[str, tuple[str, ...]], ...] = FIXED_QUERIES,
     text_col: str = "text",
     id_col: str = "doc_id",
+    staged: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic graded-relevance truth: per (query, doc) with at
     least one term hit, ``gain = 2^g − 1`` where g = distinct query
     terms present under BM25's own whitespace tokenization. Output:
-    query_id, doc_id, gain (1, 3 or 7)."""
+    query_id, doc_id, gain (1, 3 or 7). ``staged`` shares a composed
+    query's one persisted tokenization."""
+    from .bm25 import tokenize_docs
+
     spark = docs.sparkSession
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in queries for t in ts],
         ["query_id", "term"],
     )
-    staged = docs.select(
-        id_col,
-        F.filter(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-            lambda t: t != F.lit(""),
-        ).alias("_toks"),
-    )
+    if staged is None:
+        staged = tokenize_docs(docs, text_col, id_col)
     return (
         staged.select(id_col, F.explode("_toks").alias("term"))
         .join(F.broadcast(qterms), "term")
@@ -140,6 +139,7 @@ def binary_truth(
     min_tf: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
+    staged: DataFrame | None = None,
 ) -> DataFrame:
     """Binary relevance for MAP/MRR: (query_id, doc_id) pairs where
     the doc contains EVERY query term with tf ≥ ``min_tf``. On the
@@ -147,6 +147,8 @@ def binary_truth(
     for every system); the tf threshold keeps the relevant set sparse
     so hit positions discriminate. Same broadcast-filtered explode
     shape as the graded truth."""
+    from .bm25 import tokenize_docs
+
     spark = docs.sparkSession
     qterms = spark.createDataFrame(
         [(qid, t) for qid, ts in queries for t in ts],
@@ -155,13 +157,8 @@ def binary_truth(
     qn = spark.createDataFrame(
         [(qid, len(ts)) for qid, ts in queries], ["query_id", "_qn"]
     )
-    staged = docs.select(
-        id_col,
-        F.filter(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-            lambda t: t != F.lit(""),
-        ).alias("_toks"),
-    )
+    if staged is None:
+        staged = tokenize_docs(docs, text_col, id_col)
     tf = (
         staged.select(id_col, F.explode("_toks").alias("term"))
         .join(F.broadcast(qterms), "term")
@@ -239,4 +236,68 @@ def map_mrr(
             .cast("bigint")
             .alias("rr_u6"),
         )
+    )
+
+
+# Rank-biased overlap @10, p = 9/10 (Webber et al. TOIS'10 — public),
+# prefix (non-extrapolated) form: RBO = (1−p)·Σ_{d≤10} p^(d−1)·|X_d∩Y_d|/d.
+# With rational p every term is exact: over the common denominator
+# D = 10^10·2520, a doc entering the intersection at depth
+# m = max(rank_x, rank_y) contributes the SUFFIX weight
+# w_m = Σ_{d≥m} 9^(d−1)·10^(10−d)·(2520/d). FIXED literals shared by
+# plan and oracle (the NDCG_DISC_PPM rule); identical top-10 rankings
+# score 1 − 0.9^10 = 651321 u6 (pinned by test).
+RBO10_SUFFIX_W: tuple[int, ...] = (
+    5932493265528,
+    3412493265528,
+    2278493265528,
+    1598093265528,
+    1138823265528,
+    808148865528,
+    560143065528,
+    368824305528,
+    218160782028,
+    97629963228,
+)
+RBO10_DENOM = 25_200_000_000_000  # 10^10 · 2520
+
+
+def rbo_overlap(
+    rank_a: DataFrame, rank_b: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-query RBO@10 between two top-10 rankings (query_id,
+    {id_col}, rank). Truth-free ranker agreement — how much two
+    systems' prefixes overlap, depth-weighted. The inner join is
+    model-sized (|queries|·10 each side); queries with zero common
+    docs still emit a row (rbo 0). The numerator sum runs in
+    DECIMAL(38,0) (w_m up to 5.9e12 × 10 docs × 10^6 overflows
+    int64); the final quotient ≤ 10^6 is bigint."""
+    a = rank_a.select("query_id", id_col, F.col("rank").alias("_ra"))
+    b = rank_b.select("query_id", id_col, F.col("rank").alias("_rb"))
+    w = F.element_at(
+        F.array(*[F.lit(x).cast("bigint") for x in RBO10_SUFFIX_W]),
+        F.greatest("_ra", "_rb").cast("int"),
+    )
+    agg = (
+        a.join(b, ["query_id", id_col])
+        .select("query_id", w.alias("_w"))
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("_w").cast("decimal(38,0)").alias("_num"),
+        )
+    )
+    spine = a.select("query_id").distinct()
+    return spine.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_common", F.lit(0)).cast("bigint").alias("n_common"),
+        F.coalesce(
+            F.expr(
+                "CAST((CAST(_num AS DECIMAL(38,0)) * 1000000)"
+                f" DIV {RBO10_DENOM} AS BIGINT)"
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("rbo_u6"),
     )

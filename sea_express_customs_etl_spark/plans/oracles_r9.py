@@ -235,3 +235,36 @@ SELECT n11, n10, n01, n00,
        END AS BIGINT) AS kappa_u6
 FROM g
 """
+
+
+def ranking_rbo_sql(
+    queries: tuple[tuple[str, tuple[str, ...]], ...],
+    suffix_w: tuple[int, ...],
+    denom: int,
+    k: int = 10,
+    per_ranker_k: int = 20,
+    c: int = 60,
+) -> str:
+    """RBO@10 oracle between the bm25 and RRF system rankings (both
+    restated from the shared prefix): a common doc contributes the
+    suffix weight of its max depth; numerator in HUGEINT, final
+    quotient bigint. Weights are the SAME fixed literals the Spark
+    plan embeds."""
+    w_vals = ", ".join(f"({m + 1}, {w})" for m, w in enumerate(suffix_w))
+    return f"""
+WITH {_systems_prefix(queries, k, per_ranker_k, c)},
+rw(m, w) AS (SELECT * FROM (VALUES {w_vals})),
+rmatch AS (
+  SELECT a.query_id, greatest(a.rank, b.rank) AS m
+  FROM nsys1 a
+  JOIN nsys2 b ON a.query_id = b.query_id AND a.doc_id = b.doc_id),
+ragg AS (
+  SELECT query_id, count(*)::BIGINT AS n_common,
+         sum(w)::HUGEINT AS num
+  FROM rmatch JOIN rw USING (m) GROUP BY 1),
+rq AS (SELECT DISTINCT query_id FROM nsys1)
+SELECT rq.query_id,
+       CAST(coalesce(n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce((num * 1000000) // {denom}, 0) AS BIGINT) AS rbo_u6
+FROM rq LEFT JOIN ragg USING (query_id)
+"""

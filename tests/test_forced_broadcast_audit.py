@@ -199,6 +199,7 @@ FORCED_BROADCAST_ALLOWED = {
     #                    (N, avgdl) scalars (the bm25_doc_topk license)
     "retrieval_map_mrr",  # same bm25 pins + the |queries|-row term-
     #                       count table (model-sized by definition)
+    "ranking_rbo",        # same bm25/fusion pins
     "facility_coreset_ann",  # the ann_store frozen-model pins + the
     #                          fixed 32-vector pool broadcast (the
     #                          facility_coreset_select license)

@@ -89,6 +89,7 @@ BNLJ_ALLOWED = {
     "retrieval_ndcg",      # composes bm25 + the fusion — same 1-row
     #                        corpus-scalar license
     "retrieval_map_mrr",   # same bm25/fusion composition license
+    "ranking_rbo",         # same bm25/fusion composition license
     "purchase_hits_authorities",  # 1-row L∞ norm scalar per half-step
     "order_benford_digits",  # 1-row digit-total scalar cross-joined
     "segment_priority_lift",  # 1-row grand-total scalar cross-joined

@@ -92,3 +92,40 @@ def test_dcg_ap_rr_match_hand_math(spark):
     )
     mm = map_mrr(ranked_miss, rel4, "sys").collect()[0]
     assert (mm.ap_u6, mm.rr_u6, mm.n_rel) == (0, 0, 1)
+
+
+def test_rbo_identity_disjoint_and_partial(spark):
+    from sea_express_customs_etl_spark.operators.retrieval_eval import (
+        RBO10_DENOM,
+        RBO10_SUFFIX_W,
+        rbo_overlap,
+    )
+
+    # literals are exactly the suffix sums of (1-p)p^(d-1)/d over the
+    # 10^10*2520 common denominator at p = 9/10
+    coeff = [9 ** (d - 1) * 10 ** (10 - d) * (2520 // d) for d in range(1, 11)]
+    assert RBO10_SUFFIX_W == tuple(sum(coeff[m - 1:]) for m in range(1, 11))
+    assert RBO10_DENOM == 10 ** 10 * 2520
+
+    ident = spark.createDataFrame(
+        [("q", i, i) for i in range(1, 11)],
+        "query_id string, doc_id long, rank int",
+    )
+    got = rbo_overlap(ident, ident).collect()[0]
+    assert (got.n_common, got.rbo_u6) == (10, 651321)  # 1 - 0.9^10
+
+    other = spark.createDataFrame(
+        [("q", i + 100, i) for i in range(1, 11)],
+        "query_id string, doc_id long, rank int",
+    )
+    got = rbo_overlap(ident, other).collect()[0]
+    assert (got.n_common, got.rbo_u6) == (0, 0)
+
+    # one shared doc at rank 1 in A, rank 2 in B -> weight w_2
+    partial = spark.createDataFrame(
+        [("q", 1, 2)] + [("q", i + 100, i) for i in range(1, 11) if i != 2],
+        "query_id string, doc_id long, rank int",
+    )
+    got = rbo_overlap(ident, partial).collect()[0]
+    assert got.n_common == 1
+    assert got.rbo_u6 == RBO10_SUFFIX_W[1] * 1_000_000 // RBO10_DENOM

@@ -1659,10 +1659,19 @@ def cases_r9():
         from sea_express_customs_etl_spark.plans.cache import tracked_persist
         from pyspark.sql import Window
 
-        truth = tracked_persist(graded_truth(docs))
-        r1 = tracked_persist(bm25_topk(docs, k=20, include_rank=True))
+        from sea_express_customs_etl_spark.operators.bm25 import (
+            tokenize_docs,
+        )
+
+        st = tracked_persist(tokenize_docs(docs))
+        truth = tracked_persist(graded_truth(docs, staged=st))
+        r1 = tracked_persist(
+            bm25_topk(docs, k=20, include_rank=True, staged=st)
+        )
         sys_bm25 = r1.filter(F.col("rank") <= 10)
-        fused = rrf_fuse([r1, term_coverage_ranked(docs, k=20)], k=10)
+        fused = rrf_fuse(
+            [r1, term_coverage_ranked(docs, k=20, staged=st)], k=10
+        )
         wr = Window.partitionBy("query_id").orderBy(
             F.col("rrf_u6").desc(), F.col("doc_id")
         )
@@ -1687,10 +1696,19 @@ def cases_r9():
         from sea_express_customs_etl_spark.plans.cache import tracked_persist
         from pyspark.sql import Window
 
-        rel = tracked_persist(binary_truth(docs, min_tf=4))
-        r1 = tracked_persist(bm25_topk(docs, k=20, include_rank=True))
+        from sea_express_customs_etl_spark.operators.bm25 import (
+            tokenize_docs,
+        )
+
+        st = tracked_persist(tokenize_docs(docs))
+        rel = tracked_persist(binary_truth(docs, min_tf=4, staged=st))
+        r1 = tracked_persist(
+            bm25_topk(docs, k=20, include_rank=True, staged=st)
+        )
         sys_bm25 = r1.filter(F.col("rank") <= 10)
-        fused = rrf_fuse([r1, term_coverage_ranked(docs, k=20)], k=10)
+        fused = rrf_fuse(
+            [r1, term_coverage_ranked(docs, k=20, staged=st)], k=10
+        )
         wr = Window.partitionBy("query_id").orderBy(
             F.col("rrf_u6").desc(), F.col("doc_id")
         )
