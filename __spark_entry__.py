@@ -1608,13 +1608,72 @@ def _q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the merges (first winner here is 'q'+'u'). The whole argmax
     trajectory hash-matches the oracle's unrolled CTE chain
     (operators/bpe.py:wordpiece_train; the bpe_learned_merges
-    discipline, third tokenizer family next to BPE and unigram-LM)."""
-    from sea_express_customs_etl_spark.operators.bpe import wordpiece_train
-
-    merges = wordpiece_train(_docs(spark, sf_dir), n_merges=8)
+    discipline, third tokenizer family next to BPE and unigram-LM).
+    Training runs ONCE per session (the perceptron-memo license) —
+    wordpiece_token_counts applies the same learned merges."""
+    merges = _wordpiece_merges_cached(spark, sf_dir, 8)
     return spark.createDataFrame(
         [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
         "step int, left string, right string",
+    )
+
+
+# Session-scoped WordPiece training memo (the perceptron-memo
+# pattern): wordpiece_merges checks the trajectory, the apply query
+# re-uses the identical learned merges.
+_WORDPIECE_MEMO: dict[tuple[str, str, int], list[tuple[str, str]]] = {}
+
+
+def _wordpiece_merges_cached(
+    spark: SparkSession, sf_dir: str, n_merges: int = 8
+) -> list[tuple[str, str]]:
+    from sea_express_customs_etl_spark.operators.bpe import wordpiece_train
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _WORDPIECE_MEMO if k[0] != app_id]:
+        del _WORDPIECE_MEMO[k]
+    key = (app_id, sf_dir, n_merges)
+    if key not in _WORDPIECE_MEMO:
+        _WORDPIECE_MEMO[key] = wordpiece_train(
+            _docs(spark, sf_dir), n_merges=n_merges
+        )
+    return _WORDPIECE_MEMO[key]
+
+
+def _q_wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece APPLY (train → encode composed, the
+    unigram_token_counts pairing for the WordPiece family): per-doc
+    piece counts under the session's learned merges via greedy
+    longest-match-first segmentation — the BERT inference rule,
+    deliberately DIFFERENT from BPE's merge-order replay (a learned
+    unit matches wherever it occurs, not in creation order). The
+    greedy loop is 20 chained map-only projections at DISTINCT-WORD
+    grain (operators/bpe.py:wordpiece_encode_pieces); the oracle
+    re-derives the merge trajectory through the shared stage CTEs and
+    unrolls the same 20 greedy rounds — training AND inference under
+    one hash."""
+    from sea_express_customs_etl_spark.operators.bpe import (
+        wordpiece_encode_pieces,
+    )
+
+    merges = _wordpiece_merges_cached(spark, sf_dir, 8)
+    docs = _docs(spark, sf_dir)
+    wpd = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("word"),
+    )
+    pieces = wordpiece_encode_pieces(
+        wpd.select("word").distinct(), merges, rounds=20
+    )
+    return (
+        wpd.join(pieces, "word")
+        .groupBy("doc_id")
+        .agg(F.sum("n_pieces").cast("bigint").alias("n_tokens"))
     )
 
 
@@ -5478,6 +5537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_quantile_norm": _q_source_quantile_norm,
         "preference_pairs": _q_preference_pairs,
         "wordpiece_merges": _q_wordpiece_merges,
+        "wordpiece_token_counts": _q_wordpiece_token_counts,
         "doc_novelty_gain": _q_doc_novelty_gain,
         "json_roundtrip_nation": _q_json_roundtrip_nation,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
@@ -6780,6 +6840,7 @@ def oracle_sql() -> dict[str, str]:
         "source_quantile_norm": ext.QUANTILE_NORM_SQL,
         "preference_pairs": ext.PREFERENCE_PAIRS_SQL,
         "wordpiece_merges": ext.wordpiece_train_sql(8),
+        "wordpiece_token_counts": r9.wordpiece_token_counts_sql(8, 20),
         "doc_novelty_gain": ext.DOC_NOVELTY_GAIN_SQL,
         "vocab_coverage_curve": ext.VOCAB_COVERAGE_SQL,
         "lm_slice_report": ext.LM_SLICE_REPORT_SQL,

@@ -280,3 +280,64 @@ def wordpiece_train(
         current = nxt
     current.unpersist()
     return merges
+
+
+def wordpiece_encode_pieces(
+    words: DataFrame,
+    merges: list[tuple[str, str]],
+    rounds: int = 20,
+) -> DataFrame:
+    """WordPiece APPLY — greedy longest-match-first segmentation
+    (Schuster & Nakajima 2012; the BERT tokenizer's inference rule,
+    deliberately DIFFERENT from BPE's merge-order replay): per word,
+    repeatedly consume the longest vocabulary unit prefixed at the
+    cursor. Vocabulary = the learned merge units + the ``</w>`` end
+    symbol; single characters need no table entry (a 1-char match and
+    the unknown-char fallback both advance by 1 and cost one piece).
+
+    String-grain matching over ``word || '</w>'`` is exactly
+    symbol-grain matching here: every unit containing ``<`` contains
+    the whole sentinel (units are concatenations of symbols), and no
+    corpus character is ``<``, so no match can misalign mid-sentinel.
+
+    The loop is ``rounds`` chained MAP-ONLY projections (each round:
+    one ``greatest`` over |units| substring tests — whole-stage
+    codegen, no join, no shuffle) on the DISTINCT-WORD frame, so cost
+    is dictionary-grain regardless of corpus size (the bpe_encode
+    dictionary rule). ``rounds`` bounds encodable word length at
+    ``rounds − 1`` characters (the done-guard makes surplus rounds
+    no-ops); raise it for corpora with longer whitespace tokens.
+    Output: (word, n_pieces)."""
+    units = [l + r for l, r in merges] + ["</w>"]
+    st = words.select(
+        "word",
+        F.concat(F.col("word"), F.lit("</w>")).alias("_aug"),
+        F.lit(1).cast("int").alias("_pos"),
+        F.lit(0).cast("bigint").alias("_pieces"),
+    )
+    for _ in range(rounds):
+        done = F.col("_pos") > F.length("_aug")
+        best = F.greatest(
+            *[
+                F.when(
+                    F.expr(f"substring(_aug, _pos, {len(u)})")
+                    == F.lit(u),
+                    F.lit(len(u)),
+                )
+                for u in units
+            ],
+            F.lit(1),
+        )
+        st = st.select(
+            "word",
+            "_aug",
+            F.when(done, F.col("_pos"))
+            .otherwise(F.col("_pos") + best)
+            .cast("int")
+            .alias("_pos"),
+            F.when(done, F.col("_pieces"))
+            .otherwise(F.col("_pieces") + 1)
+            .cast("bigint")
+            .alias("_pieces"),
+        )
+    return st.select("word", F.col("_pieces").alias("n_pieces"))

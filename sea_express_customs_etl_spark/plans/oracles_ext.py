@@ -5664,16 +5664,13 @@ WHERE b.rb = 1 AND w.rw = 1 AND b.doc_id <> w.doc_id
 """
 
 
-def wordpiece_train_sql(n_merges: int = 8, src: str = "documents") -> str:
-    """DuckDB replica of ``operators/bpe.wordpiece_train``: the
-    bpe_train_sql trajectory with the likelihood-ratio argmax — per
-    round, adjacent-pair counts AND per-position symbol marginals over
-    the evolving dictionary, quantized integer score
-    (10¹²·n) // (c(l)·c(r)) in HUGEINT, winner threaded into the next
-    round's replace via CROSS JOIN. No data-dependent literals.
-    Every CTE is MATERIALIZED: sy{k} is referenced twice per round
-    (pair counts AND marginals), and inlining makes the v-chain
-    expansion 3^k — DuckDB ran out of file handles at k=8."""
+def wordpiece_stage_ctes(
+    n_merges: int = 8, src: str = "documents"
+) -> list[str]:
+    """The wordpiece training trajectory as a CTE-stage list (v0 +
+    per-round sy/p/u/m/v chains) — shared by the train oracle and the
+    encode oracle (oracles_r9.wordpiece_token_counts_sql), which
+    appends its own greedy-match rounds after ``m1..m{n}``."""
     s31 = chr(31)
     stages = [
         f"""v0 AS MATERIALIZED (
@@ -5714,6 +5711,20 @@ v{k} AS MATERIALIZED (
          replace(enc, '{s31}' || m.l || '{s31}{s31}' || m.r || '{s31}',
                  '{s31}' || m.l || m.r || '{s31}') AS enc
   FROM v{k - 1} CROSS JOIN m{k} m)""")
+    return stages
+
+
+def wordpiece_train_sql(n_merges: int = 8, src: str = "documents") -> str:
+    """DuckDB replica of ``operators/bpe.wordpiece_train``: the
+    bpe_train_sql trajectory with the likelihood-ratio argmax — per
+    round, adjacent-pair counts AND per-position symbol marginals over
+    the evolving dictionary, quantized integer score
+    (10¹²·n) // (c(l)·c(r)) in HUGEINT, winner threaded into the next
+    round's replace via CROSS JOIN. No data-dependent literals.
+    Every CTE is MATERIALIZED: sy{k} is referenced twice per round
+    (pair counts AND marginals), and inlining makes the v-chain
+    expansion 3^k — DuckDB ran out of file handles at k=8."""
+    stages = wordpiece_stage_ctes(n_merges, src)
     finals = " UNION ALL ".join(
         f'SELECT {k} AS step, l AS "left", r AS "right" FROM m{k}'
         for k in range(1, n_merges + 1)

@@ -268,3 +268,55 @@ SELECT rq.query_id,
        CAST(coalesce((num * 1000000) // {denom}, 0) AS BIGINT) AS rbo_u6
 FROM rq LEFT JOIN ragg USING (query_id)
 """
+
+
+def wordpiece_token_counts_sql(
+    n_merges: int = 8, rounds: int = 20, src: str = "documents"
+) -> str:
+    """WordPiece APPLY oracle (operators/bpe.wordpiece_encode_pieces):
+    the training trajectory re-derived via the SHARED stage CTEs
+    (oracles_ext.wordpiece_stage_ctes — never pasted literals), the
+    vocabulary assembled from the m1..m{n} winners + the '</w>'
+    sentinel, then ``rounds`` unrolled greedy longest-prefix-match
+    steps at DISTINCT-WORD grain (a correlated max-length scalar
+    subquery per step; the done-guard makes surplus rounds no-ops),
+    and one per-doc piece-count rollup."""
+    from sea_express_customs_etl_spark.plans.oracles_ext import (
+        wordpiece_stage_ctes,
+    )
+
+    stages = wordpiece_stage_ctes(n_merges, src)
+    vocab_union = " UNION ALL ".join(
+        f"SELECT l || r AS u FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    enc = [
+        f"""wpv AS MATERIALIZED (
+  SELECT u FROM ({vocab_union} UNION ALL SELECT '</w>')),
+wpd AS MATERIALIZED (
+  SELECT doc_id, w AS word FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM {src})
+  WHERE w <> ''),
+e0 AS (
+  SELECT word, word || '</w>' AS aug,
+         1 AS pos, CAST(0 AS BIGINT) AS pieces
+  FROM (SELECT DISTINCT word FROM wpd))"""
+    ]
+    for j in range(1, rounds + 1):
+        enc.append(f"""e{j} AS MATERIALIZED (
+  SELECT word, aug,
+         CASE WHEN pos > len(aug) THEN pos
+              ELSE pos + coalesce((SELECT max(len(v.u)) FROM wpv v
+                   WHERE substr(aug, pos, len(v.u)) = v.u), 1) END AS pos,
+         CASE WHEN pos > len(aug) THEN pieces ELSE pieces + 1 END
+             AS pieces
+  FROM e{j - 1})""")
+    return (
+        "WITH "
+        + ",\n".join(stages + enc)
+        + f"""
+SELECT d.doc_id, CAST(sum(e.pieces) AS BIGINT) AS n_tokens
+FROM wpd d JOIN e{rounds} e USING (word) GROUP BY 1
+"""
+    )

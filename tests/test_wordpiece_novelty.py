@@ -51,3 +51,35 @@ def test_wordpiece_merge_applies_to_dictionary(spark):
     merges = wordpiece_train(_corpus(spark, texts), n_merges=3)
     assert merges[0] == ("q", "u")
     assert all(m != ("q", "u") for m in merges[1:])
+
+
+def test_wordpiece_greedy_encode_hand_computed(spark):
+    """Greedy longest-match-first over word||'</w>' with the merge
+    units + sentinel as vocabulary: hand-computed piece counts, the
+    longest-PREFIX-wins property (not merge order), sentinel counted
+    as one piece, unknown chars as one piece each."""
+    from sea_express_customs_etl_spark.operators.bpe import (
+        wordpiece_encode_pieces,
+    )
+    import pyspark.sql.functions as F
+
+    merges = [("a", "b"), ("ab", "c")]  # units: 'ab', 'abc'
+    words = spark.createDataFrame(
+        [("abcd",), ("abab",), ("x",), ("abc",)], "word string"
+    )
+    got = {
+        r.word: r.n_pieces
+        for r in wordpiece_encode_pieces(words, merges, rounds=12).collect()
+    }
+    # abcd</w>: 'abc'(longest, NOT 'ab'), 'd', '</w>'  -> 3
+    # abab</w>: 'ab', 'ab', '</w>'                     -> 3
+    # x</w>:    'x', '</w>'                            -> 2
+    # abc</w>:  'abc', '</w>'                          -> 2
+    assert got == {"abcd": 3, "abab": 3, "x": 2, "abc": 2}
+
+    # surplus rounds are no-ops: more rounds, same counts
+    got24 = {
+        r.word: r.n_pieces
+        for r in wordpiece_encode_pieces(words, merges, rounds=24).collect()
+    }
+    assert got24 == got
