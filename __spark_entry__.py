@@ -1589,11 +1589,9 @@ def _q_bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round, map-side merge application). The ENTIRE argmax
     trajectory matches the oracle, which threads each round's winner
     into the next round's replace via CTE cross joins — no replayed
-    literals. Completes the tokenization family: bpe_encode_fixed is
-    the apply side of this learn side."""
-    from sea_express_customs_etl_spark.operators.bpe import bpe_train
-
-    merges = bpe_train(_docs(spark, sf_dir), n_merges=10)
+    literals. Training runs ONCE per session (the perceptron-memo
+    license); bpe_token_counts applies the same learned merges."""
+    merges = _bpe_merges_cached(spark, sf_dir, 10)
     return spark.createDataFrame(
         [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
         "step int, left string, right string",
@@ -1615,6 +1613,46 @@ def _q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(i + 1, l, r) for i, (l, r) in enumerate(merges)],
         "step int, left string, right string",
+    )
+
+
+# Session-scoped BPE training memo (the perceptron-memo pattern):
+# bpe_learned_merges checks the trajectory, bpe_token_counts applies
+# the identical learned merges.
+_BPE_MEMO: dict[tuple[str, str, int], list[tuple[str, str]]] = {}
+
+
+def _bpe_merges_cached(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> list[tuple[str, str]]:
+    from sea_express_customs_etl_spark.operators.bpe import bpe_train
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _BPE_MEMO if k[0] != app_id]:
+        del _BPE_MEMO[k]
+    key = (app_id, sf_dir, n_merges)
+    if key not in _BPE_MEMO:
+        _BPE_MEMO[key] = bpe_train(
+            _docs(spark, sf_dir), n_merges=n_merges
+        )
+    return _BPE_MEMO[key]
+
+
+def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY under the session's LEARNED merges (train → encode
+    composed — bpe_encode_fixed covers the fixed-model apply; this
+    closes train+apply for the BPE family too, joining unigram and
+    WordPiece): per-doc token counts from the dictionary-encoded
+    greedy merge replay. The oracle re-derives the full merge
+    trajectory through the shared stage CTEs (all MATERIALIZED — the
+    winners are referenced by both the train and encode chains) and
+    applies each winner in merge order to a word-keyed replace
+    chain."""
+    from sea_express_customs_etl_spark.operators.bpe import bpe_encode
+
+    merges = _bpe_merges_cached(spark, sf_dir, 10)
+    return bpe_encode(_docs(spark, sf_dir), merges).select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
     )
 
 
@@ -5567,6 +5605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "preference_pairs": _q_preference_pairs,
         "wordpiece_merges": _q_wordpiece_merges,
         "wordpiece_token_counts": _q_wordpiece_token_counts,
+        "bpe_token_counts": _q_bpe_token_counts,
         "doc_novelty_gain": _q_doc_novelty_gain,
         "json_roundtrip_nation": _q_json_roundtrip_nation,
         "vocab_coverage_curve": _q_vocab_coverage_curve,
@@ -6870,6 +6909,7 @@ def oracle_sql() -> dict[str, str]:
         "preference_pairs": ext.PREFERENCE_PAIRS_SQL,
         "wordpiece_merges": ext.wordpiece_train_sql(8),
         "wordpiece_token_counts": r9.wordpiece_token_counts_sql(8, 20),
+        "bpe_token_counts": r9.bpe_token_counts_sql(10),
         "doc_novelty_gain": ext.DOC_NOVELTY_GAIN_SQL,
         "vocab_coverage_curve": ext.VOCAB_COVERAGE_SQL,
         "lm_slice_report": ext.LM_SLICE_REPORT_SQL,

@@ -962,18 +962,19 @@ FROM docs
 
 
 
-def bpe_train_sql(n_merges: int = 10, src: str = "documents") -> str:
-    """DuckDB replica of ``operators/bpe.bpe_train``: the whole
-    training TRAJECTORY unrolled — per round, adjacent-pair counts
-    over the evolving wrapped-symbol dictionary (weighted by word
-    frequency, overlapping pairs counted per position), the 1-row
-    argmax (count DESC, pair ASC) threaded into the next round's
-    ``replace`` via CROSS JOIN. No literals are data-dependent: the
-    learned merges are themselves CTE values, so the statement checks
-    the full argmax trajectory, not a replayed answer."""
+def bpe_stage_ctes(
+    n_merges: int = 10, src: str = "documents", materialized: bool = False
+) -> list[str]:
+    """The BPE training trajectory as a CTE-stage list (v0 + per-round
+    p/m/v chains) — shared by the train oracle and the learned-merge
+    encode oracle (oracles_r9.bpe_token_counts_sql). ``materialized``
+    marks every CTE AS MATERIALIZED: required when the m{k} winners
+    are referenced TWICE (train chain + encode chain) — the wordpiece
+    3^k-inlining lesson."""
     s31 = chr(31)
+    mat = " MATERIALIZED" if materialized else ""
     stages = [
-        f"""v0 AS (
+        f"""v0 AS{mat} (
   SELECT count(*)::BIGINT AS freq,
          '{s31}' || array_to_string(
              list_append(regexp_split_to_array(w, ''), '</w>'),
@@ -983,7 +984,7 @@ def bpe_train_sql(n_merges: int = 10, src: str = "documents") -> str:
   WHERE w <> '' GROUP BY w)"""
     ]
     for k in range(1, n_merges + 1):
-        stages.append(f"""p{k} AS (
+        stages.append(f"""p{k} AS{mat} (
   SELECT pr.l, pr.r, sum(freq) AS n FROM (
     SELECT freq,
            unnest(list_transform(range(1, len(sy)),
@@ -991,12 +992,25 @@ def bpe_train_sql(n_merges: int = 10, src: str = "documents") -> str:
     FROM (SELECT freq, string_split(trim(enc, '{s31}'), '{s31}{s31}') AS sy
           FROM v{k - 1}))
   GROUP BY 1, 2),
-m{k} AS (SELECT l, r FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
-v{k} AS (
+m{k} AS{mat} (SELECT l, r FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+v{k} AS{mat} (
   SELECT freq,
          replace(enc, '{s31}' || m.l || '{s31}{s31}' || m.r || '{s31}',
                  '{s31}' || m.l || m.r || '{s31}') AS enc
   FROM v{k - 1} CROSS JOIN m{k} m)""")
+    return stages
+
+
+def bpe_train_sql(n_merges: int = 10, src: str = "documents") -> str:
+    """DuckDB replica of ``operators/bpe.bpe_train``: the whole
+    training TRAJECTORY unrolled — per round, adjacent-pair counts
+    over the evolving wrapped-symbol dictionary (weighted by word
+    frequency, overlapping pairs counted per position), the 1-row
+    argmax (count DESC, pair ASC) threaded into the next round's
+    ``replace`` via CROSS JOIN. No literals are data-dependent: the
+    learned merges are themselves CTE values, so the statement checks
+    the full argmax trajectory, not a replayed answer."""
+    stages = bpe_stage_ctes(n_merges)
     finals = " UNION ALL ".join(
         f'SELECT {k} AS step, l AS "left", r AS "right" FROM m{k}'
         for k in range(1, n_merges + 1)

@@ -320,3 +320,55 @@ SELECT d.doc_id, CAST(sum(e.pieces) AS BIGINT) AS n_tokens
 FROM wpd d JOIN e{rounds} e USING (word) GROUP BY 1
 """
     )
+
+
+def bpe_token_counts_sql(
+    n_merges: int = 10, src: str = "documents"
+) -> str:
+    """BPE LEARNED-merge apply oracle (operators/bpe.bpe_encode under
+    the session-trained merges): the training trajectory re-derived
+    via the SHARED stage CTEs (oracles_ext.bpe_stage_ctes, all
+    MATERIALIZED — the m{k} winners are referenced twice here, train
+    chain + encode chain, the wordpiece 3^k-inlining lesson), then a
+    word-keyed replace chain applies each winner in merge order and
+    the per-doc piece counts roll up. Never pasted literals — the
+    learned merges stay CTE values."""
+    from sea_express_customs_etl_spark.plans.oracles_ext import (
+        bpe_stage_ctes,
+    )
+
+    s = chr(31)
+    stages = bpe_stage_ctes(n_merges, src, materialized=True)
+    enc = [
+        f"""bwd AS MATERIALIZED (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM {src})
+  WHERE w <> ''),
+be0 AS MATERIALIZED (
+  SELECT w,
+         '{s}' || array_to_string(
+             list_append(regexp_split_to_array(w, ''), '</w>'),
+             '{s}{s}') || '{s}' AS enc
+  FROM (SELECT DISTINCT w FROM bwd))"""
+    ]
+    for k in range(1, n_merges + 1):
+        enc.append(f"""be{k} AS MATERIALIZED (
+  SELECT w,
+         replace(enc, '{s}' || m.l || '{s}{s}' || m.r || '{s}',
+                 '{s}' || m.l || m.r || '{s}') AS enc
+  FROM be{k - 1} CROSS JOIN m{k} m)""")
+    return (
+        "WITH "
+        + ",\n".join(stages + enc)
+        + f""",
+bpieces AS MATERIALIZED (
+  SELECT w,
+         CAST(len(string_split(trim(enc, '{s}'), '{s}{s}')) AS BIGINT)
+             AS n
+  FROM be{n_merges})
+SELECT d.doc_id, CAST(sum(p.n) AS BIGINT) AS n_tokens
+FROM bwd d JOIN bpieces p USING (w) GROUP BY 1
+"""
+    )

@@ -60,6 +60,8 @@ FORCED_BROADCAST_ALLOWED = {
     "events_gapfill_locf",  # 1-row (lo, hi) hour bounds
     "lm_score",            # 1-row vocabulary-size V (counts NOT pinned)
     "domain_mix_sample",   # per-domain targets/budget/thresholds
+    "bpe_token_counts",    # same distinct-word dictionary dial as
+    #                        bpe_encode_fixed (learned merges)
     "bpe_encode_fixed",    # distinct-word dictionary (documented dial —
     #                        Heaps-law growth, pinned because the
     #                        dictionary-encode design depends on it)
