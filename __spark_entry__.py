@@ -3460,6 +3460,135 @@ def _q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_perplexity_gain_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore–Lewis contrastive-perplexity selection (Moore & Lewis
+    2010): held-out (odd) docs ranked by mean bigram NLL minus mean
+    stupid-backoff trigram NLL — the cross-entropy-difference filter
+    CCNet/DSIR descend from, composed from the two existing LM
+    scorers. Negate-first signed DIVs, top-100 under (gain DESC, id)
+    via TakeOrderedAndProject."""
+    from sea_express_customs_etl_spark.operators.lm import perplexity_gain
+
+    return perplexity_gain(_docs(spark, sf_dir), top_k=100)
+
+
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc unigram Shannon entropy in micro-nats — the
+    information-theoretic boilerplate dial complementing the Gopher
+    repetition ratios. One libm call per distinct (doc, token) count,
+    rounded to u6 BEFORE the doc-grain sum (aggregation-order-exact);
+    the numerator of the closing DIV is non-negative by monotonicity
+    of round∘ln."""
+    from sea_express_customs_etl_spark.operators.dispersion import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
+def _q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church–Gale burstiness (variance-to-mean ratio of per-doc token
+    counts, zeros included) — the stopword-vs-topical split with NO
+    libm at all: one integer rational per token, products lifted to
+    DECIMAL(38,0) (N·Σc² overflows int64 at corpus scale). The corpus
+    size N is the one broadcast 1-row scalar (chi2 license)."""
+    from sea_express_customs_etl_spark.operators.dispersion import (
+        token_burstiness,
+    )
+
+    return token_burstiness(_docs(spark, sf_dir))
+
+
+def _q_zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf exponent: integer-moment OLS of ln(freq) on
+    ln(rank) over the top-500 vocabulary ranks (31 at this corpus's
+    vocab) — the one-row corpus-naturalness dial. Top-k selection is
+    orderBy+limit (distributed TakeOrderedAndProject); the rank window
+    runs on the already-limited model-sized frame; slope emitted
+    negate-first (it is negative) with DECIMAL(38,0) moments."""
+    from sea_express_customs_etl_spark.operators.dispersion import zipf_alpha
+
+    return zipf_alpha(_docs(spark, sf_dir), top_r=500)
+
+
+# Session-scoped PCA training memo (the perceptron/bpe-memo pattern):
+# pca_power_topcomp checks the trained component, pca_doc_projection
+# reuses the identical trajectory for the per-vector scores.
+_PCA_MEMO: dict[tuple[str, str, int], tuple[list[int], list[int]]] = {}
+
+
+def _pca_cached(
+    spark: SparkSession, sf_dir: str, rounds: int = 5
+) -> tuple[list[int], list[int]]:
+    from sea_express_customs_etl_spark.operators.pca import pca_power_train
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _PCA_MEMO if k[0] != app_id]:
+        del _PCA_MEMO[k]
+    key = (app_id, sf_dir, rounds)
+    if key not in _PCA_MEMO:
+        _PCA_MEMO[key] = pca_power_train(
+            _emb(spark, sf_dir), rounds=rounds
+        )
+    return _PCA_MEMO[key]
+
+
+def _q_pca_power_topcomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the centered quantized embedding
+    corpus after 5 integer power-iteration rounds (von Mises) — the
+    linear-algebra trained artifact next to kmeans/PQ/perceptron/BPE.
+    Every round is two partial-agg matvec shuffles; the oracle
+    re-derives the ENTIRE trajectory through chained MATERIALIZED
+    CTEs (quantize → signed-DIV center → d/w/max-norm per round) so
+    the hash checks every round, not a replayed answer. On this
+    near-isotropic synthetic corpus (eigengap 1.013) five rounds are
+    a point in the top eigenSPACE — the checked contract is the exact
+    integer trajectory; convergence on an anisotropic fixture is
+    pinned by unit test (cos > 0.999)."""
+    from sea_express_customs_etl_spark.operators.pca import pca_component_df
+
+    v, mu = _pca_cached(spark, sf_dir, 5)
+    return pca_component_df(spark, v, mu)
+
+
+def _q_pca_doc_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector 1-D PCA score under the session's trained component
+    (the anisotropy-removal / drift-histogram projection, Mu &
+    Viswanath 2018): centered integer dot with the final iterate,
+    signed micro-unit div. Map-only — the component enters as 64
+    literals, no join, no shuffle."""
+    from sea_express_customs_etl_spark.operators.pca import pca_project
+
+    v, mu = _pca_cached(spark, sf_dir, 5)
+    return pca_project(_emb(spark, sf_dir), v, mu)
+
+
+def _q_pca_label_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of the PCA projection by class label — the
+    linear-probe-lite "is the top component informative?" eval.
+    Truncated-mean integer spec, SSW at row grain, SSB at label
+    grain, F as one DECIMAL(38,0) rational; measured F ≈ 0.87 at
+    sf0.01 (the synthetic labels genuinely do not align with the top
+    component — the metric, not the fixture, is the product)."""
+    from sea_express_customs_etl_spark.operators.pca import pca_label_anova
+
+    v, mu = _pca_cached(spark, sf_dir, 5)
+    return pca_label_anova(_emb(spark, sf_dir), v, mu)
+
+
+def _q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout kNN label classifier (Fix & Hodges 1951) — the kNN
+    probe of the representation-eval toolbox: odd vectors classified
+    by majority label of their 5 nearest even neighbors under the
+    exact-integer IVF search (train/test disjoint by construction —
+    ivf_knn_q quantizes queries from their own frame). Per-prediction
+    output grain, so the hash pins every vote. Measured accuracy
+    0.108 at sf0.01 ≈ the 10-class chance floor — consistent with
+    pca_label_anova's F ≈ 0.87: the synthetic labels carry no
+    embedding signal, and the eval honestly says so."""
+    from sea_express_customs_etl_spark.operators.knn import knn_label_vote
+
+    return knn_label_vote(_emb(spark, sf_dir))
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list build with delta-encoded doc-id gaps — the IR-side
     consumer of the same explode→count shape as tfidf, checked down to
@@ -4916,6 +5045,22 @@ def _q_event_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_level_shift(load_table(spark, sf_dir, "events"))
 
 
+def _q_event_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test per event type — the
+    rank-based sibling of event_cusum_shift (level shift) and the
+    trend leg of the time-series test family: S over hour-bucket sign
+    pairs, tie-corrected variance, significance decided WITHOUT sqrt
+    via the fixed 1.96² ppm literal (18·S²·10⁶ ≥ z²ppm·var_num, both
+    sides DECIMAL(38,0)/HUGEINT). Pair stage bounded by the time
+    window, never by event volume. All five types honestly
+    insignificant on the uniform synthetic series (max |z| ≈ 1.2)."""
+    from sea_express_customs_etl_spark.operators.stats_tests import (
+        mann_kendall_trend,
+    )
+
+    return mann_kendall_trend(load_table(spark, sf_dir, "events"))
+
+
 def _q_copurchase_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss building block: per-edge triangle support over the
     co-purchase graph — degree-oriented enumeration, each triple
@@ -5580,6 +5725,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "sq8_topk": _q_sq8_topk,
         "trigram_backoff": _q_trigram_backoff,
+        "perplexity_gain_select": _q_perplexity_gain_select,
+        "token_entropy": _q_token_entropy,
+        "token_burstiness": _q_token_burstiness,
+        "zipf_alpha_fit": _q_zipf_alpha_fit,
+        "pca_power_topcomp": _q_pca_power_topcomp,
+        "pca_doc_projection": _q_pca_doc_projection,
+        "pca_label_anova": _q_pca_label_anova,
+        "knn_label_vote": _q_knn_label_vote,
+        "event_mk_trend": _q_event_mk_trend,
         "bm25_doc_topk": _q_bm25_doc_topk,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "retrieval_ndcg": _q_retrieval_ndcg,
@@ -6844,6 +6998,17 @@ def oracle_sql() -> dict[str, str]:
         "zorder_locality": ext.ZORDER_LOCALITY_SQL,
         "scd2_history": ext.SCD2_HISTORY_SQL,
         "trigram_backoff": ext.TRIGRAM_BACKOFF_SQL,
+        "perplexity_gain_select": r9.perplexity_gain_sql(
+            ext.LM_SCORE_SQL, ext.TRIGRAM_BACKOFF_SQL
+        ),
+        "token_entropy": r9.TOKEN_ENTROPY_SQL,
+        "token_burstiness": r9.TOKEN_BURSTINESS_SQL,
+        "zipf_alpha_fit": r9.ZIPF_ALPHA_SQL,
+        "pca_power_topcomp": r9.pca_component_sql(5),
+        "pca_doc_projection": r9.pca_project_sql(5),
+        "pca_label_anova": r9.pca_label_anova_sql(5),
+        "knn_label_vote": r9.knn_label_vote_sql(),
+        "event_mk_trend": r9.MANN_KENDALL_SQL,
         "inverted_index": ext.INVERTED_INDEX_SQL,
         "pit_order_version": ext.PIT_ORDER_VERSION_SQL,
         "incremental_agg_merge": rel.INCREMENTAL_AGG_MERGE_SQL,

@@ -1,0 +1,223 @@
+"""Corpus-dispersion statistics for training-data curation: per-doc
+token entropy, per-token burstiness, and the corpus Zipf exponent.
+
+Beyond-parity operators (no counterpart in the reference's pandas core
+at ``/root/reference`` — the closest surface is its per-doc token
+counting, cf. ``batch_train.py``'s frequency tables): the diagnostics
+a pretraining pipeline runs to detect boilerplate (low-entropy
+documents), to separate stopword-like from bursty content terms
+(Church & Gale 1995, "Poisson mixtures"), and to watch corpus
+naturalness drift (the Zipf slope; Zipf 1949, Piantadosi 2014).
+
+Oracle stability (the lm.py discipline): every libm call is a single
+correctly-rounded ``ln`` of an EXACT INTEGER argument, scaled to
+micro-units and rounded BEFORE any aggregation — integer sums are
+aggregation-order-exact, float sums are not. Burstiness needs no libm
+at all: one integer rational per token. The Zipf OLS moments follow
+the ols_by_group overflow rule (DECIMAL(38,0) products, each DIV
+result re-cast).
+
+Scale shape: everything here is one token-grain partial-agg shuffle
+(explode -> groupBy) over map-side-combinable integer states; the only
+window is a row_number over an already-LIMITed <=``top_r``-row frame
+(TakeOrderedAndProject does the distributed top-k first), and the only
+cross join is against a broadcast 1-row corpus-size scalar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+import pyspark.sql.functions as F
+
+MICRO = 1_000_000
+
+
+def _toks_lower(text_col: str) -> Column:
+    """Lowercased whitespace tokens, empties dropped (the lm.py
+    tokenization, so entropy/burstiness compose with the LM family)."""
+    return F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+
+
+def _ln_u6(c: Column) -> Column:
+    """round(ln(c) * 1e6) as BIGINT — one correctly-rounded libm call
+    on an exact integer argument; everything downstream is integer."""
+    return F.round(F.log(c.cast("double")) * MICRO).cast("bigint")
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document unigram (token) Shannon entropy in micro-nats:
+
+        H = ln(n) - (1/n) * sum_tok c * ln(c)
+
+    computed as ``(n * r(n) - sum_tok c * r(c)) DIV n`` with
+    ``r(x) = round(ln(x) * 1e6)`` — the numerator is non-negative
+    (r is monotone, c <= n), so integer DIV is convention-safe.
+
+    Low entropy flags boilerplate/repetitive documents (the
+    information-theoretic complement of the Gopher repetition ratios
+    in :func:`textstats.repetition_stats`).
+
+    Output: id, n_tokens (bigint), n_distinct (int), entropy_u6
+    (bigint). Empty documents keep a zero row — auditable, not
+    dropped.
+
+    Scale: one token-grain partial-agg shuffle, then a doc-grain
+    partial-agg shuffle; both map-side combinable, no windows.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_toks_lower(text_col)).alias("_tok")
+    )
+    cnt = toks.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per = cnt.groupBy(id_col).agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).cast("int").alias("n_distinct"),
+        F.sum(F.col("_c") * _ln_u6(F.col("_c"))).alias("_s"),
+    )
+    scored = per.select(
+        F.col(id_col),
+        F.col("_n").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct"),
+        F.expr("(_n * CAST(round(ln(CAST(_n AS double)) * 1000000) AS bigint) - _s) div _n")
+        .cast("bigint")
+        .alias("entropy_u6"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("n_distinct", F.lit(0)).cast("int").alias("n_distinct"),
+            F.coalesce("entropy_u6", F.lit(0)).cast("bigint").alias("entropy_u6"),
+        )
+    )
+
+
+def token_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+) -> DataFrame:
+    """Per-token burstiness as the variance-to-mean ratio (VMR) of its
+    per-document count, zeros included (Church & Gale 1995): VMR ~= 1
+    is Poisson scatter (function words), VMR >> 1 is bursty content
+    vocabulary — the classic stopword-vs-topical split without any
+    stopword list.
+
+    With N documents, per-token occurrence total T = sum_d c_d and
+    square-sum Q = sum_d c_d^2 (zero documents contribute 0 to both):
+
+        VMR = s^2 / mean = (N*Q - T^2) / ((N-1) * T)
+
+    ONE integer rational — no libm anywhere; numerator non-negative by
+    the power-mean inequality, so DIV is convention-safe. Products go
+    through DECIMAL(38,0) (the ols_by_group rule: N*Q overflows int64
+    at corpus scale).
+
+    Output: token, doc_freq (int), total_tf (bigint), vmr_u6 (bigint).
+
+    Scale: token-grain partial-agg shuffle; the corpus size N is a
+    broadcast 1-row scalar (the chi2_features license).
+    """
+    n_docs = df.select(F.count(F.lit(1)).alias("_nd"))
+    cnt = (
+        df.select(
+            F.col(id_col), F.explode(_toks_lower(text_col)).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per = (
+        cnt.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("doc_freq"),
+            F.sum("_c").alias("_t"),
+            F.sum(F.col("_c") * F.col("_c")).alias("_q"),
+        )
+        .filter(F.col("doc_freq") >= min_df)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    num = (
+        f"({dec.format('_nd')} * {dec.format('_q')}"
+        f" - {dec.format('_t')} * {dec.format('_t')}) * 1000000"
+    )
+    den = f"({dec.format('_nd')} - 1) * {dec.format('_t')}"
+    return per.select(
+        "token",
+        "doc_freq",
+        F.col("_t").cast("bigint").alias("total_tf"),
+        F.expr(f"({num}) div ({den})").cast("bigint").alias("vmr_u6"),
+    )
+
+
+def zipf_alpha(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_r: int = 500,
+) -> DataFrame:
+    """Corpus Zipf exponent: OLS slope of ln(frequency) on ln(rank)
+    over the top ``top_r`` vocabulary ranks (rank ties broken by token
+    ASC on both sides). Natural text sits near alpha ~= 1; a drifting
+    alpha is a cheap whole-corpus health dial (template floods flatten
+    it, near-dup floods steepen it).
+
+        alpha_u6 = (Sx*Sy - n*Sxy) * 1e6 DIV (n*Sxx - Sx^2)
+
+    with x = round(ln(rank)*1e6), y = round(ln(count)*1e6) — the
+    slope is negative, so the numerator is written negated-first (the
+    lm_slice_report signed-DIV rule); every moment product is
+    DECIMAL(38,0) (n*Sxy exceeds int64 past ~400 ranks).
+
+    Output: ONE row (n_ranks int, alpha_u6 bigint).
+
+    Scale: counts are a token-grain partial agg; the top-``top_r``
+    selection is orderBy+limit (TakeOrderedAndProject — distributed
+    map-side top-k, NO global window); the row_number that assigns
+    ranks runs on the already-limited <=``top_r``-row frame, where a
+    single-partition window is model-sized by construction.
+    """
+    counts = (
+        df.select(F.explode(_toks_lower(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    top = counts.orderBy(F.col("_cnt").desc(), "token").limit(top_r)
+    ranked = top.select(
+        F.row_number()
+        .over(Window.orderBy(F.col("_cnt").desc(), "token"))
+        .alias("_rank"),
+        "_cnt",
+    ).select(
+        _ln_u6(F.col("_rank")).alias("_x"),
+        _ln_u6(F.col("_cnt")).alias("_y"),
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    mom = ranked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    num = (
+        f"({dec.format('_sx')} * {dec.format('_sy')}"
+        f" - {dec.format('_n')} * {dec.format('_sxy')}) * 1000000"
+    )
+    den = (
+        f"{dec.format('_n')} * {dec.format('_sxx')}"
+        f" - {dec.format('_sx')} * {dec.format('_sx')}"
+    )
+    return mom.select(
+        F.col("_n").cast("int").alias("n_ranks"),
+        F.expr(f"({num}) div ({den})").cast("bigint").alias("alpha_u6"),
+    )

@@ -320,3 +320,68 @@ def kneser_ney_bigram_top(
         .limit(top_n)
         .select("a", "b", "cab", "ca", "n_follow", "cont_b", "pkn_ppm")
     )
+
+
+def perplexity_gain(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 100,
+) -> DataFrame:
+    """Moore–Lewis contrastive selection (Moore & Lewis 2010,
+    "Intelligent selection of language model training data"; the
+    CCNet/DSIR ancestor): rank held-out documents by the cross-entropy
+    DIFFERENCE between a weak base model and a stronger context model.
+    Here the base is the corpus add-one bigram LM (:func:`lm_score`,
+    counted over everything) and the in-domain model is the
+    stupid-backoff trigram (:func:`trigram_backoff_score`, counted on
+    the even-doc_id half, scoring the odd half — the held-out split
+    the trigram family already uses). Per odd document:
+
+        gain_u6 = (-logprob_u6) DIV n_bigrams
+                  - (-score_u6) DIV n_trigrams
+
+    i.e. mean bigram NLL minus mean trigram NLL, each a negate-first
+    signed DIV (the lm_slice_report rule: both sums are negative, so
+    negate BEFORE dividing). High gain = text a richer in-domain
+    context predicts much better than the generic model — coherent
+    prose; low/negative gain = boilerplate the weak model already
+    nails. Top ``top_k`` under the total order (gain_u6 DESC, id ASC)
+    via TakeOrderedAndProject.
+
+    Output: id, n_bigrams, n_trigrams, mean_nll_bi_u6,
+    mean_nll_tri_u6, gain_u6 (all integer micro-units). Documents too
+    short for either model (n_bigrams or n_trigrams = 0) are excluded
+    — a mean over zero events is undefined, not zero.
+    """
+    bi = lm_score(df, text_col, id_col)
+    tr = trigram_backoff_score(
+        df.filter(F.col(id_col) % 2 == 0),
+        df.filter(F.col(id_col) % 2 == 1),
+        text_col,
+        id_col,
+    )
+    j = (
+        bi.join(tr, id_col)
+        .filter((F.col("n_bigrams") > 0) & (F.col("n_trigrams") > 0))
+        .select(
+            id_col,
+            "n_bigrams",
+            "n_trigrams",
+            F.expr("(-logprob_u6) div n_bigrams")
+            .cast("bigint")
+            .alias("mean_nll_bi_u6"),
+            F.expr("(-score_u6) div n_trigrams")
+            .cast("bigint")
+            .alias("mean_nll_tri_u6"),
+        )
+        .withColumn(
+            "gain_u6",
+            (F.col("mean_nll_bi_u6") - F.col("mean_nll_tri_u6")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return j.orderBy(F.col("gain_u6").desc(), F.col(id_col).asc()).limit(
+        top_k
+    )

@@ -522,3 +522,97 @@ def bootstrap_sum_ci(
             "hi_sum_u6",
         )
     )
+
+
+def mann_kendall_trend(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    z2_ppm: int = 3_841_600,
+) -> DataFrame:
+    """Mann–Kendall monotonic-trend test (Mann 1945, Kendall 1975 —
+    the rank-based sibling of :func:`cusum_level_shift`) at
+    HOUR-BUCKET grain: for each event type,
+
+        S = Σ_{i<j} sign(s_j − s_i)   over hourly milli-unit sums
+
+    with the exact tie-corrected variance numerator (Var(S) =
+    var_num / 18, var_num = n(n−1)(2n+5) − Σ_g t_g(t_g−1)(2t_g+5)
+    over tie groups of equal bucket sums). Significance at |z| ≥ 1.96
+    without any sqrt/float: z² ≥ 3.8416 ⟺ 18·S²·10⁶ ≥ z2_ppm·var_num
+    — ``z2_ppm`` is a FIXED ppm literal (1.96² · 10⁶) shared with the
+    oracle (the order_benford_digits rule), every side DECIMAL(38,0)
+    (18·S²·10⁶ passes int64 near n ≈ 2,000 buckets).
+
+    Output: event_type, n_buckets, s_stat, var_num, trend
+    (sign(S) ∈ {-1, 0, 1}), significant (0/1).
+
+    Scale shape: the pair stage is a per-type self-join over BUCKET
+    rows — bounded by the time window (≤ 8,760/year), NOT by event
+    volume (the event_value_ks_pairs argument); everything upstream
+    is one partial-agg shuffle to hour grain.
+    """
+    b = events.select(
+        F.col(type_col).alias("event_type"),
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / 3600))
+        .cast("bigint")
+        .alias("_h"),
+        F.round(F.col(value_col) * 1000).cast("bigint").alias("_v3"),
+    )
+    # hour-bucket frame feeds the pair join (twice), the bucket count
+    # and the tie groups — four consumers, one tiny bucket-grain frame
+    hb = tracked_persist(
+        b.groupBy("event_type", "_h").agg(F.sum("_v3").alias("_s3"))
+    )
+    a = hb.select("event_type", F.col("_h").alias("_hi"), F.col("_s3").alias("_si"))
+    c = hb.select("event_type", F.col("_h").alias("_hj"), F.col("_s3").alias("_sj"))
+    s = (
+        a.join(c, "event_type")
+        .filter(F.col("_hi") < F.col("_hj"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum(F.col("_sj") - F.col("_si")).cast("bigint"))
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    n = hb.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets")
+    )
+    ties = (
+        hb.groupBy("event_type", "_s3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5)
+            )
+            .cast("bigint")
+            .alias("_tie")
+        )
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    var_num = (
+        f"{dec.format('n_buckets')} * (n_buckets - 1)"
+        f" * (2 * n_buckets + 5) - {dec.format('_tie')}"
+    )
+    sig = (
+        "CAST(CASE WHEN var_num = 0 THEN 0"
+        f" WHEN 18 * {dec.format('s_stat')} * s_stat * 1000000"
+        f" >= {z2_ppm} * {dec.format('var_num')}"
+        " THEN 1 ELSE 0 END AS INT)"
+    )
+    return (
+        s.join(n, "event_type")
+        .join(ties, "event_type")
+        .withColumn("var_num", F.expr(var_num).cast("bigint"))
+        .select(
+            "event_type",
+            F.col("n_buckets").cast("int").alias("n_buckets"),
+            "s_stat",
+            "var_num",
+            F.signum(F.col("s_stat")).cast("int").alias("trend"),
+            F.expr(sig).alias("significant"),
+        )
+    )

@@ -372,3 +372,319 @@ SELECT d.doc_id, CAST(sum(p.n) AS BIGINT) AS n_tokens
 FROM bwd d JOIN bpieces p USING (w) GROUP BY 1
 """
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus-dispersion wave (operators/dispersion.py): per-doc token
+# entropy, Church-Gale burstiness, Zipf slope — plus the Moore-Lewis
+# contrastive-perplexity selection (operators/lm.py:perplexity_gain).
+# Tokenization = the lm.py convention (lower/trim/split-\s+/nonempty).
+# --------------------------------------------------------------------------
+
+_LTOKS = (
+    "list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+    " x -> x <> '')"
+)
+
+TOKEN_ENTROPY_SQL = f"""
+WITH te_tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS tok FROM documents),
+te_c AS (SELECT doc_id, tok, count(*) AS c FROM te_tok GROUP BY 1, 2),
+te_p AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS nd,
+         sum(c * CAST(round(ln(c) * 1000000.0) AS BIGINT)) AS s
+  FROM te_c GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(nd, 0) AS INTEGER) AS n_distinct,
+       CAST(coalesce(
+           (n * CAST(round(ln(n) * 1000000.0) AS BIGINT) - s) // n,
+           0) AS BIGINT) AS entropy_u6
+FROM documents d LEFT JOIN te_p USING (doc_id)
+"""
+
+TOKEN_BURSTINESS_SQL = f"""
+WITH tb_n AS (SELECT count(*)::HUGEINT AS ndocs FROM documents),
+tb_tok AS (
+  SELECT doc_id, unnest({_LTOKS}) AS token FROM documents),
+tb_c AS (SELECT doc_id, token, count(*) AS c FROM tb_tok GROUP BY 1, 2),
+tb_p AS (
+  SELECT token, count(*) AS doc_freq,
+         sum(c)::HUGEINT AS t, sum(c * c)::HUGEINT AS q
+  FROM tb_c GROUP BY 1)
+SELECT token, CAST(doc_freq AS INTEGER) AS doc_freq,
+       CAST(t AS BIGINT) AS total_tf,
+       CAST(((ndocs * q - t * t) * 1000000) // ((ndocs - 1) * t)
+            AS BIGINT) AS vmr_u6
+FROM tb_p, tb_n
+"""
+
+ZIPF_ALPHA_SQL = f"""
+WITH za_tok AS (SELECT unnest({_LTOKS}) AS token FROM documents),
+za_c AS (SELECT token, count(*) AS cnt FROM za_tok GROUP BY 1),
+za_top AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r
+  FROM za_c ORDER BY cnt DESC, token LIMIT 500),
+za_xy AS (
+  SELECT CAST(round(ln(r) * 1000000.0) AS BIGINT) AS x,
+         CAST(round(ln(cnt) * 1000000.0) AS BIGINT) AS y
+  FROM za_top),
+za_m AS (
+  SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+         sum(y)::HUGEINT AS sy, sum(x::HUGEINT * y) AS sxy,
+         sum(x::HUGEINT * x) AS sxx
+  FROM za_xy)
+SELECT CAST(n AS INTEGER) AS n_ranks,
+       CAST(((sx * sy - n * sxy) * 1000000) // (n * sxx - sx * sx)
+            AS BIGINT) AS alpha_u6
+FROM za_m
+"""
+
+
+def perplexity_gain_sql(lm_score_sql: str, trigram_sql: str) -> str:
+    """Moore-Lewis contrastive selection: mean bigram NLL minus mean
+    trigram NLL per held-out doc, negate-first signed DIVs, top-100
+    under (gain DESC, doc_id). Composes the two existing LM oracles
+    as nested-WITH CTEs (each keeps its own private scope)."""
+    return f"""
+WITH pg_bi AS ({lm_score_sql}),
+pg_tr AS ({trigram_sql})
+SELECT b.doc_id, b.n_bigrams, t.n_trigrams,
+       CAST((-b.logprob_u6) // b.n_bigrams AS BIGINT) AS mean_nll_bi_u6,
+       CAST((-t.score_u6) // t.n_trigrams AS BIGINT) AS mean_nll_tri_u6,
+       CAST((-b.logprob_u6) // b.n_bigrams
+            - (-t.score_u6) // t.n_trigrams AS BIGINT) AS gain_u6
+FROM pg_bi b JOIN pg_tr t USING (doc_id)
+WHERE b.n_bigrams > 0 AND t.n_trigrams > 0
+ORDER BY gain_u6 DESC, doc_id
+LIMIT 100
+"""
+
+
+# --------------------------------------------------------------------------
+# Power-iteration top principal component (operators/pca.py): the
+# WHOLE trajectory re-derived — quantize, center (signed-DIV mean),
+# then per round the two matvecs + max-norm rescale threaded through
+# chained CTEs (never replayed literals). All MATERIALIZED: pc_c and
+# each pc_w{k} are referenced twice (the wordpiece 3^k-inlining rule).
+# Signed divisions are negate-first everywhere (trunc-vs-floor).
+# --------------------------------------------------------------------------
+
+def pca_stage_ctes(rounds: int = 5) -> list[str]:
+    stages = [
+        """pc_x AS MATERIALIZED (
+  SELECT i, j, CAST(round(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT) AS x
+  FROM (SELECT vec_id AS i, generate_subscripts(embedding, 1) AS j,
+               unnest(embedding) AS e
+        FROM embeddings))""",
+        """pc_mu AS MATERIALIZED (
+  SELECT j, CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS mu
+  FROM (SELECT j, sum(x) AS s, count(*) AS n FROM pc_x GROUP BY j))""",
+        """pc_c AS MATERIALIZED (
+  SELECT i, j, x - mu AS xc FROM pc_x JOIN pc_mu USING (j))""",
+        "pc_v0 AS (SELECT j, 1000000::HUGEINT AS v FROM pc_mu)",
+    ]
+    for k in range(1, rounds + 1):
+        stages.append(f"""pc_d{k} AS MATERIALIZED (
+  SELECT i, CASE WHEN s >= 0 THEN s // 1000000
+               ELSE -((-s) // 1000000) END AS d
+  FROM (SELECT i, sum(xc * v) AS s
+        FROM pc_c JOIN pc_v{k - 1} USING (j) GROUP BY i)),
+pc_w{k} AS MATERIALIZED (
+  SELECT j, sum(xc::HUGEINT * d) AS w
+  FROM pc_c JOIN pc_d{k} USING (i) GROUP BY j),
+pc_m{k} AS MATERIALIZED (SELECT max(abs(w)) AS m FROM pc_w{k}),
+pc_v{k} AS MATERIALIZED (
+  SELECT j, CASE WHEN w >= 0 THEN (w * 1000000) // m
+              ELSE -(((-w) * 1000000) // m) END AS v
+  FROM pc_w{k}, pc_m{k})""")
+    return stages
+
+
+def pca_component_sql(rounds: int = 5) -> str:
+    """Trained-component oracle: (dim, v_u6, mu_u6) after ``rounds``
+    power steps."""
+    stages = ",\n".join(pca_stage_ctes(rounds))
+    return f"""
+WITH {stages}
+SELECT j AS dim, CAST(v AS BIGINT) AS v_u6, CAST(mu AS BIGINT) AS mu_u6
+FROM pc_v{rounds} JOIN pc_mu USING (j)
+"""
+
+
+def pca_project_sql(rounds: int = 5) -> str:
+    """Projection oracle: every vector's 1-D PCA score under the SAME
+    re-derived trajectory (centered dot with the final component,
+    signed micro-unit div)."""
+    stages = ",\n".join(pca_stage_ctes(rounds))
+    return f"""
+WITH {stages}
+SELECT i AS vec_id,
+       CAST(CASE WHEN s >= 0 THEN s // 1000000
+                 ELSE -((-s) // 1000000) END AS BIGINT) AS proj_u6
+FROM (SELECT c.i, sum(c.xc * v.v) AS s
+      FROM pc_c c JOIN pc_v{rounds} v USING (j) GROUP BY c.i)
+"""
+
+
+def pca_label_anova_sql(rounds: int = 5) -> str:
+    """One-way ANOVA of the projection by label under the SAME
+    re-derived trajectory: truncated-mean spec (signed DIVs), SSW at
+    row grain, SSB at label grain, F as one integer rational."""
+    stages = ",\n".join(pca_stage_ctes(rounds)) + f""",
+pa_p AS MATERIALIZED (
+  SELECT i, CASE WHEN s >= 0 THEN s // 1000000
+              ELSE -((-s) // 1000000) END AS p
+  FROM (SELECT c.i, sum(c.xc * v.v) AS s
+        FROM pc_c c JOIN pc_v{rounds} v USING (j) GROUP BY c.i)),
+pa_l AS MATERIALIZED (
+  SELECT e.label, p.p FROM pa_p p JOIN embeddings e ON e.vec_id = p.i),
+pa_g AS MATERIALIZED (
+  SELECT label, count(*) AS n, sum(p) AS s,
+         CASE WHEN sum(p) >= 0 THEN sum(p) // count(*)
+              ELSE -((-sum(p)) // count(*)) END AS meang
+  FROM pa_l GROUP BY label),
+pa_gr AS (
+  SELECT sum(n) AS nn,
+         CASE WHEN sum(s) >= 0 THEN sum(s) // sum(n)
+              ELSE -((-sum(s)) // sum(n)) END AS gmean
+  FROM pa_g),
+pa_ssw AS (
+  SELECT sum((l.p - g.meang) * (l.p - g.meang)) AS ssw
+  FROM pa_l l JOIN pa_g g USING (label)),
+pa_ssb AS (
+  SELECT count(*) AS k,
+         sum(g.n * (g.meang - gr.gmean) * (g.meang - gr.gmean)) AS ssb
+  FROM pa_g g, pa_gr gr)"""
+    return f"""
+WITH {stages}
+SELECT CAST(b.k AS INTEGER) AS k, CAST(gr.nn AS BIGINT) AS n,
+       CAST(b.ssb AS BIGINT) AS ssb, CAST(w.ssw AS BIGINT) AS ssw,
+       CAST((b.ssb::HUGEINT * (gr.nn - b.k) * 1000000)
+            // ((b.k - 1)::HUGEINT * w.ssw) AS BIGINT) AS f_u6
+FROM pa_ssb b, pa_ssw w, pa_gr gr
+"""
+
+
+def knn_label_vote_sql(
+    k: int = 5, nprobe: int = 2, n_cent: int = 4, iters: int = 2
+) -> str:
+    """Holdout kNN classifier oracle (operators/knn.py): integer
+    k-means re-derived over the EVEN half (same md5 init rule /
+    floor-mean update as KMEANS_Q_SQL, kn_-prefixed CTEs per the
+    composition-collision rule), odd vectors probe nprobe cells and
+    vote among their k nearest even neighbors (d2 ASC, neighbor ASC;
+    vote count DESC, label ASC)."""
+    from sea_express_customs_etl_spark.plans.oracles_ext import _KMQ_D2
+
+    iter_tpl = """kn_a{i} AS (
+  SELECT q.vec_id, q.v, c.cluster,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {d2qc}, c.cluster) AS rn
+  FROM kn_tr q, kn_cent{j} c),
+kn_m{i} AS (
+  SELECT a.cluster, g.d AS dim,
+         CAST(floor(sum(a.v[g.d + 1]) / count(*)) AS BIGINT) AS m
+  FROM kn_a{i} a, generate_series(0, 63) g(d)
+  WHERE a.rn = 1 GROUP BY 1, 2),
+kn_b{i} AS (
+  SELECT cluster, list(m ORDER BY dim) AS v FROM kn_m{i} GROUP BY cluster),
+kn_cent{i} AS MATERIALIZED (
+  SELECT p.cluster, coalesce(b.v, p.v) AS v
+  FROM kn_cent{j} p LEFT JOIN kn_b{i} b USING (cluster))"""
+    iters_sql = ",\n".join(
+        iter_tpl.format(
+            i=i, j=i - 1, d2qc=_KMQ_D2.format(a="q.v", b="c.v")
+        )
+        for i in range(1, iters + 1)
+    )
+    return f"""
+WITH kn_q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v
+  FROM embeddings),
+kn_tr AS MATERIALIZED (SELECT * FROM kn_q WHERE vec_id % 2 = 0),
+kn_cent0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             - 1 AS cluster, v
+  FROM kn_tr
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT {n_cent}),
+{iters_sql},
+kn_asg AS MATERIALIZED (
+  SELECT vec_id, v, cluster FROM (
+    SELECT q.vec_id, q.v, c.cluster,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+               {_KMQ_D2.format(a='q.v', b='c.v')}, c.cluster) AS rn
+    FROM kn_tr q, kn_cent{iters} c)
+  WHERE rn = 1),
+kn_te AS (SELECT vec_id AS query_id, v AS qv
+          FROM kn_q WHERE vec_id % 2 = 1),
+kn_pr AS MATERIALIZED (
+  SELECT query_id, qv, cluster FROM (
+    SELECT t.query_id, t.qv, c.cluster,
+           row_number() OVER (PARTITION BY t.query_id ORDER BY
+               {_KMQ_D2.format(a='t.qv', b='c.v')}, c.cluster) AS pr
+    FROM kn_te t, kn_cent{iters} c)
+  WHERE pr <= {nprobe}),
+kn_nn AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, a.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY p.query_id ORDER BY
+               {_KMQ_D2.format(a='p.qv', b='a.v')}, a.vec_id) AS rn
+    FROM kn_asg a JOIN kn_pr p USING (cluster))
+  WHERE rn <= {k}),
+kn_v AS (
+  SELECT n.query_id, e.label AS nl, count(*) AS c
+  FROM kn_nn n JOIN embeddings e ON e.vec_id = n.neighbor_id
+  GROUP BY 1, 2),
+kn_p AS (
+  SELECT query_id, nl AS pred_label FROM (
+    SELECT query_id, nl,
+           row_number() OVER (PARTITION BY query_id
+               ORDER BY c DESC, nl) AS rn
+    FROM kn_v)
+  WHERE rn = 1)
+SELECT p.query_id AS vec_id,
+       CAST(p.pred_label AS INTEGER) AS pred_label,
+       CAST(e.label AS INTEGER) AS true_label,
+       CAST(CASE WHEN p.pred_label = e.label THEN 1 ELSE 0 END
+            AS INTEGER) AS correct
+FROM kn_p p JOIN embeddings e ON e.vec_id = p.query_id
+"""
+
+
+# Mann-Kendall monotonic trend per event type
+# (operators/stats_tests.py:mann_kendall_trend): S over hour-bucket
+# pairs, tie-corrected variance numerator, significance via the fixed
+# 1.96^2 ppm literal — no sqrt, no floats, HUGEINT comparison.
+MANN_KENDALL_SQL = """
+WITH mk_b AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+         CAST(round(value * 1000) AS BIGINT) AS v3
+  FROM events),
+mk_hb AS MATERIALIZED (
+  SELECT event_type, h, sum(v3)::BIGINT AS s3 FROM mk_b GROUP BY 1, 2),
+mk_s AS (
+  SELECT a.event_type, CAST(sum(sign(c.s3 - a.s3)) AS BIGINT) AS s_stat
+  FROM mk_hb a JOIN mk_hb c ON a.event_type = c.event_type AND a.h < c.h
+  GROUP BY 1),
+mk_n AS (SELECT event_type, count(*)::BIGINT AS n FROM mk_hb GROUP BY 1),
+mk_t AS (
+  SELECT event_type, sum(t * (t - 1) * (2 * t + 5))::BIGINT AS tie
+  FROM (SELECT event_type, s3, count(*)::BIGINT AS t
+        FROM mk_hb GROUP BY 1, 2)
+  GROUP BY 1)
+SELECT s.event_type, CAST(n.n AS INTEGER) AS n_buckets, s.s_stat,
+       CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie AS BIGINT) AS var_num,
+       CAST(sign(s.s_stat) AS INTEGER) AS trend,
+       CAST(CASE
+            WHEN n.n * (n.n - 1) * (2 * n.n + 5) - t.tie = 0 THEN 0
+            WHEN 18 * s.s_stat::HUGEINT * s.s_stat * 1000000
+                 >= 3841600 * (n.n::HUGEINT * (n.n - 1) * (2 * n.n + 5)
+                               - t.tie)
+            THEN 1 ELSE 0 END AS INTEGER) AS significant
+FROM mk_s s JOIN mk_n n USING (event_type) JOIN mk_t t USING (event_type)
+"""

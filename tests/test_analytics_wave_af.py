@@ -59,3 +59,41 @@ def test_sequence_pattern_counts_golden(spark):
     got = {r.pattern: r.n_users for r in
            sequence_pattern_counts(ev, ["v.*c.*p", "v.*p", "c.*v"]).collect()}
     assert got == {"v.*c.*p": 1, "v.*p": 3, "c.*v": 1}
+
+
+def test_mann_kendall_hand_cases(spark):
+    """Strictly rising series → S = n(n-1)/2, significant once n is
+    large enough; constant series → var_num = 0 guard, insignificant;
+    ties reduce var_num by the exact correction term."""
+    import datetime as dt
+
+    from sea_express_customs_etl_spark.operators.stats_tests import (
+        mann_kendall_trend,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'up': 12 hourly buckets with strictly increasing values
+    for h in range(12):
+        rows.append(("up", base + dt.timedelta(hours=h), float(h + 1)))
+    # 'flat': constant value in 6 buckets -> all-tie, var_num = 0
+    for h in range(6):
+        rows.append(("flat", base + dt.timedelta(hours=h), 2.0))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = {r.event_type: r for r in mann_kendall_trend(df).collect()}
+    up = out["up"]
+    n = 12
+    assert up.s_stat == n * (n - 1) // 2 == 66
+    assert up.var_num == n * (n - 1) * (2 * n + 5)  # no ties
+    assert up.trend == 1
+    # z^2 = 18*66^2/8364 = 9.37 >= 3.8416 -> significant
+    assert up.significant == 1
+    flat = out["flat"]
+    assert (flat.s_stat, flat.var_num, flat.trend, flat.significant) == (
+        0,
+        0,
+        0,
+        0,
+    )

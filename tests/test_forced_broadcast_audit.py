@@ -59,6 +59,14 @@ FORCED_BROADCAST_ALLOWED = {
     "tfidf_cosine_pairs",  # 1-row corpus-size N (IDF scalar)
     "events_gapfill_locf",  # 1-row (lo, hi) hour bounds
     "lm_score",            # 1-row vocabulary-size V (counts NOT pinned)
+    "perplexity_gain_select",  # lm_score V + trigram_backoff N 1-row
+    #                            scalars (count tables NOT pinned)
+    "token_burstiness",    # 1-row corpus-size N (counts NOT pinned)
+    "pca_label_anova",     # 1-row grand-moment + 1-row SSW pins
+    #                        (label table NOT pinned)
+    "knn_label_vote",      # trained centroids + probe table pins
+    #                        (the kmeans_ivf_topk license; train-label
+    #                         join NOT pinned)
     "domain_mix_sample",   # per-domain targets/budget/thresholds
     "bpe_token_counts",    # same distinct-word dictionary dial as
     #                        bpe_encode_fixed (learned merges)

@@ -67,6 +67,13 @@ BNLJ_ALLOWED = {
     "sq8_codes",          # 1-row (lo_arr, span_arr) quantizer broadcast
     "sq8_topk",           # same 1-row stats + query-set broadcast
     "trigram_backoff",    # 1-row total-N scalar broadcast
+    "perplexity_gain_select",  # composes lm_score + trigram_backoff —
+    #                            their 1-row V/N scalars (lm license)
+    "token_burstiness",   # 1-row corpus-size N broadcast
+    "pca_label_anova",    # 1-row grand-moment + 1-row SSW frames
+    #                       cross-joined (the chi2_features license)
+    "knn_label_vote",     # trained centroid table + |queries|·nprobe
+    #                       probe broadcasts (the kmeans_ivf_topk license)
     "key_skew_stats",     # 1-row total-rows scalar broadcast
     "ann_recall_matrix",  # composes cosine_topk/sq8_topk — their
     #                       query-set broadcasts (allowlisted above)

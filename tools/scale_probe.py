@@ -1730,6 +1730,59 @@ def cases_r9():
     }
 
 
+def cases_r9b():
+    """Round-9 dispersion wave: replicated docs repeat the same TEXT,
+    so the vocabulary stays fixed (31 tokens) while doc-grain and
+    (doc, token)-grain rows grow 8× — isolating each operator's
+    corpus-side shuffle exactly as the lm/bpe probes do."""
+    from sea_express_customs_etl_spark.operators.dispersion import (
+        token_burstiness,
+        token_entropy,
+        zipf_alpha,
+    )
+    from sea_express_customs_etl_spark.operators.lm import perplexity_gain
+
+    return {
+        # two token-grain partial-agg shuffles, both map-side combinable
+        "token_entropy": lambda docs, emb: token_entropy(docs),
+        # (doc, token)-grain agg into a FIXED-vocab output
+        "token_burstiness": lambda docs, emb: token_burstiness(docs),
+        # corpus counts into a fixed 31-token top-k, then 1-row OLS
+        "zipf_alpha": lambda docs, emb: zipf_alpha(docs),
+        # lm_score + trigram_backoff composed; model tables stay
+        # vocabulary-sized, the score-side explodes grow 8×
+        "perplexity_gain": lambda docs, emb: perplexity_gain(docs),
+        # 5 rounds × two matvec partial-agg shuffles; per-round
+        # collects stay 64 rows no matter the corpus (training runs
+        # eagerly inside the timed call, the trained-artifact pattern)
+        "pca_power": lambda docs, emb: _pca_probe(emb),
+        # fixed centroid count: probed-cell populations AND the query
+        # set both grow with the corpus — candidate pairs grow
+        # quadratically (the semantic_dedup_fixed_k cliff, measured
+        # 23.4x on 8x data)
+        "knn_label_vote": lambda docs, emb: _knn_probe(emb, 4),
+        # the documented dial: nlist ~ sqrt(N) (4·sqrt(8) ≈ 11) holds
+        # per-cell populations — and the pair stage — to N^1.5
+        "knn_label_vote_scaled": lambda docs, emb: _knn_probe(emb, 11),
+    }
+
+
+def _knn_probe(emb, n_centroids):
+    from sea_express_customs_etl_spark.operators.knn import knn_label_vote
+
+    return knn_label_vote(emb, n_centroids=n_centroids)
+
+
+def _pca_probe(emb):
+    from sea_express_customs_etl_spark.operators.pca import (
+        pca_component_df,
+        pca_power_train,
+    )
+
+    v, mu = pca_power_train(emb, rounds=5)
+    return pca_component_df(emb.sparkSession, v, mu)
+
+
 def cases_r9_ev():
     """Events-sided round-9 case: the sketch takedown's REBUILD states
     (the scan-proportional piece; the store writes are fixed-size
@@ -1799,6 +1852,7 @@ def main() -> None:
     all_cases.update(cases_tfidf())
     all_cases.update(cases_r8b())
     all_cases.update(cases_r9())
+    all_cases.update(cases_r9b())
     for nm, fn_ev in ev_cases.items():
         # adapt to the (d, e) calling convention; e is unused
         all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_ev)
@@ -1822,7 +1876,10 @@ def main() -> None:
             scales = {"1x": (docs1, emb1), "8x": (docs8, emb8)}
         for scale, (d, e) in scales.items():
             # scaled-k only differs from fixed-k at 8×; at 1× it IS k=16
-            if name == "semantic_dedup_scaled_k" and scale == "1x":
+            if scale == "1x" and name in (
+                "semantic_dedup_scaled_k",
+                "knn_label_vote_scaled",
+            ):
                 continue
             best = float("inf")
             for _ in range(2):
