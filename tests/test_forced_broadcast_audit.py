@@ -67,6 +67,16 @@ FORCED_BROADCAST_ALLOWED = {
     "knn_label_vote",      # trained centroids + probe table pins
     #                        (the kmeans_ivf_topk license; train-label
     #                         join NOT pinned)
+    "knn_adc_vote",        # shared-store pins + LUT (ann_store_topk
+    #                        license; label joins NOT pinned)
+    "isotonic_calibration",  # bucket-grain spine pins (model-sized)
+    #                          + the deciles chain's trained model
+    "split_conformal",     # 1-row moments/quantile pins +
+    #                        |partitions|-row rank offsets
+    "conformal_label_sets",  # same pins + the trained B=64 model
+    #                          (the classifier_auc license)
+    "kmeans_label_ari",    # trained centroid + 1-row pair-sum pins
+    #                        (label join NOT pinned)
     "domain_mix_sample",   # per-domain targets/budget/thresholds
     "bpe_token_counts",    # same distinct-word dictionary dial as
     #                        bpe_encode_fixed (learned merges)

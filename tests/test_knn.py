@@ -50,3 +50,28 @@ def test_vote_tie_breaks_to_lowest_label(spark):
     assert len(out) == 1
     r = out[0]
     assert (r.vec_id, r.pred_label, r.true_label, r.correct) == (1, 3, 9, 0)
+
+
+def test_kmeans_label_ari_perfect_and_formula(spark):
+    """Two tight separable blobs with labels = blob: integer k-means
+    (k=2) recovers the partition exactly -> ARI = 1e6; and the pair
+    sums match the hand contingency."""
+    from sea_express_customs_etl_spark.operators.clustereval import (
+        kmeans_label_ari,
+    )
+
+    rows = [
+        (i, vec, lab)
+        for i, vec, lab in (
+            (j, [0.4 + 0.001 * j if lab == 0 else -0.4 + 0.001 * j] * 8, lab)
+            for j, lab in ((j, (j // 2) % 2) for j in range(40))
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>, label int"
+    )
+    got = kmeans_label_ari(df, k=2, iters=2).collect()[0]
+    assert got.n == 40 and got.k_clusters == 2 and got.n_labels == 2
+    # perfect agreement: Sij = Sa = Sb = 2*C(20,2)
+    assert got.s_ij == got.s_a == got.s_b == 2 * (20 * 19 // 2)
+    assert got.ari_u6 == 1_000_000

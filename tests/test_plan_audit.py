@@ -74,6 +74,17 @@ BNLJ_ALLOWED = {
     #                       cross-joined (the chi2_features license)
     "knn_label_vote",     # trained centroid table + |queries|·nprobe
     #                       probe broadcasts (the kmeans_ivf_topk license)
+    "knn_adc_vote",       # shared-store frozen-model pins + LUT
+    #                       broadcast (the ann_store_topk license)
+    "isotonic_calibration",  # bucket-grain range spine broadcasts
+    #                          (model-sized) + the deciles chain's
+    #                          trained-model/1-row pins
+    "split_conformal",    # 1-row moments + 1-row quantile broadcasts
+    #                       + global_rank offsets (the pps license)
+    "conformal_label_sets",  # same 1-row quantile/count pins + the
+    #                          perceptron chain's trained-model pins
+    "kmeans_label_ari",   # trained k=4 centroid broadcast + 1-row
+    #                       pair-sum frames (kmeans_ivf/chi2 licenses)
     "key_skew_stats",     # 1-row total-rows scalar broadcast
     "ann_recall_matrix",  # composes cosine_topk/sq8_topk — their
     #                       query-set broadcasts (allowlisted above)

@@ -1773,6 +1773,85 @@ def _knn_probe(emb, n_centroids):
     return knn_label_vote(emb, n_centroids=n_centroids)
 
 
+def cases_r9c():
+    """Round-9 chunk-2 probes: the ADC-store classifier (fresh store
+    per invocation, the _coreset_ann protocol — frozen model fixed,
+    store build + candidate stage grow with the corpus)."""
+
+    def _knn_adc(emb):
+        import re as _re
+
+        from sea_express_customs_etl_spark.operators.knn_adc import (
+            knn_adc_vote,
+        )
+        from sea_express_customs_etl_spark.streaming.ann_store import (
+            ann_store_batch_writer,
+            train_frozen_model,
+        )
+
+        spark = emb.sparkSession
+        cen = emb.filter(F.col("vec_id") < 16)
+        sample = emb.filter(
+            (F.col("vec_id") >= 16) & (F.col("vec_id") < 48)
+        )
+        codebook = train_frozen_model(sample, cen).persist()
+        codebook.count()
+        prefix = f"knnadcprobe{next(_MMR_ANN_SEQ)}_" + _re.sub(
+            r"\W", "_", spark.sparkContext.applicationId
+        )
+        writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
+        writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
+        writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+        out = knn_adc_vote(spark, emb, prefix, cen, codebook)
+        codebook.unpersist()
+        return out
+
+    return {"knn_adc_vote": lambda docs, emb: _knn_adc(emb)}
+
+
+def cases_r9c_ev():
+    """Trend-test pair: replication grows per-bucket MASS, not the
+    bucket count (ts is not shifted), so the pair stages must stay
+    flat — the time-bounded-spine claim, measured."""
+    from sea_express_customs_etl_spark.operators.stats_tests import (
+        mann_kendall_trend,
+    )
+    from sea_express_customs_etl_spark.operators.theilsen import (
+        theil_sen_slope,
+    )
+
+    return {
+        "event_mk_trend": lambda ev: mann_kendall_trend(ev),
+        "event_theilsen_slope": lambda ev: theil_sen_slope(ev),
+    }
+
+
+def cases_r9c_li():
+    """Conformal coverage over the replicated lineitem: moments,
+    residuals and the rank exchange all corpus-linear; the quantile
+    and coverage joins are 1-row broadcasts."""
+
+    def _conf(li):
+        from sea_express_customs_etl_spark.operators.conformal import (
+            split_conformal_coverage,
+        )
+
+        base = li.select(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias(
+                "uid"
+            ),
+            F.floor(F.col("l_quantity") * 100)
+            .cast("bigint")
+            .alias("qty_c"),
+            F.floor(F.col("l_extendedprice") * 100)
+            .cast("bigint")
+            .alias("price_c"),
+        )
+        return split_conformal_coverage(base, "qty_c", "price_c", "uid")
+
+    return {"split_conformal": _conf}
+
+
 def _pca_probe(emb):
     from sea_express_customs_etl_spark.operators.pca import (
         pca_component_df,
@@ -1846,13 +1925,16 @@ def main() -> None:
     wanted = sys.argv[1:] or None
     ev_cases = cases_ev()
     ev_cases.update(cases_r9_ev())
+    ev_cases.update(cases_r9c_ev())
     graph_cases = cases_graph()
     li_cases = cases_li()
+    li_cases.update(cases_r9c_li())
     all_cases = dict(cases())
     all_cases.update(cases_tfidf())
     all_cases.update(cases_r8b())
     all_cases.update(cases_r9())
     all_cases.update(cases_r9b())
+    all_cases.update(cases_r9c())
     for nm, fn_ev in ev_cases.items():
         # adapt to the (d, e) calling convention; e is unused
         all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_ev)
