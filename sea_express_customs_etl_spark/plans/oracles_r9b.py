@@ -275,3 +275,84 @@ SELECT CAST(n AS BIGINT) AS n, k_clusters, n_labels,
                  ELSE -((-num) // den) END AS BIGINT) AS ari_u6
 FROM ar_f
 """
+
+
+def fs_em_sql(
+    rounds: int = 3,
+    p0: int = 100_000,
+    m0: int = 900_000,
+    u0: int = 100_000,
+) -> str:
+    """Fellegi-Sunter EM oracle (operators/fellegi_sunter.py): the
+    brand-blocked gamma pairs, then every EM round unrolled — per-pair
+    posterior as one HUGEINT rational, u6-scaled M-step DIVs with the
+    same [1, 999999] clamps — parameters threaded round to round
+    through MATERIALIZED CTEs (fs_g and each fs_p{t} are referenced
+    by two consumers)."""
+    feats = ["1", "2", "3", "4"]
+    clamp = "least(999999::HUGEINT, greatest(1::HUGEINT, {x}))"
+    stages = [
+        """fs_g AS MATERIALIZED (
+  SELECT CASE WHEN a.p_size = b.p_size THEN 1 ELSE 0 END AS g1,
+         CASE WHEN a.p_type = b.p_type THEN 1 ELSE 0 END AS g2,
+         CASE WHEN string_split(a.p_name, ' ')[1]
+                 = string_split(b.p_name, ' ')[1]
+              THEN 1 ELSE 0 END AS g3,
+         CASE WHEN CAST(floor(a.p_retailprice) AS BIGINT) // 10
+                 = CAST(floor(b.p_retailprice) AS BIGINT) // 10
+              THEN 1 ELSE 0 END AS g4
+  FROM part a JOIN part b
+    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey)""",
+        f"""fs_p0 AS (SELECT {p0}::HUGEINT AS p,
+  {', '.join(f'{m0}::HUGEINT AS m{f}' for f in feats)},
+  {', '.join(f'{u0}::HUGEINT AS u{f}' for f in feats)})""",
+    ]
+    for t in range(1, rounds + 1):
+        tprod = " * ".join(
+            f"(CASE WHEN g.g{f} = 1 THEN p.m{f}"
+            f" ELSE 1000000 - p.m{f} END)"
+            for f in feats
+        )
+        sprod = " * ".join(
+            f"(CASE WHEN g.g{f} = 1 THEN p.u{f}"
+            f" ELSE 1000000 - p.u{f} END)"
+            for f in feats
+        )
+        swgs = ", ".join(
+            f"sum(w * g{f})::HUGEINT AS swg{f}, "
+            f"sum((1000000 - w) * g{f})::HUGEINT AS svg{f}"
+            for f in feats
+        )
+        ms = ", ".join(
+            clamp.format(x=f"(swg{f} * 1000000) // greatest(sw, 1)")
+            + f" AS m{f}"
+            for f in feats
+        )
+        us = ", ".join(
+            clamp.format(
+                x=f"(svg{f} * 1000000)"
+                " // greatest(n * 1000000 - sw, 1)"
+            )
+            + f" AS u{f}"
+            for f in feats
+        )
+        stages.append(f"""fs_w{t} AS (
+  SELECT g.g1, g.g2, g.g3, g.g4,
+         (p.p * {tprod} * 1000000)
+             // (p.p * {tprod}
+                 + (1000000 - p.p) * {sprod}) AS w
+  FROM fs_g g, fs_p{t - 1} p),
+fs_s{t} AS (
+  SELECT count(*)::HUGEINT AS n, sum(w)::HUGEINT AS sw, {swgs}
+  FROM fs_w{t}),
+fs_p{t} AS MATERIALIZED (
+  SELECT {clamp.format(x='sw // n')} AS p, {ms}, {us}
+  FROM fs_s{t})""")
+    finals = " UNION ALL ".join(
+        f"SELECT {t} AS round, {f} AS feature,"
+        f" CAST(m{f} AS BIGINT) AS m_u6, CAST(u{f} AS BIGINT) AS u_u6,"
+        f" CAST(p AS BIGINT) AS p_u6 FROM fs_p{t}"
+        for t in range(1, rounds + 1)
+        for f in feats
+    )
+    return "WITH " + ",\n".join(stages) + "\n" + finals
