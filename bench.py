@@ -215,8 +215,13 @@ def main() -> None:
     repo = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is not None:
-        rnd = int(rnd)
-    else:
+        # A malformed env value must not lose the whole run's
+        # BENCH_HISTORY write — fall back to artifact inference.
+        try:
+            rnd = int(rnd)
+        except ValueError:
+            rnd = None
+    if rnd is None:
         rounds = [0]
         for f in os.listdir(repo):
             if f.startswith("BENCH_r") and f.endswith(".json"):

@@ -306,7 +306,12 @@ def wordpiece_encode_pieces(
     is dictionary-grain regardless of corpus size (the bpe_encode
     dictionary rule). ``rounds`` bounds encodable word length at
     ``rounds − 1`` characters (the done-guard makes surplus rounds
-    no-ops); raise it for corpora with longer whitespace tokens.
+    no-ops); raise it for corpora with longer whitespace tokens. A word
+    that still has unconsumed characters after ``rounds`` advances
+    FAILS LOUDLY at execution time (``raise_error`` in the final
+    projection — zero cost on the no-truncation path) instead of
+    silently undercounting: the oracle unrolls the identical rounds, so
+    a hash match alone could never detect the truncation.
     Output: (word, n_pieces)."""
     units = [l + r for l, r in merges] + ["</w>"]
     st = words.select(
@@ -340,4 +345,21 @@ def wordpiece_encode_pieces(
             .cast("bigint")
             .alias("_pieces"),
         )
-    return st.select("word", F.col("_pieces").alias("n_pieces"))
+    truncated = F.col("_pos") <= F.length("_aug")
+    return st.select(
+        "word",
+        F.when(
+            truncated,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "wordpiece_encode_pieces: word exceeds "
+                        f"rounds={rounds} greedy advances: "
+                    ),
+                    F.col("word"),
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(F.col("_pieces"))
+        .alias("n_pieces"),
+    )

@@ -253,7 +253,11 @@ def kcore(
     ).select(F.col("src").alias("node"), "core_deg")
 
 
-def triangle_counts(edges: DataFrame, orient: str = "degree") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame,
+    orient: str = "degree",
+    triples: DataFrame | None = None,
+) -> DataFrame:
     """Per-node triangle counts over an undirected edge list (either
     or both directions may be present; deduplicated internally).
     Output: node, n_triangles — nodes in no triangle are absent. The
@@ -275,8 +279,14 @@ def triangle_counts(edges: DataFrame, orient: str = "degree") -> DataFrame:
     - ``"canonical"`` — direct by node id only (a < b). One fewer
       degree join; safe when degrees are bounded (TPC-H co-purchase
       baskets cap at 7), quadratic on hubs otherwise.
+
+    ``triples`` (optional) short-circuits the enumeration with a
+    PRECOMPUTED (x, y, z) frame over the same undirected graph — the
+    session-memo hook (r9 VERDICT #3): the per-node counts are
+    position-invariant (all three corners explode), so any valid
+    one-per-triangle enumeration gives identical output.
     """
-    tris = _triangle_triples(edges, orient)
+    tris = _triangle_triples(edges, orient) if triples is None else triples
     return (
         tris.select(
             F.explode(F.array(F.col("x"), F.col("y"), F.col("z"))).alias("node")
@@ -345,7 +355,11 @@ def _triangle_triples(edges: DataFrame, orient: str = "degree") -> DataFrame:
     return tris
 
 
-def edge_support(edges: DataFrame, orient: str = "degree") -> DataFrame:
+def edge_support(
+    edges: DataFrame,
+    orient: str = "degree",
+    triples: DataFrame | None = None,
+) -> DataFrame:
     """Per-EDGE triangle support — the k-truss building block: an edge
     with support s participates in s triangles, and the k-truss is the
     maximal subgraph where every edge has support ≥ k−2. One support
@@ -359,8 +373,12 @@ def edge_support(edges: DataFrame, orient: str = "degree") -> DataFrame:
     partial-aggregated groupBy counts per edge. Edges in no triangle
     are absent (support 0 — join back against the edge list when the
     peel needs them). Output: a, b, support.
+
+    ``triples`` (optional): a precomputed one-per-triangle (x, y, z)
+    frame over the same graph — the unpivot canonicalizes each corner
+    pair to (min, max), so the support is enumeration-invariant.
     """
-    tris = _triangle_triples(edges, orient)
+    tris = _triangle_triples(edges, orient) if triples is None else triples
     # ONE pass over the triples: a 3-struct explode (a union of three
     # selects would re-execute the wedge joins per branch — measured
     # 15.4 s → ~6 s at sf0.1)
@@ -1093,7 +1111,11 @@ def centroid_affinity(
     )
 
 
-def clustering_coefficient(edges: DataFrame, ppm: int = 1_000_000) -> DataFrame:
+def clustering_coefficient(
+    edges: DataFrame,
+    ppm: int = 1_000_000,
+    triples: DataFrame | None = None,
+) -> DataFrame:
     """Local clustering coefficient per node in exact ppm —
     triangles(v) / C(deg(v), 2), the standard "how clique-like is this
     node's neighborhood" score (Watts-Strogatz 1998). Reuses the
@@ -1130,7 +1152,10 @@ def clustering_coefficient(edges: DataFrame, ppm: int = 1_000_000) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
         .filter(F.col("degree") >= 2)
     )
-    tri = triangle_counts(e.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    tri = triangle_counts(
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        triples=triples,
+    )
     return (
         deg.join(tri, "node", "left")
         .select(

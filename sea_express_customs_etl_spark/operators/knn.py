@@ -15,10 +15,18 @@ label ASC — deterministic on both engines.
 Scale shape: the classifier adds ONE |test|·k-row join against the
 train-label table and one per-query top-1 window (WindowGroupLimit
 shape) on top of the IVF search; nothing touches a corpus cross
-product.
+product. The coarse quantizer is sized ``nlist = max(4, ⌈√N_train⌉)``
+(the standard IVF dial, measured in SCALE.md's knn probe row): with a
+FIXED nlist, probed-cell populations grow linearly while the query set
+also grows, so query×candidate pairs grow quadratically (the r9 probe
+measured 23.4× wall at 8× data at nlist=4); with nlist ∝ √N the
+candidate count per query is O(√N) and total pair work O(N^1.5) — the
+2.4×-at-8× regime the ADC variant already ships.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame, Window
 import pyspark.sql.functions as F
@@ -35,7 +43,7 @@ def knn_label_vote(
     id_col: str = "vec_id",
     label_col: str = "label",
     k: int = 5,
-    n_centroids: int = 4,
+    n_centroids: int | None = None,
     iters: int = 2,
     nprobe: int = 2,
 ) -> DataFrame:
@@ -43,12 +51,19 @@ def knn_label_vote(
     ``k`` nearest even-``id`` neighbors (IVF-pruned, exact bigint
     squared-L2, ties → lowest neighbor id; vote ties → lowest label).
 
+    ``n_centroids=None`` (the default) derives ``max(4, ⌈√N_train⌉)``
+    from one count action — O(1) driver state, the same index-sizing
+    rule the oracle recomputes in its ``LIMIT`` subquery (IEEE-double
+    ``sqrt`` on both engines, so the ceil agrees bit-for-bit).
+
     Output: id, pred_label, true_label, correct (int 0/1) — per-test
     grain, so the hash pins every single prediction, not just the
     accuracy scalar.
     """
     train = df.filter(F.col(id_col) % 2 == 0)
     test = df.filter(F.col(id_col) % 2 == 1)
+    if n_centroids is None:
+        n_centroids = max(4, math.ceil(math.sqrt(train.count())))
     cents = kmeans_fit_q(train, k=n_centroids, iters=iters,
                          vec_col=vec_col, id_col=id_col)
     nn = ivf_knn_q(train, cents, test, k=k, nprobe=nprobe,

@@ -44,91 +44,26 @@ def store_adc_topk_scoped(
 ) -> DataFrame:
     """``store_adc_topk`` with the committed codes filtered by
     ``neighbor_pred`` (a Column over ``neighbor_id``) before the
-    per-query top-k — candidate scoping at the STORE side, the same
-    mechanism the tombstone views use for deletes."""
-    from sea_express_customs_etl_spark.operators.pq import _l2sq_micro
-    from sea_express_customs_etl_spark.operators.similarity import _as_double
+    per-query top-k — a thin delegation so probe / tie-break fixes land
+    in ONE place (the scoped copy this replaced could silently
+    desynchronize from the store's ranking)."""
     from sea_express_customs_etl_spark.streaming.ann_store import (
-        MICRO,
-        committed_codes,
+        store_adc_topk,
     )
 
-    d = dim // m
-    codes = (
-        committed_codes(spark, table_prefix, id_col)
-        .withColumnRenamed(id_col, "neighbor_id")
-        .filter(neighbor_pred)
-    )
-    cen = centroids.select(
-        F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("_qv"),
-    )
-    pw = Window.partitionBy("query_id").orderBy(
-        F.col("_d").asc(), F.col("_cid").asc()
-    )
-    probes = (
-        q.join(F.broadcast(cen))
-        .select(
-            "query_id",
-            "_qv",
-            "_cid",
-            "_cv",
-            _l2sq_micro(F.col("_qv"), F.col("_cv")).alias("_d"),
-        )
-        .withColumn("_pr", F.row_number().over(pw))
-        .filter(F.col("_pr") <= nprobe)
-        .select(
-            "query_id",
-            F.col("_cid").alias("_qc"),
-            F.zip_with(
-                F.col("_qv"),
-                F.col("_cv"),
-                lambda x, y: F.round((x - y) * MICRO).cast("bigint"),
-            ).alias("_r"),
-        )
-    )
-    qsv = probes.select(
-        "query_id",
-        "_qc",
-        F.posexplode(
-            F.array(*[F.slice(F.col("_r"), j * d + 1, d) for j in range(m)])
-        ).alias("subspace", "subvec"),
-    )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("subvec"), F.col("cw_u6"), lambda x, y: (x - y) * (x - y)
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
-    lut = qsv.join(F.broadcast(codebook), "subspace").select(
-        "query_id",
-        "_qc",
-        F.col("subspace").alias("_ls"),
-        F.col("code").alias("_lc"),
-        d2.alias("_d"),
-    )
-    sims = (
-        codes.join(
-            F.broadcast(lut),
-            (F.col("cluster") == F.col("_qc"))
-            & (F.col("subspace") == F.col("_ls"))
-            & (F.col("code") == F.col("_lc")),
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .groupBy("query_id", "neighbor_id", "cluster")
-        .agg(F.sum("_d").alias("dist_u12"))
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("dist_u12").asc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= k)
-        .drop("_rn")
+    return store_adc_topk(
+        spark,
+        table_prefix,
+        centroids,
+        codebook,
+        queries,
+        k=k,
+        m=m,
+        dim=dim,
+        vec_col=vec_col,
+        id_col=id_col,
+        nprobe=nprobe,
+        neighbor_pred=neighbor_pred,
     )
 
 

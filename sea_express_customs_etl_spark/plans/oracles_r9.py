@@ -567,14 +567,18 @@ FROM pa_ssb b, pa_ssw w, pa_gr gr
 
 
 def knn_label_vote_sql(
-    k: int = 5, nprobe: int = 2, n_cent: int = 4, iters: int = 2
+    k: int = 5, nprobe: int = 2, n_cent: int | None = None,
+    iters: int = 2,
 ) -> str:
     """Holdout kNN classifier oracle (operators/knn.py): integer
     k-means re-derived over the EVEN half (same md5 init rule /
     floor-mean update as KMEANS_Q_SQL, kn_-prefixed CTEs per the
     composition-collision rule), odd vectors probe nprobe cells and
     vote among their k nearest even neighbors (d2 ASC, neighbor ASC;
-    vote count DESC, label ASC)."""
+    vote count DESC, label ASC). ``n_cent=None`` mirrors the Spark
+    side's scale dial — ``max(4, ⌈√N_train⌉)`` recomputed from the
+    data in the init CTE's LIMIT subquery, so the oracle stays valid
+    at every sf without pasting a collected count as a literal."""
     from sea_express_customs_etl_spark.plans.oracles_ext import _KMQ_D2
 
     iter_tpl = """kn_a{i} AS (
@@ -598,6 +602,14 @@ kn_cent{i} AS MATERIALIZED (
         )
         for i in range(1, iters + 1)
     )
+    n_cent_expr = (
+        str(n_cent)
+        if n_cent is not None
+        else (
+            "(SELECT greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) "
+            "FROM kn_tr)"
+        )
+    )
     return f"""
 WITH kn_q AS MATERIALIZED (
   SELECT vec_id,
@@ -610,7 +622,7 @@ kn_cent0 AS (
              - 1 AS cluster, v
   FROM kn_tr
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT {n_cent}),
+  LIMIT {n_cent_expr}),
 {iters_sql},
 kn_asg AS MATERIALIZED (
   SELECT vec_id, v, cluster FROM (

@@ -1,0 +1,199 @@
+"""Flagship composition #3 — the FULL production pretraining-data run
+as one checked lineage (r9 VERDICT #4), closing the gap between
+``plans/curation.py`` (clean side) and ``plans/pretrain.py``
+(tokenize side):
+
+    raw docs → integrity quarantine → Gopher quality gate
+             → multi-signal dedup (exact ∪ text-LSH ∪ embedding-SRP,
+               one component pass)
+             → benchmark decontamination
+             → UniMax domain mix (budget = 70 % of survivors,
+               ≤ 2 epochs/source) + per-source deterministic draw
+             → BPE tokenization under merges LEARNED ON THE SELECTION
+             → 512-token greedy pack into 8 shards
+             → per-(shard, bin) manifest
+
+Every stage is an already-gate-checked operator; the composition's own
+oracle (``plans/oracles_pretrain_e2e.py``) nests each stage's SQL as
+prefixed CTEs and threads the BPE training trajectory through
+MATERIALIZED CTEs (the wordpiece 3^k lesson), so the one hash checks
+the whole chain end-to-end — including that the tokenizer was trained
+on exactly the mixed corpus it encodes.
+
+Reference analogue: the reference's insert-if-new knowledge refresh
+(``src/batch_train.py:66-80``) is the single-table ancestor of the
+quarantine → dedup → commit shape; everything after dedup is the
+LLM-pipeline extension surface.
+
+Scale: each stage only narrows the corpus or is map-only; the dedup
+signals are banded/blocked (never all-pairs), the benchmark n-gram set
+broadcasts, the UniMax draw is one per-source rank window over the
+already-mixed survivor set, BPE cost is dictionary-grain, and the pack
+is one per-shard cumulative window. The two driver-side artifacts
+(budget scalar, 10 learned merges) are O(1)/model-sized — the
+trained-artifact license.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from .cache import tracked_persist
+
+PACK_LEN = 512
+N_SHARDS = 8
+N_MERGES = 10
+
+
+def _survivor_ids(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Stages 1-4: quarantine → gate → exact dedup → multi-signal
+    near-dup components → canonical keep. Returns (doc_id, text,
+    source) of survivors."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+    from sea_express_customs_etl_spark.operators.rp import srp_near_dups
+    from sea_express_customs_etl_spark.operators.textstats import quality_gate
+
+    quar = docs.filter(
+        (F.length(F.trim(F.col("text"))) > 0)
+        & F.col("lang").isNotNull()
+        & (F.col("n_chars") == F.length(F.col("text")))
+    ).select("doc_id", "text", "source")
+    passed = quar.join(
+        quality_gate(quar).filter(F.col("passed")).select("doc_id"),
+        "doc_id",
+    )
+    exact_kept = tracked_persist(
+        passed.join(
+            passed.groupBy(F.md5(F.col("text")).alias("_h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"),
+            "doc_id",
+        )
+    )
+    prof = tracked_persist(shingle_profiles(exact_kept))
+    text_pairs = jaccard_verify_profiles(
+        lsh_candidate_pairs(lsh_bands(prof)), prof
+    ).select("id_a", "id_b")
+    emb_pairs = srp_near_dups(
+        emb.join(
+            exact_kept.select(F.col("doc_id").alias("vec_id")),
+            "vec_id",
+            "left_semi",
+        ),
+        threshold=0.4,
+    ).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+    )
+    pairs = text_pairs.unionByName(emb_pairs).distinct()
+    return exact_kept.join(
+        dedup_clusters(exact_kept.select("doc_id"), pairs)
+        .filter(F.col("keep") == 1)
+        .select("doc_id"),
+        "doc_id",
+    )
+
+
+def pretrain_e2e_select(
+    docs: DataFrame, emb: DataFrame
+) -> tuple[DataFrame, int]:
+    """Stages 1-6: survivors → decontaminate → UniMax mix + draw.
+    Returns (selected (doc_id, text, source), budget) — the frame the
+    tokenizer trains on and encodes."""
+    from sea_express_customs_etl_spark.operators.hygiene import decontaminate
+    from sea_express_customs_etl_spark.operators.sampling import unimax_alloc
+
+    kept = _survivor_ids(docs, emb)
+    corpus = kept.filter(F.col("doc_id") % 50 != 0)
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    clean = tracked_persist(
+        corpus.join(
+            decontaminate(corpus, bench)
+            .filter(F.col("contaminated") == 0)
+            .select("doc_id"),
+            "doc_id",
+        )
+    )
+    # budget = 70 % of the clean survivor count — ONE driver scalar
+    # (index-sizing license, the knn_label_vote nlist rule); the oracle
+    # recomputes the same count in a scalar CTE.
+    budget = (clean.count() * 7) // 10
+    alloc = unimax_alloc(clean, "source", budget=budget, max_epochs=2)
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    sel = (
+        clean.withColumn("_rk", F.row_number().over(w))
+        .join(F.broadcast(alloc.select("source", "alloc")), "source")
+        .filter(F.col("_rk") <= F.col("alloc"))
+        .select("doc_id", "text", "source")
+    )
+    return sel, budget
+
+
+def pretrain_e2e(
+    spark: SparkSession,
+    docs: DataFrame,
+    emb: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    sel: DataFrame | None = None,
+) -> DataFrame:
+    """The full chain. ``merges`` (optional) injects session-memoized
+    learned merges — they MUST be ``bpe_train(selection, N_MERGES)``
+    of this exact selection (the entry's memo runs that training path
+    itself once; the oracle re-derives the trajectory either way).
+    ``sel`` (optional) injects an already-built (and persisted)
+    selection frame so one invocation never derives the upstream
+    lineage twice. Output: shard, bin_id, n_docs, n_tokens — the
+    sharded pack manifest, one row per (shard, 512-token bin)."""
+    from sea_express_customs_etl_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    if sel is None:
+        sel, _budget = pretrain_e2e_select(docs, emb)
+        # lineage CUT (the mmr_ann_rerank lesson): sel feeds the
+        # 10-round BPE trainer downstream of a 7-stage composition —
+        # plan rendering alone heap-OOMs without it. localCheckpoint
+        # also persists, covering the train+encode double consumption;
+        # the production form is a staging table at this boundary.
+        sel = sel.localCheckpoint(eager=False)
+    if merges is None:
+        merges = bpe_train(sel, n_merges=N_MERGES)
+    tok = bpe_encode(sel, merges).select("doc_id", "n_tokens")
+    shard = (F.col("doc_id") % N_SHARDS).cast("int")
+    w = Window.partitionBy("shard").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    packed = (
+        tok.select("doc_id", shard.alias("shard"), "n_tokens")
+        .withColumn(
+            "_cum",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select(
+            "shard",
+            F.expr(f"(_cum - n_tokens) DIV {PACK_LEN}")
+            .cast("int")
+            .alias("bin_id"),
+            "n_tokens",
+        )
+    )
+    return (
+        packed.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .select("shard", "bin_id", "n_docs", "n_tokens")
+    )

@@ -270,12 +270,18 @@ def store_adc_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     nprobe: int = 1,
+    neighbor_pred=None,
 ) -> DataFrame:
     """Cell-relative multi-probe ADC search over the INCREMENTAL code
     store — the same ranking as ``ivfpq_trained_topk`` computes over a
     one-shot encode, reading codes from the store instead (the point:
     search is decoupled from how the index was built). Output:
-    query_id, neighbor_id, cluster, dist_u12."""
+    query_id, neighbor_id, cluster, dist_u12.
+
+    ``neighbor_pred`` (optional Column over ``neighbor_id``) scopes the
+    committed codes BEFORE ranking — the hook that restricts a store to
+    a tenant / time window / holdout half (``operators/knn_adc.py``)
+    through the same mechanism the tombstone views use for deletes."""
     from sea_express_customs_etl_spark.operators.pq import _l2sq_micro
     from sea_express_customs_etl_spark.operators.similarity import _as_double
 
@@ -283,6 +289,8 @@ def store_adc_topk(
     codes = committed_codes(spark, table_prefix, id_col).withColumnRenamed(
         id_col, "neighbor_id"
     )
+    if neighbor_pred is not None:
+        codes = codes.filter(neighbor_pred)
     cen = centroids.select(
         F.col(id_col).alias("_cid"), _as_double(F.col(vec_col)).alias("_cv")
     )

@@ -38,6 +38,11 @@ SF_DIR = "/root/testdata/sf0.001"
 FORCED_BROADCAST_ALLOWED = {
     "hashed_doc_clusters",  # trained k·dim centroid broadcasts (the
     #                         kmeans_ivf_topk license)
+    "pretrain_e2e",        # per-SOURCE UniMax allocation table — the
+    #                        source set is a bounded domain vocabulary
+    #                        (nation/region license), model-sized at
+    #                        any corpus scale
+
     "copurchase_negatives",  # 1-row |catalog| scalar + |partitions|-row
     #                          rank offsets (the global_rank license)
     "chi2_features",       # 1-row (N, N_pos) totals (the 1-row license)

@@ -100,6 +100,35 @@ def witness_summary(qs: dict) -> None:
     )
     if unw:
         print(f"[witness] never witnessed: {unw}")
+    # Plan-vs-actual (r9 VERDICT #7): diff the current prefix against
+    # the checked-in rotation manifest so a rotation miss shows in the
+    # gate output, not just in the judge's cross-round diff.
+    plan_path = os.path.join(repo, "tools", "rotation_plan.json")
+    rnd = 1 + max(
+        (int(os.path.basename(p)[len("CORRECTNESS_r"):-len(".json")])
+         for p in arts),
+        default=0,
+    )
+    try:
+        with open(plan_path) as f:
+            planned = json.load(f).get(f"r{rnd}", [])
+    except (OSError, ValueError):
+        planned = []
+    if planned:
+        missed = [n for n in planned if n not in names[:50]]
+        extra_first_time = [
+            n for n in names[:50] if n not in witnessed and n not in planned
+        ]
+        print(
+            f"[witness] rotation plan r{rnd}: {len(planned) - len(missed)}"
+            f"/{len(planned)} planned rows in prefix"
+            + (f"; MISSED: {missed}" if missed else "")
+            + (
+                f"; unplanned first-time rows: {extra_first_time}"
+                if extra_first_time
+                else ""
+            )
+        )
 
 
 def main() -> int:

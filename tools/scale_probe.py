@@ -1586,64 +1586,14 @@ def cases_r9():
         on touched pairs, 4-step greedy. Fresh prefix per invocation
         (the _mmr_ann protocol); sims is |pool|*200 — FIXED as the
         corpus grows, so the scaling term is the store build + ADC
-        search alone."""
-        import re as _re
-
+        search alone. The build-only half is probed separately as
+        ``coreset_ann_build`` (r9 VERDICT #6: the amortization claim
+        must be measurable, not absorbed into the 1.1× headline)."""
         from sea_express_customs_etl_spark.operators.coreset import (
             facility_location_from_sims,
         )
-        from sea_express_customs_etl_spark.operators.similarity import (
-            _dot,
-            with_norm,
-        )
-        from sea_express_customs_etl_spark.plans.cache import tracked_persist
-        from sea_express_customs_etl_spark.streaming.ann_store import (
-            ann_store_batch_writer,
-            store_adc_topk,
-            train_frozen_model,
-        )
 
-        spark = emb.sparkSession
-        cen = emb.filter(F.col("vec_id") < 16)
-        sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
-        codebook = tracked_persist(train_frozen_model(sample, cen))
-        prefix = f"anncorprobe{next(_MMR_ANN_SEQ)}_" + _re.sub(
-            r"\W", "_", spark.sparkContext.applicationId
-        )
-        writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
-        writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
-        writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
-        cand = store_adc_topk(
-            spark, prefix, cen, codebook,
-            emb.filter(F.col("vec_id") < 32), k=200, nprobe=2,
-        ).select("query_id", "neighbor_id")
-        pts = with_norm(emb, "embedding", "vec_id").select(
-            F.col("vec_id").alias("_p"),
-            F.col("_v").alias("_pv"),
-            F.col("_n").alias("_pn"),
-        )
-        pool = with_norm(
-            emb.filter(F.col("vec_id") < 32), "embedding", "vec_id"
-        ).select(
-            F.col("vec_id").alias("_c"),
-            F.col("_v").alias("_cv"),
-            F.col("_n").alias("_cn"),
-        )
-        sim = F.greatest(
-            F.lit(0).cast("bigint"),
-            F.round(
-                F.lit(1_000_000)
-                * _dot(F.col("_pv"), F.col("_cv"))
-                / (F.col("_pn") * F.col("_cn"))
-            ).cast("bigint"),
-        )
-        sims = (
-            cand.join(pts, cand.neighbor_id == pts._p)
-            .join(F.broadcast(pool), cand.query_id == pool._c)
-            .select("_p", "_c", sim.alias("_s"))
-            .localCheckpoint()
-        )
-        return facility_location_from_sims(sims, k=4)
+        return facility_location_from_sims(_coreset_sims(emb), k=4)
 
     def _ndcg(docs):
         from sea_express_customs_etl_spark.operators.bm25 import (
@@ -1760,10 +1710,11 @@ def cases_r9b():
         # set both grow with the corpus — candidate pairs grow
         # quadratically (the semantic_dedup_fixed_k cliff, measured
         # 23.4x on 8x data)
-        "knn_label_vote": lambda docs, emb: _knn_probe(emb, 4),
-        # the documented dial: nlist ~ sqrt(N) (4·sqrt(8) ≈ 11) holds
-        # per-cell populations — and the pair stage — to N^1.5
-        "knn_label_vote_scaled": lambda docs, emb: _knn_probe(emb, 11),
+        "knn_label_vote_fixed4": lambda docs, emb: _knn_probe(emb, 4),
+        # the documented dial, now the operator DEFAULT (r9 VERDICT
+        # #2): nlist = max(4, ceil(sqrt(N_train))) holds per-cell
+        # populations — and the pair stage — to N^1.5
+        "knn_label_vote": lambda docs, emb: _knn_probe(emb, None),
     }
 
 
@@ -1771,6 +1722,87 @@ def _knn_probe(emb, n_centroids):
     from sea_express_customs_etl_spark.operators.knn import knn_label_vote
 
     return knn_label_vote(emb, n_centroids=n_centroids)
+
+
+def _coreset_sims(emb):
+    """The ANN-fed coreset's BUILD half: frozen train → 2-batch store
+    → ADC top-200 per pool member → exact refine of touched pairs.
+    Returns the localCheckpoint'd sparse sims table the greedy loop
+    consumes — shared by the full-path probe and the build-only probe
+    (the r9 VERDICT #6 split)."""
+    import re as _re
+
+    from sea_express_customs_etl_spark.operators.similarity import (
+        _dot,
+        with_norm,
+    )
+    from sea_express_customs_etl_spark.plans.cache import tracked_persist
+    from sea_express_customs_etl_spark.streaming.ann_store import (
+        ann_store_batch_writer,
+        store_adc_topk,
+        train_frozen_model,
+    )
+
+    spark = emb.sparkSession
+    cen = emb.filter(F.col("vec_id") < 16)
+    sample = emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 48))
+    codebook = tracked_persist(train_frozen_model(sample, cen))
+    prefix = f"anncorprobe{next(_MMR_ANN_SEQ)}_" + _re.sub(
+        r"\W", "_", spark.sparkContext.applicationId
+    )
+    writer = ann_store_batch_writer(prefix, cen, codebook, num_buckets=4)
+    writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
+    writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
+    cand = store_adc_topk(
+        spark, prefix, cen, codebook,
+        emb.filter(F.col("vec_id") < 32), k=200, nprobe=2,
+    ).select("query_id", "neighbor_id")
+    pts = with_norm(emb, "embedding", "vec_id").select(
+        F.col("vec_id").alias("_p"),
+        F.col("_v").alias("_pv"),
+        F.col("_n").alias("_pn"),
+    )
+    pool = with_norm(
+        emb.filter(F.col("vec_id") < 32), "embedding", "vec_id"
+    ).select(
+        F.col("vec_id").alias("_c"),
+        F.col("_v").alias("_cv"),
+        F.col("_n").alias("_cn"),
+    )
+    sim = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.round(
+            F.lit(1_000_000)
+            * _dot(F.col("_pv"), F.col("_cv"))
+            / (F.col("_pn") * F.col("_cn"))
+        ).cast("bigint"),
+    )
+    return (
+        cand.join(pts, cand.neighbor_id == pts._p)
+        .join(F.broadcast(pool), cand.query_id == pool._c)
+        .select("_p", "_c", sim.alias("_s"))
+        .localCheckpoint()
+    )
+
+
+def cases_r10():
+    """Round-10 probes: the e2e pretraining flagship (fresh selection
+    + fresh 10-merge BPE train per invocation — everything inside the
+    timed call, the _coreset_ann protocol) and the coreset build-only
+    half (greedy cost = full − build, reported as the SCALE.md
+    split)."""
+
+    def _pe2e(docs, emb):
+        from sea_express_customs_etl_spark.plans.pretrain_e2e import (
+            pretrain_e2e,
+        )
+
+        return pretrain_e2e(docs.sparkSession, docs, emb)
+
+    return {
+        "pretrain_e2e": _pe2e,
+        "coreset_ann_build": lambda docs, emb: _coreset_sims(emb),
+    }
 
 
 def cases_r9c():
@@ -1935,6 +1967,7 @@ def main() -> None:
     all_cases.update(cases_r9())
     all_cases.update(cases_r9b())
     all_cases.update(cases_r9c())
+    all_cases.update(cases_r10())
     for nm, fn_ev in ev_cases.items():
         # adapt to the (d, e) calling convention; e is unused
         all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_ev)
@@ -1960,7 +1993,6 @@ def main() -> None:
             # scaled-k only differs from fixed-k at 8×; at 1× it IS k=16
             if scale == "1x" and name in (
                 "semantic_dedup_scaled_k",
-                "knn_label_vote_scaled",
             ):
                 continue
             best = float("inf")
