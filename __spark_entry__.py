@@ -3569,6 +3569,20 @@ def _q_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_burstiness(_docs(spark, sf_dir))
 
 
+def _q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps/Herdan vocabulary-growth exponent V(N) ~ K*N^beta over the
+    deterministic (md5, id) corpus stream — the corpus-SCALING dial
+    next to zipf_alpha_fit's frequency dial. One exact (ln cum_tokens,
+    ln cum_vocab) point per doc boundary (first-appearance argmin per
+    token, two-phase global cumsum — never a single-partition corpus
+    window), OLS slope in DECIMAL(38,0) moments."""
+    from sea_express_customs_etl_spark.operators.dispersion import (
+        heaps_law_fit,
+    )
+
+    return heaps_law_fit(_docs(spark, sf_dir))
+
+
 def _q_zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Zipf exponent: integer-moment OLS of ln(freq) on
     ln(rank) over the top-500 vocabulary ranks (31 at this corpus's
@@ -4275,6 +4289,32 @@ def _q_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PRETRAIN_E2E_MEMO[key] = bpe_train(sel, n_merges=N_MERGES)
     return pretrain_e2e(
         spark, docs, emb, merges=_PRETRAIN_E2E_MEMO[key], sel=sel
+    )
+
+
+def _q_pretrain_e2e_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The e2e flagship's DATACARD: one row per raw source with the
+    count surviving each stage (raw → gated → exact → kept → clean →
+    UniMax alloc → selected → BPE tokens shipped) — the governance
+    funnel a corpus release publishes, re-derived by the SAME oracle
+    WITH-chain as the manifest so the card can never drift from the
+    pipeline it describes. Shares the session's learned merges
+    (_PRETRAIN_E2E_MEMO — same selection, same training path)."""
+    from sea_express_customs_etl_spark.operators.bpe import bpe_train
+    from sea_express_customs_etl_spark.plans.pretrain_e2e import (
+        N_MERGES,
+        pretrain_e2e_datacard,
+        pretrain_e2e_select,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    docs, emb = _docs(spark, sf_dir), _emb(spark, sf_dir)
+    if key not in _PRETRAIN_E2E_MEMO:
+        sel, _budget = pretrain_e2e_select(docs, emb)
+        sel = sel.localCheckpoint(eager=False)
+        _PRETRAIN_E2E_MEMO[key] = bpe_train(sel, n_merges=N_MERGES)
+    return pretrain_e2e_datacard(
+        spark, docs, emb, merges=_PRETRAIN_E2E_MEMO[key]
     )
 
 
@@ -5898,6 +5938,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,  # composed curation flagship
         # composed flagship #3: the FULL pretraining-data run in one lineage
         "pretrain_e2e": _q_pretrain_e2e,
+        # the flagship's per-source stage-funnel datacard
+        "pretrain_e2e_datacard": _q_pretrain_e2e_datacard,
         "manifest_xlsx_ingest": _q_manifest_xlsx_ingest,  # connector lineage
         "cuped_adjusted_lift": _q_cuped_adjusted_lift,  # r7's one red row, int64-safe since r8
         "xml_quarantine_counts": _q_xml_quarantine_counts,
@@ -5948,6 +5990,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_entropy": _q_token_entropy,
         "token_burstiness": _q_token_burstiness,
         "zipf_alpha_fit": _q_zipf_alpha_fit,
+        # Heaps vocabulary-growth exponent (stream-order cum vocab OLS)
+        "heaps_law_fit": _q_heaps_law_fit,
         "pca_power_topcomp": _q_pca_power_topcomp,
         "pca_doc_projection": _q_pca_doc_projection,
         "pca_label_anova": _q_pca_label_anova,
@@ -7086,6 +7130,14 @@ def _pe2e_sql() -> str:
     return pretrain_e2e_sql()
 
 
+def _pe2e_datacard_sql() -> str:
+    from sea_express_customs_etl_spark.plans.oracles_pretrain_e2e import (
+        pretrain_e2e_datacard_sql,
+    )
+
+    return pretrain_e2e_datacard_sql()
+
+
 def _pretrain_prep_sql() -> str:
     from sea_express_customs_etl_spark.operators.bpe import FIXED_MERGES
     from sea_express_customs_etl_spark.plans.oracles_ext import pretrain_prep_sql
@@ -7109,6 +7161,7 @@ def oracle_sql() -> dict[str, str]:
     from sea_express_customs_etl_spark.plans import oracles_wz as wz
     from sea_express_customs_etl_spark.plans import oracles_r9 as r9
     from sea_express_customs_etl_spark.plans import oracles_r9b as r9b
+    from sea_express_customs_etl_spark.plans import oracles_r10 as r10
     from sea_express_customs_etl_spark.operators.sampling import (
         hex_threshold as _hex_threshold,
     )
@@ -7174,6 +7227,7 @@ def oracle_sql() -> dict[str, str]:
             t_train=_hex_threshold(0.8), t_val=_hex_threshold(0.9)
         ),
         "pretrain_e2e": _pe2e_sql(),
+        "pretrain_e2e_datacard": _pe2e_datacard_sql(),
         "cosine_topk": ext.COSINE_TOPK_SQL,
         "ann_ivf_nprobe2": ext.ANN_IVF_NPROBE2_SQL,
         "kmeans_q_centroids": ext.KMEANS_Q_SQL,
@@ -7240,6 +7294,7 @@ def oracle_sql() -> dict[str, str]:
         "token_entropy": r9.TOKEN_ENTROPY_SQL,
         "token_burstiness": r9.TOKEN_BURSTINESS_SQL,
         "zipf_alpha_fit": r9.ZIPF_ALPHA_SQL,
+        "heaps_law_fit": r10.HEAPS_LAW_SQL,
         "pca_power_topcomp": r9.pca_component_sql(5),
         "pca_doc_projection": r9.pca_project_sql(5),
         "pca_label_anova": r9.pca_label_anova_sql(5),

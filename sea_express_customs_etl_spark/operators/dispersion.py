@@ -221,3 +221,123 @@ def zipf_alpha(
         F.col("_n").cast("int").alias("n_ranks"),
         F.expr(f"({num}) div ({den})").cast("bigint").alias("alpha_u6"),
     )
+
+
+def heaps_law_fit(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heaps/Herdan vocabulary-growth exponent: V(N) ≈ K·N^β over the
+    deterministic corpus stream order (md5(id), id) — the
+    corpus-SCALING dial next to :func:`zipf_alpha`'s frequency dial
+    (β ≈ 0.4-0.6 for natural text; a β drifting toward 0 means the
+    stream has stopped contributing new vocabulary — saturation or
+    template floods; toward 1, vocabulary churn/noise).
+
+        β_u6 = (n·Σxy − Σx·Σy) · 10⁶ DIV (n·Σxx − Σx²)
+
+    with one (x, y) = (round(ln(cum_tokens)·1e6),
+    round(ln(cum_vocab)·1e6)) point per document boundary.
+
+    Determinism: the stream order is the positional-md5 convention
+    (replayable on both engines); "new vocabulary" is exact — a
+    token's first-appearance document is the (md5, id)-minimum over
+    its occurrences, so cum_vocab is the true distinct count at every
+    boundary, not a sketch.
+
+    Scale shape: token explode → two partial-agg shuffles (per-doc
+    totals; per-TOKEN first-appearance argmin, vocabulary-grained) →
+    ONE two-phase global cumulative sum (the ``global_cumsum``
+    range-shuffle + model-sized offsets shape — never a
+    single-partition window over the corpus) carrying both measures →
+    moment sums as DECIMAL(38,0) (exact, order-independent, no int64
+    cliff at 10¹⁰ documents). Output: ONE row (n_points int,
+    beta_u6 bigint).
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    toks = df.select(
+        F.col(id_col), h.alias("_h"),
+        F.explode(_toks_lower(text_col)).alias("token"),
+    )
+    docstats = toks.groupBy(id_col, "_h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("_nt")
+    )
+    first = (
+        toks.groupBy("token")
+        .agg(
+            F.min(
+                F.struct(F.col("_h").alias("h"), F.col(id_col).alias("i"))
+            ).alias("_f")
+        )
+        .select(F.col("_f.i").alias(id_col))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_nn"))
+    )
+    per_doc = docstats.join(first, id_col, "left").select(
+        id_col,
+        "_h",
+        "_nt",
+        F.coalesce("_nn", F.lit(0)).cast("bigint").alias("_nn"),
+    )
+    # two-phase global cumsum (global_cumsum's shape, both measures in
+    # one range shuffle; same model-sized-offsets window license)
+    from sea_express_customs_etl_spark.plans.cache import tracked_persist
+
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    order = [F.col("_h"), F.col(id_col)]
+    ranged = tracked_persist(
+        per_doc.repartitionByRange(n_parts, *order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    off_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("_nt").alias("_pt"), F.sum("_nn").alias("_pn"))
+        .select(
+            "_pid",
+            F.sum("_pt").over(off_w).alias("_ot"),
+            F.sum("_pn").over(off_w).alias("_on"),
+        )
+        .fillna(0, subset=["_ot", "_on"])
+    )
+    in_w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pts = (
+        ranged.withColumn("_ct", F.sum("_nt").over(in_w))
+        .withColumn("_cv", F.sum("_nn").over(in_w))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            _ln_u6(F.col("_ot") + F.col("_ct")).alias("_x"),
+            _ln_u6(F.col("_on") + F.col("_cv")).alias("_y"),
+        )
+    )
+    dec = "CAST({} AS DECIMAL(38,0))"
+    mom = pts.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.col("_x").cast("decimal(38,0)")).alias("_sx"),
+        F.sum(F.col("_y").cast("decimal(38,0)")).alias("_sy"),
+        F.sum(
+            F.col("_x").cast("decimal(38,0)") * F.col("_y")
+        ).alias("_sxy"),
+        F.sum(
+            F.col("_x").cast("decimal(38,0)") * F.col("_x")
+        ).alias("_sxx"),
+    )
+    num = (
+        f"({dec.format('_n')} * {dec.format('_sxy')}"
+        f" - {dec.format('_sx')} * {dec.format('_sy')}) * 1000000"
+    )
+    den = (
+        f"{dec.format('_n')} * {dec.format('_sxx')}"
+        f" - {dec.format('_sx')} * {dec.format('_sx')}"
+    )
+    return mom.select(
+        F.col("_n").cast("int").alias("n_points"),
+        F.expr(f"({num}) div ({den})").cast("bigint").alias("beta_u6"),
+    )

@@ -150,7 +150,11 @@ pe_alloc AS MATERIALIZED (
 """
 
 
-def pretrain_e2e_sql() -> str:
+def _pe2e_with() -> str:
+    """The shared WITH-chain through pe_packed — one source of truth
+    for the manifest AND datacard finals (drift-proof by construction).
+    Plain CTEs the datacard never references (pe_packed) stay lazy;
+    everything multiply-referenced is MATERIALIZED."""
     stages = bpe_stage_ctes(N_MERGES, "pe_sel", materialized=True)
     s = chr(31)
     enc = [
@@ -207,7 +211,7 @@ pe_ed AS MATERIALIZED (SELECT p.doc_id, p.text, p.source FROM pe_pd p
           JOIN pe_ex USING (doc_id)),
 {_sh_over('pe_ed')}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS},
 {_RP_CTES}, {_PE_CCOMP},
-pe_keep AS (
+pe_keep AS MATERIALIZED (
   SELECT e.doc_id, e.text, e.source
   FROM pe_ed e LEFT JOIN pe_comp c ON c.id = e.doc_id
   WHERE coalesce(c.cluster_id, e.doc_id) = e.doc_id),
@@ -246,7 +250,13 @@ pe_packed AS (
          sum(n_tokens) OVER (PARTITION BY doc_id % {N_SHARDS}
              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
              ROWS UNBOUNDED PRECEDING) AS cum
-  FROM pe_ntok)
+  FROM pe_ntok)"""
+
+
+def pretrain_e2e_sql() -> str:
+    return (
+        _pe2e_with()
+        + f"""
 SELECT shard,
        CAST((cum - n_tokens) // {PACK_LEN} AS INTEGER) AS bin_id,
        count(*)::BIGINT AS n_docs,
@@ -254,3 +264,42 @@ SELECT shard,
 FROM pe_packed
 GROUP BY 1, 2
 """
+    )
+
+
+def pretrain_e2e_datacard_sql() -> str:
+    """Per-source stage funnel over the SAME WITH-chain the manifest
+    uses — raw → gated → exact → kept → clean → alloc → selected →
+    tokens; missing sources coalesce to 0 (a source the gate or the
+    mix zeroed out still reports its raw count)."""
+    return (
+        _pe2e_with()
+        + """,
+dc_raw AS (SELECT source, count(*)::BIGINT AS n_raw
+           FROM documents GROUP BY 1),
+dc_g AS (SELECT source, count(*)::BIGINT AS c FROM pe_pd GROUP BY 1),
+dc_e AS (SELECT source, count(*)::BIGINT AS c FROM pe_ed GROUP BY 1),
+dc_k AS (SELECT source, count(*)::BIGINT AS c FROM pe_keep GROUP BY 1),
+dc_c AS (SELECT source, count(*)::BIGINT AS c FROM pe_clean GROUP BY 1),
+dc_s AS (SELECT source, count(*)::BIGINT AS c FROM pe_sel GROUP BY 1),
+dc_t AS (
+  SELECT s.source, sum(t.n_tokens)::BIGINT AS c
+  FROM pe_ntok t JOIN pe_sel s USING (doc_id) GROUP BY 1)
+SELECT r.source, r.n_raw,
+       coalesce(g.c, 0) AS n_gated,
+       coalesce(e.c, 0) AS n_exact,
+       coalesce(k.c, 0) AS n_kept,
+       coalesce(c.c, 0) AS n_clean,
+       CAST(coalesce(a.alloc, 0) AS BIGINT) AS alloc,
+       coalesce(s.c, 0) AS n_selected,
+       coalesce(t.c, 0) AS n_tokens
+FROM dc_raw r
+LEFT JOIN dc_g g USING (source)
+LEFT JOIN dc_e e USING (source)
+LEFT JOIN dc_k k USING (source)
+LEFT JOIN dc_c c USING (source)
+LEFT JOIN pe_alloc a USING (source)
+LEFT JOIN dc_s s USING (source)
+LEFT JOIN dc_t t USING (source)
+"""
+    )

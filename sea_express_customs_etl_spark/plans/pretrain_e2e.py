@@ -50,6 +50,15 @@ def _survivor_ids(docs: DataFrame, emb: DataFrame) -> DataFrame:
     """Stages 1-4: quarantine → gate → exact dedup → multi-signal
     near-dup components → canonical keep. Returns (doc_id, text,
     source) of survivors."""
+    return pretrain_e2e_stages(docs, emb)["kept"]
+
+
+def pretrain_e2e_stages(
+    docs: DataFrame, emb: DataFrame
+) -> dict[str, DataFrame]:
+    """The cleaning stages with every intermediate exposed (the
+    datacard's audit surface): gated → exact → kept, each a
+    (doc_id, text, source) frame."""
     from sea_express_customs_etl_spark.operators.dedup import (
         dedup_clusters,
         jaccard_verify_profiles,
@@ -93,12 +102,13 @@ def _survivor_ids(docs: DataFrame, emb: DataFrame) -> DataFrame:
         F.col("id_b").cast("bigint").alias("id_b"),
     )
     pairs = text_pairs.unionByName(emb_pairs).distinct()
-    return exact_kept.join(
+    kept = exact_kept.join(
         dedup_clusters(exact_kept.select("doc_id"), pairs)
         .filter(F.col("keep") == 1)
         .select("doc_id"),
         "doc_id",
     )
+    return {"gated": passed, "exact": exact_kept, "kept": kept}
 
 
 def pretrain_e2e_select(
@@ -107,10 +117,21 @@ def pretrain_e2e_select(
     """Stages 1-6: survivors → decontaminate → UniMax mix + draw.
     Returns (selected (doc_id, text, source), budget) — the frame the
     tokenizer trains on and encodes."""
+    st = pretrain_e2e_select_stages(docs, emb)
+    return st["sel"], st["budget"]
+
+
+def pretrain_e2e_select_stages(
+    docs: DataFrame, emb: DataFrame
+) -> dict:
+    """The selection stages with intermediates exposed (the datacard's
+    audit surface): gated/exact/kept (cleaning) + clean/alloc/sel/
+    budget (mixing)."""
     from sea_express_customs_etl_spark.operators.hygiene import decontaminate
     from sea_express_customs_etl_spark.operators.sampling import unimax_alloc
 
-    kept = _survivor_ids(docs, emb)
+    st = pretrain_e2e_stages(docs, emb)
+    kept = st["kept"]
     corpus = kept.filter(F.col("doc_id") % 50 != 0)
     bench = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
     clean = tracked_persist(
@@ -135,7 +156,80 @@ def pretrain_e2e_select(
         .filter(F.col("_rk") <= F.col("alloc"))
         .select("doc_id", "text", "source")
     )
-    return sel, budget
+    st.update({"clean": clean, "alloc": alloc, "sel": sel, "budget": budget})
+    return st
+
+
+def pretrain_e2e_datacard(
+    spark: SparkSession,
+    docs: DataFrame,
+    emb: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+) -> DataFrame:
+    """The flagship's DATACARD: one row per raw source with the
+    document count surviving each stage — raw → gated (quarantine +
+    Gopher gate) → exact → kept (multi-signal components) → clean
+    (decontaminated corpus slice) → alloc (UniMax) → selected → total
+    BPE tokens shipped. The per-source funnel IS the governance
+    artifact a production corpus release publishes; each count is
+    re-derived by the shared oracle WITH-chain, so the datacard can
+    never drift from the pipeline it describes.
+
+    Scale: eight partial-agg groupBys on persisted stage frames +
+    |sources|-grained joins; the only corpus-touching work is the
+    chain itself."""
+    from sea_express_customs_etl_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    st = pretrain_e2e_select_stages(docs, emb)
+    sel = st["sel"].localCheckpoint(eager=False)  # feeds train + encode
+    if merges is None:
+        merges = bpe_train(sel, n_merges=N_MERGES)
+    ntok = (
+        bpe_encode(sel, merges)
+        .select("doc_id", "n_tokens")
+        .join(sel.select("doc_id", "source"), "doc_id")
+    )
+
+    def _cnt(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+
+    kept = tracked_persist(st["kept"])
+    out = (
+        _cnt(docs, "n_raw")
+        .join(_cnt(st["gated"], "n_gated"), "source", "left")
+        .join(_cnt(st["exact"], "n_exact"), "source", "left")
+        .join(_cnt(kept, "n_kept"), "source", "left")
+        .join(_cnt(st["clean"], "n_clean"), "source", "left")
+        .join(
+            st["alloc"].select(
+                "source", F.col("alloc").cast("bigint").alias("alloc")
+            ),
+            "source",
+            "left",
+        )
+        .join(_cnt(sel, "n_selected"), "source", "left")
+        .join(
+            ntok.groupBy("source").agg(
+                F.sum("n_tokens").cast("bigint").alias("n_tokens")
+            ),
+            "source",
+            "left",
+        )
+    )
+    fill = [
+        "n_gated", "n_exact", "n_kept", "n_clean",
+        "alloc", "n_selected", "n_tokens",
+    ]
+    return out.select(
+        "source",
+        "n_raw",
+        *[F.coalesce(c, F.lit(0)).cast("bigint").alias(c) for c in fill],
+    )
 
 
 def pretrain_e2e(

@@ -42,6 +42,9 @@ FORCED_BROADCAST_ALLOWED = {
     #                        source set is a bounded domain vocabulary
     #                        (nation/region license), model-sized at
     #                        any corpus scale
+    "pretrain_e2e_datacard",  # same alloc pin via the shared selection
+    "heaps_law_fit",       # |partitions|-row cumsum offsets (the
+    #                        global_rank/global_cumsum license)
 
     "copurchase_negatives",  # 1-row |catalog| scalar + |partitions|-row
     #                          rank offsets (the global_rank license)
