@@ -3583,6 +3583,63 @@ def _q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_law_fit(_docs(spark, sf_dir))
 
 
+def _q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity release audit over the (nation,
+    $1k-balance-band) quasi-identifier with mktsegment sensitive —
+    the privacy-governance gate a curated corpus passes before
+    release (Sweeney 2002; Machanavajjhala et al. 2007). Two
+    class-grain partial-agg shuffles, all-integer output."""
+    from sea_express_customs_etl_spark.operators.privacy import (
+        k_anonymity_audit,
+    )
+
+    return k_anonymity_audit(load_table(spark, sf_dir, "customer"))
+
+
+def _q_length_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Wasserstein-1 drift on document length vs the whole
+    corpus — the magnitude-aware drift dial next to
+    domain_kl_divergence (KL on shared vocabulary mass). Exact
+    rational CDF-difference closed form; value-grain windows only."""
+    from sea_express_customs_etl_spark.operators.emd import (
+        length_emd_drift,
+    )
+
+    return length_emd_drift(_docs(spark, sf_dir))
+
+
+def _q_neyman_allocation_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Neyman-optimal stratified order sample: budget ceil(N/30)
+    allocated across order priorities by N_h*sd_h (exact integer sd
+    via corrected isqrt), largest-remainder rounded, drawn by the
+    two-phase md5 rank — the checksum columns pin exact membership."""
+    from sea_express_customs_etl_spark.operators.sampling import (
+        neyman_allocation_sample,
+    )
+
+    return neyman_allocation_sample(
+        load_table(spark, sf_dir, "orders"),
+        strata_col="o_orderpriority",
+        cents_col=F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        key_col="o_orderkey",
+    )
+
+
+def _q_domain_reweight_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned domain mixture: 5 multiplicative-weights rounds on
+    per-domain corpus-unigram loss (DoReMi's adaptive-mixture idea
+    with the AHK linearized update), largest-remainder ppm
+    normalization each round — a genuine integer trajectory hash.
+    One corpus pass; every round runs at |domains| grain."""
+    from sea_express_customs_etl_spark.operators.reweight import (
+        domain_reweight_mw,
+    )
+
+    return domain_reweight_mw(_docs(spark, sf_dir), rounds=5)
+
+
 def _q_zipf_alpha_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus Zipf exponent: integer-moment OLS of ln(freq) on
     ln(rank) over the top-500 vocabulary ranks (31 at this corpus's
@@ -3694,6 +3751,22 @@ def _q_knn_adc_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cen, codebook, prefix = _ann_shared_store(spark, sf_dir)
     return knn_adc_vote(spark, _emb(spark, sf_dir), prefix, cen, codebook)
+
+
+def _q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives from the session's SHARED ADC
+    store (zero extra builds): per anchor slice, top-32 ADC
+    shortlist, same-label dropped, 8 hardest kept — the ANCE/DPR
+    mining recipe as a checked query; the hash pins both the index
+    ranking and the label filter."""
+    from sea_express_customs_etl_spark.operators.knn_adc import (
+        hard_negative_mining,
+    )
+
+    cen, codebook, prefix = _ann_shared_store(spark, sf_dir)
+    return hard_negative_mining(
+        spark, _emb(spark, sf_dir), prefix, cen, codebook
+    )
 
 
 def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5992,6 +6065,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_alpha_fit": _q_zipf_alpha_fit,
         # Heaps vocabulary-growth exponent (stream-order cum vocab OLS)
         "heaps_law_fit": _q_heaps_law_fit,
+        "k_anonymity_audit": _q_k_anonymity_audit,
+        "length_emd_drift": _q_length_emd_drift,
+        "neyman_allocation_sample": _q_neyman_allocation_sample,
+        "domain_reweight_mw": _q_domain_reweight_mw,
+        "ann_hard_negatives": _q_hard_negative_mining,
         "pca_power_topcomp": _q_pca_power_topcomp,
         "pca_doc_projection": _q_pca_doc_projection,
         "pca_label_anova": _q_pca_label_anova,
@@ -7295,6 +7373,11 @@ def oracle_sql() -> dict[str, str]:
         "token_burstiness": r9.TOKEN_BURSTINESS_SQL,
         "zipf_alpha_fit": r9.ZIPF_ALPHA_SQL,
         "heaps_law_fit": r10.HEAPS_LAW_SQL,
+        "k_anonymity_audit": r10.K_ANONYMITY_SQL,
+        "length_emd_drift": r10.LENGTH_EMD_SQL,
+        "neyman_allocation_sample": r10.NEYMAN_SAMPLE_SQL,
+        "domain_reweight_mw": r10.domain_reweight_sql(5),
+        "ann_hard_negatives": r10.hard_negative_sql(),
         "pca_power_topcomp": r9.pca_component_sql(5),
         "pca_doc_projection": r9.pca_project_sql(5),
         "pca_label_anova": r9.pca_label_anova_sql(5),

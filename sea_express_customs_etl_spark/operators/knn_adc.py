@@ -67,6 +67,85 @@ def store_adc_topk_scoped(
     )
 
 
+def hard_negative_mining(
+    spark: SparkSession,
+    emb: DataFrame,
+    table_prefix: str,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    anchor_mod: int = 16,
+    shortlist: int = 32,
+    k: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive hard-negative mining from the shared ADC store —
+    the ANCE/DPR recipe (Xiong et al. 2021; Karpukhin et al. 2020):
+    for every anchor (ids divisible by ``anchor_mod``), retrieve a
+    ``shortlist``-sized ADC top list from the code store, drop
+    same-label neighbors, and keep the ``k`` CLOSEST different-label
+    candidates — the negatives that are hardest for a contrastive
+    loss precisely because the index ranks them nearest.
+
+    Shortlist-filtered semantics on purpose: production miners filter
+    a retrieved shortlist rather than scanning the corpus per label
+    (a per-anchor different-label exact top-k would defeat the
+    index). The oracle mirrors the identical shortlist-then-filter
+    pipeline, so the hash pins both the ADC ranking and the filter.
+
+    Scale: anchors are a fixed modulus slice; per-anchor cost is the
+    store's cell-pruned ADC probe (nlist dial applies); the label
+    join is id-grain. Output: vec_id, neg_id, neg_rank, dist_u12.
+    """
+    from sea_express_customs_etl_spark.streaming.ann_store import (
+        store_adc_topk,
+    )
+
+    anchors = emb.filter(F.col(id_col) % anchor_mod == 0)
+    sl = store_adc_topk(
+        spark,
+        table_prefix,
+        centroids,
+        codebook,
+        anchors,
+        k=shortlist,
+        nprobe=nprobe,
+        id_col=id_col,
+    )
+    lab = emb.select(F.col(id_col), F.col(label_col))
+    flt = (
+        sl.join(
+            lab.select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("_ql"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("_nl"),
+            ),
+            "neighbor_id",
+        )
+        .filter(F.col("_nl") != F.col("_ql"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist_u12").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        flt.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("neighbor_id").alias("neg_id"),
+            F.col("neg_rank").cast("bigint").alias("neg_rank"),
+            "dist_u12",
+        )
+    )
+
+
 def knn_adc_vote(
     spark: SparkSession,
     emb: DataFrame,

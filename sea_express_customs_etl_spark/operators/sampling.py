@@ -543,3 +543,142 @@ def unimax_alloc(
     ).withColumn(
         "epochs_ppm", F.expr("(1000000 * alloc) DIV n_rows")
     )
+
+
+def _isqrt_exact(v: Column) -> Column:
+    """Exact integer sqrt of a non-negative BIGINT column: one double
+    ``sqrt`` seeds the answer, two integer CASE corrections make it
+    exact (the seed is within ±1 of floor(sqrt(v)) for v < 2^53, since
+    the double value of v is exact and sqrt is correctly rounded) —
+    the comparisons are pure int64 arithmetic, so the result is
+    engine-portable unlike a bare floor(sqrt(x))."""
+    s0 = F.floor(F.sqrt(v.cast("double"))).cast("bigint")
+    s1 = s0 + ((s0 + 1) * (s0 + 1) <= v).cast("bigint")
+    return s1 - (s1 * s1 > v).cast("bigint")
+
+
+def neyman_allocation_sample(
+    df: DataFrame,
+    strata_col: str,
+    cents_col: Column,
+    key_col: str,
+    divisor: int = 30,
+) -> DataFrame:
+    """Neyman-optimal stratified sample with an exact-integer
+    allocation: stratum h of size N_h and value spread sd_h receives
+    n_h proportional to N_h * sd_h (Neyman 1934 — minimum-variance
+    allocation of a fixed budget across strata), with the budget
+    n = ceil(N / divisor) derived FROM the data (never a pasted
+    literal, per the scaling-scalar rule) and rounded to integers by
+    largest remainder (tie-break: stratum name) so the allocations
+    sum exactly to the budget.
+
+    Exactness: values enter as cents (caller passes the
+    ``round(x*100)::BIGINT`` parity cast); the population-variance
+    numerator N_h*S_yy - S_y^2 runs in DECIMAL(38,0) (ols overflow
+    rule), the DIV by N_h^2 lands an int64 cents^2 variance, and
+    ``_isqrt_exact`` takes the exact integer sd. The draw itself is
+    ``stratified_exact``'s two-phase (partition, stratum) rank by
+    md5(key) with the PER-STRATUM cap joined in — no corpus-sized
+    single-stratum funnel.
+
+    Output (stratum grain): ``stratum``, ``big_n``, ``sd_cents``,
+    ``alloc_n``, ``picked_n``, ``key_sum``, ``cents_sum`` — the
+    checksum columns pin the exact membership of the draw, not just
+    its size.
+    """
+    dec = "decimal(38,0)"
+    base = df.select(
+        F.col(strata_col).alias("stratum"),
+        F.col(key_col).alias("_key"),
+        cents_col.cast("bigint").alias("_y"),
+    )
+    stats = base.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("big_n"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum(F.col("_y").cast(dec) * F.col("_y").cast(dec)).alias("_syy"),
+    )
+    v = F.expr(
+        "(CAST(big_n AS decimal(38,0)) * _syy - _sy * _sy)"
+        " DIV (CAST(big_n AS decimal(38,0)) * CAST(big_n AS decimal(38,0)))"
+    ).cast("bigint")
+    weighted = stats.withColumn("sd_cents", _isqrt_exact(v)).withColumn(
+        "_w", F.col("big_n") * F.col("sd_cents")
+    )
+    # budget + weight total: 1-row scalars cross-joined back (the
+    # chi2/burstiness license — model-sized at any corpus scale)
+    scalars = weighted.agg(
+        F.expr(f"(sum(big_n) + {divisor - 1}) DIV {divisor}").alias(
+            "_budget"
+        ),
+        F.sum(F.col("_w").cast(dec)).alias("_wsum"),
+    )
+    planned = weighted.crossJoin(F.broadcast(scalars)).select(
+        "stratum",
+        "big_n",
+        "sd_cents",
+        F.expr(
+            "CAST((CAST(_budget AS decimal(38,0))"
+            " * CAST(_w AS decimal(38,0))) DIV _wsum AS BIGINT)"
+        ).alias("_base"),
+        F.expr(
+            "CAST(CAST(_budget AS decimal(38,0))"
+            " * CAST(_w AS decimal(38,0))"
+            " - (CAST(_budget AS decimal(38,0))"
+            "    * CAST(_w AS decimal(38,0)) DIV _wsum)"
+            " * _wsum AS decimal(38,0))"
+        ).alias("_rem"),
+        F.col("_budget"),
+    )
+    # largest-remainder top-up on the |strata|-row frame (model-sized
+    # window license); cap at stratum size, no redistribution.
+    full = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rw = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("_rem").desc(), F.col("stratum").asc()
+    )
+    alloc = (
+        planned.withColumn("_bsum", F.sum("_base").over(full))
+        .withColumn("_rk", F.row_number().over(rw))
+        .withColumn(
+            "alloc_n",
+            F.least(
+                F.col("_base")
+                + (
+                    F.col("_rk") <= (F.col("_budget") - F.col("_bsum"))
+                ).cast("bigint"),
+                F.col("big_n"),
+            ),
+        )
+        .select("stratum", "big_n", "sd_cents", "alloc_n")
+    )
+    # two-phase variable-cap draw (stratified_exact's hot-stratum
+    # shape with the per-stratum cap joined in, broadcast |strata|-row)
+    capped = base.join(
+        F.broadcast(alloc.select("stratum", "alloc_n")), "stratum"
+    )
+    h = _hash_prefix(F.col("_key"), "neyman")
+    pre_w = Window.partitionBy("_pid", "stratum").orderBy(h, F.col("_key"))
+    fin_w = Window.partitionBy("stratum").orderBy(h, F.col("_key"))
+    picked = (
+        capped.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_prk", F.row_number().over(pre_w))
+        .filter(F.col("_prk") <= F.col("alloc_n"))
+        .withColumn("_rk", F.row_number().over(fin_w))
+        .filter(F.col("_rk") <= F.col("alloc_n"))
+    )
+    sums = picked.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("picked_n"),
+        F.sum("_key").cast("bigint").alias("key_sum"),
+        F.sum("_y").cast("bigint").alias("cents_sum"),
+    )
+    return alloc.join(sums, "stratum", "left").select(
+        "stratum",
+        "big_n",
+        "sd_cents",
+        "alloc_n",
+        F.coalesce(F.col("picked_n"), F.lit(0)).alias("picked_n"),
+        F.coalesce(F.col("key_sum"), F.lit(0)).alias("key_sum"),
+        F.coalesce(F.col("cents_sum"), F.lit(0)).alias("cents_sum"),
+    )

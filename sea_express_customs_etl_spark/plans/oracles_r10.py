@@ -55,3 +55,240 @@ SELECT CAST(n AS INTEGER) AS n_points,
             // (n * sxx - sx * sx) AS BIGINT) AS beta_u6
 FROM hp_m
 """
+
+# k-anonymity / l-diversity release audit (operators/privacy.py:
+# k_anonymity_audit): QI = (nation, $1k acctbal band via the
+# round(x*100)::BIGINT cents parity pattern, shifted non-negative
+# before integer division), sensitive = mktsegment. Pure integer
+# counts over the class-grain frame.
+K_ANONYMITY_SQL = """
+WITH ka_q AS (
+  SELECT c_nationkey AS qi_nation,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000
+             AS qi_band,
+         c_mktsegment AS sensitive
+  FROM customer),
+ka_c AS (
+  SELECT qi_nation, qi_band, count(*)::BIGINT AS sz,
+         count(DISTINCT sensitive)::BIGINT AS ldiv
+  FROM ka_q GROUP BY 1, 2)
+SELECT count(*)::BIGINT AS n_classes,
+       sum(sz)::BIGINT AS n_rows,
+       min(sz)::BIGINT AS k_min,
+       sum(CASE WHEN sz < 5 THEN 1 ELSE 0 END)::BIGINT
+           AS classes_below_k,
+       sum(CASE WHEN sz < 5 THEN sz ELSE 0 END)::BIGINT
+           AS rows_below_k,
+       min(ldiv)::BIGINT AS l_min_div,
+       sum(CASE WHEN ldiv < 3 THEN 1 ELSE 0 END)::BIGINT
+           AS classes_below_l
+FROM ka_c
+"""
+
+# Per-source 1-D earth-mover (Wasserstein-1) drift on document length
+# (operators/emd.py:length_emd_drift): closed form sum |F_s - F_c| *
+# gap over the shared distinct-length grid, exact rationals over
+# DECIMAL(38,0) numerators, one positive-operand DIV to u6.
+LENGTH_EMD_SQL = """
+WITH le_p AS (
+  SELECT source, n_chars AS v, count(*)::BIGINT AS c
+  FROM documents GROUP BY 1, 2),
+le_g AS (SELECT v, sum(c)::BIGINT AS cc FROM le_p GROUP BY 1),
+le_t AS (SELECT source, sum(c)::BIGINT AS ns FROM le_p GROUP BY 1),
+le_n AS (SELECT sum(cc)::BIGINT AS nc FROM le_g),
+le_l AS (
+  SELECT t.source, g.v, g.cc, t.ns, n.nc, coalesce(p.c, 0) AS c
+  FROM le_g g CROSS JOIN le_t t CROSS JOIN le_n n
+  LEFT JOIN le_p p ON p.source = t.source AND p.v = g.v),
+le_s AS (
+  SELECT source, ns, nc,
+         sum(c) OVER w AS cum_s, sum(cc) OVER w AS cum_c,
+         lead(v) OVER (PARTITION BY source ORDER BY v) - v AS gap
+  FROM le_l
+  WINDOW w AS (PARTITION BY source ORDER BY v
+               ROWS UNBOUNDED PRECEDING)),
+le_m AS (
+  SELECT source, ns, nc,
+         sum(abs(cum_s::DECIMAL(38,0) * nc - cum_c::DECIMAL(38,0) * ns)
+             * gap::DECIMAL(38,0)) AS numsum
+  FROM le_s WHERE gap IS NOT NULL
+  GROUP BY 1, 2, 3)
+SELECT source, ns AS n_docs,
+       CAST(CAST(numsum * 1000000 AS HUGEINT)
+            // (ns::HUGEINT * nc::HUGEINT) AS BIGINT)
+           AS emd_u6
+FROM le_m
+"""
+
+# Neyman-allocation stratified sample (operators/sampling.py:
+# neyman_allocation_sample): n_h ~ N_h*sd_h with the budget derived
+# from N (scaling-scalar rule), exact isqrt (double seed + two integer
+# corrections), largest-remainder rounding, md5-prefix ranked draw.
+# The rank ORDER BY mirrors Spark's (8-hex md5 prefix, key) exactly.
+NEYMAN_SAMPLE_SQL = """
+WITH ny_b AS (
+  SELECT o_orderpriority AS stratum, o_orderkey AS k,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y
+  FROM orders),
+ny_s AS (
+  SELECT stratum, count(*)::BIGINT AS big_n,
+         sum(y::DECIMAL(38,0)) AS sy,
+         sum(y::DECIMAL(38,0) * y::DECIMAL(38,0)) AS syy
+  FROM ny_b GROUP BY 1),
+ny_v AS (
+  SELECT stratum, big_n,
+         CAST(CAST(big_n::DECIMAL(38,0) * syy - sy * sy AS HUGEINT)
+              // (big_n::HUGEINT * big_n::HUGEINT)
+              AS BIGINT) AS v
+  FROM ny_s),
+ny_sd AS (
+  SELECT stratum, big_n,
+         s1 - (CASE WHEN s1 * s1 > v THEN 1 ELSE 0 END) AS sd_cents
+  FROM (
+    SELECT stratum, big_n, v,
+           s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= v THEN 1 ELSE 0 END)
+               AS s1
+    FROM (SELECT stratum, big_n, v,
+                 CAST(floor(sqrt(v::DOUBLE)) AS BIGINT) AS s0
+          FROM ny_v))),
+ny_w AS (SELECT *, big_n * sd_cents AS w FROM ny_sd),
+ny_sc AS (
+  SELECT (sum(big_n) + 29) // 30 AS budget,
+         sum(w::DECIMAL(38,0)) AS wsum
+  FROM ny_w),
+ny_pl AS (
+  SELECT stratum, big_n, sd_cents,
+         CAST((budget::HUGEINT * w::HUGEINT) // CAST(wsum AS HUGEINT)
+              AS BIGINT) AS base,
+         budget::HUGEINT * w::HUGEINT
+           - ((budget::HUGEINT * w::HUGEINT) // CAST(wsum AS HUGEINT))
+             * CAST(wsum AS HUGEINT) AS rem,
+         budget
+  FROM ny_w CROSS JOIN ny_sc),
+ny_al AS (
+  SELECT stratum, big_n, sd_cents,
+         least(base + (CASE WHEN row_number()
+                                 OVER (ORDER BY rem DESC, stratum ASC)
+                            <= budget - sum(base) OVER ()
+                            THEN 1 ELSE 0 END),
+               big_n) AS alloc_n
+  FROM ny_pl),
+ny_rk AS (
+  SELECT b.stratum, b.k, b.y, a.alloc_n,
+         row_number() OVER (
+           PARTITION BY b.stratum
+           ORDER BY substr(md5('neyman' || CAST(b.k AS VARCHAR)), 1, 8),
+                    b.k) AS rk
+  FROM ny_b b JOIN ny_al a ON a.stratum = b.stratum),
+ny_pk AS (
+  SELECT stratum, count(*)::BIGINT AS picked_n,
+         sum(k)::BIGINT AS key_sum, sum(y)::BIGINT AS cents_sum
+  FROM ny_rk WHERE rk <= alloc_n GROUP BY 1)
+SELECT a.stratum, a.big_n, a.sd_cents, a.alloc_n,
+       coalesce(p.picked_n, 0)::BIGINT AS picked_n,
+       coalesce(p.key_sum, 0)::BIGINT AS key_sum,
+       coalesce(p.cents_sum, 0)::BIGINT AS cents_sum
+FROM ny_al a LEFT JOIN ny_pk p ON p.stratum = a.stratum
+"""
+
+
+def hard_negative_sql(shortlist: int = 32, k: int = 8) -> str:
+    """Hard-negative mining oracle (operators/knn_adc.py:
+    hard_negative_mining): the trained-IVFPQ ADC template (the exact
+    statement the shared store hash-matches) with the query set
+    re-targeted to the anchor slice and the top list widened to the
+    shortlist, then label-joined, same-label-dropped, and re-ranked
+    to the k hardest negatives."""
+    from sea_express_customs_etl_spark.plans.oracles_ext import (
+        _IVFPQ_TRAINED_TMPL,
+    )
+
+    adc = _IVFPQ_TRAINED_TMPL.replace(
+        "__TOPK__", str(shortlist), 1
+    ).replace(
+        "q AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id < 10)",
+        "q AS (SELECT vec_id AS query_id, v FROM base"
+        " WHERE vec_id % 16 = 0)",
+        1,
+    )
+    return f"""
+WITH hn_sl AS ({adc}),
+hn_f AS (
+  SELECT s.query_id, s.neighbor_id, s.dist_u12
+  FROM hn_sl s
+  JOIN embeddings qa ON qa.vec_id = s.query_id
+  JOIN embeddings nb ON nb.vec_id = s.neighbor_id
+  WHERE nb.label <> qa.label),
+hn_r AS (
+  SELECT query_id, neighbor_id, dist_u12,
+         row_number() OVER (PARTITION BY query_id
+             ORDER BY dist_u12, neighbor_id) AS rk
+  FROM hn_f)
+SELECT query_id AS vec_id, neighbor_id AS neg_id,
+       CAST(rk AS BIGINT) AS neg_rank, dist_u12
+FROM hn_r WHERE rk <= {k}
+"""
+
+
+def domain_reweight_sql(rounds: int = 5, k_mult: int = 20_000_000) -> str:
+    """Trajectory oracle for operators/reweight.py:domain_reweight_mw —
+    every round threads the previous round's integer weights through a
+    MATERIALIZED CTE (each is referenced twice: the weighted-mean agg
+    and the cross-join; plain CTEs would inline to a 2^T expansion,
+    the wordpiece rule). Weights are never pasted as literals."""
+    parts = [
+        f"""WITH dw_t AS MATERIALIZED (
+  SELECT source AS domain, unnest({_LTOKS}) AS tok
+  FROM documents),
+dw_c AS MATERIALIZED (
+  SELECT domain, tok, count(*)::BIGINT AS c FROM dw_t GROUP BY 1, 2),
+dw_v AS MATERIALIZED (
+  SELECT tok, sum(c)::BIGINT AS ct FROM dw_c GROUP BY 1),
+dw_n AS MATERIALIZED (SELECT sum(ct)::BIGINT AS n FROM dw_v),
+dw_l AS MATERIALIZED (
+  SELECT domain, sum(c)::BIGINT AS n_tok,
+         CAST(CAST(sum((c * (CAST(round(ln(n) * 1000000) AS BIGINT)
+                             - CAST(round(ln(ct) * 1000000) AS BIGINT))
+                       )::HUGEINT) AS HUGEINT)
+              // CAST(sum(c) AS HUGEINT) AS BIGINT) AS loss_u6
+  FROM dw_c JOIN dw_v USING (tok) CROSS JOIN dw_n
+  GROUP BY 1),
+dw_w0 AS MATERIALIZED (
+  SELECT domain, n_tok, loss_u6,
+         (1000000 // d)
+           + (CASE WHEN rk <= 1000000 % d THEN 1 ELSE 0 END) AS w_ppm
+  FROM (SELECT *, count(*) OVER () AS d,
+               row_number() OVER (ORDER BY domain) AS rk
+        FROM dw_l))"""
+    ]
+    for k in range(1, rounds + 1):
+        p = k - 1
+        parts.append(
+            f""",
+dw_s{k} AS MATERIALIZED (
+  SELECT CAST(CAST(sum(w_ppm::HUGEINT * loss_u6) AS HUGEINT)
+              // CAST(sum(w_ppm) AS HUGEINT) AS BIGINT) AS lbar
+  FROM dw_w{p}),
+dw_p{k} AS MATERIALIZED (
+  SELECT domain, n_tok, loss_u6,
+         w_ppm::HUGEINT
+           * greatest({k_mult} + loss_u6 - lbar, 1)::HUGEINT AS p
+  FROM dw_w{p} CROSS JOIN dw_s{k}),
+dw_w{k} AS MATERIALIZED (
+  SELECT domain, n_tok, loss_u6,
+         base + (CASE WHEN row_number()
+                           OVER (ORDER BY rem DESC, domain ASC)
+                      <= 1000000 - sum(base) OVER ()
+                      THEN 1 ELSE 0 END) AS w_ppm
+  FROM (
+    SELECT domain, n_tok, loss_u6,
+           CAST((1000000::HUGEINT * p) // s AS BIGINT) AS base,
+           1000000::HUGEINT * p - ((1000000::HUGEINT * p) // s) * s
+               AS rem
+    FROM (SELECT *, CAST(sum(p) OVER () AS HUGEINT) AS s
+          FROM dw_p{k})))"""
+        )
+    parts.append(
+        f"\nSELECT domain, n_tok, loss_u6, w_ppm FROM dw_w{rounds}"
+    )
+    return "".join(parts)

@@ -45,6 +45,12 @@ FORCED_BROADCAST_ALLOWED = {
     "pretrain_e2e_datacard",  # same alloc pin via the shared selection
     "heaps_law_fit",       # |partitions|-row cumsum offsets (the
     #                        global_rank/global_cumsum license)
+    "length_emd_drift",    # |sources|-row totals + 1-row corpus-N —
+    #                        domain-bounded, model-sized at 100 TB
+    "neyman_allocation_sample",  # 1-row budget scalar + |strata|-row
+    #                              allocation caps (priority domain)
+    "domain_reweight_mw",  # 1-row corpus-N / per-round weighted-mean
+    #                        scalars (chi2 license)
 
     "copurchase_negatives",  # 1-row |catalog| scalar + |partitions|-row
     #                          rank offsets (the global_rank license)
@@ -76,6 +82,7 @@ FORCED_BROADCAST_ALLOWED = {
     #                        (the kmeans_ivf_topk license; train-label
     #                         join NOT pinned)
     "knn_adc_vote",        # shared-store pins + LUT (ann_store_topk
+    "ann_hard_negatives",  # same shared-store pins (knn_adc license)
     #                        license; label joins NOT pinned)
     "isotonic_calibration",  # bucket-grain spine pins (model-sized)
     #                          + the deciles chain's trained model

@@ -70,11 +70,19 @@ BNLJ_ALLOWED = {
     "perplexity_gain_select",  # composes lm_score + trigram_backoff —
     #                            their 1-row V/N scalars (lm license)
     "token_burstiness",   # 1-row corpus-size N broadcast
+    "length_emd_drift",   # |sources|-row totals + 1-row corpus-N
+    #                       cross-joined onto the value-grain grid
+    #                       (bounded domain, chi2 license)
+    "neyman_allocation_sample",  # 1-row budget/weight-sum scalar
+    #                              cross-joined onto |strata| rows
+    "domain_reweight_mw",  # 1-row corpus-N + per-round 1-row weighted
+    #                        mean, cross-joined onto |domains| rows
     "pca_label_anova",    # 1-row grand-moment + 1-row SSW frames
     #                       cross-joined (the chi2_features license)
     "knn_label_vote",     # trained centroid table + |queries|·nprobe
     #                       probe broadcasts (the kmeans_ivf_topk license)
     "knn_adc_vote",       # shared-store frozen-model pins + LUT
+    "ann_hard_negatives",  # same shared-store pins (knn_adc license)
     #                       broadcast (the ann_store_topk license)
     "isotonic_calibration",  # bucket-grain range spine broadcasts
     #                          (model-sized) + the deciles chain's
