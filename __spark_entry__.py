@@ -222,7 +222,7 @@ def _trained_en_perceptron(
     key = (app_id, sf_dir)
     m = _PERCEPTRON_MEMO.get(key)
     if m is None:
-        cnt, w, wsum = _train_weight_dicts(
+        cnt, w, wsum, snaps = _train_weight_dicts(
             _docs(spark, sf_dir), F.col("lang") == "en", buckets=64, epochs=3
         )
         m = {
@@ -234,10 +234,31 @@ def _trained_en_perceptron(
                 (r.bucket, r.w_avg)
                 for r in _weights_frame(cnt, wsum, "w_avg").collect()
             ],
+            "snaps": [
+                [
+                    (r.bucket, r.we)
+                    for r in _weights_frame(cnt, se, "we").collect()
+                ]
+                for se in snaps
+            ],
         }
         _PERCEPTRON_MEMO[key] = m
     col = "w_avg" if averaged else "w"
     return spark.createDataFrame(sorted(m[col]), f"bucket int, {col} long")
+
+
+def _trained_en_perceptron_snaps(
+    spark: SparkSession, sf_dir: str
+) -> list[DataFrame]:
+    """Per-epoch post-update weight snapshots from the SAME shared
+    training run (populates the memo if this is the first trained-
+    classifier query of the session)."""
+    _trained_en_perceptron(spark, sf_dir)
+    m = _PERCEPTRON_MEMO[(spark.sparkContext.applicationId, sf_dir)]
+    return [
+        spark.createDataFrame(sorted(s), "bucket int, we long")
+        for s in m["snaps"]
+    ]
 
 
 # Session-scoped frozen ANN store memo (VERDICT r8 #2): the store trio
@@ -3769,6 +3790,53 @@ def _q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bpe_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility per domain under the session's LEARNED BPE
+    merges (pieces-per-word + multi-piece share) — the deployment
+    metric that prices each domain's compute cost under the learned
+    vocabulary. Rides the shared merge memo; dictionary-grain encode,
+    one source-grain rollup."""
+    from sea_express_customs_etl_spark.operators.bpe import bpe_fertility
+
+    merges = _bpe_merges_cached(spark, sf_dir, 10)
+    return bpe_fertility(_docs(spark, sf_dir), merges)
+
+
+def _q_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of order value, pre-1997 reference
+    vs 1997+ — the model-monitoring drift dial next to KL
+    (domain_kl_divergence) and Wasserstein (length_emd_drift).
+    Reference-decile buckets by two-phase rank, shared edge rule,
+    Laplace smoothing, exact integer per-bucket terms."""
+    from sea_express_customs_etl_spark.operators.psi import value_psi_drift
+
+    return value_psi_drift(
+        load_table(spark, sf_dir, "orders"),
+        value_col=F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        is_current=F.year("o_orderdate") >= 1997,
+        key_col="o_orderkey",
+    )
+
+
+def _q_training_cartography(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset cartography (Swayamdipta et al. 2020) over the shared
+    perceptron run's per-epoch snapshots: per-doc margin confidence +
+    variability numerators and the easy/hard/ambiguous region map —
+    the curation pass that surfaces label-error candidates. Zero
+    extra training; margins are integer dot products."""
+    from sea_express_customs_etl_spark.operators.perceptron import (
+        training_cartography,
+    )
+
+    return training_cartography(
+        _docs(spark, sf_dir),
+        F.col("lang") == "en",
+        _trained_en_perceptron_snaps(spark, sf_dir),
+    )
+
+
 def _q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic calibration of the trained classifier's reliability
     deciles via PAVA's MINIMAX closed form (Ayer et al. 1955;
@@ -6070,6 +6138,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neyman_allocation_sample": _q_neyman_allocation_sample,
         "domain_reweight_mw": _q_domain_reweight_mw,
         "ann_hard_negatives": _q_hard_negative_mining,
+        "training_cartography": _q_training_cartography,
+        "bpe_fertility_by_source": _q_bpe_fertility_by_source,
+        "value_psi_drift": _q_value_psi_drift,
         "pca_power_topcomp": _q_pca_power_topcomp,
         "pca_doc_projection": _q_pca_doc_projection,
         "pca_label_anova": _q_pca_label_anova,
@@ -7378,6 +7449,9 @@ def oracle_sql() -> dict[str, str]:
         "neyman_allocation_sample": r10.NEYMAN_SAMPLE_SQL,
         "domain_reweight_mw": r10.domain_reweight_sql(5),
         "ann_hard_negatives": r10.hard_negative_sql(),
+        "training_cartography": r10.training_cartography_sql(),
+        "bpe_fertility_by_source": r10.bpe_fertility_sql(10),
+        "value_psi_drift": r10.VALUE_PSI_SQL,
         "pca_power_topcomp": r9.pca_component_sql(5),
         "pca_doc_projection": r9.pca_project_sql(5),
         "pca_label_anova": r9.pca_label_anova_sql(5),

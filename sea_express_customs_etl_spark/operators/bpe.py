@@ -363,3 +363,66 @@ def wordpiece_encode_pieces(
         .otherwise(F.col("_pieces"))
         .alias("n_pieces"),
     )
+
+
+def bpe_fertility(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Tokenizer fertility audit per domain: pieces-per-word under a
+    learned merge list — THE deployment metric for a subword
+    vocabulary (a domain whose fertility is high pays proportionally
+    more sequence length / compute per word; cf. the multilingual
+    fertility analyses around mBERT/XLM-R, e.g. Rust et al. 2021,
+    "How Good is Your Tokenizer?").
+
+    Output per ``group_col``: ``n_words``, ``n_pieces``,
+    ``fert_u6`` = pieces-per-word in micro-units, ``multi_ppm`` =
+    share of words split into >1 piece. All integer (single
+    positive-operand DIVs).
+
+    Scale: the greedy merge fold runs ONCE PER DISTINCT WORD (the
+    bpe_encode dictionary-grain discipline) and the encoded vocab
+    broadcasts back onto the exploded corpus; per-source rollup is
+    one partial-agg shuffle.
+    """
+    words = df.select(
+        F.col(group_col),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("_w"),
+    )
+    syms = _chars(F.col("_w"))
+    for left, right in merges:
+        syms = apply_merge(syms, left, right)
+    enc = (
+        words.select("_w")
+        .distinct()
+        .select("_w", F.size(syms).cast("bigint").alias("_np"))
+    )
+    rolled = (
+        words.join(F.broadcast(enc), "_w")
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("_np").cast("bigint").alias("n_pieces"),
+            F.sum((F.col("_np") > 1).cast("bigint")).alias("_multi"),
+        )
+    )
+    return rolled.select(
+        group_col,
+        "n_words",
+        "n_pieces",
+        F.expr("CAST((1000000 * n_pieces) DIV n_words AS BIGINT)").alias(
+            "fert_u6"
+        ),
+        F.expr("CAST((1000000 * _multi) DIV n_words AS BIGINT)").alias(
+            "multi_ppm"
+        ),
+    )

@@ -40,12 +40,14 @@ def _train_weight_dicts(
     id_col: str = "doc_id",
     buckets: int = 64,
     epochs: int = 3,
-) -> tuple[DataFrame, dict[int, int], dict[int, int]]:
+) -> tuple[DataFrame, dict[int, int], dict[int, int], list[dict[int, int]]]:
     """Shared epoch loop: returns (persisted per-doc bucket counts,
-    final weights, sum of per-epoch weight SNAPSHOTS). The snapshot
-    sum is the averaged-perceptron accumulator — Σ_e w_e stays
-    integer-exact, and since every epoch contributes exactly once the
-    unnormalized sum ranks identically to the mean."""
+    final weights, sum of per-epoch weight SNAPSHOTS, and the list of
+    per-epoch snapshots themselves — the training-dynamics record the
+    cartography operator reads). The snapshot sum is the
+    averaged-perceptron accumulator — Σ_e w_e stays integer-exact,
+    and since every epoch contributes exactly once the unnormalized
+    sum ranks identically to the mean."""
     spark = df.sparkSession
     cnt = tracked_persist(
         token_buckets(df, text_col, id_col, buckets)
@@ -63,6 +65,7 @@ def _train_weight_dicts(
     )
     w: dict[int, int] = {}
     wsum: dict[int, int] = {}
+    snaps: list[dict[int, int]] = []
     for _ in range(epochs):
         if w:
             wdf = spark.createDataFrame(
@@ -95,7 +98,8 @@ def _train_weight_dicts(
             w[r.bucket] = w.get(r.bucket, 0) + r._dw
         for b, v in w.items():
             wsum[b] = wsum.get(b, 0) + v
-    return cnt, w, wsum
+        snaps.append(dict(w))
+    return cnt, w, wsum, snaps
 
 
 def _weights_frame(
@@ -133,7 +137,7 @@ def train_perceptron_q(
     the class-conditional count vector; later epochs correct against
     the running sign.
     """
-    cnt, w, _ = _train_weight_dicts(
+    cnt, w, _, _snaps = _train_weight_dicts(
         df, label_expr, text_col, id_col, buckets, epochs
     )
     return _weights_frame(cnt, w, "w")
@@ -155,7 +159,7 @@ def train_averaged_perceptron_q(
     bigint). Same trajectory discipline as ``train_perceptron_q``:
     full-batch epochs, partitioning-independent, hash-checkable
     against an unrolled SQL oracle."""
-    cnt, _, wsum = _train_weight_dicts(
+    cnt, _, wsum, _snaps = _train_weight_dicts(
         df, label_expr, text_col, id_col, buckets, epochs
     )
     return _weights_frame(cnt, wsum, "w_avg")
@@ -195,4 +199,81 @@ def confusion_stats(
         F.expr(
             "CAST((1000000 * (tp + tn)) DIV (tp + fp + fn + tn) AS BIGINT)"
         ).alias("accuracy_ppm"),
+    )
+
+
+def training_cartography(
+    docs: DataFrame,
+    label_expr,
+    snap_frames: list[DataFrame],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Dataset cartography over the perceptron's training dynamics
+    (Swayamdipta et al. 2020, "Dataset Cartography"): score every
+    document under each POST-EPOCH weight snapshot, take the signed
+    margin m_e = (2y-1) * s_e, and map the corpus by
+
+    - ``conf_num``  = sum_e m_e          (confidence numerator),
+    - ``var_num``   = E * sum m_e^2 - (sum m_e)^2  (variability
+      numerator — population-variance x E^2, >= 0),
+    - ``region``    = 'easy' (every margin positive) / 'hard' (none
+      positive) / 'ambiguous' (sign flips across epochs) — the
+      label-error / hard-example candidates a curation pass reviews.
+
+    Exactness: margins are integer bucket-count dot products with the
+    integer snapshot weights; the variance products are lifted to
+    DECIMAL(38,0) (ols rule). Scale: one token-grain pass builds the
+    per-doc bucket counts; each epoch is a broadcast model join +
+    doc-grain partial agg (the classifier-family license); docs with
+    no tokens score 0 in every epoch on both engines.
+    """
+    cnt = (
+        token_buckets(docs, text_col, id_col, buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    lab = docs.select(
+        F.col(id_col),
+        (
+            F.when(F.coalesce(label_expr.cast("bigint"), F.lit(0)) == 1, 1)
+            .otherwise(-1)
+        )
+        .cast("bigint")
+        .alias("_pm"),
+    )
+    out = lab
+    for e, wdf in enumerate(snap_frames, start=1):
+        se = (
+            cnt.join(
+                F.broadcast(wdf.select("bucket", F.col("we").alias("_we"))),
+                "bucket",
+            )
+            .groupBy(id_col)
+            .agg(F.sum(F.col("_we") * F.col("_c")).alias(f"_s{e}"))
+        )
+        out = out.join(se, id_col, "left").withColumn(
+            f"_m{e}",
+            F.col("_pm") * F.coalesce(F.col(f"_s{e}"), F.lit(0)),
+        )
+    ms = [F.col(f"_m{e}") for e in range(1, len(snap_frames) + 1)]
+    e_n = len(snap_frames)
+    dec = "decimal(38,0)"
+    conf = ms[0]
+    sq = ms[0].cast(dec) * ms[0].cast(dec)
+    for m in ms[1:]:
+        conf = conf + m
+        sq = sq + m.cast(dec) * m.cast(dec)
+    var_num = (F.lit(e_n).cast(dec) * sq - conf.cast(dec) * conf.cast(dec))
+    region = (
+        F.when(F.least(*ms) > 0, F.lit("easy"))
+        .when(F.greatest(*ms) <= 0, F.lit("hard"))
+        .otherwise(F.lit("ambiguous"))
+    )
+    return out.select(
+        F.col(id_col),
+        conf.cast("bigint").alias("conf_num"),
+        var_num.cast("bigint").alias("var_num"),
+        region.alias("region"),
     )

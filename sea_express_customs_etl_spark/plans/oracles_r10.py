@@ -230,6 +230,151 @@ FROM hn_r WHERE rk <= {k}
 """
 
 
+# PSI drift (operators/psi.py:value_psi_drift): reference-decile
+# buckets via ANSI ntile (matches ntile_by_rank's extras-first
+# sizing), shared 1 + #{edges < v} bucketing rule, Laplace +1,
+# exact per-bucket term via HUGEINT products and the u6 ln license.
+VALUE_PSI_SQL = """
+WITH ps_b AS (
+  SELECT (year(o_orderdate) >= 1997) AS cur,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         o_orderkey AS k
+  FROM orders),
+ps_r AS (
+  SELECT y, ntile(10) OVER (ORDER BY y, k) AS bucket
+  FROM ps_b WHERE NOT cur),
+ps_e AS (
+  SELECT bucket, max(y) AS e FROM ps_r WHERE bucket < 10 GROUP BY 1),
+ps_a AS (
+  SELECT b.k, b.cur,
+         1 + sum(CASE WHEN b.y > e.e THEN 1 ELSE 0 END) AS bucket
+  FROM ps_b b CROSS JOIN ps_e e GROUP BY b.k, b.cur),
+ps_c AS (
+  SELECT bucket,
+         sum(CASE WHEN NOT cur THEN 1 ELSE 0 END)::BIGINT AS ref_n,
+         sum(CASE WHEN cur THEN 1 ELSE 0 END)::BIGINT AS cur_n
+  FROM ps_a GROUP BY 1),
+ps_s AS (
+  SELECT CAST(g.g AS INTEGER) AS bucket,
+         coalesce(c.ref_n, 0) AS ref_n,
+         coalesce(c.cur_n, 0) AS cur_n
+  FROM (SELECT unnest(generate_series(1, 10)) AS g) g
+  LEFT JOIN ps_c c ON c.bucket = g.g),
+ps_t AS (
+  SELECT sum(ref_n) + 10 AS np1, sum(cur_n) + 10 AS nq1 FROM ps_s)
+SELECT bucket, ref_n, cur_n,
+       CAST(
+         CAST(((ref_n + 1)::HUGEINT * nq1 - (cur_n + 1)::HUGEINT * np1)
+              * (CAST(round(ln((ref_n + 1) * nq1) * 1000000) AS BIGINT)
+                 - CAST(round(ln((cur_n + 1) * np1) * 1000000)
+                        AS BIGINT)) AS HUGEINT)
+         // (np1::HUGEINT * nq1::HUGEINT) AS BIGINT) AS term_u6
+FROM ps_s CROSS JOIN ps_t
+"""
+
+
+def bpe_fertility_sql(n_merges: int = 10, src: str = "documents") -> str:
+    """Per-source tokenizer-fertility oracle (operators/bpe.py:
+    bpe_fertility): the learned-merge trajectory via the SHARED stage
+    CTEs (all MATERIALIZED — the wordpiece inlining lesson), the
+    word-keyed replace chain of bpe_token_counts_sql, then a
+    source-grain rollup of pieces-per-word. Single positive DIVs on
+    BIGINT (integer on both engines)."""
+    from sea_express_customs_etl_spark.plans.oracles_ext import (
+        bpe_stage_ctes,
+    )
+
+    s = chr(31)
+    stages = bpe_stage_ctes(n_merges, src, materialized=True)
+    enc = [
+        f"""bf_wd AS MATERIALIZED (
+  SELECT source, w FROM (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM {src})
+  WHERE w <> ''),
+bf_e0 AS MATERIALIZED (
+  SELECT w,
+         '{s}' || array_to_string(
+             list_append(regexp_split_to_array(w, ''), '</w>'),
+             '{s}{s}') || '{s}' AS enc
+  FROM (SELECT DISTINCT w FROM bf_wd))"""
+    ]
+    for k in range(1, n_merges + 1):
+        enc.append(f"""bf_e{k} AS MATERIALIZED (
+  SELECT w,
+         replace(enc, '{s}' || m.l || '{s}{s}' || m.r || '{s}',
+                 '{s}' || m.l || m.r || '{s}') AS enc
+  FROM bf_e{k - 1} CROSS JOIN m{k} m)""")
+    return (
+        "WITH "
+        + ",\n".join(stages + enc)
+        + f""",
+bf_p AS MATERIALIZED (
+  SELECT w,
+         CAST(len(string_split(trim(enc, '{s}'), '{s}{s}')) AS BIGINT)
+             AS n
+  FROM bf_e{n_merges})
+SELECT b.source,
+       count(*)::BIGINT AS n_words,
+       sum(p.n)::BIGINT AS n_pieces,
+       (1000000 * sum(p.n)::BIGINT) // count(*)::BIGINT AS fert_u6,
+       (1000000 * sum(CASE WHEN p.n > 1 THEN 1 ELSE 0 END)::BIGINT)
+           // count(*)::BIGINT AS multi_ppm
+FROM bf_wd b JOIN bf_p p USING (w) GROUP BY 1
+"""
+    )
+
+
+def training_cartography_sql() -> str:
+    """Dataset-cartography oracle (operators/perceptron.py:
+    training_cartography): the exact perceptron-training prelude
+    (w1/w2/w3 post-epoch snapshots, the statement the trained-model
+    family hash-matches) re-scored per document per epoch; margins,
+    confidence and variability numerators in HUGEINT; region by
+    margin signs. Docs with no tokens score 0 every epoch."""
+    from sea_express_customs_etl_spark.plans.oracles_ext import (
+        _PERC_PRELUDE,
+    )
+
+    eps = "".join(
+        f""",
+cg{e} AS (SELECT c.doc_id, sum(w{e}.w * c.c) AS s
+          FROM cnt c JOIN w{e} USING (bucket) GROUP BY 1)"""
+        for e in (1, 2, 3)
+    )
+    return (
+        "WITH "
+        + _PERC_PRELUDE
+        + eps
+        + """,
+cg_pm AS (SELECT doc_id,
+                 CAST(CASE WHEN lang = 'en' THEN 1 ELSE -1 END
+                      AS BIGINT) AS pm
+          FROM documents),
+cg_m AS (
+  SELECT p.doc_id,
+         p.pm * coalesce(c1.s, 0) AS m1,
+         p.pm * coalesce(c2.s, 0) AS m2,
+         p.pm * coalesce(c3.s, 0) AS m3
+  FROM cg_pm p
+  LEFT JOIN cg1 c1 USING (doc_id)
+  LEFT JOIN cg2 c2 USING (doc_id)
+  LEFT JOIN cg3 c3 USING (doc_id))
+SELECT doc_id,
+       CAST(m1 + m2 + m3 AS BIGINT) AS conf_num,
+       CAST(3::HUGEINT * (m1::HUGEINT * m1 + m2::HUGEINT * m2
+                          + m3::HUGEINT * m3)
+            - (m1 + m2 + m3)::HUGEINT * (m1 + m2 + m3)
+            AS BIGINT) AS var_num,
+       CASE WHEN least(m1, m2, m3) > 0 THEN 'easy'
+            WHEN greatest(m1, m2, m3) <= 0 THEN 'hard'
+            ELSE 'ambiguous' END AS region
+FROM cg_m
+"""
+    )
+
+
 def domain_reweight_sql(rounds: int = 5, k_mult: int = 20_000_000) -> str:
     """Trajectory oracle for operators/reweight.py:domain_reweight_mw —
     every round threads the previous round's integer weights through a

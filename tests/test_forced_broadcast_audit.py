@@ -76,6 +76,8 @@ FORCED_BROADCAST_ALLOWED = {
     "perplexity_gain_select",  # lm_score V + trigram_backoff N 1-row
     #                            scalars (count tables NOT pinned)
     "token_burstiness",    # 1-row corpus-size N (counts NOT pinned)
+    "value_psi_drift",     # 1-row totals + global_rank offsets
+    #                        (edge list enters as literals, not a pin)
     "pca_label_anova",     # 1-row grand-moment + 1-row SSW pins
     #                        (label table NOT pinned)
     "knn_label_vote",      # trained centroids + probe table pins
@@ -83,6 +85,8 @@ FORCED_BROADCAST_ALLOWED = {
     #                         join NOT pinned)
     "knn_adc_vote",        # shared-store pins + LUT (ann_store_topk
     "ann_hard_negatives",  # same shared-store pins (knn_adc license)
+    "training_cartography",  # 3 pinned B=64-row epoch-snapshot models
+    #                          (the learned_quality_filter license)
     #                        license; label joins NOT pinned)
     "isotonic_calibration",  # bucket-grain spine pins (model-sized)
     #                          + the deciles chain's trained model
@@ -95,6 +99,7 @@ FORCED_BROADCAST_ALLOWED = {
     "domain_mix_sample",   # per-domain targets/budget/thresholds
     "bpe_token_counts",    # same distinct-word dictionary dial as
     #                        bpe_encode_fixed (learned merges)
+    "bpe_fertility_by_source",  # same distinct-word dictionary dial
     "bpe_encode_fixed",    # distinct-word dictionary (documented dial —
     #                        Heaps-law growth, pinned because the
     #                        dictionary-encode design depends on it)

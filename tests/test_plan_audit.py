@@ -70,6 +70,8 @@ BNLJ_ALLOWED = {
     "perplexity_gain_select",  # composes lm_score + trigram_backoff —
     #                            their 1-row V/N scalars (lm license)
     "token_burstiness",   # 1-row corpus-size N broadcast
+    "value_psi_drift",    # 1-row Laplace totals broadcast + the
+    #                       global_rank partition-offset frame
     "length_emd_drift",   # |sources|-row totals + 1-row corpus-N
     #                       cross-joined onto the value-grain grid
     #                       (bounded domain, chi2 license)
@@ -83,6 +85,8 @@ BNLJ_ALLOWED = {
     #                       probe broadcasts (the kmeans_ivf_topk license)
     "knn_adc_vote",       # shared-store frozen-model pins + LUT
     "ann_hard_negatives",  # same shared-store pins (knn_adc license)
+    "training_cartography",  # 3 pinned B=64-row epoch-snapshot models
+    #                          (the learned_quality_filter license)
     #                       broadcast (the ann_store_topk license)
     "isotonic_calibration",  # bucket-grain range spine broadcasts
     #                          (model-sized) + the deciles chain's
