@@ -3804,6 +3804,64 @@ def _q_bpe_fertility_by_source(
     return bpe_fertility(_docs(spark, sf_dir), merges)
 
 
+def _q_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GroupKFold over near-dup clusters: deterministic md5 fold
+    assignment on the cluster label, so no near-duplicate pair
+    straddles a CV boundary — the k-fold sibling of
+    cluster_safe_split, with membership checksums per fold."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        dedup_clusters,
+        jaccard_verify_profiles,
+        lsh_bands,
+        lsh_candidate_pairs,
+        shingle_profiles,
+    )
+    from sea_express_customs_etl_spark.operators.sampling import group_kfold
+
+    docs = _docs(spark, sf_dir)
+    prof = _tracked_persist(shingle_profiles(docs))
+    pairs = jaccard_verify_profiles(
+        lsh_candidate_pairs(lsh_bands(prof)), prof
+    ).select("id_a", "id_b")
+    labels = dedup_clusters(docs, pairs).select("doc_id", "cluster_id")
+    return group_kfold(labels, k=5)
+
+
+def _q_uncertainty_sample_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Margin-based active-learning acquisition from the shared
+    averaged-perceptron model: the 32 docs closest to the decision
+    boundary (|score| ascending, deterministic ties) — the labeling
+    queue a curation pass reviews first. Zero extra training;
+    distributed TakeOrderedAndProject top-k."""
+    from sea_express_customs_etl_spark.operators.perceptron import (
+        uncertainty_sample_topk,
+    )
+
+    return uncertainty_sample_topk(
+        _docs(spark, sf_dir),
+        _trained_en_perceptron(spark, sf_dir, averaged=True),
+        k=32,
+    )
+
+
+def _q_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill (1975) heavy-tail exponent of order value from the top
+    ceil(sqrt(N))+1 order statistics — the finite-variance dial next
+    to revenue_pareto's share and zipf_alpha's slope. Distributed
+    TakeOrderedAndProject, one count() action, integer u6 terms."""
+    from sea_express_customs_etl_spark.operators.tail import (
+        hill_tail_index,
+    )
+
+    return hill_tail_index(
+        load_table(spark, sf_dir, "orders"),
+        value_col=F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        key_col="o_orderkey",
+    )
+
+
 def _q_value_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of order value, pre-1997 reference
     vs 1997+ — the model-monitoring drift dial next to KL
@@ -6141,6 +6199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_cartography": _q_training_cartography,
         "bpe_fertility_by_source": _q_bpe_fertility_by_source,
         "value_psi_drift": _q_value_psi_drift,
+        "group_kfold_split": _q_group_kfold_split,
+        "uncertainty_sample_topk": _q_uncertainty_sample_topk,
+        "hill_tail_index": _q_hill_tail_index,
         "pca_power_topcomp": _q_pca_power_topcomp,
         "pca_doc_projection": _q_pca_doc_projection,
         "pca_label_anova": _q_pca_label_anova,
@@ -7452,6 +7513,9 @@ def oracle_sql() -> dict[str, str]:
         "training_cartography": r10.training_cartography_sql(),
         "bpe_fertility_by_source": r10.bpe_fertility_sql(10),
         "value_psi_drift": r10.VALUE_PSI_SQL,
+        "group_kfold_split": ext.GROUP_KFOLD_SQL,
+        "uncertainty_sample_topk": r10.uncertainty_topk_sql(32),
+        "hill_tail_index": r10.HILL_TAIL_SQL,
         "pca_power_topcomp": r9.pca_component_sql(5),
         "pca_doc_projection": r9.pca_project_sql(5),
         "pca_label_anova": r9.pca_label_anova_sql(5),

@@ -277,3 +277,49 @@ def training_cartography(
         var_num.cast("bigint").alias("var_num"),
         region.alias("region"),
     )
+
+
+def uncertainty_sample_topk(
+    docs: DataFrame,
+    weights: DataFrame,
+    k: int = 32,
+    weight_col: str = "w_avg",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """Margin-based active-learning acquisition (Lewis & Gale 1994,
+    uncertainty sampling): the ``k`` documents whose classifier score
+    sits CLOSEST to the decision boundary — the rows a labeling pass
+    reviews first. Scores are integer bucket-count dot products with
+    the trained model; docs with no tokens score 0 (maximal
+    uncertainty) and are included via the left join.
+
+    Output (``k`` rows): ``doc_id``, ``score`` (signed),
+    ``abs_score``. Selection is orderBy(abs, id) + limit — the
+    distributed TakeOrderedAndProject top-k, no window.
+    """
+    cnt = (
+        token_buckets(docs, text_col, id_col, buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    scores = (
+        cnt.join(
+            F.broadcast(
+                weights.select("bucket", F.col(weight_col).alias("_w"))
+            ),
+            "bucket",
+        )
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_w") * F.col("_c")).alias("_s"))
+    )
+    scored = docs.select(id_col).join(scores, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_s"), F.lit(0)).cast("bigint").alias("score"),
+    )
+    return (
+        scored.withColumn("abs_score", F.abs(F.col("score")))
+        .orderBy(F.col("abs_score").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -682,3 +682,48 @@ def neyman_allocation_sample(
         F.coalesce(F.col("key_sum"), F.lit(0)).alias("key_sum"),
         F.coalesce(F.col("cents_sum"), F.lit(0)).alias("cents_sum"),
     )
+
+
+def group_kfold(
+    labels: DataFrame,
+    k: int = 5,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    salt: str = "gkf",
+) -> DataFrame:
+    """Leakage-safe k-fold cross-validation assignment (GroupKFold
+    with near-dup clusters as groups): every member of a cluster
+    lands in the SAME fold — fold = md5(salt || cluster) mod k, the
+    deterministic engine-portable assignment, so no near-duplicate
+    pair ever straddles a train/validation boundary (the k-fold
+    sibling of the cluster_safe_split hash-split).
+
+    Output (``k`` rows): ``fold``, ``n_docs``, ``n_clusters``,
+    ``key_sum`` — the checksum pins exact membership. One fold-grain
+    partial-agg shuffle with an exact distinct-count (two-phase).
+    """
+    fold = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.col(cluster_col).cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % k
+    ).cast("int")
+    return (
+        labels.withColumn("fold", fold)
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct(cluster_col).cast("bigint").alias("n_clusters"),
+            F.sum(id_col).cast("bigint").alias("key_sum"),
+        )
+    )

@@ -1234,6 +1234,24 @@ FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
 WHERE rn <= 2
 """
 
+# leakage-safe k-fold (GroupKFold over near-dup clusters,
+# operators/sampling.py:group_kfold): fold = md5 mod k on the cluster
+# label — same components as DEDUP_CLUSTERS_SQL, fold-grain rollup
+# with membership checksum.
+GROUP_KFOLD_SQL = f"""
+WITH RECURSIVE {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS}, {_VPAIRS}, {_CCOMP},
+gkf AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         CAST(('0x' || substring(md5('gkf' ||
+              CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)
+              )::BIGINT % 5 AS INTEGER) AS fold
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+SELECT fold, count(*)::BIGINT AS n_docs,
+       count(DISTINCT cluster_id)::BIGINT AS n_clusters,
+       sum(doc_id)::BIGINT AS key_sum
+FROM gkf GROUP BY 1
+"""
+
 # split-leakage audit (r8): near-dup pairs tagged with endpoint split
 # assignments under naive doc-keyed vs cluster-keyed hashing — same
 # components and hash literals as CLUSTER_SAFE_SPLIT_SQL.

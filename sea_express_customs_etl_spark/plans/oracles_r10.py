@@ -326,6 +326,62 @@ FROM bf_wd b JOIN bf_p p USING (w) GROUP BY 1
     )
 
 
+# Hill tail-index (operators/tail.py:hill_tail_index): k=ceil(sqrt(N))
+# scalar CTE (never a pasted literal), top-(k+1) order statistics,
+# u6 ln diffs vs the (k+1)-th value (the k+1-th row contributes 0),
+# positive-operand HUGEINT final DIV.
+HILL_TAIL_SQL = """
+WITH hl_b AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+         o_orderkey AS k
+  FROM orders WHERE round(o_totalprice * 100) > 0),
+hl_n AS (SELECT count(*)::BIGINT AS n,
+                CAST(ceil(sqrt(count(*)::DOUBLE)) AS BIGINT) AS kk
+         FROM hl_b),
+hl_t AS (
+  SELECT y, row_number() OVER (ORDER BY y DESC, k ASC) AS rn
+  FROM hl_b),
+hl_top AS (SELECT t.y FROM hl_t t CROSS JOIN hl_n WHERE t.rn <= kk + 1),
+hl_f AS (SELECT min(y) AS xk1 FROM hl_top),
+hl_s AS (
+  SELECT sum(CAST(round(ln(t.y) * 1000000) AS BIGINT)
+             - CAST(round(ln(f.xk1) * 1000000) AS BIGINT)) AS s
+  FROM hl_top t CROSS JOIN hl_f f)
+SELECT n, kk AS k, CAST(s AS BIGINT) AS sum_ln_u6,
+       CAST(CASE WHEN s = 0 THEN 0
+                 ELSE (kk::HUGEINT * 1000000 * 1000000)
+                      // CAST(s AS HUGEINT) END AS BIGINT) AS alpha_u6
+FROM hl_n CROSS JOIN hl_s
+"""
+
+
+def uncertainty_topk_sql(k: int = 32) -> str:
+    """Active-learning acquisition oracle (operators/perceptron.py:
+    uncertainty_sample_topk): the shared averaged-perceptron prelude,
+    docs scored under w1+w2+w3, smallest |score| first (doc_id
+    tie-break), LIMIT k. No-token docs score 0 via the left join."""
+    from sea_express_customs_etl_spark.plans.oracles_ext import (
+        _PERC_PRELUDE,
+    )
+
+    return (
+        "WITH "
+        + _PERC_PRELUDE
+        + f""",
+us_w AS (SELECT w1.bucket, w1.w + w2.w + w3.w AS w
+         FROM w1 JOIN w2 USING (bucket) JOIN w3 USING (bucket)),
+us_s AS (SELECT c.doc_id, sum(us_w.w * c.c) AS s
+         FROM cnt c JOIN us_w USING (bucket) GROUP BY 1),
+us_a AS (
+  SELECT d.doc_id, CAST(coalesce(s.s, 0) AS BIGINT) AS score,
+         abs(CAST(coalesce(s.s, 0) AS BIGINT)) AS abs_score
+  FROM documents d LEFT JOIN us_s s USING (doc_id))
+SELECT doc_id, score, abs_score
+FROM us_a ORDER BY abs_score, doc_id LIMIT {k}
+"""
+    )
+
+
 def training_cartography_sql() -> str:
     """Dataset-cartography oracle (operators/perceptron.py:
     training_cartography): the exact perceptron-training prelude

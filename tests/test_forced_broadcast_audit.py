@@ -77,6 +77,7 @@ FORCED_BROADCAST_ALLOWED = {
     #                            scalars (count tables NOT pinned)
     "token_burstiness",    # 1-row corpus-size N (counts NOT pinned)
     "value_psi_drift",     # 1-row totals + global_rank offsets
+    "hill_tail_index",     # 1-row floor-value scalar pin
     #                        (edge list enters as literals, not a pin)
     "pca_label_anova",     # 1-row grand-moment + 1-row SSW pins
     #                        (label table NOT pinned)
@@ -111,6 +112,7 @@ FORCED_BROADCAST_ALLOWED = {
     "nation_year_pivot",   # nation (25 rows)
     "dsir_scores",         # per-bucket weight table (B=1024 rows, fixed)
     "learned_quality_filter",  # trained B=64-row perceptron model join
+    "uncertainty_sample_topk",  # same trained B=64-row model pin
     "corpus_datacard",     # 1-row corpus-total scalar
     "event_value_qsketch",  # quantile-spec table (3 literal rows)
     "lm_terciles",         # 1-row total-N + |partitions|-row rank offsets

@@ -72,6 +72,8 @@ BNLJ_ALLOWED = {
     "token_burstiness",   # 1-row corpus-size N broadcast
     "value_psi_drift",    # 1-row Laplace totals broadcast + the
     #                       global_rank partition-offset frame
+    "hill_tail_index",    # 1-row (k+1)-th-order-statistic scalar
+    #                       cross-joined onto the k+1-row top frame
     "length_emd_drift",   # |sources|-row totals + 1-row corpus-N
     #                       cross-joined onto the value-grain grid
     #                       (bounded domain, chi2 license)
