@@ -3804,6 +3804,18 @@ def _q_bpe_fertility_by_source(
     return bpe_fertility(_docs(spark, sf_dir), merges)
 
 
+def _q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed Jaccard-decile sweep over the LSH candidate set with
+    cumulative pairs-at-or-above — the table that PICKS the dedup
+    threshold, next to the analytic lsh_s_curve. Exact integer ppm
+    bands; false-positive candidates land in band 0."""
+    from sea_express_customs_etl_spark.operators.dedup import (
+        jaccard_threshold_sweep,
+    )
+
+    return jaccard_threshold_sweep(_docs(spark, sf_dir))
+
+
 def _q_group_kfold_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GroupKFold over near-dup clusters: deterministic md5 fold
     assignment on the cluster label, so no near-duplicate pair
@@ -6202,6 +6214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_kfold_split": _q_group_kfold_split,
         "uncertainty_sample_topk": _q_uncertainty_sample_topk,
         "hill_tail_index": _q_hill_tail_index,
+        "dedup_threshold_sweep": _q_dedup_threshold_sweep,
         "pca_power_topcomp": _q_pca_power_topcomp,
         "pca_doc_projection": _q_pca_doc_projection,
         "pca_label_anova": _q_pca_label_anova,
@@ -7516,6 +7529,7 @@ def oracle_sql() -> dict[str, str]:
         "group_kfold_split": ext.GROUP_KFOLD_SQL,
         "uncertainty_sample_topk": r10.uncertainty_topk_sql(32),
         "hill_tail_index": r10.HILL_TAIL_SQL,
+        "dedup_threshold_sweep": ext.DEDUP_THRESHOLD_SWEEP_SQL,
         "pca_power_topcomp": r9.pca_component_sql(5),
         "pca_doc_projection": r9.pca_project_sql(5),
         "pca_label_anova": r9.pca_label_anova_sql(5),

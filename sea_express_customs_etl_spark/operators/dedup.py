@@ -919,3 +919,69 @@ def keep_by_quality(
             .alias("keep"),
         )
     )
+
+
+def jaccard_threshold_sweep(
+    docs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Observed threshold-sweep companion to the LSH S-curve: exact
+    Jaccard for every LSH candidate pair, bucketed into similarity
+    deciles, with the cumulative pairs-at-or-above count — the table
+    an operator reads to PICK the dedup threshold (how many more
+    pairs does lowering the bar to 0.4 admit?) instead of trusting
+    the analytic collision curve alone.
+
+    Integer-exact: jaccard ppm = (1e6 * |inter|) DIV |union| (never
+    the rounded float), band = ppm DIV 1e5 (0..10); candidate pairs
+    with an empty exact intersection (minhash false positives) land
+    in band 0 rather than vanishing. The cumulative window runs on
+    the 11-row band spine (model-sized license). Pair generation is
+    the banded-LSH candidate set — never an all-pairs product.
+
+    Output (11 rows): ``band``, ``n_pairs``, ``pairs_at_or_above``.
+    """
+    from pyspark.sql import Window
+
+    prof = tracked_persist(shingle_profiles(docs, id_col=id_col))
+    pairs = lsh_candidate_pairs(lsh_bands(prof), id_col=id_col)
+    pa = prof.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_sh_set").alias("_sa"),
+        F.col("n_sh").alias("n_a"),
+    )
+    pb = prof.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_sh_set").alias("_sb"),
+        F.col("n_sh").alias("n_b"),
+    )
+    banded = (
+        pairs.join(pa, "id_a")
+        .join(pb, "id_b")
+        .withColumn(
+            "_ni", F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
+        )
+        .select(
+            F.expr(
+                "CAST((1000000 * _ni) DIV (n_a + n_b - _ni)"
+                " DIV 100000 AS INT)"
+            ).alias("band")
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
+    spine = docs.sparkSession.range(0, 11).select(
+        F.col("id").cast("int").alias("band")
+    )
+    filled = spine.join(banded, "band", "left").select(
+        "band", F.coalesce("n_pairs", F.lit(0)).alias("n_pairs")
+    )
+    w = (
+        Window.partitionBy(F.lit(1))
+        .orderBy(F.col("band").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "band",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("bigint").alias("pairs_at_or_above"),
+    )

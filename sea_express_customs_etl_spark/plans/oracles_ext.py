@@ -1234,6 +1234,39 @@ FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
 WHERE rn <= 2
 """
 
+# observed threshold sweep (operators/dedup.py:
+# jaccard_threshold_sweep): exact-jaccard deciles over the LSH
+# candidate set (zero-intersection false positives kept in band 0),
+# cumulative at-or-above on the 11-row spine.
+DEDUP_THRESHOLD_SWEEP_SQL = f"""
+WITH {_SHINGLES}, {_SIG}, {_BANDS}, {_PAIRS},
+sw_z AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+sw_i AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.id_a
+  JOIN sh sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+sw_b AS (
+  SELECT CAST((1000000 * coalesce(i.n_inter, 0))
+              // (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0))
+              // 100000 AS INTEGER) AS band
+  FROM pairs p
+  LEFT JOIN sw_i i ON i.id_a = p.id_a AND i.id_b = p.id_b
+  JOIN sw_z za ON za.doc_id = p.id_a
+  JOIN sw_z zb ON zb.doc_id = p.id_b),
+sw_c AS (SELECT band, count(*)::BIGINT AS n_pairs FROM sw_b GROUP BY 1),
+sw_s AS (
+  SELECT CAST(g.g AS INTEGER) AS band,
+         coalesce(c.n_pairs, 0) AS n_pairs
+  FROM (SELECT unnest(generate_series(0, 10)) AS g) g
+  LEFT JOIN sw_c c ON c.band = g.g)
+SELECT band, n_pairs,
+       sum(n_pairs) OVER (ORDER BY band DESC
+                          ROWS UNBOUNDED PRECEDING) AS pairs_at_or_above
+FROM sw_s
+"""
+
 # leakage-safe k-fold (GroupKFold over near-dup clusters,
 # operators/sampling.py:group_kfold): fold = md5 mod k on the cluster
 # label — same components as DEDUP_CLUSTERS_SQL, fold-grain rollup

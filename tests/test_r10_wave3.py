@@ -104,3 +104,37 @@ def test_hill_excludes_nonpositive(spark):
     )
     r = hill_tail_index(df, F.col("y"), "k").collect()[0]
     assert r.n == 100
+
+
+def test_dedup_threshold_sweep_invariants(spark):
+    from sea_express_customs_etl_spark.operators.dedup import (
+        jaccard_threshold_sweep,
+    )
+    from sea_express_customs_etl_spark.plans.cache import release_tracked
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical -> jaccard 1.0 -> band 10
+            (3, base + " extra tokens here now"),  # high but < 1
+            (4, "completely different content with nothing shared at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.band: r for r in jaccard_threshold_sweep(docs).collect()}
+    release_tracked()
+    assert set(out) == set(range(11))
+    assert out[10].n_pairs >= 1  # the identical pair
+    # cumulative is monotone non-increasing in band and tops out at
+    # the total candidate count at band 0
+    total = sum(r.n_pairs for r in out.values())
+    assert out[0].pairs_at_or_above == total
+    prev = None
+    for b in range(10, -1, -1):
+        v = out[b].pairs_at_or_above
+        assert prev is None or v >= prev
+        prev = v

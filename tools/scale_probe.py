@@ -1805,6 +1805,144 @@ def cases_r10():
     }
 
 
+def cases_r10b():
+    """Round-10 wave-2/3 probes (docs-sided). Replicated docs repeat
+    the same TEXT and sources, so the domain/vocab/value grids stay
+    model-sized while corpus-side passes grow — the model-vs-data
+    separation each operator claims. The classifier model inputs are
+    FIXED synthetic full-bucket frames (identical compute shape to
+    the trained ones — the frozen-model probe protocol)."""
+    import pyspark.sql.functions as _F
+
+    def _reweight(docs, emb):
+        from sea_express_customs_etl_spark.operators.reweight import (
+            domain_reweight_mw,
+        )
+
+        return domain_reweight_mw(docs, rounds=5)
+
+    def _emd(docs, emb):
+        from sea_express_customs_etl_spark.operators.emd import (
+            length_emd_drift,
+        )
+
+        return length_emd_drift(docs)
+
+    def _fertility(docs, emb):
+        from sea_express_customs_etl_spark.operators.bpe import (
+            bpe_fertility,
+        )
+
+        merges = [(chr(97 + i), "</w>") for i in range(10)]
+        return bpe_fertility(docs, merges)
+
+    def _carto(docs, emb):
+        from sea_express_customs_etl_spark.operators.perceptron import (
+            training_cartography,
+        )
+
+        spark = docs.sparkSession
+        snaps = [
+            spark.createDataFrame(
+                [(b, (b % 7) - 3 + e) for b in range(64)],
+                "bucket int, we long",
+            )
+            for e in range(3)
+        ]
+        return training_cartography(docs, _F.col("lang") == "en", snaps)
+
+    def _uncert(docs, emb):
+        from sea_express_customs_etl_spark.operators.perceptron import (
+            uncertainty_sample_topk,
+        )
+
+        spark = docs.sparkSession
+        w = spark.createDataFrame(
+            [(b, (b % 11) - 5) for b in range(64)],
+            "bucket int, w_avg long",
+        )
+        return uncertainty_sample_topk(docs, w, k=32)
+
+    return {
+        "domain_reweight_mw": _reweight,
+        "length_emd_drift": _emd,
+        "bpe_fertility": _fertility,
+        "training_cartography": _carto,
+        "uncertainty_topk": _uncert,
+    }
+
+
+def cases_orders():
+    """Round-10 orders-sided probes: 8× disjoint key-shifted copies —
+    stratum/bucket domains constant, rank/top-k passes grow."""
+    import pyspark.sql.functions as _F
+
+    def _neyman(o):
+        from sea_express_customs_etl_spark.operators.sampling import (
+            neyman_allocation_sample,
+        )
+
+        return neyman_allocation_sample(
+            o,
+            strata_col="o_orderpriority",
+            cents_col=_F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+            key_col="o_orderkey",
+        )
+
+    def _psi(o):
+        from sea_express_customs_etl_spark.operators.psi import (
+            value_psi_drift,
+        )
+
+        return value_psi_drift(
+            o,
+            value_col=_F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+            is_current=_F.year("o_orderdate") >= 1997,
+            key_col="o_orderkey",
+        )
+
+    def _hill(o):
+        from sea_express_customs_etl_spark.operators.tail import (
+            hill_tail_index,
+        )
+
+        return hill_tail_index(
+            o,
+            value_col=_F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+            key_col="o_orderkey",
+        )
+
+    def _kanon_orders(o):
+        # k-anonymity's shape on the replicated-orders side: two
+        # class-grain partial aggs over (priority, $1k band)
+        from pyspark.sql import functions as FF
+
+        qi = o.select(
+            FF.col("o_orderpriority").alias("qi_a"),
+            FF.expr(
+                "(CAST(round(o_totalprice * 100) AS BIGINT)"
+                " + 100000) DIV 100000"
+            ).alias("qi_b"),
+            FF.col("o_orderstatus").alias("sensitive"),
+        )
+        cls = qi.groupBy("qi_a", "qi_b").agg(
+            FF.count(FF.lit(1)).alias("_sz"),
+            FF.countDistinct("sensitive").alias("_l"),
+        )
+        return cls.agg(
+            FF.count(FF.lit(1)).alias("n_classes"),
+            FF.min("_sz").alias("k_min"),
+            FF.min("_l").alias("l_min"),
+        )
+
+    return {
+        "neyman_allocation": _neyman,
+        "value_psi_drift": _psi,
+        "hill_tail_index": _hill,
+        "k_anonymity_shape": _kanon_orders,
+    }
+
+
 def cases_r9c():
     """Round-9 chunk-2 probes: the ADC-store classifier (fresh store
     per invocation, the _coreset_ann protocol — frozen model fixed,
@@ -1954,6 +2092,15 @@ def main() -> None:
         li8 = part if li8 is None else li8.unionByName(part)
     li1.count()
 
+    or1 = load_table(spark, SF_DIR, "orders")
+    or8 = None
+    for i in range(REP):
+        part = or1.withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(i * _OFFSET)
+        )
+        or8 = part if or8 is None else or8.unionByName(part)
+    or1.count()
+
     wanted = sys.argv[1:] or None
     ev_cases = cases_ev()
     ev_cases.update(cases_r9_ev())
@@ -1968,6 +2115,10 @@ def main() -> None:
     all_cases.update(cases_r9b())
     all_cases.update(cases_r9c())
     all_cases.update(cases_r10())
+    all_cases.update(cases_r10b())
+    orders_cases = cases_orders()
+    for nm, fn_or in orders_cases.items():
+        all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_or)
     for nm, fn_ev in ev_cases.items():
         # adapt to the (d, e) calling convention; e is unused
         all_cases[nm] = (lambda f: lambda d, e: f(d))(fn_ev)
@@ -1985,6 +2136,8 @@ def main() -> None:
             scales = {"1x": (g1, None), "8x": (g8, None)}
         elif name in li_cases:
             scales = {"1x": (li1, None), "8x": (li8, None)}
+        elif name in orders_cases:
+            scales = {"1x": (or1, None), "8x": (or8, None)}
         elif name in ev_cases:
             scales = {"1x": (ev1, None), "8x": (ev8, None)}
         else:
