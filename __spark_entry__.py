@@ -3804,6 +3804,59 @@ def _q_bpe_fertility_by_source(
     return bpe_fertility(_docs(spark, sf_dir), merges)
 
 
+def _q_psm_att_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Caliper 1-NN propensity-score matching (Rosenbaum–Rubin; 0.2·sd
+    caliper per Austin 2011) with the shared classifier score as the
+    propensity surrogate: ATT of en-treatment on document length —
+    the third causal leg next to did_lift and cuped_adjusted_lift.
+    Caliper-bucket blocking, never a cross product; exact integer sd
+    and negate-first mean."""
+    from sea_express_customs_etl_spark.operators.perceptron import (
+        classifier_scores,
+    )
+    from sea_express_customs_etl_spark.operators.psm import psm_att
+
+    docs = _docs(spark, sf_dir)
+    scored = (
+        classifier_scores(
+            docs, _trained_en_perceptron(spark, sf_dir, averaged=True)
+        )
+        .join(
+            docs.select(
+                "doc_id",
+                (F.col("lang") == "en").alias("treated"),
+                F.col("n_chars").alias("outcome"),
+            ),
+            "doc_id",
+        )
+    )
+    return psm_att(scored)
+
+
+def _q_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users every hour via MERGEABLE per-hour
+    HLL sketches (register-wise max merge) — the streaming-warehouse
+    distinct that never re-touches raw events per window. Output is
+    the integer sufficient-statistics surface per hour."""
+    from sea_express_customs_etl_spark.operators.sketches import (
+        hll_sliding_stats,
+    )
+
+    return hll_sliding_stats(load_table(spark, sf_dir, "events"))
+
+
+def _q_split_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit of the 80/10/10 hash split — the
+    pre-flight every experiment platform runs; chi-square of observed
+    counts vs intended ppm, all-integer terms. One map-side
+    assignment + one split-grain count."""
+    from sea_express_customs_etl_spark.operators.sampling import (
+        split_srm_check,
+    )
+
+    return split_srm_check(_docs(spark, sf_dir))
+
+
 def _q_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Observed Jaccard-decile sweep over the LSH candidate set with
     cumulative pairs-at-or-above — the table that PICKS the dedup
@@ -6215,6 +6268,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "uncertainty_sample_topk": _q_uncertainty_sample_topk,
         "hill_tail_index": _q_hill_tail_index,
         "dedup_threshold_sweep": _q_dedup_threshold_sweep,
+        "split_srm_check": _q_split_srm_check,
+        "hll_sliding_users": _q_hll_sliding_users,
+        "psm_att_lift": _q_psm_att_lift,
         "pca_power_topcomp": _q_pca_power_topcomp,
         "pca_doc_projection": _q_pca_doc_projection,
         "pca_label_anova": _q_pca_label_anova,
@@ -7530,6 +7586,11 @@ def oracle_sql() -> dict[str, str]:
         "uncertainty_sample_topk": r10.uncertainty_topk_sql(32),
         "hill_tail_index": r10.HILL_TAIL_SQL,
         "dedup_threshold_sweep": ext.DEDUP_THRESHOLD_SWEEP_SQL,
+        "split_srm_check": r10.split_srm_sql(
+            _hex_threshold(0.8), _hex_threshold(0.9)
+        ),
+        "hll_sliding_users": r10.HLL_SLIDING_SQL,
+        "psm_att_lift": r10.psm_att_sql(),
         "pca_power_topcomp": r9.pca_component_sql(5),
         "pca_doc_projection": r9.pca_project_sql(5),
         "pca_label_anova": r9.pca_label_anova_sql(5),

@@ -279,6 +279,40 @@ def training_cartography(
     )
 
 
+
+def classifier_scores(
+    docs: DataFrame,
+    weights: DataFrame,
+    weight_col: str = "w_avg",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> DataFrame:
+    """(id, score) for every document under a trained weight frame —
+    integer bucket-count dot products, broadcast model join, docs
+    with no tokens score 0 via the left join. The shared scoring
+    surface for uncertainty_sample_topk / psm_att."""
+    cnt = (
+        token_buckets(docs, text_col, id_col, buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
+    )
+    scores = (
+        cnt.join(
+            F.broadcast(
+                weights.select("bucket", F.col(weight_col).alias("_w"))
+            ),
+            "bucket",
+        )
+        .groupBy(id_col)
+        .agg(F.sum(F.col("_w") * F.col("_c")).alias("_s"))
+    )
+    return docs.select(id_col).join(scores, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("_s"), F.lit(0)).cast("bigint").alias("score"),
+    )
+
+
 def uncertainty_sample_topk(
     docs: DataFrame,
     weights: DataFrame,
@@ -299,24 +333,8 @@ def uncertainty_sample_topk(
     ``abs_score``. Selection is orderBy(abs, id) + limit — the
     distributed TakeOrderedAndProject top-k, no window.
     """
-    cnt = (
-        token_buckets(docs, text_col, id_col, buckets)
-        .groupBy(id_col, "bucket")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("_c"))
-    )
-    scores = (
-        cnt.join(
-            F.broadcast(
-                weights.select("bucket", F.col(weight_col).alias("_w"))
-            ),
-            "bucket",
-        )
-        .groupBy(id_col)
-        .agg(F.sum(F.col("_w") * F.col("_c")).alias("_s"))
-    )
-    scored = docs.select(id_col).join(scores, id_col, "left").select(
-        F.col(id_col),
-        F.coalesce(F.col("_s"), F.lit(0)).cast("bigint").alias("score"),
+    scored = classifier_scores(
+        docs, weights, weight_col, text_col, id_col, buckets
     )
     return (
         scored.withColumn("abs_score", F.abs(F.col("score")))

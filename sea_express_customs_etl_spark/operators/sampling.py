@@ -727,3 +727,68 @@ def group_kfold(
             F.sum(id_col).cast("bigint").alias("key_sum"),
         )
     )
+
+
+def split_srm_check(
+    df: DataFrame,
+    weights: dict[str, float] | None = None,
+    key_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Sample-ratio-mismatch (SRM) audit of a hash split — the check
+    every experimentation platform runs before trusting a comparison
+    (Fabijan et al. 2019, "Diagnosing Sample Ratio Mismatch"): a
+    chi-square of observed split counts against the INTENDED ratios.
+    A large statistic means the assignment itself is broken
+    (filtering bias, key collisions, a bad salt) and downstream
+    comparisons are invalid.
+
+    Exactness: with d = n_obs*1e6 - N*p_ppm, each split's term is
+    d^2 DIV (N * p_ppm) — chi-square in micro-units, numerator lifted
+    to DECIMAL(38,0) (d^2 overflows int64 at corpus scale), every DIV
+    positive. Output (one row per split): ``split``, ``n_obs``,
+    ``expected_ppm``, ``chi2_term_u6``; sum the terms and compare
+    against the chi-square critical value at |splits|-1 df.
+
+    Scale: one map-side split assignment (pure md5 expression), one
+    split-grain partial-agg count, a |splits|-row literal frame and a
+    1-row total cross-joined back (model-sized license).
+    """
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    spark = df.sparkSession
+    assigned = hash_split(df, weights, key_col=key_col, salt=salt)
+    counts = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs")
+    )
+    wf = spark.createDataFrame(
+        [(name, int(round(frac * 1_000_000))) for name, frac in weights.items()],
+        "split string, expected_ppm long",
+    )
+    total = df.agg(F.count(F.lit(1)).cast("bigint").alias("_n"))
+    dec = "decimal(38,0)"
+    d = (
+        F.coalesce(F.col("n_obs"), F.lit(0)).cast(dec) * F.lit(1_000_000)
+        - F.col("_n").cast(dec) * F.col("expected_ppm").cast(dec)
+    )
+    # no pin on the weights side: Spark cannot build the PRESERVED
+    # side of an outer join, so a broadcast hint there is dead (AQE
+    # still broadcasts the 3-row count side at runtime)
+    return (
+        wf.join(counts, "split", "left")
+        .crossJoin(F.broadcast(total))
+        .withColumn("_d", d)
+        .select(
+            "split",
+            F.coalesce(F.col("n_obs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_obs"),
+            F.col("expected_ppm").cast("bigint").alias("expected_ppm"),
+            F.expr(
+                "CAST((_d * _d) DIV"
+                " (CAST(_n AS decimal(38,0))"
+                "  * CAST(expected_ppm AS decimal(38,0)))"
+                " AS BIGINT)"
+            ).alias("chi2_term_u6"),
+        )
+    )

@@ -512,3 +512,82 @@ def cms_join_size(
         )
     )
     return per_row.agg(F.min("_ip").cast("bigint").alias("est_pairs"))
+
+
+def hll_sliding_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    window_hours: int = 24,
+    salt: str = "",
+) -> DataFrame:
+    """Sliding-window distinct-count via MERGEABLE HLL states: one
+    256-register sketch per hour, then each hour's trailing
+    ``window_hours`` sketches merge by register-wise max — the
+    streaming-warehouse recipe for "distinct users, trailing 24 h,
+    every hour" that never re-touches raw events per window (an exact
+    distinct would re-shuffle every (window x user) pair; the sketch
+    path shuffles hours x 256 integers).
+
+    Exactness: the OUTPUT is the integer sufficient-statistics triple
+    (``n_buckets``, ``n_zero``, ``s_scaled``) per hour — the same
+    hash-portable surface as ``hll_stats`` (the float estimate stays
+    driver-side and property-tested). Merge-then-estimate equals
+    estimate-over-union by register-max associativity.
+
+    Scale: register grain throughout — per-hour partial-max shuffle,
+    a window_hours-way explode of the hour-register table (bounded by
+    time span, not corpus rows), and a second partial max. The hour
+    spine is a left-semi join (only hours with data emit)."""
+    h = _h48(F.col(value_col), salt)
+    bucket = (h % F.lit(HLL_M)).cast("int")
+    w = (h / F.lit(HLL_M)).cast("bigint")
+    rank = F.when(w == 0, F.lit(_HLL_WBITS + 1)).otherwise(
+        F.lit(_HLL_WBITS + 1) - F.length(F.bin(w))
+    )
+    eh = F.expr(
+        f"unix_micros(CAST({ts_col} AS TIMESTAMP)) div 3600000000"
+    )
+    regs = (
+        events.select(
+            eh.alias("_eh"),
+            bucket.alias("bucket"),
+            rank.cast("int").alias("_rank"),
+        )
+        .groupBy("_eh", "bucket")
+        .agg(F.max("_rank").alias("max_rank"))
+    )
+    hours = regs.select(F.col("_eh").alias("whour")).distinct()
+    contrib = (
+        regs.withColumn(
+            "_off",
+            F.explode(F.sequence(F.lit(0), F.lit(window_hours - 1))),
+        )
+        .withColumn("whour", F.col("_eh") + F.col("_off"))
+        .join(hours, "whour", "left_semi")
+    )
+    merged = contrib.groupBy("whour", "bucket").agg(
+        F.max("max_rank").alias("_mr")
+    )
+    return (
+        merged.groupBy("whour")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_buckets"),
+            (F.lit(HLL_M) - F.count(F.lit(1)))
+            .cast("int")
+            .alias("n_zero"),
+            F.sum(
+                F.pow(
+                    F.lit(2.0), F.lit(_HLL_WBITS + 1) - F.col("_mr")
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("s_scaled"),
+        )
+        .select(
+            F.col("whour").cast("bigint").alias("epoch_hour"),
+            "n_buckets",
+            "n_zero",
+            "s_scaled",
+        )
+    )

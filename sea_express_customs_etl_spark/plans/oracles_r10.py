@@ -326,6 +326,71 @@ FROM bf_wd b JOIN bf_p p USING (w) GROUP BY 1
     )
 
 
+# Sliding-window HLL distinct (operators/sketches.py:
+# hll_sliding_stats): per-hour 256-register sketches merged by
+# register-wise max over the trailing 24 hours; integer sufficient
+# statistics per hour (the hll_stats surface). The h48/rank recipe is
+# the exact oracles_ext HLL convention.
+HLL_SLIDING_SQL = """
+WITH hs_b AS (
+  SELECT epoch_us(ts) // 3600000000 AS eh,
+         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12)
+         )::BIGINT AS h48
+  FROM events),
+hs_r AS (
+  SELECT eh, (h48 % 256)::INTEGER AS bucket,
+         max(CASE WHEN h48 // 256 = 0 THEN 41
+                  ELSE 41 - length(ltrim(bin(h48 // 256), '0')) END)
+             AS max_rank
+  FROM hs_b GROUP BY 1, 2),
+hs_h AS (SELECT DISTINCT eh AS whour FROM hs_r),
+hs_c AS (
+  SELECT r.eh + g.o AS whour, r.bucket, r.max_rank
+  FROM hs_r r, (SELECT unnest(generate_series(0, 23)) AS o) g
+  WHERE r.eh + g.o IN (SELECT whour FROM hs_h)),
+hs_m AS (
+  SELECT whour, bucket, max(max_rank) AS mr
+  FROM hs_c GROUP BY 1, 2)
+SELECT whour AS epoch_hour,
+       count(*)::INTEGER AS n_buckets,
+       (256 - count(*))::INTEGER AS n_zero,
+       CAST(sum(CAST(2 ** (41 - mr) AS BIGINT)) AS BIGINT) AS s_scaled
+FROM hs_m GROUP BY 1
+"""
+
+
+def split_srm_sql(t_train: str, t_val: str) -> str:
+    """SRM-audit oracle (operators/sampling.py:split_srm_check): the
+    identical md5-prefix split assignment (thresholds supplied as the
+    same hex_threshold literals the Spark side compiles), split-grain
+    counts vs intended ppm, chi-square terms in HUGEINT."""
+    return f"""
+WITH sm_w AS (
+  SELECT * FROM (VALUES ('train', 800000::BIGINT),
+                        ('val', 100000::BIGINT),
+                        ('test', 100000::BIGINT)) w(split, p_ppm)),
+sm_a AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)),
+                             1, 8) < '{t_train}' THEN 'train'
+              WHEN substring(md5('split' || CAST(doc_id AS VARCHAR)),
+                             1, 8) < '{t_val}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+sm_c AS (SELECT split, count(*)::BIGINT AS n_obs FROM sm_a GROUP BY 1),
+sm_n AS (SELECT count(*)::BIGINT AS n FROM documents)
+SELECT w.split, coalesce(c.n_obs, 0) AS n_obs,
+       w.p_ppm AS expected_ppm,
+       CAST(((coalesce(c.n_obs, 0)::HUGEINT * 1000000
+              - n::HUGEINT * w.p_ppm)
+             * (coalesce(c.n_obs, 0)::HUGEINT * 1000000
+                - n::HUGEINT * w.p_ppm))
+            // (n::HUGEINT * w.p_ppm::HUGEINT) AS BIGINT)
+           AS chi2_term_u6
+FROM sm_w w LEFT JOIN sm_c c USING (split) CROSS JOIN sm_n
+"""
+
+
 # Hill tail-index (operators/tail.py:hill_tail_index): k=ceil(sqrt(N))
 # scalar CTE (never a pasted literal), top-(k+1) order statistics,
 # u6 ln diffs vs the (k+1)-th value (the k+1-th row contributes 0),
@@ -378,6 +443,78 @@ us_a AS (
   FROM documents d LEFT JOIN us_s s USING (doc_id))
 SELECT doc_id, score, abs_score
 FROM us_a ORDER BY abs_score, doc_id LIMIT {k}
+"""
+    )
+
+
+def psm_att_sql() -> str:
+    """Caliper-matched ATT oracle (operators/psm.py:psm_att): the
+    averaged-perceptron prelude scores every doc, treated = en;
+    exact integer sd via the corrected-isqrt CTE chain (the Neyman
+    pattern), caliper-bucket blocking with the b-1/b/b+1 attach, 1-NN
+    by (|delta|, control score, control id), negate-first mean."""
+    from sea_express_customs_etl_spark.plans.oracles_ext import (
+        _PERC_PRELUDE,
+    )
+
+    return (
+        "WITH "
+        + _PERC_PRELUDE
+        + """,
+pm_w AS (SELECT w1.bucket, w1.w + w2.w + w3.w AS w
+         FROM w1 JOIN w2 USING (bucket) JOIN w3 USING (bucket)),
+pm_s AS (SELECT c.doc_id, sum(pm_w.w * c.c) AS s
+         FROM cnt c JOIN pm_w USING (bucket) GROUP BY 1),
+pm_b AS (
+  SELECT d.doc_id AS id, (d.lang = 'en') AS t,
+         CAST(coalesce(s.s, 0) AS BIGINT) AS s, d.n_chars AS y
+  FROM documents d LEFT JOIN pm_s s USING (doc_id)),
+pm_m AS (SELECT count(*)::BIGINT AS n, sum(s::DECIMAL(38,0)) AS ss,
+                sum(s::DECIMAL(38,0) * s::DECIMAL(38,0)) AS ss2,
+                min(s) AS smin
+         FROM pm_b),
+pm_v AS (SELECT smin,
+                CAST(CAST(n::DECIMAL(38,0) * ss2 - ss * ss AS HUGEINT)
+                     // (n::HUGEINT * n::HUGEINT) AS BIGINT) AS v
+         FROM pm_m),
+pm_sd AS (
+  SELECT smin, s1 - (CASE WHEN s1 * s1 > v THEN 1 ELSE 0 END) AS sd
+  FROM (SELECT smin, v,
+               s0 + (CASE WHEN (s0 + 1) * (s0 + 1) <= v
+                          THEN 1 ELSE 0 END) AS s1
+        FROM (SELECT smin, v,
+                     CAST(floor(sqrt(v::DOUBLE)) AS BIGINT) AS s0
+              FROM pm_v))),
+pm_c AS (SELECT smin, greatest(1, (2 * sd + 9) // 10) AS c
+         FROM pm_sd),
+pm_bb AS (SELECT b.*, (b.s - c.smin) // c.c AS bk, c.c
+          FROM pm_b b CROSS JOIN pm_c c),
+pm_t AS (SELECT id AS tid, s AS ts, y AS ty, bk AS tb, c
+         FROM pm_bb WHERE t),
+pm_ct AS (SELECT id AS cid, s AS cs, y AS cy, bk + g.o AS tb
+          FROM pm_bb, (SELECT unnest([-1, 0, 1]) AS o) g
+          WHERE NOT t),
+pm_cand AS (
+  SELECT t.tid, t.ts, t.ty, t.c, c2.cid, c2.cs, c2.cy
+  FROM pm_t t JOIN pm_ct c2 USING (tb)
+  WHERE abs(t.ts - c2.cs) <= t.c),
+pm_nn AS (
+  SELECT tid, ty, cy FROM (
+    SELECT *, row_number() OVER (PARTITION BY tid
+        ORDER BY abs(ts - cs), cs, cid) AS rn
+    FROM pm_cand)
+  WHERE rn = 1),
+pm_st AS (SELECT count(*)::BIGINT AS n_matched,
+                 CAST(coalesce(sum(ty - cy), 0) AS BIGINT) AS att_num
+          FROM pm_nn),
+pm_nt AS (SELECT count(*)::BIGINT AS n_treated FROM pm_b WHERE t)
+SELECT n_treated, n_matched, CAST(c.c AS BIGINT) AS caliper_c, att_num,
+       CAST(CASE WHEN n_matched = 0 THEN 0
+                 WHEN att_num >= 0 THEN
+                   (1000000::HUGEINT * att_num) // n_matched
+                 ELSE -((1000000::HUGEINT * (-att_num)) // n_matched)
+            END AS BIGINT) AS att_u6
+FROM pm_nt CROSS JOIN pm_st CROSS JOIN pm_c c
 """
     )
 

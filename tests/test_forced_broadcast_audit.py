@@ -78,6 +78,9 @@ FORCED_BROADCAST_ALLOWED = {
     "token_burstiness",    # 1-row corpus-size N (counts NOT pinned)
     "value_psi_drift",     # 1-row totals + global_rank offsets
     "hill_tail_index",     # 1-row floor-value scalar pin
+    "split_srm_check",     # 3-literal-row weights + 1-row total pins
+    "psm_att_lift",        # trained B=64 model + 1-row caliper/ATT
+    #                        scalar pins
     #                        (edge list enters as literals, not a pin)
     "pca_label_anova",     # 1-row grand-moment + 1-row SSW pins
     #                        (label table NOT pinned)

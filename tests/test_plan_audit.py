@@ -72,6 +72,9 @@ BNLJ_ALLOWED = {
     "token_burstiness",   # 1-row corpus-size N broadcast
     "value_psi_drift",    # 1-row Laplace totals broadcast + the
     #                       global_rank partition-offset frame
+    "split_srm_check",    # 3-literal-row weights + 1-row total
+    "psm_att_lift",       # 1-row caliper/min scalar + 1-row ATT
+    #                       aggregates cross-joined (chi2 license)
     "hill_tail_index",    # 1-row (k+1)-th-order-statistic scalar
     #                       cross-joined onto the k+1-row top frame
     "length_emd_drift",   # |sources|-row totals + 1-row corpus-N
