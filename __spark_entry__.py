@@ -3804,6 +3804,65 @@ def _q_bpe_fertility_by_source(
     return bpe_fertility(_docs(spark, sf_dir), merges)
 
 
+def _q_wordpiece_fertility_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source WordPiece fertility under the session's learned
+    merges — the bpe_fertility_by_source pairing for the greedy
+    longest-match family; same dictionary-grain encode, same rollup,
+    DIFFERENT segmentation rule under the hash."""
+    from sea_express_customs_etl_spark.operators.bpe import (
+        wordpiece_encode_pieces,
+    )
+
+    merges = _wordpiece_merges_cached(spark, sf_dir, 8)
+    words = _docs(spark, sf_dir).select(
+        "source",
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("word"),
+    )
+    enc = wordpiece_encode_pieces(words.select("word").distinct(), merges)
+    return (
+        words.join(
+            F.broadcast(enc.select("word", F.col("n_pieces").alias("_np"))),
+            "word",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("_np").cast("bigint").alias("n_pieces"),
+            F.sum((F.col("_np") > 1).cast("bigint")).alias("_multi"),
+        )
+        .select(
+            "source",
+            "n_words",
+            "n_pieces",
+            F.expr(
+                "CAST((1000000 * n_pieces) DIV n_words AS BIGINT)"
+            ).alias("fert_u6"),
+            F.expr(
+                "CAST((1000000 * _multi) DIV n_words AS BIGINT)"
+            ).alias("multi_ppm"),
+        )
+    )
+
+
+def _q_corpus_balance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl concentration + effective source count + max share
+    of the corpus mixture — the balance alarm a mixing pipeline
+    watches (effective_sources collapsing toward 1 means one domain
+    swallowed the mix). One group-grain agg + 1-row rollup."""
+    from sea_express_customs_etl_spark.operators.dispersion import (
+        corpus_balance,
+    )
+
+    return corpus_balance(_docs(spark, sf_dir))
+
+
 def _q_psm_att_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Caliper 1-NN propensity-score matching (Rosenbaum–Rubin; 0.2·sd
     caliper per Austin 2011) with the shared classifier score as the
@@ -6271,6 +6330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_srm_check": _q_split_srm_check,
         "hll_sliding_users": _q_hll_sliding_users,
         "psm_att_lift": _q_psm_att_lift,
+        "wordpiece_fertility_by_source": _q_wordpiece_fertility_by_source,
+        "corpus_balance_report": _q_corpus_balance_report,
         "pca_power_topcomp": _q_pca_power_topcomp,
         "pca_doc_projection": _q_pca_doc_projection,
         "pca_label_anova": _q_pca_label_anova,
@@ -7591,6 +7652,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hll_sliding_users": r10.HLL_SLIDING_SQL,
         "psm_att_lift": r10.psm_att_sql(),
+        "wordpiece_fertility_by_source": r10.wordpiece_fertility_sql(8, 20),
+        "corpus_balance_report": r10.CORPUS_BALANCE_SQL,
         "pca_power_topcomp": r9.pca_component_sql(5),
         "pca_doc_projection": r9.pca_project_sql(5),
         "pca_label_anova": r9.pca_label_anova_sql(5),

@@ -341,3 +341,40 @@ def heaps_law_fit(
         F.col("_n").cast("int").alias("n_points"),
         F.expr(f"({num}) div ({den})").cast("bigint").alias("beta_u6"),
     )
+
+
+def corpus_balance(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """One-row corpus-concentration datacard: Herfindahl index of the
+    per-group share (the antitrust concentration measure applied to
+    mixture balance), its inverse — the EFFECTIVE number of groups
+    (Simpson/inverse-participation diversity) — and the max share.
+    A pipeline alarms when effective_sources collapses toward 1 while
+    n_sources stays flat (one domain silently swallowed the mix).
+
+    Exact integer rationals: hhi_u6 = 1e6*Σc² DIV N², effective =
+    1e6*N² DIV Σc², products in DECIMAL(38,0) (ols rule). One
+    group-grain partial agg + a 1-row rollup — no corpus shuffle."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    dec = "decimal(38,0)"
+    t = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("_c").cast("bigint").alias("n_docs"),
+        F.sum(F.col("_c").cast(dec) * F.col("_c").cast(dec)).alias("_c2"),
+        F.max("_c").cast("bigint").alias("_cmax"),
+    )
+    return t.select(
+        "n_sources",
+        "n_docs",
+        F.expr(
+            "CAST((1000000 * _c2) DIV"
+            " (CAST(n_docs AS decimal(38,0))"
+            "  * CAST(n_docs AS decimal(38,0))) AS BIGINT)"
+        ).alias("hhi_u6"),
+        F.expr(
+            "CAST((1000000 * CAST(n_docs AS decimal(38,0))"
+            " * CAST(n_docs AS decimal(38,0))) DIV _c2 AS BIGINT)"
+        ).alias("effective_sources_u6"),
+        F.expr(
+            "CAST((1000000 * _cmax) DIV n_docs AS BIGINT)"
+        ).alias("max_share_ppm"),
+    )

@@ -15,12 +15,17 @@ Engine-portable spec, all integer:
 - caliper c = max(1, ceil(0.2 * sd)) with sd the EXACT integer
   population standard deviation (``_isqrt_exact`` over DECIMAL
   moments — the Neyman recipe);
-- candidate generation is CALIPER-BUCKET BLOCKING (the interval_join
-  rewrite): score-buckets of width c, controls attach to buckets
-  b-1/b/b+1, so every |delta| <= c pair appears in exactly one
-  equi-join — never a corpus cross product, never a global sort;
+- matching runs at DISTINCT-SCORE grain (the fuzzy_join
+  repeated-value rule) as a SORTED TWO-SIDED AS-OF: in 1-D the
+  nearest control is always the floor or ceiling neighbor on the
+  sorted score axis, found by two rank-equi-joins over the two-phase
+  global_rank/global_cumsum primitives — never a caliper-candidate
+  pair set (whose density grows with the corpus: the bucketed form
+  probed 3.0-3.9x at 8x, this one is two linear shuffles), never a
+  corpus cross product or single-partition sort;
 - 1-NN per treated = argmin (|delta|, control score, control id) —
-  total order, WindowGroupLimit-riding rank shape;
+  resolved as floor-vs-ceiling with floor winning ties, and the
+  min-id champion per control score;
 - ATT is emitted as the signed integer numerator plus a
   negate-first-DIV mean (the lm_slice_report convention).
 
@@ -30,7 +35,7 @@ Output (1 row): ``n_treated``, ``n_matched``, ``caliper_c``,
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
 from .sampling import _isqrt_exact
@@ -78,40 +83,107 @@ def psm_att(
             ).alias("_c"),
         )
     )
-    b = base.crossJoin(F.broadcast(scal)).withColumn(
-        "_b", F.expr("(_s - _smin) DIV _c")
+    # Two-stage scale shape. (1) DISTINCT-SCORE grain (the fuzzy_join
+    # repeated-value rule): every treated unit with the same score
+    # matches the same control, so matching runs on distinct scores
+    # and row counts only join back. (2) SORTED TWO-SIDED AS-OF
+    # instead of caliper-bucket pair generation: in 1-D the nearest
+    # control is always the floor or ceiling neighbor on the sorted
+    # score axis, so each treated value needs TWO rank-equi-joins —
+    # never the caliper's whole candidate population (the bucketed
+    # form probed 3.0-3.9x at 8x; density inside a caliper grows
+    # with the corpus, the two-neighbor lookup does not). The rank /
+    # cumsum primitives are the two-phase global_rank family — no
+    # single-partition funnel.
+    from .ranking import global_cumsum, global_rank
+
+    tvals = (
+        base.filter(F.col("_t"))
+        .groupBy("_s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("_nt"),
+            F.sum("_y").cast("bigint").alias("_syt"),
+        )
+        .select(F.col("_s").alias("_ts"), "_nt", "_syt")
     )
-    treated = b.filter(F.col("_t")).select(
-        F.col("_id").alias("_tid"),
-        F.col("_s").alias("_ts"),
-        F.col("_y").alias("_ty"),
-        F.col("_b").alias("_tb"),
-        F.col("_c"),
+    # control champion per distinct score: the per-treated tie-break
+    # argmin (|delta|, cs, cid) always resolves to the min-cid
+    # control of the winning score
+    cvals = (
+        base.filter(~F.col("_t"))
+        .groupBy("_s")
+        .agg(F.min(F.struct(F.col("_id"), F.col("_y"))).alias("_ch"))
+        .select(F.col("_s").alias("_cs"), F.col("_ch._y").alias("_cy"))
     )
-    controls = b.filter(~F.col("_t")).select(
-        F.col("_id").alias("_cid"),
-        F.col("_s").alias("_cs"),
-        F.col("_y").alias("_cy"),
-        F.explode(
-            F.array(F.col("_b") - 1, F.col("_b"), F.col("_b") + 1)
-        ).alias("_tb"),
+    u = cvals.select(
+        F.col("_cs").alias("_s"),
+        F.lit(0).alias("_side"),
+        F.lit(1).alias("_isc"),
+    ).unionByName(
+        tvals.select(
+            F.col("_ts").alias("_s"),
+            F.lit(1).alias("_side"),
+            F.lit(0).alias("_isc"),
+        )
     )
-    cand = treated.join(controls, "_tb").filter(
-        F.abs(F.col("_ts") - F.col("_cs")) <= F.col("_c")
+    # floor index: controls sort before treated at equal score, so a
+    # control AT the treated score is its own floor (|delta| = 0)
+    cum = global_cumsum(
+        u, [F.col("_s").asc(), F.col("_side").asc()], "_isc", "_fidx"
     )
-    w = Window.partitionBy("_tid").orderBy(
-        F.abs(F.col("_ts") - F.col("_cs")).asc(),
-        F.col("_cs").asc(),
-        F.col("_cid").asc(),
+    tidx = cum.filter(F.col("_side") == 1).select(
+        F.col("_s").alias("_ts"), "_fidx"
+    )
+    crk = global_rank(cvals, [F.col("_cs").asc()], rank_col="_cr")
+    floor_c = crk.select(
+        F.col("_cr").alias("_fidx"),
+        F.col("_cs").alias("_fs"),
+        F.col("_cy").alias("_fy"),
+    )
+    ceil_c = crk.select(
+        (F.col("_cr") - 1).alias("_fidx"),
+        F.col("_cs").alias("_es"),
+        F.col("_cy").alias("_ey"),
+    )
+    j = (
+        tvals.join(tidx, "_ts")
+        .join(floor_c, "_fidx", "left")
+        .join(ceil_c, "_fidx", "left")
+        .crossJoin(F.broadcast(scal.select("_c")))
+    )
+    fl_ok = F.col("_fs").isNotNull() & (
+        (F.col("_ts") - F.col("_fs")) <= F.col("_c")
+    )
+    ce_ok = F.col("_es").isNotNull() & (
+        (F.col("_es") - F.col("_ts")) <= F.col("_c")
+    )
+    best_cy = (
+        F.when(
+            fl_ok
+            & (
+                ~ce_ok
+                | (
+                    (F.col("_ts") - F.col("_fs"))
+                    <= (F.col("_es") - F.col("_ts"))
+                )
+            ),
+            F.col("_fy"),
+        )
+        .when(ce_ok, F.col("_ey"))
+        .otherwise(F.lit(None))
     )
     matched = (
-        cand.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("_tid", "_ty", "_cy")
+        j.withColumn("_cy", best_cy)
+        .filter(F.col("_cy").isNotNull())
+        .select("_ts", "_nt", "_syt", "_cy")
     )
     stats = matched.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_matched"),
-        F.coalesce(F.sum(F.col("_ty") - F.col("_cy")), F.lit(0))
+        F.coalesce(F.sum("_nt"), F.lit(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.coalesce(
+            F.sum(F.col("_syt") - F.col("_nt") * F.col("_cy")), F.lit(0)
+        )
         .cast("bigint")
         .alias("att_num"),
     )

@@ -447,6 +447,82 @@ FROM us_a ORDER BY abs_score, doc_id LIMIT {k}
     )
 
 
+def wordpiece_fertility_sql(
+    n_merges: int = 8, rounds: int = 20, src: str = "documents"
+) -> str:
+    """Per-source WordPiece fertility oracle (operators/bpe.py:
+    wordpiece_encode_pieces at distinct-word grain + a source-grain
+    rollup): the learned trajectory via the shared stage CTEs, the
+    greedy longest-match unrolled ``rounds`` times, pieces-per-word
+    and multi-piece share per source (the BPE-fertility pairing for
+    the WordPiece family)."""
+    from sea_express_customs_etl_spark.plans.oracles_ext import (
+        wordpiece_stage_ctes,
+    )
+
+    stages = wordpiece_stage_ctes(n_merges, src)
+    vocab_union = " UNION ALL ".join(
+        f"SELECT l || r AS u FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    enc = [
+        f"""wpv AS MATERIALIZED (
+  SELECT u FROM ({vocab_union} UNION ALL SELECT '</w>')),
+wpd AS MATERIALIZED (
+  SELECT source, w AS word FROM (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM {src})
+  WHERE w <> ''),
+e0 AS (
+  SELECT word, word || '</w>' AS aug,
+         1 AS pos, CAST(0 AS BIGINT) AS pieces
+  FROM (SELECT DISTINCT word FROM wpd))"""
+    ]
+    for j in range(1, rounds + 1):
+        enc.append(f"""e{j} AS MATERIALIZED (
+  SELECT word, aug,
+         CASE WHEN pos > len(aug) THEN pos
+              ELSE pos + coalesce((SELECT max(len(v.u)) FROM wpv v
+                   WHERE substr(aug, pos, len(v.u)) = v.u), 1) END AS pos,
+         CASE WHEN pos > len(aug) THEN pieces ELSE pieces + 1 END
+             AS pieces
+  FROM e{j - 1})""")
+    return (
+        "WITH "
+        + ",\n".join(stages + enc)
+        + f"""
+SELECT d.source,
+       count(*)::BIGINT AS n_words,
+       sum(e.pieces)::BIGINT AS n_pieces,
+       (1000000 * sum(e.pieces)::BIGINT) // count(*)::BIGINT
+           AS fert_u6,
+       (1000000 * sum(CASE WHEN e.pieces > 1 THEN 1 ELSE 0 END)::BIGINT)
+           // count(*)::BIGINT AS multi_ppm
+FROM wpd d JOIN e{rounds} e USING (word) GROUP BY 1
+"""
+    )
+
+
+# Corpus balance datacard (operators/textstats or entry-inline):
+# per-source concentration — Herfindahl index, effective source
+# count, max share — all exact integer rationals over HUGEINT.
+CORPUS_BALANCE_SQL = """
+WITH cb_c AS (
+  SELECT source, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+cb_t AS (
+  SELECT sum(c)::BIGINT AS n, sum(c::HUGEINT * c) AS c2,
+         max(c)::BIGINT AS cmax, count(*)::BIGINT AS ns
+  FROM cb_c)
+SELECT ns AS n_sources, n AS n_docs,
+       CAST((1000000::HUGEINT * c2) // (n::HUGEINT * n) AS BIGINT)
+           AS hhi_u6,
+       CAST((1000000::HUGEINT * n * n) // c2 AS BIGINT)
+           AS effective_sources_u6,
+       CAST((1000000::HUGEINT * cmax) // n AS BIGINT) AS max_share_ppm
+FROM cb_t
+"""
+
+
 def psm_att_sql() -> str:
     """Caliper-matched ATT oracle (operators/psm.py:psm_att): the
     averaged-perceptron prelude scores every doc, treated = en;

@@ -104,6 +104,7 @@ FORCED_BROADCAST_ALLOWED = {
     "bpe_token_counts",    # same distinct-word dictionary dial as
     #                        bpe_encode_fixed (learned merges)
     "bpe_fertility_by_source",  # same distinct-word dictionary dial
+    "wordpiece_fertility_by_source",  # same dictionary dial (wp encode)
     "bpe_encode_fixed",    # distinct-word dictionary (documented dial —
     #                        Heaps-law growth, pinned because the
     #                        dictionary-encode design depends on it)

@@ -125,3 +125,33 @@ def test_psm_negative_att_sign(spark):
     assert r.n_matched == 1
     assert r.att_num == -45
     assert r.att_u6 == -(45 * 1_000_000)
+
+
+def test_corpus_balance_golden(spark):
+    from sea_express_customs_etl_spark.operators.dispersion import (
+        corpus_balance,
+    )
+
+    # sources a:6, b:2 -> N=8, sum c^2 = 40
+    docs = spark.createDataFrame(
+        [(i, "a" if i < 6 else "b") for i in range(8)],
+        ["doc_id", "source"],
+    )
+    r = corpus_balance(docs).collect()[0]
+    assert r.n_sources == 2 and r.n_docs == 8
+    assert r.hhi_u6 == (1_000_000 * 40) // 64
+    assert r.effective_sources_u6 == (1_000_000 * 64) // 40
+    assert r.max_share_ppm == 750_000
+
+
+def test_corpus_balance_uniform_effective_equals_n(spark):
+    from sea_express_customs_etl_spark.operators.dispersion import (
+        corpus_balance,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "s%d" % (i % 5)) for i in range(50)], ["doc_id", "source"]
+    )
+    r = corpus_balance(docs).collect()[0]
+    assert r.effective_sources_u6 == 5_000_000
+    assert r.hhi_u6 == 200_000

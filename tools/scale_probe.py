@@ -1863,12 +1863,44 @@ def cases_r10b():
         )
         return uncertainty_sample_topk(docs, w, k=32)
 
+    def _srm(docs, emb):
+        from sea_express_customs_etl_spark.operators.sampling import (
+            split_srm_check,
+        )
+
+        return split_srm_check(docs)
+
+    def _psm(docs, emb):
+        # scores as a deterministic hash-derived integer (the probe
+        # measures blocking + matching, not training — frozen-model
+        # protocol); outcome = n_chars, treated = en
+        from sea_express_customs_etl_spark.operators.psm import psm_att
+
+        scored = docs.select(
+            "doc_id",
+            (_F.col("lang") == "en").alias("treated"),
+            (
+                _F.conv(
+                    _F.substring(
+                        _F.md5(_F.col("doc_id").cast("string")), 1, 6
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 10_000
+            ).alias("score"),
+            _F.col("n_chars").alias("outcome"),
+        )
+        return psm_att(scored)
+
     return {
         "domain_reweight_mw": _reweight,
         "length_emd_drift": _emd,
         "bpe_fertility": _fertility,
         "training_cartography": _carto,
         "uncertainty_topk": _uncert,
+        "split_srm_check": _srm,
+        "psm_att": _psm,
     }
 
 
@@ -1977,6 +2009,17 @@ def cases_r9c():
         return out
 
     return {"knn_adc_vote": lambda docs, emb: _knn_adc(emb)}
+
+
+def cases_r10_ev():
+    """Sliding-HLL probe: replication grows per-hour user MASS (ts is
+    not shifted, user ids are), so register tables stay |hours|x256 —
+    the mergeable-state claim, measured."""
+    from sea_express_customs_etl_spark.operators.sketches import (
+        hll_sliding_stats,
+    )
+
+    return {"hll_sliding_users": lambda ev: hll_sliding_stats(ev)}
 
 
 def cases_r9c_ev():
@@ -2105,6 +2148,7 @@ def main() -> None:
     ev_cases = cases_ev()
     ev_cases.update(cases_r9_ev())
     ev_cases.update(cases_r9c_ev())
+    ev_cases.update(cases_r10_ev())
     graph_cases = cases_graph()
     li_cases = cases_li()
     li_cases.update(cases_r9c_li())
