@@ -51,8 +51,8 @@ hp_m AS (
          sum(x::DECIMAL(38,0) * x) AS sxx
   FROM hp_xy)
 SELECT CAST(n AS INTEGER) AS n_points,
-       CAST(((n * sxy - sx * sy) * 1000000)
-            // (n * sxx - sx * sx) AS BIGINT) AS beta_u6
+       CAST(CAST((n * sxy - sx * sy) * 1000000 AS HUGEINT)
+            // CAST(n * sxx - sx * sx AS HUGEINT) AS BIGINT) AS beta_u6
 FROM hp_m
 """
 
@@ -275,53 +275,26 @@ FROM ps_s CROSS JOIN ps_t
 
 def bpe_fertility_sql(n_merges: int = 10, src: str = "documents") -> str:
     """Per-source tokenizer-fertility oracle (operators/bpe.py:
-    bpe_fertility): the learned-merge trajectory via the SHARED stage
-    CTEs (all MATERIALIZED — the wordpiece inlining lesson), the
-    word-keyed replace chain of bpe_token_counts_sql, then a
-    source-grain rollup of pieces-per-word. Single positive DIVs on
-    BIGINT (integer on both engines)."""
-    from sea_express_customs_etl_spark.plans.oracles_ext import (
-        bpe_stage_ctes,
+    bpe_fertility): the SHARED BPE apply chain
+    (oracles_r9.bpe_apply_ctes — one place for the replace-chain SQL)
+    with a source-carrying word table, then a source-grain rollup of
+    pieces-per-word. Single positive DIVs on BIGINT."""
+    from sea_express_customs_etl_spark.plans.oracles_r9 import (
+        bpe_apply_ctes,
     )
 
-    s = chr(31)
-    stages = bpe_stage_ctes(n_merges, src, materialized=True)
-    enc = [
-        f"""bf_wd AS MATERIALIZED (
-  SELECT source, w FROM (
-    SELECT source,
-           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-    FROM {src})
-  WHERE w <> ''),
-bf_e0 AS MATERIALIZED (
-  SELECT w,
-         '{s}' || array_to_string(
-             list_append(regexp_split_to_array(w, ''), '</w>'),
-             '{s}{s}') || '{s}' AS enc
-  FROM (SELECT DISTINCT w FROM bf_wd))"""
-    ]
-    for k in range(1, n_merges + 1):
-        enc.append(f"""bf_e{k} AS MATERIALIZED (
-  SELECT w,
-         replace(enc, '{s}' || m.l || '{s}{s}' || m.r || '{s}',
-                 '{s}' || m.l || m.r || '{s}') AS enc
-  FROM bf_e{k - 1} CROSS JOIN m{k} m)""")
+    ctes = bpe_apply_ctes(n_merges, src, "source", word_cte="bfw")
     return (
         "WITH "
-        + ",\n".join(stages + enc)
-        + f""",
-bf_p AS MATERIALIZED (
-  SELECT w,
-         CAST(len(string_split(trim(enc, '{s}'), '{s}{s}')) AS BIGINT)
-             AS n
-  FROM bf_e{n_merges})
+        + ",\n".join(ctes)
+        + """
 SELECT b.source,
        count(*)::BIGINT AS n_words,
        sum(p.n)::BIGINT AS n_pieces,
        (1000000 * sum(p.n)::BIGINT) // count(*)::BIGINT AS fert_u6,
        (1000000 * sum(CASE WHEN p.n > 1 THEN 1 ELSE 0 END)::BIGINT)
            // count(*)::BIGINT AS multi_ppm
-FROM bf_wd b JOIN bf_p p USING (w) GROUP BY 1
+FROM bfw b JOIN bpieces p USING (w) GROUP BY 1
 """
     )
 
@@ -452,44 +425,20 @@ def wordpiece_fertility_sql(
 ) -> str:
     """Per-source WordPiece fertility oracle (operators/bpe.py:
     wordpiece_encode_pieces at distinct-word grain + a source-grain
-    rollup): the learned trajectory via the shared stage CTEs, the
-    greedy longest-match unrolled ``rounds`` times, pieces-per-word
-    and multi-piece share per source (the BPE-fertility pairing for
-    the WordPiece family)."""
-    from sea_express_customs_etl_spark.plans.oracles_ext import (
-        wordpiece_stage_ctes,
+    rollup): the SHARED WordPiece apply chain
+    (oracles_r9.wordpiece_apply_ctes) with a source-carrying word
+    table — pieces-per-word and multi-piece share per source (the
+    BPE-fertility pairing for the WordPiece family)."""
+    from sea_express_customs_etl_spark.plans.oracles_r9 import (
+        wordpiece_apply_ctes,
     )
 
-    stages = wordpiece_stage_ctes(n_merges, src)
-    vocab_union = " UNION ALL ".join(
-        f"SELECT l || r AS u FROM m{k}" for k in range(1, n_merges + 1)
+    ctes = wordpiece_apply_ctes(
+        n_merges, rounds, src, "source", word_cte="wfw"
     )
-    enc = [
-        f"""wpv AS MATERIALIZED (
-  SELECT u FROM ({vocab_union} UNION ALL SELECT '</w>')),
-wpd AS MATERIALIZED (
-  SELECT source, w AS word FROM (
-    SELECT source,
-           unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
-    FROM {src})
-  WHERE w <> ''),
-e0 AS (
-  SELECT word, word || '</w>' AS aug,
-         1 AS pos, CAST(0 AS BIGINT) AS pieces
-  FROM (SELECT DISTINCT word FROM wpd))"""
-    ]
-    for j in range(1, rounds + 1):
-        enc.append(f"""e{j} AS MATERIALIZED (
-  SELECT word, aug,
-         CASE WHEN pos > len(aug) THEN pos
-              ELSE pos + coalesce((SELECT max(len(v.u)) FROM wpv v
-                   WHERE substr(aug, pos, len(v.u)) = v.u), 1) END AS pos,
-         CASE WHEN pos > len(aug) THEN pieces ELSE pieces + 1 END
-             AS pieces
-  FROM e{j - 1})""")
     return (
         "WITH "
-        + ",\n".join(stages + enc)
+        + ",\n".join(ctes)
         + f"""
 SELECT d.source,
        count(*)::BIGINT AS n_words,
@@ -498,7 +447,7 @@ SELECT d.source,
            AS fert_u6,
        (1000000 * sum(CASE WHEN e.pieces > 1 THEN 1 ELSE 0 END)::BIGINT)
            // count(*)::BIGINT AS multi_ppm
-FROM wpd d JOIN e{rounds} e USING (word) GROUP BY 1
+FROM wfw d JOIN e{rounds} e USING (word) GROUP BY 1
 """
     )
 

@@ -270,17 +270,15 @@ FROM rq LEFT JOIN ragg USING (query_id)
 """
 
 
-def wordpiece_token_counts_sql(
-    n_merges: int = 8, rounds: int = 20, src: str = "documents"
-) -> str:
-    """WordPiece APPLY oracle (operators/bpe.wordpiece_encode_pieces):
-    the training trajectory re-derived via the SHARED stage CTEs
-    (oracles_ext.wordpiece_stage_ctes — never pasted literals), the
-    vocabulary assembled from the m1..m{n} winners + the '</w>'
-    sentinel, then ``rounds`` unrolled greedy longest-prefix-match
-    steps at DISTINCT-WORD grain (a correlated max-length scalar
-    subquery per step; the done-guard makes surplus rounds no-ops),
-    and one per-doc piece-count rollup."""
+def wordpiece_apply_ctes(
+    n_merges: int, rounds: int, src: str, carry_col: str,
+    word_cte: str = "wpd"
+) -> list[str]:
+    """Shared WordPiece-APPLY chain: stage CTEs (training
+    trajectory), the learned-unit vocabulary, a ``carry_col``-carrying
+    word table, and ``rounds`` unrolled greedy longest-prefix-match
+    steps ending in ``e{rounds}`` (word, pieces) — the one place the
+    greedy-match SQL lives (token counts and fertility compose it)."""
     from sea_express_customs_etl_spark.plans.oracles_ext import (
         wordpiece_stage_ctes,
     )
@@ -292,16 +290,16 @@ def wordpiece_token_counts_sql(
     enc = [
         f"""wpv AS MATERIALIZED (
   SELECT u FROM ({vocab_union} UNION ALL SELECT '</w>')),
-wpd AS MATERIALIZED (
-  SELECT doc_id, w AS word FROM (
-    SELECT doc_id,
+{word_cte} AS MATERIALIZED (
+  SELECT {carry_col}, w AS word FROM (
+    SELECT {carry_col},
            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
     FROM {src})
   WHERE w <> ''),
 e0 AS (
   SELECT word, word || '</w>' AS aug,
          1 AS pos, CAST(0 AS BIGINT) AS pieces
-  FROM (SELECT DISTINCT word FROM wpd))"""
+  FROM (SELECT DISTINCT word FROM {word_cte}))"""
     ]
     for j in range(1, rounds + 1):
         enc.append(f"""e{j} AS MATERIALIZED (
@@ -312,27 +310,35 @@ e0 AS (
          CASE WHEN pos > len(aug) THEN pieces ELSE pieces + 1 END
              AS pieces
   FROM e{j - 1})""")
+    return stages + enc
+
+
+def wordpiece_token_counts_sql(
+    n_merges: int = 8, rounds: int = 20, src: str = "documents"
+) -> str:
+    """WordPiece APPLY oracle (operators/bpe.wordpiece_encode_pieces):
+    the shared apply chain (:func:`wordpiece_apply_ctes` — trajectory
+    via the stage CTEs, never pasted literals; ``rounds`` unrolled
+    greedy longest-prefix-match steps at DISTINCT-WORD grain) plus
+    one per-doc piece-count rollup."""
+    ctes = wordpiece_apply_ctes(n_merges, rounds, src, "doc_id")
     return (
         "WITH "
-        + ",\n".join(stages + enc)
+        + ",\n".join(ctes)
         + f"""
 SELECT d.doc_id, CAST(sum(e.pieces) AS BIGINT) AS n_tokens
 FROM wpd d JOIN e{rounds} e USING (word) GROUP BY 1
 """
     )
 
-
-def bpe_token_counts_sql(
-    n_merges: int = 10, src: str = "documents"
-) -> str:
-    """BPE LEARNED-merge apply oracle (operators/bpe.bpe_encode under
-    the session-trained merges): the training trajectory re-derived
-    via the SHARED stage CTEs (oracles_ext.bpe_stage_ctes, all
-    MATERIALIZED — the m{k} winners are referenced twice here, train
-    chain + encode chain, the wordpiece 3^k-inlining lesson), then a
-    word-keyed replace chain applies each winner in merge order and
-    the per-doc piece counts roll up. Never pasted literals — the
-    learned merges stay CTE values."""
+def bpe_apply_ctes(
+    n_merges: int, src: str, carry_col: str, word_cte: str = "bwd"
+) -> list[str]:
+    """Shared BPE-APPLY chain: the MATERIALIZED stage CTEs (training
+    trajectory), a ``carry_col``-carrying word table, the word-keyed
+    replace chain, and the per-word piece table ``bpieces`` — the one
+    place merge-apply SQL lives (token counts and fertility both
+    compose it; a fix here lands in every consumer)."""
     from sea_express_customs_etl_spark.plans.oracles_ext import (
         bpe_stage_ctes,
     )
@@ -340,9 +346,9 @@ def bpe_token_counts_sql(
     s = chr(31)
     stages = bpe_stage_ctes(n_merges, src, materialized=True)
     enc = [
-        f"""bwd AS MATERIALIZED (
-  SELECT doc_id, w FROM (
-    SELECT doc_id,
+        f"""{word_cte} AS MATERIALIZED (
+  SELECT {carry_col}, w FROM (
+    SELECT {carry_col},
            unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
     FROM {src})
   WHERE w <> ''),
@@ -351,7 +357,7 @@ be0 AS MATERIALIZED (
          '{s}' || array_to_string(
              list_append(regexp_split_to_array(w, ''), '</w>'),
              '{s}{s}') || '{s}' AS enc
-  FROM (SELECT DISTINCT w FROM bwd))"""
+  FROM (SELECT DISTINCT w FROM {word_cte}))"""
     ]
     for k in range(1, n_merges + 1):
         enc.append(f"""be{k} AS MATERIALIZED (
@@ -359,15 +365,28 @@ be0 AS MATERIALIZED (
          replace(enc, '{s}' || m.l || '{s}{s}' || m.r || '{s}',
                  '{s}' || m.l || m.r || '{s}') AS enc
   FROM be{k - 1} CROSS JOIN m{k} m)""")
-    return (
-        "WITH "
-        + ",\n".join(stages + enc)
-        + f""",
-bpieces AS MATERIALIZED (
+    enc.append(f"""bpieces AS MATERIALIZED (
   SELECT w,
          CAST(len(string_split(trim(enc, '{s}'), '{s}{s}')) AS BIGINT)
              AS n
-  FROM be{n_merges})
+  FROM be{n_merges})""")
+    return stages + enc
+
+
+def bpe_token_counts_sql(
+    n_merges: int = 10, src: str = "documents"
+) -> str:
+    """BPE LEARNED-merge apply oracle (operators/bpe.bpe_encode under
+    the session-trained merges): the shared apply chain
+    (:func:`bpe_apply_ctes` — stage CTEs all MATERIALIZED, the
+    wordpiece 3^k-inlining lesson) plus the per-doc piece-count
+    rollup. Never pasted literals — the learned merges stay CTE
+    values."""
+    ctes = bpe_apply_ctes(n_merges, src, "doc_id")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
 SELECT d.doc_id, CAST(sum(p.n) AS BIGINT) AS n_tokens
 FROM bwd d JOIN bpieces p USING (w) GROUP BY 1
 """
