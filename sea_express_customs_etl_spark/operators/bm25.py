@@ -74,11 +74,16 @@ def bm25_topk(
     id_col: str = "doc_id",
     include_rank: bool = False,
     staged: DataFrame | None = None,
+    include_score: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents per query by integer BM25. Output:
     ``query_id, doc_id, score_u6`` (score in micro-units of
     idf·saturation), ties broken by doc_id — or ``query_id, doc_id,
-    rank`` with ``include_rank=True`` (the fusion-input form).
+    rank`` with ``include_rank=True`` (the fusion-input form;
+    ``include_score=True`` additionally keeps ``score_u6``, so one run
+    can serve both the fusion input and the scored top-k — a (q, doc)
+    pair's score does not depend on ``k``, so the rank ≤ 10 slice of a
+    k = 20 run is bit-identical to a k = 10 run).
     ``staged`` lets a composed query (retrieval_ndcg and siblings)
     pass ONE persisted tokenization shared across its truth/ranking
     passes instead of re-splitting the corpus per stage."""
@@ -131,9 +136,10 @@ def bm25_topk(
         F.col("_rn") <= k
     )
     if include_rank:
-        return ranked.select(
-            "query_id", id_col, F.col("_rn").cast("int").alias("rank")
-        )
+        cols = ["query_id", id_col, F.col("_rn").cast("int").alias("rank")]
+        if include_score:
+            cols.append(F.col("score_u6"))
+        return ranked.select(*cols)
     return ranked.select("query_id", id_col, "score_u6")
 
 

@@ -37,6 +37,12 @@ def conformal_label_sets(
 ) -> DataFrame:
     """``scored``: (id, score int, truth 0/1). Even ids calibrate,
     odd ids are evaluated. y is mapped to ±1; a = −y·s."""
+    from sea_express_customs_etl_spark.plans.cache import tracked_persist
+
+    # scored is consumed three times (calibration rank, calibration
+    # count, test side) — without a pin the upstream scoring pipeline
+    # (a corpus explode + model join) re-executes per consumer
+    scored = tracked_persist(scored)
     y = (2 * F.col(label_col) - 1).cast("bigint")
     s = F.col(score_col).cast("bigint")
     cal = (

@@ -107,17 +107,24 @@ def facility_location_from_sims(
                 ).alias("gain_u6")
             )
         )
-        winner = tracked_persist(
+        # winner (1 row) and the updated cover are BOTH re-referenced
+        # by every later round — persisted-only state nests each
+        # round's plan inside the next (252 Exchange nodes / 349 KB
+        # explain at k = 4). localCheckpoint is the lineage CUT (the
+        # mmr lesson): winner is 1 row; cover is the corpus-grain
+        # state a production run would keep as a checkpoint table.
+        winner = (
             gains.withColumn("_rn", F.row_number().over(pick_w))
             .filter(F.col("_rn") == 1)
             .select(
                 F.lit(i).alias("sel_rank"), "_c", "gain_u6"
             )
+            .localCheckpoint()
         )
         w_sim = sims.join(winner.select("_c"), "_c").select(
             "_p", F.col("_s").alias("_ws")
         )
-        cover = tracked_persist(
+        cover = (
             cover.join(w_sim, "_p", "left")
             .select(
                 "_p",
@@ -125,6 +132,7 @@ def facility_location_from_sims(
                     F.col("_cov"), F.coalesce(F.col("_ws"), F.lit(0))
                 ).alias("_cov"),
             )
+            .localCheckpoint()
         )
         out = winner if out is None else out.unionByName(winner)
     return out.select(

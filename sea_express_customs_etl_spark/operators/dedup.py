@@ -922,7 +922,9 @@ def keep_by_quality(
 
 
 def jaccard_threshold_sweep(
-    docs: DataFrame, id_col: str = "doc_id"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    profiles: DataFrame | None = None,
 ) -> DataFrame:
     """Observed threshold-sweep companion to the LSH S-curve: exact
     Jaccard for every LSH candidate pair, bucketed into similarity
@@ -939,10 +941,17 @@ def jaccard_threshold_sweep(
     the banded-LSH candidate set — never an all-pairs product.
 
     Output (11 rows): ``band``, ``n_pairs``, ``pairs_at_or_above``.
+    ``profiles`` (optional) injects an already-materialized
+    :func:`shingle_profiles` frame (the session fingerprint table) so
+    the corpus is not re-shingled per sweep.
     """
     from pyspark.sql import Window
 
-    prof = tracked_persist(shingle_profiles(docs, id_col=id_col))
+    prof = (
+        profiles
+        if profiles is not None
+        else tracked_persist(shingle_profiles(docs, id_col=id_col))
+    )
     pairs = lsh_candidate_pairs(lsh_bands(prof), id_col=id_col)
     pa = prof.select(
         F.col(id_col).alias("id_a"),

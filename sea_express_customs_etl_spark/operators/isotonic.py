@@ -34,6 +34,13 @@ def isotonic_from_deciles(
     """Append ``iso_ppm`` (the isotonic-calibrated positive rate) to a
     reliability table with columns (bucket, n_rows, n_pos, pos_ppm,
     ...). Output: bucket, n_rows, n_pos, pos_ppm, iso_ppm."""
+    # the reliability table is referenced FIVE times below (range
+    # sums, j/k spines, the i spine, the final join) — without a cut,
+    # the WHOLE upstream scoring pipeline re-executes per reference
+    # (222 Exchange nodes / 25 s cold at sf0.1). It is n-bucket rows
+    # (model-sized), so an eager localCheckpoint is free and flattens
+    # every reference to a scan of the materialized 10 rows.
+    deciles = deciles.localCheckpoint()
     b = deciles.select(
         F.col(bucket_col).alias("_b"),
         F.col("n_rows").alias("_nr"),

@@ -148,7 +148,17 @@ def _greedy_select(cand: DataFrame, k_out: int) -> DataFrame:
     pick_w = Window.partitionBy("query_id").orderBy(
         F.col("score_u6").desc(), F.col("neighbor_id").asc()
     )
-    selected = tracked_persist(
+    # Each greedy round references the running ``selected`` frame
+    # twice (anti-join + selected-set join) and unions the pick back
+    # on — persisted-only state therefore NESTS the whole prior round
+    # inside every reference and the logical plan grows geometrically
+    # (918 Exchange nodes / 2 MB explain text for k_out = 5 at sf0.1;
+    # Catalyst re-analysis dominated the runtime). ``selected`` is
+    # MODEL-sized (≤ |queries|·k_out rows — the context budget), so a
+    # per-round eager localCheckpoint is the documented lineage CUT
+    # (the mmr_ann_rerank lesson applied inside the loop): plan size
+    # stays constant per round, values untouched.
+    selected = (
         rel.withColumn("score_u6", F.col("rel_u6"))
         .withColumn("_rn", F.row_number().over(pick_w))
         .filter(F.col("_rn") == 1)
@@ -159,6 +169,7 @@ def _greedy_select(cand: DataFrame, k_out: int) -> DataFrame:
             "rel_u6",
             "score_u6",
         )
+        .localCheckpoint()
     )
     for i in range(2, k_out + 1):
         sel_keys = selected.select("query_id", "neighbor_id")
@@ -186,5 +197,5 @@ def _greedy_select(cand: DataFrame, k_out: int) -> DataFrame:
                 "score_u6",
             )
         )
-        selected = tracked_persist(selected.unionByName(pick))
+        selected = selected.unionByName(pick).localCheckpoint()
     return selected

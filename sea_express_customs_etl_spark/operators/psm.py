@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 import pyspark.sql.functions as F
 
+from ..plans.cache import tracked_persist
 from .sampling import _isqrt_exact
 
 MICRO = 1_000_000
@@ -53,11 +54,17 @@ def psm_att(
     """``scored``: one row per unit with integer ``score``, integer
     ``outcome``, boolean ``treated``."""
     dec = "decimal(38,0)"
-    base = scored.select(
-        F.col(id_col).alias("_id"),
-        F.col(treated_col).cast("boolean").alias("_t"),
-        F.col(score_col).cast("bigint").alias("_s"),
-        F.col(outcome_col).cast("bigint").alias("_y"),
+    # base is read FOUR times (moments, treated values, control
+    # champions, the n_treated count) — without a pin the upstream
+    # scoring pipeline (a corpus explode + model join) re-executes per
+    # reference (the ≥2-consumers rule; 5.5 s → matching-only cost)
+    base = tracked_persist(
+        scored.select(
+            F.col(id_col).alias("_id"),
+            F.col(treated_col).cast("boolean").alias("_t"),
+            F.col(score_col).cast("bigint").alias("_s"),
+            F.col(outcome_col).cast("bigint").alias("_y"),
+        )
     )
     mom = base.agg(
         F.count(F.lit(1)).cast("bigint").alias("_n"),

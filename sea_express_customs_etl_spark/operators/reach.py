@@ -42,8 +42,16 @@ def two_hop_reach(
     mid = nbr
     if mid_deg_max is not None:
         deg = nbr.groupBy("node").agg(F.count(F.lit(1)).alias("_d"))
-        mid = nbr.join(
-            deg.filter(F.col("_d") <= mid_deg_max).select("node"), "node"
+        # both wedge sides below scan ``mid`` — without a pin the
+        # degree aggregation + hub filter re-execute once per side
+        # (the ≥2-consumers rule; the uncapped path's ``mid`` is just
+        # the persisted ``e`` re-keyed, so only the capped path pays
+        # for a second materialization)
+        mid = tracked_persist(
+            nbr.join(
+                deg.filter(F.col("_d") <= mid_deg_max).select("node"),
+                "node",
+            )
         )
     # reach is a SYMMETRIC relation, so dedup at CANONICAL (v < w)
     # pair grain and fan back out with one explode at the (small)

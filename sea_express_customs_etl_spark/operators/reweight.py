@@ -170,6 +170,13 @@ def domain_reweight_mw(
             ).alias("w_ppm"),
         )
     )
+    # per-round lineage CUT (the mmr/coreset lesson): each round
+    # references the previous round's frame twice (Lbar agg +
+    # cross-join), so persisted-only state doubles the logical plan
+    # per round — 2^T copies of the loss lineage at the planner even
+    # though execution is bounded. The frame is |domains| rows
+    # (model-sized), so an eager localCheckpoint per round is free.
+    w = w.localCheckpoint()
     for _ in range(rounds):
-        w = _mw_round(w)
+        w = _mw_round(w).localCheckpoint()
     return w

@@ -265,8 +265,13 @@ def spearman_by_group(
     n_items, rho_spearman. Rank capacity: Σr² ≤ 4n³ per group fits
     DECIMAL(38,0) to n ≈ 10¹¹ rows per group.
     """
+    # the x-ranked frame is consumed twice inside the y-pass (the
+    # distinct-value count AND the join back) — pin it or the x rank
+    # join re-executes per consumer (the ≥2-consumers rule)
     ranked = _avg_rank2(
-        _avg_rank2(df.select(group_col, x_col, y_col), group_col, x_col),
+        tracked_persist(
+            _avg_rank2(df.select(group_col, x_col, y_col), group_col, x_col)
+        ),
         group_col,
         y_col,
     )

@@ -165,6 +165,7 @@ def pretrain_e2e_datacard(
     docs: DataFrame,
     emb: DataFrame,
     merges: list[tuple[str, str]] | None = None,
+    stages: dict | None = None,
 ) -> DataFrame:
     """The flagship's DATACARD: one row per raw source with the
     document count surviving each stage — raw → gated (quarantine +
@@ -177,14 +178,22 @@ def pretrain_e2e_datacard(
 
     Scale: eight partial-agg groupBys on persisted stage frames +
     |sources|-grained joins; the only corpus-touching work is the
-    chain itself."""
+    chain itself. ``stages`` (optional) injects already-staged stage
+    frames (gated/exact/kept/clean/sel/alloc) — the session staging
+    table path: row-identical to a fresh
+    :func:`pretrain_e2e_select_stages` run by construction, and the
+    chain is then never re-derived per datacard build."""
     from sea_express_customs_etl_spark.operators.bpe import (
         bpe_encode,
         bpe_train,
     )
 
-    st = pretrain_e2e_select_stages(docs, emb)
-    sel = st["sel"].localCheckpoint(eager=False)  # feeds train + encode
+    st = stages if stages is not None else pretrain_e2e_select_stages(docs, emb)
+    sel = (
+        st["sel"]
+        if stages is not None  # table-backed: lineage already flat
+        else st["sel"].localCheckpoint(eager=False)  # feeds train + encode
+    )
     if merges is None:
         merges = bpe_train(sel, n_merges=N_MERGES)
     ntok = (
