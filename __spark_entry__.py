@@ -370,11 +370,19 @@ def _graph_shared(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         )
 
         base = "graphshared_" + re.sub(r"\W", "_", f"{app_id}_{sf_dir}")
-        items = (
+        (
             load_table(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_partkey")
             .distinct()
+        ).write.mode("overwrite").format("parquet").saveAsTable(
+            base + "_items"
         )
+        # the distinct basket projection is itself a session table
+        # (r10 optimization round): the edge build reads it here, and
+        # the Apriori family (basket_rules / frequent_part_triples)
+        # reuses the same materialized distinct instead of re-shuffling
+        # lineitem per query
+        items = spark.table(base + "_items")
         a, b = items.alias("a"), items.alias("b")
         ew = (
             a.join(b, "l_orderkey")
@@ -394,7 +402,11 @@ def _graph_shared(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             base + "_tri1"
         )
         release_tracked()  # the build's internal pins die with the build
-        m = {"ew": base + "_ew", "tri1": base + "_tri1"}
+        m = {
+            "ew": base + "_ew",
+            "tri1": base + "_tri1",
+            "items": base + "_items",
+        }
         _GRAPH_MEMO[key] = m
     return m
 
@@ -420,6 +432,17 @@ def _shared_triples_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-per-triangle (x, y, z) enumeration of the unthresholded
     co-purchase graph, from the session table."""
     return spark.table(_graph_shared(spark, sf_dir)["tri1"])
+
+
+def _shared_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (l_orderkey, l_partkey) basket projection from the
+    session table — row-identical to
+    lineitem.select(...).distinct()."""
+    m = _graph_shared(spark, sf_dir)
+    if "items" not in m:  # memo written by an older build in-session
+        del _GRAPH_MEMO[(spark.sparkContext.applicationId, sf_dir)]
+        m = _graph_shared(spark, sf_dir)
+    return spark.table(m["items"])
 
 
 # Session-scoped text near-dup materialization (r10 optimization
@@ -2397,7 +2420,10 @@ def _q_item_item_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.plans.standins import load_table
 
     return item_item_jaccard(
-        load_table(spark, sf_dir, "lineitem"), min_cooc=2, k=5
+        load_table(spark, sf_dir, "lineitem"),
+        min_cooc=2,
+        k=5,
+        items=_shared_items(spark, sf_dir),
     )
 
 
@@ -5045,7 +5071,9 @@ def _q_frequent_part_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.cf import frequent_triples
 
     return frequent_triples(
-        load_table(spark, sf_dir, "lineitem"), min_support=2
+        load_table(spark, sf_dir, "lineitem"),
+        min_support=2,
+        items=_shared_items(spark, sf_dir),
     )
 
 
@@ -5404,7 +5432,10 @@ def _q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.cf import basket_rules
 
     return basket_rules(
-        load_table(spark, sf_dir, "lineitem"), min_support=2, k=50
+        load_table(spark, sf_dir, "lineitem"),
+        min_support=2,
+        k=50,
+        items=_shared_items(spark, sf_dir),
     )
 
 

@@ -34,15 +34,19 @@ def item_item_jaccard(
     lineitem: DataFrame,
     min_cooc: int = 2,
     k: int = 5,
+    items: DataFrame | None = None,
 ) -> DataFrame:
     """Per-item top-``k`` co-purchase recommendations by integer
     Jaccard: item_id, rec_id, sim_ppm (10⁶-scaled floor), ties broken
     by rec_id. Pairs below ``min_cooc`` shared orders are pruned
     before scoring (the sparsifier every production CF pipeline
-    applies — one-off co-occurrence is noise and volume)."""
-    items = tracked_persist(
-        lineitem.select("l_orderkey", "l_partkey").distinct()
-    )  # three scans: both co-occurrence sides + the degree count
+    applies — one-off co-occurrence is noise and volume).
+    ``items`` (optional) injects an already-materialized distinct
+    (order, item) projection — the session basket table."""
+    if items is None:
+        items = tracked_persist(
+            lineitem.select("l_orderkey", "l_partkey").distinct()
+        )  # three scans: both co-occurrence sides + the degree count
     deg = items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("_d")
     )
@@ -80,6 +84,7 @@ def item_item_jaccard(
 def frequent_triples(
     lineitem: DataFrame,
     min_support: int = 2,
+    items: DataFrame | None = None,
 ) -> DataFrame:
     """Frequent 3-itemsets over order baskets — Apriori level 3
     (Agrawal & Srikant, VLDB 1994): every unordered part triple
@@ -96,10 +101,13 @@ def frequent_triples(
     (p1 < p2 < p3 — each triple generated exactly once); fan-out is
     Σ C(basket,3), bounded by the max basket size (TPC-H caps at 7 →
     ≤35 per order; real carts cap similarly). Output:
-    ``p1, p2, p3, support`` (bigint), all nonnegative integers."""
-    items = tracked_persist(
-        lineitem.select("l_orderkey", "l_partkey").distinct()
-    )  # scans: frequent-item count + three self-join branches
+    ``p1, p2, p3, support`` (bigint), all nonnegative integers.
+    ``items`` (optional) injects an already-materialized distinct
+    (order, item) projection — the session basket table."""
+    if items is None:
+        items = tracked_persist(
+            lineitem.select("l_orderkey", "l_partkey").distinct()
+        )  # scans: frequent-item count + three self-join branches
     freq = (
         items.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -125,6 +133,7 @@ def basket_rules(
     lineitem: DataFrame,
     min_support: int = 2,
     k: int = 50,
+    items: DataFrame | None = None,
 ) -> DataFrame:
     """Association rules A → B over order baskets — the
     confidence/lift layer (Agrawal/Imieliński/Swami SIGMOD 1993) on
@@ -141,10 +150,13 @@ def basket_rules(
 
     Plan: the same distinct (order, item) projection feeds item
     supports and the basket-bounded pair self-join; the 1-row order
-    count rides a pinned broadcast (the allowed scalar class)."""
-    items = tracked_persist(
-        lineitem.select("l_orderkey", "l_partkey").distinct()
-    )
+    count rides a pinned broadcast (the allowed scalar class).
+    ``items`` (optional) injects an already-materialized distinct
+    (order, item) projection — the session basket table."""
+    if items is None:
+        items = tracked_persist(
+            lineitem.select("l_orderkey", "l_partkey").distinct()
+        )
     n_orders = items.agg(
         F.countDistinct("l_orderkey").cast("bigint").alias("_n")
     )

@@ -104,7 +104,11 @@ def psm_att(
     # single-partition funnel.
     from .ranking import global_cumsum, global_rank
 
-    tvals = (
+    # both distinct-score frames are model-sized and multiply consumed
+    # (tvals: the index union + the match join; cvals: the index union
+    # + the rank spine, whose output is itself read twice as floor and
+    # ceiling) — pin them so each partial agg over base runs once
+    tvals = tracked_persist(
         base.filter(F.col("_t"))
         .groupBy("_s")
         .agg(
@@ -116,7 +120,7 @@ def psm_att(
     # control champion per distinct score: the per-treated tie-break
     # argmin (|delta|, cs, cid) always resolves to the min-cid
     # control of the winning score
-    cvals = (
+    cvals = tracked_persist(
         base.filter(~F.col("_t"))
         .groupBy("_s")
         .agg(F.min(F.struct(F.col("_id"), F.col("_y"))).alias("_ch"))
