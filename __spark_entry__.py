@@ -10,6 +10,7 @@ from __future__ import annotations
 import os
 import re
 import sys
+import time as _time
 from collections.abc import Callable
 
 # make the engine package importable no matter the caller's cwd
@@ -33,6 +34,21 @@ from sea_express_customs_etl_spark.plans.standins import (
     load_table,
     official_table,
 )
+
+
+# Per-session shared-build cost registry (r10 VERDICT "What's wrong"
+# #4): the bench's best-of-2 minimum hides the one-time _*_shared
+# build that the family's FIRST consumer pays on rep 1. Every memoized
+# session build records its wall-clock here; bench.py reads the dict
+# after the query loop and emits it as its own line item in the
+# bench_summary JSON so the true session cost stays visible.
+SESSION_BUILD_SECONDS: dict[str, float] = {}
+
+
+def _record_build(name: str, t0: float) -> None:
+    SESSION_BUILD_SECONDS[name] = round(
+        SESSION_BUILD_SECONDS.get(name, 0.0) + (_time.time() - t0), 3
+    )
 
 
 def _session_scratch(spark: SparkSession, name: str) -> str:
@@ -155,13 +171,38 @@ def _aligned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped aligned-pairs table (the _graph_shared pattern
+# applied to the link family): positional_align and vote_counts
+# consume the IDENTICAL aligned frame (two collect_list packs + one
+# co-partitioned join + posexplode over ~1 M rows); one materialized
+# build serves both. Row-identical by construction — the table IS the
+# frame, written once.
+_ALIGNED_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _aligned_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _ALIGNED_MEMO if k[0] != app_id]:
+        del _ALIGNED_MEMO[k]
+    key = (app_id, sf_dir)
+    if key not in _ALIGNED_MEMO:
+        t0 = _time.time()
+        tbl = "aligned_" + re.sub(r"\W", "_", f"{app_id}_{sf_dir}")
+        _aligned(spark, sf_dir).write.mode("overwrite").format(
+            "parquet"
+        ).saveAsTable(tbl)
+        _ALIGNED_MEMO[key] = tbl
+        _record_build("aligned_shared", t0)
+    return spark.table(_ALIGNED_MEMO[key])
+
+
 def _q_positional_align(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _aligned(spark, sf_dir)
+    return _aligned_shared(spark, sf_dir)
 
 
 def _q_vote_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _aligned(spark, sf_dir)
+        _aligned_shared(spark, sf_dir)
         .filter(F.col("original_description") != "")
         .withColumnRenamed("description_official", "official_description")
         .groupBy("original_description", "official_description", "ccc_code")
@@ -222,6 +263,7 @@ def _trained_en_perceptron(
     key = (app_id, sf_dir)
     m = _PERCEPTRON_MEMO.get(key)
     if m is None:
+        t0 = _time.time()
         cnt, w, wsum, snaps = _train_weight_dicts(
             _docs(spark, sf_dir), F.col("lang") == "en", buckets=64, epochs=3
         )
@@ -243,6 +285,7 @@ def _trained_en_perceptron(
             ],
         }
         _PERCEPTRON_MEMO[key] = m
+        _record_build("perceptron_train", t0)
     col = "w_avg" if averaged else "w"
     return spark.createDataFrame(sorted(m[col]), f"bucket int, {col} long")
 
@@ -300,6 +343,7 @@ def _ann_model(
     cen = emb.filter(F.col("vec_id") < 16)
     m = _ANN_STORE_MEMO.get(key)
     if m is None or "rows" not in m:
+        t0 = _time.time()
         sample = emb.filter(
             (F.col("vec_id") >= 16) & (F.col("vec_id") < 48)
         )
@@ -310,6 +354,7 @@ def _ann_model(
         m = dict(m or {})
         m["rows"] = rows
         _ANN_STORE_MEMO[key] = m
+        _record_build("ann_model_train", t0)
     codebook = spark.createDataFrame(
         m["rows"], "subspace int, code int, cw_u6 array<bigint>"
     )
@@ -329,6 +374,7 @@ def _ann_shared_store(
     emb = _emb(spark, sf_dir)
     m = _ANN_STORE_MEMO[key]
     if "prefix" not in m:
+        t0 = _time.time()
         prefix = "annshared_" + re.sub(
             r"\W", "_", f"{app_id}_{sf_dir}"
         )
@@ -338,6 +384,7 @@ def _ann_shared_store(
         writer(emb.filter(F.col("vec_id") % 2 == 0), 0)
         writer(emb.filter(F.col("vec_id") % 2 == 1), 1)
         m["prefix"] = prefix
+        _record_build("ann_store_build", t0)
     return cen, codebook, m["prefix"]
 
 
@@ -362,6 +409,7 @@ def _graph_shared(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     key = (app_id, sf_dir)
     m = _GRAPH_MEMO.get(key)
     if m is None:
+        t0 = _time.time()
         from sea_express_customs_etl_spark.operators.graph import (
             _triangle_triples,
         )
@@ -393,9 +441,18 @@ def _graph_shared(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             )
             .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
         )
-        ew.write.mode("overwrite").format("parquet").saveAsTable(
-            base + "_ew"
-        )
+        # bucketed BY SRC (r10 VERDICT #8, guide §2.4 exchange removal):
+        # every src-keyed consumer — the pagerank/ppr outdegree groupBy
+        # + edge join, kcore/lpa degree passes — reads the hash
+        # distribution straight from the bucket spec instead of paying
+        # its own exchange (ppr ed-build 2.0 → 0.7 s, full query
+        # 8.6 → 4.0 s at sf0.1). Bucket count is env-parameterised:
+        # local default 16; at cluster scale size buckets to ~1 GB of
+        # edges each (SPARK_GRAFT_GRAPH_BUCKETS).
+        nb = int(os.environ.get("SPARK_GRAFT_GRAPH_BUCKETS", "16"))
+        ew.write.mode("overwrite").format("parquet").bucketBy(
+            nb, "src"
+        ).sortBy("src", "dst").saveAsTable(base + "_ew")
         _triangle_triples(
             spark.table(base + "_ew").select("src", "dst")
         ).write.mode("overwrite").format("parquet").saveAsTable(
@@ -408,6 +465,7 @@ def _graph_shared(spark: SparkSession, sf_dir: str) -> dict[str, str]:
             "items": base + "_items",
         }
         _GRAPH_MEMO[key] = m
+        _record_build("graph_shared", t0)
     return m
 
 
@@ -432,6 +490,42 @@ def _shared_triples_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-per-triangle (x, y, z) enumeration of the unthresholded
     co-purchase graph, from the session table."""
     return spark.table(_graph_shared(spark, sf_dir)["tri1"])
+
+
+def _shared_walk_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session walk-trail table (step, start, walk_id, cur) for the
+    4-step × 2-walk deterministic DeepWalk sampling over the ≥2-weight
+    graph — graph_hash_walks and walk_covisit_pairs run the IDENTICAL
+    walk (same edges, same md5 argmin), so one materialized replay
+    serves both (the walks are bit-identical across partitionings by
+    construction — the property the operator exists to provide)."""
+    m = _graph_shared(spark, sf_dir)
+    if "walks" not in m:
+        t0 = _time.time()
+        from sea_express_customs_etl_spark.operators.graph import (
+            _walk_frontiers,
+        )
+        from sea_express_customs_etl_spark.plans.cache import (
+            release_tracked,
+        )
+
+        base = m["ew"].rsplit("_ew", 1)[0]
+        steps = _walk_frontiers(
+            _shared_edges(spark, sf_dir, 2), walk_length=4, n_walks=2
+        )
+        trail = None
+        for t, fr in enumerate(steps, start=1):
+            part = fr.select(
+                F.lit(t).alias("step"), "start", "walk_id", "cur"
+            )
+            trail = part if trail is None else trail.unionByName(part)
+        trail.write.mode("overwrite").format("parquet").saveAsTable(
+            base + "_walks"
+        )
+        release_tracked()
+        m["walks"] = base + "_walks"
+        _record_build("walk_trail", t0)
+    return spark.table(m["walks"])
 
 
 def _shared_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,6 +563,7 @@ def _textdup_shared(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     key = (app_id, sf_dir)
     m = _TEXTDUP_MEMO.get(key)
     if m is None:
+        t0 = _time.time()
         from sea_express_customs_etl_spark.operators.dedup import (
             jaccard_verify_profiles,
             lsh_bands,
@@ -492,6 +587,7 @@ def _textdup_shared(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         release_tracked()  # the build's internal pins die with the build
         m = {"prof": base + "_prof", "pairs": base + "_pairs"}
         _TEXTDUP_MEMO[key] = m
+        _record_build("textdup_shared", t0)
     return m
 
 
@@ -860,10 +956,17 @@ def _q_ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the session's one trained model (≡ ivfpq_residual_codebook here
     # by construction — see _ann_model); already a local relation
     _cen_unused, codebook = _ann_model(spark, sf_dir)
-    # pinned: feeds BOTH the trained top-5 and the refine stage
-    adc50 = _tracked_persist(
+    # feeds BOTH the trained top-5 and the refine stage, and is
+    # model-sized (|q|·200 rows at ANY corpus size) downstream of a
+    # multi-stage composition — localCheckpoint, not persist: the
+    # lineage CUT keeps the refine/union/jaccard plan from dragging
+    # the whole IVFPQ train+encode subtree into every consumer's
+    # plan string (the mmr_ann_rerank rule; r11 probe 13.0 → 9.8 s
+    # same-session)
+    adc50 = (
         ivfpq_trained_topk(emb, cen, q10, k=200, nprobe=2, codebook=codebook)
         .select("query_id", "neighbor_id", "dist_u12")
+        .localCheckpoint()
     )
     tw = Window.partitionBy("query_id").orderBy(
         F.col("dist_u12").asc(), F.col("neighbor_id").asc()
@@ -1187,6 +1290,7 @@ def _q_ann_store_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = "anncompact_" + re.sub(r"\W", "_", f"{key[0]}_{key[1]}")
     if key not in _COMPACT_STORE_MEMO:
+        t0 = _time.time()
         writer = ann_store_batch_writer(
             prefix, cen, codebook, num_buckets=4
         )
@@ -1196,6 +1300,7 @@ def _q_ann_store_compact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         deleter(emb.filter(F.col("vec_id") % 7 == 3).select("vec_id"), 2)
         compact_ann_store(spark, prefix, num_buckets=4)
         _COMPACT_STORE_MEMO.add(key)
+        _record_build("ann_compact_build", t0)
     return store_adc_topk(
         spark,
         prefix,
@@ -1770,6 +1875,105 @@ def _q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-scoped word→pieces dictionary tables (r10 VERDICT #5, the
+# _graph_shared pattern applied to the subword-apply family): the
+# greedy merge fold / 20-round longest-match chain is an INTERPRETED
+# higher-order expression, the single most expensive per-query cost in
+# every apply-side tokenizer query — and it is a pure function of the
+# word, so ONE table over the full corpus vocabulary serves every
+# consumer of the same frozen model (subset corpora restrict it via
+# the inner join; row-identical by construction). One table per model:
+# bpe_fixed (FIXED_MERGES: bpe_encode_fixed + pretrain_prep_pack),
+# bpe_learned (session 10-merge model: bpe_token_counts +
+# bpe_fertility_by_source), wordpiece (session 8-merge model:
+# wordpiece_token_counts + wordpiece_fertility_by_source),
+# unigram_vocab (the trained SentencePiece-style vocabulary:
+# unigram_lm_vocab + the apply consumers' model input) and unigram
+# (word→piece-count under that vocabulary: unigram_token_counts +
+# tokenizer_fertility — each was re-running the FULL 2-round train).
+_TOKDICT_MEMO: dict[tuple[str, str], dict[str, str]] = {}
+
+
+def _tok_dict(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
+    from sea_express_customs_etl_spark.operators.bpe import (
+        FIXED_MERGES,
+        _chars,
+        apply_merge,
+        wordpiece_encode_pieces,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _TOKDICT_MEMO if k[0] != app_id]:
+        del _TOKDICT_MEMO[k]
+    m = _TOKDICT_MEMO.setdefault((app_id, sf_dir), {})
+    if kind not in m:
+        t0 = _time.time()
+        base = "tokdict_" + re.sub(r"\W", "_", f"{kind}_{app_id}_{sf_dir}")
+        if kind == "unigram_vocab":
+            from sea_express_customs_etl_spark.operators.unigram import (
+                unigram_train,
+            )
+
+            enc = unigram_train(_docs(spark, sf_dir), rounds=2)
+        elif kind == "unigram":
+            from sea_express_customs_etl_spark.operators.unigram import (
+                segment_words,
+                word_dict,
+            )
+
+            enc = segment_words(
+                word_dict(_docs(spark, sf_dir)),
+                _tok_dict(spark, sf_dir, "unigram_vocab"),
+            ).select(
+                "word",
+                F.size(
+                    F.filter(F.split("seg", " "), lambda x: x != "")
+                )
+                .cast("bigint")
+                .alias("np"),
+            )
+        else:
+            words = (
+                _docs(spark, sf_dir)
+                .select(
+                    F.explode(
+                        F.filter(
+                            F.split(
+                                F.trim(F.lower(F.col("text"))), r"\s+"
+                            ),
+                            lambda x: x != "",
+                        )
+                    ).alias("_w")
+                )
+                .distinct()
+            )
+            if kind == "wordpiece":
+                enc = wordpiece_encode_pieces(
+                    words.select(F.col("_w").alias("word")),
+                    _wordpiece_merges_cached(spark, sf_dir, 8),
+                    rounds=20,
+                )
+            else:
+                merges = (
+                    list(FIXED_MERGES)
+                    if kind == "bpe_fixed"
+                    else _bpe_merges_cached(spark, sf_dir, 10)
+                )
+                syms = _chars(F.col("_w"))
+                for left, right in merges:
+                    syms = apply_merge(syms, left, right)
+                enc = words.select("_w", syms.alias("_toks"))
+        enc.write.mode("overwrite").format("parquet").saveAsTable(base)
+        from sea_express_customs_etl_spark.plans.cache import (
+            release_tracked,
+        )
+
+        release_tracked()  # build-internal pins die with the build
+        m[kind] = base
+        _record_build(f"tokdict_{kind}", t0)
+    return spark.table(m[kind])
+
+
 # Session-scoped BPE training memo (the perceptron-memo pattern):
 # bpe_learned_merges checks the trajectory, bpe_token_counts applies
 # the identical learned merges.
@@ -1786,9 +1990,11 @@ def _bpe_merges_cached(
         del _BPE_MEMO[k]
     key = (app_id, sf_dir, n_merges)
     if key not in _BPE_MEMO:
+        t0 = _time.time()
         _BPE_MEMO[key] = bpe_train(
             _docs(spark, sf_dir), n_merges=n_merges
         )
+        _record_build("bpe_train", t0)
     return _BPE_MEMO[key]
 
 
@@ -1805,9 +2011,12 @@ def _q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sea_express_customs_etl_spark.operators.bpe import bpe_encode
 
     merges = _bpe_merges_cached(spark, sf_dir, 10)
-    return bpe_encode(_docs(spark, sf_dir), merges).select(
-        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
-    )
+    return bpe_encode(
+        _docs(spark, sf_dir),
+        merges,
+        enc=_tok_dict(spark, sf_dir, "bpe_learned"),
+        counts_only=True,
+    ).select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
 
 
 # Session-scoped WordPiece training memo (the perceptron-memo
@@ -1826,9 +2035,11 @@ def _wordpiece_merges_cached(
         del _WORDPIECE_MEMO[k]
     key = (app_id, sf_dir, n_merges)
     if key not in _WORDPIECE_MEMO:
+        t0 = _time.time()
         _WORDPIECE_MEMO[key] = wordpiece_train(
             _docs(spark, sf_dir), n_merges=n_merges
         )
+        _record_build("wordpiece_train", t0)
     return _WORDPIECE_MEMO[key]
 
 
@@ -1844,11 +2055,6 @@ def _q_wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derives the merge trajectory through the shared stage CTEs and
     unrolls the same 20 greedy rounds — training AND inference under
     one hash."""
-    from sea_express_customs_etl_spark.operators.bpe import (
-        wordpiece_encode_pieces,
-    )
-
-    merges = _wordpiece_merges_cached(spark, sf_dir, 8)
     docs = _docs(spark, sf_dir)
     wpd = docs.select(
         "doc_id",
@@ -1859,9 +2065,9 @@ def _q_wordpiece_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("word"),
     )
-    pieces = wordpiece_encode_pieces(
-        wpd.select("word").distinct(), merges, rounds=20
-    )
+    # the session word→n_pieces table (same merges, same 20 greedy
+    # rounds, full-corpus vocabulary — row-identical after the join)
+    pieces = _tok_dict(spark, sf_dir, "wordpiece")
     return (
         wpd.join(pieces, "word")
         .groupBy("doc_id")
@@ -2079,11 +2285,7 @@ def _q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     CTEs chained per round — so a drift anywhere in seed counts,
     tie-breaks, or pruning breaks the hash. No driver collect: the
     vocabulary stays a distributed model-sized frame."""
-    from sea_express_customs_etl_spark.operators.unigram import (
-        unigram_train,
-    )
-
-    return unigram_train(_docs(spark, sf_dir), rounds=2)
+    return _tok_dict(spark, sf_dir, "unigram_vocab")
 
 
 def _q_mmr_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2242,11 +2444,12 @@ def _q_unigram_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     both stages stay hash-pinned end to end."""
     from sea_express_customs_etl_spark.operators.unigram import (
         unigram_token_counts,
-        unigram_train,
     )
 
     docs = _docs(spark, sf_dir)
-    return unigram_token_counts(docs, unigram_train(docs, rounds=2))
+    return unigram_token_counts(
+        docs, None, per_word=_tok_dict(spark, sf_dir, "unigram")
+    )
 
 
 def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2260,11 +2463,12 @@ def _q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     train, apply, and report all under one hash."""
     from sea_express_customs_etl_spark.operators.unigram import (
         unigram_token_counts,
-        unigram_train,
     )
 
     docs = _docs(spark, sf_dir)
-    tc = unigram_token_counts(docs, unigram_train(docs, rounds=2))
+    tc = unigram_token_counts(
+        docs, None, per_word=_tok_dict(spark, sf_dir, "unigram")
+    )
     return (
         tc.join(docs.select("doc_id", "lang", "source"), "doc_id")
         .groupBy("lang", "source")
@@ -2704,12 +2908,16 @@ def _q_walk_covisit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         walk_covisit_pairs,
     )
 
+    trail = _shared_walk_trail(spark, sf_dir).select(
+        "start", F.col("cur").alias("node")
+    )
     return walk_covisit_pairs(
-        _shared_edges(spark, sf_dir, 2),
+        None,
         walk_length=4,
         n_walks=2,
         visit_cap=50,
         min_shared=3,
+        trail=trail,
     )
 
 
@@ -2764,9 +2972,12 @@ def _q_graph_hash_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return hash_walks(
-        _shared_edges(spark, sf_dir, 2),
+        None,
         walk_length=4,
         n_walks=2,
+        final_frontier=_shared_walk_trail(spark, sf_dir).filter(
+            F.col("step") == 4
+        ),
     )
 
 
@@ -3023,7 +3234,11 @@ def _q_bpe_encode_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         bpe_encode,
     )
 
-    return bpe_encode(_docs(spark, sf_dir), list(FIXED_MERGES)).select(
+    return bpe_encode(
+        _docs(spark, sf_dir),
+        list(FIXED_MERGES),
+        enc=_tok_dict(spark, sf_dir, "bpe_fixed"),
+    ).select(
         "doc_id",
         F.array_join("tokens", " ").alias("tokens_str"),
         F.col("n_tokens").cast("int").alias("n_tokens"),
@@ -3836,7 +4051,11 @@ def _q_bpe_fertility_by_source(
     from sea_express_customs_etl_spark.operators.bpe import bpe_fertility
 
     merges = _bpe_merges_cached(spark, sf_dir, 10)
-    return bpe_fertility(_docs(spark, sf_dir), merges)
+    return bpe_fertility(
+        _docs(spark, sf_dir),
+        merges,
+        enc=_tok_dict(spark, sf_dir, "bpe_learned"),
+    )
 
 
 def _q_wordpiece_fertility_by_source(
@@ -3846,11 +4065,6 @@ def _q_wordpiece_fertility_by_source(
     merges — the bpe_fertility_by_source pairing for the greedy
     longest-match family; same dictionary-grain encode, same rollup,
     DIFFERENT segmentation rule under the hash."""
-    from sea_express_customs_etl_spark.operators.bpe import (
-        wordpiece_encode_pieces,
-    )
-
-    merges = _wordpiece_merges_cached(spark, sf_dir, 8)
     words = _docs(spark, sf_dir).select(
         "source",
         F.explode(
@@ -3860,7 +4074,8 @@ def _q_wordpiece_fertility_by_source(
             )
         ).alias("word"),
     )
-    enc = wordpiece_encode_pieces(words.select("word").distinct(), merges)
+    # the session word→n_pieces table (same merges, same greedy rounds)
+    enc = _tok_dict(spark, sf_dir, "wordpiece")
     return (
         words.join(
             F.broadcast(enc.select("word", F.col("n_pieces").alias("_np"))),
@@ -4586,7 +4801,10 @@ def _q_pretrain_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked as ONE DuckDB statement."""
     from sea_express_customs_etl_spark.plans.pretrain import pretrain_prep
 
-    return pretrain_prep(_docs(spark, sf_dir))
+    return pretrain_prep(
+        _docs(spark, sf_dir),
+        enc=_tok_dict(spark, sf_dir, "bpe_fixed"),
+    )
 
 
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4627,6 +4845,7 @@ def _pretrain_shared(spark: SparkSession, sf_dir: str) -> dict:
     key = (app_id, sf_dir)
     m = _PRETRAIN_E2E_MEMO.get(key)
     if m is None:
+        t0 = _time.time()
         docs, emb = _docs(spark, sf_dir), _emb(spark, sf_dir)
         st = pretrain_e2e_select_stages(docs, emb)
         marks = None
@@ -4675,6 +4894,7 @@ def _pretrain_shared(spark: SparkSession, sf_dir: str) -> dict:
             "merges": bpe_train(sel, n_merges=N_MERGES),
         }
         _PRETRAIN_E2E_MEMO[key] = m
+        _record_build("pretrain_shared", t0)
     return m
 
 
@@ -4959,6 +5179,7 @@ def _retrieval_systems_cached(
     key = (app_id, sf_dir)
     m = _RETRIEVAL_SYS_MEMO.get(key)
     if m is None:
+        t0 = _time.time()
         docs = _docs(spark, sf_dir)
         st = _tracked_persist(tokenize_docs(docs))
         b, r = _retrieval_systems(docs, staged=st)
@@ -4973,6 +5194,7 @@ def _retrieval_systems_cached(
             ),
         }
         _RETRIEVAL_SYS_MEMO[key] = m
+        _record_build("retrieval_systems", t0)
     schema = "query_id string, doc_id bigint, rank int"
     return (
         spark.createDataFrame(
@@ -6960,64 +7182,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
-# Driver-checked prefix, rotation wave 4 (r9 VERDICT #1): 3 kept rows
-# (the flagship family + connector lineage) + 47 FIRST-TIME entries —
-# the new r10 flagship (pretrain_e2e), the full r9 wave, the named
-# r4-r6 tail, and a graph/multimodal slice. 144 queries had never been
-# driver-witnessed entering r10; this wave cuts that to ≤ 98. The
-# planned list is checked in as tools/rotation_plan.json and diffed in
-# the gate's witness summary.
+# Driver-checked prefix, rotation wave 5 (r10 VERDICT #9): 3 kept rows
+# (the flagship family + connector lineage) + inverted_index (r10's
+# one red row — kept IN so the driver witnesses the fix, r10 VERDICT
+# #1) + 46 of the 47 planned tools/rotation_plan.json r11 entries
+# (curriculum_shards moves to the r12 wave to make room). 117 queries
+# had never been driver-witnessed entering r11; this wave cuts that
+# to ≤ 71 and driver-witnesses the r10 optimization round's touched-
+# but-unwitnessed rows (psm_att_lift, domain_reweight_mw,
+# pretrain_e2e_datacard, item_item_jaccard, …).
 _PREFIX_R10: tuple[str, ...] = (
     "knowledge_extraction",
     "curation_pipeline",
     "manifest_xlsx_ingest",
-    "pretrain_e2e",
-    "knn_adc_vote",
-    "fs_em_linkage",
-    "split_conformal",
-    "conformal_label_sets",
-    "pca_power_topcomp",
-    "pca_doc_projection",
-    "pca_label_anova",
-    "isotonic_calibration",
-    "kmeans_label_ari",
-    "retrieval_map_mrr",
-    "ranking_rbo",
-    "label_agreement_kappa",
-    "bpe_token_counts",
-    "wordpiece_token_counts",
-    "ann_store_compact_topk",
-    "sketch_compact_merged",
-    "event_mk_trend",
-    "event_theilsen_slope",
-    "perplexity_gain_select",
-    "token_entropy",
-    "token_burstiness",
-    "zipf_alpha_fit",
-    "knn_label_vote",
-    "fuzzy_key_recovery",
-    "copurchase_pagerank",
-    "table_profile",
-    "pit_order_version",
-    "simhash_hamming_hist",
-    "dsir_scores",
-    "lm_terciles",
     "inverted_index",
-    "copurchase_edge_support",
-    "copurchase_truss",
-    "copurchase_components",
-    "copurchase_lpa",
-    "walk_covisit_pairs",
-    "graph_hash_walks",
-    "brand_seeded_ppr",
-    "resource_alloc_links",
-    "part_entity_resolution",
-    "snm_part_pairs",
-    "quality_perceptron_weights",
-    "audio_decode_stats",
-    "video_frame_stats",
-    "containment_dups",
-    "random_project",
+    "k_anonymity_audit",
+    "length_emd_drift",
+    "neyman_allocation_sample",
+    "domain_reweight_mw",
+    "ann_hard_negatives",
+    "training_cartography",
+    "bpe_fertility_by_source",
+    "value_psi_drift",
+    "group_kfold_split",
+    "uncertainty_sample_topk",
+    "hill_tail_index",
+    "dedup_threshold_sweep",
+    "split_srm_check",
+    "hll_sliding_users",
+    "psm_att_lift",
+    "wordpiece_fertility_by_source",
+    "corpus_balance_report",
+    "pretrain_e2e_datacard",
+    "heaps_law_fit",
+    "events_sliding_counts",
+    "events_gapfill_locf",
+    "funnel_conversion",
+    "cohort_retention",
+    "nation_year_pivot",
+    "order_priority_unpivot",
+    "returnflag_qty_price_corr",
+    "user_rolling_24h",
+    "zorder_locality",
+    "incremental_agg_merge",
+    "key_skew_stats",
+    "clicks_in_error_window",
+    "lineitem_constraints",
+    "latest_event_per_user",
+    "salted_join_revenue",
+    "event_percent_rank",
+    "unmatched_declared_keys",
+    "pmi_collocations",
+    "domain_kl_divergence",
+    "top_duplicated_ngrams",
+    "event_sigma_outliers",
+    "order_value_gini",
+    "event_winsorized_sums",
+    "order_grouping_sets",
+    "hashed_doc_topk",
+    "chi2_features",
+    "item_item_jaccard",
 )
 
 

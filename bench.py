@@ -195,12 +195,17 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = None
+    # One-time session-build cost (r10 VERDICT "What's wrong" #4): the
+    # best-of-2 minimum hides the shared _*_shared build rep 1 of each
+    # family's first consumer pays; surface it as its own line item.
+    builds = dict(getattr(entrymod, "SESSION_BUILD_SECONDS", {}))
     payload = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf_num,
+        "session_builds": builds,
         **rates,
     }
     print(json.dumps(payload))
@@ -211,7 +216,10 @@ def main() -> None:
     # line. Round number: SPARK_GRAFT_ROUND env var wins (inference
     # writes the wrong file when bench runs before the driver drops the
     # current round's artifact); fallback = latest driver artifact + 1.
-    # Re-runs within a round overwrite (latest wins).
+    # Re-runs within a round at the SAME core count overwrite (latest
+    # wins); the filename is keyed on cpus (r10 VERDICT "What's wrong"
+    # #3: the driver's 8-core scaling run used to clobber the 32-core
+    # run's full map).
     repo = os.path.dirname(os.path.abspath(__file__))
     rnd = os.environ.get("SPARK_GRAFT_ROUND")
     if rnd is not None:
@@ -232,13 +240,17 @@ def main() -> None:
         rnd = max(rounds) + 1
     hist_dir = os.path.join(repo, "BENCH_HISTORY")
     os.makedirs(hist_dir, exist_ok=True)
-    hist_path = os.path.join(hist_dir, f"r{rnd:02d}.json")
+    hist_path = os.path.join(hist_dir, f"r{rnd:02d}_c{cpus}.json")
     with open(hist_path, "w") as f:
         json.dump(payload, f, indent=1, sort_keys=True)
         f.write("\n")
-    # Second, SHORT summary line: the driver keeps only the last ~2000
-    # chars of output, and the full line above grows with the query
-    # count (r4 lost `value` to truncation). This line always survives.
+    # LAST line: the SHORT summary — the driver parses the final JSON
+    # line of the output and keeps only a ~2000-char tail, so this line
+    # must come last and stay compact (r10 VERDICT "What's wrong" #2:
+    # a {"slowest": ...} trailer printed after bench_summary broke the
+    # driver's parse for two rounds — it is now folded in here, along
+    # with the session-build costs).
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     print(
         json.dumps(
             {
@@ -247,15 +259,12 @@ def main() -> None:
                 "n_queries": len(timings),
                 "flagship_s": timings.get("knowledge_extraction"),
                 "sf": sf_num,
+                "session_builds": builds,
+                "slowest": [[n, s] for n, s in slowest],
                 **rates,
             }
         )
     )
-    # Third line: the 10 slowest queries, compact enough to survive the
-    # driver's tail truncation — round-over-round regressions in the
-    # heavy queries stay visible even as the full per-query map grows.
-    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:10]
-    print(json.dumps({"slowest": [[n, s] for n, s in slowest]}))
     spark.stop()
 
 

@@ -146,6 +146,8 @@ def bpe_encode(
     merges: list[tuple[str, str]],
     text_col: str = "text",
     id_col: str = "doc_id",
+    enc: DataFrame | None = None,
+    counts_only: bool = False,
 ) -> DataFrame:
     """Tokenize the corpus with a learned merge list. Output: id,
     tokens (array<string>, word tokens in document order), n_tokens.
@@ -157,7 +159,25 @@ def bpe_encode(
     per corpus occurrence — measured 20 s → sub-second at sf0.1. The
     encoded vocab is broadcast back onto the exploded corpus words and
     documents reassemble with one bounded-state shuffle on the doc id
-    (words-per-doc is physics, not corpus size)."""
+    (words-per-doc is physics, not corpus size).
+
+    ``enc``: optionally inject a pre-built ``(_w, _toks)`` dictionary
+    (the session word→pieces table — r10 VERDICT #5). The dictionary
+    is a pure function of the word, so any superset dictionary (e.g.
+    one built over the FULL corpus vocabulary) is row-identical after
+    the inner join restricts it to ``df``'s words; callers composing
+    several encodes under one frozen model build the fold once per
+    session instead of once per query.
+
+    ``counts_only``: emit only (id, n_tokens) — callers that never
+    read the token array (packing, fertility-style counts) get a
+    PARTIAL-AGGREGABLE ``sum(size(pieces))`` per document instead of
+    the collect_list → sort_array → flatten reassembly (guide §2.3
+    "aggregate before you shuffle": the shuffle then carries one long
+    per (doc, partial) instead of every word's piece array).
+    ``n_tokens = Σ_words |pieces(word)|`` is the same number the
+    flattened array's size yields, and both forms drop zero-word
+    documents via the same inner join."""
     words = df.select(
         F.col(id_col),
         F.posexplode(
@@ -167,10 +187,27 @@ def bpe_encode(
             )
         ).alias("_wi", "_w"),
     )
-    syms = _chars(F.col("_w"))
-    for left, right in merges:
-        syms = apply_merge(syms, left, right)
-    enc = words.select("_w").distinct().select("_w", syms.alias("_toks"))
+    if enc is None:
+        syms = _chars(F.col("_w"))
+        for left, right in merges:
+            syms = apply_merge(syms, left, right)
+        enc = (
+            words.select("_w").distinct().select("_w", syms.alias("_toks"))
+        )
+    if counts_only:
+        return (
+            words.join(
+                F.broadcast(
+                    enc.select(
+                        "_w", F.size("_toks").cast("bigint").alias("_np")
+                    )
+                ),
+                "_w",
+            )
+            .groupBy(id_col)
+            .agg(F.sum("_np").alias("n_tokens"))
+            .select(F.col(id_col), F.col("n_tokens"))
+        )
     packed = (
         words.join(F.broadcast(enc), "_w")
         .groupBy(id_col)
@@ -371,6 +408,7 @@ def bpe_fertility(
     text_col: str = "text",
     id_col: str = "doc_id",
     group_col: str = "source",
+    enc: DataFrame | None = None,
 ) -> DataFrame:
     """Tokenizer fertility audit per domain: pieces-per-word under a
     learned merge list — THE deployment metric for a subword
@@ -398,14 +436,21 @@ def bpe_fertility(
             )
         ).alias("_w"),
     )
-    syms = _chars(F.col("_w"))
-    for left, right in merges:
-        syms = apply_merge(syms, left, right)
-    enc = (
-        words.select("_w")
-        .distinct()
-        .select("_w", F.size(syms).cast("bigint").alias("_np"))
-    )
+    if enc is None:
+        syms = _chars(F.col("_w"))
+        for left, right in merges:
+            syms = apply_merge(syms, left, right)
+        enc = (
+            words.select("_w")
+            .distinct()
+            .select("_w", F.size(syms).cast("bigint").alias("_np"))
+        )
+    else:
+        # injected session dictionary carries the piece ARRAY — derive
+        # the per-word count (pure function of the word, see bpe_encode)
+        enc = enc.select(
+            "_w", F.size("_toks").cast("bigint").alias("_np")
+        )
     rolled = (
         words.join(F.broadcast(enc), "_w")
         .groupBy(group_col)

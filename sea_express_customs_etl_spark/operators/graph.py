@@ -168,8 +168,17 @@ def personalized_pagerank(
         f"DIV 1000000 AS BIGINT)"
     )
     for _ in range(iters):
+        # zero-rank nodes contribute exactly 0 to every neighbor, and
+        # the step's coalesce(_s, 0) already covers a dst losing ALL
+        # its contributors — so pruning them BEFORE the edge join is
+        # hash-identical and shrinks sweep 1 to the seed set and sweep
+        # k to the k-hop neighborhood (guide §2.3: shuffle fewer
+        # bytes; the proximity frontier is the data that matters)
         contribs = (
-            ed.join(ranks.select("node", "r"), ed.src == F.col("node"))
+            ed.join(
+                ranks.select("node", "r").filter(F.col("r") > 0),
+                ed.src == F.col("node"),
+            )
             .select("dst", F.expr("r DIV _d").alias("_c"))
             .groupBy("dst")
             .agg(F.sum("_c").alias("_s"))
@@ -402,6 +411,7 @@ def hash_walks(
     edges: DataFrame,
     walk_length: int = 4,
     n_walks: int = 2,
+    final_frontier: DataFrame | None = None,
 ) -> DataFrame:
     """Deterministic 'random' walks — the DeepWalk/node2vec sampling
     primitive with positional hashing in place of randomness (the
@@ -418,7 +428,17 @@ def hash_walks(
     one edge join (fan-out = degree) + a per-walk argmin window whose
     rank-filter keeps Spark's WindowGroupLimit rewrite (map-side
     partial top-1), then a lazy checkpoint to truncate lineage —
-    node2vec's sampling pass, one join per step, nothing driver-side."""
+    node2vec's sampling pass, one join per step, nothing driver-side.
+
+    ``final_frontier``: optionally inject the step-``walk_length``
+    frontier (start, walk_id, cur) from a session walk-trail table —
+    the walks are deterministic (bit-identical across partitionings by
+    construction), so a materialized replay is row-identical to a
+    fresh one; ``edges`` is ignored when it is given."""
+    if final_frontier is not None:
+        return final_frontier.select(
+            "start", "walk_id", F.col("cur").alias("endpoint")
+        )
     return _walk_frontiers(edges, walk_length, n_walks)[-1].select(
         "start", "walk_id", F.col("cur").alias("endpoint")
     )
@@ -476,6 +496,7 @@ def walk_covisit_pairs(
     n_walks: int = 2,
     visit_cap: int = 50,
     min_shared: int = 3,
+    trail: DataFrame | None = None,
 ) -> DataFrame:
     """DeepWalk step 2 — node similarity from shared walk context:
     two start nodes are related when their walks visit ≥ ``min_shared``
@@ -486,13 +507,18 @@ def walk_covisit_pairs(
     ``tfidf_cosine_pairs``' df cap: the co-visit join is Σ visits²
     over KEPT nodes, so hub context nodes (visited from everywhere,
     carrying no similarity signal — the stop-words of the graph) never
-    explode the pair stage. All counts exact integers."""
-    steps = _walk_frontiers(edges, walk_length, n_walks)
-    trail = steps[0].select("start", F.col("cur").alias("node"))
-    for fr in steps[1:]:
-        trail = trail.unionByName(
-            fr.select("start", F.col("cur").alias("node"))
-        )
+    explode the pair stage. All counts exact integers.
+
+    ``trail``: optionally inject the full (start, node) visit trail
+    from a session walk-trail table (the hash_walks determinism
+    license); ``edges`` is ignored when it is given."""
+    if trail is None:
+        steps = _walk_frontiers(edges, walk_length, n_walks)
+        trail = steps[0].select("start", F.col("cur").alias("node"))
+        for fr in steps[1:]:
+            trail = trail.unionByName(
+                fr.select("start", F.col("cur").alias("node"))
+            )
     visited = tracked_persist(trail.distinct())  # cap count + both join sides
     vf = (
         visited.groupBy("node")

@@ -18,11 +18,12 @@ Engine-portable spec, all integer:
 - matching runs at DISTINCT-SCORE grain (the fuzzy_join
   repeated-value rule) as a SORTED TWO-SIDED AS-OF: in 1-D the
   nearest control is always the floor or ceiling neighbor on the
-  sorted score axis, found by two rank-equi-joins over the two-phase
-  global_rank/global_cumsum primitives — never a caliper-candidate
-  pair set (whose density grows with the corpus: the bucketed form
-  probed 3.0-3.9x at 8x, this one is two linear shuffles), never a
-  corpus cross product or single-partition sort;
+  sorted score axis, found by rank-equi-joins over ONE fused
+  two-phase global_cumsum pass (the inclusive control-indicator
+  cumsum doubles as the control rank spine) — never a
+  caliper-candidate pair set (whose density grows with the corpus:
+  the bucketed form probed 3.0-3.9x at 8x, this one is one linear
+  shuffle), never a corpus cross product or single-partition sort;
 - 1-NN per treated = argmin (|delta|, control score, control id) —
   resolved as floor-vs-ceiling with floor winning ties, and the
   min-id champion per control score;
@@ -54,22 +55,36 @@ def psm_att(
     """``scored``: one row per unit with integer ``score``, integer
     ``outcome``, boolean ``treated``."""
     dec = "decimal(38,0)"
-    # base is read FOUR times (moments, treated values, control
-    # champions, the n_treated count) — without a pin the upstream
-    # scoring pipeline (a corpus explode + model join) re-executes per
-    # reference (the ≥2-consumers rule; 5.5 s → matching-only cost)
-    base = tracked_persist(
-        scored.select(
-            F.col(id_col).alias("_id"),
-            F.col(treated_col).cast("boolean").alias("_t"),
-            F.col(score_col).cast("bigint").alias("_s"),
-            F.col(outcome_col).cast("bigint").alias("_y"),
+    base = scored.select(
+        F.col(id_col).alias("_id"),
+        F.col(treated_col).cast("boolean").alias("_t"),
+        F.col(score_col).cast("bigint").alias("_s"),
+        F.col(outcome_col).cast("bigint").alias("_y"),
+    )
+    # ONE partial-aggregated groupBy collapses the corpus to
+    # (distinct score, side) grain — every downstream consumer
+    # (moments, treated values, control champions, n_treated) derives
+    # from this pinned frame, so the upstream scoring pipeline (a
+    # corpus explode + model join) executes exactly once and the four
+    # former base scans (r10: ~130 residual small exchanges) become
+    # filters over one model-sized cache (guide §2.3/§2.4).
+    grouped = tracked_persist(
+        base.groupBy("_s", "_t").agg(
+            F.count(F.lit(1)).cast("bigint").alias("_n"),
+            F.sum("_y").cast("bigint").alias("_sy"),
+            F.min(F.struct(F.col("_id"), F.col("_y"))).alias("_ch"),
         )
     )
-    mom = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("_n"),
-        F.sum(F.col("_s").cast(dec)).alias("_ss"),
-        F.sum(F.col("_s").cast(dec) * F.col("_s").cast(dec)).alias("_ss2"),
+    # moments over groups are row-moment-exact: Σ_rows s = Σ_g s·n_g,
+    # Σ_rows s² = Σ_g s²·n_g (integer decimal arithmetic both ways)
+    mom = grouped.agg(
+        F.sum("_n").cast("bigint").alias("_n"),
+        F.sum(F.col("_s").cast(dec) * F.col("_n").cast(dec)).alias("_ss"),
+        F.sum(
+            F.col("_s").cast(dec)
+            * F.col("_s").cast(dec)
+            * F.col("_n").cast(dec)
+        ).alias("_ss2"),
         F.min("_s").alias("_smin"),
     )
     scal = (
@@ -102,63 +117,68 @@ def psm_att(
     # with the corpus, the two-neighbor lookup does not). The rank /
     # cumsum primitives are the two-phase global_rank family — no
     # single-partition funnel.
-    from .ranking import global_cumsum, global_rank
+    from .ranking import global_cumsum
 
-    # both distinct-score frames are model-sized and multiply consumed
-    # (tvals: the index union + the match join; cvals: the index union
-    # + the rank spine, whose output is itself read twice as floor and
-    # ceiling) — pin them so each partial agg over base runs once
-    tvals = tracked_persist(
-        base.filter(F.col("_t"))
-        .groupBy("_s")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("_nt"),
-            F.sum("_y").cast("bigint").alias("_syt"),
-        )
-        .select(F.col("_s").alias("_ts"), "_nt", "_syt")
+    # distinct-score side frames, both filters over the one pinned
+    # grouped table. Control champion per distinct score: the
+    # per-treated tie-break argmin (|delta|, cs, cid) always resolves
+    # to the min-cid control of the winning score.
+    tvals = grouped.filter(F.col("_t")).select(
+        F.col("_s").alias("_ts"),
+        F.col("_n").alias("_nt"),
+        F.col("_sy").alias("_syt"),
     )
-    # control champion per distinct score: the per-treated tie-break
-    # argmin (|delta|, cs, cid) always resolves to the min-cid
-    # control of the winning score
-    cvals = tracked_persist(
-        base.filter(~F.col("_t"))
-        .groupBy("_s")
-        .agg(F.min(F.struct(F.col("_id"), F.col("_y"))).alias("_ch"))
-        .select(F.col("_s").alias("_cs"), F.col("_ch._y").alias("_cy"))
+    cvals = grouped.filter(~F.col("_t")).select(
+        F.col("_s").alias("_cs"), F.col("_ch._y").alias("_cy")
     )
+    # ONE fused two-phase pass replaces the former global_cumsum +
+    # global_rank pair: under the (_s asc, _side asc) total order the
+    # INCLUSIVE cumsum of the control indicator IS, on a control row,
+    # that control's 1-based rank among controls — so the same pass
+    # yields the treated floor index AND the control rank spine, with
+    # the per-side payloads (_nt/_syt, _cy) carried through the union
+    # so no join back to tvals is needed afterwards.
     u = cvals.select(
         F.col("_cs").alias("_s"),
         F.lit(0).alias("_side"),
         F.lit(1).alias("_isc"),
+        F.lit(None).cast("bigint").alias("_nt"),
+        F.lit(None).cast("bigint").alias("_syt"),
+        F.col("_cy"),
     ).unionByName(
         tvals.select(
             F.col("_ts").alias("_s"),
             F.lit(1).alias("_side"),
             F.lit(0).alias("_isc"),
+            "_nt",
+            "_syt",
+            F.lit(None).cast("bigint").alias("_cy"),
         )
     )
     # floor index: controls sort before treated at equal score, so a
-    # control AT the treated score is its own floor (|delta| = 0)
-    cum = global_cumsum(
-        u, [F.col("_s").asc(), F.col("_side").asc()], "_isc", "_fidx"
+    # control AT the treated score is its own floor (|delta| = 0);
+    # cum is consumed three ways (treated rows, floor spine, ceiling
+    # spine) — pin it (the ≥2-consumers rule)
+    cum = tracked_persist(
+        global_cumsum(
+            u, [F.col("_s").asc(), F.col("_side").asc()], "_isc", "_fidx"
+        )
     )
     tidx = cum.filter(F.col("_side") == 1).select(
-        F.col("_s").alias("_ts"), "_fidx"
+        F.col("_s").alias("_ts"), "_nt", "_syt", "_fidx"
     )
-    crk = global_rank(cvals, [F.col("_cs").asc()], rank_col="_cr")
-    floor_c = crk.select(
-        F.col("_cr").alias("_fidx"),
-        F.col("_cs").alias("_fs"),
+    floor_c = cum.filter(F.col("_side") == 0).select(
+        F.col("_fidx"),
+        F.col("_s").alias("_fs"),
         F.col("_cy").alias("_fy"),
     )
-    ceil_c = crk.select(
-        (F.col("_cr") - 1).alias("_fidx"),
-        F.col("_cs").alias("_es"),
+    ceil_c = cum.filter(F.col("_side") == 0).select(
+        (F.col("_fidx") - 1).alias("_fidx"),
+        F.col("_s").alias("_es"),
         F.col("_cy").alias("_ey"),
     )
     j = (
-        tvals.join(tidx, "_ts")
-        .join(floor_c, "_fidx", "left")
+        tidx.join(floor_c, "_fidx", "left")
         .join(ceil_c, "_fidx", "left")
         .crossJoin(F.broadcast(scal.select("_c")))
     )
@@ -198,8 +218,9 @@ def psm_att(
         .cast("bigint")
         .alias("att_num"),
     )
-    nt = base.filter(F.col("_t")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_treated")
+    # n_treated rides the grouped table too (Σ per-score counts)
+    nt = grouped.filter(F.col("_t")).agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("bigint").alias("n_treated")
     )
     return (
         nt.crossJoin(F.broadcast(stats))

@@ -313,44 +313,82 @@ def quality_gate(
     Output: id, n_words, avg_word_len, dup_word_frac, top_bigram_frac,
     words_ok, avg_len_ok, repetition_ok, passed. Map-only, like
     :func:`repetition_stats`.
+
+    Expression shape (r11, guide §7.2 duplicated-subtree rule): every
+    stat is computed inside NESTED 1-element ``transform`` bindings —
+    the lambda variable is Catalyst's only let-binding, so the token
+    array, the bigram array and the base-stat struct each appear
+    EXACTLY ONCE in the expression tree. Projection staging alone does
+    not survive a ``.filter(passed)`` consumer: predicate pushdown
+    inlines aliases through every Project regardless of cost (measured
+    15 ``split()`` evaluations per row in pretrain_prep_pack's pushed
+    gate filter, 5.4 s vs 1.1 s for the same stats at sf0.1). With the
+    bound form, even a fully pushed-down filter carries one split, one
+    bigram build and one multiplicity fold per row.
     """
-    staged = df.select(
-        F.col(id_col),
-        _toks(text_col).alias("_tk"),
-        F.length(F.regexp_replace(F.col(text_col), r"\s", "")).alias("_no_ws"),
-    ).select(
-        F.col(id_col),
-        F.col("_tk"),
-        F.col("_no_ws"),
-        _bigrams(F.col("_tk")).alias("_bg"),
-    ).select(
-        F.col(id_col),
-        F.col("_no_ws"),
-        F.size(F.col("_tk")).alias("_nw"),
-        F.size(F.array_distinct(F.col("_tk"))).alias("_nd"),
-        F.size(F.col("_bg")).alias("_nbg"),
-        _max_multiplicity(F.col("_bg")).alias("_top_cnt"),
+
+    def _base(tk: Column, bg: Column) -> Column:
+        return F.struct(
+            F.size(tk).alias("nw"),
+            F.length(
+                F.regexp_replace(F.col(text_col), r"\s", "")
+            ).alias("nws"),
+            F.size(F.array_distinct(tk)).alias("nd"),
+            F.size(bg).alias("nbg"),
+            _max_multiplicity(bg).alias("top_cnt"),
+        )
+
+    def _outs(b: Column) -> Column:
+        n_words = b["nw"]
+        avg_len = F.round(b["nws"] / n_words, 4)
+        dup_word = F.round((n_words - b["nd"]) / n_words, 4)
+        top_bg = F.when(
+            b["nbg"] > 0, F.round(b["top_cnt"] / b["nbg"], 4)
+        ).otherwise(F.lit(0.0))
+        words_ok = (n_words >= min_words) & (n_words <= max_words)
+        avg_ok = (avg_len >= min_avg_word_len) & (
+            avg_len <= max_avg_word_len
+        )
+        rep_ok = (dup_word <= max_dup_word_frac) & (
+            top_bg <= max_top_bigram_frac
+        )
+        return F.struct(
+            n_words.alias("n_words"),
+            avg_len.alias("avg_word_len"),
+            dup_word.alias("dup_word_frac"),
+            top_bg.alias("top_bigram_frac"),
+            words_ok.alias("words_ok"),
+            avg_ok.alias("avg_len_ok"),
+            rep_ok.alias("repetition_ok"),
+            (words_ok & avg_ok & rep_ok).alias("passed"),
+        )
+
+    def _bind1(x: Column, f) -> Column:
+        return F.element_at(F.transform(F.array(x), f), 1)
+
+    gate = _bind1(
+        _toks(text_col),
+        lambda tk: _bind1(
+            _bigrams(tk),
+            lambda bg: _bind1(_base(tk, bg), _outs),
+        ),
     )
-    n_words = F.col("_nw")
-    avg_len = F.round(F.col("_no_ws") / n_words, 4)
-    dup_word = F.round((n_words - F.col("_nd")) / n_words, 4)
-    top_bg = (
-        F.when(F.col("_nbg") > 0, F.round(F.col("_top_cnt") / F.col("_nbg"), 4))
-        .otherwise(F.lit(0.0))
-    )
-    words_ok = (n_words >= min_words) & (n_words <= max_words)
-    avg_ok = (avg_len >= min_avg_word_len) & (avg_len <= max_avg_word_len)
-    rep_ok = (dup_word <= max_dup_word_frac) & (top_bg <= max_top_bigram_frac)
+    staged = df.select(F.col(id_col), gate.alias("_g"))
     return staged.select(
         F.col(id_col),
-        n_words.alias("n_words"),
-        avg_len.alias("avg_word_len"),
-        dup_word.alias("dup_word_frac"),
-        top_bg.alias("top_bigram_frac"),
-        words_ok.alias("words_ok"),
-        avg_ok.alias("avg_len_ok"),
-        rep_ok.alias("repetition_ok"),
-        (words_ok & avg_ok & rep_ok).alias("passed"),
+        *[
+            F.col(f"_g.{c}").alias(c)
+            for c in (
+                "n_words",
+                "avg_word_len",
+                "dup_word_frac",
+                "top_bigram_frac",
+                "words_ok",
+                "avg_len_ok",
+                "repetition_ok",
+                "passed",
+            )
+        ],
     )
 
 
@@ -515,7 +553,10 @@ def inverted_index(
     sorted posting list (first element = lowest doc id, then gaps) —
     the gap form is what makes varint/PForDelta compression work in a
     real index, and it is byte-cheaper to shuffle too. Output: term,
-    df (int), total_tf (bigint), gaps (array<bigint>).
+    df (int), total_tf (bigint), gaps (string — the posting list
+    comma-joined; the string form keeps downstream canonicalizers that
+    hash flat columns working, and is what a serialized index segment
+    stores anyway).
 
     Scale shape: explode → ONE (term, doc) partial-aggregated count →
     ONE per-term aggregate whose state is the posting list itself
@@ -541,7 +582,12 @@ def inverted_index(
             F.element_at(F.col("_docs"), i)  # 1-based: element i = previous
         ),
     )
-    return agg.select("term", "df", "total_tf", gaps.alias("gaps"))
+    return agg.select(
+        "term",
+        "df",
+        "total_tf",
+        F.array_join(gaps.cast("array<string>"), ",").alias("gaps"),
+    )
 
 
 def tfidf_cosine_pairs(

@@ -2158,7 +2158,7 @@ g AS (SELECT term, doc_id, tf,
       FROM tf)
 SELECT term, CAST(count(*) AS INTEGER) AS df,
        CAST(sum(tf) AS BIGINT) AS total_tf,
-       list(gap ORDER BY doc_id) AS gaps
+       string_agg(CAST(gap AS VARCHAR), ',' ORDER BY doc_id) AS gaps
 FROM g GROUP BY term
 """
 

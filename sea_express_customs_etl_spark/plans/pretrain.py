@@ -28,12 +28,24 @@ from sea_express_customs_etl_spark.operators.packing import pack_sequences
 from sea_express_customs_etl_spark.operators.textstats import quality_gate
 
 
-def pretrain_prep(docs: DataFrame, seq_len: int = 512, num_shards: int = 4) -> DataFrame:
+def pretrain_prep(
+    docs: DataFrame,
+    seq_len: int = 512,
+    num_shards: int = 4,
+    enc: DataFrame | None = None,
+) -> DataFrame:
     """gate → tokenize → pack. Output: doc_id, shard, bin_id,
-    bin_offset, n_tokens (real BPE token count)."""
+    bin_offset, n_tokens (real BPE token count).
+
+    ``enc``: optional pre-built FIXED_MERGES word→pieces dictionary
+    (the session table). Without it bpe_encode's dictionary build
+    re-executes the gate + survivor semi-join a second time just to
+    enumerate the vocabulary; the injected full-corpus dictionary is
+    row-identical after the inner join (pieces are a pure function of
+    the word — see bpe_encode)."""
     keep = quality_gate(docs).filter(F.col("passed")).select("doc_id")
     survivors = docs.join(keep, "doc_id", "left_semi")
-    toks = bpe_encode(survivors, list(FIXED_MERGES)).select(
-        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens")
-    )
+    toks = bpe_encode(
+        survivors, list(FIXED_MERGES), enc=enc, counts_only=True
+    ).select("doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"))
     return pack_sequences(toks, seq_len=seq_len, num_shards=num_shards)

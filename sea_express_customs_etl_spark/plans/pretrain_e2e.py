@@ -197,7 +197,7 @@ def pretrain_e2e_datacard(
     if merges is None:
         merges = bpe_train(sel, n_merges=N_MERGES)
     ntok = (
-        bpe_encode(sel, merges)
+        bpe_encode(sel, merges, counts_only=True)
         .select("doc_id", "n_tokens")
         .join(sel.select("doc_id", "source"), "doc_id")
     )
@@ -271,7 +271,9 @@ def pretrain_e2e(
         sel = sel.localCheckpoint(eager=False)
     if merges is None:
         merges = bpe_train(sel, n_merges=N_MERGES)
-    tok = bpe_encode(sel, merges).select("doc_id", "n_tokens")
+    tok = bpe_encode(sel, merges, counts_only=True).select(
+        "doc_id", "n_tokens"
+    )
     shard = (F.col("doc_id") % N_SHARDS).cast("int")
     w = Window.partitionBy("shard").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")

@@ -55,6 +55,6 @@ def test_inverted_index_gap_encoding(spark):
         [(2, "x y"), (5, "x"), (9, "x x")], "doc_id long, text string"
     )
     got = {r.term: r for r in inverted_index(df).collect()}
-    assert got["x"].gaps == [2, 3, 4]  # docs 2,5,9 delta-encoded
+    assert got["x"].gaps == "2,3,4"  # docs 2,5,9 delta-encoded
     assert (got["x"].df, got["x"].total_tf) == (3, 4)  # doc 9 has tf=2
-    assert got["y"].gaps == [2] and got["y"].df == 1
+    assert got["y"].gaps == "2" and got["y"].df == 1

@@ -26,7 +26,9 @@ def main() -> None:
     names = sys.argv[3:]
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(repo, "plans", "r10")
+    out_dir = os.path.join(
+        repo, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r11")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     if names and names[0] == "--top":
