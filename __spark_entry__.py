@@ -528,6 +528,35 @@ def _shared_walk_trail(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(m["walks"])
 
 
+def _shared_lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session LPA-community table (node, label) — the 4-sweep
+    synchronous label propagation over the ≥2-weight graph is
+    DETERMINISTIC by construction (sync updates, integer counts,
+    (count desc, label asc) tie-break — the property its oracle
+    checks), so one materialized run serves both copurchase_lpa and
+    lpa_modularity (each was re-running the full 4-sweep loop)."""
+    m = _graph_shared(spark, sf_dir)
+    if "lpa" not in m:
+        t0 = _time.time()
+        from sea_express_customs_etl_spark.operators.graph import (
+            label_propagation,
+        )
+        from sea_express_customs_etl_spark.plans.cache import (
+            release_tracked,
+        )
+
+        base = m["ew"].rsplit("_ew", 1)[0]
+        label_propagation(
+            _shared_edges(spark, sf_dir, 2), rounds=4
+        ).write.mode("overwrite").format("parquet").saveAsTable(
+            base + "_lpa"
+        )
+        release_tracked()
+        m["lpa"] = base + "_lpa"
+        _record_build("lpa_labels", t0)
+    return spark.table(m["lpa"])
+
+
 def _shared_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (l_orderkey, l_partkey) basket projection from the
     session table — row-identical to
@@ -2675,12 +2704,11 @@ def _q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIV (4m²) with sign split from magnitude; community-structure
     drift now breaks a gate hash."""
     from sea_express_customs_etl_spark.operators.graph import (
-        label_propagation,
         modularity,
     )
 
     edges = _shared_edges(spark, sf_dir, 2)
-    return modularity(edges, label_propagation(edges, rounds=4))
+    return modularity(edges, _shared_lpa_labels(spark, sf_dir))
 
 
 def _q_winnow_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2745,15 +2773,9 @@ def _q_copurchase_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """4-sweep synchronous label-propagation communities over the
     ≥2-co-occurrence co-purchase graph — modal-neighbor-label updates
     with (count desc, label asc) tie-break; the fixed-round trajectory
-    hash-matches the unrolled oracle (kcore discipline)."""
-    from sea_express_customs_etl_spark.operators.graph import (
-        label_propagation,
-    )
-
-    return label_propagation(
-        _shared_edges(spark, sf_dir, 2),
-        rounds=4,
-    )
+    hash-matches the unrolled oracle (kcore discipline). Served from
+    the session LPA table (deterministic-replay license)."""
+    return _shared_lpa_labels(spark, sf_dir)
 
 
 def _q_hashed_doc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
